@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Merge-upsert: align two tables by column name (schema evolution
+  * allowed), then keep one row per key with a DETERMINISTIC survivor.
+  *
+  * Reference semantics: src/utils/bucket.py:63-89
+  * (`existing.unionByName(new, allowMissingColumns=True)
+  *   .dropDuplicates(dedup_keys)` then overwrite). Two deliberate fixes
+  * over the reference (SURVEY.md §7.1):
+  *   1. `dropDuplicates(subset)` keeps an ARBITRARY row per key; here the
+  *      survivor is chosen by an explicit tiebreak ordering (new-rows-win
+  *      by default), so the merge is reproducible and oracle-checkable.
+  *   2. The reference lazily overwrites the very path it just read
+  *      (correctness hazard); [[saveOrUpdate]] materializes to a temp dir
+  *      and swaps.
+  *
+  * Scale notes: one shuffle on the dedup keys (window + row_number); the
+  * window frame is per-key so skew is bounded by key cardinality. At
+  * 100 TB this is the same plan shape a Delta/Iceberg MERGE would lower
+  * to when the whole table must be rewritten.
+  */
+object MergeUpsert {
+
+  /** Union `existing` and `incoming` by name, keep one row per `keys`.
+    * `tiebreak` orders candidate survivors (first row wins). If empty,
+    * incoming rows win via an internal priority column.
+    */
+  def merge(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+            tiebreak: Seq[Column] = Nil): DataFrame = {
+    val prio = "__merge_priority"
+    val (unioned, order) =
+      if (tiebreak.nonEmpty)
+        (existing.unionByName(incoming, allowMissingColumns = true), tiebreak)
+      else {
+        val u = incoming.withColumn(prio, lit(1))
+          .unionByName(existing.withColumn(prio, lit(2)),
+            allowMissingColumns = true)
+        (u, Seq(col(prio).asc))
+      }
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val rn = "__merge_rn"
+    val deduped = unioned.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
+    if (tiebreak.nonEmpty) deduped else deduped.drop(prio)
+  }
+
+  /** Reference `save_or_update_table`: read existing parquet at `path` if
+    * present, merge, write back. Writes go to a temp sibling dir first,
+    * then swap — never overwrite a path mid-read.
+    */
+  def saveOrUpdate(spark: SparkSession, incoming: DataFrame, path: String,
+                   keys: Seq[String]): Unit = {
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val result =
+      if (fs.exists(fsPath)) merge(spark.read.parquet(path), incoming, keys)
+      else incoming
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp_swap")
+    result.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(fsPath)) fs.delete(fsPath, true)
+    if (!fs.rename(tmp, fsPath))
+      throw new java.io.IOException(s"merge swap failed: $tmp -> $fsPath")
+  }
+}

@@ -1,0 +1,303 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational operator parity queries (SURVEY.md §2), each paired with a
+  * DuckDB oracle in [[oracle]]. Phrased over the TPC-H-ish test tables.
+  *
+  * Determinism rules (so the driver's hash compare is stable):
+  *   - double aggregates go through DECIMAL(18,2/4): decimal addition is
+  *     exact and associative, so Spark's partial-aggregate ordering and
+  *     DuckDB's ordering produce identical results; the final value is cast
+  *     back to double for a schema both engines agree on.
+  *   - every window/top-k ordering carries a unique-key tiebreak.
+  */
+object RelationalQueries {
+
+  /** Exact, order-insensitive sum of a 2-decimal double column → double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Exact sum of price*(1-discount) (scale-4 decimal product) → double. */
+  private def revenueSum(price: Column, discount: Column): Column =
+    sum(price.cast(DecimalType(18, 2)) *
+      (lit(java.math.BigDecimal.ONE) - discount.cast(DecimalType(18, 2))))
+      .cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── A1/A2-style headline aggregation (TPC-H Q1 flavor) ──────────────
+    // Filter pushes to the parquet scan; partial aggregation map-side.
+    "q1_agg" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("count_order"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          revenueSum(col("l_extendedprice"), col("l_discount"))
+            .as("sum_disc_price"))
+    },
+
+    // ── P1: nested-free flatten-style projection + cast + alias ─────────
+    // Reference: src/etl/bronze_to_silver.py:48-84 (select/cast/alias).
+    "q_project_cast" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(
+          col("l_orderkey").cast("long").as("orderkey"),
+          col("l_linenumber").cast("int").as("linenumber"),
+          floor(col("l_quantity")).cast("long").as("qty_floor"),
+          col("l_returnflag").cast("string").as("returnflag"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double").as("price"))
+    },
+
+    // ── P5: conditional null-normalization (single Project, not 27) ─────
+    // Reference: src/etl/bronze_to_silver.py:117-124. Placeholder strings
+    // NULL/Null/"" → real nulls; one select over all columns.
+    "q_normalize_casewhen" -> { (s, dir) =>
+      val df = Tables.load(s, dir, "customer")
+      val strCols = Set("c_name", "c_mktsegment")
+      df.select(df.columns.toSeq.map { c =>
+        if (strCols(c)) graft.functions.Normalize.placeholderToNull(col(c)).as(c)
+        else col(c)
+      }: _*)
+    },
+
+    // ── P6/A1: one-pass profile (replaces the reference's ~105-job loop;
+    // SURVEY.md §3.2). Null counts + exact distincts in a single aggregate.
+    "q_profile_onepass" -> { (s, dir) =>
+      Tables.load(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("o_custkey").isNull, 1)).as("nulls_custkey"),
+        count(when(col("o_orderstatus").isNull, 1)).as("nulls_status"),
+        countDistinct(col("o_orderstatus")).as("distinct_status"),
+        countDistinct(col("o_orderpriority")).as("distinct_priority"))
+    },
+
+    // ── A2: distinct (cardinality profile) ──────────────────────────────
+    "q_distinct" -> { (s, dir) =>
+      Tables.load(s, dir, "orders").select(col("o_orderpriority")).distinct()
+    },
+
+    // ── A3: exact multi-column dedup (SELECT DISTINCT) ──────────────────
+    "q_dedup_exact" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+    },
+
+    // ── A4: keyed dedup with DETERMINISTIC survivor (row_number tiebreak;
+    // reference dropDuplicates(subset) keeps an arbitrary row — SURVEY §7.4)
+    "q_dedup_keyed" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber").asc)
+      Tables.load(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    },
+
+    // ── S6: merge-upsert (unionByName + keyed dedup, new-rows-win).
+    // Reference: src/utils/bucket.py:63-89. Simulated: "existing" = orders
+    // before 1999, "incoming" = orders from 1998 (overlap year forces the
+    // dedup path). Deterministic survivor: incoming wins, then orderkey.
+    "q_merge_upsert" -> { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+      val existing = orders
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .withColumn("src_rank", lit(2))
+      val incoming = orders
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .withColumn("src_rank", lit(1))
+      MergeUpsert.merge(existing, incoming, keys = Seq("o_orderkey"),
+        tiebreak = Seq(col("src_rank").asc))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("src_rank"))
+    },
+
+    // ── U1: unionByName with schema evolution (allowMissingColumns) ─────
+    "q_union_by_name" -> { (s, dir) =>
+      val a = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").as("key"), col("s_name").as("name"),
+          col("s_acctbal").as("acctbal"))
+      val b = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_mktsegment").as("segment"))
+      a.unionByName(b, allowMissingColumns = true)
+    },
+
+    // ── Joins: star join fact ⋈ dims, broadcast the small sides ─────────
+    // (SURVEY §2.4: the gold star schema's intended consumption pattern.)
+    "q_star_join" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // ── O2: top-k (TakeOrderedAndProject) with unique tiebreak ──────────
+    "q_topk" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+
+    // ── W1: window rank per group (top-3 orders per customer) ───────────
+    "q_window_rank" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("rn"))
+    },
+
+    // ── F6-F8 + F9/F10: date-dimension build (gold dim_approach_date).
+    // Reference: src/etl/silver_to_gold.py:51-69.
+    "q_date_dim" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+          .as("date_full"))
+        .distinct()
+        .select(
+          sha2(concat_ws("||", col("date_full")), 256).as("sk_date"),
+          col("date_full"),
+          year(to_timestamp(col("date_full"))).as("year"),
+          month(to_timestamp(col("date_full"))).as("month"),
+          dayofmonth(to_timestamp(col("date_full"))).as("day"),
+          hour(to_timestamp(col("date_full"))).as("hour"),
+          minute(to_timestamp(col("date_full"))).as("minute"),
+          weekofyear(to_timestamp(col("date_full"))).as("week"))
+    },
+
+    // ── F9/F10: sha2 surrogate keys over a dimension (gold dim_asteroid
+    // analog). Reference: src/etl/silver_to_gold.py:118-121,131-133.
+    "q_sha2_sk" -> { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .select(
+          sha2(concat_ws("||", col("c_custkey").cast("string")), 256)
+            .as("sk_customer"),
+          col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | count(*) AS count_order,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_project_cast" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+        | CAST(l_linenumber AS INT) AS linenumber,
+        | CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        | CAST(l_returnflag AS VARCHAR) AS returnflag,
+        | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM lineitem""".stripMargin,
+
+    "q_normalize_casewhen" ->
+      """SELECT c_custkey,
+        | CASE WHEN trim(c_name) IN ('NULL','Null','') THEN NULL ELSE trim(c_name) END AS c_name,
+        | c_nationkey, c_acctbal,
+        | CASE WHEN trim(c_mktsegment) IN ('NULL','Null','') THEN NULL ELSE trim(c_mktsegment) END AS c_mktsegment
+        |FROM customer""".stripMargin,
+
+    "q_profile_onepass" ->
+      """SELECT count(*) AS n_rows,
+        | count(CASE WHEN o_custkey IS NULL THEN 1 END) AS nulls_custkey,
+        | count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS nulls_status,
+        | count(DISTINCT o_orderstatus) AS distinct_status,
+        | count(DISTINCT o_orderpriority) AS distinct_priority
+        |FROM orders""".stripMargin,
+
+    "q_distinct" ->
+      "SELECT DISTINCT o_orderpriority FROM orders",
+
+    "q_dedup_exact" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_dedup_keyed" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey
+        |FROM (SELECT l_orderkey, l_linenumber, l_partkey,
+        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH existing AS (
+        |  SELECT *, 2 AS src_rank FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        |), incoming AS (
+        |  SELECT *, 1 AS src_rank FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |), unioned AS (
+        |  SELECT * FROM incoming UNION ALL SELECT * FROM existing
+        |)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, src_rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src_rank ASC) AS rn
+        |      FROM unioned) WHERE rn = 1""".stripMargin,
+
+    "q_union_by_name" ->
+      """SELECT s_suppkey AS key, s_name AS name, s_acctbal AS acctbal, NULL AS segment FROM supplier
+        |UNION ALL
+        |SELECT c_custkey AS key, c_name AS name, NULL AS acctbal, c_mktsegment AS segment FROM customer""".stripMargin,
+
+    "q_star_join" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q_date_dim" ->
+      """WITH d AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS date_full FROM orders)
+        |SELECT sha256(date_full) AS sk_date, date_full,
+        | year(CAST(date_full AS TIMESTAMP)) AS year,
+        | month(CAST(date_full AS TIMESTAMP)) AS month,
+        | dayofmonth(CAST(date_full AS TIMESTAMP)) AS day,
+        | hour(CAST(date_full AS TIMESTAMP)) AS hour,
+        | minute(CAST(date_full AS TIMESTAMP)) AS minute,
+        | weekofyear(CAST(date_full AS TIMESTAMP)) AS week
+        |FROM d""".stripMargin,
+
+    "q_sha2_sk" ->
+      """SELECT sha256(CAST(c_custkey AS VARCHAR)) AS sk_customer,
+        | c_custkey, c_name, c_mktsegment
+        |FROM customer""".stripMargin
+  )
+}
