@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, counting, quality signals, language ID, fingerprints.
+  *
+  * All are pure `Column` expressions over built-ins (codegen'd, no UDFs),
+  * so they stay inside whole-stage codegen and scale linearly with no
+  * shuffle. Where a DuckDB oracle must reproduce the value exactly, the
+  * building blocks are restricted to functions both engines share
+  * (md5, regexp, split, length).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. `split` on \s+ after trim; empty text → []. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array())
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-piece regex segments (letter runs,
+    * digit runs, single punctuation), the usual pre-tokenizer shape.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+      t => length(trim(t)) > 0))
+
+  /** Count of non-alphanumeric, non-space chars (punctuation proxy). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+
+  /** Count of alphabetic chars. */
+  def alphaCount(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", ""))
+
+  private val stopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Number of stopword tokens (English heuristic list). */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => lower(t).isin(stopwords: _*)))
+
+  /** Integer quality score in [0,100]: length band + stopword presence +
+    * punctuation sanity. Integer arithmetic only (oracle-exact).
+    */
+  def qualityScore(text: Column): Column = {
+    val n = length(text)
+    val toks = tokenCount(text)
+    val stops = stopwordCount(text)
+    val punct = punctCount(text)
+    val lenScore = when(n >= 200 && n <= 5000, 40)
+      .when(n >= 50, 20).otherwise(0)
+    val stopScore = when(toks > 0 && stops * 100 >= toks * 2, 30)
+      .otherwise(0)
+    val punctScore = when(n > 0 && punct * 100 <= n * 10, 30).otherwise(0)
+    (lenScore + stopScore + punctScore).cast("int")
+  }
+
+  /** Language-ID heuristic: scores each candidate language by marker-token
+    * hits and keeps the argmax (deterministic tie-break by list order).
+    * Marker lists are tiny n-gram/stopword cues; 'und' when nothing hits.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "was", "with"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*)))
+    }
+    // argmax with first-wins tie-break, expressed as nested CASE
+    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
+    * Shared md5 makes this oracle-exact in DuckDB.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word k-shingles (for MinHash / Jaccard): array of k-grams joined by
+    * a single space. size < k → empty array.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(lower(text))
+    when(size(t) < k, array()).otherwise(
+      transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+  }
+}

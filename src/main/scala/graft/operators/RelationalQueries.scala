@@ -93,10 +93,13 @@ object RelationalQueries {
     },
 
     // ── A4: keyed dedup with DETERMINISTIC survivor (row_number tiebreak;
-    // reference dropDuplicates(subset) keeps an arbitrary row — SURVEY §7.4)
+    // reference dropDuplicates(subset) keeps an arbitrary row — SURVEY §7.4).
+    // The tiebreak covers every projected column, so rows tied on the
+    // ordering are identical in the output (synthetic lineitem has
+    // duplicate (orderkey, linenumber) pairs).
     "q_dedup_keyed" -> { (s, dir) =>
       val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_linenumber").asc)
+        .orderBy(col("l_linenumber").asc, col("l_partkey").asc)
       Tables.load(s, dir, "lineitem")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -242,7 +245,7 @@ object RelationalQueries {
     "q_dedup_keyed" ->
       """SELECT l_orderkey, l_linenumber, l_partkey
         |FROM (SELECT l_orderkey, l_linenumber, l_partkey,
-        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC) AS rn
+        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC, l_partkey ASC) AS rn
         |  FROM lineitem) WHERE rn = 1""".stripMargin,
 
     "q_merge_upsert" ->

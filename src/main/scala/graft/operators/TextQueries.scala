@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Training-data text operators over the `documents` table: stats,
+  * quality, language-ID, fingerprints, and the dedup family (exact,
+  * MinHash signatures, LSH candidate pairs, SimHash, exact Jaccard).
+  *
+  * Every query here is oracle-checked: the DuckDB SQL twins (including
+  * the MinHash/SimHash signatures) are generated programmatically so
+  * Spark and SQL stay structurally in lock-step.
+  */
+object TextQueries {
+
+  private val K = 3            // shingle size
+  private val NUM_HASHES = 16  // minhash signature width
+  private val BANDS = 4        // LSH bands (rows per band = 4)
+  private val MAX_DF = 100     // shingle document-frequency cut (jaccard)
+  private val THRESH = 60      // jaccard threshold, percent
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── token/char statistics (integers only → hash-stable) ────────────
+    "q_text_stats" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.alphaCount(col("text")).as("n_alpha"),
+        TextFunctions.punctCount(col("text")).as("n_punct"),
+        TextFunctions.stopwordCount(col("text")).as("n_stopwords"))
+    },
+
+    // ── P3/P4 parity: explode (Generate) + aggregate ────────────────────
+    "q_explode_tokens" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(lower(col("text"))))
+          .as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"))
+    },
+
+    // ── quality scoring (integer bands) ─────────────────────────────────
+    "q_quality_score" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+    },
+
+    // ── language ID (marker-token argmax heuristic) ─────────────────────
+    "q_lang_id" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+    },
+
+    // ── document fingerprint (md5 of normalized text) ───────────────────
+    "q_fingerprint" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+    },
+
+    // ── exact dedup groups by content hash ──────────────────────────────
+    "q_dedup_exact_text" -> { (s, dir) =>
+      Dedup.exactGroups(Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ── MinHash signatures (16 hashes over 3-shingles) ──────────────────
+    "q_minhash_sig" -> { (s, dir) =>
+      Dedup.minhashSignatures(Tables.load(s, dir, "documents"),
+        "doc_id", "text", K, NUM_HASHES)
+    },
+
+    // ── MinHash LSH candidate pairs (4 bands × 4 rows) ──────────────────
+    "q_minhash_lsh_pairs" -> { (s, dir) =>
+      Dedup.minhashCandidatePairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", K, NUM_HASHES, BANDS)
+    },
+
+    // ── SimHash 32-bit fingerprints ─────────────────────────────────────
+    "q_simhash" -> { (s, dir) =>
+      Dedup.simhash32(Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ── exact n-gram Jaccard near-dup pairs (integer thresholding) ──────
+    "q_jaccard_pairs" -> { (s, dir) =>
+      Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", K, MAX_DF, THRESH)
+    }
+  )
+
+  // ─── DuckDB oracle twins ──────────────────────────────────────────────
+
+  /** tokens CTE: lowercased whitespace tokens per doc. */
+  private val toksCte =
+    """toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0)""".stripMargin
+
+  /** distinct (doc_id, shingle) CTE over k=3 word shingles. */
+  private val shinglesCte =
+    s"""$toksCte,
+       |sh AS (SELECT DISTINCT doc_id,
+       |    array_to_string(t[CAST(i AS INT):CAST(i + ${K - 1} AS INT)], ' ') AS shingle
+       |  FROM toks, unnest(range(1, len(t) - ${K - 2})) AS u(i)
+       |  WHERE len(t) >= $K)""".stripMargin
+
+  private def minhashSelect: String =
+    (0 until NUM_HASHES)
+      .map(i => s"min(${Dedup.hash32Sql(i, "shingle")}) AS mh$i")
+      .mkString(", ")
+
+  private val sigCte =
+    s"""WITH $shinglesCte,
+       |sig AS (SELECT doc_id, $minhashSelect FROM sh GROUP BY doc_id)""".stripMargin
+
+  private def bandSelect(b: Int): String = {
+    val r = NUM_HASHES / BANDS
+    val key = (0 until r).map(j => s"CAST(mh${b * r + j} AS VARCHAR)")
+      .mkString(", ")
+    s"SELECT doc_id, $b AS band, md5(concat_ws('-', $key)) AS bkey FROM sig"
+  }
+
+  private val stopwordsSql =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+      .map(w => s"'$w'").mkString(", ")
+
+  private def langArgmaxSql: String = {
+    val scores = TextFunctions.langMarkers.map { case (lang, markers) =>
+      val in = markers.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(t, x -> x IN ($in))) AS score_$lang"
+    }.mkString(", ")
+    // first-wins strictly-greater fold, identical to TextFunctions.langId
+    val langs = TextFunctions.langMarkers.map(_._1)
+    var bestLang = s"'${langs.head}'"
+    var bestScore = s"score_${langs.head}"
+    for (l <- langs.tail) {
+      bestLang = s"CASE WHEN score_$l > $bestScore THEN '$l' ELSE $bestLang END"
+      bestScore = s"CASE WHEN score_$l > $bestScore THEN score_$l ELSE $bestScore END"
+    }
+    s"""WITH $toksCte,
+       |scored AS (SELECT doc_id, $scores FROM toks)
+       |SELECT doc_id,
+       |  CASE WHEN ($bestScore) > 0 THEN ($bestLang) ELSE 'und' END AS lang_pred
+       |FROM scored""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         | length(text) AS n_chars,
+         | CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         | length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         | length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         | CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |             x -> lower(x) IN ($stopwordsSql))) END AS n_stopwords
+         |FROM documents""".stripMargin,
+
+    "q_explode_tokens" ->
+      s"""WITH $toksCte
+         |SELECT tok AS token, count(*) AS n_occurrences
+         |FROM toks, unnest(t) AS u(tok)
+         |GROUP BY tok""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH m AS (SELECT doc_id, length(text) AS n,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |              x -> lower(x) IN ($stopwordsSql))) END AS stops,
+         |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
+         | FROM documents)
+         |SELECT doc_id, CAST(
+         |  (CASE WHEN n >= 200 AND n <= 5000 THEN 40 WHEN n >= 50 THEN 20 ELSE 0 END) +
+         |  (CASE WHEN toks > 0 AND stops * 100 >= toks * 2 THEN 30 ELSE 0 END) +
+         |  (CASE WHEN n > 0 AND punct * 100 <= n * 10 THEN 30 ELSE 0 END)
+         | AS INT) AS quality
+         |FROM m""".stripMargin,
+
+    "q_lang_id" -> langArgmaxSql,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_dedup_exact_text" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        | min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_minhash_sig" ->
+      s"""$sigCte
+         |SELECT * FROM sig""".stripMargin,
+
+    "q_minhash_lsh_pairs" ->
+      s"""$sigCte,
+         |bands AS (${(0 until BANDS).map(bandSelect).mkString("\n UNION ALL\n ")})
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q_simhash" -> {
+      val votes = (0 until 32).map(i =>
+        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS bit$i")
+        .mkString(", ")
+      val fp = (0 until 32).map(i =>
+        s"(CASE WHEN bit$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $toksCte,
+         |dt AS (SELECT DISTINCT doc_id, tok FROM toks, unnest(t) AS u(tok)),
+         |hashed AS (SELECT doc_id, ${Dedup.hash32Sql(0, "tok")} AS h FROM dt),
+         |votes AS (SELECT doc_id, $votes FROM hashed GROUP BY doc_id)
+         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes""".stripMargin
+    },
+
+    "q_jaccard_pairs" ->
+      s"""WITH $shinglesCte,
+         |kept AS (SELECT doc_id, shingle FROM sh
+         |  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+         |                    HAVING count(*) <= $MAX_DF)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b
+         |FROM common
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE n_common * 100 >= $THRESH * (sa.sz + sb.sz - n_common)""".stripMargin
+  )
+}
