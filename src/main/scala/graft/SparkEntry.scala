@@ -22,12 +22,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.RelationalQueries.queries ++
-      operators.TextQueries.queries
+      operators.TextQueries.queries ++
+      operators.VectorQueries.queries ++
+      operators.EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     operators.RelationalQueries.oracle ++
-      operators.TextQueries.oracle
+      operators.TextQueries.oracle ++
+      operators.VectorQueries.oracle ++
+      operators.EventQueries.oracle
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Event-stream batch analytics over the `events` table: gap-based
+  * sessionization, tumbling-window aggregation, and JSON property
+  * extraction (the semi-structured capability the reference's bronze
+  * layer exercises via schema inference — SURVEY.md §1.2).
+  *
+  * Timestamps are compared in epoch milliseconds (both engines truncate
+  * the parquet ns values the same way), and money sums go through
+  * DECIMAL for order-insensitive exactness.
+  */
+object EventQueries {
+
+  private val GAP_MS = 30L * 60 * 1000 // 30-minute session gap
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read it as raw int64 nanos (runtime legacy conf) and
+    * derive epoch-ms with exact integer division — bit-identical to
+    * DuckDB's epoch_ms(ts) truncation.
+    */
+  private def loadEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.load(s, dir, "events")
+      .withColumn("ms", expr("ts div 1000000"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── gap-based sessionization + per-session aggregate ────────────────
+    // One shuffle on user_id for the windows, then a hash agg on the
+    // (user, session) key — the canonical distributed sessionize plan.
+    "q_sessionize" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms").asc, col("event_id").asc)
+      loadEvents(s, dir)
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull ||
+            col("ms") - col("prev_ms") > GAP_MS, 1).otherwise(0))
+        .withColumn("session_idx",
+          sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ms")).as("start_ms"),
+          max(col("ms")).as("end_ms"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("total_value"))
+    },
+
+    // ── tumbling 1-hour window aggregation by event type ────────────────
+    "q_event_window_agg" -> { (s, dir) =>
+      loadEvents(s, dir)
+        .groupBy(
+          (expr("ms div 3600000") * 3600000L).as("window_start_ms"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("total_value"))
+    },
+
+    // ── JSON property extraction + aggregate ────────────────────────────
+    "q_json_extract" -> { (s, dir) =>
+      loadEvents(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+         |flagged AS (SELECT *,
+         |  CASE WHEN lag(ms) OVER w IS NULL
+         |         OR ms - lag(ms) OVER w > $GAP_MS THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms ASC, event_id ASC)),
+         |sessions AS (SELECT *,
+         |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         |  FROM flagged)
+         |SELECT user_id, session_idx, count(*) AS n_events,
+         |  min(ms) AS start_ms, max(ms) AS end_ms,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM sessions GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_event_window_agg" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin
+  )
+}

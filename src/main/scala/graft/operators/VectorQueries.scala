@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * - [[queries q_ann_cosine_topk]]: brute-force cosine top-k — the
+  *   correctness baseline. Queries are broadcast; candidates stream, so
+  *   the plan is a BroadcastNestedLoopJoin scan with no shuffle of the
+  *   big side (at 100 TB the candidate scan is embarrassingly parallel;
+  *   per-partition top-k then a tiny final merge).
+  * - [[queries q_ann_ivf_topk]]: IVF scale path — a deterministic
+  *   centroid sample partitions the corpus into cells (one broadcast
+  *   argmin pass); each query probes its nprobe nearest cells only, so
+  *   the scored candidate set shrinks by ~nprobe/C. Same final top-k.
+  *
+  * Outputs are (query_id, neighbor_id, rank) — ranks, not raw floats, so
+  * the DuckDB oracle compare is bit-stable (rank flips would need two
+  * distinct random vectors with cosine gaps below double noise).
+  */
+object VectorQueries {
+
+  private val N_QUERIES = 10 // query vectors: vec_id < 10
+  private val TOP_K = 5
+  private val N_CELLS = 16   // IVF centroids: vec_id < 16 (deterministic)
+  private val N_PROBE = 4
+
+  private def loadEmb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private def topkByQuery(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOP_K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_ann_cosine_topk" -> { (s, dir) =>
+      val emb = loadEmb(s, dir)
+      val qs = emb.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val cands = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cvec"))
+      val scored = cands.join(broadcast(qs),
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", cosine(col("qvec"), col("cvec")))
+      topkByQuery(scored)
+    },
+
+    "q_ann_ivf_topk" -> { (s, dir) =>
+      val emb = loadEmb(s, dir)
+      val centroids = emb.filter(col("vec_id") < N_CELLS)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+      // assignment: every vector → nearest centroid (broadcast argmin)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("cell").asc)
+      val assigned = emb.crossJoin(broadcast(centroids))
+        .withColumn("d2", l2Sq(col("embedding"), col("centroid")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cvec"), col("cell"))
+      // probe list: each query → nprobe nearest cells
+      val qs = emb.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("qd2").asc, col("cell").asc)
+      val probes = qs.crossJoin(broadcast(centroids))
+        .withColumn("qd2", l2Sq(col("qvec"), col("centroid")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= N_PROBE)
+        .select(col("query_id"), col("qvec"), col("cell"))
+      // search only the probed cells
+      val scored = assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", cosine(col("qvec"), col("cvec")))
+      topkByQuery(scored)
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_ann_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+         |           FROM embeddings WHERE vec_id < $N_QUERIES),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY list_cosine_similarity(qvec, cvec) DESC, neighbor_id ASC) AS rank
+         |  FROM q, c WHERE query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= $TOP_K""".stripMargin,
+
+    "q_ann_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS cell, embedding AS centroid
+         |              FROM embeddings WHERE vec_id < $N_CELLS),
+         |assigned AS (SELECT vec_id AS neighbor_id, cvec, cell FROM (
+         |  SELECT e.vec_id, e.embedding AS cvec, cent.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_distance(e.embedding, cent.centroid) ASC, cent.cell ASC) AS arn
+         |  FROM embeddings e, cent) WHERE arn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec
+         |      FROM embeddings WHERE vec_id < $N_QUERIES),
+         |probes AS (SELECT query_id, qvec, cell FROM (
+         |  SELECT q.query_id, q.qvec, cent.cell,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY list_distance(q.qvec, cent.centroid) ASC, cent.cell ASC) AS prn
+         |  FROM q, cent) WHERE prn <= $N_PROBE),
+         |scored AS (SELECT p.query_id, a.neighbor_id,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY list_cosine_similarity(p.qvec, a.cvec) DESC, a.neighbor_id ASC) AS rank
+         |  FROM probes p JOIN assigned a ON p.cell = a.cell
+         |  WHERE p.query_id <> a.neighbor_id)
+         |SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= $TOP_K""".stripMargin
+  )
+}
