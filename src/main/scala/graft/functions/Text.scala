@@ -27,7 +27,8 @@ object TextFunctions {
     */
   def subwordCount(text: Column): Column =
     size(filter(
-      split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+      split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])" +
+        "|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"),
       t => length(trim(t)) > 0))
 
   /** Count of non-alphanumeric, non-space chars (punctuation proxy). */

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Dedup-family semantics on crafted corpora where the right answer is
+  * known by construction.
+  */
+class DedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "THE QUICK  brown fox jumps over the lazy dog"), // exact dup of 1 mod case/ws
+    (3L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exactGroups: case/whitespace-insensitive grouping, min-id survivor") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() === 4) // {1,2}, {3}, {4}, {5}
+    val dup = g.filter(col("n_dups") === 2).collect().head
+    assert(dup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("minhashSignatures: identical docs share signatures, one row per doc") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 3,
+      numHashes = 8)
+    assert(sigs.count() === 4) // doc 5 has no shingles
+    val rows = sigs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> (0 until 8).map(i => r.getAs[Long](s"mh$i")))
+      .toMap
+    assert(rows(1L) === rows(2L))  // identical shingle sets
+    assert(rows(1L) !== rows(4L))
+  }
+
+  test("minhashCandidatePairs: dups collide, unrelated docs do not") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      k = 3, numHashes = 8, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash32: identical docs equal, near-dups within small hamming") {
+    val fp = Dedup.simhash32(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(fp(1L) === fp(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
+  }
+
+  test("jaccardPairs: threshold separates near-dups from unrelated") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3,
+      maxDf = 100, thresholdPct = 60)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // jaccard 1.0
+    assert(pairs.contains((1L, 3L)) === (6.0 / 8.0 >= 0.6)) // 6 shared of 8 union
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MergeUpsert
+
+/** Merge-upsert semantics (reference: src/utils/bucket.py:63-89) plus
+  * the SURVEY.md §5.3 properties: idempotence and key-order
+  * insensitivity (seeded random cases — deterministic re-runs).
+  */
+class MergeUpsertSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("incoming rows win on key collision by default") {
+    val existing = Seq((1, "old"), (2, "keep")).toDF("k", "v")
+    val incoming = Seq((1, "new"), (3, "add")).toDF("k", "v")
+    val out = MergeUpsert.merge(existing, incoming, Seq("k"))
+      .orderBy("k").as[(Int, String)].collect()
+    assert(out.toSeq === Seq((1, "new"), (2, "keep"), (3, "add")))
+  }
+
+  test("schema evolution: missing columns null-fill via unionByName") {
+    val existing = Seq((1, "a")).toDF("k", "v")
+    val incoming = Seq((2, 9.5)).toDF("k", "extra")
+    val out = MergeUpsert.merge(existing, incoming, Seq("k"))
+    assert(out.columns.toSet === Set("k", "v", "extra"))
+    val r2 = out.filter($"k" === 2).collect().head
+    assert(r2.getAs[String]("v") == null)
+    assert(r2.getAs[Double]("extra") === 9.5)
+  }
+
+  test("saveOrUpdate: creates, then merges, never drops existing rows") {
+    val path = Files.createTempDirectory("graft-merge").toString + "/t"
+    MergeUpsert.saveOrUpdate(spark,
+      Seq((1, "a"), (2, "b")).toDF("k", "v"), path, Seq("k"))
+    MergeUpsert.saveOrUpdate(spark,
+      Seq((2, "B"), (3, "c")).toDF("k", "v"), path, Seq("k"))
+    val out = spark.read.parquet(path).orderBy("k")
+      .as[(Int, String)].collect()
+    assert(out.toSeq === Seq((1, "a"), (2, "B"), (3, "c")))
+  }
+
+  test("property: merge is idempotent and row-order insensitive") {
+    val rnd = new scala.util.Random(42)
+    def rows() = List.fill(30)((rnd.nextInt(10), rnd.nextInt(101)))
+    for (_ <- 1 to 5) {
+      val ex = rows(); val in = rows()
+      val existing = ex.toDF("k", "v")
+      val incoming = in.toDF("k", "v")
+      val tiebreak = Seq(col("v").desc, col("k").asc) // deterministic survivor
+      val once = MergeUpsert.merge(existing, incoming, Seq("k"), tiebreak)
+      val twice = MergeUpsert.merge(once, incoming, Seq("k"), tiebreak)
+      val a = once.orderBy("k", "v").as[(Int, Int)].collect().toSeq
+      val b = twice.orderBy("k", "v").as[(Int, Int)].collect().toSeq
+      assert(a === b)
+      // one row per key, and every key present
+      assert(a.map(_._1).distinct.size === a.size)
+      assert(a.map(_._1).toSet === (ex ++ in).map(_._1).toSet)
+      // shuffled inputs give the identical table
+      val shuffled = MergeUpsert.merge(
+        rnd.shuffle(ex).toDF("k", "v"), rnd.shuffle(in).toDF("k", "v"),
+        Seq("k"), tiebreak).orderBy("k", "v").as[(Int, Int)].collect().toSeq
+      assert(shuffled === a)
+    }
+  }
+}
