@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream operators: watermarked tumbling-window aggregation,
+  * gap-based session windows, and custom per-key state via
+  * `flatMapGroupsWithState` — the streaming counterparts of
+  * EventQueries' batch sessionization.
+  *
+  * Late/duplicate handling in the reference is dedup-on-merge only
+  * (SURVEY.md §2.7); here watermarks bound state so the operators run
+  * unbounded. All transforms work identically on batch DataFrames
+  * (Spark's unified model), which is how the specs pin their semantics.
+  */
+object StreamingEvents {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionOut(user_id: Long, session_start_ms: Long,
+                              session_end_ms: Long, n_events: Long)
+
+  private final case class SessionState(startMs: Long, lastMs: Long,
+                                        n: Long)
+
+  /** Tumbling 1-hour counts per event type; 2-hour watermark bounds
+    * state. Append mode emits a window only once it is final.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Gap-based sessions via the built-in session_window (30-minute gap).
+    * The state Spark keeps is one open window per (user, session).
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes")
+      : DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("n_events"),
+        col("total_value"))
+
+  /** Custom-state sessionization: flatMapGroupsWithState with an event-
+    * time timeout. Emits a session when the gap elapses past the
+    * watermark. The state per user is three longs — constant-size
+    * regardless of session length, the 100-TB-safe shape.
+    */
+  def statefulSessionize(events: Dataset[Event],
+                         gapMs: Long = 30L * 60 * 1000)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Event],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.startMs, s.lastMs, s.n))
+          } else {
+            // fold this micro-batch's events (sorted: micro-batches are
+            // small per key; the sort is in-executor, not a shuffle)
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.orNull
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case null =>
+                  st = SessionState(t, t, 1)
+                case s if t - s.lastMs > gapMs =>
+                  closed += SessionOut(user, s.startMs, s.lastMs, s.n)
+                  st = SessionState(t, t, 1)
+                case s =>
+                  st = SessionState(s.startMs, math.max(s.lastMs, t), s.n + 1)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming dedup on event_id with a watermark bounding the id cache —
+    * the streaming twin of the batch merge's dedup-on-key.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.etl.{BronzeToSilver, SilverToGold}
+import graft.operators.MergeUpsert
+import graft.sources.{Layout, NeoSchema}
+
+/** Streaming-native variant of the medallion pipeline (SURVEY.md §2.7).
+  *
+  * The reference's "stream" is macro-batch: an @daily Airflow DAG over
+  * date-keyed bronze files (reference: airflow/dags/nasa_asteroid_dag.py:21,
+  * src/etl/bronze_ingest.py:19,35). This module is the faithful
+  * Structured-Streaming extension the survey calls out: the bronze
+  * directory becomes a file stream, the SAME flatten plan produces
+  * silver continuously, and each micro-batch runs the gold merge-upsert
+  * in `foreachBatch` — so batch and streaming share one transform
+  * codepath (no logic fork to drift).
+  *
+  * Scale notes: the file source tracks processed files in the checkpoint
+  * (exactly-once per file); `maxFilesPerTrigger` bounds micro-batch size
+  * at backfill; the gold upsert is idempotent on its merge keys, so a
+  * replayed batch converges to the same table.
+  */
+object StreamingPipeline {
+
+  /** Continuous silver: every new bronze JSON document under the layout's
+    * bronze prefix, flattened to the 27-column silver schema.
+    */
+  def silverStream(spark: SparkSession, layout: Layout,
+                   maxFilesPerTrigger: Int = 10): DataFrame = {
+    val feed = spark.readStream
+      .schema(NeoSchema.feed)
+      .option("multiLine", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(s"${layout.base}/bronze/JSON")
+    BronzeToSilver.flatten(feed)
+  }
+
+  /** Start the continuous bronze→silver→gold pipeline. Each micro-batch
+    * appends its rows to silver (partitioned by approach_date) and
+    * merge-upserts all four gold tables.
+    */
+  def start(spark: SparkSession, layout: Layout,
+            checkpoint: String): StreamingQuery =
+    silverStream(spark, layout).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val silver = batch.localCheckpoint() // cut lineage once; reused 5×
+        silver.write.mode("append")
+          .partitionBy("approach_date")
+          .parquet(layout.silverAsteroids)
+        SilverToGold.tables.foreach { case (name, build, keys) =>
+          MergeUpsert.saveOrUpdate(spark, build(silver),
+            layout.gold(name), keys)
+        }
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{BronzeIngest, Layout, NeoFixture}
+import graft.streaming.{StreamingEvents, StreamingPipeline}
+import graft.streaming.StreamingEvents.Event
+
+/** Structured-Streaming specs: the continuous medallion pipeline over
+  * bronze files, and the event-stream operators via MemoryStream.
+  */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(minute * 60000L)
+
+  test("streaming pipeline: bronze files -> silver + gold, incremental") {
+    val layout = Layout(Files.createTempDirectory("graft-stream").toString)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+
+    BronzeIngest.writeRaw(spark, layout, NeoFixture.day1Date, NeoFixture.day1)
+    StreamingPipeline.start(spark, layout, ckpt).awaitTermination()
+    assert(spark.read.parquet(layout.silverAsteroids).count() === 4)
+    assert(spark.read.parquet(layout.gold("dim_asteroid")).count() === 3)
+
+    // second document arrives: only the new file is processed
+    BronzeIngest.writeRaw(spark, layout, NeoFixture.day2Date, NeoFixture.day2)
+    StreamingPipeline.start(spark, layout, ckpt).awaitTermination()
+    assert(spark.read.parquet(layout.silverAsteroids).count() === 7)
+    // Apophis re-observed, merged not duplicated
+    assert(spark.read.parquet(layout.gold("dim_asteroid")).count() === 4)
+    assert(spark.read.parquet(layout.gold("fact_asteroid_approach"))
+      .count() === 7)
+  }
+
+  test("hourlyCounts: watermarked tumbling windows finalize in append mode") {
+    val in = MemoryStream[Event](spark)
+    val q = StreamingEvents.hourlyCounts(in.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    in.addData(
+      Event(1, ts(10), 1, "click", 1.0),
+      Event(2, ts(50), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 5.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close hour 0 and hour 1
+    in.addData(Event(4, ts(400), 1, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("hourly")
+      .select(col("window_start").cast("long"), col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out === Set((0L, "click", 2L), (3600L, "view", 1L)))
+  }
+
+  test("sessionWindows: 30-minute gap splits sessions") {
+    val in = MemoryStream[Event](spark)
+    val q = StreamingEvents.sessionWindows(in.toDF())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    // user 1: events at 0,10 (one session), then 60 (new session)
+    in.addData(
+      Event(1, ts(0), 1, "a", 1.0),
+      Event(2, ts(10), 1, "a", 1.0),
+      Event(3, ts(60), 1, "a", 1.0))
+    q.processAllAvailable()
+    in.addData(Event(9, ts(500), 2, "a", 0.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess")
+      .filter(col("user_id") === 1)
+      .select(col("n_events")).as[Long].collect().toSeq.sorted
+    assert(out === Seq(1L, 2L))
+  }
+
+  test("statefulSessionize: custom state closes sessions on gap timeout") {
+    val in = MemoryStream[Event](spark)
+    val q = StreamingEvents.statefulSessionize(in.toDS())
+      .writeStream.format("memory").queryName("statesess")
+      .outputMode("append").start()
+    in.addData(
+      Event(1, ts(0), 7, "a", 1.0),
+      Event(2, ts(5), 7, "a", 1.0),
+      Event(3, ts(90), 7, "a", 1.0)) // closes first session in-batch
+    q.processAllAvailable()
+    in.addData(Event(4, ts(600), 8, "a", 0.0)) // watermark → timeout fires
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("statesess")
+      .select(col("session_start_ms"), col("n_events"))
+      .as[(Long, Long)].collect().toSet
+    // session 1: events 1,2 (0..5min); session 2: event 3 closed by timeout
+    assert(out.contains((0L, 2L)))
+    assert(out.contains((90L * 60000L, 1L)))
+  }
+
+  test("dedupStream: duplicate event ids within watermark dropped") {
+    val in = MemoryStream[Event](spark)
+    val q = StreamingEvents.dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    in.addData(
+      Event(1, ts(0), 1, "a", 1.0),
+      Event(1, ts(1), 1, "a", 1.0), // dup id
+      Event(2, ts(2), 1, "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup").count() === 2)
+  }
+}
