@@ -21,15 +21,15 @@ object EventQueries {
   private val GAP_MS = 30L * 60 * 1000 // 30-minute session gap
 
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw int64 nanos (runtime legacy conf) and
-    * derive epoch-ms with exact integer division — bit-identical to
-    * DuckDB's epoch_ms(ts) truncation.
+    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` set
+    * ONCE in the session builder (Verify/Bench/TestSpark — never inside a
+    * query, which would be a global side effect on sibling queries) the
+    * column reads as raw int64 nanos, and epoch-ms follows by exact
+    * integer division — bit-identical to DuckDB's epoch_ms(ts).
     */
-  private def loadEvents(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def loadEvents(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
       .withColumn("ms", expr("ts div 1000000"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -6,6 +6,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** Per-user session accumulator for [[StreamingEvents.statefulSessionize]].
+  * Top-level and public: Spark's state encoder generates Janino code that
+  * must instantiate and read this class reflectively — a private nested
+  * case class fails codegen (`No applicable constructor/method found`).
+  */
+final case class SessionState(startMs: Long, lastMs: Long, n: Long)
+
 /** Event-stream operators: watermarked tumbling-window aggregation,
   * gap-based session windows, and custom per-key state via
   * `flatMapGroupsWithState` — the streaming counterparts of
@@ -23,9 +30,6 @@ object StreamingEvents {
 
   final case class SessionOut(user_id: Long, session_start_ms: Long,
                               session_end_ms: Long, n_events: Long)
-
-  private final case class SessionState(startMs: Long, lastMs: Long,
-                                        n: Long)
 
   /** Tumbling 1-hour counts per event type; 2-hour watermark bounds
     * state. Append mode emits a window only once it is final.

@@ -83,9 +83,12 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val q = StreamingEvents.statefulSessionize(in.toDS())
       .writeStream.format("memory").queryName("statesess")
       .outputMode("append").start()
+    // NOTE: events start at minute 1, not 0 — a row with event time 0
+    // equals the stream's initial watermark and Spark's late-data filter
+    // drops it before the state function ever sees it.
     in.addData(
-      Event(1, ts(0), 7, "a", 1.0),
-      Event(2, ts(5), 7, "a", 1.0),
+      Event(1, ts(1), 7, "a", 1.0),
+      Event(2, ts(6), 7, "a", 1.0),
       Event(3, ts(90), 7, "a", 1.0)) // closes first session in-batch
     q.processAllAvailable()
     in.addData(Event(4, ts(600), 8, "a", 0.0)) // watermark → timeout fires
@@ -94,8 +97,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val out = spark.table("statesess")
       .select(col("session_start_ms"), col("n_events"))
       .as[(Long, Long)].collect().toSet
-    // session 1: events 1,2 (0..5min); session 2: event 3 closed by timeout
-    assert(out.contains((0L, 2L)))
+    // session 1: events 1,2 (min 1..6); session 2: event 3 closed by timeout
+    assert(out.contains((60000L, 2L)))
     assert(out.contains((90L * 60000L, 1L)))
   }
 
