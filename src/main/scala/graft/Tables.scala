@@ -12,6 +12,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Tables whose pipelines are per-row COMPUTE-bound (regex
+    * tokenization, md5 hashing, vector arithmetic) — the ones where a
+    * single-split scan serializes real work. Relational tables stay
+    * un-fanned: their queries are shuffle-keyed immediately, so an extra
+    * round-robin exchange only adds cost at this scale.
+    */
+  private val computeHeavy = Set("documents", "embeddings")
+
+  /** Load a table, fanning single-split scans out to the session's
+    * parallelism.
+    *
+    * The local testdata ships each table as ONE parquet row group, so the
+    * scan yields one input split and every downstream map stage (regex
+    * tokenization, hashing, vector math) serializes onto a single core.
+    * At production scale a table is thousands of row groups and the scan
+    * is already parallel — this repartition only fires when the planned
+    * scan has fewer splits than the cluster has slots, so on a real
+    * cluster it is a no-op. Filters still push down: Catalyst moves
+    * predicates through RoundRobin repartitions into the scan.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val target = spark.sparkContext.defaultParallelism
+    lazy val planned = df.rdd.getNumPartitions
+    if (computeHeavy.contains(name) && planned < target)
+      df.repartition(target)
+    else df
+  }
 }

@@ -12,6 +12,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate synthesizes size(genInput)>0 filters
+      // that predicate-pushdown then rebuilds below the scan with the
+      // full generator expression substituted in — for expression-built
+      // arrays (k-shingles) that re-runs an O(tokens²) build per row on
+      // the unparallelized scan. The rule is an optimization only;
+      // explode drops empty arrays regardless.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

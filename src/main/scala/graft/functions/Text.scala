@@ -93,13 +93,24 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Word k-shingles (for MinHash / Jaccard): array of k-grams joined by
-    * a single space. size < k → empty array.
+  /** Word k-shingles from an ALREADY-MATERIALIZED token-array column:
+    * array of k-grams joined by a single space, size < k → empty array.
+    *
+    * `toks` must be a bound attribute (aliased in its own projection),
+    * not a composite expression: this function references it once per
+    * lambda element, so passing `tokens(text)` directly would re-run the
+    * regex split per element — O(tokens²) per row. [[shingles]] wraps the
+    * single-expression form for small inputs.
     */
-  def shingles(text: Column, k: Int): Column = {
-    val t = tokens(lower(text))
-    when(size(t) < k, array()).otherwise(
-      transform(sequence(lit(0), size(t) - k),
-        i => concat_ws(" ", slice(t, i + 1, lit(k)))))
-  }
+  def shinglesFromTokens(toks: Column, k: Int): Column =
+    when(size(toks) < k, array()).otherwise(
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+
+  /** Word k-shingles straight from text — convenience form; prefer
+    * binding [[tokens]] to a column and using [[shinglesFromTokens]] in
+    * anything performance-sensitive (see that method's caveat).
+    */
+  def shingles(text: Column, k: Int): Column =
+    shinglesFromTokens(tokens(lower(text)), k)
 }

@@ -2,31 +2,58 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions
 
 /** Document deduplication at training-data scale: exact (content hash),
-  * MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  * MinHash+LSH, SimHash, exact n-gram Jaccard, and the scale path —
+  * LSH-candidates-then-exact-verify.
   *
-  * Everything is built from codegen'd built-ins with ONE shuffle per
-  * logical step (explode → partial-agg → final-agg), no UDFs, no
-  * collect. The per-(seed,shingle) hash is
-  * `conv(substr(md5(seed || ':' || shingle), 1, 8), 16, 10)` — a 32-bit
-  * value both Spark and DuckDB compute identically, which makes every
-  * stage of the pipeline oracle-checkable.
+  * Everything is built from codegen'd built-ins, no UDFs, no collect.
   *
-  * Scale notes (100 TB posture):
-  *   - signatures: explode to (doc, shingle) then a single groupBy(doc)
-  *     with N min() aggregates — map-side partial min keeps the shuffle
-  *     at one row per (doc × N columns).
-  *   - LSH banding: the candidate join is a self-join on (band, key);
-  *     bucket sizes are bounded by collision probability, not corpus
-  *     size, so the join is shuffle-bounded. A document-frequency cut
-  *     (maxDf) removes degenerate stopword-shingles before the join.
+  * MinHash hashing is the standard one-base-hash scheme: a single 32-bit
+  * md5-derived hash per shingle, then N affine transforms
+  * `(aᵢ·h + bᵢ) mod p` over the Mersenne prime p = 2³¹−1. One md5 per
+  * shingle instead of N; the affine arithmetic is 64-bit-safe integer
+  * math (aᵢ,h < 2³¹ ⇒ product < 2⁶², no ANSI overflow) that DuckDB
+  * reproduces exactly, keeping every stage oracle-checkable.
+  *
+  * Scale design (100 TB posture):
+  *   - Per-doc shingle/token dedup happens IN-ROW via `array_distinct`,
+  *     not a (doc, shingle) `distinct()` — that removes the largest
+  *     shuffle of the whole family (the exploded pair set).
+  *   - MinHash signatures and SimHash fingerprints are pure projections
+  *     (higher-order `transform`/`array_min`/`aggregate` over the in-row
+  *     arrays): ZERO shuffle, embarrassingly parallel, linear scans.
+  *   - LSH banding: one posexplode projection over the signature table;
+  *     the candidate join is a self-join on (band, key) whose bucket
+  *     sizes are bounded by collision probability, not corpus size.
+  *   - Near-dup verification: exact Jaccard runs only on LSH candidate
+  *     pairs ([[lshVerifiedPairs]]). The all-pairs path ([[jaccardPairs]])
+  *     enumerates pairs per shingle from a df-bounded `collect_list`
+  *     (≤ maxDf ids per key — bounded executor memory) and is kept as
+  *     the small-scale validation oracle for the LSH path.
   */
 object Dedup {
 
-  /** 32-bit seeded hash both Spark and DuckDB share (see object doc). */
+  /** Mersenne prime 2³¹−1 — the affine-transform modulus. */
+  val P: Long = 2147483647L
+
+  /** Affine multiplier for hash i: odd-multiplier Knuth-style mixing,
+    * reduced mod p, never zero (a=0 would collapse the permutation).
+    */
+  def affineA(i: Int): Long = {
+    val a = ((2L * i + 1L) * 2654435761L) % P
+    if (a == 0L) 1L else a
+  }
+
+  /** Affine offset for hash i. */
+  def affineB(i: Int): Long = (40503L * i + 12345L) % P
+
+  /** 32-bit seeded hash both Spark and DuckDB share: first 8 hex digits
+    * of md5("seed:value") as an unsigned int.
+    */
   def hash32(seed: Int, s: Column): Column =
     conv(substring(md5(concat(lit(seed.toString), lit(":"), s)), 1, 8),
       16, 10).cast("long")
@@ -35,6 +62,14 @@ object Dedup {
   def hash32Sql(seed: Int, expr: String): String =
     s"CAST(('0x' || substr(md5('$seed' || ':' || $expr), 1, 8)) AS BIGINT)"
 
+  /** The i-th MinHash value of a base hash already reduced mod p. */
+  def affine(i: Int, hm: Column): Column =
+    (lit(affineA(i)) * hm + lit(affineB(i))) % P
+
+  /** SQL-text twin of [[affine]] over a mod-p base-hash expression. */
+  def affineSql(i: Int, hmExpr: String): String =
+    s"(${affineA(i)} * $hmExpr + ${affineB(i)}) % $P"
+
   /** Exact dedup: group identical normalized texts, keep min-id survivor.
     * Output: fingerprint, surviving doc id, group size.
     */
@@ -42,21 +77,39 @@ object Dedup {
     docs.groupBy(TextFunctions.fingerprint(col(text)).as("fp"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** (doc_id, shingle) pairs, distinct, with an optional document-
-    * frequency cut dropping shingles present in more than maxDf docs.
+  /** One row per doc with its DISTINCT k-shingle array — the dedup is
+    * in-row (`array_distinct`), so this is a pure projection with no
+    * shuffle. Docs with no shingles (fewer than k tokens) are dropped,
+    * matching the exploded/oracle form.
+    */
+  private[operators] def shingleArrays(docs: DataFrame, id: String,
+                                       text: String, k: Int): DataFrame =
+    docs.select(col(id).as("doc_id"),
+        TextFunctions.tokens(lower(col(text))).as("toks"))
+      // ≥ k tokens ⟺ ≥ 1 shingle. Filtering on the TOKEN count, before
+      // the shingle projection, matters: a filter on size(shingles)
+      // would be predicate-pushed below the fan-out exchange with the
+      // whole shingle expression substituted in — re-running the k-gram
+      // build per row on the unparallelized scan.
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.shinglesFromTokens(col("toks"), k))
+          .as("shingles"))
+
+  /** Distinct (doc_id, shingle) pairs — explode of the in-row-distinct
+    * array (no distinct() shuffle) — with an optional document-frequency
+    * cut dropping shingles present in more than maxDf docs.
     */
   def docShingles(docs: DataFrame, id: String, text: String, k: Int,
                   maxDf: Option[Int] = None): DataFrame = {
-    val pairs = docs
-      .select(col(id).as("doc_id"),
-        explode(TextFunctions.shingles(col(text), k)).as("shingle"))
-      .distinct()
+    val pairs = shingleArrays(docs, id, text, k)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
     maxDf match {
       case None => pairs
       case Some(df) =>
-        // count + filter + re-join beats a window here: the heavy side
-        // streams through a broadcast of the small "rare shingles" set
-        // when Catalyst sizes it so; one extra shuffle worst-case.
+        // two-pass cut (count, then semi-join) rather than a single
+        // collect_list pass: a one-pass cut would buffer the full doc
+        // list of degenerate stopword-shingles in executor memory.
         val rare = pairs.groupBy("shingle")
           .agg(count(lit(1)).as("df_count"))
           .filter(col("df_count") <= df)
@@ -66,33 +119,41 @@ object Dedup {
   }
 
   /** MinHash signatures: one row per doc, columns mh0..mh{n-1}.
-    * Single shuffle: groupBy(doc_id) with n partial-min aggregates.
+    * Entirely shuffle-free: base hashes via one `transform` (single md5
+    * per shingle), then each signature slot is an `array_min` over an
+    * affine `transform` of the same in-row array.
     */
   def minhashSignatures(docs: DataFrame, id: String, text: String,
                         k: Int = 3, numHashes: Int = 16): DataFrame = {
-    val ds = docShingles(docs, id, text, k)
-    val mins = (0 until numHashes).map(i =>
-      min(hash32(i, col("shingle"))).as(s"mh$i"))
-    ds.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val hm = shingleArrays(docs, id, text, k)
+      .select(col("doc_id"),
+        transform(col("shingles"), s => hash32(0, s) % P).as("hm"))
+    val sigs = (0 until numHashes).map(i =>
+      array_min(transform(col("hm"), h => affine(i, h))).as(s"mh$i"))
+    hm.select(col("doc_id") +: sigs: _*)
   }
 
-  /** LSH candidate pairs: band the signature (bands × rowsPerBand =
-    * numHashes), hash each band, self-join on (band, key). Output
-    * distinct (doc_a < doc_b) candidate pairs.
+  /** One row per (doc, band) with the band's key = md5 over its signature
+    * slice — a single posexplode projection over the signature table.
     */
-  def minhashCandidatePairs(docs: DataFrame, id: String, text: String,
-                            k: Int = 3, numHashes: Int = 16,
-                            bands: Int = 4): DataFrame = {
+  private[operators] def bandRows(sigs: DataFrame, numHashes: Int,
+                                  bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = minhashSignatures(docs, id, text, k, numHashes)
-    val bandRows = (0 until bands).map { b =>
-      val key = md5(concat_ws("-",
+    val keys = array((0 until bands).map { b =>
+      md5(concat_ws("-",
         (0 until r).map(j => col(s"mh${b * r + j}").cast("string")): _*))
-      sigs.select(col("doc_id"), lit(b).as("band"), key.as("bkey"))
-    }.reduce(_ unionAll _)
-    val a = bandRows.as("a")
-    val b = bandRows.as("b")
+    }: _*)
+    sigs.select(col("doc_id"), posexplode(keys))
+      .toDF("doc_id", "band", "bkey")
+  }
+
+  /** Distinct candidate pairs (doc_a < doc_b) from banded signatures. */
+  private def candidatesFromSigs(sigs: DataFrame, numHashes: Int,
+                                 bands: Int): DataFrame = {
+    val br = bandRows(sigs, numHashes, bands)
+    val a = br.as("a")
+    val b = br.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -100,40 +161,116 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash over distinct whitespace tokens. One shuffle:
-    * groupBy(doc) with 32 sum(±1) aggregates, then the fingerprint is
-    * folded from the bit votes as a plain expression.
+  /** LSH candidate pairs. The signature table (numHashes longs per doc)
+    * is persisted so the signature projection feeds both self-join sides
+    * from cache instead of re-scanning the corpus.
+    */
+  def minhashCandidatePairs(docs: DataFrame, id: String, text: String,
+                            k: Int = 3, numHashes: Int = 16,
+                            bands: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(docs, id, text, k, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    candidatesFromSigs(sigs, numHashes, bands)
+  }
+
+  /** 32-bit SimHash over distinct whitespace tokens — a pure projection:
+    * per-bit ±1 votes are `aggregate` folds over the in-row hash array,
+    * so the whole fingerprint needs no explode and no shuffle.
     */
   def simhash32(docs: DataFrame, id: String, text: String): DataFrame = {
-    val toks = docs.select(col(id).as("doc_id"),
-        explode(TextFunctions.tokens(lower(col(text)))).as("tok"))
-      .distinct()
-      .withColumn("h", hash32(0, col("tok")))
-    val votes = (0 until 32).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"bit$i"))
-    val agg = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val fp = (0 until 32).map(i =>
-      when(col(s"bit$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), fp.as("simhash"))
+    val hs = docs.select(col(id).as("doc_id"),
+        TextFunctions.tokens(lower(col(text))).as("toks"))
+      .filter(size(col("toks")) > 0) // cheap when pushed below the fan-out
+      .select(col("doc_id"),
+        transform(array_distinct(col("toks")), t => hash32(0, t)).as("hs"))
+    val fp = (0 until 32).map { i =>
+      val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(1) === 1, lit(1L))
+          .otherwise(lit(-1L)))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hs.select(col("doc_id"), fp.as("simhash"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs with integer-only thresholding:
     * keep pairs where jaccard >= thresholdPct/100, i.e.
     * 100*|A∩B| >= thresholdPct*(|A|+|B|-|A∩B|). Output integer counts
     * (no float in the result → hash-stable).
+    *
+    * Pair enumeration is per-shingle from a sorted `collect_list` of the
+    * df-cut inverted index (≤ maxDf ids per key), generating (a, b)
+    * combinations in-row — this replaces the shingle self-join, whose
+    * probe volume is the same Σ df² but which shuffles the full pair set
+    * twice. Still O(Σ df²) output — the small-scale validation path;
+    * [[lshVerifiedPairs]] is the 100 TB shape.
     */
   def jaccardPairs(docs: DataFrame, id: String, text: String, k: Int = 3,
                    maxDf: Int = 100, thresholdPct: Int = 60): DataFrame = {
-    val ds = docShingles(docs, id, text, k, Some(maxDf))
-    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = ds.as("a")
-    val b = ds.as("b")
-    val common = a.join(b, col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // cache the UNCUT pair set eagerly — it is the expensive tokenize +
+    // explode pipeline, every downstream stage (df counts, cut join,
+    // sizes, inverted index) derives from it cheaply, and the identical
+    // plan in lshVerifiedPairs shares the same cache entry.
+    val pairs = docShingles(docs, id, text, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    val rare = pairs.groupBy("shingle")
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxDf)
+      .select("shingle")
+    val kept = pairs.join(rare, "shingle")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // (a, b) combinations of each shingle's sorted id list, in-row
+    val combos = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        b => struct(a.as("a"), b.as("b")))))
+    val common = kept.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(combos).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
+    thresholdAndSize(common, sizes, thresholdPct)
+  }
+
+  /** LSH-then-verify near-dup pairs — the scale-safe plan: band-collision
+    * candidates first (output bounded by collision probability), then
+    * exact Jaccard computed ONLY on candidate pairs by joining them back
+    * to the shingle sets. No document-frequency cut: sizes and
+    * intersections are over the full shingle sets.
+    *
+    * Output columns match [[jaccardPairs]] so the two can be differenced
+    * directly (LSH-verified ⊆ exact, minus LSH misses).
+    */
+  def lshVerifiedPairs(docs: DataFrame, id: String, text: String,
+                       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                       thresholdPct: Int = 60): DataFrame = {
+    // ds feeds three stages (sizes + two verify-join sides); sigs feeds
+    // both band-join sides. Eager fill stops racing recomputes; the ds
+    // plan is identical to jaccardPairs' cached pair set, so the two
+    // queries share one cache entry.
+    val ds = docShingles(docs, id, text, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ds.count()
+    val sigs = minhashSignatures(docs, id, text, k, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatesFromSigs(sigs, numHashes, bands)
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // candidate pairs × shingles of side a, matched against side b:
+    // cost is |candidates| · avg-shingles, not Σ df².
+    val common = cands
+      .join(ds.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(ds.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    thresholdAndSize(common, sizes, thresholdPct)
+  }
+
+  /** Attach set sizes to common-counts and apply the integer Jaccard
+    * threshold: 100·|A∩B| ≥ t·(|A|+|B|−|A∩B|).
+    */
+  private def thresholdAndSize(common: DataFrame, sizes: DataFrame,
+                               thresholdPct: Int): DataFrame =
     common
       .join(sizes.withColumnRenamed("sz", "sz_a"),
         col("doc_a") === col("doc_id")).drop("doc_id")
@@ -143,5 +280,4 @@ object Dedup {
         lit(thresholdPct) * (col("sz_a") + col("sz_b") - col("n_common")))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         col("sz_a"), col("sz_b"))
-  }
 }

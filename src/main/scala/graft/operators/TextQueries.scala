@@ -91,6 +91,12 @@ object TextQueries {
     "q_jaccard_pairs" -> { (s, dir) =>
       Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
         "doc_id", "text", K, MAX_DF, THRESH)
+    },
+
+    // ── scale path: LSH candidates, exact Jaccard on candidates only ────
+    "q_lsh_verified_dups" -> { (s, dir) =>
+      Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", K, NUM_HASHES, BANDS, THRESH)
     }
   )
 
@@ -109,14 +115,17 @@ object TextQueries {
        |  FROM toks, unnest(range(1, len(t) - ${K - 2})) AS u(i)
        |  WHERE len(t) >= $K)""".stripMargin
 
+  // One md5 per shingle reduced mod p, then the affine mins — same
+  // integer arithmetic as Dedup.affine, so signatures hash-match exactly.
   private def minhashSelect: String =
     (0 until NUM_HASHES)
-      .map(i => s"min(${Dedup.hash32Sql(i, "shingle")}) AS mh$i")
+      .map(i => s"min(${Dedup.affineSql(i, "hm")}) AS mh$i")
       .mkString(", ")
 
   private val sigCte =
     s"""WITH $shinglesCte,
-       |sig AS (SELECT doc_id, $minhashSelect FROM sh GROUP BY doc_id)""".stripMargin
+       |hm AS (SELECT doc_id, ${Dedup.hash32Sql(0, "shingle")} % ${Dedup.P} AS hm FROM sh),
+       |sig AS (SELECT doc_id, $minhashSelect FROM hm GROUP BY doc_id)""".stripMargin
 
   private def bandSelect(b: Int): String = {
     val r = NUM_HASHES / BANDS
@@ -229,6 +238,24 @@ object TextQueries {
          |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
          |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
          |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b
+         |FROM common
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE n_common * 100 >= $THRESH * (sa.sz + sb.sz - n_common)""".stripMargin,
+
+    "q_lsh_verified_dups" ->
+      s"""$sigCte,
+         |bands AS (${(0 until BANDS).map(bandSelect).mkString("\n UNION ALL\n ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b
          |FROM common

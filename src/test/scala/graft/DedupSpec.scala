@@ -52,6 +52,17 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
   }
 
+  test("lshVerifiedPairs: subset of exact jaccard pairs, finds true dups") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3,
+      maxDf = 1000, thresholdPct = 60)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val verified = Dedup.lshVerifiedPairs(docs, "doc_id", "text", k = 3,
+      numHashes = 8, bands = 4, thresholdPct = 60)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(verified.subsetOf(exact)) // LSH can miss, never invent
+    assert(verified.contains((1L, 2L))) // identical docs always collide
+  }
+
   test("jaccardPairs: threshold separates near-dups from unrelated") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3,
       maxDf = 100, thresholdPct = 60)
