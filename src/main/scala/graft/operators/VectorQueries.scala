@@ -12,12 +12,17 @@ import graft.functions.VectorFunctions._
   * - [[queries q_ann_cosine_topk]]: brute-force cosine top-k — the
   *   correctness baseline. Queries are broadcast; candidates stream, so
   *   the plan is a BroadcastNestedLoopJoin scan with no shuffle of the
-  *   big side (at 100 TB the candidate scan is embarrassingly parallel;
-  *   per-partition top-k then a tiny final merge).
+  *   big side.
   * - [[queries q_ann_ivf_topk]]: IVF scale path — a deterministic
   *   centroid sample partitions the corpus into cells (one broadcast
-  *   argmin pass); each query probes its nprobe nearest cells only, so
-  *   the scored candidate set shrinks by ~nprobe/C. Same final top-k.
+  *   argmin pass, `min(struct)` aggregate → map-side combine); each
+  *   query probes its nprobe nearest cells only, so the scored
+  *   candidate set shrinks by ~nprobe/C. Same final top-k.
+  *
+  * Top-k is two-phase: a per-(scan-partition, query) partial top-k
+  * (parallelism scales with the corpus — a single window keyed by the
+  * handful of query ids would funnel the whole N×Q scored set into Q
+  * tasks), then a final rank over the tiny union of partial winners.
   *
   * Outputs are (query_id, neighbor_id, rank) — ranks, not raw floats, so
   * the DuckDB oracle compare is bit-stable (rank flips would need two
@@ -33,12 +38,27 @@ object VectorQueries {
   private def loadEmb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Two-phase distributed top-k per query over (query_id, neighbor_id,
+    * sim). Phase 1 reduces each scan partition to ≤ k rows per query
+    * (keyed by (partition, query): #partitions × #queries groups, no
+    * low-cardinality funnel); phase 2 ranks the ≤ #partitions·k
+    * survivors per query. Any global top-k row wins its partition's
+    * local top-k, so the phases lose nothing. Ordering is (-sim,
+    * neighbor_id) in both phases — deterministic under ties.
+    */
   private def topkByQuery(scored: DataFrame): DataFrame = {
+    val local = scored
+      .withColumn("pid", spark_partition_id())
+      .groupBy(col("pid"), col("query_id"))
+      .agg(slice(sort_array(collect_list(
+        struct(negate(col("sim")).as("s"), col("neighbor_id").as("n")))),
+        1, TOP_K).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+      .orderBy(col("t.s").asc, col("t.n").asc)
+    local.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TOP_K)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .select(col("query_id"), col("t.n").as("neighbor_id"), col("rank"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -59,15 +79,17 @@ object VectorQueries {
       val emb = loadEmb(s, dir)
       val centroids = emb.filter(col("vec_id") < N_CELLS)
         .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-      // assignment: every vector → nearest centroid (broadcast argmin)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d2").asc, col("cell").asc)
+      // assignment: every vector → nearest centroid. min(struct(d2,cell))
+      // is an argmin AGGREGATE — partial min runs map-side, so the
+      // shuffle carries one row per vector, not one per (vector ×
+      // centroid) as a row_number window would.
       val assigned = emb.crossJoin(broadcast(centroids))
         .withColumn("d2", l2Sq(col("embedding"), col("centroid")))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("cvec"), col("cell"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cell"))).as("m"),
+          first(col("embedding")).as("cvec")) // constant per vec_id
+        .select(col("vec_id").as("neighbor_id"), col("cvec"),
+          col("m.cell").as("cell"))
       // probe list: each query → nprobe nearest cells
       val qs = emb.filter(col("vec_id") < N_QUERIES)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
