@@ -24,7 +24,8 @@ object SparkEntry {
     operators.RelationalQueries.queries ++
       operators.TextQueries.queries ++
       operators.VectorQueries.queries ++
-      operators.EventQueries.queries
+      operators.EventQueries.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
@@ -33,5 +34,6 @@ object SparkEntry {
     operators.RelationalQueries.oracle ++
       operators.TextQueries.oracle ++
       operators.VectorQueries.oracle ++
-      operators.EventQueries.oracle
+      operators.EventQueries.oracle ++
+      operators.Multimodal.oracle
 }

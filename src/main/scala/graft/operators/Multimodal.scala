@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal (binary) column handling for training-data pipelines:
+  * opaque `binary` payloads with typed metadata — size, magic-sniffed
+  * mime type, content fingerprint, and header-parsed image dimensions —
+  * plus the decode plumbing a real image/audio stage would use.
+  *
+  * The local testdata ships no binary table, so [[fakeMedia]] derives one
+  * deterministically from `documents`: a third of the rows get a PNG-
+  * style header (magic + big-endian width/height) prepended, a third a
+  * RIFF magic, the rest stay raw UTF-8 payloads. The exact same
+  * construction is expressed in the DuckDB oracle SQL, so every byte —
+  * and therefore every size/mime/fingerprint/dimension — is
+  * hash-checked end-to-end.
+  *
+  * Engine-parity note: DuckDB cannot slice or hash BLOBs, so all
+  * byte-level inspection happens on the UPPERCASE hex encoding, which
+  * both engines produce identically (`hex(bytes)`). The hex detour is
+  * for oracle parity only; each helper documents the direct-binary form
+  * a production pipeline would use.
+  *
+  * Scale notes: every operator here is a pure projection over built-ins
+  * (zero shuffle, whole-stage codegen); payload bytes never leave the
+  * executor. Decode ([[decodeAll]]) is the one imperative stage — see
+  * its doc for the batch shape.
+  */
+object Multimodal {
+
+  private val PNG_MAGIC_HEX = "89504E470D0A1A0A" // \x89PNG\r\n\x1a\n
+  private val RIFF_MAGIC_HEX = "52494646"        // RIFF
+
+  /** Deterministic synthetic media table from `documents`:
+    * (media_id, bytes). Mirrored verbatim in the oracle's media CTE.
+    */
+  def fakeMedia(docs: DataFrame): DataFrame = {
+    val w = lit(16) + col("doc_id") % 1024
+    val h = lit(16) + (col("doc_id") * 7) % 1024
+    val pngHeader = concat(lit(PNG_MAGIC_HEX),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"))
+    val payload = encode(col("text"), "UTF-8")
+    val bytes = when(col("doc_id") % 3 === 0,
+        concat(unhex(pngHeader), payload))
+      .when(col("doc_id") % 3 === 1,
+        concat(unhex(lit(RIFF_MAGIC_HEX)), payload))
+      .otherwise(payload)
+    docs.select(col("doc_id").as("media_id"), bytes.as("bytes"))
+  }
+
+  /** Payload size in bytes. */
+  def byteSize(bytes: Column): Column = length(bytes)
+
+  /** Magic-byte mime sniff over the hex encoding (production form:
+    * compare `substring(bytes, 1, n)` against binary literals).
+    */
+  def magicMime(bytes: Column): Column = {
+    val hx = hex(bytes)
+    when(substring(hx, 1, 16) === PNG_MAGIC_HEX, "image/png")
+      .when(substring(hx, 1, 8) === RIFF_MAGIC_HEX, "audio/x-riff")
+      .otherwise("application/octet-stream")
+  }
+
+  /** Content fingerprint: sha256 of the hex encoding (production form:
+    * `sha2(bytes, 256)` directly — DuckDB can only hash VARCHAR).
+    */
+  def fingerprint(bytes: Column): Column = sha2(hex(bytes), 256)
+
+  /** Big-endian u32 at byte offset (1-based) parsed from the hex dump. */
+  private def beU32(bytes: Column, byteOffset: Int): Column =
+    conv(substring(hex(bytes), (byteOffset - 1) * 2 + 1, 8), 16, 10)
+      .cast("long")
+
+  /** PNG-style header width (bytes 9–12, big-endian). */
+  def pngWidth(bytes: Column): Column = beU32(bytes, 9)
+
+  /** PNG-style header height (bytes 13–16, big-endian). */
+  def pngHeight(bytes: Column): Column = beU32(bytes, 13)
+
+  // ── decode plumbing ──────────────────────────────────────────────────
+
+  /** One media row as the decode stage sees it. */
+  final case class MediaRow(media_id: Long, bytes: Array[Byte])
+
+  /** Typed decode output: header metadata plus a cheap content feature. */
+  final case class DecodedMedia(media_id: Long, mime: String,
+                                n_bytes: Int, width: Long, height: Long,
+                                mean_byte: Double)
+
+  /** Pluggable decoder. Production would back this with an actual codec
+    * (JNI libjpeg/ffmpeg, or in PySpark an Arrow-batched pandas UDF);
+    * this container has no media libraries, so [[StubDecoder]] stands in
+    * with a deterministic parse of the same synthetic headers.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(m: MediaRow): DecodedMedia
+  }
+
+  /** Deterministic stand-in decoder: sniffs the magic, parses the PNG
+    * header dims, and computes the mean payload byte as the "feature".
+    */
+  object StubDecoder extends MediaDecoder {
+    private def beU32At(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+    def decode(m: MediaRow): DecodedMedia = {
+      val b = m.bytes
+      val isPng = b.length >= 16 &&
+        b.take(8).sameElements(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
+          0x1a, 0x0a).map(_.toByte))
+      val isRiff = !isPng && b.length >= 4 &&
+        b.take(4).sameElements("RIFF".getBytes)
+      val mime =
+        if (isPng) "image/png"
+        else if (isRiff) "audio/x-riff"
+        else "application/octet-stream"
+      val (w, h) = if (isPng) (beU32At(b, 8), beU32At(b, 12)) else (0L, 0L)
+      val mean =
+        if (b.isEmpty) 0.0
+        else b.map(_ & 0xff).sum.toDouble / b.length
+      DecodedMedia(m.media_id, mime, b.length, w, h, mean)
+    }
+  }
+
+  /** Distributed decode: one decoder call per row, batched per
+    * partition. mapPartitions is deliberate here — decode is genuinely
+    * imperative per-payload work (the one case the build brief reserves
+    * it for); the decoder is constructed once per partition iterator,
+    * which is where a codec would amortize native init. Schema is the
+    * typed [[DecodedMedia]] encoder; partitioning passes through
+    * unchanged (no shuffle).
+    */
+  def decodeAll(media: Dataset[MediaRow],
+                decoder: MediaDecoder): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map(decoder.decode))
+  }
+
+  // ── declared queries + oracle ────────────────────────────────────────
+
+  private def mediaOf(s: SparkSession, dir: String): DataFrame =
+    fakeMedia(Tables.load(s, dir, "documents"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // size + mime + fingerprint catalog over the binary column
+    "q_media_catalog" -> { (s, dir) =>
+      mediaOf(s, dir).select(col("media_id"),
+        byteSize(col("bytes")).as("n_bytes"),
+        magicMime(col("bytes")).as("mime"),
+        fingerprint(col("bytes")).as("fp"))
+    },
+
+    // header-parsed dimensions for the image rows only
+    "q_media_dimensions" -> { (s, dir) =>
+      mediaOf(s, dir)
+        .filter(magicMime(col("bytes")) === "image/png")
+        .select(col("media_id"),
+          pngWidth(col("bytes")).as("width"),
+          pngHeight(col("bytes")).as("height"),
+          (pngWidth(col("bytes")) * pngHeight(col("bytes")))
+            .as("n_pixels"))
+    }
+  )
+
+  /** Shared media CTE — byte-identical to [[fakeMedia]]. */
+  private val mediaCte =
+    s"""media AS (SELECT doc_id AS media_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN
+       |         unhex('$PNG_MAGIC_HEX' ||
+       |           lpad(hex(16 + doc_id % 1024), 8, '0') ||
+       |           lpad(hex(16 + (doc_id * 7) % 1024), 8, '0')) ||
+       |         encode(text)
+       |       WHEN doc_id % 3 = 1 THEN unhex('$RIFF_MAGIC_HEX') || encode(text)
+       |       ELSE encode(text) END AS bytes
+       |  FROM documents)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_media_catalog" ->
+      s"""WITH $mediaCte
+         |SELECT media_id, octet_length(bytes) AS n_bytes,
+         |  CASE WHEN substr(hex(bytes), 1, 16) = '$PNG_MAGIC_HEX' THEN 'image/png'
+         |       WHEN substr(hex(bytes), 1, 8) = '$RIFF_MAGIC_HEX' THEN 'audio/x-riff'
+         |       ELSE 'application/octet-stream' END AS mime,
+         |  sha256(hex(bytes)) AS fp
+         |FROM media""".stripMargin,
+
+    "q_media_dimensions" ->
+      s"""WITH $mediaCte
+         |SELECT media_id,
+         |  CAST(('0x' || substr(hex(bytes), 17, 8)) AS BIGINT) AS width,
+         |  CAST(('0x' || substr(hex(bytes), 25, 8)) AS BIGINT) AS height,
+         |  CAST(('0x' || substr(hex(bytes), 17, 8)) AS BIGINT)
+         |    * CAST(('0x' || substr(hex(bytes), 25, 8)) AS BIGINT) AS n_pixels
+         |FROM media
+         |WHERE substr(hex(bytes), 1, 16) = '$PNG_MAGIC_HEX'""".stripMargin
+  )
+}

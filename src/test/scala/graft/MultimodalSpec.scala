@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{MediaRow, StubDecoder}
+
+/** Binary-column (multimodal) operator semantics on crafted payloads
+  * where the right answer is known by construction, and agreement
+  * between the expression path (hex parsing) and the imperative decode
+  * path (byte parsing).
+  */
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // doc_id 0 → PNG (w=16, h=16), 1 → RIFF, 2 → raw, 3 → PNG (w=19, h=37)
+  private lazy val docs = Seq(
+    (0L, "alpha beta"), (1L, "gamma"), (2L, "delta"), (3L, "epsilon"))
+    .toDF("doc_id", "text")
+  private lazy val media = Multimodal.fakeMedia(docs)
+
+  test("fakeMedia: header + payload byte layout") {
+    val row = media.filter(col("media_id") === 0)
+      .select(col("bytes")).as[Array[Byte]].collect().head
+    assert(row.length === 16 + "alpha beta".length)
+    assert((row(0) & 0xff) === 0x89 && row(1) === 'P'.toByte)
+    val raw = media.filter(col("media_id") === 2)
+      .select(col("bytes")).as[Array[Byte]].collect().head
+    assert(raw === "delta".getBytes("UTF-8"))
+  }
+
+  test("magicMime + byteSize + dimensions expressions") {
+    val out = media.select(col("media_id"),
+        Multimodal.magicMime(col("bytes")).as("mime"),
+        Multimodal.byteSize(col("bytes")).as("n"),
+        coalesce(Multimodal.pngWidth(col("bytes")), lit(-1L)).as("w"),
+        coalesce(Multimodal.pngHeight(col("bytes")), lit(-1L)).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0L)._1 === "image/png")
+    assert(out(1L)._1 === "audio/x-riff")
+    assert(out(2L)._1 === "application/octet-stream")
+    assert(out(0L)._3 === 16L && out(0L)._4 === 16L) // 16 + 0 % 1024
+    assert(out(3L)._3 === 19L && out(3L)._4 === 37L) // 16+3, 16+21
+    assert(out(1L)._2 === 4 + "gamma".length)
+  }
+
+  test("fingerprint: distinct payloads, stable across recompute") {
+    val fps = media.select(Multimodal.fingerprint(col("bytes")))
+      .as[String].collect()
+    assert(fps.distinct.length === 4)
+    assert(fps.forall(_.matches("[0-9a-f]{64}")))
+  }
+
+  test("decodeAll: imperative decode agrees with expression parsing") {
+    val ds = media.select(col("media_id"), col("bytes"))
+      .as[MediaRow]
+    val decoded = Multimodal.decodeAll(ds, StubDecoder)
+      .collect().map(d => d.media_id -> d).toMap
+    val expr = media.select(col("media_id"),
+        Multimodal.magicMime(col("bytes")).as("mime"),
+        Multimodal.byteSize(col("bytes")).as("n"),
+        coalesce(Multimodal.pngWidth(col("bytes")), lit(-1L)).as("w"),
+        coalesce(Multimodal.pngHeight(col("bytes")), lit(-1L)).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    expr.foreach { case (id, (mime, n, w, h)) =>
+      val d = decoded(id)
+      assert(d.mime === mime)
+      assert(d.n_bytes === n)
+      if (mime == "image/png") { assert(d.width === w && d.height === h) }
+      assert(d.mean_byte > 0.0)
+    }
+  }
+}
