@@ -37,12 +37,25 @@ object BronzeToSilver {
     // map-explode: one row per (feed_date, NEO array), then per NEO
     val perNeo = feed
       .select(explode(col("near_earth_objects")).as(Seq("feed_date", "neos")))
-      .select(col("feed_date"), explode(col("neos")).as("neo"))
+      .select(explode(col("neos")).as("neo"))
+    flattenNeos(perNeo)
+  }
 
+  /** Reference-fidelity read path: the feed loaded with SCHEMA INFERENCE
+    * types `near_earth_objects` as a struct with one field per date key;
+    * the reference string-interpolates the request date into the field
+    * path (bronze_to_silver.py:41-43). Same downstream flatten — the
+    * fidelity spec proves both paths produce identical silver.
+    */
+  def flattenInferredDay(feed: DataFrame, date: String): DataFrame =
+    flattenNeos(feed.select(
+      explode(col(s"near_earth_objects.`$date`")).as("neo")))
+
+  private def flattenNeos(perNeo: DataFrame): DataFrame = {
     // one row per (NEO × close approach) — NEOs with no approaches drop
     // out here, exactly like the reference's inner explode
     // (bronze_to_silver.py:83)
-    val perApproach = perNeo.select(col("feed_date"), col("neo"),
+    val perApproach = perNeo.select(col("neo"),
       explode(col("neo.close_approach_data")).as("approach"))
 
     def s(c: Column): Column = Normalize.placeholderToNull(c)

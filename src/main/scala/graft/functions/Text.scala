@@ -22,14 +22,15 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count: word-piece regex segments (letter runs,
-    * digit runs, single punctuation), the usual pre-tokenizer shape.
+  /** BPE-ish subword count: word-piece segments — letter runs, digit
+    * runs, single punctuation marks — the usual pre-tokenizer shape.
+    * Counted as regex MATCHES (not lookaround splits) so the pattern is
+    * RE2-safe and the DuckDB oracle can run it verbatim.
     */
+  val subwordPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
   def subwordCount(text: Column): Column =
-    size(filter(
-      split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])" +
-        "|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"),
-      t => length(trim(t)) > 0))
+    size(regexp_extract_all(text, lit(subwordPattern), lit(0)))
 
   /** Count of non-alphanumeric, non-space chars (punctuation proxy). */
   def punctCount(text: Column): Column =

@@ -49,21 +49,71 @@ object MergeUpsert {
     if (tiebreak.nonEmpty) deduped else deduped.drop(prio)
   }
 
+  private val TMP_SUFFIX = "__tmp_swap"
+  private val OLD_SUFFIX = "__old_swap"
+
   /** Reference `save_or_update_table`: read existing parquet at `path` if
-    * present, merge, write back. Writes go to a temp sibling dir first,
-    * then swap — never overwrite a path mid-read.
+    * present, merge, write back.
+    *
+    * The write path is a four-step swap — write-new(tmp), rename-old-away,
+    * rename-new-in, delete-old — so some complete table version exists on
+    * disk at every instant except the rename-to-rename window, and THAT
+    * window is recoverable: [[recover]] (called on entry) finishes or
+    * rolls back an interrupted swap by inspecting which of the three
+    * sibling dirs survive. The reference instead lazily overwrites the
+    * path it is still reading (bucket.py:69-87) — a data-loss hazard.
+    *
+    * This is a parquet-directory stand-in for a Delta/Iceberg
+    * transactional commit; those jars are not available offline in this
+    * build (BASELINE.md names them as the declared approach), and the
+    * swap keeps the same merge plan a MERGE INTO would lower to for a
+    * full-table rewrite.
     */
   def saveOrUpdate(spark: SparkSession, incoming: DataFrame, path: String,
                    keys: Seq[String]): Unit = {
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, path) // finish/roll back any interrupted prior swap
     val result =
       if (fs.exists(fsPath)) merge(spark.read.parquet(path), incoming, keys)
       else incoming
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp_swap")
-    result.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(fsPath)) fs.delete(fsPath, true)
-    if (!fs.rename(tmp, fsPath))
+    val tmp = new org.apache.hadoop.fs.Path(path + TMP_SUFFIX)
+    val old = new org.apache.hadoop.fs.Path(path + OLD_SUFFIX)
+    result.write.mode("overwrite").parquet(tmp.toString) // 1. write-new
+    if (fs.exists(fsPath) && !fs.rename(fsPath, old))    // 2. old away
+      throw new java.io.IOException(s"merge swap failed: $fsPath -> $old")
+    if (!fs.rename(tmp, fsPath)) {                       // 3. new in
+      fs.rename(old, fsPath) // roll back so readers still see a table
       throw new java.io.IOException(s"merge swap failed: $tmp -> $fsPath")
+    }
+    fs.delete(old, true)                                 // 4. drop old
+  }
+
+  /** Repair an interrupted [[saveOrUpdate]] swap. State machine over the
+    * surviving sibling dirs:
+    *   - main exists → swap completed (or never started): drop leftovers.
+    *   - no main, old + tmp exist → crashed between renames: the tmp dir
+    *     is a COMPLETE new version (written before any rename) — promote
+    *     it and drop old.
+    *   - no main, only old → crashed after old-away and after tmp was
+    *     promoted?? impossible to reach with tmp gone unless step 3 lost
+    *     the race entirely — restore old.
+    *   - no main, only tmp → table never existed before (first write
+    *     crashed post-write): promote tmp.
+    */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + TMP_SUFFIX)
+    val old = new org.apache.hadoop.fs.Path(path + OLD_SUFFIX)
+    if (fs.exists(fsPath)) {
+      fs.delete(tmp, true)
+      fs.delete(old, true)
+    } else if (fs.exists(tmp)) {
+      fs.rename(tmp, fsPath)
+      fs.delete(old, true)
+    } else if (fs.exists(old)) {
+      fs.rename(old, fsPath)
+    }
   }
 }

@@ -30,6 +30,7 @@ object TextQueries {
       d.select(col("doc_id"),
         length(col("text")).as("n_chars"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"),
         TextFunctions.alphaCount(col("text")).as("n_alpha"),
         TextFunctions.punctCount(col("text")).as("n_punct"),
         TextFunctions.stopwordCount(col("text")).as("n_stopwords"))
@@ -164,6 +165,7 @@ object TextQueries {
          | length(text) AS n_chars,
          | CASE WHEN length(trim(text)) = 0 THEN 0
          |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         | len(regexp_extract_all(text, '${TextFunctions.subwordPattern}')) AS n_subwords,
          | length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
          | length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
          | CASE WHEN length(trim(text)) = 0 THEN 0

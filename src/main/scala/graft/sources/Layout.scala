@@ -24,15 +24,46 @@ final case class Layout(base: String) {
   def gold(table: String): String = s"$base/gold/$table"
 }
 
+/** Feed document source. The production implementation is an HTTP GET;
+  * tests inject fixture documents. Driver-side I/O, not a Spark op
+  * (SURVEY.md S1).
+  */
+trait FeedFetcher {
+  /** Returns the raw JSON document for the inclusive date range. */
+  def fetch(startDate: String, endDate: String): String
+}
+
+/** NeoWs feed over java.net.http (reference: src/etl/bronze_ingest.py:18-27
+  * GETs `…/neo/rest/v1/feed?start_date&end_date&api_key`). Untestable in
+  * this zero-egress sandbox — the unit tests stub [[FeedFetcher]]
+  * instead; this class is the production wiring.
+  */
+final class HttpFeedFetcher(
+    apiKey: String,
+    endpoint: String = "https://api.nasa.gov/neo/rest/v1/feed")
+  extends FeedFetcher {
+
+  def fetch(startDate: String, endDate: String): String = {
+    val uri = java.net.URI.create(
+      s"$endpoint?start_date=$startDate&end_date=$endDate&api_key=$apiKey")
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder(uri).GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(
+        s"feed fetch failed: HTTP ${resp.statusCode()} for $startDate..$endDate")
+    resp.body()
+  }
+}
+
 /** Bronze ingest: persist one raw feed document per day, byte-preserved.
   *
   * The reference GETs the NeoWs feed and `put_object`s the raw JSON
   * (reference: src/etl/bronze_ingest.py:18-37, src/utils/bucket.py:26-50).
-  * The HTTP fetch is driver-side I/O, not a Spark op (SURVEY.md S1); this
-  * module takes the document as a string (tests inject fixtures; a
-  * production caller would fetch with java.net.http) and writes the
-  * single original document — `df.write.json` would re-serialize and is
-  * deliberately not used (SURVEY.md S2).
+  * [[writeRaw]] writes the single original document — `df.write.json`
+  * would re-serialize and is deliberately not used (SURVEY.md S2);
+  * [[ingest]] composes a [[FeedFetcher]] with the raw write.
   */
 object BronzeIngest {
   def writeRaw(spark: SparkSession, layout: Layout, date: String,
@@ -44,4 +75,11 @@ object BronzeIngest {
     finally out.close()
     target.toString
   }
+
+  /** Fetch one day's feed and persist it raw (reference
+    * bronze_ingest.py:18-37 end-to-end).
+    */
+  def ingest(spark: SparkSession, layout: Layout, date: String,
+             fetcher: FeedFetcher): String =
+    writeRaw(spark, layout, date, fetcher.fetch(date, date))
 }

@@ -43,6 +43,51 @@ class MergeUpsertSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq((1, "a"), (2, "B"), (3, "c")))
   }
 
+  test("recover: every interrupted-swap state restores a complete table") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def freshTable(): String = {
+      val p = Files.createTempDirectory("graft-swap").toString + "/t"
+      MergeUpsert.saveOrUpdate(spark, Seq((1, "a")).toDF("k", "v"), p, Seq("k"))
+      p
+    }
+    def rows(p: String) = spark.read.parquet(p).as[(Int, String)].collect().toSet
+
+    // crash between rename-old-away and rename-new-in: main gone,
+    // old + tmp present → tmp (the complete new version) is promoted
+    val p1 = freshTable()
+    Seq((1, "A"), (2, "b")).toDF("k", "v")
+      .write.parquet(p1 + "__tmp_swap")
+    assert(fs.rename(new Path(p1), new Path(p1 + "__old_swap")))
+    MergeUpsert.recover(spark, p1)
+    assert(rows(p1) === Set((1, "A"), (2, "b")))
+    assert(!fs.exists(new Path(p1 + "__old_swap")))
+    assert(!fs.exists(new Path(p1 + "__tmp_swap")))
+
+    // crash right after rename-old-away with tmp lost → old restored
+    val p2 = freshTable()
+    assert(fs.rename(new Path(p2), new Path(p2 + "__old_swap")))
+    MergeUpsert.recover(spark, p2)
+    assert(rows(p2) === Set((1, "a")))
+
+    // crash after write-new but before any rename → main intact,
+    // leftovers dropped
+    val p3 = freshTable()
+    Seq((9, "z")).toDF("k", "v").write.parquet(p3 + "__tmp_swap")
+    MergeUpsert.recover(spark, p3)
+    assert(rows(p3) === Set((1, "a")))
+    assert(!fs.exists(new Path(p3 + "__tmp_swap")))
+
+    // and saveOrUpdate self-heals on entry: interrupted state, then a
+    // normal merge lands on the recovered table
+    val p4 = freshTable()
+    Seq((1, "A2"), (2, "b2")).toDF("k", "v")
+      .write.parquet(p4 + "__tmp_swap")
+    assert(fs.rename(new Path(p4), new Path(p4 + "__old_swap")))
+    MergeUpsert.saveOrUpdate(spark, Seq((3, "c")).toDF("k", "v"), p4, Seq("k"))
+    assert(rows(p4) === Set((1, "A2"), (2, "b2"), (3, "c")))
+  }
+
   test("property: merge is idempotent and row-order insensitive") {
     val rnd = new scala.util.Random(42)
     def rows() = List.fill(30)((rnd.nextInt(10), rnd.nextInt(101)))

@@ -34,6 +34,19 @@ class NeoPipelineSpec extends AnyFunSuite with SparkSpec {
     spark.read.parquet(layout.gold(name))
   }
 
+  test("schema-inference read flattens to identical silver (SURVEY §7.4)") {
+    pipelineRan
+    val path = layout.bronzeFile(NeoFixture.day1Date)
+    val explicit = spark.read.schema(graft.sources.NeoSchema.feed)
+      .option("multiLine", "true").json(path)
+    val inferred = spark.read.option("multiLine", "true").json(path)
+    val a = BronzeToSilver.flatten(explicit)
+    val b = BronzeToSilver.flattenInferredDay(inferred, NeoFixture.day1Date)
+    assert(a.schema.map(f => (f.name, f.dataType)) ===
+      b.schema.map(f => (f.name, f.dataType)))
+    assert(a.collect().map(_.toSeq).toSet === b.collect().map(_.toSeq).toSet)
+  }
+
   test("silver: explode fan-out and 27-column typed schema") {
     pipelineRan
     val silver = spark.read.parquet(layout.silverAsteroids)
