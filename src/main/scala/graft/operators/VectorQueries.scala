@@ -80,16 +80,21 @@ object VectorQueries {
       val centroids = emb.filter(col("vec_id") < N_CELLS)
         .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
       // assignment: every vector → nearest centroid. min(struct(d2,cell))
-      // is an argmin AGGREGATE — partial min runs map-side, so the
-      // shuffle carries one row per vector, not one per (vector ×
-      // centroid) as a row_number window would.
-      val assigned = emb.crossJoin(broadcast(centroids))
-        .withColumn("d2", l2Sq(col("embedding"), col("centroid")))
+      // is an argmin AGGREGATE — partial min runs map-side over NARROW
+      // (vec_id, d2, cell) rows (the embeddings themselves never enter
+      // the shuffle), then the tiny (vec_id, cell) map joins back to the
+      // corpus to attach vectors — AQE broadcasts it at this scale and
+      // falls back to a shuffle join when the corpus is huge.
+      val cellOf = emb.crossJoin(broadcast(centroids))
+        .select(col("vec_id"),
+          struct(l2Sq(col("embedding"), col("centroid")).as("d2"),
+            col("cell").as("cell")).as("dc"))
         .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cell"))).as("m"),
-          first(col("embedding")).as("cvec")) // constant per vec_id
-        .select(col("vec_id").as("neighbor_id"), col("cvec"),
-          col("m.cell").as("cell"))
+        .agg(min(col("dc")).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"))
+      val assigned = emb.join(cellOf, "vec_id")
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cvec"), col("cell"))
       // probe list: each query → nprobe nearest cells
       val qs = emb.filter(col("vec_id") < N_QUERIES)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
