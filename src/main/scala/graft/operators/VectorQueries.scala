@@ -34,6 +34,9 @@ object VectorQueries {
   private val TOP_K = 5
   private val N_CELLS = 16   // IVF centroids: vec_id < 16 (deterministic)
   private val N_PROBE = 4
+  private val DUP_COPIES = 50        // planted duplicates for near-dup
+  private val DUP_OFFSET = 1000000L  // planted-copy id offset
+  private val NEARDUP_THRESHOLD = 0.99
 
   private def loadEmb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -61,6 +64,23 @@ object VectorQueries {
       .select(col("query_id"), col("t.n").as("neighbor_id"), col("rank"))
   }
 
+  /** Nearest-centroid cell id per vector. min(struct(d2,cell)) is an
+    * argmin AGGREGATE — partial min runs map-side over NARROW
+    * (vec_id, d2, cell) rows (the embeddings themselves never enter the
+    * shuffle); join the resulting tiny (vec_id, cell) map back to the
+    * corpus to attach vectors — AQE broadcasts it at this scale and
+    * falls back to a shuffle join when the corpus is huge.
+    */
+  private def cellAssignment(emb: DataFrame,
+                             centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        struct(l2Sq(col("embedding"), col("centroid")).as("d2"),
+          col("cell").as("cell")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_ann_cosine_topk" -> { (s, dir) =>
@@ -79,19 +99,7 @@ object VectorQueries {
       val emb = loadEmb(s, dir)
       val centroids = emb.filter(col("vec_id") < N_CELLS)
         .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-      // assignment: every vector → nearest centroid. min(struct(d2,cell))
-      // is an argmin AGGREGATE — partial min runs map-side over NARROW
-      // (vec_id, d2, cell) rows (the embeddings themselves never enter
-      // the shuffle), then the tiny (vec_id, cell) map joins back to the
-      // corpus to attach vectors — AQE broadcasts it at this scale and
-      // falls back to a shuffle join when the corpus is huge.
-      val cellOf = emb.crossJoin(broadcast(centroids))
-        .select(col("vec_id"),
-          struct(l2Sq(col("embedding"), col("centroid")).as("d2"),
-            col("cell").as("cell")).as("dc"))
-        .groupBy(col("vec_id"))
-        .agg(min(col("dc")).as("m"))
-        .select(col("vec_id"), col("m.cell").as("cell"))
+      val cellOf = cellAssignment(emb, centroids)
       val assigned = emb.join(cellOf, "vec_id")
         .select(col("vec_id").as("neighbor_id"),
           col("embedding").as("cvec"), col("cell"))
@@ -110,6 +118,33 @@ object VectorQueries {
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("sim", cosine(col("qvec"), col("cvec")))
       topkByQuery(scored)
+    },
+
+    // ── embedding-cosine near-dup: cell-blocked candidates + verify ─────
+    // The corpus is augmented with exact duplicate vectors (offset ids) —
+    // the testdata's random embeddings have no natural near-dups (max
+    // background cosine ≈ 0.6) — then candidates are pairs sharing an
+    // IVF cell (bounded by cell size, never all-pairs) and the exact
+    // cosine threshold keeps true near-dups. 0.99 vs the 0.6 background
+    // leaves orders of magnitude more margin than float noise, so the
+    // pair SET is engine-stable even though cosines are floats.
+    "q_embedding_neardup" -> { (s, dir) =>
+      val emb = loadEmb(s, dir).select(col("vec_id"), col("embedding"))
+      val aug = emb.unionByName(
+        emb.filter(col("vec_id") < DUP_COPIES)
+          .select((col("vec_id") + DUP_OFFSET).as("vec_id"),
+            col("embedding")))
+      val centroids = emb.filter(col("vec_id") < N_CELLS)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+      val assigned = aug.join(cellAssignment(aug, centroids), "vec_id")
+      val a = assigned.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("cell"))
+      val b = assigned.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("cell"))
+      a.join(b, Seq("cell"))
+        .filter(col("vec_a") < col("vec_b") &&
+          cosine(col("ea"), col("eb")) >= NEARDUP_THRESHOLD)
+        .select(col("vec_a"), col("vec_b"))
     }
   )
 
@@ -144,6 +179,23 @@ object VectorQueries {
          |      ORDER BY list_cosine_similarity(p.qvec, a.cvec) DESC, a.neighbor_id ASC) AS rank
          |  FROM probes p JOIN assigned a ON p.cell = a.cell
          |  WHERE p.query_id <> a.neighbor_id)
-         |SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= $TOP_K""".stripMargin
+         |SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= $TOP_K""".stripMargin,
+
+    "q_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL
+         |           SELECT vec_id + $DUP_OFFSET, embedding FROM embeddings
+         |           WHERE vec_id < $DUP_COPIES),
+         |cent AS (SELECT vec_id AS cell, embedding AS centroid
+         |         FROM embeddings WHERE vec_id < $N_CELLS),
+         |assigned AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT e.vec_id, e.embedding, cent.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_distance(e.embedding, cent.centroid) ASC, cent.cell ASC) AS rn
+         |  FROM e, cent) WHERE rn = 1)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |FROM assigned a JOIN assigned b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= $NEARDUP_THRESHOLD""".stripMargin
   )
 }
