@@ -199,6 +199,67 @@ object RelationalQueries {
           sha2(concat_ws("||", col("c_custkey").cast("string")), 256)
             .as("sk_customer"),
           col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    },
+
+    // ── rollup: hierarchical subtotals (status → status+priority → all).
+    // One shuffle; Expand feeds the same hash aggregate as a flat group.
+    "q_rollup_agg" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    },
+
+    // ── window lag/lead: per-customer order history deltas ──────────────
+    "q_window_lag" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+    },
+
+    // ── left semi join: customers having at least one order. The probe
+    // side streams; only the key set shuffles (or broadcasts under AQE).
+    "q_semi_join" -> { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    },
+
+    // ── left anti join: customers with no 1998-or-later order ───────────
+    "q_anti_join" -> { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    },
+
+    // ── pivot: status columns per priority (fixed value list so the
+    // plan is a single conditional aggregate — no distinct-values job).
+    "q_pivot_status" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(dsum(col("o_totalprice")))
+    },
+
+    // ── U2: intersect / except (both DISTINCT set semantics) ────────────
+    "q_intersect" -> { (s, dir) =>
+      Tables.load(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(
+          Tables.load(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+    },
+
+    // customers who ordered, minus those still ordering in 1998+
+    "q_except" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      o.select(col("o_custkey").as("ck"))
+        .except(o.filter(
+            col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+          .select(col("o_custkey").as("ck")))
     }
   )
 
@@ -301,6 +362,45 @@ object RelationalQueries {
     "q_sha2_sk" ->
       """SELECT sha256(CAST(c_custkey AS VARCHAR)) AS sk_customer,
         | c_custkey, c_name, c_mktsegment
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+
+    "q_rollup_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-01-01')""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nk FROM supplier""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey AS ck FROM orders
+        |EXCEPT
+        |SELECT o_custkey AS ck FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin
   )
 }
