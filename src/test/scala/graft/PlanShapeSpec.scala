@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, RelationalQueries, VectorQueries}
+
+/** Physical-plan regression net: the 100 TB posture claims made in the
+  * operator Scaladocs — filters reach the parquet scan, small sides
+  * broadcast, signature computation is shuffle-free — asserted against
+  * `explain` output so a refactor cannot silently regress them.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1_agg: shipdate filter pushes into the parquet scan") {
+    val plan = planOf(RelationalQueries.queries("q1_agg")(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"no pushed filter in:\n$plan")
+  }
+
+  test("q_star_join: dimension sides broadcast") {
+    val plan = planOf(RelationalQueries.queries("q_star_join")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"expected ≥3 broadcast joins in:\n$plan")
+  }
+
+  test("q_ann_cosine_topk: query side broadcast, no shuffle of candidates") {
+    val plan = planOf(VectorQueries.queries("q_ann_cosine_topk")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+  }
+
+  test("minhash signatures: zero shuffle (pure projection)") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "b c d e f g"))
+      .toDF("doc_id", "text")
+    val plan = planOf(Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("simhash: zero shuffle (pure projection)") {
+    val docs = Seq((1L, "a b c"), (2L, "c d e")).toDF("doc_id", "text")
+    val plan = planOf(Dedup.simhash32(docs, "doc_id", "text"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("q_semi_join / q_anti_join lower to semi/anti hash joins") {
+    val semi = planOf(RelationalQueries.queries("q_semi_join")(spark, sf))
+    val anti = planOf(RelationalQueries.queries("q_anti_join")(spark, sf))
+    assert(semi.contains("LeftSemi"), s"plan:\n$semi")
+    assert(anti.contains("LeftAnti"), s"plan:\n$anti")
+  }
+}
