@@ -260,6 +260,27 @@ object RelationalQueries {
         .except(o.filter(
             col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
           .select(col("o_custkey").as("ck")))
+    },
+
+    // ── S7: SQL serving surface — the same TPC-H Q3-flavor plan Catalyst
+    // builds from the DataFrame API, but authored as spark.sql text over
+    // temp views (the reference serves gold via SQL; streamlit_app.py:35-53).
+    "q_sql_serving" -> { (s, dir) =>
+      Seq("customer", "orders", "lineitem")
+        .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+      s.sql("""
+        SELECT l_orderkey, o_orderdate,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10""")
     }
   )
 
@@ -401,6 +422,20 @@ object RelationalQueries {
       """SELECT o_custkey AS ck FROM orders
         |EXCEPT
         |SELECT o_custkey AS ck FROM orders
-        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin,
+
+    "q_sql_serving" ->
+      """SELECT l_orderkey, o_orderdate,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin
   )
 }
