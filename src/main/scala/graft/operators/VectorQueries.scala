@@ -41,28 +41,22 @@ object VectorQueries {
   private def loadEmb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** Two-phase distributed top-k per query over (query_id, neighbor_id,
-    * sim). Phase 1 reduces each scan partition to ≤ k rows per query
-    * (keyed by (partition, query): #partitions × #queries groups, no
-    * low-cardinality funnel); phase 2 ranks the ≤ #partitions·k
-    * survivors per query. Any global top-k row wins its partition's
-    * local top-k, so the phases lose nothing. Ordering is (-sim,
-    * neighbor_id) in both phases — deterministic under ties.
+  /** Distributed top-k per query via the native `bounded_topk` aggregate
+    * ([[graft.plans.BoundedTopK]]): the PARTIAL aggregation buffer is
+    * capped at k pairs, so the map-side combine emits ≤ k rows per
+    * (task, query) into the shuffle — no full-scored-set window, no
+    * low-cardinality funnel, no unbounded collect_list buffers. The
+    * result array is sorted by (-sim, neighbor_id), so the posexplode
+    * position IS rank−1 — deterministic under ties, zero windows.
     */
-  private def topkByQuery(scored: DataFrame): DataFrame = {
-    val local = scored
-      .withColumn("pid", spark_partition_id())
-      .groupBy(col("pid"), col("query_id"))
-      .agg(slice(sort_array(collect_list(
-        struct(negate(col("sim")).as("s"), col("neighbor_id").as("n")))),
-        1, TOP_K).as("top"))
-      .select(col("query_id"), explode(col("top")).as("t"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("t.s").asc, col("t.n").asc)
-    local.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TOP_K)
-      .select(col("query_id"), col("t.n").as("neighbor_id"), col("rank"))
-  }
+  private def topkByQuery(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(expr(s"bounded_topk(-sim, neighbor_id, $TOP_K)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .toDF("query_id", "pos", "t")
+      .select(col("query_id"), col("t.n").as("neighbor_id"),
+        (col("pos") + 1).as("rank"))
 
   /** Nearest-centroid cell id per vector. min(struct(d2,cell)) is an
     * argmin AGGREGATE — partial min runs map-side over NARROW

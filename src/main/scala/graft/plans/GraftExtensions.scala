@@ -1,0 +1,23 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Catalyst extension point for graft's native functions. Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` on
+  * the session builder (Verify/Bench/tests all do), after which
+  * `expr("bounded_topk(score, id, k)")` resolves like a built-in.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("bounded_topk"),
+      new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_topk"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          "bounded_topk(score, id, k) takes exactly 3 arguments")
+        BoundedTopK(children(0), children(1), children(2))
+      }))
+  }
+}
