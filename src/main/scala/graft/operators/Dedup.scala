@@ -192,6 +192,32 @@ object Dedup {
     hs.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** SimHash near-dup retrieval: band the 32-bit fingerprint into 4
+    * bytes, candidate pairs share at least one byte-band (pigeonhole: any
+    * pair within hamming distance 3 collides on ≥ 1 of 4 bands), verify
+    * with exact `bit_count(xor)`. All-integer — oracle-exact — and the
+    * band join is bounded by band-bucket sizes, never all-pairs.
+    */
+  def simhashNearDupPairs(docs: DataFrame, id: String, text: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val fps = simhash32(docs, id, text)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = fps.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 8).bitwiseAND(0xff)): _*)))
+      .toDF("doc_id", "simhash", "band", "bkey")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs with integer-only thresholding:
     * keep pairs where jaccard >= thresholdPct/100, i.e.
     * 100*|A∩B| >= thresholdPct*(|A|+|B|-|A∩B|). Output integer counts

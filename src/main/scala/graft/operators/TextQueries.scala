@@ -21,6 +21,7 @@ object TextQueries {
   private val BANDS = 4        // LSH bands (rows per band = 4)
   private val MAX_DF = 100     // shingle document-frequency cut (jaccard)
   private val THRESH = 60      // jaccard threshold, percent
+  private val MAX_HAMMING = 3  // simhash near-dup hamming radius
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -98,6 +99,12 @@ object TextQueries {
     "q_lsh_verified_dups" -> { (s, dir) =>
       Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
         "doc_id", "text", K, NUM_HASHES, BANDS, THRESH)
+    },
+
+    // ── SimHash near-dup retrieval: byte-banded candidates + hamming ────
+    "q_simhash_neardup" -> { (s, dir) =>
+      Dedup.simhashNearDupPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", MAX_HAMMING)
     }
   )
 
@@ -133,6 +140,23 @@ object TextQueries {
     val key = (0 until r).map(j => s"CAST(mh${b * r + j} AS VARCHAR)")
       .mkString(", ")
     s"SELECT doc_id, $b AS band, md5(concat_ws('-', $key)) AS bkey FROM sig"
+  }
+
+  /** CTEs through `fp(doc_id, simhash)` — the SQL twin of
+    * [[Dedup.simhash32]], shared by q_simhash and q_simhash_neardup.
+    */
+  private val simhashCte: String = {
+    val votes = (0 until 32).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS bit$i")
+      .mkString(", ")
+    val fp = (0 until 32).map(i =>
+      s"(CASE WHEN bit$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""$toksCte,
+       |dt AS (SELECT DISTINCT doc_id, tok FROM toks, unnest(t) AS u(tok)),
+       |hashed AS (SELECT doc_id, ${Dedup.hash32Sql(0, "tok")} AS h FROM dt),
+       |votes AS (SELECT doc_id, $votes FROM hashed GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)""".stripMargin
   }
 
   private val stopwordsSql =
@@ -218,19 +242,21 @@ object TextQueries {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin,
 
-    "q_simhash" -> {
-      val votes = (0 until 32).map(i =>
-        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS bit$i")
-        .mkString(", ")
-      val fp = (0 until 32).map(i =>
-        s"(CASE WHEN bit$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH $toksCte,
-         |dt AS (SELECT DISTINCT doc_id, tok FROM toks, unnest(t) AS u(tok)),
-         |hashed AS (SELECT doc_id, ${Dedup.hash32Sql(0, "tok")} AS h FROM dt),
-         |votes AS (SELECT doc_id, $votes FROM hashed GROUP BY doc_id)
-         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes""".stripMargin
-    },
+    "q_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM fp""".stripMargin,
+
+    "q_simhash_neardup" ->
+      s"""WITH $simhashCte,
+         |banded AS (SELECT doc_id, simhash, bands.band,
+         |    (simhash >> (bands.band * 8)) & 255 AS bkey
+         |  FROM fp, (SELECT unnest(range(4)) AS band) bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cand
+         |WHERE hamming <= $MAX_HAMMING""".stripMargin,
 
     "q_jaccard_pairs" ->
       s"""WITH $shinglesCte,
