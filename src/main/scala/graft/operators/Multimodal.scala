@@ -164,6 +164,16 @@ object Multimodal {
           pngHeight(col("bytes")).as("height"),
           (pngWidth(col("bytes")) * pngHeight(col("bytes")))
             .as("n_pixels"))
+    },
+
+    // exact binary dedup: group identical payloads by content hash
+    // (duplicate text payloads in documents collide across mime wrappers
+    // only when the full byte stream — header included — matches)
+    "q_media_dedup" -> { (s, dir) =>
+      mediaOf(s, dir)
+        .groupBy(fingerprint(col("bytes")).as("fp"))
+        .agg(min(col("media_id")).as("keep_id"),
+          count(lit(1)).as("n_dups"))
     }
   )
 
@@ -197,6 +207,12 @@ object Multimodal {
          |  CAST(('0x' || substr(hex(bytes), 17, 8)) AS BIGINT)
          |    * CAST(('0x' || substr(hex(bytes), 25, 8)) AS BIGINT) AS n_pixels
          |FROM media
-         |WHERE substr(hex(bytes), 1, 16) = '$PNG_MAGIC_HEX'""".stripMargin
+         |WHERE substr(hex(bytes), 1, 16) = '$PNG_MAGIC_HEX'""".stripMargin,
+
+    "q_media_dedup" ->
+      s"""WITH $mediaCte
+         |SELECT sha256(hex(bytes)) AS fp, min(media_id) AS keep_id,
+         |  count(*) AS n_dups
+         |FROM media GROUP BY 1""".stripMargin
   )
 }
