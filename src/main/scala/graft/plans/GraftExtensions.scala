@@ -19,5 +19,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bounded_topk(score, id, k) takes exactly 3 arguments")
         BoundedTopK(children(0), children(1), children(2))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "cosine_sim(a, b) takes 2 arguments")
+        CosineSimilarity(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("l2_sq"),
+      new ExpressionInfo(classOf[L2SquaredDistance].getName, "l2_sq"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "l2_sq(a, b) takes 2 arguments")
+        L2SquaredDistance(children(0), children(1))
+      }))
   }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+
+/** Native cosine_sim / l2_sq expressions: bit-identical to the
+  * higher-order-function reference formulation (same left-to-right
+  * double fold), plus null/mismatch semantics.
+  */
+class VectorExprSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def randVecs(n: Int, dim: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((Array.fill(dim)(rnd.nextFloat() * 2 - 1),
+      Array.fill(dim)(rnd.nextFloat() * 2 - 1))).toDF("a", "b")
+  }
+
+  test("native == HOF, bit-identical on random vectors") {
+    val df = randVecs(500, 64, seed = 3)
+    val mismatches = df.select(
+        VectorFunctions.cosine(col("a"), col("b")).as("c_native"),
+        VectorFunctions.cosineHof(col("a"), col("b")).as("c_hof"),
+        VectorFunctions.l2Sq(col("a"), col("b")).as("l_native"),
+        VectorFunctions.l2SqHof(col("a"), col("b")).as("l_hof"))
+      .filter(col("c_native") =!= col("c_hof") ||
+        col("l_native") =!= col("l_hof"))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("known values") {
+    val df = Seq((Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(3f, 4f), Array(0f, 0f))).toDF("a", "b")
+    val cos = df.select(VectorFunctions.cosine(col("a"), col("b")))
+      .as[Double].collect()
+    assert(cos(0) === 1.0)
+    assert(cos(1) === 0.0)
+    assert(cos(2).isNaN) // zero norm → 0/0
+    val l2 = df.select(VectorFunctions.l2Sq(col("a"), col("b")))
+      .as[Double].collect()
+    assert(l2(0) === 0.0 && l2(1) === 2.0 && l2(2) === 25.0)
+  }
+
+  test("length mismatch and null input → null") {
+    val df = Seq((Array(1f, 2f), Array(1f, 2f, 3f)))
+      .toDF("a", "b")
+    val out = df.select(
+        VectorFunctions.cosine(col("a"), col("b")).as("c"),
+        VectorFunctions.l2Sq(col("a"), col("b")).as("l"),
+        VectorFunctions.cosine(lit(null).cast("array<float>"), col("a"))
+          .as("cn"))
+      .collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1) && out.isNullAt(2))
+  }
+}
