@@ -75,6 +75,31 @@ object EventQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    },
+
+    // ── native session_window (batch mode — same operator Structured
+    // Streaming uses). Boundary semantics: a session spans [t, t+gap), so
+    // an event at EXACTLY prev+gap starts a new session — the oracle
+    // mirrors that with a >= gap split.
+    "q_session_window" -> { (s, dir) =>
+      loadEvents(s, dir)
+        .groupBy(session_window(timestamp_millis(col("ms")), "30 minutes"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("start_ms"),
+          unix_millis(col("session_window.end")).as("end_ms"),
+          col("n_events"))
+    },
+
+    // ── scalable profile: approx_count_distinct (HLL). No oracleSql —
+    // DuckDB's sketch differs, so the driver records the weaker
+    // rows-only check; the exact-profile twin is q_profile_onepass.
+    "q_profile_approx" -> { (s, dir) =>
+      loadEvents(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("event_type")).as("approx_types"))
     }
   )
 
@@ -105,6 +130,20 @@ object EventQueries {
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_session_window" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+         |flagged AS (SELECT *,
+         |  CASE WHEN lag(ms) OVER w IS NULL
+         |         OR ms - lag(ms) OVER w >= $GAP_MS THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms ASC, event_id ASC)),
+         |sessions AS (SELECT *,
+         |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+         |    ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  FROM flagged)
+         |SELECT user_id, min(ms) AS start_ms, max(ms) + $GAP_MS AS end_ms,
+         |  count(*) AS n_events
+         |FROM sessions GROUP BY user_id, session_idx""".stripMargin
   )
 }
