@@ -202,6 +202,7 @@ object Dedup {
                           maxHamming: Int = 3): DataFrame = {
     val fps = simhash32(docs, id, text)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    fps.count() // eager fill: both band-join sides read it
     val banded = fps.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 8).bitwiseAND(0xff)): _*)))

@@ -22,6 +22,14 @@ import graft.sources.{Layout, NeoSchema}
   * (exactly-once per file); `maxFilesPerTrigger` bounds micro-batch size
   * at backfill; the gold upsert is idempotent on its merge keys, so a
   * replayed batch converges to the same table.
+  *
+  * Exactly-once boundary: the SILVER append inside foreachBatch is not
+  * transactional with the checkpoint commit — a crash after the append
+  * but before the commit replays the batch and duplicates those silver
+  * rows (gold stays correct: its merges dedup on keys). Closing that
+  * window needs a batchId-transactional sink (Delta/Iceberg `txnAppId` —
+  * jars not available offline here) or an idempotent silver merge on the
+  * natural key; documented rather than hidden.
   */
 object StreamingPipeline {
 
