@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+import graft.sources.{FeedFetcher, Layout}
+
+/** User-facing façade — the one import a reference user needs to switch.
+  *
+  * Everything delegates to the operator modules; this object exists so
+  * the library has a single discoverable entry point mirroring the
+  * reference's capabilities (medallion pipeline + SQL serving) plus the
+  * training-data extensions (dedup, similarity, text, multimodal).
+  *
+  * Sessions should be built with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * (registers `bounded_topk`, `cosine_sim`, `l2_sq`) — see
+  * [[newSession]].
+  */
+object Graft {
+
+  /** A session configured the way the library expects: UTC, AQE-friendly
+    * shuffle sizing left to the caller, graft extensions registered, and
+    * the InferFiltersFromGenerate exclusion that keeps expression-built
+    * array pipelines off the pathological pushdown path (PERF.md §1).
+    */
+  def newSession(master: String = "local[*]",
+                 appName: String = "graft"): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .getOrCreate()
+
+  // ── medallion pipeline (reference parity) ────────────────────────────
+
+  /** Run ingest → silver → gold for a date range. */
+  def runPipeline(spark: SparkSession, base: String, startDate: String,
+                  endDate: String, fetcher: FeedFetcher): Unit =
+    tools.PipelineRunner.runRange(spark, Layout(base),
+      tools.PipelineRunner.dateRange(startDate, endDate), fetcher)
+
+  /** Register the gold star schema as SQL views (serving surface). */
+  def serve(spark: SparkSession, base: String): Unit =
+    etl.SilverToGold.registerServingViews(spark, Layout(base))
+
+  // ── deduplication ────────────────────────────────────────────────────
+
+  def exactDuplicates(docs: DataFrame, id: String, text: String): DataFrame =
+    Dedup.exactGroups(docs, id, text)
+
+  def minhashSignatures(docs: DataFrame, id: String, text: String,
+                        k: Int = 3, numHashes: Int = 16): DataFrame =
+    Dedup.minhashSignatures(docs, id, text, k, numHashes)
+
+  /** Scale path: LSH candidates verified with exact Jaccard. */
+  def nearDuplicates(docs: DataFrame, id: String, text: String,
+                     thresholdPct: Int = 60): DataFrame =
+    Dedup.lshVerifiedPairs(docs, id, text, thresholdPct = thresholdPct)
+
+  def simhashNearDuplicates(docs: DataFrame, id: String, text: String,
+                            maxHamming: Int = 3): DataFrame =
+    Dedup.simhashNearDupPairs(docs, id, text, maxHamming)
+
+  // ── similarity / text / media ────────────────────────────────────────
+
+  /** Exchange-aware salted join for skewed keys. */
+  def skewJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+               salt: Int = 16): DataFrame =
+    SkewJoin.saltedInnerJoin(large, small, keys, salt)
+
+  def mediaCatalog(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    media.select(col("media_id"),
+      Multimodal.byteSize(col("bytes")).as("n_bytes"),
+      Multimodal.magicMime(col("bytes")).as("mime"),
+      Multimodal.fingerprint(col("bytes")).as("fp"))
+  }
+}

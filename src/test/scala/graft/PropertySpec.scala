@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Normalize, TextFunctions}
+
+/** ScalaCheck-generated property tests (SURVEY §5.3), evaluated as ONE
+  * Spark job per property over a generated corpus rather than one job
+  * per sample: generators produce the rows, Spark evaluates the
+  * property as a filter, and the violation count must be zero.
+  */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int, seed: Long): Seq[A] =
+    Iterator.iterate((Seed(seed), Option.empty[A])) { case (s, _) =>
+      val (v, next) = gen.pureApply(Gen.Parameters.default, s) -> s.next
+      (next, Some(v))
+    }.drop(1).take(n).flatMap(_._2).toSeq
+
+  private val messyString: Gen[String] = Gen.oneOf(
+    Gen.const("NULL"), Gen.const("Null"), Gen.const(""),
+    Gen.const("   "), Gen.alphaNumStr,
+    Gen.alphaNumStr.map(s => s"  $s  "),
+    Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const(" ")))
+      .map(_.mkString(" ")))
+
+  test("property: placeholder normalization is idempotent") {
+    val df = samples(messyString, 300, seed = 1).toDF("s")
+    val once = Normalize.placeholderToNull(col("s"))
+    val twice = Normalize.placeholderToNull(once)
+    val violations = df
+      .filter(!(once <=> twice))
+      .count()
+    assert(violations === 0)
+  }
+
+  test("property: shingle count = max(0, distinct-positions), explode = Σ sizes") {
+    val text: Gen[String] =
+      Gen.listOf(Gen.oneOf("a", "b", "cc", "dd", "e1")).map(_.mkString(" "))
+    val df = samples(text, 300, seed = 2).toDF("t")
+      .select(col("t"), TextFunctions.tokens(lower(col("t"))).as("toks"))
+      .select(col("t"), col("toks"),
+        TextFunctions.shinglesFromTokens(col("toks"), 3).as("sh"))
+    // un-deduped shingle count is exactly max(0, n_tokens - 2)
+    val violations = df.filter(
+      size(col("sh")) =!= greatest(lit(0), size(col("toks")) - 2)).count()
+    assert(violations === 0)
+    // explode row count equals the sum of array sizes
+    val total = df.select(sum(size(col("sh")))).as[Long].collect().head
+    assert(df.select(explode(col("sh"))).count() === total)
+  }
+
+  test("property: subwords ≥ whitespace tokens on non-blank text") {
+    val text: Gen[String] = Gen.nonEmptyListOf(
+      Gen.oneOf("ab", "12", "x9", "a,b", "hi!")).map(_.mkString(" "))
+    val df = samples(text, 300, seed = 3).toDF("t")
+    // every whitespace token contributes ≥1 word-piece segment
+    val violations = df.filter(
+      TextFunctions.subwordCount(col("t")) <
+        TextFunctions.tokenCount(col("t"))).count()
+    assert(violations === 0)
+  }
+
+  test("property: quality score bounded in [0, 100]") {
+    val df = samples(messyString, 300, seed = 4).toDF("t")
+    val q = TextFunctions.qualityScore(col("t"))
+    assert(df.filter(q < 0 || q > 100).count() === 0)
+  }
+}
