@@ -62,6 +62,20 @@ object Dedup {
   def hash32Sql(seed: Int, expr: String): String =
     s"CAST(('0x' || substr(md5('$seed' || ':' || $expr), 1, 8)) AS BIGINT)"
 
+  /** 60-bit shingle hash (first 15 md5 hex digits): the Jaccard pipeline
+    * shuffles/joins/groups shingles many times, and an 8-byte long beats
+    * a ~20-byte string in every one of those exchanges. Collision odds
+    * at 60 bits are ~|shingles|²/2⁶¹ (vanishing), and the SAME hash is
+    * computed in the oracle SQL, so any collision affects both engines
+    * identically.
+    */
+  def shingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** SQL-text twin of [[shingleHash]]. */
+  def shingleHashSql(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
+
   /** The i-th MinHash value of a base hash already reduced mod p. */
   def affine(i: Int, hm: Column): Column =
     (lit(affineA(i)) * hm + lit(affineB(i))) % P
@@ -231,13 +245,22 @@ object Dedup {
     * twice. Still O(Σ df²) output — the small-scale validation path;
     * [[lshVerifiedPairs]] is the 100 TB shape.
     */
+  /** Uncut (doc_id, shingle-hash) pairs — the shared, cached input of
+    * the Jaccard family (see [[shingleHash]] for why hashes, not
+    * strings).
+    */
+  private def hashedShingles(docs: DataFrame, id: String, text: String,
+                             k: Int): DataFrame =
+    docShingles(docs, id, text, k)
+      .select(col("doc_id"), shingleHash(col("shingle")).as("shingle"))
+
   def jaccardPairs(docs: DataFrame, id: String, text: String, k: Int = 3,
                    maxDf: Int = 100, thresholdPct: Int = 60): DataFrame = {
     // cache the UNCUT pair set eagerly — it is the expensive tokenize +
     // explode pipeline, every downstream stage (df counts, cut join,
     // sizes, inverted index) derives from it cheaply, and the identical
     // plan in lshVerifiedPairs shares the same cache entry.
-    val pairs = docShingles(docs, id, text, k)
+    val pairs = hashedShingles(docs, id, text, k)
       .persist(StorageLevel.MEMORY_AND_DISK)
     pairs.count()
     val rare = pairs.groupBy("shingle")
@@ -275,7 +298,7 @@ object Dedup {
     // both band-join sides. Eager fill stops racing recomputes; the ds
     // plan is identical to jaccardPairs' cached pair set, so the two
     // queries share one cache entry.
-    val ds = docShingles(docs, id, text, k)
+    val ds = hashedShingles(docs, id, text, k)
       .persist(StorageLevel.MEMORY_AND_DISK)
     ds.count()
     val sigs = minhashSignatures(docs, id, text, k, numHashes)

@@ -123,6 +123,12 @@ object TextQueries {
        |  FROM toks, unnest(range(1, len(t) - ${K - 2})) AS u(i)
        |  WHERE len(t) >= $K)""".stripMargin
 
+  /** 60-bit-hashed shingle CTE — twin of Dedup.hashedShingles. */
+  private val hashedShinglesCte =
+    s"""$shinglesCte,
+       |shh AS (SELECT doc_id, ${Dedup.shingleHashSql("shingle")} AS shingle
+       |  FROM sh)""".stripMargin
+
   // One md5 per shingle reduced mod p, then the affine mins — same
   // integer arithmetic as Dedup.affine, so signatures hash-match exactly.
   private def minhashSelect: String =
@@ -259,9 +265,9 @@ object TextQueries {
          |WHERE hamming <= $MAX_HAMMING""".stripMargin,
 
     "q_jaccard_pairs" ->
-      s"""WITH $shinglesCte,
-         |kept AS (SELECT doc_id, shingle FROM sh
-         |  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+      s"""WITH $hashedShinglesCte,
+         |kept AS (SELECT doc_id, shingle FROM shh
+         |  WHERE shingle IN (SELECT shingle FROM shh GROUP BY shingle
          |                    HAVING count(*) <= $MAX_DF)),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
          |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -275,15 +281,17 @@ object TextQueries {
 
     "q_lsh_verified_dups" ->
       s"""$sigCte,
+         |shh AS (SELECT doc_id, ${Dedup.shingleHashSql("shingle")} AS shingle
+         |  FROM sh),
          |bands AS (${(0 until BANDS).map(bandSelect).mkString("\n UNION ALL\n ")}),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
          |common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
          |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.doc_a
-         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  JOIN shh a ON a.doc_id = c.doc_a
+         |  JOIN shh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b
          |FROM common

@@ -25,6 +25,7 @@ object JaccardProbe {
       println(f"[probe] $name%-26s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
     }
     val pairs = Dedup.docShingles(docs, "doc_id", "text", 3)
+      .select(col("doc_id"), Dedup.shingleHash(col("shingle")).as("shingle"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     time("1 pairs fill")(pairs.count())
     val rare = pairs.groupBy("shingle").agg(count(lit(1)).as("df_count"))
