@@ -19,10 +19,11 @@ import graft.functions.VectorFunctions._
   *   query probes its nprobe nearest cells only, so the scored
   *   candidate set shrinks by ~nprobe/C. Same final top-k.
   *
-  * Top-k is two-phase: a per-(scan-partition, query) partial top-k
-  * (parallelism scales with the corpus — a single window keyed by the
-  * handful of query ids would funnel the whole N×Q scored set into Q
-  * tasks), then a final rank over the tiny union of partial winners.
+  * Top-k runs through the native `bounded_topk` aggregate
+  * ([[graft.plans.BoundedTopK]]): k-capped partial buffers combine
+  * map-side, so the shuffle carries ≤ k pairs per (task, query) — a
+  * window keyed by the handful of query ids would instead funnel the
+  * whole N×Q scored set into Q tasks.
   *
   * Outputs are (query_id, neighbor_id, rank) — ranks, not raw floats, so
   * the DuckDB oracle compare is bit-stable (rank flips would need two

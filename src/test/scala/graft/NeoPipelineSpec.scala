@@ -34,6 +34,17 @@ class NeoPipelineSpec extends AnyFunSuite with SparkSpec {
     spark.read.parquet(layout.gold(name))
   }
 
+  test("silver date filter prunes to one partition (SURVEY S4)") {
+    pipelineRan
+    val df = spark.read.parquet(layout.silverAsteroids)
+      .filter(col("approach_date") === NeoFixture.day1Date)
+    // the date predicate must land in PartitionFilters (file pruning),
+    // not in the post-scan data filter
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = raw"PartitionFilters: \[[^\]]*${NeoFixture.day1Date}[^\]]*\]".r
+    assert(pf.findFirstIn(plan).isDefined, s"plan:\n$plan")
+  }
+
   test("schema-inference read flattens to identical silver (SURVEY §7.4)") {
     pipelineRan
     val path = layout.bronzeFile(NeoFixture.day1Date)
