@@ -14,6 +14,11 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join (fact ⋈ broadcast dims) + windowed aggregation + top-k —
     * exercises scan, broadcast join, shuffle agg, sort, limit in one plan.
+    *
+    * NOTE: entry must stay free of graft's injected functions
+    * (bounded_topk / cosine_sim / l2_sq) — the caller's session may not
+    * register GraftExtensions. The vector queries in [[queries]] DO need
+    * it; Verify/Bench/tests all set `spark.sql.extensions`.
     */
   def entry(spark: SparkSession): DataFrame =
     operators.RelationalQueries.queries("q_star_join")(
