@@ -34,6 +34,13 @@ import graft.functions.TextFunctions
   *     enumerates pairs per shingle from a df-bounded `collect_list`
   *     (≤ maxDf ids per key — bounded executor memory) and is kept as
   *     the small-scale validation oracle for the LSH path.
+  *
+  * Pipeline ordering contract: run [[exactGroups]] FIRST and collapse
+  * exact duplicates before any near-dup operator. A cluster of m
+  * identical documents puts m colliding rows in every band bucket —
+  * m²/2 candidate pairs per cluster — so band-join output is bounded by
+  * true NEAR-dup cluster sizes only after exact dups are gone (the 10×
+  * replica ScaleProbe demonstrates the blowup by construction).
   */
 object Dedup {
 
