@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -105,6 +106,32 @@ object TextQueries {
     "q_simhash_neardup" -> { (s, dir) =>
       Dedup.simhashNearDupPairs(Tables.load(s, dir, "documents"),
         "doc_id", "text", MAX_HAMMING)
+    },
+
+    // ── TF-IDF-style keyword extraction, integer arithmetic only ────────
+    // score = tf * 1e6 / df (integer division): rarity-weighted term
+    // ranking with none of the float-log cross-engine drift. Two
+    // shuffles: term-frequency agg, then document-frequency agg joined
+    // back (broadcast-sized); top-3 via window keyed by doc_id (high
+    // cardinality — no funnel).
+    "q_top_terms" -> { (s, dir) =>
+      val tf = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(df_, "term")
+        // `div`, not `/`: Column./ promotes to double; both engines
+        // floor-divide positive longs identically
+        .withColumn("score", expr("tf * 1000000 div df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"), col("rank"))
     }
   )
 
@@ -263,6 +290,19 @@ object TextQueries {
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, hamming FROM cand
          |WHERE hamming <= $MAX_HAMMING""".stripMargin,
+
+    "q_top_terms" ->
+      s"""WITH $toksCte,
+         |tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+         |  FROM toks, unnest(t) AS u(tok) GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (SELECT doc_id, term, tf, df,
+         |    (tf * 1000000) // df AS score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY (tf * 1000000) // df DESC, term ASC) AS rank
+         |  FROM tf JOIN dfq USING (term))
+         |SELECT doc_id, term, tf, df, score, rank
+         |FROM scored WHERE rank <= 3""".stripMargin,
 
     "q_jaccard_pairs" ->
       s"""WITH $hashedShinglesCte,
