@@ -67,6 +67,11 @@ object Graft {
 
   // ── similarity / text / media ────────────────────────────────────────
 
+  /** Fit IVF centroids: Lloyd refinement from seed centroids. */
+  def fitCentroids(emb: DataFrame, seedCentroids: DataFrame,
+                   iters: Int = 3): DataFrame =
+    KMeans.refine(emb, seedCentroids, iters)
+
   /** Exchange-aware salted join for skewed keys. */
   def skewJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                salt: Int = 16): DataFrame =
