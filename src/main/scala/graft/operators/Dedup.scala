@@ -269,7 +269,8 @@ object Dedup {
     // plan in lshVerifiedPairs shares the same cache entry.
     val pairs = hashedShingles(docs, id, text, k)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    pairs.count()
+    pairs.count() // eager fill: measured equal-or-better than letting the
+                  // four downstream stages race the lazy cache
     val rare = pairs.groupBy("shingle")
       .agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxDf)
