@@ -94,6 +94,19 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Polynomial rolling hash (Rabin–Karp): fold of
+    * `acc·257 + codepoint mod 2³¹−1` over the characters — the
+    * order-sensitive fingerprint family used for content-defined
+    * chunking. Pure integer fold, so DuckDB's `list_reduce` reproduces
+    * it bit-for-bit (its first-element init equals the zero-init fold
+    * after one step).
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 257L + c) % 2147483647L)
+
   /** Word k-shingles from an ALREADY-MATERIALIZED token-array column:
     * array of k-grams joined by a single space, size < k → empty array.
     *

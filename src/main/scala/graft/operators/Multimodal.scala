@@ -140,6 +140,39 @@ object Multimodal {
     media.mapPartitions(rows => rows.map(decoder.decode))
   }
 
+  /** One sampled frame of a media payload. */
+  final case class Frame(media_id: Long, frame_idx: Int,
+                         frame_bytes: Array[Byte])
+
+  /** Frame sampling: treat the payload as fixed-size frames and emit
+    * every `stride`-th one — the one-to-many imperative stage a video
+    * pipeline runs before per-frame featurization. The "frames" here are
+    * raw byte windows (no container parser in this environment); the
+    * Spark plumbing — typed flatMap fan-out, schema, partition
+    * passthrough — is the real part.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int,
+                   stride: Int): Dataset[Frame] = {
+    require(frameSize > 0 && stride > 0, "frameSize and stride must be > 0")
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      m.bytes.grouped(frameSize).zipWithIndex.collect {
+        case (b, i) if i % stride == 0 => Frame(m.media_id, i, b)
+      }
+    }
+  }
+
+  /** Stub resize: keeps every `factor`-th payload byte — a deterministic
+    * stand-in for a real scaler (no image codec in this environment)
+    * that preserves the bytes-in/bytes-out shape a resize stage has.
+    */
+  def resizeStub(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    require(factor > 0, "factor must be > 0")
+    import media.sparkSession.implicits._
+    media.map(m => MediaRow(m.media_id,
+      m.bytes.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }))
+  }
+
   // ── declared queries + oracle ────────────────────────────────────────
 
   private def mediaOf(s: SparkSession, dir: String): DataFrame =

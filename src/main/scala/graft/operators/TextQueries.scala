@@ -68,6 +68,13 @@ object TextQueries {
           TextFunctions.fingerprint(col("text")).as("fp"))
     },
 
+    // ── rolling-hash fingerprint (order-sensitive integer fold) ─────────
+    "q_rolling_hash" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.rollingHash(col("text")).as("rh"))
+    },
+
     // ── exact dedup groups by content hash ──────────────────────────────
     "q_dedup_exact_text" -> { (s, dir) =>
       Dedup.exactGroups(Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -257,6 +264,13 @@ object TextQueries {
     "q_fingerprint" ->
       """SELECT doc_id,
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_rolling_hash" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |   (acc, x) -> (acc * 257 + x) % 2147483647) AS rh
         |FROM documents""".stripMargin,
 
     "q_dedup_exact_text" ->

@@ -53,6 +53,21 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(fps.forall(_.matches("[0-9a-f]{64}")))
   }
 
+  test("sampleFrames + resizeStub: deterministic shapes") {
+    val ds = media.select(col("media_id"), col("bytes")).as[MediaRow]
+    // media 0: 16-byte header + 10-byte payload = 26 bytes;
+    // frameSize 8 → frames of 8,8,8,2; stride 2 keeps idx 0 and 2
+    val frames = Multimodal.sampleFrames(ds, frameSize = 8, stride = 2)
+      .filter(col("media_id") === 0).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2))
+    assert(frames.map(_.frame_bytes.length).toSeq === Seq(8, 8))
+    // resize by 2 halves the byte count (rounding up)
+    val resized = Multimodal.resizeStub(ds, factor = 2).collect()
+      .map(m => m.media_id -> m.bytes.length).toMap
+    val orig = ds.collect().map(m => m.media_id -> m.bytes.length).toMap
+    orig.foreach { case (id, n) => assert(resized(id) === (n + 1) / 2) }
+  }
+
   test("decodeAll: imperative decode agrees with expression parsing") {
     val ds = media.select(col("media_id"), col("bytes"))
       .as[MediaRow]
