@@ -262,6 +262,24 @@ object RelationalQueries {
           .select(col("o_custkey").as("ck")))
     },
 
+    // ── statistical moments with deterministic arithmetic: mean and
+    // population variance derived from DECIMAL-exact Σx and Σx² (order-
+    // insensitive), then identical double-precision finishing math in
+    // both engines — stddev/corr built-ins would accumulate in floats
+    // and drift across partial-agg orderings.
+    "q_stats_moments" -> { (s, dir) =>
+      val x = col("l_quantity").cast(DecimalType(18, 4))
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sum_x"),
+          sum(x * x).cast("double").as("sum_x2"))
+        .select(col("l_returnflag"), col("n"),
+          (col("sum_x") / col("n")).as("mean"),
+          ((col("sum_x2") - col("sum_x") * col("sum_x") / col("n"))
+            / col("n")).as("var_pop"))
+    },
+
     // ── S7: SQL serving surface — the same TPC-H Q3-flavor plan Catalyst
     // builds from the DataFrame API, but authored as spark.sql text over
     // temp views (the reference serves gold via SQL; streamlit_app.py:35-53).
@@ -423,6 +441,16 @@ object RelationalQueries {
         |EXCEPT
         |SELECT o_custkey AS ck FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin,
+
+    "q_stats_moments" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_x,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))
+        |    * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_x2
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, sum_x / n AS mean,
+        | (sum_x2 - sum_x * sum_x / n) / n AS var_pop
+        |FROM s""".stripMargin,
 
     "q_sql_serving" ->
       """SELECT l_orderkey, o_orderdate,

@@ -47,6 +47,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("native cosine_sim stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val native = emb.select(
+        graft.functions.VectorFunctions.cosine(col("embedding"),
+          col("embedding")))
+      .queryExecution.executedPlan.toString
+    // a codegen'd stage is prefixed "*(n)"; CodegenFallback exprs (the
+    // HOF formulation) would break the Project out of WSCG
+    assert(native.contains("*(1)"), s"no WSCG stage in:\n$native")
+  }
+
   test("q_semi_join / q_anti_join lower to semi/anti hash joins") {
     val semi = planOf(RelationalQueries.queries("q_semi_join")(spark, sf))
     val anti = planOf(RelationalQueries.queries("q_anti_join")(spark, sf))
