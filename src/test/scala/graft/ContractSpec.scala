@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Driver-contract invariants: every declared query is oracle-checked
+  * (or explicitly allowlisted rows-only), no orphaned oracle SQL, and no
+  * name collisions across operator modules — `Map ++` would silently
+  * drop a query if two modules reused a key.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  private val rowsOnlyAllowlist = Set(
+    "q_profile_approx") // HLL sketches differ per engine — documented
+
+  test("every query has oracle SQL or a documented rows-only waiver") {
+    val missing = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- rowsOnlyAllowlist
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("no orphaned oracle SQL") {
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracles without queries: $orphaned")
+  }
+
+  test("no query-name collisions across modules") {
+    val modules = Seq(
+      "relational" -> RelationalQueries.queries.keySet,
+      "text" -> TextQueries.queries.keySet,
+      "vector" -> VectorQueries.queries.keySet,
+      "events" -> EventQueries.queries.keySet,
+      "multimodal" -> Multimodal.queries.keySet)
+    val perModule = modules.map(_._2.size).sum
+    assert(SparkEntry.queries.size === perModule,
+      s"merged ${SparkEntry.queries.size} != sum $perModule — a key collision dropped a query")
+    for {
+      (na, a) <- modules; (nb, b) <- modules if na < nb
+    } assert(a.intersect(b).isEmpty, s"$na ∩ $nb = ${a.intersect(b)}")
+  }
+}
