@@ -129,10 +129,10 @@ object Multimodal {
   /** Distributed decode: one decoder call per row, batched per
     * partition. mapPartitions is deliberate here — decode is genuinely
     * imperative per-payload work (the one case the build brief reserves
-    * it for); the decoder is constructed once per partition iterator,
-    * which is where a codec would amortize native init. Schema is the
-    * typed [[DecodedMedia]] encoder; partitioning passes through
-    * unchanged (no shuffle).
+    * it for); the decoder ships once in the task closure, and the
+    * per-partition iterator is where a real codec would lazily init and
+    * amortize native resources. Schema is the typed [[DecodedMedia]]
+    * encoder; partitioning passes through unchanged (no shuffle).
     */
   def decodeAll(media: Dataset[MediaRow],
                 decoder: MediaDecoder): Dataset[DecodedMedia] = {
