@@ -75,6 +75,21 @@ object TextQueries {
           TextFunctions.rollingHash(col("text")).as("rh"))
     },
 
+    // ── array-function family: slice/distinct/reverse/contains over the
+    // in-row token array (F-family breadth; all codegen'd built-ins)
+    "q_array_ops" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0) // match the oracle's toks CTE
+        .select(col("doc_id"),
+          TextFunctions.tokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          concat_ws(" ", slice(col("toks"), 1, 5)).as("head5"),
+          concat_ws(" ", reverse(slice(col("toks"), 1, 3))).as("rev3"),
+          array_contains(col("toks"), "spark").as("has_spark"))
+    },
+
     // ── exact dedup groups by content hash ──────────────────────────────
     "q_dedup_exact_text" -> { (s, dir) =>
       Dedup.exactGroups(Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -272,6 +287,16 @@ object TextQueries {
         |   list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
         |   (acc, x) -> (acc * 257 + x) % 2147483647) AS rh
         |FROM documents""".stripMargin,
+
+    "q_array_ops" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         | len(t) AS n_tokens,
+         | len(list_distinct(t)) AS n_distinct,
+         | array_to_string(t[1:5], ' ') AS head5,
+         | array_to_string(list_reverse(t[1:3]), ' ') AS rev3,
+         | list_contains(t, 'spark') AS has_spark
+         |FROM toks""".stripMargin,
 
     "q_dedup_exact_text" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
