@@ -92,6 +92,17 @@ object EventQueries {
           col("n_events"))
     },
 
+    // ── map-function family: JSON → MapType, keys/size/element_at ───────
+    "q_map_ops" -> { (s, dir) =>
+      val m = from_json(col("props"), "map<string,string>",
+        Map.empty[String, String])
+      loadEvents(s, dir)
+        .select(col("event_id"),
+          size(m).as("n_keys"),
+          concat_ws(",", sort_array(map_keys(m))).as("keys_csv"),
+          element_at(m, "k").cast("long").as("k_val"))
+    },
+
     // ── scalable profile: approx_count_distinct (HLL). No oracleSql —
     // DuckDB's sketch differs, so the driver records the weaker
     // rows-only check; the exact-profile twin is q_profile_onepass.
@@ -131,6 +142,13 @@ object EventQueries {
         | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_map_ops" ->
+      """SELECT event_id,
+        | len(json_keys(props)) AS n_keys,
+        | array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events""".stripMargin,
 
     "q_session_window" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
