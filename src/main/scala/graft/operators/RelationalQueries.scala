@@ -262,6 +262,21 @@ object RelationalQueries {
           .select(col("o_custkey").as("ck")))
     },
 
+    // ── date-function family: add/diff/trunc/last_day (integer-exact
+    // day arithmetic — no timezone or DST float play at UTC)
+    "q_date_math" -> { (s, dir) =>
+      val d = to_date(col("o_orderdate"))
+      // dates emit as ISO strings: the hash gate reads Spark parquet
+      // via pandas (date32 → Timestamp) but DuckDB yields date objects
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          d.cast("string").as("d"),
+          date_add(d, 30).cast("string").as("plus30"),
+          datediff(lit("2000-01-01").cast("date"), d).as("days_to_y2k"),
+          trunc(d, "month").cast("string").as("month_start"),
+          last_day(d).cast("string").as("month_end"))
+    },
+
     // ── statistical moments with deterministic arithmetic: mean and
     // population variance derived from DECIMAL-exact Σx and Σx² (order-
     // insensitive), then identical double-precision finishing math in
@@ -441,6 +456,15 @@ object RelationalQueries {
         |EXCEPT
         |SELECT o_custkey AS ck FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin,
+
+    "q_date_math" ->
+      """SELECT o_orderkey,
+        | CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+        | CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30,
+        | date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+        | CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+        | CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+        |FROM orders""".stripMargin,
 
     "q_stats_moments" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n,
