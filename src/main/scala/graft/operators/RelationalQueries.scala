@@ -262,6 +262,19 @@ object RelationalQueries {
           .select(col("o_custkey").as("ck")))
     },
 
+    // ── string-function family: case/pad/find/slice/reverse ─────────────
+    "q_string_ops" -> { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_mktsegment")).as("lo"),
+          lpad(col("c_name"), 25, "*").as("padded"),
+          instr(col("c_name"), "_").as("underscore_at"),
+          substring(col("c_name"), 10, 5).as("mid5"),
+          reverse(col("c_name")).as("rev"),
+          length(col("c_name")).as("len"))
+    },
+
     // ── date-function family: add/diff/trunc/last_day (integer-exact
     // day arithmetic — no timezone or DST float play at UTC)
     "q_date_math" -> { (s, dir) =>
@@ -456,6 +469,17 @@ object RelationalQueries {
         |EXCEPT
         |SELECT o_custkey AS ck FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin,
+
+    "q_string_ops" ->
+      """SELECT c_custkey,
+        | upper(c_name) AS up,
+        | lower(c_mktsegment) AS lo,
+        | lpad(c_name, 25, '*') AS padded,
+        | strpos(c_name, '_') AS underscore_at,
+        | substr(c_name, 10, 5) AS mid5,
+        | reverse(c_name) AS rev,
+        | length(c_name) AS len
+        |FROM customer""".stripMargin,
 
     "q_date_math" ->
       """SELECT o_orderkey,
