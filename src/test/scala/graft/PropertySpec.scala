@@ -70,4 +70,24 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     val q = TextFunctions.qualityScore(col("t"))
     assert(df.filter(q < 0 || q > 100).count() === 0)
   }
+
+  test("property: rolling hash is order-sensitive and deterministic") {
+    val word: Gen[String] = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)
+    val pairs = samples(Gen.zip(word, word), 200, seed = 7)
+      .filter { case (a, b) => a != b }
+    val df = pairs.toDF("a", "b")
+    val hAB = TextFunctions.rollingHash(concat(col("a"), col("b")))
+    val hBA = TextFunctions.rollingHash(concat(col("b"), col("a")))
+    // ab vs ba: order flips change the hash unless the concatenations
+    // are literally equal strings (e.g. a == b, filtered above; equal
+    // concatenations like "x"+"xx" vs "xx"+"x" are exempt)
+    val violations = df
+      .filter(concat(col("a"), col("b")) =!= concat(col("b"), col("a")))
+      .filter(hAB === hBA)
+      .count()
+    assert(violations === 0)
+    // deterministic: recomputation matches itself
+    assert(df.filter(hAB =!= TextFunctions.rollingHash(
+      concat(col("a"), col("b")))).count() === 0)
+  }
 }
