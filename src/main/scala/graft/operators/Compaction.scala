@@ -15,25 +15,22 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
-  /** Rewrite `path` into files of ~`targetBytes`. Returns file count. */
+  /** Rewrite `path` into files of ~`targetBytes`. Returns file count.
+    * Self-heals an interrupted prior compaction on entry and commits via
+    * the shared crash-safe swap ([[DirSwap]]).
+    */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Int = {
     val fsPath = new Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__compact_tmp")
+    val old = new Path(path + "__compact_old")
+    DirSwap.recover(fs, fsPath, tmp, old)
     val bytes = fs.getContentSummary(fsPath).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(path)
-    val tmp = new Path(path + "__compact_tmp")
-    df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
-    val old = new Path(path + "__compact_old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(fsPath, old))
-      throw new java.io.IOException(s"compact swap failed: $fsPath -> $old")
-    if (!fs.rename(tmp, fsPath)) {
-      fs.rename(old, fsPath)
-      throw new java.io.IOException(s"compact swap failed: $tmp -> $fsPath")
-    }
-    fs.delete(old, true)
+    spark.read.parquet(path)
+      .repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    DirSwap.commit(fs, fsPath, tmp, old)
     nFiles
   }
 }

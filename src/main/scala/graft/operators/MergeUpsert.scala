@@ -80,40 +80,17 @@ object MergeUpsert {
     val tmp = new org.apache.hadoop.fs.Path(path + TMP_SUFFIX)
     val old = new org.apache.hadoop.fs.Path(path + OLD_SUFFIX)
     result.write.mode("overwrite").parquet(tmp.toString) // 1. write-new
-    if (fs.exists(fsPath) && !fs.rename(fsPath, old))    // 2. old away
-      throw new java.io.IOException(s"merge swap failed: $fsPath -> $old")
-    if (!fs.rename(tmp, fsPath)) {                       // 3. new in
-      fs.rename(old, fsPath) // roll back so readers still see a table
-      throw new java.io.IOException(s"merge swap failed: $tmp -> $fsPath")
-    }
-    fs.delete(old, true)                                 // 4. drop old
+    DirSwap.commit(fs, fsPath, tmp, old)                 // 2-4. swap
   }
 
-  /** Repair an interrupted [[saveOrUpdate]] swap. State machine over the
-    * surviving sibling dirs:
-    *   - main exists → swap completed (or never started): drop leftovers.
-    *   - no main, old + tmp exist → crashed between renames: the tmp dir
-    *     is a COMPLETE new version (written before any rename) — promote
-    *     it and drop old.
-    *   - no main, only old → crashed after old-away and after tmp was
-    *     promoted?? impossible to reach with tmp gone unless step 3 lost
-    *     the race entirely — restore old.
-    *   - no main, only tmp → table never existed before (first write
-    *     crashed post-write): promote tmp.
+  /** Repair an interrupted [[saveOrUpdate]] swap — see
+    * [[DirSwap.recover]] for the state machine.
     */
   def recover(spark: SparkSession, path: String): Unit = {
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + TMP_SUFFIX)
-    val old = new org.apache.hadoop.fs.Path(path + OLD_SUFFIX)
-    if (fs.exists(fsPath)) {
-      fs.delete(tmp, true)
-      fs.delete(old, true)
-    } else if (fs.exists(tmp)) {
-      fs.rename(tmp, fsPath)
-      fs.delete(old, true)
-    } else if (fs.exists(old)) {
-      fs.rename(old, fsPath)
-    }
+    DirSwap.recover(fs, fsPath,
+      new org.apache.hadoop.fs.Path(path + TMP_SUFFIX),
+      new org.apache.hadoop.fs.Path(path + OLD_SUFFIX))
   }
 }
