@@ -1,0 +1,44 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Dataset
+
+/** Tracks every DataFrame the library persists so callers can release
+  * them deterministically.
+  *
+  * Operators like [[operators.Dedup.lshVerifiedPairs]] persist shared
+  * intermediates (signatures, shingle sets) because several downstream
+  * stages of one logical result read them. The returned DataFrames are
+  * lazy, so the operator itself cannot know when the caller is done —
+  * unpersisting inside the operator would evict the cache before the
+  * caller's action ran. The contract instead:
+  *
+  *   - every `persist` in library code goes through [[register]];
+  *   - callers invoke [[Graft.releaseCaches]] (→ [[releaseAll]]) once
+  *     they have materialized what they need;
+  *   - a long-lived session that never releases leaks nothing NEW per
+  *     call with identical inputs (Spark's CacheManager dedups by plan),
+  *     but distinct inputs accumulate — hence the explicit hook.
+  *
+  * Thread-safe; unpersist is non-blocking (async block cleanup).
+  */
+object CacheRegistry {
+
+  private val handles = mutable.ArrayBuffer.empty[Dataset[_]]
+
+  /** Record a persisted Dataset for later release; returns it unchanged. */
+  def register[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    handles += ds
+    ds
+  }
+
+  /** Unpersist every registered Dataset and clear the registry. */
+  def releaseAll(): Unit = synchronized {
+    handles.foreach(_.unpersist(blocking = false))
+    handles.clear()
+  }
+
+  /** Number of currently registered handles (for specs/diagnostics). */
+  def size: Int = synchronized(handles.length)
+}

@@ -65,6 +65,14 @@ object Graft {
                             maxHamming: Int = 3): DataFrame =
     Dedup.simhashNearDupPairs(docs, id, text, maxHamming)
 
+  /** Release every intermediate the library has persisted (signatures,
+    * shingle sets, fingerprints). Call after materializing the results
+    * of the dedup/similarity operators — they cache shared intermediates
+    * for the duration of the computation, and only the caller knows when
+    * the last action has run. See [[CacheRegistry]] for the contract.
+    */
+  def releaseCaches(): Unit = CacheRegistry.releaseAll()
+
   // ── similarity / text / media ────────────────────────────────────────
 
   /** Fit IVF centroids: Lloyd refinement from seed centroids. */

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.CacheRegistry
 import graft.functions.TextFunctions
 
 /** Document deduplication at training-data scale: exact (content hash),
@@ -189,22 +190,34 @@ object Dedup {
   def minhashCandidatePairs(docs: DataFrame, id: String, text: String,
                             k: Int = 3, numHashes: Int = 16,
                             bands: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(docs, id, text, k, numHashes)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = CacheRegistry.register(
+      minhashSignatures(docs, id, text, k, numHashes)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     candidatesFromSigs(sigs, numHashes, bands)
   }
 
-  /** 32-bit SimHash over distinct whitespace tokens — a pure projection:
+  /** SimHash fingerprint width. 60 bits — the first 15 md5 hex digits
+    * per token, i.e. [[shingleHash]] — rather than 64: a 60-bit value
+    * stays non-negative in a signed 64-bit integer, so every downstream
+    * shift/mask/xor is identical in Spark and DuckDB without signed-shift
+    * edge cases, while still giving band widths (15+ bits) whose buckets
+    * stay sparse as the corpus grows (the round-2 8-bit bands capped at
+    * 256 buckets — bucket population, and thus within-bucket candidate
+    * pairs, grew linearly/quadratically with corpus size).
+    */
+  val SIMHASH_BITS = 60
+
+  /** 60-bit SimHash over distinct whitespace tokens — a pure projection:
     * per-bit ±1 votes are `aggregate` folds over the in-row hash array,
     * so the whole fingerprint needs no explode and no shuffle.
     */
-  def simhash32(docs: DataFrame, id: String, text: String): DataFrame = {
+  def simhash60(docs: DataFrame, id: String, text: String): DataFrame = {
     val hs = docs.select(col(id).as("doc_id"),
         TextFunctions.tokens(lower(col(text))).as("toks"))
       .filter(size(col("toks")) > 0) // cheap when pushed below the fan-out
       .select(col("doc_id"),
-        transform(array_distinct(col("toks")), t => hash32(0, t)).as("hs"))
-    val fp = (0 until 32).map { i =>
+        transform(array_distinct(col("toks")), t => shingleHash(t)).as("hs"))
+    val fp = (0 until SIMHASH_BITS).map { i =>
       val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
         acc + when(shiftright(h, i).bitwiseAND(1) === 1, lit(1L))
           .otherwise(lit(-1L)))
@@ -213,20 +226,31 @@ object Dedup {
     hs.select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** SimHash near-dup retrieval: band the 32-bit fingerprint into 4
-    * bytes, candidate pairs share at least one byte-band (pigeonhole: any
-    * pair within hamming distance 3 collides on ≥ 1 of 4 bands), verify
-    * with exact `bit_count(xor)`. All-integer — oracle-exact — and the
-    * band join is bounded by band-bucket sizes, never all-pairs.
+  /** SimHash near-dup retrieval: band the 60-bit fingerprint into
+    * `maxHamming + 1` equal slices — the band count DERIVES from the
+    * radius so the pigeonhole guarantee always holds: a pair within
+    * hamming distance h differs in ≤ h bands, so with h+1 bands at least
+    * one band matches exactly. (Round 2 hard-coded 4 bands for any
+    * radius, silently losing recall for maxHamming ≥ 4.) Candidates are
+    * verified with exact `bit_count(xor)`. All-integer — oracle-exact —
+    * and each band has 2^(60/(h+1)) buckets (32768 at the default h=3),
+    * so bucket population — and the within-bucket candidate join —
+    * stays sparse as the corpus grows.
     */
   def simhashNearDupPairs(docs: DataFrame, id: String, text: String,
                           maxHamming: Int = 3): DataFrame = {
-    val fps = simhash32(docs, id, text)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = maxHamming + 1
+    require(maxHamming >= 0 && SIMHASH_BITS % bands == 0,
+      s"maxHamming=$maxHamming needs $bands equal bands out of " +
+        s"$SIMHASH_BITS bits; supported radii: 0,1,2,3,4,5,9,11,14,19,29,59")
+    val width = SIMHASH_BITS / bands
+    val mask = (1L << width) - 1
+    val fps = CacheRegistry.register(
+      simhash60(docs, id, text).persist(StorageLevel.MEMORY_AND_DISK))
     fps.count() // eager fill: both band-join sides read it
     val banded = fps.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("simhash"), b * 8).bitwiseAND(0xff)): _*)))
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("simhash"), b * width).bitwiseAND(mask)): _*)))
       .toDF("doc_id", "simhash", "band", "bkey")
     val a = banded.as("a")
     val b = banded.as("b")
@@ -245,11 +269,12 @@ object Dedup {
     * 100*|A∩B| >= thresholdPct*(|A|+|B|-|A∩B|). Output integer counts
     * (no float in the result → hash-stable).
     *
-    * Pair enumeration is per-shingle from a sorted `collect_list` of the
-    * df-cut inverted index (≤ maxDf ids per key), generating (a, b)
-    * combinations in-row — this replaces the shingle self-join, whose
-    * probe volume is the same Σ df² but which shuffles the full pair set
-    * twice. Still O(Σ df²) output — the small-scale validation path;
+    * Pair enumeration is per-shingle from a BOUNDED sorted posting list
+    * of the df-cut inverted index (≤ maxDf ids per key, capped inside
+    * the aggregation buffer itself), generating (a, b) combinations
+    * in-row — this replaces the shingle self-join, whose probe volume is
+    * the same Σ df² but which shuffles the full pair set twice. Still
+    * O(Σ df²) output — the small-scale validation path;
     * [[lshVerifiedPairs]] is the 100 TB shape.
     */
   /** Uncut (doc_id, shingle-hash) pairs — the shared, cached input of
@@ -263,26 +288,38 @@ object Dedup {
 
   def jaccardPairs(docs: DataFrame, id: String, text: String, k: Int = 3,
                    maxDf: Int = 100, thresholdPct: Int = 60): DataFrame = {
-    // cache the UNCUT pair set eagerly — it is the expensive tokenize +
-    // explode pipeline, every downstream stage (df counts, cut join,
-    // sizes, inverted index) derives from it cheaply, and the identical
-    // plan in lshVerifiedPairs shares the same cache entry.
-    val pairs = hashedShingles(docs, id, text, k)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    pairs.count() // eager fill: measured equal-or-better than letting the
-                  // four downstream stages race the lazy cache
-    val rare = pairs.groupBy("shingle")
-      .agg(count(lit(1)).as("df_count"))
-      .filter(col("df_count") <= maxDf)
-      .select("shingle")
-    val kept = pairs.join(rare, "shingle")
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // ONE inverted-index aggregation replaces round 2's four sequential
+    // cached stages (uncut-pair cache fill, df-count agg, cut join,
+    // collect_list agg): a single groupBy(shingle) emits BOTH the
+    // document frequency and the complete sorted posting list of every
+    // rare shingle. The posting list goes through `bounded_topk` with
+    // k = maxDf + 1 — a k-capped partial buffer — so a degenerate
+    // stopword shingle costs O(maxDf) executor memory and map-side
+    // shuffle bytes, not O(df): the very reason round 2 kept a two-pass
+    // cut. Rows with df_count > maxDf are dropped after the agg; for the
+    // survivors df ≤ maxDf < k means the bounded list is the COMPLETE
+    // posting list, already ascending by doc_id.
+    //
+    // The doc_id rides bounded_topk's double score slot: ids below 2⁵³
+    // are exact in a double, so (score, id) ordering is plain id order.
+    // Requires `bounded_topk` registered (GraftExtensions).
+    val grouped = CacheRegistry.register(
+      hashedShingles(docs, id, text, k)
+        .groupBy("shingle")
+        .agg(count(lit(1)).as("df_count"),
+          expr(s"bounded_topk(cast(doc_id as double), doc_id, ${maxDf + 1})")
+            .as("top"))
+        .filter(col("df_count") <= maxDf)
+        .select(transform(col("top"), t => t.getField("n")).as("ids"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    grouped.count() // eager fill: sizes + combos both read it
+    val sizes = grouped.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // (a, b) combinations of each shingle's sorted id list, in-row
     val combos = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + lit(2), size(col("ids"))),
         b => struct(a.as("a"), b.as("b")))))
-    val common = kept.groupBy("shingle")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val common = grouped
       .filter(size(col("ids")) >= 2)
       .select(explode(combos).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
@@ -303,14 +340,14 @@ object Dedup {
                        k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                        thresholdPct: Int = 60): DataFrame = {
     // ds feeds three stages (sizes + two verify-join sides); sigs feeds
-    // both band-join sides. Eager fill stops racing recomputes; the ds
-    // plan is identical to jaccardPairs' cached pair set, so the two
-    // queries share one cache entry.
-    val ds = hashedShingles(docs, id, text, k)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // both band-join sides. Eager fill stops racing recomputes.
+    val ds = CacheRegistry.register(
+      hashedShingles(docs, id, text, k)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     ds.count()
-    val sigs = minhashSignatures(docs, id, text, k, numHashes)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = CacheRegistry.register(
+      minhashSignatures(docs, id, text, k, numHashes)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val cands = candidatesFromSigs(sigs, numHashes, bands)
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // candidate pairs × shingles of side a, matched against side b:

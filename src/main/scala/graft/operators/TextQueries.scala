@@ -107,9 +107,9 @@ object TextQueries {
         "doc_id", "text", K, NUM_HASHES, BANDS)
     },
 
-    // ── SimHash 32-bit fingerprints ─────────────────────────────────────
+    // ── SimHash 60-bit fingerprints ─────────────────────────────────────
     "q_simhash" -> { (s, dir) =>
-      Dedup.simhash32(Tables.load(s, dir, "documents"), "doc_id", "text")
+      Dedup.simhash60(Tables.load(s, dir, "documents"), "doc_id", "text")
     },
 
     // ── exact n-gram Jaccard near-dup pairs (integer thresholding) ──────
@@ -198,18 +198,20 @@ object TextQueries {
   }
 
   /** CTEs through `fp(doc_id, simhash)` — the SQL twin of
-    * [[Dedup.simhash32]], shared by q_simhash and q_simhash_neardup.
+    * [[Dedup.simhash60]], shared by q_simhash and q_simhash_neardup.
+    * 60-bit token hash = first 15 md5 hex digits ([[Dedup.shingleHashSql]]),
+    * same integer vote/assemble arithmetic as the Spark side.
     */
   private val simhashCte: String = {
-    val votes = (0 until 32).map(i =>
+    val votes = (0 until Dedup.SIMHASH_BITS).map(i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS bit$i")
       .mkString(", ")
-    val fp = (0 until 32).map(i =>
+    val fp = (0 until Dedup.SIMHASH_BITS).map(i =>
       s"(CASE WHEN bit$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
     s"""$toksCte,
        |dt AS (SELECT DISTINCT doc_id, tok FROM toks, unnest(t) AS u(tok)),
-       |hashed AS (SELECT doc_id, ${Dedup.hash32Sql(0, "tok")} AS h FROM dt),
+       |hashed AS (SELECT doc_id, ${Dedup.shingleHashSql("tok")} AS h FROM dt),
        |votes AS (SELECT doc_id, $votes FROM hashed GROUP BY doc_id),
        |fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)""".stripMargin
   }
@@ -321,8 +323,8 @@ object TextQueries {
     "q_simhash_neardup" ->
       s"""WITH $simhashCte,
          |banded AS (SELECT doc_id, simhash, bands.band,
-         |    (simhash >> (bands.band * 8)) & 255 AS bkey
-         |  FROM fp, (SELECT unnest(range(4)) AS band) bands),
+         |    (simhash >> (bands.band * ${Dedup.SIMHASH_BITS / (MAX_HAMMING + 1)})) & ${(1L << (Dedup.SIMHASH_BITS / (MAX_HAMMING + 1))) - 1} AS bkey
+         |  FROM fp, (SELECT unnest(range(${MAX_HAMMING + 1})) AS band) bands),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    bit_count(xor(a.simhash, b.simhash)) AS hamming
          |  FROM banded a JOIN banded b

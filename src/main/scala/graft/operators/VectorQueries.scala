@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -13,11 +12,14 @@ import graft.functions.VectorFunctions._
   *   correctness baseline. Queries are broadcast; candidates stream, so
   *   the plan is a BroadcastNestedLoopJoin scan with no shuffle of the
   *   big side.
-  * - [[queries q_ann_ivf_topk]]: IVF scale path — a deterministic
-  *   centroid sample partitions the corpus into cells (one broadcast
-  *   argmin pass, `min(struct)` aggregate → map-side combine); each
-  *   query probes its nprobe nearest cells only, so the scored
-  *   candidate set shrinks by ~nprobe/C. Same final top-k.
+  * - [[queries q_ann_ivf_topk]]: IVF scale path — centroids are
+  *   collapsed into ONE broadcast row and each vector's cell is an
+  *   IN-ROW argmin over that array (a pure projection: no crossJoin
+  *   fan-out, no argmin shuffle, no join-back — the corpus is scanned
+  *   exactly once). Each query probes its nprobe nearest cells only, so
+  *   the scored candidate set shrinks by ~nprobe/C. Same final top-k.
+  * - [[queries q_ann_recall]]: IVF quality gate — recall@k of the IVF
+  *   result against the brute-force truth, integer arithmetic.
   *
   * Top-k runs through the native `bounded_topk` aggregate
   * ([[graft.plans.BoundedTopK]]): k-capped partial buffers combine
@@ -28,13 +30,22 @@ import graft.functions.VectorFunctions._
   * Outputs are (query_id, neighbor_id, rank) — ranks, not raw floats, so
   * the DuckDB oracle compare is bit-stable (rank flips would need two
   * distinct random vectors with cosine gaps below double noise).
+  *
+  * NaN contract: a zero-norm embedding has cosine NaN against everything;
+  * scored NaNs are filtered before ranking (Spark's TotalOrdering and
+  * DuckDB's DESC sort place NaN differently, so letting one through
+  * would diverge the engines). The testdata has no zero vectors, so the
+  * filter is a no-op there — it exists to pin the library semantics.
   */
 object VectorQueries {
 
   private val N_QUERIES = 10 // query vectors: vec_id < 10
   private val TOP_K = 5
-  private val N_CELLS = 16   // IVF centroids: vec_id < 16 (deterministic)
+  private val N_CELLS = 16   // IVF centroids for top-k search (fixed:
+                             // probe FRACTION nprobe/cells sets recall)
   private val N_PROBE = 4
+  private val MIN_CELLS = 16         // near-dup blocking: floor
+  private val TARGET_CELL_SIZE = 64  // near-dup blocking: cells ≈ n/64
   private val DUP_COPIES = 50        // planted duplicates for near-dup
   private val DUP_OFFSET = 1000000L  // planted-copy id offset
   private val NEARDUP_THRESHOLD = 0.99
@@ -52,6 +63,7 @@ object VectorQueries {
     */
   private def topkByQuery(scored: DataFrame): DataFrame =
     scored
+      .filter(!isnan(col("sim"))) // zero-norm guard, see NaN contract
       .groupBy(col("query_id"))
       .agg(expr(s"bounded_topk(-sim, neighbor_id, $TOP_K)").as("top"))
       .select(col("query_id"), posexplode(col("top")))
@@ -59,60 +71,103 @@ object VectorQueries {
       .select(col("query_id"), col("t.n").as("neighbor_id"),
         (col("pos") + 1).as("rank"))
 
-  /** Nearest-centroid cell id per vector. min(struct(d2,cell)) is an
-    * argmin AGGREGATE — partial min runs map-side over NARROW
-    * (vec_id, d2, cell) rows (the embeddings themselves never enter the
-    * shuffle); join the resulting tiny (vec_id, cell) map back to the
-    * corpus to attach vectors — AQE broadcasts it at this scale and
-    * falls back to a shuffle join when the corpus is huge.
+  /** The centroid set collapsed into ONE row holding the (cell, centroid)
+    * structs sorted by cell — the broadcastable side of every IVF step.
+    * Centroid counts are bounded (≤ thousands even at 100 TB), so a
+    * single in-row array is the right shape: assignment becomes a
+    * projection instead of a crossJoin + argmin-aggregate + join-back.
     */
-  private def cellAssignment(emb: DataFrame,
-                             centroids: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"),
-        struct(l2Sq(col("embedding"), col("centroid")).as("d2"),
-          col("cell").as("cell")).as("dc"))
-      .groupBy(col("vec_id"))
-      .agg(min(col("dc")).as("m"))
-      .select(col("vec_id"), col("m.cell").as("cell"))
+  private def centroidArray(centroids: DataFrame): DataFrame =
+    centroids.agg(sort_array(collect_list(
+      struct(col("cell"), col("centroid")))).as("cents"))
+
+  /** Nearest-centroid cell id as an IN-ROW argmin: `array_min` over
+    * (d2, cell) structs IS the argmin with cell-asc tie-break (struct
+    * ordering is lexicographic). One native l2_sq loop per centroid per
+    * row, zero shuffle, corpus scanned once.
+    *
+    * The coalesce(-1) makes `cell` non-nullable so downstream equi-joins
+    * don't infer an IsNotNull filter that would re-evaluate the whole
+    * argmin expression a second time per row (PushPredicateThroughNonJoin
+    * substitutes project-level expressions into inferred filters).
+    */
+  private def withCell(df: DataFrame, centArr: DataFrame,
+                       vec: Column): DataFrame =
+    df.crossJoin(broadcast(centArr))
+      .withColumn("cell",
+        coalesce(
+          array_min(transform(col("cents"), c =>
+            struct(l2Sq(vec, c.getField("centroid")).as("d2"),
+              c.getField("cell").as("cell")))).getField("cell"),
+          lit(-1L)))
+      .drop("cents")
+
+  /** Each query's nprobe nearest cells, again in-row: sort the per-cell
+    * (d2, cell) structs and keep the first nprobe. Output is one row per
+    * (query, probed cell) — Q·nprobe rows, always broadcastable.
+    */
+  private def probeCells(qs: DataFrame, centArr: DataFrame,
+                         nprobe: Int): DataFrame =
+    qs.crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("qvec"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct(l2Sq(col("qvec"), c.getField("centroid")).as("d2"),
+            c.getField("cell").as("cell")))), 1, nprobe)).as("pc"))
+      .select(col("query_id"), col("qvec"),
+        col("pc.cell").as("cell"))
+
+  private def queryVectors(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  /** Brute-force cosine top-k (correctness baseline). */
+  private def bruteTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = loadEmb(s, dir)
+    val cands = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cvec"))
+    val scored = cands.join(broadcast(queryVectors(emb)),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    topkByQuery(scored)
+  }
+
+  /** IVF top-k: in-row cell assignment + broadcast probe join. */
+  private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = loadEmb(s, dir)
+    val centArr = centroidArray(emb.filter(col("vec_id") < N_CELLS)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid")))
+    val assigned = withCell(
+      emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cvec")),
+      centArr, col("cvec"))
+    val probes = probeCells(queryVectors(emb), centArr, N_PROBE)
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    topkByQuery(scored)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "q_ann_cosine_topk" -> { (s, dir) =>
-      val emb = loadEmb(s, dir)
-      val qs = emb.filter(col("vec_id") < N_QUERIES)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val cands = emb.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("cvec"))
-      val scored = cands.join(broadcast(qs),
-          col("query_id") =!= col("neighbor_id"))
-        .withColumn("sim", cosine(col("qvec"), col("cvec")))
-      topkByQuery(scored)
-    },
+    "q_ann_cosine_topk" -> { (s, dir) => bruteTopk(s, dir) },
 
-    "q_ann_ivf_topk" -> { (s, dir) =>
-      val emb = loadEmb(s, dir)
-      val centroids = emb.filter(col("vec_id") < N_CELLS)
-        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-      val cellOf = cellAssignment(emb, centroids)
-      val assigned = emb.join(cellOf, "vec_id")
-        .select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("cvec"), col("cell"))
-      // probe list: each query → nprobe nearest cells
-      val qs = emb.filter(col("vec_id") < N_QUERIES)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(col("qd2").asc, col("cell").asc)
-      val probes = qs.crossJoin(broadcast(centroids))
-        .withColumn("qd2", l2Sq(col("qvec"), col("centroid")))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= N_PROBE)
-        .select(col("query_id"), col("qvec"), col("cell"))
-      // search only the probed cells
-      val scored = assigned.join(broadcast(probes), Seq("cell"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("sim", cosine(col("qvec"), col("cvec")))
-      topkByQuery(scored)
+    "q_ann_ivf_topk" -> { (s, dir) => ivfTopk(s, dir) },
+
+    // ── IVF recall@k against the brute-force truth ──────────────────────
+    // recall_pct = 100·|ivf ∩ brute| / k per query — the number a
+    // training-data pipeline tunes nprobe/cells against. Integer
+    // arithmetic throughout (hash-stable); the left join keeps
+    // zero-recall queries in the output.
+    "q_ann_recall" -> { (s, dir) =>
+      val brute = bruteTopk(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = ivfTopk(s, dir)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(1).as("hit"))
+      brute.join(ivf, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_match"))
+        .withColumn("recall_pct", expr(s"n_match * 100 div $TOP_K"))
     },
 
     // ── embedding-cosine near-dup: cell-blocked candidates + verify ─────
@@ -123,15 +178,30 @@ object VectorQueries {
     // cosine threshold keeps true near-dups. 0.99 vs the 0.6 background
     // leaves orders of magnitude more margin than float noise, so the
     // pair SET is engine-stable even though cosines are floats.
+    //
+    // Scale contract: the cell count GROWS with the corpus —
+    // cells = max(MIN_CELLS, n div TARGET_CELL_SIZE) — so expected cell
+    // population stays ~TARGET_CELL_SIZE and the within-cell all-pairs
+    // verify is O(n·TARGET_CELL_SIZE), linear in corpus size (a fixed
+    // cell count would make it O(n²/cells)). The centroid array stays
+    // broadcastable for any corpus this single-level blocking suits; at
+    // the point cells outgrow a broadcast (≫10⁵), assignment itself wants
+    // a coarse-then-fine two-level argmin — documented, not needed here.
     "q_embedding_neardup" -> { (s, dir) =>
       val emb = loadEmb(s, dir).select(col("vec_id"), col("embedding"))
       val aug = emb.unionByName(
         emb.filter(col("vec_id") < DUP_COPIES)
           .select((col("vec_id") + DUP_OFFSET).as("vec_id"),
             col("embedding")))
-      val centroids = emb.filter(col("vec_id") < N_CELLS)
-        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-      val assigned = aug.join(cellAssignment(aug, centroids), "vec_id")
+      val nCells = aug.agg(count(lit(1)).as("n_vec"))
+        .select(greatest(lit(MIN_CELLS.toLong),
+          expr(s"n_vec div $TARGET_CELL_SIZE")).as("n_cells"))
+      val centArr = centroidArray(
+        emb.crossJoin(broadcast(nCells))
+          .filter(col("vec_id") < col("n_cells"))
+          .select(col("vec_id").as("cell"),
+            col("embedding").as("centroid")))
+      val assigned = withCell(aug, centArr, col("embedding"))
       val a = assigned.select(col("vec_id").as("vec_a"),
         col("embedding").as("ea"), col("cell"))
       val b = assigned.select(col("vec_id").as("vec_b"),
@@ -143,46 +213,74 @@ object VectorQueries {
     }
   )
 
+  // ─── DuckDB oracle twins ──────────────────────────────────────────────
+
+  /** Brute-force top-k CTE chain ending in `brute(query_id, neighbor_id,
+    * rank)`.
+    */
+  private def bruteCtes: String =
+    s"""bq AS (SELECT vec_id AS query_id, embedding AS qvec
+       |       FROM embeddings WHERE vec_id < $N_QUERIES),
+       |bc AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+       |bscored AS (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(qvec, cvec) DESC, neighbor_id ASC) AS rank
+       |  FROM bq, bc WHERE query_id <> neighbor_id),
+       |brute AS (SELECT query_id, neighbor_id, rank FROM bscored
+       |  WHERE rank <= $TOP_K)""".stripMargin
+
+  /** IVF top-k CTE chain ending in `ivf(query_id, neighbor_id, rank)`. */
+  private def ivfCtes: String =
+    s"""cent AS (SELECT vec_id AS cell, embedding AS centroid
+       |         FROM embeddings WHERE vec_id < $N_CELLS),
+       |assigned AS (SELECT vec_id AS neighbor_id, cvec, cell FROM (
+       |  SELECT e.vec_id, e.embedding AS cvec, cent.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_distance(e.embedding, cent.centroid) ASC, cent.cell ASC) AS arn
+       |  FROM embeddings e, cent) WHERE arn = 1),
+       |iq AS (SELECT vec_id AS query_id, embedding AS qvec
+       |       FROM embeddings WHERE vec_id < $N_QUERIES),
+       |probes AS (SELECT query_id, qvec, cell FROM (
+       |  SELECT iq.query_id, iq.qvec, cent.cell,
+       |    row_number() OVER (PARTITION BY iq.query_id
+       |      ORDER BY list_distance(iq.qvec, cent.centroid) ASC, cent.cell ASC) AS prn
+       |  FROM iq, cent) WHERE prn <= $N_PROBE),
+       |iscored AS (SELECT p.query_id, a.neighbor_id,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY list_cosine_similarity(p.qvec, a.cvec) DESC, a.neighbor_id ASC) AS rank
+       |  FROM probes p JOIN assigned a ON p.cell = a.cell
+       |  WHERE p.query_id <> a.neighbor_id),
+       |ivf AS (SELECT query_id, neighbor_id, rank FROM iscored
+       |  WHERE rank <= $TOP_K)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_ann_cosine_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
-         |           FROM embeddings WHERE vec_id < $N_QUERIES),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
-         |scored AS (SELECT query_id, neighbor_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY list_cosine_similarity(qvec, cvec) DESC, neighbor_id ASC) AS rank
-         |  FROM q, c WHERE query_id <> neighbor_id)
-         |SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= $TOP_K""".stripMargin,
+      s"""WITH $bruteCtes
+         |SELECT query_id, neighbor_id, rank FROM brute""".stripMargin,
 
     "q_ann_ivf_topk" ->
-      s"""WITH cent AS (SELECT vec_id AS cell, embedding AS centroid
-         |              FROM embeddings WHERE vec_id < $N_CELLS),
-         |assigned AS (SELECT vec_id AS neighbor_id, cvec, cell FROM (
-         |  SELECT e.vec_id, e.embedding AS cvec, cent.cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_distance(e.embedding, cent.centroid) ASC, cent.cell ASC) AS arn
-         |  FROM embeddings e, cent) WHERE arn = 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS qvec
-         |      FROM embeddings WHERE vec_id < $N_QUERIES),
-         |probes AS (SELECT query_id, qvec, cell FROM (
-         |  SELECT q.query_id, q.qvec, cent.cell,
-         |    row_number() OVER (PARTITION BY q.query_id
-         |      ORDER BY list_distance(q.qvec, cent.centroid) ASC, cent.cell ASC) AS prn
-         |  FROM q, cent) WHERE prn <= $N_PROBE),
-         |scored AS (SELECT p.query_id, a.neighbor_id,
-         |    row_number() OVER (PARTITION BY p.query_id
-         |      ORDER BY list_cosine_similarity(p.qvec, a.cvec) DESC, a.neighbor_id ASC) AS rank
-         |  FROM probes p JOIN assigned a ON p.cell = a.cell
-         |  WHERE p.query_id <> a.neighbor_id)
-         |SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= $TOP_K""".stripMargin,
+      s"""WITH $ivfCtes
+         |SELECT query_id, neighbor_id, rank FROM ivf""".stripMargin,
+
+    "q_ann_recall" ->
+      s"""WITH $bruteCtes,
+         |$ivfCtes
+         |SELECT b.query_id,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100 // $TOP_K AS BIGINT) AS recall_pct
+         |FROM brute b LEFT JOIN ivf i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id""".stripMargin,
 
     "q_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
          |           UNION ALL
          |           SELECT vec_id + $DUP_OFFSET, embedding FROM embeddings
          |           WHERE vec_id < $DUP_COPIES),
+         |nc AS (SELECT greatest($MIN_CELLS, count(*) // $TARGET_CELL_SIZE) AS n_cells
+         |       FROM e),
          |cent AS (SELECT vec_id AS cell, embedding AS centroid
-         |         FROM embeddings WHERE vec_id < $N_CELLS),
+         |         FROM embeddings, nc WHERE vec_id < n_cells),
          |assigned AS (SELECT vec_id, embedding, cell FROM (
          |  SELECT e.vec_id, e.embedding, cent.cell,
          |    row_number() OVER (PARTITION BY e.vec_id

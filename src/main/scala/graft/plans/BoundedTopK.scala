@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.TernaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -34,7 +34,15 @@ case class BoundedTopK(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
-  with TernaryLike[Expression] {
+  with TernaryLike[Expression] with ExpectsInputTypes {
+
+  /** Declared input types so analysis inserts implicit casts (float
+    * score → double, int id → long) or fails with a clear error — the
+    * update() asInstanceOf would otherwise throw ClassCastException at
+    * runtime on a well-analyzed plan.
+    */
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, LongType, IntegerType)
 
   private lazy val k: Int = kExpr match {
     case Literal(v: Int, IntegerType) if v > 0 => v

@@ -32,7 +32,7 @@ object DedupProbe {
     time("pairs nocut")(Dedup.docShingles(docs, "doc_id", "text", 3).count())
     time("pairs cut100")(Dedup.docShingles(docs, "doc_id", "text", 3, Some(100)).count())
     time("minhash sigs")(Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16).count())
-    time("simhash")(Dedup.simhash32(docs, "doc_id", "text").count())
+    time("simhash")(Dedup.simhash60(docs, "doc_id", "text").count())
     time("lsh pairs")(Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 16, 4).count())
     time("jaccard exact")(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 100, 60).count())
     time("lsh verified")(Dedup.lshVerifiedPairs(docs, "doc_id", "text", 3, 16, 4, 60).count())

@@ -40,7 +40,7 @@ object ScaleProbe {
     }
     time(s"docs x$mult")(docs.count())
     time("minhash sigs")(Dedup.minhashSignatures(docs, "doc_id", "text").count())
-    time("simhash")(Dedup.simhash32(docs, "doc_id", "text").count())
+    time("simhash")(Dedup.simhash60(docs, "doc_id", "text").count())
     time("lsh pairs")(Dedup.minhashCandidatePairs(docs, "doc_id", "text").count())
     time("exact groups")(Dedup.exactGroups(docs, "doc_id", "text").count())
     spark.stop()

@@ -44,8 +44,8 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
-  test("simhash32: identical docs equal, near-dups within small hamming") {
-    val fp = Dedup.simhash32(docs, "doc_id", "text").collect()
+  test("simhash60: identical docs equal, near-dups within small hamming") {
+    val fp = Dedup.simhash60(docs, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
     assert(fp(1L) === fp(2L))
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)

@@ -43,7 +43,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
 
   test("simhash: zero shuffle (pure projection)") {
     val docs = Seq((1L, "a b c"), (2L, "c d e")).toDF("doc_id", "text")
-    val plan = planOf(Dedup.simhash32(docs, "doc_id", "text"))
+    val plan = planOf(Dedup.simhash60(docs, "doc_id", "text"))
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
