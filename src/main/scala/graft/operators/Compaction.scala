@@ -20,17 +20,25 @@ object Compaction {
     * the shared crash-safe swap ([[DirSwap]]).
     */
   def compact(spark: SparkSession, path: String,
-              targetBytes: Long = 128L * 1024 * 1024): Int = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              lockStaleMs: Long = 10L * 60 * 1000): Int = {
     val fsPath = new Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + "__compact_tmp")
     val old = new Path(path + "__compact_old")
-    DirSwap.recover(fs, fsPath, tmp, old)
-    val bytes = fs.getContentSummary(fsPath).getLength
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(path)
-      .repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
-    DirSwap.commit(fs, fsPath, tmp, old)
-    nFiles
+    // same lock as the merge: a compaction racing a merge on one path
+    // would interleave renames, so they serialize (or fail fast)
+    DirSwap.acquireLock(fs, fsPath, lockStaleMs)
+    try {
+      DirSwap.recover(fs, fsPath, tmp, old)
+      val v0 = DirSwap.readVersion(fs, fsPath)
+      val bytes = fs.getContentSummary(fsPath).getLength
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      spark.read.parquet(path)
+        .repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+      DirSwap.writeVersion(fs, tmp, v0 + 1)
+      DirSwap.commit(fs, fsPath, tmp, old, expectedVersion = v0)
+      nFiles
+    } finally DirSwap.releaseLock(fs, fsPath)
   }
 }

@@ -67,20 +67,30 @@ object MergeUpsert {
     * transactional commit; those jars are not available offline in this
     * build (BASELINE.md names them as the declared approach), and the
     * swap keeps the same merge plan a MERGE INTO would lower to for a
-    * full-table rewrite.
+    * full-table rewrite. The commit-protocol slice it does reproduce:
+    * a single-writer lock (concurrent saveOrUpdate/compact on one path
+    * fail fast instead of interleaving renames), a monotonic version
+    * stamped through the swap, and a last-writer check at commit — see
+    * [[DirSwap]].
     */
   def saveOrUpdate(spark: SparkSession, incoming: DataFrame, path: String,
-                   keys: Seq[String]): Unit = {
+                   keys: Seq[String],
+                   lockStaleMs: Long = 10L * 60 * 1000): Unit = {
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recover(spark, path) // finish/roll back any interrupted prior swap
-    val result =
-      if (fs.exists(fsPath)) merge(spark.read.parquet(path), incoming, keys)
-      else incoming
-    val tmp = new org.apache.hadoop.fs.Path(path + TMP_SUFFIX)
-    val old = new org.apache.hadoop.fs.Path(path + OLD_SUFFIX)
-    result.write.mode("overwrite").parquet(tmp.toString) // 1. write-new
-    DirSwap.commit(fs, fsPath, tmp, old)                 // 2-4. swap
+    DirSwap.acquireLock(fs, fsPath, lockStaleMs)
+    try {
+      recover(spark, path) // finish/roll back any interrupted prior swap
+      val v0 = DirSwap.readVersion(fs, fsPath)
+      val result =
+        if (fs.exists(fsPath)) merge(spark.read.parquet(path), incoming, keys)
+        else incoming
+      val tmp = new org.apache.hadoop.fs.Path(path + TMP_SUFFIX)
+      val old = new org.apache.hadoop.fs.Path(path + OLD_SUFFIX)
+      result.write.mode("overwrite").parquet(tmp.toString) // 1. write-new
+      DirSwap.writeVersion(fs, tmp, v0 + 1)
+      DirSwap.commit(fs, fsPath, tmp, old, expectedVersion = v0) // 2-4. swap
+    } finally DirSwap.releaseLock(fs, fsPath)
   }
 
   /** Repair an interrupted [[saveOrUpdate]] swap — see

@@ -13,6 +13,7 @@ object JaccardProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -24,26 +25,34 @@ object JaccardProbe {
       val n = f
       println(f"[probe] $name%-26s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
     }
-    val pairs = Dedup.docShingles(docs, "doc_id", "text", 3)
+    // mirror of the one-pass jaccardPairs structure, stage by stage
+    val maxDf = 100
+    val raw = Dedup.docShingles(docs, "doc_id", "text", 3)
       .select(col("doc_id"), Dedup.shingleHash(col("shingle")).as("shingle"))
+    time("0 raw pairs (no cache)")(raw.count())
+    val grouped = raw
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df_count"),
+        expr(s"bounded_topk(cast(doc_id as double), doc_id, ${maxDf + 1})")
+          .as("top"))
+      .filter(col("df_count") <= maxDf)
+      .select(transform(col("top"), t => t.getField("n")).as("ids"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    time("1 pairs fill")(pairs.count())
-    val rare = pairs.groupBy("shingle").agg(count(lit(1)).as("df_count"))
-      .filter(col("df_count") <= 100).select("shingle")
-    val kept = pairs.join(rare, "shingle")
-    time("2 kept")(kept.count())
-    time("3 sizes")(kept.groupBy("doc_id").agg(count(lit(1)).as("sz")).count())
+    time("1 grouped fill")(grouped.count())
+    time("2 sizes")(grouped.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz")).count())
     val combos = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + lit(2), size(col("ids"))),
         b => struct(a.as("a"), b.as("b")))))
-    val common = kept.groupBy("shingle")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+    val common = grouped.filter(size(col("ids")) >= 2)
       .select(explode(combos).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    time("4 combos+paircount")(common.count())
-    time("5 full query fresh")(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 100, 60).count())
+    time("3 combos+paircount")(common.count())
+    grouped.unpersist(blocking = true)
+    time("4 full query fresh")(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 100, 60).count())
+    graft.CacheRegistry.releaseAll()
+    time("5 full query again")(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 100, 60).count())
     spark.stop()
   }
 }

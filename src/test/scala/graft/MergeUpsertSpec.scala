@@ -88,6 +88,65 @@ class MergeUpsertSpec extends AnyFunSuite with SparkSpec {
     assert(rows(p4) === Set((1, "A2"), (2, "b2"), (3, "c")))
   }
 
+  test("recover: a PARTIAL tmp (no _SUCCESS) is discarded, never promoted") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = Files.createTempDirectory("graft-swap").toString + "/t"
+    MergeUpsert.saveOrUpdate(spark, Seq((1, "a")).toDF("k", "v"), p, Seq("k"))
+    // simulate a crash mid-write during the swap: target renamed away,
+    // tmp half-written (its committer marker never landed)
+    Seq((9, "junk")).toDF("k", "v").write.parquet(p + "__tmp_swap")
+    fs.delete(new Path(p + "__tmp_swap/_SUCCESS"), false)
+    assert(fs.rename(new Path(p), new Path(p + "__old_swap")))
+    MergeUpsert.recover(spark, p)
+    // old (the last complete version) wins; the torso is gone
+    assert(spark.read.parquet(p).as[(Int, String)].collect().toSet ===
+      Set((1, "a")))
+    assert(!fs.exists(new Path(p + "__tmp_swap")))
+  }
+
+  test("single-writer lock: concurrent writer fails fast, stale lock self-heals") {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.DirSwap
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = Files.createTempDirectory("graft-lock").toString + "/t"
+    MergeUpsert.saveOrUpdate(spark, Seq((1, "a")).toDF("k", "v"), p, Seq("k"))
+    // another live writer holds the lock → this writer must NOT proceed
+    DirSwap.acquireLock(fs, new Path(p))
+    val e = intercept[java.io.IOException] {
+      MergeUpsert.saveOrUpdate(spark, Seq((2, "b")).toDF("k", "v"), p, Seq("k"))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // table unharmed by the refused attempt
+    assert(spark.read.parquet(p).count() === 1)
+    // a DEAD writer's lock (older than the stale threshold) is broken
+    // automatically and the merge proceeds
+    val lock = DirSwap.lockPath(new Path(p))
+    fs.setTimes(lock, System.currentTimeMillis() - 60 * 60 * 1000, -1)
+    MergeUpsert.saveOrUpdate(spark, Seq((2, "b")).toDF("k", "v"), p, Seq("k"))
+    assert(spark.read.parquet(p).count() === 2)
+    assert(!fs.exists(lock)) // released after commit
+  }
+
+  test("version file: monotonic across merges, travels through the swap") {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.DirSwap
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = Files.createTempDirectory("graft-ver").toString + "/t"
+    MergeUpsert.saveOrUpdate(spark, Seq((1, "a")).toDF("k", "v"), p, Seq("k"))
+    assert(DirSwap.readVersion(fs, new Path(p)) === 1L)
+    MergeUpsert.saveOrUpdate(spark, Seq((2, "b")).toDF("k", "v"), p, Seq("k"))
+    assert(DirSwap.readVersion(fs, new Path(p)) === 2L)
+    // the version file is metadata (underscore-prefixed): readers skip it
+    assert(spark.read.parquet(p).count() === 2)
+    // last-writer check: committing against a version that moved aborts
+    val e = intercept[java.io.IOException] {
+      DirSwap.commit(fs, new Path(p), new Path(p + "__tmp_swap"),
+        new Path(p + "__old_swap"), expectedVersion = 1L)
+    }
+    assert(e.getMessage.contains("lost update"))
+  }
+
   test("property: merge is idempotent and row-order insensitive") {
     val rnd = new scala.util.Random(42)
     def rows() = List.fill(30)((rnd.nextInt(10), rnd.nextInt(101)))
