@@ -312,7 +312,9 @@ object Dedup {
         .filter(col("df_count") <= maxDf)
         .select(transform(col("top"), t => t.getField("n")).as("ids"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    grouped.count() // eager fill: sizes + combos both read it
+    grouped.count() // eager fill: sizes + combos both read it (A/B'd
+                    // against lazy fill: within noise, so keep the
+                    // deterministic single-fill behavior)
     val sizes = grouped.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // (a, b) combinations of each shingle's sorted id list, in-row

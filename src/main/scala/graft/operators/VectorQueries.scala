@@ -77,7 +77,7 @@ object VectorQueries {
     * single in-row array is the right shape: assignment becomes a
     * projection instead of a crossJoin + argmin-aggregate + join-back.
     */
-  private def centroidArray(centroids: DataFrame): DataFrame =
+  private[graft] def centroidArray(centroids: DataFrame): DataFrame =
     centroids.agg(sort_array(collect_list(
       struct(col("cell"), col("centroid")))).as("cents"))
 
@@ -91,8 +91,8 @@ object VectorQueries {
     * argmin expression a second time per row (PushPredicateThroughNonJoin
     * substitutes project-level expressions into inferred filters).
     */
-  private def withCell(df: DataFrame, centArr: DataFrame,
-                       vec: Column): DataFrame =
+  private[graft] def withCell(df: DataFrame, centArr: DataFrame,
+                              vec: Column): DataFrame =
     df.crossJoin(broadcast(centArr))
       .withColumn("cell",
         coalesce(

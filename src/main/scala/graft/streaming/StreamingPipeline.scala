@@ -23,13 +23,20 @@ import graft.sources.{Layout, NeoSchema}
   * at backfill; the gold upsert is idempotent on its merge keys, so a
   * replayed batch converges to the same table.
   *
-  * Exactly-once boundary: the SILVER append inside foreachBatch is not
-  * transactional with the checkpoint commit — a crash after the append
-  * but before the commit replays the batch and duplicates those silver
-  * rows (gold stays correct: its merges dedup on keys). Closing that
-  * window needs a batchId-transactional sink (Delta/Iceberg `txnAppId` —
-  * jars not available offline here) or an idempotent silver merge on the
-  * natural key; documented rather than hidden.
+  * Exactly-once boundary: the sink inside foreachBatch is not
+  * transactional with the checkpoint commit, so a crash between sink
+  * write and commit REPLAYS the batch. Every write here is therefore
+  * IDEMPOTENT: gold merges on keys, and silver (since round 3) is a
+  * keyed merge + dynamic-partition overwrite of only the approach_date
+  * partitions present in the batch — a replay recomputes the identical
+  * partition contents and converges instead of appending duplicates
+  * (the round-2 blind append could double rows in that window). The
+  * residual non-atomicity is per-partition: a crash mid-overwrite can
+  * leave SOME of the batch's partitions updated, but each is replaced
+  * by a superset (existing ∪ batch merged on the natural key), so no
+  * state loses rows and the replay finishes the rest. A multi-partition
+  * atomic commit needs a table format with a transaction log
+  * (Delta/Iceberg — jars not available offline here).
   */
 object StreamingPipeline {
 
@@ -46,9 +53,15 @@ object StreamingPipeline {
     BronzeToSilver.flatten(feed)
   }
 
+  /** Natural key of one silver row: one close approach of one asteroid.
+    * This is what makes the streaming silver write replay-idempotent.
+    */
+  val silverKeys: Seq[String] = Seq("neo_reference_id", "approach_epoch")
+
   /** Start the continuous bronze→silver→gold pipeline. Each micro-batch
-    * appends its rows to silver (partitioned by approach_date) and
-    * merge-upserts all four gold tables.
+    * upserts its rows into silver (keyed merge + dynamic overwrite of
+    * only the touched approach_date partitions) and merge-upserts all
+    * four gold tables — every write idempotent under batch replay.
     */
   def start(spark: SparkSession, layout: Layout,
             checkpoint: String): StreamingQuery =
@@ -56,8 +69,25 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val silver = batch.localCheckpoint() // cut lineage once; reused 5×
-        silver.write.mode("append")
+        import org.apache.spark.sql.functions.col
+        val silver = batch.localCheckpoint() // cut lineage once; reused 6×
+        val path = new org.apache.hadoop.fs.Path(layout.silverAsteroids)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(path)) {
+            // partition values in this batch: bounded by the batch's date
+            // span (a handful) — driver-side metadata, not data
+            val dates = silver.select("approach_date").distinct()
+              .collect().map(_.getString(0)).toSeq
+            // explicit schema keeps approach_date a STRING on read (the
+            // partition-column type silver writes), so merge unions align
+            val existing = spark.read.schema(silver.schema)
+              .parquet(layout.silverAsteroids)
+              .filter(col("approach_date").isin(dates: _*))
+            MergeUpsert.merge(existing, silver, silverKeys)
+          } else silver
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy("approach_date")
           .parquet(layout.silverAsteroids)
         SilverToGold.tables.foreach { case (name, build, keys) =>

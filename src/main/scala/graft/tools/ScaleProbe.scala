@@ -43,6 +43,46 @@ object ScaleProbe {
     time("simhash")(Dedup.simhash60(docs, "doc_id", "text").count())
     time("lsh pairs")(Dedup.minhashCandidatePairs(docs, "doc_id", "text").count())
     time("exact groups")(Dedup.exactGroups(docs, "doc_id", "text").count())
+
+    // ── embedding near-dup blocking: fixed vs corpus-scaled cell count ──
+    // Replicas are ROTATIONS of the base vectors — rotations of i.i.d.
+    // random vectors are effectively independent, so the rehearsal grows
+    // the corpus without planting near-dup clusters; candidate volume is
+    // then driven purely by cell population. With cells fixed at 16 the
+    // within-cell pair count is O(n²/16); with cells = max(16, n/64) it
+    // is O(64·n) — the candidate COUNT column printed below is the
+    // direct evidence, wall time follows it.
+    import graft.operators.VectorQueries
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    for (m <- Seq(1, 5, 20)) {
+      val aug = (0 until m).map { i =>
+        val rot =
+          if (i == 0) col("embedding")
+          else concat(
+            slice(col("embedding"), lit(i + 1),
+              size(col("embedding")) - lit(i)),
+            slice(col("embedding"), lit(1), lit(i)))
+        emb.select((col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
+          rot.as("embedding"))
+      }.reduce(_ unionAll _).repartition(32)
+      def candCount(nCells: Long): Long = {
+        val centArr = VectorQueries.centroidArray(
+          emb.filter(col("vec_id") < nCells)
+            .select(col("vec_id").as("cell"),
+              col("embedding").as("centroid")))
+        val assigned = VectorQueries
+          .withCell(aug, centArr, col("embedding"))
+          .select(col("vec_id"), col("cell"))
+        val a = assigned.toDF("vec_a", "cell")
+        val b = assigned.toDF("vec_b", "cell")
+        a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b")).count()
+      }
+      val n = aug.count()
+      time(s"emb x$m fixed 16 cells")(candCount(16L))
+      time(s"emb x$m scaled ${math.max(16L, n / 64)} cells")(
+        candCount(math.max(16L, n / 64)))
+    }
     spark.stop()
   }
 }
