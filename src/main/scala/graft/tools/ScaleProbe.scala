@@ -83,6 +83,34 @@ object ScaleProbe {
       time(s"emb x$m scaled ${math.max(16L, n / 64)} cells")(
         candCount(math.max(16L, n / 64)))
     }
+
+    // assignment cost at a large cell count: flat argmin (n×C distance
+    // evals) vs the two-level coarse-then-fine descent (~C/fanout +
+    // probeGroups·fanout evals per row)
+    val augBig = (0 until 20).map { i =>
+      val rot =
+        if (i == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), lit(i + 1),
+            size(col("embedding")) - lit(i)),
+          slice(col("embedding"), lit(1), lit(i)))
+      emb.select((col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
+        rot.as("embedding"))
+    }.reduce(_ unionAll _).repartition(32)
+    for (bigCells <- Seq(math.max(16L, augBig.count() / 64) /* 625 */,
+                         2500L)) {
+      // centroids drawn across replicas (rotations are distinct vectors)
+      val perReplica = (bigCells + 19) / 20
+      val cents = augBig.filter(col("vec_id") % 10_000_000L < perReplica)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+      val fanout = math.max(8, math.sqrt(bigCells.toDouble).toInt)
+      time(s"assign flat $bigCells cells")(
+        VectorQueries.withCell(augBig,
+          VectorQueries.centroidArray(cents), col("embedding")).count())
+      time(s"assign 2-level $bigCells cells")(
+        VectorQueries.withCellTwoLevel(augBig, cents, col("embedding"),
+          fanout = fanout, probeGroups = 2).count())
+    }
     spark.stop()
   }
 }
