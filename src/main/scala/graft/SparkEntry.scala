@@ -30,7 +30,8 @@ object SparkEntry {
       operators.TextQueries.queries ++
       operators.VectorQueries.queries ++
       operators.EventQueries.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
@@ -40,5 +41,6 @@ object SparkEntry {
       operators.TextQueries.oracle ++
       operators.VectorQueries.oracle ++
       operators.EventQueries.oracle ++
-      operators.Multimodal.oracle
+      operators.Multimodal.oracle ++
+      operators.Curation.oracle
 }

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data curation operators over the `documents` table:
+  * reproducible sampling, train/valid/test splitting, and distribution
+  * profiling — the selection layer of a data pipeline, where
+  * reproducibility matters more than randomness quality.
+  *
+  * All selection is HASH-based (md5 of the stable doc id, the same
+  * arithmetic the dedup family uses — [[Dedup.hash32]]): the sample a
+  * doc falls in is a pure function of its id, so it is identical across
+  * engines, runs, partitionings, and cluster sizes — none of which is
+  * true of `rand()`-based sampling. Every query is a projection or a
+  * standard keyed aggregation; nothing funnels.
+  *
+  * Quantiles are computed in the DISTRIBUTED exact shape: aggregate to
+  * per-(group, value) counts FIRST (the only full-data pass — a plain
+  * hash agg), then run the cumulative window over the tiny distinct-value
+  * table. A window straight over the raw rows keyed by the handful of
+  * groups would funnel the whole table into a few tasks; after the
+  * pre-agg the window input is |distinct values| per group, which is
+  * what makes exact quantiles tractable at 100 TB.
+  */
+object Curation {
+
+  private val SAMPLE_SEED = 7
+  private val SAMPLE_PCT = 10          // q_sample_hash keeps ~10 %
+  private val STRATA_K = 5             // docs kept per language stratum
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Uniform hash bucket 0..99 of the doc id. */
+  private def bucket = Dedup.hash32(SAMPLE_SEED,
+    col("doc_id").cast("string")) % 100
+
+  private def bucketSql =
+    s"${Dedup.hash32Sql(SAMPLE_SEED, "CAST(doc_id AS VARCHAR)")} % 100"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── reproducible ~10 % sample ───────────────────────────────────────
+    "q_sample_hash" -> { (s, dir) =>
+      docs(s, dir)
+        .filter(bucket < SAMPLE_PCT)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
+
+    // ── 80/10/10 train/valid/test split, audited per language ───────────
+    // The split LABEL is what a pipeline persists; the per-(lang, split)
+    // counts are the auditable output (and catch stratification skew).
+    "q_train_test_split" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("split",
+          when(bucket < 80, lit("train"))
+            .when(bucket < 90, lit("valid"))
+            .otherwise(lit("test")))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ── stratified sample: K docs per language, hash-ranked ─────────────
+    // The window partitions by lang (low cardinality) but its input is
+    // only (lang, hash, doc_id) triples — and at scale the same result
+    // is a bounded_topk per group; K rows survive per stratum either way.
+    "q_stratified_sample" -> { (s, dir) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+      docs(s, dir)
+        .select(col("lang"), col("doc_id"), bucket.as("h"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= STRATA_K)
+        .select(col("lang"), col("doc_id"), col("rn"))
+    },
+
+    // ── exact length quantiles per language (discrete, all-integer) ─────
+    // quantile_disc semantics via cumulative counts over the pre-agg'd
+    // value table: p-quantile = smallest value with cum ≥ ⌈p·n⌉, applied
+    // with integer cross-multiplication (2·cum ≥ n ⟺ cum ≥ ⌈n/2⌉).
+    "q_quantiles" -> { (s, dir) =>
+      val byVal = docs(s, dir)
+        .groupBy(col("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("lang"))
+      byVal
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .groupBy(col("lang"))
+        .agg(max(col("n")).as("n_docs"),
+          min(when(col("cum") * 2 >= col("n"), col("n_chars")))
+            .as("p50_chars"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("n_chars")))
+            .as("p90_chars"),
+          max(col("n_chars")).as("max_chars"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sample_hash" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE $bucketSql < $SAMPLE_PCT""".stripMargin,
+
+    "q_train_test_split" ->
+      s"""WITH b AS (SELECT lang, $bucketSql AS bkt FROM documents)
+         |SELECT lang,
+         |  CASE WHEN bkt < 80 THEN 'train'
+         |       WHEN bkt < 90 THEN 'valid' ELSE 'test' END AS split,
+         |  count(*) AS n
+         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""WITH h AS (SELECT lang, doc_id, $bucketSql AS h FROM documents),
+         |r AS (SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY h ASC, doc_id ASC) AS rn
+         |  FROM h)
+         |SELECT lang, doc_id, rn FROM r WHERE rn <= $STRATA_K""".stripMargin,
+
+    "q_quantiles" ->
+      """WITH byval AS (SELECT lang, n_chars, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT lang, n_chars,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM byval)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+        |  min(CASE WHEN cum * 2 >= n THEN n_chars END) AS p50_chars,
+        |  min(CASE WHEN cum * 10 >= n * 9 THEN n_chars END) AS p90_chars,
+        |  max(n_chars) AS max_chars
+        |FROM cum GROUP BY lang""".stripMargin
+  )
+}

@@ -103,6 +103,43 @@ object EventQueries {
           element_at(m, "k").cast("long").as("k_val"))
     },
 
+    // ── as-of join: each event matched to the user's most recent order
+    // at-or-before the event timestamp. Spark has no native ASOF JOIN;
+    // the scalable shape is the UNION-AND-CARRY trick: tag both tables,
+    // sort once per user (orders before events at equal ts, orderkey
+    // ascending so the LAST qualifying order is the deterministic
+    // max-(date, orderkey) winner), and carry the latest order forward
+    // with last(_, ignoreNulls) — ONE shuffle + sort, no range fan-out
+    // (a naive t1.ts >= t2.ts join explodes into |events|·|orders|/user
+    // intermediate rows; this plan never materializes them).
+    "q_asof_join" -> { (s, dir) =>
+      val ev = loadEvents(s, dir).select(
+        col("user_id"), col("ms"), lit(1).as("kind"),
+        col("event_id"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"))
+      val ord = Tables.load(s, dir, "orders").select(
+        col("o_custkey").as("user_id"),
+        // o_orderdate is TIMESTAMP_NTZ; the session runs UTC, so the
+        // cast-to-TIMESTAMP epoch equals DuckDB's epoch_ms on the naive
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+        lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey"), col("o_totalprice"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms").asc, col("kind").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionByName(ord)
+        .withColumn("last_ord",
+          last(when(col("kind") === 0,
+            struct(col("o_orderkey"), col("o_totalprice"))),
+            ignoreNulls = true).over(w))
+        .filter(col("kind") === 1 && col("last_ord").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ms"),
+          col("last_ord.o_orderkey").as("o_orderkey"),
+          col("last_ord.o_totalprice").as("o_totalprice"))
+    },
+
     // ── scalable profile: approx_count_distinct (HLL). No oracleSql —
     // DuckDB's sketch differs, so the driver records the weaker
     // rows-only check; the exact-profile twin is q_profile_onepass.
@@ -149,6 +186,19 @@ object EventQueries {
         | array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events""".stripMargin,
+
+    // deterministic as-of: among orders with oms <= event ms, the winner
+    // is max (oms, orderkey) — mirrored by the Spark union-and-carry sort
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events),
+        |o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        epoch_ms(o_orderdate) AS oms FROM orders),
+        |j AS (SELECT e.event_id, e.user_id, e.ms, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.oms DESC, o.o_orderkey DESC) AS rn
+        |  FROM e JOIN o ON e.user_id = o.o_custkey AND o.oms <= e.ms)
+        |SELECT event_id, user_id, ms, o_orderkey, o_totalprice
+        |FROM j WHERE rn = 1""".stripMargin,
 
     "q_session_window" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
