@@ -65,17 +65,22 @@ object Curation {
     },
 
     // ── stratified sample: K docs per language, hash-ranked ─────────────
-    // The window partitions by lang (low cardinality) but its input is
-    // only (lang, hash, doc_id) triples — and at scale the same result
-    // is a bounded_topk per group; K rows survive per stratum either way.
+    // bounded_topk per stratum, NOT a window: a window partitioned by
+    // the handful of languages would funnel every row into a few tasks,
+    // while the k-capped aggregate combines map-side and ships ≤ K
+    // (hash, id) pairs per (task, lang). bounded_topk orders by
+    // (score, id) — exactly the (h asc, doc_id asc) rank the oracle's
+    // row_number uses, so the array position IS rn−1.
     "q_stratified_sample" -> { (s, dir) =>
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("h").asc, col("doc_id").asc)
       docs(s, dir)
         .select(col("lang"), col("doc_id"), bucket.as("h"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= STRATA_K)
-        .select(col("lang"), col("doc_id"), col("rn"))
+        .groupBy(col("lang"))
+        .agg(expr(s"bounded_topk(cast(h as double), doc_id, $STRATA_K)")
+          .as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .toDF("lang", "pos", "t")
+        .select(col("lang"), col("t.n").as("doc_id"),
+          (col("pos") + 1).as("rn"))
     },
 
     // ── exact length quantiles per language (discrete, all-integer) ─────

@@ -59,6 +59,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(native.contains("*(1)"), s"no WSCG stage in:\n$native")
   }
 
+  test("q_asof_join: union-and-carry — one sort shuffle, no range join") {
+    val plan = planOf(operators.EventQueries.queries("q_asof_join")(spark, sf))
+    // the naive formulation would show a BroadcastNestedLoopJoin (range
+    // predicate); the scalable shape is window-over-union: exactly one
+    // hashpartitioning exchange (user_id) and no join node at all
+    assert(!plan.contains("Join"), s"range join materialized:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"plan:\n$plan")
+  }
+
+  test("q_stratified_sample: bounded_topk per stratum, no window funnel") {
+    val plan = planOf(operators.Curation.queries("q_stratified_sample")(spark, sf))
+    assert(plan.contains("partial_bounded_topk"), s"no map-side combine:\n$plan")
+    assert(!plan.contains("Window"), s"window funnel:\n$plan")
+  }
+
   test("q_semi_join / q_anti_join lower to semi/anti hash joins") {
     val semi = planOf(RelationalQueries.queries("q_semi_join")(spark, sf))
     val anti = planOf(RelationalQueries.queries("q_anti_join")(spark, sf))
