@@ -207,23 +207,40 @@ object Dedup {
     */
   val SIMHASH_BITS = 60
 
-  /** 60-bit SimHash over distinct whitespace tokens — a pure projection:
-    * per-bit ±1 votes are `aggregate` folds over the in-row hash array,
-    * so the whole fingerprint needs no explode and no shuffle.
+  /** One row per doc with its distinct-token 60-bit hash array — the
+    * shared input of both simhash formulations. Pure projection.
     */
-  def simhash60(docs: DataFrame, id: String, text: String): DataFrame = {
-    val hs = docs.select(col(id).as("doc_id"),
+  private def tokenHashes(docs: DataFrame, id: String,
+                          text: String): DataFrame =
+    docs.select(col(id).as("doc_id"),
         TextFunctions.tokens(lower(col(text))).as("toks"))
       .filter(size(col("toks")) > 0) // cheap when pushed below the fan-out
       .select(col("doc_id"),
         transform(array_distinct(col("toks")), t => shingleHash(t)).as("hs"))
+
+  /** 60-bit SimHash over distinct whitespace tokens — a pure projection
+    * with the vote/assemble step fused into ONE native loop
+    * ([[graft.plans.SimHash60]], registered by GraftExtensions — the
+    * session must set `spark.sql.extensions`). No explode, no shuffle.
+    */
+  def simhash60(docs: DataFrame, id: String, text: String): DataFrame =
+    tokenHashes(docs, id, text)
+      .select(col("doc_id"),
+        call_function("simhash60", col("hs")).as("simhash"))
+
+  /** Reference formulation of [[simhash60]]: 60 per-bit `aggregate`
+    * folds (CodegenFallback — 60 interpreted passes per row). Kept as
+    * the equivalence oracle for the native expression, same pattern as
+    * [[graft.functions.VectorFunctions.cosineHof]].
+    */
+  def simhash60Hof(docs: DataFrame, id: String, text: String): DataFrame = {
     val fp = (0 until SIMHASH_BITS).map { i =>
       val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
         acc + when(shiftright(h, i).bitwiseAND(1) === 1, lit(1L))
           .otherwise(lit(-1L)))
       when(vote > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    hs.select(col("doc_id"), fp.as("simhash"))
+    tokenHashes(docs, id, text).select(col("doc_id"), fp.as("simhash"))
   }
 
   /** SimHash near-dup retrieval: band the 60-bit fingerprint into

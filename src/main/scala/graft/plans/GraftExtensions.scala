@@ -27,6 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children(0), children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "simhash60(hashes) takes 1 argument")
+        SimHash60(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("l2_sq"),
       new ExpressionInfo(classOf[L2SquaredDistance].getName, "l2_sq"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

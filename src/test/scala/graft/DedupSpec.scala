@@ -52,6 +52,14 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
   }
 
+  test("native simhash60 expression ≡ the 60-fold HOF reference") {
+    val native = Dedup.simhash60(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = Dedup.simhash60Hof(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === hof)
+  }
+
   test("lshVerifiedPairs: subset of exact jaccard pairs, finds true dups") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3,
       maxDf = 1000, thresholdPct = 60)
