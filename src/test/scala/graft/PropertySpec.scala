@@ -71,6 +71,70 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(df.filter(q < 0 || q > 100).count() === 0)
   }
 
+  test("property: as-of union-and-carry ≡ naive range-join + argmax") {
+    val rnd = new scala.util.Random(11)
+    // random events and orders over a handful of users and a tight ts
+    // range so ties and no-match cases both occur
+    val events = Seq.tabulate(120)(i =>
+      (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(40).toLong))
+      .toDF("event_id", "user_id", "ms")
+    val orders = Seq.tabulate(60)(i =>
+      (1000L + i, rnd.nextInt(8).toLong, rnd.nextInt(40).toLong))
+      .toDF("o_orderkey", "user_id", "oms")
+    // naive truth: all qualifying orders, keep max (oms, orderkey)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id"))
+      .orderBy(col("oms").desc, col("o_orderkey").desc)
+    val naive = events.join(orders, Seq("user_id"))
+      .filter(col("oms") <= col("ms"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("o_orderkey"))
+      .as[(Long, Long)].collect().toMap
+    // union-and-carry (the q_asof_join shape)
+    val ev = events.select(col("user_id"), col("ms"), lit(1).as("kind"),
+      col("event_id"), lit(null).cast("long").as("o_orderkey"))
+    val ord = orders.select(col("user_id"), col("oms").as("ms"),
+      lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+      col("o_orderkey"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("kind").asc, col("o_orderkey").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val carried = ev.unionByName(ord)
+      .withColumn("last_ok",
+        last(when(col("kind") === 0, col("o_orderkey")),
+          ignoreNulls = true).over(wc))
+      .filter(col("kind") === 1 && col("last_ok").isNotNull)
+      .select(col("event_id"), col("last_ok"))
+      .as[(Long, Long)].collect().toMap
+    assert(carried === naive)
+  }
+
+  test("property: hash split is a disjoint-exhaustive partition") {
+    val ids = (0L until 2000L).toDF("doc_id")
+    val bucket = graft.operators.Dedup.hash32(7,
+      col("doc_id").cast("string")) % 100
+    val labeled = ids.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "valid")
+        .otherwise("test"))
+    // every row gets exactly one label; counts are reproducible
+    assert(labeled.filter(col("split").isNull).count() === 0)
+    assert(labeled.count() === 2000)
+    val counts = labeled.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 2000)
+    // rough proportions (hash is uniform; generous tolerance)
+    assert(counts("train") > 1400 && counts("train") < 1800)
+    // re-evaluation is bit-identical (pure function of the id)
+    val again = ids.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "valid")
+        .otherwise("test")).groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(again === counts)
+  }
+
   test("property: rolling hash is order-sensitive and deterministic") {
     val word: Gen[String] = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)
     val pairs = samples(Gen.zip(word, word), 200, seed = 7)
