@@ -308,6 +308,23 @@ object RelationalQueries {
             / col("n")).as("var_pop"))
     },
 
+    // ── explicit salted skew join, oracle-checked: the salt only changes
+    // the PHYSICAL shuffle (hot keys spread over `salt` reducers); the
+    // logical result is row-identical to the plain inner join, which is
+    // exactly what the DuckDB oracle computes. The post-join aggregate
+    // makes the compare deterministic.
+    "q_salted_join" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      SkewJoin.saltedInnerJoin(li, ord, Seq("l_orderkey"), salt = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"))
+    },
+
     // ── S7: SQL serving surface — the same TPC-H Q3-flavor plan Catalyst
     // builds from the DataFrame API, but authored as spark.sql text over
     // temp views (the reference serves gold via SQL; streamlit_app.py:35-53).
@@ -499,6 +516,12 @@ object RelationalQueries {
         |SELECT l_returnflag, n, sum_x / n AS mean,
         | (sum_x2 - sum_x * sum_x / n) / n AS var_pop
         |FROM s""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
 
     "q_sql_serving" ->
       """SELECT l_orderkey, o_orderdate,

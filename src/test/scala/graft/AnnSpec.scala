@@ -24,6 +24,30 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(mean >= 80.0, s"mean recall $mean < 80; per-query: ${recalls.toSeq}")
   }
 
+  test("KMeans-refined centroids plug into IVF assignment and improve WCSS") {
+    import graft.operators.{KMeans, VectorQueries}
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seeds = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val refined = Graft.fitCentroids(emb, seeds, iters = 3)
+    // the fitted centroids are a drop-in for the IVF in-row assignment:
+    // every vector lands in a real fitted cell
+    val assigned = VectorQueries.withCell(emb,
+        VectorQueries.centroidArray(refined), col("embedding"))
+      .select("vec_id", "cell")
+    assert(assigned.count() === emb.count())
+    val cells = refined.select("cell").collect().map(_.getLong(0)).toSet
+    assert(assigned.filter(!col("cell").isin(cells.toSeq: _*)).count() === 0)
+    // and they are a strictly better quantizer than the raw seeds
+    // (Lloyd's objective is non-increasing; on this data it strictly
+    // improves within 3 iterations)
+    def wcssOf(c: org.apache.spark.sql.DataFrame): Double =
+      KMeans.wcss(emb, c).collect().head.getDouble(0)
+    assert(wcssOf(refined) < wcssOf(seeds))
+  }
+
   test("q_ann_ivf_topk: projection-based assignment — no SMJ, broadcast probes") {
     val plan = VectorQueries.queries("q_ann_ivf_topk")(spark, sf)
       .queryExecution.executedPlan.toString
