@@ -140,19 +140,42 @@ object Dedup {
     }
   }
 
+  /** One row per doc with its mod-p base-hash array (single md5 per
+    * shingle) — the shared input of both signature formulations.
+    */
+  private def baseHashes(docs: DataFrame, id: String, text: String,
+                         k: Int): DataFrame =
+    shingleArrays(docs, id, text, k)
+      .select(col("doc_id"),
+        transform(col("shingles"), s => hash32(0, s) % P).as("hm"))
+
   /** MinHash signatures: one row per doc, columns mh0..mh{n-1}.
-    * Entirely shuffle-free: base hashes via one `transform` (single md5
-    * per shingle), then each signature slot is an `array_min` over an
-    * affine `transform` of the same in-row array.
+    * Entirely shuffle-free, with all n slots computed in ONE fused
+    * native loop ([[graft.plans.MinHashAffine]], registered by
+    * GraftExtensions — the session must set `spark.sql.extensions`);
+    * the per-slot columns are cheap element_at extracts.
     */
   def minhashSignatures(docs: DataFrame, id: String, text: String,
                         k: Int = 3, numHashes: Int = 16): DataFrame = {
-    val hm = shingleArrays(docs, id, text, k)
+    val sig = baseHashes(docs, id, text, k)
       .select(col("doc_id"),
-        transform(col("shingles"), s => hash32(0, s) % P).as("hm"))
+        call_function("minhash_affine", col("hm"), lit(numHashes))
+          .as("sig"))
+    sig.select(col("doc_id") +:
+      (0 until numHashes).map(i =>
+        element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+  }
+
+  /** Reference formulation of [[minhashSignatures]]: one
+    * `array_min(transform(...))` higher-order pass PER SLOT
+    * (CodegenFallback — n interpreted passes per row). Kept as the
+    * equivalence oracle for the native expression.
+    */
+  def minhashSignaturesHof(docs: DataFrame, id: String, text: String,
+                           k: Int = 3, numHashes: Int = 16): DataFrame = {
     val sigs = (0 until numHashes).map(i =>
       array_min(transform(col("hm"), h => affine(i, h))).as(s"mh$i"))
-    hm.select(col("doc_id") +: sigs: _*)
+    baseHashes(docs, id, text, k).select(col("doc_id") +: sigs: _*)
   }
 
   /** One row per (doc, band) with the band's key = md5 over its signature

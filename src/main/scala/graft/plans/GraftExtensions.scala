@@ -27,6 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children(0), children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("minhash_affine"),
+      new ExpressionInfo(classOf[MinHashAffine].getName, "minhash_affine"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "minhash_affine(hashes, n) takes 2 arguments")
+        MinHashAffine(children(0), children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

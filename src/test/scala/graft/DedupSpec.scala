@@ -52,6 +52,17 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
   }
 
+  test("native minhash_affine expression ≡ the per-slot HOF reference") {
+    def sigsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until 8).map(i => r.getAs[Long](s"mh$i"))).toMap
+    val native = sigsOf(Dedup.minhashSignatures(docs, "doc_id", "text",
+      k = 3, numHashes = 8))
+    val hof = sigsOf(Dedup.minhashSignaturesHof(docs, "doc_id", "text",
+      k = 3, numHashes = 8))
+    assert(native === hof)
+  }
+
   test("native simhash60 expression ≡ the 60-fold HOF reference") {
     val native = Dedup.simhash60(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
