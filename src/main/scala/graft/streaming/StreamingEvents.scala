@@ -108,4 +108,34 @@ object StreamingEvents {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream inner join: match each `action` event to the same
+    * user's `trigger` event within `withinMs` AFTER the trigger — e.g.
+    * click-to-conversion attribution. Both sides carry watermarks and
+    * the join condition bounds the time skew, so Spark can size the join
+    * state buffers and EVICT rows once the watermark passes — the two
+    * requirements that make an unbounded stream-stream join runnable
+    * (an unconstrained one would buffer both streams forever).
+    */
+  def attributionJoin(triggers: DataFrame, actions: DataFrame,
+                      withinMs: Long = 30L * 60 * 1000): DataFrame = {
+    // rename FIRST, then watermark the renamed column: withWatermark
+    // tags the attribute it is given, and a later alias produces a new
+    // attribute without the event-time tag
+    val t = triggers
+      .select(col("user_id"), col("event_id").as("trigger_id"),
+        col("ts").as("trigger_ts"))
+      .withWatermark("trigger_ts", "2 hours")
+    val a = actions
+      .select(col("user_id").as("a_user_id"),
+        col("event_id").as("action_id"), col("ts").as("action_ts"))
+      .withWatermark("action_ts", "2 hours")
+    t.join(a,
+      col("user_id") === col("a_user_id") &&
+        col("action_ts") >= col("trigger_ts") &&
+        col("action_ts") <=
+          col("trigger_ts") + expr(s"INTERVAL ${withinMs / 1000} SECONDS"))
+      .select(col("user_id"), col("trigger_id"), col("action_id"),
+        col("trigger_ts"), col("action_ts"))
+  }
 }

@@ -58,6 +58,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(second === first)
   }
 
+  test("attributionJoin: stream-stream join matches within the time bound") {
+    val trig = MemoryStream[Event](spark)
+    val act = MemoryStream[Event](spark)
+    val q = StreamingEvents.attributionJoin(trig.toDF(), act.toDF(),
+        withinMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    // times offset from epoch 0: the initial watermark IS epoch 0, and
+    // rows AT the watermark sit on the late/eviction boundary
+    trig.addData(
+      Event(1, ts(1000), 1, "click", 0.0),
+      Event(2, ts(1000), 2, "click", 0.0))
+    act.addData(
+      Event(101, ts(1010), 1, "buy", 9.0), // within 30 min of trigger 1
+      Event(102, ts(1045), 2, "buy", 9.0), // outside the 30-min bound
+      Event(103, ts(1005), 3, "buy", 9.0)) // no trigger for this user
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("attr")
+      .select(col("user_id"), col("trigger_id"), col("action_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 1L, 101L)))
+  }
+
   test("hourlyCounts: watermarked tumbling windows finalize in append mode") {
     val in = MemoryStream[Event](spark)
     val q = StreamingEvents.hourlyCounts(in.toDF())
