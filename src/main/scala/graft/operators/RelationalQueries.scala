@@ -325,6 +325,28 @@ object RelationalQueries {
             .as("sum_qty"))
     },
 
+    // ── bucketed co-located join, oracle-checked: both sides written
+    // bucketed+sorted on the join key (the shuffle paid ONCE at write
+    // time), then joined exchange-free (BucketingSpec pins the plan has
+    // no hashpartitioning on either side). Logical result ≡ the plain
+    // join, which is the DuckDB oracle.
+    "q_bucketed_join" -> { (s, dir) =>
+      Bucketing.writeBucketed(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice")),
+        "graft_bkt_lineitem", "l_orderkey", 8)
+      Bucketing.writeBucketed(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        "graft_bkt_orders", "l_orderkey", 8)
+      Bucketing.bucketedJoin(s, "graft_bkt_lineitem", "graft_bkt_orders",
+          "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double").as("sum_price"))
+    },
+
     // ── S7: SQL serving surface — the same TPC-H Q3-flavor plan Catalyst
     // builds from the DataFrame API, but authored as spark.sql text over
     // temp views (the reference serves gold via SQL; streamlit_app.py:35-53).
@@ -516,6 +538,12 @@ object RelationalQueries {
         |SELECT l_returnflag, n, sum_x / n AS mean,
         | (sum_x2 - sum_x * sum_x / n) / n AS var_pop
         |FROM s""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n,
