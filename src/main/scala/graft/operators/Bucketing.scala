@@ -14,14 +14,27 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed table (overwriting). */
+  /** Write `df` as a bucketed+sorted managed table (overwriting). Also
+    * clears any ORPHANED location first: with the default in-memory
+    * catalog a fresh session forgets the table but its warehouse
+    * directory survives, and saveAsTable then refuses with
+    * LOCATION_ALREADY_EXISTS (a persistent metastore doesn't have this
+    * failure mode — the table stays known and Overwrite just works).
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key — exchange-free
     * when bucket counts match.

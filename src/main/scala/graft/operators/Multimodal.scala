@@ -173,6 +173,43 @@ object Multimodal {
       m.bytes.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }))
   }
 
+  // ── perceptual average-hash ──────────────────────────────────────────
+
+  /** aHash sample count / fingerprint width. 60 (not 64) for the same
+    * reason as [[Dedup.SIMHASH_BITS]]: the value stays non-negative in a
+    * signed 64-bit integer in both engines.
+    */
+  val AHASH_BITS = 60
+
+  /** Perceptual average-hash over the payload: sample AHASH_BITS bytes
+    * at a fixed stride, bit_i = sample_i > integer-mean of the samples.
+    * This is the classic aHash shape (a real image pipeline feeds it
+    * decoded grayscale pixels; here the samples are payload bytes — the
+    * fingerprint arithmetic, banding compatibility with
+    * [[Dedup.simhashNearDupPairs]]-style retrieval, and oracle parity
+    * are the point). All-integer; byte access happens on the hex
+    * encoding for DuckDB parity (production form: `substring(bytes, p, 1)`
+    * directly).
+    */
+  def aHash(bytes: Column): Column = {
+    // integer division via floor: operands stay far below 2^53, so the
+    // double detour is exact and matches DuckDB's `//`
+    def idiv(a: Column, b: Long): Column = floor(a / lit(b)).cast("long")
+    val hx = hex(bytes)
+    val n = length(bytes).cast("long")
+    val stride = greatest(lit(1L), idiv(n, AHASH_BITS.toLong))
+    def sample(i: Int): Column = {
+      val p = least(lit(1L) + lit(i.toLong) * stride, n)
+      conv(hx.substr(((p - lit(1L)) * 2 + 1).cast("int"), lit(2)), 16, 10)
+        .cast("long")
+    }
+    val samples = (0 until AHASH_BITS).map(sample)
+    val mean = idiv(samples.reduce(_ + _), AHASH_BITS.toLong)
+    samples.zipWithIndex.map { case (s, i) =>
+      when(s > mean, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   // ── declared queries + oracle ────────────────────────────────────────
 
   private def mediaOf(s: SparkSession, dir: String): DataFrame =
@@ -207,6 +244,14 @@ object Multimodal {
         .groupBy(fingerprint(col("bytes")).as("fp"))
         .agg(min(col("media_id")).as("keep_id"),
           count(lit(1)).as("n_dups"))
+    },
+
+    // perceptual average-hash fingerprints (near-dup retrieval banding
+    // compatible with the SimHash machinery)
+    "q_media_ahash" -> { (s, dir) =>
+      mediaOf(s, dir)
+        .filter(length(col("bytes")) > 0)
+        .select(col("media_id"), aHash(col("bytes")).as("ahash"))
     }
   )
 
@@ -246,6 +291,26 @@ object Multimodal {
       s"""WITH $mediaCte
          |SELECT sha256(hex(bytes)) AS fp, min(media_id) AS keep_id,
          |  count(*) AS n_dups
-         |FROM media GROUP BY 1""".stripMargin
+         |FROM media GROUP BY 1""".stripMargin,
+
+    "q_media_ahash" -> {
+      def sampleSql(i: Int) =
+        s"CAST(('0x' || substr(hx, CAST(((least(1 + $i * stride, n) - 1) * 2 + 1) AS INT), 2)) AS BIGINT)"
+      val samples = (0 until AHASH_BITS).map(sampleSql)
+      val sum = samples.mkString("(", " + ", ")")
+      val bits = samples.zipWithIndex.map { case (s, i) =>
+        s"(CASE WHEN $s > m THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH $mediaCte,
+         |m2 AS (SELECT media_id, hex(bytes) AS hx,
+         |    CAST(octet_length(bytes) AS BIGINT) AS n,
+         |    greatest(1, CAST(octet_length(bytes) AS BIGINT) // $AHASH_BITS) AS stride
+         |  FROM media WHERE octet_length(bytes) > 0),
+         |withmean AS (SELECT media_id, hx, n, stride,
+         |    $sum // $AHASH_BITS AS m
+         |  FROM m2)
+         |SELECT media_id, CAST($bits AS BIGINT) AS ahash
+         |FROM withmean""".stripMargin
+    }
   )
 }

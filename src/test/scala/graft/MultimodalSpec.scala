@@ -88,4 +88,26 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(d.mean_byte > 0.0)
     }
   }
+
+  test("aHash: identical payloads equal; unsampled-byte edits invisible; sampled edits local") {
+    // length 600 ⇒ stride 10 ⇒ sampled 1-based positions 1, 11, 21, …
+    // varied byte values: mean-relative bits need spread samples (a
+    // uniform payload puts every sample AT the mean, where a one-byte
+    // edit flips all 60 bits — the classic aHash degenerate case)
+    val base = Array.tabulate(600)(i => ((i * 37) % 251).toByte)
+    val editUnsampled = base.clone(); editUnsampled(5) = 'Z'.toByte  // pos 6
+    val editSampled = base.clone(); editSampled(10) = 0.toByte      // pos 11
+    val df = Seq(
+      (1L, base), (2L, base.clone()),
+      (3L, editUnsampled), (4L, editSampled)
+    ).toDF("media_id", "bytes")
+    val hashes = df.select(col("media_id"),
+        Multimodal.aHash(col("bytes")).as("ahash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hashes(1L) === hashes(2L))           // deterministic
+    assert(hashes(1L) === hashes(3L))           // stride skips the edit
+    assert(hashes(1L) !== hashes(4L))           // a sampled byte changed…
+    assert(hamming(hashes(1L), hashes(4L)) <= 8) // …but the damage is local
+  }
 }
