@@ -278,28 +278,42 @@ object Dedup {
     * stays sparse as the corpus grows.
     */
   def simhashNearDupPairs(docs: DataFrame, id: String, text: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(simhash60(docs, id, text), "doc_id", "simhash",
+      SIMHASH_BITS, maxHamming)
+      .toDF("doc_a", "doc_b", "hamming")
+
+  /** Generic banded hamming retrieval over ANY integer fingerprint
+    * column (SimHash over text, aHash over media, …): band the `bits`-
+    * wide fingerprint into `maxHamming + 1` equal slices (pigeonhole:
+    * a pair within hamming h differs in ≤ h bands, so some band matches
+    * exactly), join on band collisions, verify with exact
+    * `bit_count(xor)`. Output: (<id>_a, <id>_b, hamming). The
+    * fingerprint table is persisted (registered — see [[CacheRegistry]])
+    * because both join sides read it.
+    */
+  def bandedHammingPairs(fps0: DataFrame, id: String, fp: String,
+                         bits: Int, maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
-    require(maxHamming >= 0 && SIMHASH_BITS % bands == 0,
-      s"maxHamming=$maxHamming needs $bands equal bands out of " +
-        s"$SIMHASH_BITS bits; supported radii: 0,1,2,3,4,5,9,11,14,19,29,59")
-    val width = SIMHASH_BITS / bands
+    require(maxHamming >= 0 && bits % bands == 0,
+      s"maxHamming=$maxHamming needs $bands equal bands out of $bits bits")
+    val width = bits / bands
     val mask = (1L << width) - 1
     val fps = CacheRegistry.register(
-      simhash60(docs, id, text).persist(StorageLevel.MEMORY_AND_DISK))
+      fps0.select(col(id).as("id"), col(fp).as("fp"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     fps.count() // eager fill: both band-join sides read it
-    val banded = fps.select(col("doc_id"), col("simhash"),
+    val banded = fps.select(col("id"), col("fp"),
         posexplode(array((0 until bands).map(b =>
-          shiftright(col("simhash"), b * width).bitwiseAND(mask)): _*)))
-      .toDF("doc_id", "simhash", "band", "bkey")
+          shiftright(col("fp"), b * width).bitwiseAND(mask)): _*)))
+      .toDF("id", "fp", "band", "bkey")
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.bkey") === col("b.bkey") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-          .as("hamming"))
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as(s"${id}_a"), col("b.id").as(s"${id}_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

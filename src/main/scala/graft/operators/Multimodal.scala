@@ -252,6 +252,18 @@ object Multimodal {
       mediaOf(s, dir)
         .filter(length(col("bytes")) > 0)
         .select(col("media_id"), aHash(col("bytes")).as("ahash"))
+    },
+
+    // perceptual near-dup retrieval: the generic banded-hamming
+    // machinery ([[Dedup.bandedHammingPairs]]) applied to media aHashes —
+    // candidates from band collisions, exact bit_count(xor) verify
+    "q_media_neardup" -> { (s, dir) =>
+      val fps = mediaOf(s, dir)
+        .filter(length(col("bytes")) > 0)
+        .select(col("media_id"), aHash(col("bytes")).as("ahash"))
+      Dedup.bandedHammingPairs(fps, "media_id", "ahash", AHASH_BITS,
+          maxHamming = 3)
+        .toDF("media_a", "media_b", "hamming")
     }
   )
 
@@ -266,6 +278,28 @@ object Multimodal {
        |       WHEN doc_id % 3 = 1 THEN unhex('$RIFF_MAGIC_HEX') || encode(text)
        |       ELSE encode(text) END AS bytes
        |  FROM documents)""".stripMargin
+
+  /** CTE chain (appended after `media`) ending in `ah(media_id, ahash)` —
+    * the SQL twin of [[aHash]].
+    */
+  private val aHashCtes: String = {
+    def sampleSql(i: Int) =
+      s"CAST(('0x' || substr(hx, CAST(((least(1 + $i * stride, n) - 1) * 2 + 1) AS INT), 2)) AS BIGINT)"
+    val samples = (0 until AHASH_BITS).map(sampleSql)
+    val sum = samples.mkString("(", " + ", ")")
+    val bits = samples.zipWithIndex.map { case (s, i) =>
+      s"(CASE WHEN $s > m THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""m2 AS (SELECT media_id, hex(bytes) AS hx,
+       |    CAST(octet_length(bytes) AS BIGINT) AS n,
+       |    greatest(1, CAST(octet_length(bytes) AS BIGINT) // $AHASH_BITS) AS stride
+       |  FROM media WHERE octet_length(bytes) > 0),
+       |withmean AS (SELECT media_id, hx, n, stride,
+       |    $sum // $AHASH_BITS AS m
+       |  FROM m2),
+       |ah AS (SELECT media_id, CAST($bits AS BIGINT) AS ahash
+       |  FROM withmean)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q_media_catalog" ->
@@ -293,24 +327,25 @@ object Multimodal {
          |  count(*) AS n_dups
          |FROM media GROUP BY 1""".stripMargin,
 
-    "q_media_ahash" -> {
-      def sampleSql(i: Int) =
-        s"CAST(('0x' || substr(hx, CAST(((least(1 + $i * stride, n) - 1) * 2 + 1) AS INT), 2)) AS BIGINT)"
-      val samples = (0 until AHASH_BITS).map(sampleSql)
-      val sum = samples.mkString("(", " + ", ")")
-      val bits = samples.zipWithIndex.map { case (s, i) =>
-        s"(CASE WHEN $s > m THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
-      }.mkString(" + ")
+    "q_media_ahash" ->
       s"""WITH $mediaCte,
-         |m2 AS (SELECT media_id, hex(bytes) AS hx,
-         |    CAST(octet_length(bytes) AS BIGINT) AS n,
-         |    greatest(1, CAST(octet_length(bytes) AS BIGINT) // $AHASH_BITS) AS stride
-         |  FROM media WHERE octet_length(bytes) > 0),
-         |withmean AS (SELECT media_id, hx, n, stride,
-         |    $sum // $AHASH_BITS AS m
-         |  FROM m2)
-         |SELECT media_id, CAST($bits AS BIGINT) AS ahash
-         |FROM withmean""".stripMargin
+         |$aHashCtes
+         |SELECT media_id, ahash FROM ah""".stripMargin,
+
+    "q_media_neardup" -> {
+      val width = AHASH_BITS / 4
+      val mask = (1L << width) - 1
+      s"""WITH $mediaCte,
+         |$aHashCtes,
+         |banded AS (SELECT media_id, ahash, bands.band,
+         |    (ahash >> (bands.band * $width)) & $mask AS bkey
+         |  FROM ah, (SELECT unnest(range(4)) AS band) bands),
+         |cand AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         |    bit_count(xor(a.ahash, b.ahash)) AS hamming
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id)
+         |SELECT media_a, media_b, hamming FROM cand
+         |WHERE hamming <= 3""".stripMargin
     }
   )
 }
