@@ -191,23 +191,39 @@ object Multimodal {
     * encoding for DuckDB parity (production form: `substring(bytes, p, 1)`
     * directly).
     */
-  def aHash(bytes: Column): Column = {
+  /** (media_id, ahash) for every non-empty payload.
+    *
+    * STAGED as four projections on purpose: a single Column expression
+    * would duplicate `hex(bytes)` into all 60 samples and every sample
+    * into the mean AND its bit term — a multiplicative expression
+    * blowup that codegen cannot deduplicate (first cut of this ran 30×
+    * slower). Binding each intermediate to a column makes every hex /
+    * sample / mean evaluate exactly once per row; CollapseProject leaves
+    * non-cheap expressions used more than once alone.
+    */
+  def aHashed(media: DataFrame): DataFrame = {
     // integer division via floor: operands stay far below 2^53, so the
     // double detour is exact and matches DuckDB's `//`
     def idiv(a: Column, b: Long): Column = floor(a / lit(b)).cast("long")
-    val hx = hex(bytes)
-    val n = length(bytes).cast("long")
-    val stride = greatest(lit(1L), idiv(n, AHASH_BITS.toLong))
-    def sample(i: Int): Column = {
-      val p = least(lit(1L) + lit(i.toLong) * stride, n)
-      conv(hx.substr(((p - lit(1L)) * 2 + 1).cast("int"), lit(2)), 16, 10)
-        .cast("long")
-    }
-    val samples = (0 until AHASH_BITS).map(sample)
-    val mean = idiv(samples.reduce(_ + _), AHASH_BITS.toLong)
-    samples.zipWithIndex.map { case (s, i) =>
-      when(s > mean, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val base = media
+      .filter(length(col("bytes")) > 0)
+      .select(col("media_id"), hex(col("bytes")).as("hx"),
+        length(col("bytes")).cast("long").as("n"))
+      .withColumn("stride",
+        greatest(lit(1L), idiv(col("n"), AHASH_BITS.toLong)))
+    val sampled = base.select(col("media_id") +:
+      (0 until AHASH_BITS).map { i =>
+        val p = least(lit(1L) + lit(i.toLong) * col("stride"), col("n"))
+        conv(col("hx").substr(((p - lit(1L)) * 2 + 1).cast("int"), lit(2)),
+          16, 10).cast("long").as(s"s$i")
+      }: _*)
+    val withMean = sampled.withColumn("m",
+      idiv((0 until AHASH_BITS).map(i => col(s"s$i")).reduce(_ + _),
+        AHASH_BITS.toLong))
+    withMean.select(col("media_id"),
+      (0 until AHASH_BITS).map { i =>
+        when(col(s"s$i") > col("m"), lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _).as("ahash"))
   }
 
   // ── declared queries + oracle ────────────────────────────────────────
@@ -248,21 +264,14 @@ object Multimodal {
 
     // perceptual average-hash fingerprints (near-dup retrieval banding
     // compatible with the SimHash machinery)
-    "q_media_ahash" -> { (s, dir) =>
-      mediaOf(s, dir)
-        .filter(length(col("bytes")) > 0)
-        .select(col("media_id"), aHash(col("bytes")).as("ahash"))
-    },
+    "q_media_ahash" -> { (s, dir) => aHashed(mediaOf(s, dir)) },
 
     // perceptual near-dup retrieval: the generic banded-hamming
     // machinery ([[Dedup.bandedHammingPairs]]) applied to media aHashes —
     // candidates from band collisions, exact bit_count(xor) verify
     "q_media_neardup" -> { (s, dir) =>
-      val fps = mediaOf(s, dir)
-        .filter(length(col("bytes")) > 0)
-        .select(col("media_id"), aHash(col("bytes")).as("ahash"))
-      Dedup.bandedHammingPairs(fps, "media_id", "ahash", AHASH_BITS,
-          maxHamming = 3)
+      Dedup.bandedHammingPairs(aHashed(mediaOf(s, dir)),
+          "media_id", "ahash", AHASH_BITS, maxHamming = 3)
         .toDF("media_a", "media_b", "hamming")
     }
   )

@@ -101,8 +101,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       (1L, base), (2L, base.clone()),
       (3L, editUnsampled), (4L, editSampled)
     ).toDF("media_id", "bytes")
-    val hashes = df.select(col("media_id"),
-        Multimodal.aHash(col("bytes")).as("ahash"))
+    val hashes = Multimodal.aHashed(df)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hashes(1L) === hashes(2L))           // deterministic
