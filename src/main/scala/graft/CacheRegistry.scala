@@ -25,20 +25,24 @@ import org.apache.spark.sql.Dataset
   */
 object CacheRegistry {
 
-  private val handles = mutable.ArrayBuffer.empty[Dataset[_]]
+  // keyed by the analyzed plan's semantic hash: repeated calls with
+  // identical inputs share one CacheManager entry (plan-deduped by
+  // Spark), so keeping one handle per PLAN — not per call — stops the
+  // registry itself from growing in a long-lived serving process
+  private val handles = mutable.LinkedHashMap.empty[Int, Dataset[_]]
 
   /** Record a persisted Dataset for later release; returns it unchanged. */
   def register[T](ds: Dataset[T]): Dataset[T] = synchronized {
-    handles += ds
+    handles.put(ds.queryExecution.analyzed.semanticHash(), ds)
     ds
   }
 
   /** Unpersist every registered Dataset and clear the registry. */
   def releaseAll(): Unit = synchronized {
-    handles.foreach(_.unpersist(blocking = false))
+    handles.values.foreach(_.unpersist(blocking = false))
     handles.clear()
   }
 
   /** Number of currently registered handles (for specs/diagnostics). */
-  def size: Int = synchronized(handles.length)
+  def size: Int = synchronized(handles.size)
 }

@@ -77,20 +77,19 @@ object Graft {
 
   /** Deterministic ~pct% sample keyed on md5 of the id column — same
     * rows on every engine, run, and partitioning (unlike rand()).
+    * Delegates to [[operators.Curation.hashBucket]], the single
+    * definition the oracle-checked queries also use.
     */
   def hashSample(df: DataFrame, idCol: String, pct: Int,
                  seed: Int = 7): DataFrame = {
     import org.apache.spark.sql.functions.col
-    df.filter(Dedup.hash32(seed, col(idCol).cast("string")) % 100 < pct)
+    df.filter(Curation.hashBucket(col(idCol), seed) < pct)
   }
 
   /** Add a reproducible train/valid/test label (80/10/10 hash buckets). */
   def withSplit(df: DataFrame, idCol: String, seed: Int = 7): DataFrame = {
-    import org.apache.spark.sql.functions.{col, when, lit}
-    val bucket = Dedup.hash32(seed, col(idCol).cast("string")) % 100
-    df.withColumn("split",
-      when(bucket < 80, lit("train")).when(bucket < 90, lit("valid"))
-        .otherwise(lit("test")))
+    import org.apache.spark.sql.functions.col
+    df.withColumn("split", Curation.splitLabel(col(idCol), seed))
   }
 
   // ── similarity / text / media ────────────────────────────────────────

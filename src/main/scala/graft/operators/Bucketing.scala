@@ -23,10 +23,18 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit = {
+    // unqualified names only: the orphan-location path below is derived
+    // as <warehouse>/<lowercased name>, which is the managed-table rule
+    // for the default database — a db-qualified name lives under
+    // <warehouse>/<db>.db/ and would make the derivation (and delete!)
+    // target the wrong directory
+    require(!table.contains("."),
+      s"writeBucketed takes an unqualified table name, got '$table'")
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(loc, true)
     df.write.mode(SaveMode.Overwrite)

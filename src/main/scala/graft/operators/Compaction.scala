@@ -24,8 +24,8 @@ object Compaction {
               lockStaleMs: Long = 10L * 60 * 1000): Int = {
     val fsPath = new Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path + "__compact_tmp")
-    val old = new Path(path + "__compact_old")
+    val tmp = DirSwap.hiddenSibling(fsPath, "__compact_tmp")
+    val old = DirSwap.hiddenSibling(fsPath, "__compact_old")
     // same lock as the merge: a compaction racing a merge on one path
     // would interleave renames, so they serialize (or fail fast)
     DirSwap.acquireLock(fs, fsPath, lockStaleMs)

@@ -35,9 +35,23 @@ object Curation {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Uniform hash bucket 0..99 of the doc id. */
-  private def bucket = Dedup.hash32(SAMPLE_SEED,
-    col("doc_id").cast("string")) % 100
+  /** Uniform hash bucket 0..99 of an id column — THE single definition
+    * of the selection arithmetic; the [[graft.Graft]] facade and the
+    * oracle-checked queries both route through it so they cannot drift.
+    */
+  def hashBucket(idCol: org.apache.spark.sql.Column,
+                 seed: Int = SAMPLE_SEED): org.apache.spark.sql.Column =
+    Dedup.hash32(seed, idCol.cast("string")) % 100
+
+  /** The 80/10/10 train/valid/test label for an id column. */
+  def splitLabel(idCol: org.apache.spark.sql.Column,
+                 seed: Int = SAMPLE_SEED): org.apache.spark.sql.Column = {
+    val b = hashBucket(idCol, seed)
+    when(b < 80, lit("train")).when(b < 90, lit("valid"))
+      .otherwise(lit("test"))
+  }
+
+  private def bucket = hashBucket(col("doc_id"))
 
   private def bucketSql =
     s"${Dedup.hash32Sql(SAMPLE_SEED, "CAST(doc_id AS VARCHAR)")} % 100"
@@ -56,10 +70,7 @@ object Curation {
     // counts are the auditable output (and catch stratification skew).
     "q_train_test_split" -> { (s, dir) =>
       docs(s, dir)
-        .withColumn("split",
-          when(bucket < 80, lit("train"))
-            .when(bucket < 90, lit("valid"))
-            .otherwise(lit("test")))
+        .withColumn("split", splitLabel(col("doc_id")))
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n"))
     },

@@ -356,7 +356,11 @@ object Dedup {
     //
     // The doc_id rides bounded_topk's double score slot: ids below 2⁵³
     // are exact in a double, so (score, id) ordering is plain id order.
-    // Requires `bounded_topk` registered (GraftExtensions).
+    // Requires `bounded_topk` registered (GraftExtensions). Posting-list
+    // ids are cast BACK to the input id type so doc_a/doc_b keep the
+    // caller's schema (and stay differencable against lshVerifiedPairs,
+    // which never leaves the original type).
+    val idType = docs.schema(id).dataType
     val grouped = CacheRegistry.register(
       hashedShingles(docs, id, text, k)
         .groupBy("shingle")
@@ -364,7 +368,8 @@ object Dedup {
           expr(s"bounded_topk(cast(doc_id as double), doc_id, ${maxDf + 1})")
             .as("top"))
         .filter(col("df_count") <= maxDf)
-        .select(transform(col("top"), t => t.getField("n")).as("ids"))
+        .select(transform(col("top"), t => t.getField("n").cast(idType))
+          .as("ids"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     grouped.count() // eager fill: sizes + combos both read it (A/B'd
                     // against lazy fill: within noise, so keep the

@@ -43,7 +43,18 @@ private[graft] object DirSwap {
   val VERSION_FILE = "_graft_version"
   private val SUCCESS_FILE = "_SUCCESS"
 
-  def lockPath(target: Path): Path = new Path(target.toString + LOCK_SUFFIX)
+  /** Dot-prefixed sibling of `path` — the naming rule for every swap
+    * artifact (tmp dir, old dir, lock file). The leading dot matters
+    * when the target is a PARTITION directory inside a discovered table:
+    * Spark's file index skips dot/underscore-prefixed paths, so a crash
+    * leftover like `.approach_date=D__tmp_swap` is invisible to readers,
+    * whereas `approach_date=D__tmp_swap` would be picked up as a bogus
+    * partition value and its rows double-counted.
+    */
+  def hiddenSibling(path: Path, suffix: String): Path =
+    new Path(path.getParent, "." + path.getName + suffix)
+
+  def lockPath(target: Path): Path = hiddenSibling(target, LOCK_SUFFIX)
 
   /** Current committed version of the table at `dir` (0 = unversioned —
     * either no table yet or one written before versioning existed).

@@ -52,6 +52,15 @@ object MergeUpsert {
   private val TMP_SUFFIX = "__tmp_swap"
   private val OLD_SUFFIX = "__old_swap"
 
+  /** Swap-artifact paths are DOT-PREFIXED siblings of the target (see
+    * [[DirSwap.hiddenSibling]]) so crash leftovers stay invisible to
+    * partition discovery when the target is a partition directory.
+    */
+  private def tmpOf(path: String) =
+    DirSwap.hiddenSibling(new org.apache.hadoop.fs.Path(path), TMP_SUFFIX)
+  private def oldOf(path: String) =
+    DirSwap.hiddenSibling(new org.apache.hadoop.fs.Path(path), OLD_SUFFIX)
+
   /** Reference `save_or_update_table`: read existing parquet at `path` if
     * present, merge, write back.
     *
@@ -85,8 +94,8 @@ object MergeUpsert {
       val result =
         if (fs.exists(fsPath)) merge(spark.read.parquet(path), incoming, keys)
         else incoming
-      val tmp = new org.apache.hadoop.fs.Path(path + TMP_SUFFIX)
-      val old = new org.apache.hadoop.fs.Path(path + OLD_SUFFIX)
+      val tmp = tmpOf(path)
+      val old = oldOf(path)
       result.write.mode("overwrite").parquet(tmp.toString) // 1. write-new
       DirSwap.writeVersion(fs, tmp, v0 + 1)
       DirSwap.commit(fs, fsPath, tmp, old, expectedVersion = v0) // 2-4. swap
@@ -99,8 +108,6 @@ object MergeUpsert {
   def recover(spark: SparkSession, path: String): Unit = {
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    DirSwap.recover(fs, fsPath,
-      new org.apache.hadoop.fs.Path(path + TMP_SUFFIX),
-      new org.apache.hadoop.fs.Path(path + OLD_SUFFIX))
+    DirSwap.recover(fs, fsPath, tmpOf(path), oldOf(path))
   }
 }

@@ -134,7 +134,7 @@ object StreamingEvents {
       col("user_id") === col("a_user_id") &&
         col("action_ts") >= col("trigger_ts") &&
         col("action_ts") <=
-          col("trigger_ts") + expr(s"INTERVAL ${withinMs / 1000} SECONDS"))
+          col("trigger_ts") + expr(s"INTERVAL $withinMs MILLISECOND"))
       .select(col("user_id"), col("trigger_id"), col("action_id"),
         col("trigger_ts"), col("action_ts"))
   }

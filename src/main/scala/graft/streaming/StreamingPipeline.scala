@@ -26,17 +26,21 @@ import graft.sources.{Layout, NeoSchema}
   * Exactly-once boundary: the sink inside foreachBatch is not
   * transactional with the checkpoint commit, so a crash between sink
   * write and commit REPLAYS the batch. Every write here is therefore
-  * IDEMPOTENT: gold merges on keys, and silver (since round 3) is a
-  * keyed merge + dynamic-partition overwrite of only the approach_date
-  * partitions present in the batch — a replay recomputes the identical
+  * IDEMPOTENT: gold merges on keys, and silver (since round 3) runs the
+  * same crash-safe keyed merge PER TOUCHED PARTITION —
+  * [[graft.operators.MergeUpsert.saveOrUpdate]] on each
+  * `approach_date=<d>` directory — so a replay recomputes identical
   * partition contents and converges instead of appending duplicates
-  * (the round-2 blind append could double rows in that window). The
-  * residual non-atomicity is per-partition: a crash mid-overwrite can
-  * leave SOME of the batch's partitions updated, but each is replaced
-  * by a superset (existing ∪ batch merged on the natural key), so no
-  * state loses rows and the replay finishes the rest. A multi-partition
-  * atomic commit needs a table format with a transaction log
-  * (Delta/Iceberg — jars not available offline here).
+  * (the round-2 blind append could double rows in that window), and a
+  * crash INSIDE one partition's commit lands in a [[graft.operators.DirSwap]]
+  * state that recover-on-entry finishes or rolls back (a plain
+  * dynamic-partition overwrite would instead delete-then-rename, whose
+  * crash window can lose the partition's pre-existing rows outright).
+  * Swap artifacts are dot-prefixed siblings, invisible to partition
+  * discovery. The residual gap is cross-partition atomicity: partitions
+  * commit one at a time, and only a table format with a transaction log
+  * (Delta/Iceberg — jars not available offline here) can commit a
+  * multi-partition batch as one visible unit.
   */
 object StreamingPipeline {
 
@@ -71,25 +75,19 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import org.apache.spark.sql.functions.col
         val silver = batch.localCheckpoint() // cut lineage once; reused 6×
-        val path = new org.apache.hadoop.fs.Path(layout.silverAsteroids)
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val merged =
-          if (fs.exists(path)) {
-            // partition values in this batch: bounded by the batch's date
-            // span (a handful) — driver-side metadata, not data
-            val dates = silver.select("approach_date").distinct()
-              .collect().map(_.getString(0)).toSeq
-            // explicit schema keeps approach_date a STRING on read (the
-            // partition-column type silver writes), so merge unions align
-            val existing = spark.read.schema(silver.schema)
-              .parquet(layout.silverAsteroids)
-              .filter(col("approach_date").isin(dates: _*))
-            MergeUpsert.merge(existing, silver, silverKeys)
-          } else silver
-        merged.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("approach_date")
-          .parquet(layout.silverAsteroids)
+        // partition values in this batch: bounded by the batch's date
+        // span (a handful) — driver-side metadata, not data. Each
+        // touched partition gets the full crash-safe merge (read →
+        // keyed merge → staged swap under the writer lock).
+        val dates = silver.select("approach_date").distinct()
+          .collect().map(_.getString(0)).toSeq
+        dates.foreach { d =>
+          MergeUpsert.saveOrUpdate(spark,
+            silver.filter(col("approach_date") === d)
+              .drop("approach_date"),
+            s"${layout.silverAsteroids}/approach_date=$d",
+            silverKeys)
+        }
         SilverToGold.tables.foreach { case (name, build, keys) =>
           MergeUpsert.saveOrUpdate(spark, build(silver),
             layout.gold(name), keys)

@@ -27,7 +27,9 @@ class CacheLifecycleSpec extends AnyFunSuite with SparkSpec {
     Dedup.simhashNearDupPairs(docs, "doc_id", "text").count()
     Dedup.jaccardPairs(docs, "doc_id", "text").count()
     Dedup.lshVerifiedPairs(docs, "doc_id", "text").count()
-    assert(CacheRegistry.size >= 5, "operators must register their persists")
+    // 4 unique plans: the signature table is registered by BOTH the LSH
+    // and verified paths but dedups to one handle (identical plan)
+    assert(CacheRegistry.size >= 4, "operators must register their persists")
     Graft.releaseCaches()
     assert(CacheRegistry.size === 0)
     // unpersist(blocking=false) is async; poll briefly for drain

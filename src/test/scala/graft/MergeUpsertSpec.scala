@@ -14,6 +14,17 @@ import graft.operators.MergeUpsert
 class MergeUpsertSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  // swap artifacts are dot-prefixed siblings (invisible to partition
+  // discovery) — mirror MergeUpsert's naming here
+  private def tmpOf(p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    new org.apache.hadoop.fs.Path(hp.getParent, "." + hp.getName + "__tmp_swap")
+  }
+  private def oldOf(p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    new org.apache.hadoop.fs.Path(hp.getParent, "." + hp.getName + "__old_swap")
+  }
+
   test("incoming rows win on key collision by default") {
     val existing = Seq((1, "old"), (2, "keep")).toDF("k", "v")
     val incoming = Seq((1, "new"), (3, "add")).toDF("k", "v")
@@ -57,33 +68,33 @@ class MergeUpsertSpec extends AnyFunSuite with SparkSpec {
     // old + tmp present → tmp (the complete new version) is promoted
     val p1 = freshTable()
     Seq((1, "A"), (2, "b")).toDF("k", "v")
-      .write.parquet(p1 + "__tmp_swap")
-    assert(fs.rename(new Path(p1), new Path(p1 + "__old_swap")))
+      .write.parquet(tmpOf(p1).toString)
+    assert(fs.rename(new Path(p1), oldOf(p1)))
     MergeUpsert.recover(spark, p1)
     assert(rows(p1) === Set((1, "A"), (2, "b")))
-    assert(!fs.exists(new Path(p1 + "__old_swap")))
-    assert(!fs.exists(new Path(p1 + "__tmp_swap")))
+    assert(!fs.exists(oldOf(p1)))
+    assert(!fs.exists(tmpOf(p1)))
 
     // crash right after rename-old-away with tmp lost → old restored
     val p2 = freshTable()
-    assert(fs.rename(new Path(p2), new Path(p2 + "__old_swap")))
+    assert(fs.rename(new Path(p2), oldOf(p2)))
     MergeUpsert.recover(spark, p2)
     assert(rows(p2) === Set((1, "a")))
 
     // crash after write-new but before any rename → main intact,
     // leftovers dropped
     val p3 = freshTable()
-    Seq((9, "z")).toDF("k", "v").write.parquet(p3 + "__tmp_swap")
+    Seq((9, "z")).toDF("k", "v").write.parquet(tmpOf(p3).toString)
     MergeUpsert.recover(spark, p3)
     assert(rows(p3) === Set((1, "a")))
-    assert(!fs.exists(new Path(p3 + "__tmp_swap")))
+    assert(!fs.exists(tmpOf(p3)))
 
     // and saveOrUpdate self-heals on entry: interrupted state, then a
     // normal merge lands on the recovered table
     val p4 = freshTable()
     Seq((1, "A2"), (2, "b2")).toDF("k", "v")
-      .write.parquet(p4 + "__tmp_swap")
-    assert(fs.rename(new Path(p4), new Path(p4 + "__old_swap")))
+      .write.parquet(tmpOf(p4).toString)
+    assert(fs.rename(new Path(p4), oldOf(p4)))
     MergeUpsert.saveOrUpdate(spark, Seq((3, "c")).toDF("k", "v"), p4, Seq("k"))
     assert(rows(p4) === Set((1, "A2"), (2, "b2"), (3, "c")))
   }
@@ -95,14 +106,14 @@ class MergeUpsertSpec extends AnyFunSuite with SparkSpec {
     MergeUpsert.saveOrUpdate(spark, Seq((1, "a")).toDF("k", "v"), p, Seq("k"))
     // simulate a crash mid-write during the swap: target renamed away,
     // tmp half-written (its committer marker never landed)
-    Seq((9, "junk")).toDF("k", "v").write.parquet(p + "__tmp_swap")
-    fs.delete(new Path(p + "__tmp_swap/_SUCCESS"), false)
-    assert(fs.rename(new Path(p), new Path(p + "__old_swap")))
+    Seq((9, "junk")).toDF("k", "v").write.parquet(tmpOf(p).toString)
+    fs.delete(new Path(tmpOf(p), "_SUCCESS"), false)
+    assert(fs.rename(new Path(p), oldOf(p)))
     MergeUpsert.recover(spark, p)
     // old (the last complete version) wins; the torso is gone
     assert(spark.read.parquet(p).as[(Int, String)].collect().toSet ===
       Set((1, "a")))
-    assert(!fs.exists(new Path(p + "__tmp_swap")))
+    assert(!fs.exists(tmpOf(p)))
   }
 
   test("single-writer lock: concurrent writer fails fast, stale lock self-heals") {
@@ -141,8 +152,8 @@ class MergeUpsertSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(p).count() === 2)
     // last-writer check: committing against a version that moved aborts
     val e = intercept[java.io.IOException] {
-      DirSwap.commit(fs, new Path(p), new Path(p + "__tmp_swap"),
-        new Path(p + "__old_swap"), expectedVersion = 1L)
+      DirSwap.commit(fs, new Path(p), tmpOf(p),
+        oldOf(p), expectedVersion = 1L)
     }
     assert(e.getMessage.contains("lost update"))
   }
