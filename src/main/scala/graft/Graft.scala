@@ -111,4 +111,41 @@ object Graft {
       Multimodal.magicMime(col("bytes")).as("mime"),
       Multimodal.fingerprint(col("bytes")).as("fp"))
   }
+
+  /** Perceptual near-duplicate media pairs: 60-bit aHash fingerprints
+    * through the generic banded-hamming retrieval.
+    */
+  def mediaNearDuplicates(media: DataFrame,
+                          maxHamming: Int = 3): DataFrame =
+    Dedup.bandedHammingPairs(Multimodal.aHashed(media), "media_id",
+        "ahash", Multimodal.AHASH_BITS, maxHamming)
+      .toDF("media_a", "media_b", "hamming")
+
+  /** As-of join: each left row matched to the latest right row with
+    * rightTs ≤ leftTs for the same key — the union-and-carry plan (one
+    * sort per key, no range fan-out). Returns left ids with the matched
+    * right payload struct (null when nothing precedes).
+    */
+  def asOfJoin(leftDf: DataFrame, rightDf: DataFrame, key: String,
+               leftTs: String, rightTs: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val payloadCols = rightDf.columns.filterNot(c => c == key || c == rightTs)
+    val l = leftDf.withColumn("__kind", lit(1))
+      .withColumn("__ts", col(leftTs))
+    val r = rightDf.withColumn("__kind", lit(0))
+      .withColumn("__ts", col(rightTs))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__kind").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    unioned
+      .withColumn("__matched",
+        last(when(col("__kind") === 0,
+          struct(payloadCols.map(col): _*)), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1)
+      .drop((payloadCols :+ "__kind" :+ "__ts").toSeq: _*)
+      .withColumnRenamed("__matched", "matched")
+  }
 }

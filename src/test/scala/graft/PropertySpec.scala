@@ -112,6 +112,30 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(carried === naive)
   }
 
+  test("Graft.asOfJoin facade matches the naive range-join + argmax truth") {
+    val rnd = new scala.util.Random(13)
+    val events = Seq.tabulate(80)(i =>
+      (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(30).toLong))
+      .toDF("event_id", "user_id", "ms")
+    val orders = Seq.tabulate(40)(i =>
+      (1000L + i, rnd.nextInt(6).toLong, rnd.nextInt(30).toLong))
+      .toDF("o_orderkey", "user_id", "oms")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id"))
+      .orderBy(col("oms").desc, col("o_orderkey").desc)
+    val naive = events.join(orders, Seq("user_id"))
+      .filter(col("oms") <= col("ms"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("o_orderkey"))
+      .as[(Long, Long)].collect().toMap
+    val facade = Graft.asOfJoin(events, orders, "user_id", "ms", "oms")
+      .filter(col("matched").isNotNull)
+      .select(col("event_id"), col("matched.o_orderkey"))
+      .as[(Long, Long)].collect().toMap
+    assert(facade === naive)
+  }
+
   test("property: hash split is a disjoint-exhaustive partition") {
     val ids = (0L until 2000L).toDF("doc_id")
     val bucket = graft.operators.Dedup.hash32(7,

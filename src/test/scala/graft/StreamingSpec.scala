@@ -82,6 +82,22 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out === Set((1L, 1L, 101L)))
   }
 
+  test("crash leftovers in the silver root are invisible to partition discovery") {
+    val layout = Layout(Files.createTempDirectory("graft-leftover").toString)
+    val ckpt = Files.createTempDirectory("graft-ckpt3").toString
+    BronzeIngest.writeRaw(spark, layout, NeoFixture.day1Date, NeoFixture.day1)
+    StreamingPipeline.start(spark, layout, ckpt).awaitTermination()
+    val before = spark.read.parquet(layout.silverAsteroids).count()
+    // simulate a crashed swap: a dot-prefixed tmp dir with real parquet
+    // rows sits next to the partitions. Discovery must skip it — an
+    // unhidden name would surface as a bogus partition value and
+    // double-count its rows.
+    val leftover = s"${layout.silverAsteroids}/.approach_date=junk__tmp_swap"
+    spark.read.parquet(layout.silverAsteroids).drop("approach_date")
+      .write.parquet(leftover)
+    assert(spark.read.parquet(layout.silverAsteroids).count() === before)
+  }
+
   test("hourlyCounts: watermarked tumbling windows finalize in append mode") {
     val in = MemoryStream[Event](spark)
     val q = StreamingEvents.hourlyCounts(in.toDF())
