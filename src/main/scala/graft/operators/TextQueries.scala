@@ -130,6 +130,29 @@ object TextQueries {
         "doc_id", "text", MAX_HAMMING)
     },
 
+    // ── repetition filter signal (duplicate n-gram fraction) ────────────
+    // The classic quality rule for generated/boilerplate text: what
+    // share of a document's 3-grams is its single most repeated 3-gram?
+    // (A high share ⇒ templated/looping text.) Two keyed aggregations —
+    // (doc, gram) counts then per-doc max/sum — both keyed by doc_id
+    // (high cardinality, no funnel); integer percent output.
+    "q_repetition" -> { (s, dir) =>
+      val grams = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokens(lower(col("text"))).as("toks"))
+        // filter on the cheap token count, BEFORE the shingle build (the
+        // same pushdown-pathology guard as Dedup.shingleArrays)
+        .filter(size(col("toks")) >= K)
+        .select(col("doc_id"),
+          explode(TextFunctions.shinglesFromTokens(col("toks"), K))
+            .as("gram"))
+      grams.groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_grams"), max(col("c")).as("max_gram"))
+        .withColumn("rep_pct", expr("max_gram * 100 div n_grams"))
+    },
+
     // ── TF-IDF-style keyword extraction, integer arithmetic only ────────
     // score = tf * 1e6 / df (integer division): rarity-weighted term
     // ranking with none of the float-log cross-engine drift. Two
@@ -331,6 +354,18 @@ object TextQueries {
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, hamming FROM cand
          |WHERE hamming <= $MAX_HAMMING""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH $toksCte,
+         |grams AS (SELECT doc_id,
+         |    array_to_string(t[CAST(i AS INT):CAST(i + ${K - 1} AS INT)], ' ') AS gram
+         |  FROM toks, unnest(range(1, len(t) - ${K - 2})) AS u(i)
+         |  WHERE len(t) >= $K),
+         |gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |  max(c) AS max_gram,
+         |  CAST((max(c) * 100) // sum(c) AS BIGINT) AS rep_pct
+         |FROM gc GROUP BY doc_id""".stripMargin,
 
     "q_top_terms" ->
       s"""WITH $toksCte,
