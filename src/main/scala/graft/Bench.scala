@@ -1,9 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query at the given SF.
+  *
+  * Robustness protocol (round-4, after the round-3 record showed 2-9×
+  * session-noise swings on unchanged plans):
+  *   - every query is timed `reps` times (default 3) and the RECORD is
+  *     the per-query median — one slow outlier (GC pause, page-cache
+  *     miss, JIT deopt) no longer defines a query's official number;
+  *   - caches are released before EVERY timed run
+  *     ([[CacheRegistry.releaseAll]] + catalog.clearCache), so each
+  *     query pays its own cache fills and inherits nothing from
+  *     whoever ran before it — timings are order-independent;
+  *   - an explicit GC runs before each timed run, so one query's
+  *     garbage is not another query's pause;
+  *   - queries run in sorted-name order (not Map hash order), and
+  *     `SPARK_GRAFT_ORDER=reverse` reruns the suite backwards — the
+  *     order-sensitivity experiment PERF.md reports.
+  *
+  * Output: ONE JSON line `{"metric":"total","value":<sum of medians>,
+  * "unit":"sec","queries":{name:median},"sf":...}` (the driver's
+  * contract), plus diagnostic keys `reps` and `rep_totals`.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reverse = sys.env.get("SPARK_GRAFT_ORDER").contains("reverse")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,34 +41,80 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the executor pool + the JIT/codegen paths the query families
-    // share (regex tokenize, md5/conv, higher-order functions, object
-    // hash aggregation, the injected bounded_topk) so first-plan compile
-    // cost is not attributed to whichever query happens to run first.
-    // 50 rows, results discarded — this warms code, it caches no data.
-    spark.range(1000).selectExpr("sum(id)").collect()
-    locally {
-      import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
-        .select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
-            .as("h"))
-        .groupBy("h")
-        .agg(count(lit(1)).as("c"),
-          expr("bounded_topk(cast(doc_id as double), doc_id, 3)"))
-        .count()
+    warmup(spark, sfDir)
+
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (reverse) names0.reverse else names0
+    val samples =
+      scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
+    val repTotals = (1 to reps).map { _ =>
+      names.map { name =>
+        // every run starts cold-cache and post-GC: the timed body owns
+        // its fills, and nobody pays a predecessor's garbage
+        CacheRegistry.releaseAll()
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        samples(name) ::= sec
+        sec
+      }.sum
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    def median(xs: List[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    val med = names0.map(n => n -> median(samples(n)))
+    val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = med.map(_._2).sum
+    val rt = repTotals.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"rep_totals":$rt}""")
     spark.stop()
+  }
+
+  /** Warm the executor pool and the JIT/codegen families the suite
+    * shares — regex tokenize, md5/conv, the higher-order chain
+    * (transform/slice/flatten/aggregate), ObjectHashAggregate with the
+    * injected `bounded_topk`, the native vector expressions, posexplode
+    * banding, and bit_count verify — so first-plan compile cost is not
+    * attributed to whichever query runs first. 50 rows, results
+    * discarded: this warms CODE, it caches no data.
+    */
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.range(1000).selectExpr("sum(id)").collect()
+    // text family: tokenize → hash → ObjectHashAggregate(bounded_topk)
+    // → posting-list HOF combos (transform/slice/flatten/struct) — the
+    // exact jaccard path
+    spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+          .as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("c"),
+        expr("bounded_topk(cast(doc_id as double), doc_id, 3)").as("top"))
+      .select(flatten(transform(col("top"), (a, i) =>
+        transform(slice(col("top"), i + lit(2), size(col("top"))),
+          b => struct(a.getField("n").as("a"), b.getField("n").as("b"))))))
+      .count()
+    // vector + banding family: native cosine_sim/l2_sq loops, in-row
+    // argmin over (d2, cell) structs, posexplode band slicing, bit_count
+    spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("d", expr("cosine_sim(embedding, embedding)"))
+      .withColumn("cell",
+        array_min(transform(array(col("embedding")), c =>
+          struct(expr("l2_sq(embedding, embedding)").as("d2"),
+            lit(0L).as("cell")))).getField("cell"))
+      .select(col("vec_id"), col("d"), col("cell"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("vec_id"), b * 15).bitwiseAND(32767L)): _*)))
+      .withColumn("hx", bit_count(col("vec_id").bitwiseXOR(col("col"))))
+      .agg(count(lit(1)))
+      .collect()
   }
 }

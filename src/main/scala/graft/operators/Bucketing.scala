@@ -44,6 +44,47 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Write the bucketed table only when it is not ALREADY the requested
+    * layout of the requested source. The whole point of bucketing is
+    * write-once amortization — the shuffle is paid at write time and
+    * every subsequent join is exchange-free — so a repeated call (a
+    * recurring job, a bench rep) must not re-pay the write.
+    *
+    * The check is a `_graft_bucket_tag` marker inside the table
+    * directory holding the caller's layout tag (source + key + buckets):
+    * underscore-prefixed files are invisible to Spark's file index, and
+    * the tag survives across processes sharing a warehouse. The table
+    * must ALSO still be in the catalog — bucket metadata lives there,
+    * and a surviving directory whose table the (in-memory) catalog
+    * forgot is an orphan that needs rewriting. The tag is written after
+    * a successful save, so a crashed write (no tag) rewrites too.
+    */
+  def ensureBucketed(df: DataFrame, table: String, key: String,
+                     buckets: Int, tag: String): Unit = {
+    val spark = df.sparkSession
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tagPath = new org.apache.hadoop.fs.Path(loc, "_graft_bucket_tag")
+    val fullTag = s"$tag|$key|$buckets"
+    val upToDate = spark.catalog.tableExists(table) && fs.exists(tagPath) && {
+      val in = fs.open(tagPath)
+      try {
+        val buf = new Array[Byte](4096)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8) == fullTag
+      } finally in.close()
+    }
+    if (!upToDate) {
+      writeBucketed(df, table, key, buckets)
+      val out = fs.create(tagPath, true)
+      try out.write(fullTag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   /** Join two same-bucketed tables on their bucket key — exchange-free
     * when bucket counts match.
     */

@@ -299,10 +299,14 @@ object Dedup {
       s"maxHamming=$maxHamming needs $bands equal bands out of $bits bits")
     val width = bits / bands
     val mask = (1L << width) - 1
+    // lazy fill: both band-join sides read it, and when their scan
+    // stages run concurrently the BlockManager's per-partition
+    // get-or-compute lock makes one compute and the other wait — no
+    // duplicate work, and no construction-time side-effect job (the
+    // round-3 eager .count() was one extra full cached scan)
     val fps = CacheRegistry.register(
       fps0.select(col(id).as("id"), col(fp).as("fp"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    fps.count() // eager fill: both band-join sides read it
     val banded = fps.select(col("id"), col("fp"),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("fp"), b * width).bitwiseAND(mask)): _*)))
@@ -371,9 +375,10 @@ object Dedup {
         .select(transform(col("top"), t => t.getField("n").cast(idType))
           .as("ids"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    grouped.count() // eager fill: sizes + combos both read it (A/B'd
-                    // against lazy fill: within noise, so keep the
-                    // deterministic single-fill behavior)
+    // lazy fill: sizes + combos both read the cache, and the
+    // BlockManager's per-partition get-or-compute lock dedups any
+    // concurrent fill — the round-3 eager .count() was one extra full
+    // materialization of the agg output on every call
     val sizes = grouped.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // (a, b) combinations of each shingle's sorted id list, in-row
@@ -401,11 +406,11 @@ object Dedup {
                        k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                        thresholdPct: Int = 60): DataFrame = {
     // ds feeds three stages (sizes + two verify-join sides); sigs feeds
-    // both band-join sides. Eager fill stops racing recomputes.
+    // both band-join sides. Fills are lazy — per-partition
+    // get-or-compute locking dedups concurrent stage fills.
     val ds = CacheRegistry.register(
       hashedShingles(docs, id, text, k)
         .persist(StorageLevel.MEMORY_AND_DISK))
-    ds.count()
     val sigs = CacheRegistry.register(
       minhashSignatures(docs, id, text, k, numHashes)
         .persist(StorageLevel.MEMORY_AND_DISK))

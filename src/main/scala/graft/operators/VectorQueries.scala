@@ -45,10 +45,17 @@ object VectorQueries {
                              // probe FRACTION nprobe/cells sets recall)
   private val N_PROBE = 4
   private val MIN_CELLS = 16         // near-dup blocking: floor
-  private val TARGET_CELL_SIZE = 64  // near-dup blocking: cells ≈ n/64
   private val DUP_COPIES = 50        // planted duplicates for near-dup
   private val DUP_OFFSET = 1000000L  // planted-copy id offset
   private val NEARDUP_THRESHOLD = 0.99
+
+  /** Measured flat-vs-two-level crossover (ScaleProbe, dim 64): below
+    * this centroid count the fused flat argmin wins; above it the
+    * coarse-then-fine descent's saved distance evals beat its dispatch
+    * overhead. Production dims (512-4096) cross over far earlier — this
+    * is the conservative dim-64 number.
+    */
+  private[graft] val TWO_LEVEL_MIN_CELLS = 2500
 
   private def loadEmb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -173,6 +180,27 @@ object VectorQueries {
       .drop("groups", "gsel", "cands")
   }
 
+  /** Strategy-selecting cell assignment: flat in-row argmin below the
+    * measured crossover, coarse-then-fine two-level descent above it.
+    * The centroid table is tiny by construction (≤ ~10⁵ even at 100 TB),
+    * so the driver-side `count()` that picks the strategy is a cheap
+    * bounded job. NOTE the two-level form is APPROXIMATE (the true
+    * nearest cell can hang under an unprobed coarse group) — the same
+    * recall trade LSH banding makes, acceptable for BLOCKING consumers
+    * (near-dup candidate generation), not for the oracle-exact IVF
+    * top-k queries, which keep [[withCell]] directly.
+    */
+  private[graft] def assignCells(df: DataFrame, centroids: DataFrame,
+                                 vec: Column,
+                                 twoLevelMinCells: Int = TWO_LEVEL_MIN_CELLS)
+      : DataFrame = {
+    val c = centroids.count()
+    if (c >= twoLevelMinCells)
+      withCellTwoLevel(df, centroids, vec,
+        fanout = math.max(2, math.sqrt(c.toDouble).toInt), probeGroups = 2)
+    else withCell(df, centroidArray(centroids), vec)
+  }
+
   /** Each query's nprobe nearest cells, again in-row: sort the per-cell
     * (d2, cell) structs and keep the first nprobe. Output is one row per
     * (query, probed cell) — Q·nprobe rows, always broadcastable.
@@ -250,14 +278,21 @@ object VectorQueries {
     // leaves orders of magnitude more margin than float noise, so the
     // pair SET is engine-stable even though cosines are floats.
     //
-    // Scale contract: the cell count GROWS with the corpus —
-    // cells = max(MIN_CELLS, n div TARGET_CELL_SIZE) — so expected cell
-    // population stays ~TARGET_CELL_SIZE and the within-cell all-pairs
-    // verify is O(n·TARGET_CELL_SIZE), linear in corpus size (a fixed
-    // cell count would make it O(n²/cells)). The centroid array stays
-    // broadcastable for any corpus this single-level blocking suits; at
-    // the point cells outgrow a broadcast (≫10⁵), assignment itself wants
-    // a coarse-then-fine two-level argmin — documented, not needed here.
+    // Scale contract: cells = max(MIN_CELLS, ⌊√n⌋) — the standard IVF
+    // regime. Flat assignment costs n·C = O(n^1.5) distance evals and
+    // expected cell population is ~√n, so the within-cell all-pairs
+    // verify is Σ cell² ≈ O(n^1.5) too: assignment and verify grow at
+    // the SAME sub-quadratic rate (round 3's cells = n/64 kept verify
+    // linear but let assignment grow O(n²/64)). ⌊√n⌋ is computed as
+    // floor over an IEEE sqrt — correctly rounded in both engines, so
+    // the cell count is oracle-identical. Assignment goes through
+    // [[assignCells]]: flat here (C = √n crosses 2500 only past ~6M
+    // rows), two-level descent beyond the measured crossover.
+    //
+    // The assigned table is PERSISTED (registered): both self-join
+    // sides read it, and without the cache each side would re-derive
+    // the augmented corpus and re-run the n·C argmin — the round-3
+    // driver record showed exactly that as a 5× regression.
     "q_embedding_neardup" -> { (s, dir) =>
       val emb = loadEmb(s, dir).select(col("vec_id"), col("embedding"))
       val aug = emb.unionByName(
@@ -266,13 +301,14 @@ object VectorQueries {
             col("embedding")))
       val nCells = aug.agg(count(lit(1)).as("n_vec"))
         .select(greatest(lit(MIN_CELLS.toLong),
-          expr(s"n_vec div $TARGET_CELL_SIZE")).as("n_cells"))
-      val centArr = centroidArray(
-        emb.crossJoin(broadcast(nCells))
-          .filter(col("vec_id") < col("n_cells"))
-          .select(col("vec_id").as("cell"),
-            col("embedding").as("centroid")))
-      val assigned = withCell(aug, centArr, col("embedding"))
+          floor(sqrt(col("n_vec"))).cast("long")).as("n_cells"))
+      val centroids = emb.crossJoin(broadcast(nCells))
+        .filter(col("vec_id") < col("n_cells"))
+        .select(col("vec_id").as("cell"),
+          col("embedding").as("centroid"))
+      val assigned = graft.CacheRegistry.register(
+        assignCells(aug, centroids, col("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val a = assigned.select(col("vec_id").as("vec_a"),
         col("embedding").as("ea"), col("cell"))
       val b = assigned.select(col("vec_id").as("vec_b"),
@@ -348,7 +384,7 @@ object VectorQueries {
          |           UNION ALL
          |           SELECT vec_id + $DUP_OFFSET, embedding FROM embeddings
          |           WHERE vec_id < $DUP_COPIES),
-         |nc AS (SELECT greatest($MIN_CELLS, count(*) // $TARGET_CELL_SIZE) AS n_cells
+         |nc AS (SELECT greatest($MIN_CELLS, CAST(floor(sqrt(count(*))) AS BIGINT)) AS n_cells
          |       FROM e),
          |cent AS (SELECT vec_id AS cell, embedding AS centroid
          |         FROM embeddings, nc WHERE vec_id < n_cells),
