@@ -121,6 +121,16 @@ object Graft {
         "ahash", Multimodal.AHASH_BITS, maxHamming)
       .toDF("media_a", "media_b", "hamming")
 
+  // ── versioned table surface (Delta-protocol stand-in) ────────────────
+
+  /** Open the versioned table at `path`: merge / delete / optimize /
+    * history / time-travel reads over the [[operators.DirSwap]] commit
+    * protocol — see [[operators.VersionedTable]].
+    */
+  def table(spark: SparkSession, path: String,
+            retain: Int = 3): VersionedTable =
+    VersionedTable(spark, path, retain)
+
   /** As-of join: each left row matched to the latest right row with
     * rightTs ≤ leftTs for the same key — the union-and-carry plan (one
     * sort per key, no range fan-out). Returns left ids with the matched

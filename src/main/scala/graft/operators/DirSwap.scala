@@ -126,9 +126,13 @@ private[graft] object DirSwap {
 
   /** Swap tmp into place. When `expectedVersion >= 0`, abort unless the
     * live table still holds exactly that version (last-writer check).
+    * When `retainOldAs` is set, the displaced version is RENAMED there
+    * (a metadata op) instead of deleted — the hook [[VersionedTable]]'s
+    * time travel builds on; plain callers keep the delete.
     */
   def commit(fs: FileSystem, target: Path, tmp: Path, old: Path,
-             expectedVersion: Long = -1L): Unit = {
+             expectedVersion: Long = -1L,
+             retainOldAs: Option[Path] = None): Unit = {
     if (expectedVersion >= 0L) {
       val live = readVersion(fs, target)
       if (live != expectedVersion)
@@ -144,7 +148,12 @@ private[graft] object DirSwap {
       fs.rename(old, target) // roll back so readers still see a table
       throw new IOException(s"swap failed: $tmp -> $target")
     }
-    fs.delete(old, true)
+    retainOldAs match {
+      case Some(r) if fs.exists(old) =>
+        fs.delete(r, true)
+        if (!fs.rename(old, r)) fs.delete(old, true)
+      case _ => fs.delete(old, true)
+    }
   }
 
   def recover(fs: FileSystem, target: Path, tmp: Path, old: Path): Unit = {

@@ -220,8 +220,7 @@ object VectorQueries {
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
 
   /** Brute-force cosine top-k (correctness baseline). */
-  private def bruteTopk(s: SparkSession, dir: String): DataFrame = {
-    val emb = loadEmb(s, dir)
+  private[graft] def bruteTopkFrom(emb: DataFrame): DataFrame = {
     val cands = emb.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("cvec"))
     val scored = cands.join(broadcast(queryVectors(emb)),
@@ -230,11 +229,41 @@ object VectorQueries {
     topkByQuery(scored)
   }
 
-  /** IVF top-k: in-row cell assignment + broadcast probe join. */
-  private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
-    val emb = loadEmb(s, dir)
-    val centArr = centroidArray(emb.filter(col("vec_id") < N_CELLS)
-      .select(col("vec_id").as("cell"), col("embedding").as("centroid")))
+  private[graft] def bruteTopk(s: SparkSession, dir: String): DataFrame =
+    bruteTopkFrom(loadEmb(s, dir))
+
+  /** The (query, candidate) set an IVF probe actually scores under
+    * `centroids` — the WORK axis of the recall/cost trade (an
+    * unbalanced index can buy recall at equal nprobe by probing
+    * heavier cells). Used by RecallProbe and AnnSpec, not a query.
+    */
+  private[graft] def ivfCandidates(emb: DataFrame,
+                                   centroids: DataFrame): DataFrame = {
+    val centArr = centroidArray(centroids)
+    val assigned = withCell(
+      emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cvec")),
+      centArr, col("cvec"))
+    assigned.join(broadcast(probeCells(queryVectors(emb), centArr, N_PROBE)),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** First-N seed centroids — deterministic, zero-cost, and what the
+    * fitted index starts from.
+    */
+  private[graft] def seedCentroids(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < N_CELLS)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+
+  /** IVF top-k over an arbitrary centroid set: in-row cell assignment +
+    * broadcast probe join — the index structure is the same whether the
+    * centroids are seeds or KMeans-fitted.
+    */
+  private[graft] def ivfTopkFrom(emb: DataFrame,
+                                 centroids: DataFrame): DataFrame = {
+    val centArr = centroidArray(centroids)
     val assigned = withCell(
       emb.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("cvec")),
@@ -246,11 +275,58 @@ object VectorQueries {
     topkByQuery(scored)
   }
 
+  /** IVF top-k from the first-N seed centroids. */
+  private[graft] def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = loadEmb(s, dir)
+    ivfTopkFrom(emb, seedCentroids(emb))
+  }
+
+  /** Lloyd iterations for the fitted index. RecallProbe (PERF.md) shows
+    * recall on the uniform-random testdata is iteration-count NOISE at
+    * the 50-slot granularity (seeds 92, fit1 92, fit2 90, fit4 92 at
+    * sf0.01; scanned volume equal within 7 %) — there is no cluster
+    * structure to exploit, so one exact update step is the whole
+    * benefit (WCSS does drop, AnnSpec pins it) at the lowest cost.
+    */
+  private[graft] val KM_ITERS = 1
+
+  /** IVF top-k from KMeans-FITTED centroids: [[KMeans.refineQuantized]]
+    * runs `KM_ITERS` exactly-reproducible Lloyd iterations from the
+    * seeds, then the index is built and probed identically. AnnSpec
+    * pins fitted recall ≥ seed recall at equal nprobe and fitted
+    * WCSS < seed WCSS (the quantity Lloyd provably improves).
+    */
+  private[graft] def ivfTopkFitted(s: SparkSession, dir: String): DataFrame = {
+    val emb = loadEmb(s, dir)
+    ivfTopkFrom(emb, KMeans.refineQuantized(emb, seedCentroids(emb), KM_ITERS))
+  }
+
+  /** recall@k of `approx` against the brute-force `truth` — integer
+    * arithmetic, left join keeps zero-recall queries.
+    */
+  private[graft] def recallOf(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+          lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_match"))
+      .withColumn("recall_pct", expr(s"n_match * 100 div $TOP_K"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_ann_cosine_topk" -> { (s, dir) => bruteTopk(s, dir) },
 
     "q_ann_ivf_topk" -> { (s, dir) => ivfTopk(s, dir) },
+
+    // ── IVF top-k over a KMEANS-FITTED index ────────────────────────────
+    // Same index structure and probe path as q_ann_ivf_topk, but the
+    // centroids are KM_ITERS Lloyd iterations from the seeds — and the
+    // fit is EXACTLY engine-reproducible (integer-quantized coordinate
+    // sums, see KMeans.refineQuantized), so the fitted index sits behind
+    // the same DuckDB hash gate as everything else: the oracle replays
+    // the iterations unrolled in SQL.
+    "q_ann_ivf_kmeans" -> { (s, dir) => ivfTopkFitted(s, dir) },
 
     // ── IVF recall@k against the brute-force truth ──────────────────────
     // recall_pct = 100·|ivf ∩ brute| / k per query — the number a
@@ -258,15 +334,7 @@ object VectorQueries {
     // arithmetic throughout (hash-stable); the left join keeps
     // zero-recall queries in the output.
     "q_ann_recall" -> { (s, dir) =>
-      val brute = bruteTopk(s, dir)
-        .select(col("query_id"), col("neighbor_id"))
-      val ivf = ivfTopk(s, dir)
-        .select(col("query_id"), col("neighbor_id"),
-          lit(1).as("hit"))
-      brute.join(ivf, Seq("query_id", "neighbor_id"), "left_outer")
-        .groupBy(col("query_id"))
-        .agg(sum(coalesce(col("hit"), lit(0))).as("n_match"))
-        .withColumn("recall_pct", expr(s"n_match * 100 div $TOP_K"))
+      recallOf(bruteTopk(s, dir), ivfTopk(s, dir))
     },
 
     // ── embedding-cosine near-dup: cell-blocked candidates + verify ─────
@@ -360,10 +428,61 @@ object VectorQueries {
        |ivf AS (SELECT query_id, neighbor_id, rank FROM iscored
        |  WHERE rank <= $TOP_K)""".stripMargin
 
+  /** SQL replay of [[KMeans.refineQuantized]]: `KM_ITERS` unrolled
+    * Lloyd iterations ending in `cent{KM_ITERS}(cell, centroid)`. Each
+    * iteration is argmin assignment (distance ASC, cell ASC — the
+    * in-row struct-min tie-break) then the integer-quantized
+    * coordinate mean; `floor(x·2²⁰)`, the exact integer sum, and the
+    * two IEEE divisions are all bit-reproducible across engines.
+    */
+  private def kmeansCtes: String = {
+    def iteration(n: Int, prev: String): String =
+      s"""kasg$n AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_distance(e.embedding, c.centroid) ASC, c.cell ASC) AS rn
+         |  FROM embeddings e, $prev c) WHERE rn = 1),
+         |kq$n AS (SELECT cell, pos,
+         |    sum(CAST(floor(CAST(v AS DOUBLE) * ${KMeans.QUANT}) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM (SELECT cell, generate_subscripts(embedding, 1) AS pos,
+         |               unnest(embedding) AS v FROM kasg$n)
+         |  GROUP BY cell, pos),
+         |cent$n AS (SELECT cell,
+         |    list(CAST((CAST(s AS DOUBLE) / n) / ${KMeans.QUANT} AS FLOAT) ORDER BY pos) AS centroid
+         |  FROM kq$n GROUP BY cell)"""
+    (s"""cent0 AS (SELECT vec_id AS cell, embedding AS centroid
+        |          FROM embeddings WHERE vec_id < $N_CELLS)""" +:
+      (1 to KM_ITERS).map(n => iteration(n, s"cent${n - 1}")))
+      .mkString(",\n")
+  }
+
   val oracle: Map[String, String] = Map(
     "q_ann_cosine_topk" ->
       s"""WITH $bruteCtes
          |SELECT query_id, neighbor_id, rank FROM brute""".stripMargin,
+
+    "q_ann_ivf_kmeans" ->
+      s"""WITH $kmeansCtes,
+         |kaq AS (SELECT vec_id AS query_id, embedding AS qvec
+         |        FROM embeddings WHERE vec_id < $N_QUERIES),
+         |kassigned AS (SELECT vec_id AS neighbor_id, cvec, cell FROM (
+         |  SELECT e.vec_id, e.embedding AS cvec, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_distance(e.embedding, c.centroid) ASC, c.cell ASC) AS arn
+         |  FROM embeddings e, cent$KM_ITERS c) WHERE arn = 1),
+         |kprobes AS (SELECT query_id, qvec, cell FROM (
+         |  SELECT kaq.query_id, kaq.qvec, c.cell,
+         |    row_number() OVER (PARTITION BY kaq.query_id
+         |      ORDER BY list_distance(kaq.qvec, c.centroid) ASC, c.cell ASC) AS prn
+         |  FROM kaq, cent$KM_ITERS c) WHERE prn <= $N_PROBE),
+         |kscored AS (SELECT p.query_id, a.neighbor_id,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY list_cosine_similarity(p.qvec, a.cvec) DESC, a.neighbor_id ASC) AS rank
+         |  FROM kprobes p JOIN kassigned a ON p.cell = a.cell
+         |  WHERE p.query_id <> a.neighbor_id)
+         |SELECT query_id, neighbor_id, rank FROM kscored
+         |WHERE rank <= $TOP_K""".stripMargin,
 
     "q_ann_ivf_topk" ->
       s"""WITH $ivfCtes

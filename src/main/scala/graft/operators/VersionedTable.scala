@@ -1,0 +1,169 @@
+package graft.operators
+
+import java.io.IOException
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.not
+
+/** Delta-flavored table surface over the [[DirSwap]] commit protocol:
+  * `merge` / `delete` / `optimize` / `history` / time-travel reads on a
+  * plain parquet directory.
+  *
+  * BASELINE.json declares "Spark SQL + Delta/Iceberg table operations"
+  * as the reference's approach; those jars are unavailable in this
+  * offline build, so this class exposes the same USER surface over the
+  * hand-rolled transaction slice DirSwap already provides — single-
+  * writer lock, monotonic `_graft_version`, last-writer check,
+  * crash-safe swap with `_SUCCESS`-gated recovery. Reference
+  * consumption pattern: src/utils/bucket.py:63-89 (read-merge-
+  * overwrite, no versioning, no lock).
+  *
+  * Versioning model (the Delta analogy, directory-shaped):
+  *   - the LIVE version is the target directory itself, stamped with
+  *     `_graft_version` (Delta: the latest snapshot);
+  *   - every commit renames the displaced version to a dot-prefixed
+  *     sibling `.{name}__v{N}` — a metadata-only move, invisible to
+  *     partition discovery (Delta: retained snapshots in the log);
+  *   - [[readAt]] reads a retained (or the live) version by number
+  *     (Delta: `VERSION AS OF`);
+  *   - at most `retain` displaced versions are kept; older ones are
+  *     pruned at commit (Delta: `VACUUM`, here eager with a bounded
+  *     window — [[vacuum]] tightens it further on demand).
+  *
+  * Every mutation runs under the single-writer lock and re-checks the
+  * version it read at commit, so two concurrent writers serialize or
+  * abort cleanly (OpsSpec pins the abort). Reads are lock-free: the
+  * swap keeps a complete table at the target at every recoverable
+  * instant.
+  *
+  * Scale: all mutations are full-snapshot rewrites — the plan a
+  * MERGE INTO lowers to when touched-file pruning cannot help; the
+  * versioning layer itself is O(1) renames regardless of table size.
+  */
+final class VersionedTable private (spark: SparkSession, path: String,
+                                    retain: Int) {
+
+  private val target = new Path(path)
+  private val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def retainedPath(v: Long): Path =
+    DirSwap.hiddenSibling(target, s"__v$v")
+
+  /** Current committed version (0 = unversioned or absent). */
+  def version(): Long = DirSwap.readVersion(fs, target)
+
+  /** The live table. */
+  def read(): DataFrame = spark.read.parquet(path)
+
+  /** Time travel: read version `v` — the live version or any retained
+    * one. Throws with the available window when `v` was pruned.
+    */
+  def readAt(v: Long): DataFrame = {
+    if (v == version()) read()
+    else {
+      val p = retainedPath(v)
+      if (!fs.exists(p))
+        throw new IOException(
+          s"version $v of $path is not retained (available: " +
+            s"${retainedVersions().mkString(",")} + live ${version()}); " +
+            "raise `retain` or time-travel sooner")
+      spark.read.parquet(p.toString)
+    }
+  }
+
+  /** Versions currently retained on disk (ascending), live excluded. */
+  def retainedVersions(): Seq[Long] = {
+    val prefix = "." + target.getName + "__v"
+    if (!fs.exists(target.getParent)) Seq.empty
+    else fs.listStatus(target.getParent).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => n.stripPrefix(prefix).toLongOption)
+      .sorted
+  }
+
+  /** Commit log view: one row per readable version —
+    * (version, timestamp_ms, bytes, is_live) — newest first. Driver-side
+    * listing of ≤ retain+1 directories, never a data scan.
+    */
+  def history(): DataFrame = {
+    import spark.implicits._
+    val rows = (retainedVersions().map(v => (v, retainedPath(v), false)) :+
+      ((version(), target, true)))
+      .filter { case (_, p, _) => fs.exists(p) }
+      .map { case (v, p, live) =>
+        val st = fs.getFileStatus(p)
+        (v, st.getModificationTime, fs.getContentSummary(p).getLength, live)
+      }
+      .sortBy(-_._1)
+    rows.toDF("version", "timestamp_ms", "bytes", "is_live")
+  }
+
+  /** MERGE INTO: upsert `incoming` by `keys` (incoming wins per key —
+    * [[MergeUpsert.merge]] semantics, deterministic survivor).
+    */
+  def merge(incoming: DataFrame, keys: Seq[String]): Unit =
+    mutate { existing =>
+      existing.map(MergeUpsert.merge(_, incoming, keys))
+        .getOrElse(incoming)
+    }
+
+  /** Overwrite the table with `df` as a new version. */
+  def overwrite(df: DataFrame): Unit = mutate(_ => df)
+
+  /** DELETE WHERE: drop rows matching `predicate` as a new version. */
+  def delete(predicate: Column): Unit =
+    mutate {
+      case Some(existing) => existing.filter(not(predicate))
+      case None => throw new IOException(s"delete on missing table $path")
+    }
+
+  /** OPTIMIZE: rewrite into ~`targetBytes` files (round-robin — layout,
+    * not clustering). A new version like any other mutation, so a bad
+    * compaction is time-travel recoverable too.
+    */
+  def optimize(targetBytes: Long = 128L * 1024 * 1024): Unit =
+    mutate {
+      case Some(existing) =>
+        val bytes = fs.getContentSummary(target).getLength
+        val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        existing.repartition(n)
+      case None => throw new IOException(s"optimize on missing table $path")
+    }
+
+  /** Prune retained versions beyond the newest `keepLast`. */
+  def vacuum(keepLast: Int = 0): Unit = {
+    val vs = retainedVersions()
+    vs.dropRight(keepLast).foreach(v => fs.delete(retainedPath(v), true))
+  }
+
+  /** The shared transaction shape: lock → recover → read v → transform
+    * → write tmp(v+1) → last-writer-checked swap retaining v → prune.
+    */
+  private def mutate(f: Option[DataFrame] => DataFrame): Unit = {
+    val tmp = DirSwap.hiddenSibling(target, "__tmp_swap")
+    val old = DirSwap.hiddenSibling(target, "__old_swap")
+    DirSwap.acquireLock(fs, target)
+    try {
+      DirSwap.recover(fs, target, tmp, old)
+      val v0 = DirSwap.readVersion(fs, target)
+      val result =
+        f(if (fs.exists(target)) Some(spark.read.parquet(path)) else None)
+      result.write.mode("overwrite").parquet(tmp.toString)
+      DirSwap.writeVersion(fs, tmp, v0 + 1)
+      DirSwap.commit(fs, target, tmp, old, expectedVersion = v0,
+        retainOldAs = if (fs.exists(target)) Some(retainedPath(v0)) else None)
+      vacuum(retain)
+    } finally DirSwap.releaseLock(fs, target)
+  }
+}
+
+object VersionedTable {
+  /** Open (or create-on-first-write) the versioned table at `path`,
+    * keeping up to `retain` displaced versions for time travel.
+    */
+  def apply(spark: SparkSession, path: String,
+            retain: Int = 3): VersionedTable =
+    new VersionedTable(spark, path, retain)
+}

@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{KMeans, VectorQueries}
+
+/** Measures IVF recall@k AND scanned-candidate volume for the first-N
+  * seed index vs KMeans-fitted indexes at several iteration counts —
+  * the tuning evidence behind q_ann_ivf_kmeans and AnnSpec's pins.
+  * (An unbalanced index can "win" recall at equal nprobe by silently
+  * scanning more of the corpus; candidates/query is the work axis.)
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Graft.newSession("local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val brute = VectorQueries.bruteTopkFrom(emb)
+      def arm(name: String, cent: org.apache.spark.sql.DataFrame): Unit = {
+        val topk = VectorQueries.ivfTopkFrom(emb, cent)
+        val r = VectorQueries.recallOf(brute, topk).collect()
+          .map(_.getAs[Long]("recall_pct"))
+        val scanned = VectorQueries.ivfCandidates(emb, cent).count()
+        println(f"RECALLPROBE $sf $name recall=${r.sum.toDouble / r.length}%.1f scanned=$scanned")
+      }
+      arm("seeds", VectorQueries.seedCentroids(emb))
+      for (it <- Seq(1, 2, 4))
+        arm(s"fit$it",
+          KMeans.refineQuantized(emb, VectorQueries.seedCentroids(emb), it))
+    }
+    spark.stop()
+  }
+}

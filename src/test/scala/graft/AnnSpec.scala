@@ -48,6 +48,51 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(wcssOf(refined) < wcssOf(seeds))
   }
 
+  test("fitted IVF: recall at equal nprobe ≥ the first-N-seed index") {
+    // same index machinery, same probe budget — the only change is
+    // KM_ITERS exactly-reproducible Lloyd iterations on the centroids.
+    // Context for the pin: this testdata is uniform random (no cluster
+    // structure), so seed-vs-fitted recall differs only by noise at the
+    // 50-slot granularity and scanned volume is equal within 7 %
+    // (RecallProbe table in PERF.md) — the inequality asserts fitting
+    // never LOSES recall at the chosen operating point; the WCSS pin
+    // below asserts what Lloyd provably improves.
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val r = VectorQueries.recallOf(VectorQueries.bruteTopk(spark, sf),
+        approx).collect().map(_.getAs[Long]("recall_pct"))
+      r.sum.toDouble / r.length
+    }
+    val seedR = meanRecall(VectorQueries.ivfTopk(spark, sf))
+    val fitR = meanRecall(VectorQueries.ivfTopkFitted(spark, sf))
+    assert(fitR >= seedR, s"fitted recall $fitR < seed recall $seedR")
+  }
+
+  test("quantized fit is a strictly better quantizer than the seeds (WCSS)") {
+    import graft.operators.KMeans
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seeds = VectorQueries.seedCentroids(emb)
+    def wcssOf(c: org.apache.spark.sql.DataFrame): Double =
+      KMeans.wcss(emb, c).collect().head.getDouble(0)
+    assert(wcssOf(KMeans.refineQuantized(emb, seeds, VectorQueries.KM_ITERS))
+      < wcssOf(seeds))
+  }
+
+  test("quantized Lloyd fit is partitioning-invariant (exact reproducibility)") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.KMeans
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seeds = VectorQueries.seedCentroids(emb)
+    def fit(e: org.apache.spark.sql.DataFrame): Map[Long, Seq[Float]] =
+      KMeans.refineQuantized(e, seeds, 2).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // float summation order would differ across partitionings; the
+    // integer-quantized sums must not — bit-identical centroids
+    assert(fit(emb) === fit(emb.repartition(17)))
+  }
+
   test("q_ann_ivf_topk: projection-based assignment — no SMJ, broadcast probes") {
     val plan = VectorQueries.queries("q_ann_ivf_topk")(spark, sf)
       .queryExecution.executedPlan.toString

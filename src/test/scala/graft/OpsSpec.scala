@@ -67,4 +67,80 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(sig(1L) === sig(2L)) // identical docs, identical signatures
   }
+
+  // ── versioned table surface (Delta-protocol stand-in) ────────────────
+
+  test("versioned table: merge/delete bump versions, readAt time-travels") {
+    val path = Files.createTempDirectory("graft-vt").toString + "/t"
+    val t = Graft.table(spark, path)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(t.version() === 1)
+    t.merge(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    assert(t.version() === 2)
+    t.delete(col("id") === 1L)
+    assert(t.version() === 3)
+    // live = v3: merge applied (incoming wins), id 1 deleted
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((2L, "B"), (3L, "c")))
+    // time travel: v1 pre-merge, v2 pre-delete
+    assert(t.readAt(1).orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+    assert(t.readAt(2).orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    assert(t.readAt(3).count() === t.read().count())
+    // history: newest first, exactly one live row, all versions present
+    val h = t.history().as[(Long, Long, Long, Boolean)].collect()
+    assert(h.map(_._1).toSeq === Seq(3L, 2L, 1L))
+    assert(h.count(_._4) === 1 && h.head._4)
+    // retained dirs are dot-prefixed → invisible to a parent-dir read
+    assert(spark.read.parquet(path).count() === 2)
+  }
+
+  test("versioned table: retention prunes, vacuum tightens, readAt fails clearly") {
+    val path = Files.createTempDirectory("graft-vt2").toString + "/t"
+    val t = Graft.table(spark, path, retain = 2)
+    (1 to 4).foreach(i => t.overwrite(Seq((i.toLong, i)).toDF("id", "v")))
+    assert(t.version() === 4)
+    assert(t.retainedVersions() === Seq(2L, 3L)) // v1 pruned (retain=2)
+    val e = intercept[java.io.IOException](t.readAt(1))
+    assert(e.getMessage.contains("not retained"))
+    t.vacuum(keepLast = 1)
+    assert(t.retainedVersions() === Seq(3L))
+  }
+
+  test("versioned table: concurrent writer aborts instead of interleaving") {
+    val path = Files.createTempDirectory("graft-vt3").toString + "/t"
+    val t = Graft.table(spark, path)
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.DirSwap.acquireLock(fs, target) // a live second writer
+    try {
+      val e = intercept[java.io.IOException](
+        t.merge(Seq((2L, "b")).toDF("id", "v"), Seq("id")))
+      assert(e.getMessage.contains("concurrent writer"))
+      assert(t.version() === 1) // nothing committed
+    } finally graft.operators.DirSwap.releaseLock(fs, target)
+    // and after the lock clears, the same merge commits
+    t.merge(Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    assert(t.version() === 2 && t.read().count() === 2)
+  }
+
+  test("versioned table: optimize compacts as a time-travel-able version") {
+    val path = Files.createTempDirectory("graft-vt4").toString + "/t"
+    val t = Graft.table(spark, path)
+    t.overwrite(spark.range(1000).selectExpr("id", "id * 3 AS v")
+      .repartition(20))
+    val before = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 15)
+    t.optimize(targetBytes = 1L << 30)
+    val after = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after === 1)
+    assert(t.version() === 2)
+    assert(t.read().count() === 1000)
+    // the pre-compaction layout is still readable at v1
+    assert(t.readAt(1).count() === 1000)
+  }
 }
