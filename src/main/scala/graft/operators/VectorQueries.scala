@@ -49,13 +49,18 @@ object VectorQueries {
   private val DUP_OFFSET = 1000000L  // planted-copy id offset
   private val NEARDUP_THRESHOLD = 0.99
 
-  /** Measured flat-vs-two-level crossover (ScaleProbe, dim 64): below
-    * this centroid count the fused flat argmin wins; above it the
-    * coarse-then-fine descent's saved distance evals beat its dispatch
-    * overhead. Production dims (512-4096) cross over far earlier — this
-    * is the conservative dim-64 number.
+  /** Flat-vs-two-level crossover (ScaleProbe, dim 64, 40k rows): the
+    * fused flat argmin WINS at every directly measurable C — 2.5 s vs
+    * 6.1 s even at C = 40 000 — because a native l2_sq eval costs ~100×
+    * less than the descent's per-row HOF machinery. Fitting the
+    * measured marginals (flat linear in C at ~35 ms/1000 cells; descent
+    * ~√C at ~11 ms/√cell) crosses near C ≈ 3·10⁵ — with C = ⌊√n⌋
+    * that is a ~10¹¹-vector corpus, exactly the 100 TB regime this
+    * selector exists for. Production dims (512–4096) cross far
+    * earlier: the descent saves distance evals whose cost scales with
+    * dim while its dispatch overhead does not.
     */
-  private[graft] val TWO_LEVEL_MIN_CELLS = 2500
+  private[graft] val TWO_LEVEL_MIN_CELLS = 300000
 
   private def loadEmb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -354,8 +359,9 @@ object VectorQueries {
     // linear but let assignment grow O(n²/64)). ⌊√n⌋ is computed as
     // floor over an IEEE sqrt — correctly rounded in both engines, so
     // the cell count is oracle-identical. Assignment goes through
-    // [[assignCells]]: flat here (C = √n crosses 2500 only past ~6M
-    // rows), two-level descent beyond the measured crossover.
+    // [[assignCells]]: the flat fused argmin until C reaches the
+    // extrapolated dim-64 crossover (TWO_LEVEL_MIN_CELLS), the
+    // two-level descent beyond it.
     //
     // The assigned table is PERSISTED (registered): both self-join
     // sides read it, and without the cache each side would re-derive

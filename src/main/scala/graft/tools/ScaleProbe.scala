@@ -82,6 +82,18 @@ object ScaleProbe {
       time(s"emb x$m fixed 16 cells")(candCount(16L))
       time(s"emb x$m scaled ${math.max(16L, n / 64)} cells")(
         candCount(math.max(16L, n / 64)))
+      // the round-4 budget: C = ⌊√n⌋ (the standard IVF regime).
+      // Assignment is n·√n = O(n^1.5) distance evals and expected cell
+      // population √n keeps Σcell² ≈ O(n^1.5) too — BOTH timed rows
+      // below must grow ~m^1.5 (≈ 89× at 20×), not m² (400×).
+      val sqrtN = math.max(16L, math.sqrt(n.toDouble).toLong)
+      val sqrtArr = VectorQueries.centroidArray(
+        emb.filter(col("vec_id") < sqrtN)
+          .select(col("vec_id").as("cell"), col("embedding").as("centroid")))
+      time(s"emb x$m assign-only √n=$sqrtN")(
+        VectorQueries.withCell(aug, sqrtArr, col("embedding"))
+          .select(col("vec_id"), col("cell")).count())
+      time(s"emb x$m cands √n=$sqrtN cells")(candCount(sqrtN))
     }
 
     // assignment cost at a large cell count: flat argmin (n×C distance
@@ -98,7 +110,7 @@ object ScaleProbe {
         rot.as("embedding"))
     }.reduce(_ unionAll _).repartition(32)
     for (bigCells <- Seq(math.max(16L, augBig.count() / 64) /* 625 */,
-                         2500L)) {
+                         2500L, 10000L, 40000L)) {
       // centroids drawn across replicas (rotations are distinct vectors)
       val perReplica = (bigCells + 19) / 20
       val cents = augBig.filter(col("vec_id") % 10_000_000L < perReplica)
