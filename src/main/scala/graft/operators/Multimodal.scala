@@ -97,6 +97,23 @@ object Multimodal {
     */
   trait MediaDecoder extends Serializable {
     def decode(m: MediaRow): DecodedMedia
+
+    /** Largest payload one decode call accepts. JVM byte arrays cap at
+      * Int.MaxValue (~2 GB), so anything larger must be rejected at
+      * PLAN time from the catalog's size column — a task that tried to
+      * materialize it would OOM or overflow instead of failing clearly.
+      * Real codecs override LOWER (a 2 GB frame buffer rarely fits).
+      */
+    def maxBytes: Long = Int.MaxValue.toLong
+
+    /** Fail-fast guard for declared payload sizes (catalog `n_bytes`),
+      * checked before bytes are ever loaded. MultimodalSpec's decoder
+      * conformance suite pins this contract for every implementation.
+      */
+    final def checkDecodable(nBytes: Long): Unit =
+      require(nBytes >= 0 && nBytes <= maxBytes,
+        s"payload of $nBytes bytes exceeds decoder limit $maxBytes " +
+          "(or is negative); filter or split upstream")
   }
 
   /** Deterministic stand-in decoder: sniffs the magic, parses the PNG

@@ -109,4 +109,83 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(hashes(1L) !== hashes(4L))           // a sampled byte changed…
     assert(hamming(hashes(1L), hashes(4L)) <= 8) // …but the damage is local
   }
+
+  // ── decoder conformance suite ────────────────────────────────────────
+  // The seam a REAL codec drops into: any MediaDecoder implementation
+  // must pass these unchanged (operators never special-case a decoder).
+  // Run against StubDecoder here; a libjpeg/ffmpeg-backed decoder would
+  // add one `conformance("RealDecoder", RealDecoder)` line and nothing
+  // else.
+
+  private val pngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
+    0x1a, 0x0a).map(_.toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def png(w: Long, h: Long, payload: Array[Byte]): Array[Byte] =
+    pngMagic ++ be32(w) ++ be32(h) ++ payload
+
+  private def conformance(name: String,
+                          d: Multimodal.MediaDecoder): Unit = {
+
+    test(s"$name conformance: magic dispatch with parsed dimensions") {
+      val img = d.decode(MediaRow(1L, png(640L, 480L, Array[Byte](1, 2, 3))))
+      assert(img.mime.startsWith("image/"))
+      assert(img.width === 640L && img.height === 480L)
+      val riff = d.decode(MediaRow(2L,
+        "RIFF1234WAVE".getBytes("UTF-8")))
+      assert(!riff.mime.startsWith("image/"))
+      val raw = d.decode(MediaRow(3L, Array[Byte](1, 2, 3, 4, 5)))
+      assert(raw.mime === "application/octet-stream")
+    }
+
+    test(s"$name conformance: truncated header neither crashes nor invents dims") {
+      // every prefix of a valid PNG, including cuts INSIDE the magic and
+      // inside the dimension words — decode must return, and must not
+      // report dimensions it could not have parsed
+      val full = png(640L, 480L, Array[Byte](9, 9, 9))
+      for (cut <- 0 until 16) {
+        val out = d.decode(MediaRow(10L + cut, full.take(cut)))
+        assert(out.n_bytes === cut)
+        assert(out.width === 0L && out.height === 0L,
+          s"dims invented from a $cut-byte prefix")
+      }
+    }
+
+    test(s"$name conformance: empty payload is a clean zero row") {
+      val out = d.decode(MediaRow(7L, Array.empty[Byte]))
+      assert(out.media_id === 7L)
+      assert(out.n_bytes === 0 && out.mean_byte === 0.0)
+      assert(out.mime === "application/octet-stream")
+    }
+
+    test(s"$name conformance: deterministic and id-preserving") {
+      val m = MediaRow(42L, png(8L, 8L, Array.tabulate(32)(_.toByte)))
+      val a = d.decode(m)
+      assert(a === d.decode(m))
+      assert(a.media_id === 42L)
+    }
+
+    test(s"$name conformance: size guard rejects what a JVM array cannot hold") {
+      d.checkDecodable(0L)
+      d.checkDecodable(d.maxBytes)
+      assert(d.maxBytes <= Int.MaxValue.toLong,
+        "no single-call decoder can accept more than a JVM byte array")
+      intercept[IllegalArgumentException](d.checkDecodable(d.maxBytes + 1))
+      intercept[IllegalArgumentException](d.checkDecodable(-1L))
+      intercept[IllegalArgumentException](
+        d.checkDecodable(3L * 1024 * 1024 * 1024)) // the 3 GB "video"
+    }
+
+    test(s"$name conformance: distributed decodeAll preserves per-row results") {
+      val rows = Seq(
+        MediaRow(1L, png(4L, 2L, Array[Byte](5, 5))),
+        MediaRow(2L, "RIFFxxxx".getBytes("UTF-8")),
+        MediaRow(3L, Array.empty[Byte]))
+      val dist = Multimodal.decodeAll(rows.toDS().repartition(3), d)
+        .collect().map(x => x.media_id -> x).toMap
+      rows.foreach(m => assert(dist(m.media_id) === d.decode(m)))
+    }
+  }
+
+  conformance("StubDecoder", StubDecoder)
 }
