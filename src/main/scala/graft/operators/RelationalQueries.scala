@@ -209,6 +209,43 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
     },
 
+    // ── cube: all 2² grouping combinations in ONE shuffle (Expand emits
+    // a row per grouping set, the hash aggregate is shared). grouping_id
+    // disambiguates subtotal NULLs from data NULLs — the standard cube
+    // consumer contract.
+    "q_cube_agg" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          grouping_id().as("gid"))
+    },
+
+    // ── explicit grouping sets (the non-hierarchical shape rollup/cube
+    // can't express): per-status totals and per-priority totals in one
+    // pass, via the SQL surface (the DataFrame API has no grouping-sets
+    // verb; SQL is the first-class route in both engines).
+    "q_grouping_sets" -> { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+          |""".stripMargin)
+    },
+
+    // ── ntile/percent_rank: distribution windows (quartile bucketing and
+    // relative rank per nation). Keyed by c_nationkey — high enough
+    // cardinality to spread; percent_rank's (rank-1)/(n-1) is the same
+    // exact integer-ratio IEEE division in both engines.
+    "q_window_ntile" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          ntile(4).over(w).as("tile"),
+          percent_rank().over(w).as("pr"))
+    },
+
     // ── window lag/lead: per-customer order history deltas ──────────────
     "q_window_lag" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
@@ -478,6 +515,25 @@ object RelationalQueries {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT c_custkey, c_nationkey,
+        | ntile(4) OVER w AS tile,
+        | percent_rank() OVER w AS pr
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin,
 
     "q_window_lag" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

@@ -61,6 +61,17 @@ object TextQueries {
           TextFunctions.langId(col("text")).as("lang_pred"))
     },
 
+    // ── curation funnel: the keep/drop verdict a training-data pipeline
+    // actually emits — exact-dup survivor + length floor + quality band
+    // + language gate composed into ONE first-failing-rule verdict.
+    // Every signal is a zero-shuffle projection; the only shuffles are
+    // the fingerprint window (keyed by fp — high cardinality, no
+    // funnel) feeding dup_rank. At 100 TB this is a map pipeline plus
+    // one hash exchange on the content fingerprint.
+    "q_curation_funnel" -> { (s, dir) =>
+      curationFunnel(Tables.load(s, dir, "documents"))
+    },
+
     // ── document fingerprint (md5 of normalized text) ───────────────────
     "q_fingerprint" -> { (s, dir) =>
       Tables.load(s, dir, "documents")
@@ -180,6 +191,28 @@ object TextQueries {
     }
   )
 
+  /** The q_curation_funnel body over any (doc_id, text) table:
+    * (doc_id, verdict) with verdict ∈ {duplicate, too_short,
+    * low_quality, unknown_lang, keep}, first failing rule wins.
+    * Duplicate = any non-first doc (by id) of an exact normalized-text
+    * fingerprint group.
+    */
+  private[graft] def curationFunnel(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.langId(col("text")).as("lang_pred"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
+    base.withColumn("dup_rank", row_number().over(w))
+      .select(col("doc_id"),
+        when(col("dup_rank") > 1, lit("duplicate"))
+          .when(col("n_tokens") < 10, lit("too_short"))
+          .when(col("quality") < 40, lit("low_quality"))
+          .when(col("lang_pred") === "und", lit("unknown_lang"))
+          .otherwise(lit("keep")).as("verdict"))
+  }
+
   // ─── DuckDB oracle twins ──────────────────────────────────────────────
 
   /** tokens CTE: lowercased whitespace tokens per doc. */
@@ -243,12 +276,23 @@ object TextQueries {
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
       .map(w => s"'$w'").mkString(", ")
 
-  private def langArgmaxSql: String = {
+  /** toks + scored CTEs feeding [[langPredSelect]] (reused by the
+    * curation funnel; note toks EXCLUDES empty texts, so funnel
+    * consumers left-join and coalesce to 'und').
+    */
+  private def langScoredCtes: String = {
     val scores = TextFunctions.langMarkers.map { case (lang, markers) =>
       val in = markers.map(m => s"'$m'").mkString(", ")
       s"len(list_filter(t, x -> x IN ($in))) AS score_$lang"
     }.mkString(", ")
-    // first-wins strictly-greater fold, identical to TextFunctions.langId
+    s"""$toksCte,
+       |scored AS (SELECT doc_id, $scores FROM toks)""".stripMargin
+  }
+
+  /** SELECT over `scored` — first-wins strictly-greater fold, identical
+    * to TextFunctions.langId.
+    */
+  private def langPredSelect: String = {
     val langs = TextFunctions.langMarkers.map(_._1)
     var bestLang = s"'${langs.head}'"
     var bestScore = s"score_${langs.head}"
@@ -256,12 +300,34 @@ object TextQueries {
       bestLang = s"CASE WHEN score_$l > $bestScore THEN '$l' ELSE $bestLang END"
       bestScore = s"CASE WHEN score_$l > $bestScore THEN score_$l ELSE $bestScore END"
     }
-    s"""WITH $toksCte,
-       |scored AS (SELECT doc_id, $scores FROM toks)
-       |SELECT doc_id,
+    s"""SELECT doc_id,
        |  CASE WHEN ($bestScore) > 0 THEN ($bestLang) ELSE 'und' END AS lang_pred
        |FROM scored""".stripMargin
   }
+
+  private def langArgmaxSql: String =
+    s"""WITH $langScoredCtes
+       |$langPredSelect""".stripMargin
+
+  /** qm + qv CTEs ending in `qv(doc_id, quality)` — the SQL twin of
+    * TextFunctions.qualityScore, shared by q_quality_score and the
+    * curation funnel.
+    */
+  private def qualityCtes: String =
+    s"""qm AS (SELECT doc_id, length(text) AS n,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |              x -> lower(x) IN ($stopwordsSql))) END AS stops,
+       |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
+       | FROM documents),
+       |qv AS (SELECT doc_id, CAST(
+       |  (CASE WHEN n >= 200 AND n <= 5000 THEN 40 WHEN n >= 50 THEN 20 ELSE 0 END) +
+       |  (CASE WHEN toks > 0 AND stops * 100 >= toks * 2 THEN 30 ELSE 0 END) +
+       |  (CASE WHEN n > 0 AND punct * 100 <= n * 10 THEN 30 ELSE 0 END)
+       | AS INT) AS quality
+       | FROM qm)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_text_stats" ->
@@ -284,20 +350,33 @@ object TextQueries {
          |GROUP BY tok""".stripMargin,
 
     "q_quality_score" ->
-      s"""WITH m AS (SELECT doc_id, length(text) AS n,
-         |  CASE WHEN length(trim(text)) = 0 THEN 0
-         |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
-         |  CASE WHEN length(trim(text)) = 0 THEN 0
-         |       ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
-         |              x -> lower(x) IN ($stopwordsSql))) END AS stops,
-         |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
-         | FROM documents)
-         |SELECT doc_id, CAST(
-         |  (CASE WHEN n >= 200 AND n <= 5000 THEN 40 WHEN n >= 50 THEN 20 ELSE 0 END) +
-         |  (CASE WHEN toks > 0 AND stops * 100 >= toks * 2 THEN 30 ELSE 0 END) +
-         |  (CASE WHEN n > 0 AND punct * 100 <= n * 10 THEN 30 ELSE 0 END)
-         | AS INT) AS quality
-         |FROM m""".stripMargin,
+      s"""WITH $qualityCtes
+         |SELECT doc_id, quality FROM qv""".stripMargin,
+
+    "q_curation_funnel" ->
+      s"""WITH $langScoredCtes,
+         |lang AS ($langPredSelect),
+         |$qualityCtes,
+         |fpt AS (SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |dup AS (SELECT doc_id, row_number() OVER (
+         |    PARTITION BY fp ORDER BY doc_id ASC) AS dup_rank FROM fpt),
+         |nt AS (SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+         |  FROM documents)
+         |SELECT d.doc_id,
+         |  CASE WHEN dup.dup_rank > 1 THEN 'duplicate'
+         |       WHEN nt.n_tokens < 10 THEN 'too_short'
+         |       WHEN qv.quality < 40 THEN 'low_quality'
+         |       WHEN coalesce(lang.lang_pred, 'und') = 'und' THEN 'unknown_lang'
+         |       ELSE 'keep' END AS verdict
+         |FROM documents d
+         |JOIN dup ON d.doc_id = dup.doc_id
+         |JOIN nt ON d.doc_id = nt.doc_id
+         |JOIN qv ON d.doc_id = qv.doc_id
+         |LEFT JOIN lang ON d.doc_id = lang.doc_id""".stripMargin,
 
     "q_lang_id" -> langArgmaxSql,
 

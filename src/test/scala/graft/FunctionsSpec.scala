@@ -122,4 +122,25 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
       .as[Double].collect().head
     assert(got === 25.0) // 9 + 16 + 0
   }
+
+  // ── curation funnel ───────────────────────────────────────────────────
+
+  test("curationFunnel: first failing rule wins, every doc gets one verdict") {
+    val good = ("the data and the model of the training run is large " +
+      "and the tokens are clean and the text is long with many words ") * 3
+    val unkLang = "to it or a an in " * 32 // stopword-rich, zero markers
+    val docs = Seq(
+      1L -> good,              // keep
+      2L -> (good + "  "),     // same normalized fingerprint, higher id
+      3L -> "hi there",        // 2 tokens
+      4L -> "",                // empty
+      5L -> "zz qq xx yy ww vv uu tt ss rr pp oo", // 12 tokens, no stops
+      6L -> unkLang
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextQueries.curationFunnel(docs)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "keep", 2L -> "duplicate", 3L -> "too_short",
+      4L -> "too_short", 5L -> "low_quality", 6L -> "unknown_lang"))
+  }
 }
