@@ -48,6 +48,7 @@ object Bench {
     val samples =
       scala.collection.mutable.Map.empty[String, List[Double]]
         .withDefaultValue(Nil)
+    val errors = scala.collection.mutable.Map.empty[String, String]
     val repTotals = (1 to reps).map { _ =>
       names.map { name =>
         // every run starts cold-cache and post-GC: the timed body owns
@@ -56,21 +57,42 @@ object Bench {
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        val sec = (System.nanoTime() - t0) / 1e9
-        samples(name) ::= sec
-        sec
+        // a failed rep is an ERROR, never a sample: the elapsed time of
+        // a crash is not a measurement, and a query that fails every
+        // rep must read as -1 in the record, not as a fast median
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          samples(name) ::= sec
+          sec
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.next().take(160).replaceAll("[\"\\\\]", "'")
+            0.0
+        }
       }.sum
     }
 
     def median(xs: List[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
-    val med = names0.map(n => n -> median(samples(n)))
+    val med = names0.map(n =>
+      n -> (if (samples(n).isEmpty) -1.0 else median(samples(n))))
     val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = med.map(_._2).sum
     val rt = repTotals.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"rep_totals":$rt}""")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.toSeq.sorted
+        .map { case (k, v) => s"\"$k\":\"$v\"" }
+        .mkString(""","errors":{""", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"rep_totals":$rt$errJson}""")
+    if (errors.nonEmpty) {
+      Console.err.println(s"[bench] ${errors.size} queries FAILED: " +
+        errors.keys.toSeq.sorted.mkString(", "))
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 

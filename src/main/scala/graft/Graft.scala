@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.operators._
 import graft.sources.{FeedFetcher, Layout}
@@ -98,6 +98,17 @@ object Graft {
   def fitCentroids(emb: DataFrame, seedCentroids: DataFrame,
                    iters: Int = 3): DataFrame =
     KMeans.refine(emb, seedCentroids, iters)
+
+  /** Nearest-centroid cell per row — the blocking/IVF assignment
+    * primitive. Selects the exact flat in-row argmin below the measured
+    * crossover and the two-level coarse-then-fine descent above it
+    * (APPROXIMATE there — same recall trade LSH banding makes; use
+    * [[operators.VectorQueries.withCell]] semantics via a sub-crossover
+    * centroid count when exactness is required).
+    */
+  def assignEmbeddingCells(df: DataFrame, centroids: DataFrame,
+                           vec: Column): DataFrame =
+    operators.VectorQueries.assignCells(df, centroids, vec)
 
   /** Exchange-aware salted join for skewed keys. */
   def skewJoin(large: DataFrame, small: DataFrame, keys: Seq[String],

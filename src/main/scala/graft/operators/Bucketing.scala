@@ -85,6 +85,31 @@ object Bucketing {
     }
   }
 
+  /** Cheap content signature of a source path: FNV-1a over the name,
+    * length, and modification time of every file under it — a
+    * driver-side metadata listing, no data scan. Embed it in an
+    * [[ensureBucketed]] tag so an in-place refresh of the source (same
+    * path, new data) invalidates the bucketed copy instead of silently
+    * serving stale rows.
+    */
+  def sourceSignature(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val it = fs.listFiles(p, true)
+      var h = 0xcbf29ce484222325L
+      while (it.hasNext) {
+        val st = it.next()
+        val s = st.getPath.getName + ":" + st.getLen + ":" +
+          st.getModificationTime
+        var i = 0
+        while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      }
+      java.lang.Long.toHexString(h)
+    }
+  }
+
   /** Join two same-bucketed tables on their bucket key — exchange-free
     * when bucket counts match.
     */

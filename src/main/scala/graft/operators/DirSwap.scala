@@ -156,16 +156,32 @@ private[graft] object DirSwap {
     }
   }
 
-  def recover(fs: FileSystem, target: Path, tmp: Path, old: Path): Unit = {
+  /** Drop a displaced `old` dir — or, for versioned tables
+    * (`retainDisplaced`), rename it to the retained-version sibling its
+    * own `_graft_version` stamp names, so a crash between [[commit]]'s
+    * renames cannot silently shrink the time-travel window.
+    */
+  private def discardOld(fs: FileSystem, target: Path, old: Path,
+                         retainDisplaced: Boolean): Unit =
+    if (fs.exists(old)) {
+      if (retainDisplaced) {
+        val r = hiddenSibling(target, s"__v${readVersion(fs, old)}")
+        fs.delete(r, true)
+        if (!fs.rename(old, r)) fs.delete(old, true)
+      } else fs.delete(old, true)
+    }
+
+  def recover(fs: FileSystem, target: Path, tmp: Path, old: Path,
+              retainDisplaced: Boolean = false): Unit = {
     if (fs.exists(target)) {
       fs.delete(tmp, true)
-      fs.delete(old, true)
+      discardOld(fs, target, old, retainDisplaced)
     } else if (fs.exists(tmp) &&
         fs.exists(new Path(tmp, SUCCESS_FILE))) {
       // tmp is a COMPLETE new version (committer marker present, and
       // renames only start after the write finishes) → promote it
       fs.rename(tmp, target)
-      fs.delete(old, true)
+      discardOld(fs, target, old, retainDisplaced)
     } else if (fs.exists(tmp)) {
       // partial tmp from a crash mid-write: discard, restore old if any
       fs.delete(tmp, true)

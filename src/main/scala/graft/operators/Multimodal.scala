@@ -106,9 +106,12 @@ object Multimodal {
       */
     def maxBytes: Long = Int.MaxValue.toLong
 
-    /** Fail-fast guard for declared payload sizes (catalog `n_bytes`),
-      * checked before bytes are ever loaded. MultimodalSpec's decoder
-      * conformance suite pins this contract for every implementation.
+    /** Fail-fast guard for declared payload sizes. Call it at PLAN time
+      * on the catalog's size column (before bytes load); [[decodeAll]]
+      * also re-checks each materialized payload so an unguarded
+      * pipeline still fails with this message instead of a codec OOM.
+      * MultimodalSpec's decoder conformance suite pins this contract
+      * for every implementation.
       */
     final def checkDecodable(nBytes: Long): Unit =
       require(nBytes >= 0 && nBytes <= maxBytes,
@@ -154,7 +157,10 @@ object Multimodal {
   def decodeAll(media: Dataset[MediaRow],
                 decoder: MediaDecoder): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(rows => rows.map(decoder.decode))
+    media.mapPartitions(rows => rows.map { m =>
+      decoder.checkDecodable(m.bytes.length.toLong)
+      decoder.decode(m)
+    })
   }
 
   /** One sampled frame of a media payload. */

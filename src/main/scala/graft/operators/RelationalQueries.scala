@@ -372,14 +372,21 @@ object RelationalQueries {
     // shape (write once, join forever), and it is what the bench's
     // median-of-reps records.
     "q_bucketed_join" -> { (s, dir) =>
+      // the tag carries a file-metadata signature of the source, not
+      // just its path: an in-place refresh of the parquet invalidates
+      // the bucketed copy instead of silently joining stale rows
       Bucketing.ensureBucketed(
         Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_extendedprice")),
-        "graft_bkt_lineitem", "l_orderkey", 8, tag = dir)
+        "graft_bkt_lineitem", "l_orderkey", 8,
+        tag = dir + "|" +
+          Bucketing.sourceSignature(s, s"$dir/lineitem.parquet"))
       Bucketing.ensureBucketed(
         Tables.load(s, dir, "orders")
           .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
-        "graft_bkt_orders", "l_orderkey", 8, tag = dir)
+        "graft_bkt_orders", "l_orderkey", 8,
+        tag = dir + "|" +
+          Bucketing.sourceSignature(s, s"$dir/orders.parquet"))
       Bucketing.bucketedJoin(s, "graft_bkt_lineitem", "graft_bkt_orders",
           "l_orderkey")
         .groupBy(col("o_orderpriority"))

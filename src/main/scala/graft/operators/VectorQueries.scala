@@ -358,10 +358,16 @@ object VectorQueries {
     // the SAME sub-quadratic rate (round 3's cells = n/64 kept verify
     // linear but let assignment grow O(n²/64)). ⌊√n⌋ is computed as
     // floor over an IEEE sqrt — correctly rounded in both engines, so
-    // the cell count is oracle-identical. Assignment goes through
-    // [[assignCells]]: the flat fused argmin until C reaches the
-    // extrapolated dim-64 crossover (TWO_LEVEL_MIN_CELLS), the
-    // two-level descent beyond it.
+    // the cell count is oracle-identical (`n` is a driver-side count —
+    // parquet-metadata cheap — so n_cells is a LITERAL: the centroid
+    // filter pushes into the scan, where the round-4 first cut's
+    // DataFrame-valued n_cells forced a broadcast-crossJoin filter per
+    // consumer plus a separate strategy count ≈ two extra corpus
+    // scans). Assignment is the exact flat argmin DELIBERATELY — this
+    // query is hash-gated against an exact-argmin oracle, so wiring the
+    // approximate two-level descent here would silently diverge the
+    // gate past the crossover; approximate blocking at C beyond
+    // TWO_LEVEL_MIN_CELLS is the library path, [[assignCells]].
     //
     // The assigned table is PERSISTED (registered): both self-join
     // sides read it, and without the cache each side would re-derive
@@ -373,15 +379,13 @@ object VectorQueries {
         emb.filter(col("vec_id") < DUP_COPIES)
           .select((col("vec_id") + DUP_OFFSET).as("vec_id"),
             col("embedding")))
-      val nCells = aug.agg(count(lit(1)).as("n_vec"))
-        .select(greatest(lit(MIN_CELLS.toLong),
-          floor(sqrt(col("n_vec"))).cast("long")).as("n_cells"))
-      val centroids = emb.crossJoin(broadcast(nCells))
-        .filter(col("vec_id") < col("n_cells"))
+      val n = emb.count() + DUP_COPIES
+      val nCells = math.max(MIN_CELLS.toLong, math.sqrt(n.toDouble).toLong)
+      val centroids = emb.filter(col("vec_id") < nCells)
         .select(col("vec_id").as("cell"),
           col("embedding").as("centroid"))
       val assigned = graft.CacheRegistry.register(
-        assignCells(aug, centroids, col("embedding"))
+        withCell(aug, centroidArray(centroids), col("embedding"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val a = assigned.select(col("vec_id").as("vec_a"),
         col("embedding").as("ea"), col("cell"))

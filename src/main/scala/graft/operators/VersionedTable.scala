@@ -132,8 +132,13 @@ final class VersionedTable private (spark: SparkSession, path: String,
       case None => throw new IOException(s"optimize on missing table $path")
     }
 
-  /** Prune retained versions beyond the newest `keepLast`. */
-  def vacuum(keepLast: Int = 0): Unit = {
+  /** Prune retained versions beyond the newest `keepLast`. No default:
+    * `keepLast = 0` deletes the ENTIRE time-travel window, and that
+    * must be something the caller typed, not something a bare
+    * `vacuum()` did (Delta's VACUUM guards zero retention the same
+    * way).
+    */
+  def vacuum(keepLast: Int): Unit = {
     val vs = retainedVersions()
     vs.dropRight(keepLast).foreach(v => fs.delete(retainedPath(v), true))
   }
@@ -146,7 +151,9 @@ final class VersionedTable private (spark: SparkSession, path: String,
     val old = DirSwap.hiddenSibling(target, "__old_swap")
     DirSwap.acquireLock(fs, target)
     try {
-      DirSwap.recover(fs, target, tmp, old)
+      // retainDisplaced: a crash between commit's renames must park the
+      // displaced version under its own retained name, not delete it
+      DirSwap.recover(fs, target, tmp, old, retainDisplaced = true)
       val v0 = DirSwap.readVersion(fs, target)
       val result =
         f(if (fs.exists(target)) Some(spark.read.parquet(path)) else None)

@@ -126,6 +126,31 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(t.version() === 2 && t.read().count() === 2)
   }
 
+  test("versioned table: crash between commit renames keeps the displaced version") {
+    val path = Files.createTempDirectory("graft-vt5").toString + "/t"
+    val t = Graft.table(spark, path)
+    t.overwrite(Seq((1L, "a")).toDF("id", "v")) // v1
+    t.overwrite(Seq((2L, "b"), (3L, "c")).toDF("id", "v")) // v2
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = graft.operators.DirSwap.hiddenSibling(target, "__tmp_swap")
+    val old = graft.operators.DirSwap.hiddenSibling(target, "__old_swap")
+    // simulate a writer that crashed mid-commit: it wrote a COMPLETE v3
+    // tmp (committer _SUCCESS present), renamed target→old, and died
+    // before promoting tmp — the displaced v2 lives only in `old`
+    Seq((4L, "d")).toDF("id", "v").write.parquet(tmp.toString)
+    graft.operators.DirSwap.writeVersion(fs, tmp, 3L)
+    assert(fs.rename(target, old))
+    // the next mutation's recovery must roll FORWARD to v3 and park v2
+    // under its retained name instead of deleting it
+    t.delete(col("id") === 999L) // commits v4 over the recovered v3
+    assert(t.version() === 4)
+    assert(t.retainedVersions().contains(2L), "displaced v2 was lost")
+    assert(t.readAt(2).count() === 2)
+    assert(t.readAt(3).count() === 1)
+    assert(t.read().count() === 1)
+  }
+
   test("versioned table: optimize compacts as a time-travel-able version") {
     val path = Files.createTempDirectory("graft-vt4").toString + "/t"
     val t = Graft.table(spark, path)
