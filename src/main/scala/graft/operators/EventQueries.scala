@@ -140,6 +140,25 @@ object EventQueries {
           col("last_ord.o_totalprice").as("o_totalprice"))
     },
 
+    // ── ordered funnel: view → click → purchase conversion ──────────────
+    // Step N's timestamp must be ≥ step N−1's first qualifying time —
+    // the ORDER matters (a click before any view does not advance the
+    // funnel). Three keyed aggs + two joins, ALL keyed by user_id:
+    // co-partitioned shuffles, no broadcast needed, the canonical
+    // distributed funnel plan.
+    "q_event_funnel" -> { (s, dir) =>
+      funnelCounts(loadEvents(s, dir), Seq("view", "click", "purchase"))
+    },
+
+    // ── cohort retention: activity weeks by first-seen week ─────────────
+    // Pure-integer week indices (ms div day div 7 — the same exact
+    // division both engines do) so the matrix is hash-stable. distinct
+    // (user, week) pairs shuffle once; the final (cohort, offset) agg is
+    // bounded by weeks², tiny forever.
+    "q_cohort_retention" -> { (s, dir) =>
+      cohortRetention(loadEvents(s, dir))
+    },
+
     // ── scalable profile: approx_count_distinct (HLL). No oracleSql —
     // DuckDB's sketch differs, so the driver records the weaker
     // rows-only check; the exact-profile twin is q_profile_onepass.
@@ -150,6 +169,51 @@ object EventQueries {
         approx_count_distinct(col("event_type")).as("approx_types"))
     }
   )
+
+  /** Ordered-funnel user counts over (user_id, event_type, ms): one row
+    * per step with the number of users whose FIRST qualifying time for
+    * that step follows their previous step's time.
+    */
+  private[graft] def funnelCounts(events: DataFrame,
+                                  steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col("user_id"), col("event_type"), col("ms"))
+    val stepTimes = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, i)) =>
+        val mine = e.filter(col("event_type") === step)
+        val gated = prev match {
+          case None => mine
+          case Some(p) =>
+            mine.join(p.select(col("user_id"), col(s"t$i").as("t_prev")),
+                "user_id")
+              .filter(col("ms") >= col("t_prev"))
+        }
+        Some(gated.groupBy(col("user_id"))
+          .agg(min(col("ms")).as(s"t${i + 1}")))
+    }.flatten
+    stepTimes.zip(steps).zipWithIndex.map { case ((t, name), i) =>
+      t.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** (cohort_wk, week_offset, n_users): distinct active users per weeks-
+    * since-first-seen, cohorted by first-seen week. Week = integer
+    * epoch-week (ms div 86400000 div 7).
+    */
+  private[graft] def cohortRetention(events: DataFrame): DataFrame = {
+    val weeks = events
+      .select(col("user_id"), expr("ms div 86400000 div 7").as("wk"))
+      .distinct()
+    val first = weeks.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    weeks.join(first, "user_id")
+      .groupBy(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).as("week_offset"))
+      // rows are distinct (user, wk) pairs → count ≡ distinct users
+      .agg(count(lit(1)).as("n_users"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q_sessionize" ->
@@ -186,6 +250,32 @@ object EventQueries {
         | array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events""".stripMargin,
+
+    "q_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |t1 AS (SELECT user_id, min(ms) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ms) AS t2 FROM e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ms >= t1.t1
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ms) AS t3 FROM e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ms >= t2.t2
+        |       GROUP BY e.user_id)
+        |SELECT 1 AS step, 'view' AS step_name,
+        |       (SELECT count(*) FROM t1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH wks AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 // 7 AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM wks GROUP BY user_id)
+        |SELECT f.cohort_wk, w.wk - f.cohort_wk AS week_offset,
+        |       count(*) AS n_users
+        |FROM wks w JOIN f ON w.user_id = f.user_id
+        |GROUP BY f.cohort_wk, w.wk - f.cohort_wk""".stripMargin,
 
     // deterministic as-of: among orders with oms <= event ms, the winner
     // is max (oms, orderkey) — mirrored by the Spark union-and-carry sort
