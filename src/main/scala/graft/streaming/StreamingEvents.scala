@@ -13,6 +13,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 final case class SessionState(startMs: Long, lastMs: Long, n: Long)
 
+/** Per-user funnel progress for [[StreamingEvents.funnelStream]]:
+  * `gates(k)` = first qualifying event-time of completed step k. Fixed
+  * width (≤ number of funnel steps), so state is O(users·steps) longs —
+  * the same growth class as any per-user streaming aggregate. Top-level
+  * and public for the state encoder (see [[SessionState]]).
+  */
+final case class FunnelState(gates: Seq[Long])
+
+/** One funnel advancement fact: `user_id` first completed `step`
+  * (1-based) at some event within the stream.
+  */
+final case class FunnelAdvance(user_id: Long, step: Int, step_name: String)
+
 /** Event-stream operators: watermarked tumbling-window aggregation,
   * gap-based session windows, and custom per-key state via
   * `flatMapGroupsWithState` — the streaming counterparts of
@@ -99,6 +112,56 @@ object StreamingEvents {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** Streaming ordered funnel — the incremental twin of
+    * [[graft.operators.EventQueries.funnelCounts]]: emits one
+    * [[FunnelAdvance]] fact the first time a user completes each step,
+    * where step k only qualifies at event-time ≥ step k−1's gate.
+    *
+    * Late data (within the watermark) is handled by GATE REFINEMENT: a
+    * late event of an already-completed step that qualifies EARLIER
+    * (≥ the previous gate, < the recorded one) lowers that gate, so
+    * out-of-order arrival converges to the batch answer — steps
+    * validated against the old, higher gate stay valid against the
+    * lower one a fortiori. Advancements already emitted are facts
+    * (step completion is monotone) and never retract.
+    *
+    * State per user is a ≤`steps.length`-long vector — constant width,
+    * same scale class as any per-user running aggregate.
+    */
+  def funnelStream(events: Dataset[Event],
+                   steps: Seq[String]): Dataset[FunnelAdvance] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event],
+         state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var gates = state.getOption
+            .map(_.gates.toVector).getOrElse(Vector.empty[Long])
+          val out = Seq.newBuilder[FunnelAdvance]
+          sorted.foreach { e =>
+            val k = steps.indexOf(e.event_type)
+            if (k >= 0) {
+              val t = e.ts.getTime
+              val gateOk =
+                k == 0 || (k - 1 < gates.length && t >= gates(k - 1))
+              if (k == gates.length && gateOk) {
+                gates = gates :+ t
+                out += FunnelAdvance(user, k + 1, steps(k))
+              } else if (k < gates.length && gateOk && t < gates(k)) {
+                gates = gates.updated(k, t) // late lower-gate refinement
+              }
+            }
+          }
+          if (gates.nonEmpty) state.update(FunnelState(gates))
+          out.result().iterator
       }
   }
 

@@ -162,6 +162,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out.contains((90L * 60000L, 1L)))
   }
 
+  test("funnelStream: ordered advancement across batches with late-gate refinement") {
+    val in = MemoryStream[Event](spark)
+    val q = StreamingEvents.funnelStream(in.toDS(),
+        Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    // batch 1: u1 views (click@5 < view@10 must NOT advance);
+    // u2 clicks with no view; u3 completes view+click
+    in.addData(
+      Event(1, ts(10), 1, "view", 0.0), Event(2, ts(5), 1, "click", 0.0),
+      Event(3, ts(5), 2, "click", 0.0),
+      Event(4, ts(40), 3, "view", 0.0), Event(5, ts(50), 3, "click", 0.0))
+    q.processAllAvailable()
+    // batch 2: u1 clicks late-but-valid then purchases BEFORE the click
+    // gate (no advance); u2 finally views; u3's LATE click@45 (≥ view
+    // gate 40, < recorded 50) lowers the gate so purchase@47 qualifies
+    in.addData(
+      Event(6, ts(20), 1, "click", 0.0), Event(7, ts(15), 1, "purchase", 0.0),
+      Event(8, ts(10), 2, "view", 0.0),
+      Event(9, ts(45), 3, "click", 0.0), Event(10, ts(47), 3, "purchase", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("funnel")
+      .as[(Long, Int, String)].collect().toSet
+    assert(out === Set(
+      (1L, 1, "view"), (1L, 2, "click"),
+      (2L, 1, "view"),
+      (3L, 1, "view"), (3L, 2, "click"), (3L, 3, "purchase")))
+  }
+
   test("dedupStream: duplicate event ids within watermark dropped") {
     val in = MemoryStream[Event](spark)
     val q = StreamingEvents.dedupStream(in.toDF())
