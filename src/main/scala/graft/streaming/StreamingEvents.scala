@@ -142,7 +142,13 @@ object StreamingEvents {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[Event],
          state: GroupState[FunnelState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // same-ms ties process in STEP order (view before click before
+          // purchase): batch gates are `ms >= gate`, so a same-ms
+          // next-step event qualifies — the gate must be set first or
+          // the fold diverges from funnelCounts on tied timestamps
+          // (caught by PropertySpec's random-data equivalence)
+          val sorted = rows.toSeq.sortBy(e =>
+            (e.ts.getTime, steps.indexOf(e.event_type), e.event_id))
           var gates = state.getOption
             .map(_.gates.toVector).getOrElse(Vector.empty[Long])
           val out = Seq.newBuilder[FunnelAdvance]

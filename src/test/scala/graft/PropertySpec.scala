@@ -178,4 +178,78 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(df.filter(hAB =!= TextFunctions.rollingHash(
       concat(col("a"), col("b")))).count() === 0)
   }
+
+  test("property: funnelCounts ≡ naive per-user min-gate fold; steps monotone") {
+    val rnd = new scala.util.Random(23)
+    val steps = Seq("view", "click", "purchase")
+    val types = steps ++ Seq("error", "signup") // non-funnel noise
+    val rows = Seq.tabulate(400)(_ =>
+      (rnd.nextInt(25).toLong, types(rnd.nextInt(types.length)),
+        rnd.nextInt(50).toLong))
+    // naive truth: per user, gate k = min time of step k at/after gate k−1
+    def reached(evs: Seq[(String, Long)]): Int = {
+      var g = Long.MinValue; var n = 0
+      steps.foreach { s =>
+        val q = evs.collect { case (t, ms) if t == s && ms >= g => ms }
+        if (q.nonEmpty && n == steps.indexOf(s)) { g = q.min; n += 1 }
+      }
+      n
+    }
+    val byUser = rows.groupBy(_._1)
+      .view.mapValues(es => reached(es.map(e => (e._2, e._3)))).toMap
+    val want = steps.indices
+      .map(i => (i + 1) -> byUser.values.count(_ >= i + 1).toLong).toMap
+    val got = graft.operators.EventQueries.funnelCounts(
+        rows.toDF("user_id", "event_type", "ms"), steps)
+      .as[(Int, String, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got === want)
+    // conversion can only shrink step over step
+    assert(got(1) >= got(2) && got(2) >= got(3))
+  }
+
+  test("property: funnelStream on a BATCH dataset ≡ funnelCounts (unified model)") {
+    import graft.streaming.StreamingEvents
+    import graft.streaming.StreamingEvents.Event
+    val rnd = new scala.util.Random(29)
+    val steps = Seq("view", "click", "purchase")
+    val types = steps ++ Seq("error")
+    val events = Seq.tabulate(300)(i =>
+      Event(i.toLong, new java.sql.Timestamp(60000L + rnd.nextInt(40) * 60000L),
+        rnd.nextInt(20).toLong, types(rnd.nextInt(types.length)), 0.0))
+    // the state function runs once per user over the whole batch —
+    // Spark's unified model makes the streaming operator a batch
+    // operator, and its advancement counts must equal funnelCounts'
+    val advance = StreamingEvents.funnelStream(events.toDS(), steps)
+      .groupBy(col("step"), col("step_name"))
+      .agg(count(lit(1)).as("n_users"))
+      .as[(Int, String, Long)].collect()
+      .map(r => (r._1, r._3)).toMap
+    val batch = graft.operators.EventQueries.funnelCounts(
+        events.toDF()
+          .select(col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms")), steps)
+      .as[(Int, String, Long)].collect()
+      .map(r => (r._1, r._3)).toMap
+    // funnelCounts emits 0-count steps; advancement facts don't
+    assert(batch.filter(_._2 > 0) === advance)
+  }
+
+  test("property: cohort matrix partitions distinct (user, week) activity") {
+    val rnd = new scala.util.Random(31)
+    val wk = 7L * 86400000L
+    val rows = Seq.tabulate(300)(_ =>
+      (rnd.nextInt(30).toLong, "view", rnd.nextInt(8) * wk + rnd.nextInt(1000).toLong))
+      .toDF("user_id", "event_type", "ms")
+    val matrix = graft.operators.EventQueries.cohortRetention(rows)
+      .as[(Long, Long, Long)].collect()
+    val userWeeks = rows.selectExpr("user_id", "ms div 86400000 div 7 AS wk")
+      .distinct()
+    // every distinct (user, week) lands in exactly one matrix cell
+    assert(matrix.map(_._3).sum === userWeeks.count())
+    // offset 0 counts each user once, in their first-seen cohort
+    assert(matrix.filter(_._2 == 0L).map(_._3).sum ===
+      rows.select("user_id").distinct().count())
+    assert(matrix.forall(_._2 >= 0L))
+  }
 }
