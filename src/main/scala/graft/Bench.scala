@@ -67,8 +67,13 @@ object Bench {
           sec
         } catch {
           case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .linesIterator.next().take(160).replaceAll("[\"\\\\]", "'")
+            // JSON-safe: strip ALL control chars (tabs/newlines in Spark
+            // analysis messages would break the record line) and never
+            // assume a non-empty message
+            val raw = Option(e.getMessage).filter(_.nonEmpty)
+              .getOrElse(e.getClass.getName)
+            errors(name) =
+              raw.replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(160)
             0.0
         }
       }.sum

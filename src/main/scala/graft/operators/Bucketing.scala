@@ -97,16 +97,22 @@ object Bucketing {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) "absent"
     else {
+      // order-insensitive combine (SUM of per-entry FNV hashes):
+      // Hadoop does not guarantee recursive listing order, and a
+      // listing-order change over identical content must not fake a
+      // source refresh (a spurious ~3 s bucketed rewrite per table)
       val it = fs.listFiles(p, true)
-      var h = 0xcbf29ce484222325L
+      var total = 0L
       while (it.hasNext) {
         val st = it.next()
         val s = st.getPath.getName + ":" + st.getLen + ":" +
           st.getModificationTime
+        var h = 0xcbf29ce484222325L
         var i = 0
         while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+        total += h
       }
-      java.lang.Long.toHexString(h)
+      java.lang.Long.toHexString(total)
     }
   }
 

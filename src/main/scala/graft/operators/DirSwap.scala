@@ -149,11 +149,19 @@ private[graft] object DirSwap {
       throw new IOException(s"swap failed: $tmp -> $target")
     }
     retainOldAs match {
-      case Some(r) if fs.exists(old) =>
-        fs.delete(r, true)
-        if (!fs.rename(old, r)) fs.delete(old, true)
+      case Some(r) if fs.exists(old) => parkDir(fs, old, r)
       case _ => fs.delete(old, true)
     }
+  }
+
+  /** Move `old` to `dest` (replacing any stale occupant); if the rename
+    * fails, fall back to deleting `old` so the swap machinery never
+    * leaves a visible leftover. The ONE copy of the park protocol —
+    * commit's retainOldAs and recover's retainDisplaced both use it.
+    */
+  private def parkDir(fs: FileSystem, old: Path, dest: Path): Unit = {
+    fs.delete(dest, true)
+    if (!fs.rename(old, dest)) fs.delete(old, true)
   }
 
   /** Drop a displaced `old` dir — or, for versioned tables
@@ -164,11 +172,9 @@ private[graft] object DirSwap {
   private def discardOld(fs: FileSystem, target: Path, old: Path,
                          retainDisplaced: Boolean): Unit =
     if (fs.exists(old)) {
-      if (retainDisplaced) {
-        val r = hiddenSibling(target, s"__v${readVersion(fs, old)}")
-        fs.delete(r, true)
-        if (!fs.rename(old, r)) fs.delete(old, true)
-      } else fs.delete(old, true)
+      if (retainDisplaced)
+        parkDir(fs, old, hiddenSibling(target, s"__v${readVersion(fs, old)}"))
+      else fs.delete(old, true)
     }
 
   def recover(fs: FileSystem, target: Path, tmp: Path, old: Path,

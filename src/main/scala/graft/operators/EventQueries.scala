@@ -178,6 +178,9 @@ object EventQueries {
                                   steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val e = events.select(col("user_id"), col("event_type"), col("ms"))
+    // each gate table feeds BOTH its count branch and the next step's
+    // join — persist (registered) or every later branch re-derives the
+    // whole earlier chain and events gets scanned O(steps²) times
     val stepTimes = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (step, i)) =>
         val mine = e.filter(col("event_type") === step)
@@ -188,8 +191,10 @@ object EventQueries {
                 "user_id")
               .filter(col("ms") >= col("t_prev"))
         }
-        Some(gated.groupBy(col("user_id"))
-          .agg(min(col("ms")).as(s"t${i + 1}")))
+        Some(graft.CacheRegistry.register(
+          gated.groupBy(col("user_id"))
+            .agg(min(col("ms")).as(s"t${i + 1}"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     }.flatten
     stepTimes.zip(steps).zipWithIndex.map { case ((t, name), i) =>
       t.agg(count(lit(1)).as("n_users"))

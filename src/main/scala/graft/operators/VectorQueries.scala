@@ -379,7 +379,13 @@ object VectorQueries {
         emb.filter(col("vec_id") < DUP_COPIES)
           .select((col("vec_id") + DUP_OFFSET).as("vec_id"),
             col("embedding")))
-      val n = emb.count() + DUP_COPIES
+      // exact augmented size for ANY corpus (no dense-id assumption —
+      // `emb.count + DUP_COPIES` would diverge from the oracle when
+      // fewer than DUP_COPIES ids exist below the cutoff): one cheap
+      // driver-side aggregate over the scan
+      val cnts = emb.agg(count(lit(1)),
+        count(when(col("vec_id") < DUP_COPIES, 1))).head()
+      val n = cnts.getLong(0) + cnts.getLong(1)
       val nCells = math.max(MIN_CELLS.toLong, math.sqrt(n.toDouble).toLong)
       val centroids = emb.filter(col("vec_id") < nCells)
         .select(col("vec_id").as("cell"),

@@ -122,11 +122,23 @@ object StreamingEvents {
     *
     * Late data (within the watermark) is handled by GATE REFINEMENT: a
     * late event of an already-completed step that qualifies EARLIER
-    * (≥ the previous gate, < the recorded one) lowers that gate, so
-    * out-of-order arrival converges to the batch answer — steps
-    * validated against the old, higher gate stay valid against the
-    * lower one a fortiori. Advancements already emitted are facts
-    * (step completion is monotone) and never retract.
+    * (≥ the previous gate, < the recorded one) lowers that gate — the
+    * GATES converge to the batch gates, and steps validated against the
+    * old, higher gate stay valid against the lower one a fortiori.
+    * Advancements already emitted are facts (step completion is
+    * monotone) and never retract.
+    *
+    * Precise guarantee (weaker than full batch equivalence): each
+    * advancement decision is made AT ARRIVAL against the then-current
+    * gates. A next-step event rejected in an earlier micro-batch is NOT
+    * replayed when a later late event lowers its gate — that would
+    * require buffering every non-qualifying event, the trade streaming
+    * makes everywhere. So the stream can UNDER-count a step whose
+    * qualifying event arrived before the refinement that would have
+    * admitted it (StreamingSpec pins this case); on in-order streams,
+    * and on any batch Dataset (unified model — PropertySpec), output
+    * equals [[graft.operators.EventQueries.funnelCounts]] exactly. The
+    * batch operator is the reconciliation path.
     *
     * State per user is a ≤`steps.length`-long vector — constant width,
     * same scale class as any per-user running aggregate.

@@ -192,6 +192,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       (3L, 1, "view"), (3L, 2, "click"), (3L, 3, "purchase")))
   }
 
+  test("funnelStream: documented limit — refinement does not replay a prior rejection") {
+    // batch truth over these events: view@40, click@45 (late), so
+    // purchase@47 qualifies (funnelCounts would count it). The stream
+    // saw purchase@47 in a batch where the click gate was still 50 and
+    // rejected it; the later click@45 lowers the gate but cannot replay
+    // the dropped purchase — the scaladoc's stated under-count case.
+    val in = MemoryStream[Event](spark)
+    val q = StreamingEvents.funnelStream(in.toDS(),
+        Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_limit")
+      .outputMode("append").start()
+    in.addData(Event(1, ts(40), 9, "view", 0.0),
+      Event(2, ts(50), 9, "click", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(3, ts(47), 9, "purchase", 0.0)) // gate still 50 → drop
+    q.processAllAvailable()
+    in.addData(Event(4, ts(45), 9, "click", 0.0)) // refines gate to 45
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_limit")
+      .as[(Long, Int, String)].collect().toSet
+    assert(got === Set((9L, 1, "view"), (9L, 2, "click"))) // no purchase
+    // the same events as ONE batch (or via funnelCounts) DO count it —
+    // the reconciliation path the scaladoc prescribes
+    val batch = graft.operators.EventQueries.funnelCounts(
+      Seq((9L, "view", 40L), (9L, "click", 50L), (9L, "purchase", 47L),
+        (9L, "click", 45L)).toDF("user_id", "event_type", "ms"),
+      Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(batch(3) === 1L)
+  }
+
   test("dedupStream: duplicate event ids within watermark dropped") {
     val in = MemoryStream[Event](spark)
     val q = StreamingEvents.dedupStream(in.toDF())
