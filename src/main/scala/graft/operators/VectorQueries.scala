@@ -306,6 +306,48 @@ object VectorQueries {
     ivfTopkFrom(emb, KMeans.refineQuantized(emb, seedCentroids(emb), KM_ITERS))
   }
 
+  private[graft] val SRP_BITS = 16
+  private[graft] val SRP_BANDS = 4
+
+  /** SRP-LSH bucketed ANN top-k — the "LSH-bucketed variant" scale path
+    * beside IVF: the native `srp_sig` expression (one fused codegen'd
+    * loop, integer-quantized dots → engine-exact) projects a 16-bit
+    * sign signature per vector with ZERO shuffle; signatures band into
+    * 4×4-bit keys; a query's candidates are corpus vectors sharing ANY
+    * band (expected ~bands/2^width of the corpus — the same probe
+    * fraction IVF gets from nprobe/C, but with no centroid training at
+    * all); exact cosine + bounded_topk rank the candidates. At 100 TB
+    * the knobs scale as log n: more bits → sparser buckets, more bands
+    * → recall. The signature table is persisted (registered) — the
+    * banded query and corpus sides both read it.
+    */
+  private[graft] def srpTopk(s: SparkSession, dir: String): DataFrame = {
+    val bandWidth = SRP_BITS / SRP_BANDS
+    val sigs = graft.CacheRegistry.register(
+      loadEmb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          expr(s"srp_sig(embedding, $SRP_BITS)").as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("*"), posexplode(array((0 until SRP_BANDS).map(b =>
+          shiftright(col("sig"), b * bandWidth)
+            .bitwiseAND(lit((1L << bandWidth) - 1))): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bkey")
+    val qb = banded(sigs.filter(col("vec_id") < N_QUERIES))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("band"), col("bkey"))
+    val cb = banded(sigs)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cvec"), col("band"), col("bkey"))
+    val cands = cb.join(broadcast(qb), Seq("band", "bkey"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // a pair colliding in several bands must score ONCE: bounded_topk
+      // would otherwise seat the same neighbor in multiple top-k slots
+      .dropDuplicates("query_id", "neighbor_id")
+    topkByQuery(cands.withColumn("sim", cosine(col("qvec"), col("cvec"))))
+  }
+
   /** recall@k of `approx` against the brute-force `truth` — integer
     * arithmetic, left join keeps zero-recall queries.
     */
@@ -332,6 +374,9 @@ object VectorQueries {
     // the same DuckDB hash gate as everything else: the oracle replays
     // the iterations unrolled in SQL.
     "q_ann_ivf_kmeans" -> { (s, dir) => ivfTopkFitted(s, dir) },
+
+    // ── SRP-LSH bucketed ANN top-k (see srpTopk) ────────────────────────
+    "q_ann_srp_topk" -> { (s, dir) => srpTopk(s, dir) },
 
     // ── IVF recall@k against the brute-force truth ──────────────────────
     // recall_pct = 100·|ivf ∩ brute| / k per query — the number a
@@ -503,6 +548,45 @@ object VectorQueries {
     "q_ann_ivf_topk" ->
       s"""WITH $ivfCtes
          |SELECT query_id, neighbor_id, rank FROM ivf""".stripMargin,
+
+    // SQL replay of the srp_sig LCG: same quantize (floor(x·2²⁰)), same
+    // ±1 from ((1103515245·(j·dim+d)+12345) >> 16) & 1 (operand is
+    // positive, so arithmetic >> ≡ logical), same integer dot — the
+    // signature is bit-identical, then banding/candidates/ranking
+    // mirror the Spark plan.
+    "q_ann_srp_topk" -> {
+      val bandWidth = SRP_BITS / SRP_BANDS
+      s"""WITH dm AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+         |sqv AS (SELECT vec_id, pos - 1 AS d,
+         |    CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |               unnest(embedding) AS v FROM embeddings)),
+         |sdots AS (SELECT vec_id, t.j,
+         |    sum(q * (CASE WHEN ((1103515245 * (CAST(t.j AS BIGINT)
+         |        * (SELECT dim FROM dm) + d) + 12345) >> 16) & 1 = 1
+         |      THEN 1 ELSE -1 END)) AS dot
+         |  FROM sqv, range(0, $SRP_BITS) t(j) GROUP BY vec_id, t.j),
+         |ssig AS (SELECT vec_id,
+         |    CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j)
+         |      ELSE 0 END) AS BIGINT) AS sig
+         |  FROM sdots GROUP BY vec_id),
+         |sbnd AS (SELECT vec_id, b,
+         |    (sig >> (b * $bandWidth)) & ${(1L << bandWidth) - 1} AS bkey
+         |  FROM ssig, range(0, $SRP_BANDS) t(b)),
+         |scand AS (SELECT DISTINCT q.vec_id AS query_id,
+         |    c.vec_id AS neighbor_id
+         |  FROM sbnd q JOIN sbnd c ON q.b = c.b AND q.bkey = c.bkey
+         |  WHERE q.vec_id < $N_QUERIES AND q.vec_id <> c.vec_id),
+         |sscored AS (SELECT sc.query_id, sc.neighbor_id,
+         |    row_number() OVER (PARTITION BY sc.query_id
+         |      ORDER BY list_cosine_similarity(qe.embedding, ce.embedding)
+         |        DESC, sc.neighbor_id ASC) AS rank
+         |  FROM scand sc
+         |  JOIN embeddings qe ON qe.vec_id = sc.query_id
+         |  JOIN embeddings ce ON ce.vec_id = sc.neighbor_id)
+         |SELECT query_id, neighbor_id, rank FROM sscored
+         |WHERE rank <= $TOP_K""".stripMargin
+    },
 
     "q_ann_recall" ->
       s"""WITH $bruteCtes,

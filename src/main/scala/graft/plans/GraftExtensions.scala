@@ -48,5 +48,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "l2_sq(a, b) takes 2 arguments")
         L2SquaredDistance(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("srp_sig"),
+      new ExpressionInfo(classOf[SrpSignature].getName, "srp_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "srp_sig(vec, bits) takes 2 arguments")
+        SrpSignature(children(0), children(1))
+      }))
   }
 }

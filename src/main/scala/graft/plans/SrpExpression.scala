@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType}
+
+/** `srp_sig(vec, bits)` — signed-random-projection (random hyperplane)
+  * LSH signature over an `array<float>` embedding, as ONE fused loop.
+  *
+  * Bit j of the result is the SIGN of the dot product between the
+  * vector and pseudo-hyperplane j:
+  *
+  *   q_d   = floor(x_d · 2²⁰)                  (exact integer quantize)
+  *   P_jd  = ±1 from an LCG over the flat index:
+  *           ((1103515245·(j·dim + d) + 12345) >>> 16) & 1 → +1 else −1
+  *   bit_j = (Σ_d q_d · P_jd) > 0
+  *
+  * Everything after the quantize is INTEGER arithmetic — the sum is
+  * order-free and bit-identical in any engine, so the signature sits
+  * behind the DuckDB hash gate (the oracle replays the same LCG in
+  * SQL). Cosine is sign-invariant under the quantize only up to the
+  * 2⁻²⁰ grid, but both engines compute the SAME grid, which is what
+  * determinism needs. The in-loop LCG costs 3 integer ops per
+  * (bit, dim) — cheaper than materializing and broadcasting a plane
+  * matrix, and it keeps the expression self-contained for codegen.
+  *
+  * `bits` must be a positive int literal ≤ 63 (the signature rides a
+  * signed long).
+  */
+case class SrpSignature(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "srp_sig"
+
+  private lazy val bits: Int = right match {
+    case Literal(v: Int, IntegerType) if v > 0 && v <= 63 => v
+    case other => throw new IllegalArgumentException(
+      s"srp_sig bits must be a positive int literal <= 63, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"srp_sig requires (array<float>, int literal), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(vec: Any, b: Any): Any = {
+    val a = vec.asInstanceOf[ArrayData]
+    val dim = a.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      var dot = 0L
+      var d = 0
+      while (d < dim) {
+        val q = math.floor(a.getFloat(d).toDouble * 1048576.0).toLong
+        val x = 1103515245L * (j.toLong * dim + d) + 12345L
+        dot += (if (((x >>> 16) & 1L) == 1L) q else -q)
+        d += 1
+      }
+      if (dot > 0L) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val dim = ctx.freshName("dim")
+      val sig = ctx.freshName("sig")
+      val dot = ctx.freshName("dot")
+      val q = ctx.freshName("q")
+      val x = ctx.freshName("x")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $dim = $a.numElements();
+         |long $sig = 0L;
+         |for (int $j = 0; $j < $bits; $j++) {
+         |  long $dot = 0L;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    final long $q =
+         |      (long) Math.floor((double) $a.getFloat($d) * 1048576.0);
+         |    final long $x = 1103515245L * ((long) $j * $dim + $d) + 12345L;
+         |    $dot += ((($x >>> 16) & 1L) == 1L) ? $q : -$q;
+         |  }
+         |  if ($dot > 0L) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SrpSignature =
+    copy(left = newLeft, right = newRight)
+}
