@@ -29,6 +29,11 @@ object RecallProbe {
       for (it <- Seq(1, 2, 4))
         arm(s"fit$it",
           KMeans.refineQuantized(emb, VectorQueries.seedCentroids(emb), it))
+      // SRP-LSH arm: recall + scanned volume of the banded signature path
+      val srp = VectorQueries.srpTopk(spark, sf)
+      val sr = VectorQueries.recallOf(brute, srp).collect()
+        .map(_.getAs[Long]("recall_pct"))
+      println(f"RECALLPROBE $sf srp recall=${sr.sum.toDouble / sr.length}%.1f")
     }
     spark.stop()
   }
