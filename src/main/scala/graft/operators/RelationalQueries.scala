@@ -299,6 +299,41 @@ object RelationalQueries {
           .select(col("o_custkey").as("ck")))
     },
 
+    // ── U2b: BAG semantics (ALL variants keep multiplicities — the
+    // reconciliation shape: "orders per customer beyond their 1998+
+    // count" survives as repeated rows, where EXCEPT would collapse to
+    // one). Spark lowers both to an aggregate on counts, one shuffle.
+    "q_except_all" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      o.select(col("o_custkey").as("ck"))
+        .exceptAll(o.filter(
+            col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+          .select(col("o_custkey").as("ck")))
+    },
+
+    "q_intersect_all" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      o.select(col("o_orderpriority").as("pri"))
+        .intersectAll(o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderpriority").as("pri")))
+    },
+
+    // ── null-safe equality join (<=>): placeholder-normalized segments
+    // where NULL must MATCH NULL (a plain equi-join drops every
+    // null-keyed row; IS NOT DISTINCT FROM is the SQL twin). Catalyst
+    // still plans a hash join — null-safe keys hash like values.
+    "q_nullsafe_join" -> { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(col("c_mktsegment") === "BUILDING", lit(null))
+            .otherwise(col("c_mktsegment")).as("seg"))
+      val segs = c.groupBy(col("seg")).agg(count(lit(1)).as("seg_n"))
+      // segs derives from c → alias both sides or the <=> key is an
+      // ambiguous self-join reference
+      c.as("l").join(segs.as("r"), col("l.seg") <=> col("r.seg"))
+        .select(col("c_custkey"), col("r.seg").as("seg"), col("seg_n"))
+    },
+
     // ── string-function family: case/pad/find/slice/reverse ─────────────
     "q_string_ops" -> { (s, dir) =>
       Tables.load(s, dir, "customer")
@@ -575,6 +610,27 @@ object RelationalQueries {
         |EXCEPT
         |SELECT o_custkey AS ck FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT o_custkey AS ck FROM orders
+        |EXCEPT ALL
+        |SELECT o_custkey AS ck FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT o_orderpriority AS pri FROM orders
+        |INTERSECT ALL
+        |SELECT o_orderpriority AS pri FROM orders
+        |WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q_nullsafe_join" ->
+      """WITH c AS (SELECT c_custkey,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
+        |         ELSE c_mktsegment END AS seg
+        |  FROM customer),
+        |segs AS (SELECT seg, count(*) AS seg_n FROM c GROUP BY seg)
+        |SELECT c.c_custkey, segs.seg, seg_n
+        |FROM c JOIN segs ON c.seg IS NOT DISTINCT FROM segs.seg""".stripMargin,
 
     "q_string_ops" ->
       """SELECT c_custkey,
