@@ -321,32 +321,53 @@ object VectorQueries {
     * → recall. The signature table is persisted (registered) — the
     * banded query and corpus sides both read it.
     */
-  private[graft] def srpTopk(s: SparkSession, dir: String): DataFrame = {
-    val bandWidth = SRP_BITS / SRP_BANDS
-    val sigs = graft.CacheRegistry.register(
-      loadEmb(s, dir)
-        .select(col("vec_id"), col("embedding"),
+  /** Persisted (registered) (vec_id, embedding, sig) table — the SRP
+    * index. Signature is a zero-shuffle native projection.
+    */
+  private def srpSigs(emb: DataFrame): DataFrame =
+    graft.CacheRegistry.register(
+      emb.select(col("vec_id"), col("embedding"),
           expr(s"srp_sig(embedding, $SRP_BITS)").as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    def banded(df: DataFrame): DataFrame =
-      df.select(col("*"), posexplode(array((0 until SRP_BANDS).map(b =>
-          shiftright(col("sig"), b * bandWidth)
-            .bitwiseAND(lit((1L << bandWidth) - 1))): _*)))
+
+  /** Distinct (query_id, neighbor_id) band-collision candidates — IDS
+    * ONLY: the band fan-out and multi-band dedup shuffle bare id pairs,
+    * never embedding payloads (at production dims the arrays are ~100×
+    * the ids; the oracle SQL uses the same id-then-join-back shape).
+    */
+  private[graft] def srpCandidates(sigs: DataFrame): DataFrame = {
+    val bandWidth = SRP_BITS / SRP_BANDS
+    def banded(df: DataFrame, id: String): DataFrame =
+      df.select(col("vec_id").as(id),
+          posexplode(array((0 until SRP_BANDS).map(b =>
+            shiftright(col("sig"), b * bandWidth)
+              .bitwiseAND(lit((1L << bandWidth) - 1))): _*)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bkey")
-    val qb = banded(sigs.filter(col("vec_id") < N_QUERIES))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-        col("band"), col("bkey"))
-    val cb = banded(sigs)
-      .select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("cvec"), col("band"), col("bkey"))
-    val cands = cb.join(broadcast(qb), Seq("band", "bkey"))
+    banded(sigs, "neighbor_id")
+      .join(broadcast(banded(sigs.filter(col("vec_id") < N_QUERIES),
+        "query_id")), Seq("band", "bkey"))
       .filter(col("query_id") =!= col("neighbor_id"))
       // a pair colliding in several bands must score ONCE: bounded_topk
       // would otherwise seat the same neighbor in multiple top-k slots
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-    topkByQuery(cands.withColumn("sim", cosine(col("qvec"), col("cvec"))))
   }
+
+  private[graft] def srpTopkFrom(emb: DataFrame): DataFrame = {
+    val sigs = srpSigs(emb)
+    val scored = srpCandidates(sigs)
+      .join(sigs.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cvec")), "neighbor_id")
+      .join(broadcast(sigs.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qvec"))), "query_id")
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    topkByQuery(scored)
+  }
+
+  private[graft] def srpTopk(s: SparkSession, dir: String): DataFrame =
+    srpTopkFrom(loadEmb(s, dir).select(col("vec_id"), col("embedding")))
 
   /** recall@k of `approx` against the brute-force `truth` — integer
     * arithmetic, left join keeps zero-recall queries.
@@ -556,14 +577,14 @@ object VectorQueries {
     // mirror the Spark plan.
     "q_ann_srp_topk" -> {
       val bandWidth = SRP_BITS / SRP_BANDS
-      s"""WITH dm AS (SELECT max(len(embedding)) AS dim FROM embeddings),
-         |sqv AS (SELECT vec_id, pos - 1 AS d,
+      s"""WITH sqv AS (SELECT vec_id, pos - 1 AS d, dim,
          |    CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS q
-         |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |  FROM (SELECT vec_id, len(embedding) AS dim,
+         |               generate_subscripts(embedding, 1) AS pos,
          |               unnest(embedding) AS v FROM embeddings)),
          |sdots AS (SELECT vec_id, t.j,
          |    sum(q * (CASE WHEN ((1103515245 * (CAST(t.j AS BIGINT)
-         |        * (SELECT dim FROM dm) + d) + 12345) >> 16) & 1 = 1
+         |        * dim + d) + 12345) >> 16) & 1 = 1
          |      THEN 1 ELSE -1 END)) AS dot
          |  FROM sqv, range(0, $SRP_BITS) t(j) GROUP BY vec_id, t.j),
          |ssig AS (SELECT vec_id,

@@ -44,8 +44,16 @@ case class SrpSignature(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), IntegerType) =>
-        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(FloatType, _), IntegerType) => right match {
+        // literal-ness checked at ANALYSIS time: a non-literal bits
+        // column would otherwise pass analysis and die at eval with a
+        // raw IllegalArgumentException mid-job
+        case Literal(v: Int, IntegerType) if v > 0 && v <= 63 =>
+          TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          "srp_sig bits must be a positive int LITERAL <= 63 " +
+            "(the signature rides a signed long)")
+      }
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"srp_sig requires (array<float>, int literal), got " +
           s"(${l.catalogString}, ${r.catalogString})")

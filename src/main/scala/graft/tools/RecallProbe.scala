@@ -29,11 +29,18 @@ object RecallProbe {
       for (it <- Seq(1, 2, 4))
         arm(s"fit$it",
           KMeans.refineQuantized(emb, VectorQueries.seedCentroids(emb), it))
-      // SRP-LSH arm: recall + scanned volume of the banded signature path
+      // SRP-LSH arm: recall AND the MEASURED candidate volume (the
+      // analytic ~23 % could hide a skewed-bucket index scanning more)
       val srp = VectorQueries.srpTopk(spark, sf)
       val sr = VectorQueries.recallOf(brute, srp).collect()
         .map(_.getAs[Long]("recall_pct"))
-      println(f"RECALLPROBE $sf srp recall=${sr.sum.toDouble / sr.length}%.1f")
+      val srpScanned = VectorQueries.srpCandidates(
+        emb.select(col("vec_id"),
+          org.apache.spark.sql.functions.expr(
+            s"srp_sig(embedding, ${VectorQueries.SRP_BITS})")
+            .as("sig"))).count()
+      println(f"RECALLPROBE $sf srp recall=${sr.sum.toDouble / sr.length}%.1f scanned=$srpScanned")
+      graft.Graft.releaseCaches() // srpTopk persists its sig table per SF
     }
     spark.stop()
   }

@@ -121,25 +121,25 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_.getLong(2)).distinct.length > 1)
   }
 
-  test("q_ann_srp_topk: identical vectors collide in every band; plan keeps sig a projection") {
+  test("q_ann_srp_topk: planted duplicate retrieved at rank 1 end-to-end") {
     import org.apache.spark.sql.functions.{col, expr}
     import spark.implicits._
     val base = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).limit(200)
     val dup = base.filter(col("vec_id") === 3L)
       .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-    val sigs = base.unionByName(dup)
+    val aug = base.unionByName(dup)
+    val sigs = aug
       .select(col("vec_id"), expr("srp_sig(embedding, 16)").as("sig"))
       .as[(Long, Long)].collect().toMap
     assert(sigs(3L) === sigs(100003L)) // exact dup → identical signature
-    // and the declared query retrieves the planted duplicate at rank 1
-    // for query 3 (cosine 1.0 beats every random neighbor)
-    val topk = VectorQueries.queries("q_ann_srp_topk")(spark, sf)
+    // …so the duplicate collides in EVERY band, survives the banded
+    // candidate join, and cosine 1.0 puts it at rank 1 for query 3 —
+    // the full retrieval path, not just the signature
+    val rank1 = VectorQueries.srpTopkFrom(aug)
       .filter(col("query_id") === 3L && col("rank") === 1)
       .select(col("neighbor_id")).as[Long].collect()
-    // (sf corpus has no planted dups; rank-1 is just deterministic —
-    // pin that the query runs and yields exactly one rank-1 neighbor)
-    assert(topk.length === 1)
+    assert(rank1.toSeq === Seq(100003L))
     val plan = VectorQueries.queries("q_ann_srp_topk")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
