@@ -115,6 +115,34 @@ object Graft {
                salt: Int = 16): DataFrame =
     SkewJoin.saltedInnerJoin(large, small, keys, salt)
 
+  /** Keep/drop curation verdict per document — see
+    * [[operators.TextQueries.curationFunnel]] (q_curation_funnel).
+    */
+  def curationVerdicts(docs: DataFrame): DataFrame =
+    TextQueries.curationFunnel(docs)
+
+  /** Ordered-funnel user counts over (user_id, event_type, ms) — see
+    * [[operators.EventQueries.funnelCounts]] (q_event_funnel).
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame =
+    EventQueries.funnelCounts(events, steps)
+
+  /** Cohort-retention matrix over (user_id, ms) — see
+    * [[operators.EventQueries.cohortRetention]] (q_cohort_retention).
+    */
+  def cohortRetention(events: DataFrame): DataFrame =
+    EventQueries.cohortRetention(events)
+
+  /** Streaming ordered funnel (advancement facts) — see
+    * [[streaming.StreamingEvents.funnelStream]] for the late-data
+    * contract.
+    */
+  def funnelStream(events: org.apache.spark.sql.Dataset[
+        streaming.StreamingEvents.Event],
+      steps: Seq[String]): org.apache.spark.sql.Dataset[
+        streaming.FunnelAdvance] =
+    streaming.StreamingEvents.funnelStream(events, steps)
+
   def mediaCatalog(media: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     media.select(col("media_id"),
