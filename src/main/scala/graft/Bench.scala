@@ -84,7 +84,12 @@ object Bench {
       n -> (if (samples(n).isEmpty) -1.0 else median(samples(n))))
     val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = med.map(_._2).sum
+    // the headline total sums MEASUREMENTS only: a query that failed
+    // every rep reports -1 in `queries` (sentinel) and would otherwise
+    // SUBTRACT from the total, mixing sentinel and measurement
+    // semantics in one number (the exit-1 below already marks the
+    // record invalid; the total should still not lie)
+    val total = med.map(_._2).filter(_ >= 0).sum
     val rt = repTotals.mkString("[", ",", "]")
     val errJson =
       if (errors.isEmpty) ""

@@ -71,9 +71,15 @@ object Bucketing {
     val upToDate = spark.catalog.tableExists(table) && fs.exists(tagPath) && {
       val in = fs.open(tagPath)
       try {
+        // read to EOF: a single read() may short-read on HDFS/object
+        // stores (tags embed source signatures + keys and can span an
+        // internal buffer boundary), and a partial read must not fake a
+        // tag mismatch — that is a spurious full bucketed rewrite
+        val out = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](4096)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0),
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray,
           java.nio.charset.StandardCharsets.UTF_8) == fullTag
       } finally in.close()
     }

@@ -65,9 +65,13 @@ private[graft] object DirSwap {
     else {
       val in = fs.open(f)
       try {
+        // read to EOF — a short read would mis-parse (or drop digits
+        // from) the version on filesystems that chunk small reads
+        val out = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), UTF_8).trim.toLong
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, UTF_8).trim.toLong
       } finally in.close()
     }
   }

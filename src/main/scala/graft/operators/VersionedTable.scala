@@ -58,18 +58,34 @@ final class VersionedTable private (spark: SparkSession, path: String,
 
   /** Time travel: read version `v` — the live version or any retained
     * one. Throws with the available window when `v` was pruned.
+    *
+    * Resolution order closes the check-then-read race with a concurrent
+    * writer: the RETAINED sibling is preferred when it exists (it is
+    * immutable once parked), and only otherwise is the live directory
+    * used — with the version re-checked AFTER the plan's eager file
+    * listing, re-resolving to the just-parked sibling if a commit slid
+    * in between. The residual window (commit after the re-check but
+    * before the scan executes) fails LOUDLY, not wrongly: the listing
+    * is pinned at analysis time and commit renames the listed files
+    * away, so the scan hits FileNotFound instead of silently serving a
+    * different version's rows.
     */
   def readAt(v: Long): DataFrame = {
-    if (v == version()) read()
-    else {
-      val p = retainedPath(v)
-      if (!fs.exists(p))
-        throw new IOException(
-          s"version $v of $path is not retained (available: " +
-            s"${retainedVersions().mkString(",")} + live ${version()}); " +
-            "raise `retain` or time-travel sooner")
-      spark.read.parquet(p.toString)
-    }
+    val p = retainedPath(v)
+    if (fs.exists(p)) spark.read.parquet(p.toString)
+    else if (v == version()) {
+      val df = read() // eager file listing happens here
+      val now = version()
+      if (now == v) df
+      else if (fs.exists(p)) spark.read.parquet(p.toString)
+      else throw new IOException(
+        s"version $v of $path was displaced by a concurrent commit " +
+          s"(live is now $now) and is not retained; raise `retain`")
+    } else
+      throw new IOException(
+        s"version $v of $path is not retained (available: " +
+          s"${retainedVersions().mkString(",")} + live ${version()}); " +
+          "raise `retain` or time-travel sooner")
   }
 
   /** Versions currently retained on disk (ascending), live excluded. */

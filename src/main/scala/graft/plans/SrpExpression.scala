@@ -28,6 +28,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, 
   *
   * `bits` must be a positive int literal ≤ 63 (the signature rides a
   * signed long).
+  *
+  * Input contract: finite, non-empty vectors. Empty arrays and vectors
+  * containing NaN/±Inf yield NULL (not a fake signature) — an empty
+  * array would otherwise sign to 0 and collide with every band-0
+  * bucket, and non-finite floor-to-long diverges between the JVM and
+  * the SQL oracle's CAST. Null signatures drop out of every downstream
+  * band join, matching the oracle's unnest dropping the row.
   */
 case class SrpSignature(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -62,15 +69,30 @@ case class SrpSignature(left: Expression, right: Expression)
   override def nullSafeEval(vec: Any, b: Any): Any = {
     val a = vec.asInstanceOf[ArrayData]
     val dim = a.numElements()
+    // degenerate inputs → null rather than a fake signature: an empty
+    // array would yield sig=0 (joining every band-0 bucket) while the
+    // oracle's unnest DROPS the row, and NaN/Inf floor-to-long is
+    // JVM-defined (0 / Long.MaxValue) but ERRORS on DuckDB's
+    // CAST(... AS BIGINT) — null keeps both engines row-identical
+    // (null band keys never match a join)
+    if (dim == 0) return null
+    val q = new Array[Long](dim)
+    var d = 0
+    while (d < dim) {
+      val f = a.getFloat(d)
+      if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f))
+        return null
+      q(d) = math.floor(f.toDouble * 1048576.0).toLong
+      d += 1
+    }
     var sig = 0L
     var j = 0
     while (j < bits) {
       var dot = 0L
-      var d = 0
+      d = 0
       while (d < dim) {
-        val q = math.floor(a.getFloat(d).toDouble * 1048576.0).toLong
         val x = 1103515245L * (j.toLong * dim + d) + 12345L
-        dot += (if (((x >>> 16) & 1L) == 1L) q else -q)
+        dot += (if (((x >>> 16) & 1L) == 1L) q(d) else -q(d))
         d += 1
       }
       if (dot > 0L) sig |= (1L << j)
@@ -86,23 +108,36 @@ case class SrpSignature(left: Expression, right: Expression)
       val sig = ctx.freshName("sig")
       val dot = ctx.freshName("dot")
       val q = ctx.freshName("q")
+      val f = ctx.freshName("f")
       val x = ctx.freshName("x")
       val j = ctx.freshName("j")
       val d = ctx.freshName("d")
+      val bad = ctx.freshName("bad")
+      // mirrors nullSafeEval: quantize ONCE per element (not per
+      // bit×element), and null out empty / non-finite inputs
       s"""
          |final int $dim = $a.numElements();
-         |long $sig = 0L;
-         |for (int $j = 0; $j < $bits; $j++) {
-         |  long $dot = 0L;
-         |  for (int $d = 0; $d < $dim; $d++) {
-         |    final long $q =
-         |      (long) Math.floor((double) $a.getFloat($d) * 1048576.0);
-         |    final long $x = 1103515245L * ((long) $j * $dim + $d) + 12345L;
-         |    $dot += ((($x >>> 16) & 1L) == 1L) ? $q : -$q;
-         |  }
-         |  if ($dot > 0L) $sig |= (1L << $j);
+         |boolean $bad = ($dim == 0);
+         |final long[] $q = new long[$dim];
+         |for (int $d = 0; !$bad && $d < $dim; $d++) {
+         |  final float $f = $a.getFloat($d);
+         |  if (Float.isNaN($f) || Float.isInfinite($f)) { $bad = true; }
+         |  else { $q[$d] = (long) Math.floor((double) $f * 1048576.0); }
          |}
-         |${ev.value} = $sig;
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $sig = 0L;
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    long $dot = 0L;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      final long $x = 1103515245L * ((long) $j * $dim + $d) + 12345L;
+         |      $dot += ((($x >>> 16) & 1L) == 1L) ? $q[$d] : -$q[$d];
+         |    }
+         |    if ($dot > 0L) $sig |= (1L << $j);
+         |  }
+         |  ${ev.value} = $sig;
+         |}
        """.stripMargin
     })
 

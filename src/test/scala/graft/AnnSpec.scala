@@ -121,6 +121,24 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_.getLong(2)).distinct.length > 1)
   }
 
+  test("srp_sig nulls out degenerate inputs (empty / NaN / Inf)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(0.5f, -0.25f)),           // finite → a signature
+      (2L, Seq.empty[Float]),            // empty → null (oracle drops it)
+      (3L, Seq(Float.NaN, 1.0f)),        // NaN → null
+      (4L, Seq(Float.PositiveInfinity))  // Inf → null
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .select(col("vec_id"), expr("srp_sig(embedding, 16)").as("sig"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(rows(1L).isDefined)
+    assert(rows(2L).isEmpty && rows(3L).isEmpty && rows(4L).isEmpty)
+  }
+
   test("q_ann_srp_topk: planted duplicate retrieved at rank 1 end-to-end") {
     import org.apache.spark.sql.functions.{col, expr}
     import spark.implicits._
