@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Duplicate-cluster resolution: the step between "near-dup PAIRS"
+  * (what LSH/SimHash emit) and a deduplicated corpus. A pair list is
+  * not actionable — if A~B and B~C, dropping one doc per PAIR either
+  * over-deletes or keeps both A and C — so pairs must first be closed
+  * into connected components, then one survivor picked per component.
+  *
+  * [[connectedComponents]] is the textbook distributed hash-min label
+  * propagation: every node starts labeled with its own id, and each
+  * round takes the min of its own label and its neighbors' labels;
+  * at fixpoint every node in a component carries the component's
+  * minimum id. Each round is ONE equi-join (edges ⋈ labels on src)
+  * plus ONE keyed aggregation — no driver-side graph, no collect —
+  * and rounds = graph diameter. Near-dup clusters are dense and tiny
+  * (a cluster of m rewrites of one document has diameter ≤ 2 under
+  * any banding that works at all), so the loop converges in a handful
+  * of rounds; `maxIter` guards the pathological chain graph with a
+  * loud failure rather than a silently-partial clustering. (The
+  * O(log² n)-round large-star/small-star variant exists for
+  * adversarial topologies; at dedup workloads its extra per-round cost
+  * buys nothing — documented trade-off, not an oversight.)
+  *
+  * Iteration state is truncated by a PARQUET ROUND-TRIP per round
+  * (write labels, read them back): the self-referential join would
+  * otherwise double the logical plan per round (2^k leaf scans by
+  * round k — the classic iterative-Catalyst blowup), and unlike the
+  * KMeans centroid table the label table is corpus-sized, so the
+  * driver-collect truncation is not an option, and `localCheckpoint`
+  * leaves persisted RDD blocks no lifecycle owns. On a cluster pass a
+  * `scratchDir` on shared storage (the same requirement as RDD
+  * checkpointing); the default lands in the driver's local tmp, which
+  * is correct for local[*].
+  *
+  * Convergence detection is O(1) per round: labels only ever DECREASE
+  * under min-propagation, so the label-sum is strictly monotone and
+  * "sum unchanged ⟺ fixpoint" — one cheap aggregate per round instead
+  * of an old⋈new anti-join.
+  */
+object Clusters {
+
+  private val labelSchema = StructType(Seq(
+    StructField("id", LongType), StructField("lbl", LongType)))
+
+  /** Connected components of an undirected pair list.
+    *
+    * @param pairs one row per undirected edge
+    * @param src   source id column (long)
+    * @param dst   destination id column (long)
+    * @return (id, cluster_id): one row per node that appears in any
+    *         pair; cluster_id = min node id of its component.
+    *         Isolated nodes (in no pair) are the caller's singletons.
+    */
+  def connectedComponents(pairs: DataFrame, src: String, dst: String,
+                          scratchDir: Option[String] = None,
+                          maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    val scratch = new Path(scratchDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_cc_").toString))
+    val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // symmetric edge list: min-labels must flow BOTH ways
+    val edges = pairs.select(col(src).cast("long").as("src"),
+        col(dst).cast("long").as("dst"))
+      .union(pairs.select(col(dst).cast("long").as("src"),
+        col(src).cast("long").as("dst")))
+
+    def roundTrip(df: DataFrame, iter: Int): DataFrame = {
+      val dir = new Path(scratch, s"labels_$iter")
+      df.write.mode("overwrite").parquet(dir.toString)
+      // the new labels are self-contained on disk — the previous
+      // round's files are dead weight the moment this write commits
+      if (iter > 0) fs.delete(new Path(scratch, s"labels_${iter - 1}"), true)
+      spark.read.schema(labelSchema).parquet(dir.toString)
+    }
+
+    var labels = roundTrip(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")), 0)
+
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = prevSum.signum() == 0 && labels.isEmpty
+    while (!converged && iter < maxIter) {
+      iter += 1
+      // min label reaching each node via one hop, folded with its own
+      val neighborMin = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(min(col("lbl")).as("nmin"))
+      labels = roundTrip(
+        labels.join(neighborMin, col("id") === col("dst"), "left")
+          .select(col("id"), least(col("lbl"), col("nmin")).as("lbl")),
+        iter)
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds - " +
+          "the pair graph has a longer path than any dedup clustering " +
+          "should; raise maxIter only after checking the pair source")
+    labels.toDF("id", "cluster_id")
+  }
+
+  /** Per-cluster membership with sizes: (doc_id, cluster_id,
+    * cluster_sz), cluster_id = min member id. Input is any near-dup
+    * pair list (doc_a, doc_b).
+    */
+  def memberTable(pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs, "doc_a", "doc_b")
+    val sz = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_sz"))
+    cc.join(sz, "cluster_id")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_sz"))
+  }
+
+  /** One survivor per cluster by (quality DESC, doc_id ASC): the doc a
+    * curation pipeline KEEPS; everything else in the cluster is the
+    * drop list. `quality` must carry (doc_id, quality). The argmax is
+    * a single struct-min aggregate (quality inverted), not a window —
+    * map-side combinable, no per-cluster funnel.
+    */
+  def survivors(pairs: DataFrame, quality: DataFrame): DataFrame =
+    memberTable(pairs)
+      .join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((lit(1000) - col("quality")).as("nq"),
+          col("doc_id").as("id"), col("quality").as("q"))).as("best"))
+      .select(col("cluster_id"), col("best.id").as("keep_id"),
+        col("best.q").as("keep_quality"), col("n_members"))
+}

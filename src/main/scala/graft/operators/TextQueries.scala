@@ -141,6 +141,28 @@ object TextQueries {
         "doc_id", "text", MAX_HAMMING)
     },
 
+    // ── near-dup CLUSTERS: pairs closed into connected components ──────
+    // The actionable form of the dedup output — see [[Clusters]]; the
+    // oracle replays the fixpoint as a recursive reachability CTE.
+    "q_dup_clusters" -> { (s, dir) =>
+      Clusters.memberTable(
+        Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", K, NUM_HASHES, BANDS, THRESH))
+    },
+
+    // ── one survivor per cluster by (quality desc, id asc) ──────────────
+    // The keep/drop decision a curation pipeline executes: struct-min
+    // argmax per cluster (map-side combinable), quality from the same
+    // scorer q_quality_score checks.
+    "q_cluster_survivors" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Clusters.survivors(
+        Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+          K, NUM_HASHES, BANDS, THRESH),
+        docs.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality")))
+    },
+
     // ── repetition filter signal (duplicate n-gram fraction) ────────────
     // The classic quality rule for generated/boilerplate text: what
     // share of a document's 3-grams is its single most repeated 3-gram?
@@ -241,10 +263,51 @@ object TextQueries {
       .map(i => s"min(${Dedup.affineSql(i, "hm")}) AS mh$i")
       .mkString(", ")
 
+  // no leading WITH: q_dup_clusters prepends WITH RECURSIVE (the
+  // keyword covers the whole CTE list; non-recursive members are fine)
   private val sigCte =
-    s"""WITH $shinglesCte,
+    s"""$shinglesCte,
        |hm AS (SELECT doc_id, ${Dedup.hash32Sql(0, "shingle")} % ${Dedup.P} AS hm FROM sh),
        |sig AS (SELECT doc_id, $minhashSelect FROM hm GROUP BY doc_id)""".stripMargin
+
+  /** CTE chain through `vp(doc_a, doc_b, n_common, sz_a, sz_b)` — the
+    * LSH-then-verify near-dup pairs (twin of [[Dedup.lshVerifiedPairs]]),
+    * shared by q_lsh_verified_dups and the cluster queries built on it.
+    */
+  private val lshVerifiedCtes =
+    s"""$sigCte,
+       |shh AS (SELECT doc_id, ${Dedup.shingleHashSql("shingle")} AS shingle
+       |  FROM sh),
+       |bands AS (${(0 until BANDS).map(bandSelect).mkString("\n UNION ALL\n ")}),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+       |common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN shh a ON a.doc_id = c.doc_a
+       |  JOIN shh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |vp AS (SELECT doc_a, doc_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b
+       |  FROM common
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE n_common * 100 >= $THRESH * (sa.sz + sb.sz - n_common))""".stripMargin
+
+  /** Recursive closure CTEs over `vp`: symmetric edges → reachability →
+    * `cc(id, cluster_id)` with cluster_id = min member id. DuckDB's
+    * UNION recursion dedups accumulated rows, so `reach` terminates at
+    * the transitive closure — the SQL twin of
+    * [[graft.operators.Clusters.connectedComponents]]'s fixpoint.
+    */
+  private val ccCtes =
+    s"""$lshVerifiedCtes,
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+       |      UNION SELECT doc_b, doc_a FROM vp),
+       |reach AS (SELECT src AS id, src AS r FROM e
+       |          UNION
+       |          SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+       |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   private def bandSelect(b: Int): String = {
     val r = NUM_HASHES / BANDS
@@ -408,11 +471,11 @@ object TextQueries {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_minhash_sig" ->
-      s"""$sigCte
+      s"""WITH $sigCte
          |SELECT * FROM sig""".stripMargin,
 
     "q_minhash_lsh_pairs" ->
-      s"""$sigCte,
+      s"""WITH $sigCte,
          |bands AS (${(0 until BANDS).map(bandSelect).mkString("\n UNION ALL\n ")})
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
@@ -475,23 +538,28 @@ object TextQueries {
          |WHERE n_common * 100 >= $THRESH * (sa.sz + sb.sz - n_common)""".stripMargin,
 
     "q_lsh_verified_dups" ->
-      s"""$sigCte,
-         |shh AS (SELECT doc_id, ${Dedup.shingleHashSql("shingle")} AS shingle
-         |  FROM sh),
-         |bands AS (${(0 until BANDS).map(bandSelect).mkString("\n UNION ALL\n ")}),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
-         |common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
-         |  FROM cand c
-         |  JOIN shh a ON a.doc_id = c.doc_a
-         |  JOIN shh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b
-         |FROM common
-         |JOIN sizes sa ON doc_a = sa.doc_id
-         |JOIN sizes sb ON doc_b = sb.doc_id
-         |WHERE n_common * 100 >= $THRESH * (sa.sz + sb.sz - n_common)""".stripMargin
+      s"""WITH $lshVerifiedCtes
+         |SELECT doc_a, doc_b, n_common, sz_a, sz_b FROM vp""".stripMargin,
+
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |csz AS (SELECT cluster_id, count(*) AS cluster_sz
+         |  FROM cc GROUP BY cluster_id)
+         |SELECT cc.id AS doc_id, cc.cluster_id, csz.cluster_sz
+         |FROM cc JOIN csz USING (cluster_id)""".stripMargin,
+
+    "q_cluster_survivors" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |$qualityCtes,
+         |mem AS (SELECT cc.id, cc.cluster_id, qv.quality
+         |  FROM cc JOIN qv ON qv.doc_id = cc.id),
+         |r AS (SELECT cluster_id, id, quality,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM mem)
+         |SELECT cluster_id, id AS keep_id, quality AS keep_quality,
+         |  n_members
+         |FROM r WHERE rn = 1""".stripMargin
   )
 }

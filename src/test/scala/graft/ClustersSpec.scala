@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Clusters
+
+/** Connected-components fixpoint: exact min-labels on chains (the
+  * worst diameter case), component separation, determinism under
+  * repartitioning, empty input, and the survivor argmax tiebreak.
+  */
+class ClustersSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Clusters.connectedComponents(
+        pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain graph: min label walks the full diameter") {
+    // 10-20-30-40-50 is a path: label 10 needs 4 propagation rounds
+    val got = cc(Seq((20L, 10L), (20L, 30L), (40L, 30L), (40L, 50L)))
+    assert(got === Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      40L -> 10L, 50L -> 10L))
+  }
+
+  test("separate components keep separate labels") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (7L, 9L), (11L, 11L)))
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L)
+    assert(got(7L) === 7L && got(9L) === 7L)
+    assert(got(11L) === 11L) // self-edge = singleton that met the pair list
+  }
+
+  test("deterministic under repartitioning") {
+    val pairs = (0L until 60L).map(i => (i, (i * 7) % 60)) // ring-ish
+    val a = cc(pairs)
+    val b = Clusters.connectedComponents(
+        pairs.toDF("a", "b").repartition(13), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("empty pair list yields an empty, well-typed result") {
+    val out = Clusters.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(out.columns.toSeq === Seq("id", "cluster_id"))
+    assert(out.count() === 0)
+  }
+
+  test("maxIter too small fails loudly, never silently partial") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    intercept[IllegalStateException] {
+      Clusters.connectedComponents(chain.toDF("a", "b"), "a", "b",
+        maxIter = 2)
+    }
+  }
+
+  test("survivors: quality desc then id asc, sizes correct") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 20L)).toDF("doc_a", "doc_b")
+    val quality = Seq((1L, 50), (2L, 90), (3L, 90), (10L, 10), (20L, 10))
+      .toDF("doc_id", "quality")
+    val got = Clusters.survivors(pairs, quality)
+      .orderBy(col("cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3)))
+    // cluster {1,2,3}: quality 90 tie between 2 and 3 → min id 2
+    // cluster {10,20}: quality 10 tie → min id 10
+    assert(got.toSeq === Seq((1L, 2L, 90, 3L), (10L, 10L, 10, 2L)))
+  }
+}
