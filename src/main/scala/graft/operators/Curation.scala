@@ -31,6 +31,9 @@ object Curation {
   private val SAMPLE_SEED = 7
   private val SAMPLE_PCT = 10          // q_sample_hash keeps ~10 %
   private val STRATA_K = 5             // docs kept per language stratum
+  private val PACK_BUDGET = 256        // tokens per packed training sequence
+  private val PACK_SHARDS = 8          // parallel packing streams
+  private val DECON_K = 5              // decontamination shingle width
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -94,6 +97,50 @@ object Curation {
           (col("pos") + 1).as("rn"))
     },
 
+    // ── sequence packing: concat-then-chunk assignment ──────────────────
+    // Where each doc lands when the corpus is concatenated into fixed-
+    // token training sequences: (shard, seq_in_shard, offset). The
+    // stateful-looking first-fit loop is deliberately replaced by the
+    // cumulative-sum form every big pretraining pipeline uses — docs
+    // may straddle a boundary; assignment is a pure function of the
+    // running token count. ONE window per shard: sharding first (hash
+    // of the id) is what makes this scale — the window funnels per
+    // SHARD, not per corpus, so parallelism is PACK_SHARDS-wide and a
+    // 100 TB run just raises the shard count.
+    "q_pack_chunks" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val t = docs(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        (hashBucket(col("doc_id")) % PACK_SHARDS).as("shard"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("shard"),
+          expr(s"(cum - n_tokens) div $PACK_BUDGET").as("seq_in_shard"),
+          ((col("cum") - col("n_tokens")) % PACK_BUDGET)
+            .as("offset_tokens"))
+    },
+
+    // ── train/test decontamination: benchmark n-gram overlap ────────────
+    // Train docs sharing any DECON_K-shingle with the held-out split —
+    // the leakage check run before any benchmark number is quoted.
+    // Shingles are in-row distinct then 60-bit-hashed (8-byte join
+    // keys); the join is a plain shuffled hash join on the shingle —
+    // when the held-out side is benchmark-sized (the production case)
+    // AQE turns it into a broadcast join on its own.
+    "q_decontaminate" -> { (s, dir) =>
+      val b = docs(s, dir).withColumn("bkt", bucket)
+      def hashedSh(d: DataFrame, idAs: String): DataFrame =
+        Dedup.docShingles(d, "doc_id", "text", DECON_K)
+          .select(col("doc_id").as(idAs),
+            Dedup.shingleHash(col("shingle")).as("shingle"))
+      hashedSh(b.filter(col("bkt") < 80), "doc_id")
+        .join(hashedSh(b.filter(col("bkt") >= 90), "test_id"), "shingle")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("test_id")).as("n_test_docs"),
+          countDistinct(col("shingle")).as("n_shared_shingles"))
+    },
+
     // ── exact length quantiles per language (discrete, all-integer) ─────
     // quantile_disc semantics via cumulative counts over the pre-agg'd
     // value table: p-quantile = smallest value with cum ≥ ⌈p·n⌉, applied
@@ -138,6 +185,40 @@ object Curation {
          |      ORDER BY h ASC, doc_id ASC) AS rn
          |  FROM h)
          |SELECT lang, doc_id, rn FROM r WHERE rn <= $STRATA_K""".stripMargin,
+
+    "q_pack_chunks" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |      AS BIGINT) AS n_tokens,
+         |    ($bucketSql) % $PACK_SHARDS AS shard
+         |  FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT doc_id, shard,
+         |  CAST((cum - n_tokens) // $PACK_BUDGET AS BIGINT) AS seq_in_shard,
+         |  CAST((cum - n_tokens) % $PACK_BUDGET AS BIGINT) AS offset_tokens
+         |FROM c""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH b AS (SELECT doc_id, text, $bucketSql AS bkt FROM documents),
+         |toks AS (SELECT doc_id, bkt,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM b WHERE length(trim(text)) > 0),
+         |sh AS (SELECT DISTINCT doc_id, bkt,
+         |    ${Dedup.shingleHashSql(
+              s"array_to_string(t[CAST(i AS INT):CAST(i + ${DECON_K - 1} AS INT)], ' ')")} AS shingle
+         |  FROM toks, unnest(range(1, len(t) - ${DECON_K - 2})) AS u(i)
+         |  WHERE len(t) >= $DECON_K)
+         |SELECT tr.doc_id,
+         |  count(DISTINCT te.doc_id) AS n_test_docs,
+         |  count(DISTINCT tr.shingle) AS n_shared_shingles
+         |FROM (SELECT doc_id, shingle FROM sh WHERE bkt < 80) tr
+         |JOIN (SELECT doc_id, shingle FROM sh WHERE bkt >= 90) te
+         |  USING (shingle)
+         |GROUP BY tr.doc_id""".stripMargin,
 
     "q_quantiles" ->
       """WITH byval AS (SELECT lang, n_chars, count(*) AS c

@@ -380,6 +380,24 @@ object RelationalQueries {
             / col("n")).as("var_pop"))
     },
 
+    // ── grain-bucketed RANGE join, oracle-checked: shipments landing in
+    // the 4-day window after each order date. The naive inequality join
+    // (no equi conjunct) is a BroadcastNestedLoopJoin — O(n·m); the
+    // grain form explodes each lineitem's 4-day window into day grains
+    // and hash-joins on grain equality (see [[RangeJoin]]; PlanShapeSpec
+    // pins that no nested-loop/cartesian survives). The count aggregate
+    // keeps the compare deterministic.
+    "q_range_join_grain" -> { (s, dir) =>
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_d"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(date_sub(to_date(col("l_shipdate")), 3).as("lo"),
+          to_date(col("l_shipdate")).as("hi"))
+      RangeJoin.joinPointInInterval(ord, "o_d", li, "lo", "hi")
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_shipments_4d"))
+    },
+
     // ── explicit salted skew join, oracle-checked: the salt only changes
     // the PHYSICAL shuffle (hot keys spread over `salt` reducers); the
     // logical result is row-identical to the plain inner join, which is
@@ -673,6 +691,15 @@ object RelationalQueries {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
+
+    // the oracle states the range join DECLARATIVELY (plain BETWEEN) —
+    // the grain rewrite must be semantics-preserving
+    "q_range_join_grain" ->
+      """SELECT o_orderkey, count(*) AS n_shipments_4d
+        |FROM orders JOIN lineitem
+        |  ON CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+        | AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + 3
+        |GROUP BY o_orderkey""".stripMargin,
 
     "q_sql_serving" ->
       """SELECT l_orderkey, o_orderdate,

@@ -34,6 +34,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
   }
 
+  test("q_range_join_grain: equi-join plan, no nested loop or cartesian") {
+    val plan = planOf(
+      RelationalQueries.queries("q_range_join_grain")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"grain rewrite fell back to a cross-style join:\n$plan")
+    // and the result is row-identical to the declarative BETWEEN form
+    import org.apache.spark.sql.functions._
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_d"))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(to_date(col("l_shipdate")).as("l_d"))
+    val naive = ord.join(li,
+        col("l_d") >= col("o_d") && col("l_d") <= date_add(col("o_d"), 3))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipments_4d"))
+    val grain = RelationalQueries.queries("q_range_join_grain")(spark, sf)
+    assert(grain.exceptAll(naive).isEmpty && naive.exceptAll(grain).isEmpty)
+  }
+
   test("minhash signatures: zero shuffle (pure projection)") {
     val docs = Seq((1L, "a b c d e f"), (2L, "b c d e f g"))
       .toDF("doc_id", "text")
