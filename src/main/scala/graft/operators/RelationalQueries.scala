@@ -380,6 +380,37 @@ object RelationalQueries {
             / col("n")).as("var_pop"))
     },
 
+    // ── unpivot/melt: wide measures → long (measure, value) ────────────
+    // The wide-to-long reshape (Spark's native unpivot — a Generate,
+    // zero shuffle) audited with one decimal-exact aggregate per
+    // measure. The oracle states it as the portable UNION ALL.
+    "q_unpivot" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+    },
+
+    // ── mode (most frequent value) per group, deterministic tiebreak ────
+    // Two keyed aggregations — (group, value) counts then a struct-min
+    // argmax (count desc, value asc) — both map-side combinable; the
+    // window form would funnel each group into one task.
+    "q_mode" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(struct((-col("c")).as("nc"),
+          col("l_quantity").as("v"), col("c").as("c"))).as("best"))
+        .select(col("l_returnflag"), col("best.v").as("mode_qty"),
+          col("best.c").as("n_mode"))
+    },
+
     // ── grain-bucketed RANGE join, oracle-checked: shipments landing in
     // the 4-day window after each order date. The naive inequality join
     // (no equi conjunct) is a BroadcastNestedLoopJoin — O(n·m); the
@@ -691,6 +722,29 @@ object RelationalQueries {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM m GROUP BY measure""".stripMargin,
+
+    "q_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, l_quantity, c,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY c DESC, l_quantity ASC) AS rn
+        |  FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, c AS n_mode
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // the oracle states the range join DECLARATIVELY (plain BETWEEN) —
     // the grain rewrite must be semantics-preserving

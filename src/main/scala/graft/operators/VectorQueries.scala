@@ -399,6 +399,45 @@ object VectorQueries {
     // ── SRP-LSH bucketed ANN top-k (see srpTopk) ────────────────────────
     "q_ann_srp_topk" -> { (s, dir) => srpTopk(s, dir) },
 
+    // ── kNN label vote: the classify/label-propagation read of ANN ─────
+    // Predict each query vector's label by majority vote over its
+    // brute-force top-k (the truth set — swap in ivfTopk for the
+    // approximate variant at scale; same vote shape). The argmax is a
+    // struct-min per query (votes desc, label asc tie-break) — map-side
+    // combinable, no window, all integers.
+    "q_knn_classify" -> { (s, dir) =>
+      val labels = loadEmb(s, dir)
+        .select(col("vec_id").as("neighbor_id"), col("label"))
+      bruteTopk(s, dir)
+        .join(labels, "neighbor_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("v"))
+        .groupBy(col("query_id"))
+        .agg(min(struct((lit(TOP_K) - col("v")).as("nv"),
+          col("label").as("l"), col("v").as("v"))).as("best"))
+        .select(col("query_id"), col("best.l").as("pred_label"),
+          col("best.v").as("n_votes"))
+    },
+
+    // ── per-label centroids in the MERGEABLE form ───────────────────────
+    // (label, dim, n, Σ floor(x·2²⁰)): the partial-aggregate shape a
+    // distributed pipeline actually ships between stages — sums and
+    // counts merge associatively across any partitioning (a finished
+    // mean does not), and the integer quantize makes the sum
+    // order-free and engine-exact (same grid as srp_sig/KMeans
+    // .refineQuantized). The final mean is one division away for
+    // whoever consumes it; emitting it here would re-introduce
+    // truncate-vs-floor divergence on negative sums for zero benefit.
+    "q_label_centroids" -> { (s, dir) =>
+      loadEmb(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .toDF("label", "pos", "x")
+        .select(col("label"), col("pos"),
+          floor(col("x").cast("double") * 1048576d).as("q"))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_q"))
+    },
+
     // ── IVF recall@k against the brute-force truth ──────────────────────
     // recall_pct = 100·|ivf ∩ brute| / k per query — the number a
     // training-data pipeline tunes nprobe/cells against. Integer
@@ -543,6 +582,27 @@ object VectorQueries {
     "q_ann_cosine_topk" ->
       s"""WITH $bruteCtes
          |SELECT query_id, neighbor_id, rank FROM brute""".stripMargin,
+
+    "q_knn_classify" ->
+      s"""WITH $bruteCtes,
+         |votes AS (SELECT b.query_id, e.label, count(*) AS v
+         |  FROM brute b JOIN embeddings e ON b.neighbor_id = e.vec_id
+         |  GROUP BY 1, 2),
+         |r AS (SELECT query_id, label, v,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY v DESC, label ASC) AS rn
+         |  FROM votes)
+         |SELECT query_id, label AS pred_label, v AS n_votes
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_label_centroids" ->
+      """SELECT label, CAST(i AS INT) AS pos,
+        |  count(*) AS n_vecs,
+        |  CAST(sum(CAST(floor(
+        |    CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1048576.0)
+        |    AS BIGINT)) AS BIGINT) AS sum_q
+        |FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+        |GROUP BY label, pos""".stripMargin,
 
     "q_ann_ivf_kmeans" ->
       s"""WITH $kmeansCtes,
