@@ -159,6 +159,25 @@ object EventQueries {
       cohortRetention(loadEvents(s, dir))
     },
 
+    // ── key-skew diagnostics: the report an engineer reads BEFORE
+    // choosing salt factors / AQE skew thresholds. Heaviest 5 keys via
+    // bounded_topk (k-capped map-side partials — no full-count sort),
+    // with corpus totals and per-key share in basis points, all
+    // integer. One keyed agg + one global agg regardless of key count.
+    "q_skew_keys" -> { (s, dir) =>
+      loadEvents(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .agg(expr("bounded_topk(cast(-cnt as double), user_id, 5)")
+          .as("top"),
+          sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"))
+        .select(col("n_rows"), col("n_keys"), posexplode(col("top")))
+        .toDF("n_rows", "n_keys", "pos", "t")
+        .select(col("t.n").as("user_id"), (col("pos") + 1).as("rank"),
+          (-col("t.s")).cast("long").as("cnt"),
+          expr("cast(-t.s as long) * 10000 div n_rows").as("share_bp"),
+          col("n_keys"), col("n_rows"))
+    },
+
     // ── scalable profile: approx_count_distinct (HLL). No oracleSql —
     // DuckDB's sketch differs, so the driver records the weaker
     // rows-only check; the exact-profile twin is q_profile_onepass.
@@ -294,6 +313,17 @@ object EventQueries {
         |  FROM e JOIN o ON e.user_id = o.o_custkey AND o.oms <= e.ms)
         |SELECT event_id, user_id, ms, o_orderkey, o_totalprice
         |FROM j WHERE rn = 1""".stripMargin,
+
+    "q_skew_keys" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |        count(*) AS n_keys FROM c),
+        |r AS (SELECT user_id, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS rank
+        |  FROM c)
+        |SELECT r.user_id, r.rank, r.cnt,
+        |  r.cnt * 10000 // t.n_rows AS share_bp, t.n_keys, t.n_rows
+        |FROM r, t WHERE r.rank <= 5""".stripMargin,
 
     "q_session_window" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),

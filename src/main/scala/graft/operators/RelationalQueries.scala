@@ -380,6 +380,20 @@ object RelationalQueries {
             / col("n")).as("var_pop"))
     },
 
+    // ── fixed-width histogram: the distribution profile that needs no
+    // second pass (bounds are fixed, not min/max-derived), so it stays
+    // ONE map-side-combinable aggregation. floor of a double division
+    // is correctly rounded IEEE in both engines → bin ids are
+    // oracle-exact.
+    "q_histogram" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(floor(col("o_totalprice") / 50000d).cast("long").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("bin"), (col("bin") * 50000).cast("double").as("lo"),
+          col("n"))
+    },
+
     // ── unpivot/melt: wide measures → long (measure, value) ────────────
     // The wide-to-long reshape (Spark's native unpivot — a Generate,
     // zero shuffle) audited with one decimal-exact aggregate per
@@ -734,6 +748,12 @@ object RelationalQueries {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT)
+        |    AS bin FROM orders)
+        |SELECT bin, CAST(bin * 50000 AS DOUBLE) AS lo, count(*) AS n
+        |FROM b GROUP BY bin""".stripMargin,
 
     "q_unpivot" ->
       """WITH m AS (
