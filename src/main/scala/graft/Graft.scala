@@ -65,6 +65,28 @@ object Graft {
                             maxHamming: Int = 3): DataFrame =
     Dedup.simhashNearDupPairs(docs, id, text, maxHamming)
 
+  /** Close near-dup PAIRS into clusters: (id, cluster_id) via
+    * distributed connected components — see [[operators.Clusters]].
+    */
+  def duplicateClusters(pairs: DataFrame, src: String = "doc_a",
+                        dst: String = "doc_b",
+                        scratchDir: Option[String] = None): DataFrame =
+    Clusters.connectedComponents(pairs, src, dst, scratchDir)
+
+  /** One keep-doc per near-dup cluster by (quality desc, id asc);
+    * `quality` carries (doc_id, quality). The keep/drop list a curation
+    * pipeline executes.
+    */
+  def clusterSurvivors(pairs: DataFrame, quality: DataFrame): DataFrame =
+    Clusters.survivors(pairs, quality)
+
+  /** Point-in-interval range join without a nested-loop plan — the
+    * day-grain equi-join rewrite, see [[operators.RangeJoin]].
+    */
+  def rangeJoin(points: DataFrame, ptCol: String, intervals: DataFrame,
+                loCol: String, hiCol: String): DataFrame =
+    RangeJoin.joinPointInInterval(points, ptCol, intervals, loCol, hiCol)
+
   /** Release every intermediate the library has persisted (signatures,
     * shingle sets, fingerprints). Call after materializing the results
     * of the dedup/similarity operators — they cache shared intermediates
@@ -90,6 +112,28 @@ object Graft {
   def withSplit(df: DataFrame, idCol: String, seed: Int = 7): DataFrame = {
     import org.apache.spark.sql.functions.col
     df.withColumn("split", Curation.splitLabel(col(idCol), seed))
+  }
+
+  /** Concat-then-chunk sequence packing: (shard, seq_in_shard,
+    * offset_tokens) per row from a cumulative token-count window
+    * partitioned by hash shard — parallelism = shard count. `tokenCol`
+    * carries the per-row token count (long).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    budget: Int = 256, shards: Int = 8,
+                    seed: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val t = df.withColumn("shard", Curation.hashBucket(col(idCol), seed)
+      % shards)
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("seq_in_shard",
+        expr(s"(__cum - $tokenCol) div $budget"))
+      .withColumn("offset_tokens",
+        (col("__cum") - col(tokenCol)) % budget)
+      .drop("__cum")
   }
 
   // ── similarity / text / media ────────────────────────────────────────

@@ -84,9 +84,16 @@ object Clusters {
       spark.read.schema(labelSchema).parquet(dir.toString)
     }
 
+    // iteration 0 IS the first propagation round: every node appears as
+    // a dst (the edge list is symmetric), so one groupBy(dst) yields the
+    // node set AND its 1-hop min in the same shuffle the separate
+    // distinct() would have cost — diameter-1 clusters (the common
+    // near-dup star) arrive converged and pay only the confirming round
     var labels = roundTrip(
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl")), 0)
+      edges.groupBy(col("dst"))
+        .agg(min(col("src")).as("m"))
+        .select(col("dst").as("id"), least(col("m"), col("dst")).as("lbl")),
+      0)
 
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
