@@ -159,6 +159,34 @@ object EventQueries {
       cohortRetention(loadEvents(s, dir))
     },
 
+    // ── SCD-2-style state runs: change detection → validity intervals ──
+    // Collapse each user's event stream into runs of consecutive equal
+    // event_type with [valid_from, valid_to) interval bounds — the
+    // slowly-changing-dimension build (and the compressed form a
+    // feature store serves point-in-time lookups from). Change flags +
+    // run ids + the run-level valid_to are three window passes ALL
+    // keyed by user_id (high cardinality — no funnel), then one keyed
+    // agg; ties broken by event_id everywhere, all integers.
+    "q_scd2_runs" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms").asc, col("event_id").asc)
+      val runs = loadEvents(s, dir)
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("run_id", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("run_id"))
+        .agg(min(col("event_type")).as("state"), // constant within a run
+          min(col("ms")).as("valid_from_ms"),
+          count(lit(1)).as("n_events"))
+      val wr = Window.partitionBy(col("user_id"))
+        .orderBy(col("run_id").asc)
+      runs.withColumn("valid_to_ms",
+        lead(col("valid_from_ms"), 1).over(wr))
+    },
+
     // ── key-skew diagnostics: the report an engineer reads BEFORE
     // choosing salt factors / AQE skew thresholds. Heaviest 5 keys via
     // bounded_topk (k-capped map-side partials — no full-count sort),
@@ -313,6 +341,28 @@ object EventQueries {
         |  FROM e JOIN o ON e.user_id = o.o_custkey AND o.oms <= e.ms)
         |SELECT event_id, user_id, ms, o_orderkey, o_totalprice
         |FROM j WHERE rn = 1""".stripMargin,
+
+    "q_scd2_runs" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ms FROM events),
+        |f AS (SELECT *,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ms ASC, event_id ASC)),
+        |r AS (SELECT *,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id
+        |      ORDER BY ms ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        |  FROM f),
+        |g AS (SELECT user_id, run_id, min(event_type) AS state,
+        |    min(ms) AS valid_from_ms, count(*) AS n_events
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, run_id, state, valid_from_ms, n_events,
+        |  lead(valid_from_ms) OVER (PARTITION BY user_id
+        |    ORDER BY run_id ASC) AS valid_to_ms
+        |FROM g""".stripMargin,
 
     "q_skew_keys" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),

@@ -55,6 +55,31 @@ class ClustersSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("random graphs ≡ driver-side union-find reference (10 seeds)") {
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min id per component: path-compress everything, then the root
+      // chain above keeps the minimum as the root
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(40)
+      val pairs = Seq.fill(n)(
+        (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+      assert(cc(pairs) === unionFind(pairs), s"seed=$seed")
+    }
+  }
+
   test("survivors: quality desc then id asc, sizes correct") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 20L)).toDF("doc_a", "doc_b")
     val quality = Seq((1L, 50), (2L, 90), (3L, 90), (10L, 10), (20L, 10))
