@@ -346,24 +346,55 @@ object Dedup {
 
   def jaccardPairs(docs: DataFrame, id: String, text: String, k: Int = 3,
                    maxDf: Int = 100, thresholdPct: Int = 60): DataFrame = {
-    // ONE inverted-index aggregation replaces round 2's four sequential
-    // cached stages (uncut-pair cache fill, df-count agg, cut join,
-    // collect_list agg): a single groupBy(shingle) emits BOTH the
-    // document frequency and the complete sorted posting list of every
-    // rare shingle. The posting list goes through `bounded_topk` with
-    // k = maxDf + 1 — a k-capped partial buffer — so a degenerate
-    // stopword shingle costs O(maxDf) executor memory and map-side
-    // shuffle bytes, not O(df): the very reason round 2 kept a two-pass
-    // cut. Rows with df_count > maxDf are dropped after the agg; for the
-    // survivors df ≤ maxDf < k means the bounded list is the COMPLETE
-    // posting list, already ascending by doc_id.
-    //
-    // The doc_id rides bounded_topk's double score slot: ids below 2⁵³
-    // are exact in a double, so (score, id) ordering is plain id order.
-    // Requires `bounded_topk` registered (GraftExtensions). Posting-list
-    // ids are cast BACK to the input id type so doc_a/doc_b keep the
-    // caller's schema (and stay differencable against lshVerifiedPairs,
-    // which never leaves the original type).
+    val (common, sizes) = invertedIndexCounts(docs, id, text, k, maxDf)
+    thresholdAndSize(common, sizes, thresholdPct)
+  }
+
+  /** Near-subset detection by CONTAINMENT: keep pairs where
+    * 100·|A∩B| ≥ thresholdPct·min(|A|,|B|) — the quote-inclusion /
+    * superset-duplicate case Jaccard structurally misses (a short doc
+    * fully embedded in a long one has tiny Jaccard but containment 1).
+    * Same single inverted-index pass as [[jaccardPairs]]; only the
+    * integer threshold differs. Output adds nothing beyond the shared
+    * (doc_a, doc_b, n_common, sz_a, sz_b) so the two are differencable.
+    */
+  def containmentPairs(docs: DataFrame, id: String, text: String,
+                       k: Int = 3, maxDf: Int = 100,
+                       thresholdPct: Int = 90): DataFrame = {
+    val (common, sizes) = invertedIndexCounts(docs, id, text, k, maxDf)
+    withSizes(common, sizes)
+      .filter(col("n_common") * 100 >=
+        lit(thresholdPct) * least(col("sz_a"), col("sz_b")))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("sz_a"), col("sz_b"))
+  }
+
+  /** The shared inverted-index core of the exact pair family:
+    * (pair common-counts, per-doc set sizes), both derived from ONE
+    * groupBy(shingle) aggregation.
+    *
+    * One aggregation replaces round 2's four sequential cached stages
+    * (uncut-pair cache fill, df-count agg, cut join, collect_list agg):
+    * a single groupBy(shingle) emits BOTH the document frequency and
+    * the complete sorted posting list of every rare shingle. The
+    * posting list goes through `bounded_topk` with k = maxDf + 1 — a
+    * k-capped partial buffer — so a degenerate stopword shingle costs
+    * O(maxDf) executor memory and map-side shuffle bytes, not O(df):
+    * the very reason round 2 kept a two-pass cut. Rows with
+    * df_count > maxDf are dropped after the agg; for the survivors
+    * df ≤ maxDf < k means the bounded list is the COMPLETE posting
+    * list, already ascending by doc_id.
+    *
+    * The doc_id rides bounded_topk's double score slot: ids below 2⁵³
+    * are exact in a double, so (score, id) ordering is plain id order.
+    * Requires `bounded_topk` registered (GraftExtensions). Posting-list
+    * ids are cast BACK to the input id type so doc_a/doc_b keep the
+    * caller's schema (and stay differencable against lshVerifiedPairs,
+    * which never leaves the original type).
+    */
+  private def invertedIndexCounts(docs: DataFrame, id: String,
+                                  text: String, k: Int,
+                                  maxDf: Int): (DataFrame, DataFrame) = {
     val idType = docs.schema(id).dataType
     val grouped = CacheRegistry.register(
       hashedShingles(docs, id, text, k)
@@ -390,7 +421,7 @@ object Dedup {
       .select(explode(combos).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    thresholdAndSize(common, sizes, thresholdPct)
+    (common, sizes)
   }
 
   /** LSH-then-verify near-dup pairs — the scale-safe plan: band-collision
@@ -427,16 +458,20 @@ object Dedup {
     thresholdAndSize(common, sizes, thresholdPct)
   }
 
-  /** Attach set sizes to common-counts and apply the integer Jaccard
-    * threshold: 100·|A∩B| ≥ t·(|A|+|B|−|A∩B|).
-    */
-  private def thresholdAndSize(common: DataFrame, sizes: DataFrame,
-                               thresholdPct: Int): DataFrame =
+  /** Attach both docs' set sizes to the pair common-counts. */
+  private def withSizes(common: DataFrame, sizes: DataFrame): DataFrame =
     common
       .join(sizes.withColumnRenamed("sz", "sz_a"),
         col("doc_a") === col("doc_id")).drop("doc_id")
       .join(sizes.withColumnRenamed("sz", "sz_b"),
         col("doc_b") === col("doc_id")).drop("doc_id")
+
+  /** Attach set sizes to common-counts and apply the integer Jaccard
+    * threshold: 100·|A∩B| ≥ t·(|A|+|B|−|A∩B|).
+    */
+  private def thresholdAndSize(common: DataFrame, sizes: DataFrame,
+                               thresholdPct: Int): DataFrame =
+    withSizes(common, sizes)
       .filter(col("n_common") * 100 >=
         lit(thresholdPct) * (col("sz_a") + col("sz_b") - col("n_common")))
       .select(col("doc_a"), col("doc_b"), col("n_common"),

@@ -23,6 +23,7 @@ object TextQueries {
   private val MAX_DF = 100     // shingle document-frequency cut (jaccard)
   private val THRESH = 60      // jaccard threshold, percent
   private val MAX_HAMMING = 3  // simhash near-dup hamming radius
+  private val CONTAIN_T = 90   // containment threshold, percent
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -127,6 +128,12 @@ object TextQueries {
     "q_jaccard_pairs" -> { (s, dir) =>
       Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
         "doc_id", "text", K, MAX_DF, THRESH)
+    },
+
+    // ── near-subset detection by containment (quote-inclusion dups) ─────
+    "q_containment_pairs" -> { (s, dir) =>
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", K, MAX_DF, CONTAIN_T)
     },
 
     // ── scale path: LSH candidates, exact Jaccard on candidates only ────
@@ -293,6 +300,26 @@ object TextQueries {
        |  JOIN sizes sa ON doc_a = sa.doc_id
        |  JOIN sizes sb ON doc_b = sb.doc_id
        |  WHERE n_common * 100 >= $THRESH * (sa.sz + sb.sz - n_common))""".stripMargin
+
+  /** CTE chain through `pc(doc_a, doc_b, n_common, sz_a, sz_b)` — the
+    * pre-threshold exact pair counts (twin of
+    * [[Dedup.invertedIndexCounts]] + withSizes), shared by
+    * q_jaccard_pairs and q_containment_pairs, which differ only in the
+    * integer threshold applied.
+    */
+  private val jaccardCoreCtes =
+    s"""$hashedShinglesCte,
+       |kept AS (SELECT doc_id, shingle FROM shh
+       |  WHERE shingle IN (SELECT shingle FROM shh GROUP BY shingle
+       |                    HAVING count(*) <= $MAX_DF)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pc AS (SELECT doc_a, doc_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b
+       |  FROM common
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id)""".stripMargin
 
   /** Recursive closure CTEs over `vp`: symmetric edges → reachability →
     * `cc(id, cluster_id)` with cluster_id = min member id. DuckDB's
@@ -523,19 +550,14 @@ object TextQueries {
          |FROM scored WHERE rank <= 3""".stripMargin,
 
     "q_jaccard_pairs" ->
-      s"""WITH $hashedShinglesCte,
-         |kept AS (SELECT doc_id, shingle FROM shh
-         |  WHERE shingle IN (SELECT shingle FROM shh GROUP BY shingle
-         |                    HAVING count(*) <= $MAX_DF)),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
-         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b
-         |FROM common
-         |JOIN sizes sa ON doc_a = sa.doc_id
-         |JOIN sizes sb ON doc_b = sb.doc_id
-         |WHERE n_common * 100 >= $THRESH * (sa.sz + sb.sz - n_common)""".stripMargin,
+      s"""WITH $jaccardCoreCtes
+         |SELECT doc_a, doc_b, n_common, sz_a, sz_b FROM pc
+         |WHERE n_common * 100 >= $THRESH * (sz_a + sz_b - n_common)""".stripMargin,
+
+    "q_containment_pairs" ->
+      s"""WITH $jaccardCoreCtes
+         |SELECT doc_a, doc_b, n_common, sz_a, sz_b FROM pc
+         |WHERE n_common * 100 >= $CONTAIN_T * least(sz_a, sz_b)""".stripMargin,
 
     "q_lsh_verified_dups" ->
       s"""WITH $lshVerifiedCtes

@@ -44,6 +44,25 @@ object ScaleProbe {
     time("lsh pairs")(Dedup.minhashCandidatePairs(docs, "doc_id", "text").count())
     time("exact groups")(Dedup.exactGroups(docs, "doc_id", "text").count())
 
+    // ── connected components: rounds stay constant, time follows edges ──
+    // Replicas share text, so LSH near-dup pairs grow ~m² per original
+    // cluster (every replica pair collides) — the WORST-case input for
+    // clustering. The claim under test: propagation ROUND count is set
+    // by cluster diameter (which replication does NOT grow — replicas
+    // attach to the same dense cluster), so wall time tracks the edge
+    // count, never rounds × edges.
+    import graft.operators.Clusters
+    for (m <- Seq(1, 5)) {
+      val docsM = (0 until m).map(i =>
+          base.select((col("doc_id") + lit(i.toLong * 10_000_000L))
+            .as("doc_id"), col("text")))
+        .reduce(_ unionAll _).repartition(32)
+      val pairs = Dedup.lshVerifiedPairs(docsM, "doc_id", "text")
+      time(s"cc x$m edges")(pairs.count())
+      time(s"cc x$m clusters")(
+        Clusters.connectedComponents(pairs, "doc_a", "doc_b").count())
+    }
+
     // ── embedding near-dup blocking: fixed vs corpus-scaled cell count ──
     // Replicas are ROTATIONS of the base vectors — rotations of i.i.d.
     // random vectors are effectively independent, so the rehearsal grows

@@ -90,4 +90,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.contains((1L, 3L)) === (6.0 / 8.0 >= 0.6)) // 6 shared of 8 union
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
+
+  test("containmentPairs catches an embedded quote that jaccard misses") {
+    val quote = "alpha beta gamma delta epsilon" // 3 shingles at k=3
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, quote),                 // the short source
+      (2L, s"$filler $quote"),     // long doc fully containing it
+      (3L, filler)                 // long doc without it
+    ).toDF("doc_id", "text")
+    val contain = Dedup.containmentPairs(corpus, "doc_id", "text",
+        k = 3, maxDf = 100, thresholdPct = 90)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val jacc = Dedup.jaccardPairs(corpus, "doc_id", "text",
+        k = 3, maxDf = 100, thresholdPct = 60)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // all 3 of doc 1's shingles appear in doc 2 → containment 100 %,
+    // but the union is ~44 shingles → jaccard ≈ 0.07
+    assert(contain.contains((1L, 2L)))
+    assert(!jacc.contains((1L, 2L)))
+    assert(!contain.contains((1L, 3L)))
+  }
 }
