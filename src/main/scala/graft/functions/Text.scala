@@ -32,6 +32,20 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit(subwordPattern), lit(0)))
 
+  /** Redaction rule patterns (q_blocklist_redact). Both are RE2-safe
+    * (word-boundary + alternation, no lookaround) so Spark's Java regex
+    * and DuckDB's RE2 agree match-for-match. The blocklist names the
+    * "sensitive terms" a scrub stage would strip — terms chosen to
+    * actually occur in the synthetic corpus so the machinery is
+    * exercised with nonzero hits; a real deployment swaps the list.
+    */
+  val blocklistPattern = "(?i)\\b(customer|vector|stream)\\b"
+
+  /** Conventional email shape; matches nothing on the synthetic corpus
+    * but is the canonical PII rule and costs one codegen'd regex pass.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
   /** Count of non-alphanumeric, non-space chars (punctuation proxy). */
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))

@@ -217,6 +217,49 @@ object TextQueries {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           col("score"), col("rank"))
+    },
+
+    // ── BPE merge-step statistic: adjacent-pair frequency table ─────────
+    // The first step of byte-pair-encoding training: count every
+    // ADJACENT token pair across the corpus (with multiplicity — this is
+    // NOT the distinct-shingle table the dedup family uses). One
+    // Generate + one hash aggregate with map-side combine; the pair
+    // vocabulary is bounded by (token vocab)², so the shuffle is tiny
+    // regardless of corpus size — the argmax of this table is the pair a
+    // BPE trainer would merge next.
+    "q_bpe_pairs" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(TextFunctions.tokens(lower(col("text"))).as("t"))
+        // guard: sequence(0, -1) DESCENDS in Spark — never build pairs
+        // from <2-token docs
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2)," +
+            " i -> concat(t[i], ' ', t[i + 1]))")).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n_occurrences"))
+    },
+
+    // ── blocklist / pattern redaction (PII-scrub machinery) ─────────────
+    // The standard scrub stage of a training pipeline: a rule list of
+    // (name, regex) patterns is applied per document; output = redacted
+    // length + per-rule hit counts. Pure projection — zero shuffle, and
+    // the regexes are RE2-safe (no lookaround) so the DuckDB oracle runs
+    // them verbatim. The email rule matches nothing on this corpus (the
+    // text is synthetic); it is the PII shape a real corpus needs and
+    // costs one codegen'd regex pass.
+    "q_blocklist_redact" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val red = regexp_replace(
+        regexp_replace(col("text"), TextFunctions.emailPattern, "[PII]"),
+        TextFunctions.blocklistPattern, "[REDACTED]")
+      d.select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit(TextFunctions.blocklistPattern), lit(0))).as("n_blocklist"),
+        size(regexp_extract_all(col("text"),
+          lit(TextFunctions.emailPattern), lit(0))).as("n_email"),
+        length(red).as("clean_chars"),
+        length(col("text")).as("raw_chars"))
     }
   )
 
@@ -438,6 +481,26 @@ object TextQueries {
          |SELECT tok AS token, count(*) AS n_occurrences
          |FROM toks, unnest(t) AS u(tok)
          |GROUP BY tok""".stripMargin,
+
+    "q_bpe_pairs" ->
+      s"""WITH $toksCte
+         |SELECT t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)] AS pair,
+         |  count(*) AS n_occurrences
+         |FROM toks, unnest(range(1, len(t))) AS u(i)
+         |WHERE len(t) >= 2
+         |GROUP BY pair""".stripMargin,
+
+    "q_blocklist_redact" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text,
+         |    '${TextFunctions.blocklistPattern}')) AS n_blocklist,
+         |  len(regexp_extract_all(text,
+         |    '${TextFunctions.emailPattern}')) AS n_email,
+         |  length(regexp_replace(
+         |    regexp_replace(text, '${TextFunctions.emailPattern}', '[PII]', 'g'),
+         |    '${TextFunctions.blocklistPattern}', '[REDACTED]', 'g')) AS clean_chars,
+         |  length(text) AS raw_chars
+         |FROM documents""".stripMargin,
 
     "q_quality_score" ->
       s"""WITH $qualityCtes
