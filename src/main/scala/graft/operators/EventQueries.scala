@@ -31,6 +31,12 @@ object EventQueries {
     Tables.load(s, dir, "events")
       .withColumn("ms", expr("ts div 1000000"))
 
+  /** q_table_diff snapshot cutoffs: 2024-01-15 / 2024-01-25 UTC, as
+    * epoch ms (the event log spans January 2024).
+    */
+  private val DIFF_T1_MS = 1705276800000L
+  private val DIFF_T2_MS = 1706140800000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── gap-based sessionization + per-session aggregate ────────────────
@@ -206,6 +212,22 @@ object EventQueries {
           col("n_keys"), col("n_rows"))
     },
 
+    // ── CDC change feed between two entity-state snapshots ─────────────
+    // See [[ChangeFeed]]: per-user state (event count + latest
+    // event_type) as of Jan 15 vs Jan 25, diffed into the
+    // insert/update/delete feed a downstream consumer replays. Each
+    // snapshot is ONE struct-max aggregate (no window funnel); the diff
+    // is one full-outer join on the user key.
+    "q_table_diff" -> { (s, dir) =>
+      val ev = loadEvents(s, dir)
+      def snap(cutMs: Long) = ChangeFeed.snapshotState(ev,
+        col("user_id"), col("ms"), col("event_id"), col("event_type"),
+        lit(cutMs))
+      ChangeFeed.diff(snap(DIFF_T1_MS), snap(DIFF_T2_MS))
+        .select(col("k").as("user_id"), col("action"),
+          col("old_n"), col("new_n"), col("old_attr"), col("new_attr"))
+    },
+
     // ── scalable profile: approx_count_distinct (HLL). No oracleSql —
     // DuckDB's sketch differs, so the driver records the weaker
     // rows-only check; the exact-profile twin is q_profile_onepass.
@@ -363,6 +385,38 @@ object EventQueries {
         |  lead(valid_from_ms) OVER (PARTITION BY user_id
         |    ORDER BY run_id ASC) AS valid_to_ms
         |FROM g""".stripMargin,
+
+    "q_table_diff" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ms FROM events),
+        |e1 AS (SELECT * FROM e
+        |  WHERE ms < epoch_ms(TIMESTAMP '2024-01-15')),
+        |e2 AS (SELECT * FROM e
+        |  WHERE ms < epoch_ms(TIMESTAMP '2024-01-25')),
+        |s1 AS (SELECT c.user_id, c.old_n, l.old_attr
+        |  FROM (SELECT user_id, count(*) AS old_n FROM e1 GROUP BY 1) c
+        |  JOIN (SELECT user_id, event_type AS old_attr FROM (
+        |      SELECT user_id, event_type, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn
+        |      FROM e1) WHERE rn = 1) l USING (user_id)),
+        |s2 AS (SELECT c.user_id, c.new_n, l.new_attr
+        |  FROM (SELECT user_id, count(*) AS new_n FROM e2 GROUP BY 1) c
+        |  JOIN (SELECT user_id, event_type AS new_attr FROM (
+        |      SELECT user_id, event_type, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn
+        |      FROM e2) WHERE rn = 1) l USING (user_id))
+        |SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+        |  CASE WHEN s1.user_id IS NULL THEN 'insert'
+        |       WHEN s2.user_id IS NULL THEN 'delete'
+        |       WHEN s1.old_n <> s2.new_n
+        |         OR s1.old_attr <> s2.new_attr THEN 'update' END AS action,
+        |  s1.old_n, s2.new_n, s1.old_attr, s2.new_attr
+        |FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+        |WHERE CASE WHEN s1.user_id IS NULL THEN 'insert'
+        |       WHEN s2.user_id IS NULL THEN 'delete'
+        |       WHEN s1.old_n <> s2.new_n
+        |         OR s1.old_attr <> s2.new_attr THEN 'update' END
+        |  IS NOT NULL""".stripMargin,
 
     "q_skew_keys" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),

@@ -524,7 +524,27 @@ object RelationalQueries {
         GROUP BY l_orderkey, o_orderdate
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10""")
-    }
+    },
+
+    // ── Z-order layout clustering for two-dimensional file skipping ────
+    // See [[ZOrder]]: bucket = high bits of the Morton interleave of
+    // (l_partkey, l_suppkey) — fixed-width z-ranges, ONE hash aggregate,
+    // no global sort — reporting per-bucket min/max of BOTH dims (the
+    // footer stats a pruning scan consults). ZOrderSpec asserts the
+    // skipping win vs a single-dim layout.
+    // shift=10 fixes z-bits ≥10 per bucket ⇒ each bucket is a 32×32
+    // axis-aligned cell of (partkey, suppkey) space — BOTH dims get
+    // tight per-bucket min/max (partkey spans 2000, suppkey 100 here;
+    // a larger shift would leave the narrow dim unconstrained).
+    "q_zorder_layout" -> { (s, dir) =>
+      ZOrder.spanByBucket(Tables.load(s, dir, "lineitem"),
+        col("l_partkey"), col("l_suppkey"), shift = ZOrder.LAYOUT_SHIFT)
+    },
+
+    // ── Deequ-style one-pass data-quality verdicts ─────────────────────
+    // See [[DataQuality]]: fused conditional aggregates per table + one
+    // LeftAnti referential check → (rule, metric_bp, pass).
+    "q_dq_checks" -> { (s, dir) => DataQuality.checks(s, dir) }
   )
 
   val oracle: Map[String, String] = Map(
@@ -799,6 +819,18 @@ object RelationalQueries {
         |  AND l_shipdate > TIMESTAMP '1998-03-15'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey ASC
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+
+    "q_zorder_layout" ->
+      s"""WITH z AS (SELECT l_partkey AS x, l_suppkey AS y,
+         |    ${ZOrder.zValueSql("l_partkey", "l_suppkey")}
+         |    >> ${ZOrder.LAYOUT_SHIFT} AS zbucket
+         |  FROM lineitem)
+         |SELECT zbucket, count(*) AS n_rows,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max
+         |FROM z GROUP BY zbucket""".stripMargin,
+
+    "q_dq_checks" -> DataQuality.checksSql
   )
 }
