@@ -241,4 +241,30 @@ object Graft {
       .drop((payloadCols :+ "__kind" :+ "__ts").toSeq: _*)
       .withColumnRenamed("__matched", "matched")
   }
+
+  /** Bloom-pruned semi-join (see [[operators.BloomPrune]]): prefilter
+    * `probe` map-side through a sketch of `build`'s keys, then exact
+    * inner join — same rows as the plain join, shuffle volume bounded
+    * by matches + fpp·|probe|.
+    */
+  def bloomPrunedJoin(probe: DataFrame, build: DataFrame, key: String,
+                      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val bloom = operators.BloomPrune.buildBloom(build, col(key),
+      expectedKeys, fpp)
+    probe.filter(operators.BloomPrune.mightContain(bloom, col(key)))
+      .join(build.select(col(key)).distinct(), key)
+  }
+
+  /** Morton z-value of two integral columns (see [[operators.ZOrder]]);
+    * `repartitionByRange` + sorted write on it clusters a table for
+    * two-dimensional min/max file skipping.
+    */
+  def zValue(x: org.apache.spark.sql.Column,
+             y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    operators.ZOrder.zValue(x, y)
+
+  /** CDC diff of two keyed snapshots (see [[operators.ChangeFeed]]). */
+  def changeFeed(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
+    operators.ChangeFeed.diff(oldSnap, newSnap)
 }

@@ -59,6 +59,25 @@ object Curation {
   private def bucketSql =
     s"${Dedup.hash32Sql(SAMPLE_SEED, "CAST(doc_id AS VARCHAR)")} % 100"
 
+  /** Shared oracle for q_decontaminate / q_bloom_decontaminate. */
+  private lazy val deconSql =
+    s"""WITH b AS (SELECT doc_id, text, $bucketSql AS bkt FROM documents),
+       |toks AS (SELECT doc_id, bkt,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM b WHERE length(trim(text)) > 0),
+       |sh AS (SELECT DISTINCT doc_id, bkt,
+       |    ${Dedup.shingleHashSql(
+            s"array_to_string(t[CAST(i AS INT):CAST(i + ${DECON_K - 1} AS INT)], ' ')")} AS shingle
+       |  FROM toks, unnest(range(1, len(t) - ${DECON_K - 2})) AS u(i)
+       |  WHERE len(t) >= $DECON_K)
+       |SELECT tr.doc_id,
+       |  count(DISTINCT te.doc_id) AS n_test_docs,
+       |  count(DISTINCT tr.shingle) AS n_shared_shingles
+       |FROM (SELECT doc_id, shingle FROM sh WHERE bkt < 80) tr
+       |JOIN (SELECT doc_id, shingle FROM sh WHERE bkt >= 90) te
+       |  USING (shingle)
+       |GROUP BY tr.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── reproducible ~10 % sample ───────────────────────────────────────
@@ -141,6 +160,31 @@ object Curation {
           countDistinct(col("shingle")).as("n_shared_shingles"))
     },
 
+    // ── decontamination, bloom-pruned (the 100 TB shape) ────────────────
+    // Same result as q_decontaminate (same oracle SQL — bloom false
+    // positives are removed by the exact join, false negatives are
+    // impossible), but the corpus side is prefiltered MAP-SIDE through
+    // a bits-sized sketch of the held-out shingle set before anything
+    // shuffles: join input drops from |corpus shingles| to |matches| +
+    // fpp·|corpus shingles|. See [[BloomPrune]]; BloomPruneSpec pins
+    // equality with the unpruned query and measures the kept fraction.
+    "q_bloom_decontaminate" -> { (s, dir) =>
+      val b = docs(s, dir).withColumn("bkt", bucket)
+      def hashedSh(d: DataFrame, idAs: String): DataFrame =
+        Dedup.docShingles(d, "doc_id", "text", DECON_K)
+          .select(col("doc_id").as(idAs),
+            Dedup.shingleHash(col("shingle")).as("shingle"))
+      val held = hashedSh(b.filter(col("bkt") >= 90), "test_id")
+      val bloom = BloomPrune.buildBloom(held, col("shingle"),
+        n = held.count(), fpp = 0.03)
+      hashedSh(b.filter(col("bkt") < 80), "doc_id")
+        .filter(BloomPrune.mightContain(bloom, col("shingle")))
+        .join(held, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("test_id")).as("n_test_docs"),
+          countDistinct(col("shingle")).as("n_shared_shingles"))
+    },
+
     // ── exact length quantiles per language (discrete, all-integer) ─────
     // quantile_disc semantics via cumulative counts over the pre-agg'd
     // value table: p-quantile = smallest value with cum ≥ ⌈p·n⌉, applied
@@ -202,23 +246,12 @@ object Curation {
          |  CAST((cum - n_tokens) % $PACK_BUDGET AS BIGINT) AS offset_tokens
          |FROM c""".stripMargin,
 
-    "q_decontaminate" ->
-      s"""WITH b AS (SELECT doc_id, text, $bucketSql AS bkt FROM documents),
-         |toks AS (SELECT doc_id, bkt,
-         |    string_split_regex(trim(lower(text)), '\\s+') AS t
-         |  FROM b WHERE length(trim(text)) > 0),
-         |sh AS (SELECT DISTINCT doc_id, bkt,
-         |    ${Dedup.shingleHashSql(
-              s"array_to_string(t[CAST(i AS INT):CAST(i + ${DECON_K - 1} AS INT)], ' ')")} AS shingle
-         |  FROM toks, unnest(range(1, len(t) - ${DECON_K - 2})) AS u(i)
-         |  WHERE len(t) >= $DECON_K)
-         |SELECT tr.doc_id,
-         |  count(DISTINCT te.doc_id) AS n_test_docs,
-         |  count(DISTINCT tr.shingle) AS n_shared_shingles
-         |FROM (SELECT doc_id, shingle FROM sh WHERE bkt < 80) tr
-         |JOIN (SELECT doc_id, shingle FROM sh WHERE bkt >= 90) te
-         |  USING (shingle)
-         |GROUP BY tr.doc_id""".stripMargin,
+    "q_decontaminate" -> deconSql,
+
+    // bloom prefilter is pruning-only (exact join removes false
+    // positives; false negatives impossible) ⇒ the oracle IS the
+    // unpruned query's
+    "q_bloom_decontaminate" -> deconSql,
 
     "q_quantiles" ->
       """WITH byval AS (SELECT lang, n_chars, count(*) AS c

@@ -55,5 +55,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "srp_sig(vec, bits) takes 2 arguments")
         SrpSignature(children(0), children(1))
       }))
+    // Spark's OWN runtime-filter machinery, exposed as named functions
+    // (they back InjectRuntimeFilter but have no public SQL surface):
+    // bloom_agg builds the sketch, bloom_contains probes it. Used by
+    // operators.BloomPrune for semi-join pruning with a precomputed
+    // filter (the bloom side must be a foldable literal — the analyzer
+    // enforces it).
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          "bloom_agg(longKey, estItems, numBits) takes 3 arguments")
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_contains"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "bloom_contains(bloomBinary, longKey) takes 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }))
   }
 }
