@@ -219,6 +219,39 @@ object Dedup {
     candidatesFromSigs(sigs, numHashes, bands)
   }
 
+  /** Sketch-estimated Jaccard for LSH candidate pairs: the fraction of
+    * agreeing MinHash slots is an unbiased estimator of the true Jaccard
+    * similarity, so candidates can be RANKED (and thresholded) from the
+    * signatures alone — no shingle-set intersection, no second pass over
+    * the corpus. This is the 100 TB triage shape: signatures are a
+    * shuffle-free projection, candidates are band-bounded, and the
+    * estimate joins two numHashes-long rows instead of two posting
+    * lists. Integer percent output (`n_agree * 100 div numHashes`)
+    * keeps the estimate engine-exact for the oracle.
+    *
+    * The signature table is persisted once and feeds the banding AND
+    * both estimate sides from cache.
+    */
+  def estimatedJaccardPairs(docs: DataFrame, id: String, text: String,
+                            k: Int = 3, numHashes: Int = 16,
+                            bands: Int = 4): DataFrame = {
+    val sigs = CacheRegistry.register(
+      minhashSignatures(docs, id, text, k, numHashes)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val cand = candidatesFromSigs(sigs, numHashes, bands)
+    def side(as: String): DataFrame =
+      sigs.select(col("doc_id").as(s"doc_$as") +:
+        (0 until numHashes).map(i => col(s"mh$i").as(s"$as$i")): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(side("a"), "doc_a").join(side("b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        agree.cast("long").as("n_agree"))
+      .withColumn("est_jaccard_pct",
+        expr(s"n_agree * 100 div $numHashes"))
+  }
+
   /** SimHash fingerprint width. 60 bits — the first 15 md5 hex digits
     * per token, i.e. [[shingleHash]] — rather than 64: a 60-bit value
     * stays non-negative in a signed 64-bit integer, so every downstream

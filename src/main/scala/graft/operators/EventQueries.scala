@@ -212,6 +212,26 @@ object EventQueries {
           col("n_keys"), col("n_rows"))
     },
 
+    // ── per-group z-score outlier detection, integer-exact ──────────────
+    // Anomaly triage per event_type: flag events whose value sits more
+    // than 2σ from the group mean. The whole test runs in 64-bit
+    // integer arithmetic on floor(value) — (v·n − S)² > 4·(n·Q − S²) is
+    // z² > 4 cleared of divisions — so both engines compute identical
+    // booleans (no float variance drift; bounds: v ≤ ~10³, n ≤ 10⁶ per
+    // group keeps every product < 2⁶³). One tiny per-type aggregate
+    // broadcast back over the stream: a map-side filter at any scale.
+    "q_outliers" -> { (s, dir) =>
+      val e = loadEvents(s, dir)
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(floor(value) AS BIGINT)").as("v"))
+      val st = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          sum(expr("v * v")).as("q"))
+      e.join(broadcast(st), "event_type")
+        .filter(expr("(v * n - s) * (v * n - s) > 4 * (n * q - s * s)"))
+        .select(col("event_id"), col("event_type"), col("v"))
+    },
+
     // ── CDC change feed between two entity-state snapshots ─────────────
     // See [[ChangeFeed]]: per-user state (event count + latest
     // event_type) as of Jan 15 vs Jan 25, diffed into the
@@ -417,6 +437,15 @@ object EventQueries {
         |       WHEN s1.old_n <> s2.new_n
         |         OR s1.old_attr <> s2.new_attr THEN 'update' END
         |  IS NOT NULL""".stripMargin,
+
+    "q_outliers" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(floor(value) AS BIGINT) AS v FROM events),
+        |st AS (SELECT event_type, count(*) AS n, sum(v) AS s,
+        |    sum(v * v) AS q FROM e GROUP BY 1)
+        |SELECT event_id, e.event_type, v
+        |FROM e JOIN st USING (event_type)
+        |WHERE (v * n - s) * (v * n - s) > 4 * (n * q - s * s)""".stripMargin,
 
     "q_skew_keys" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),

@@ -24,6 +24,9 @@ object TextQueries {
   private val THRESH = 60      // jaccard threshold, percent
   private val MAX_HAMMING = 3  // simhash near-dup hamming radius
   private val CONTAIN_T = 90   // containment threshold, percent
+  private val MAX_LEV = 10     // edit-distance near-dup radius (80-char prefix)
+  private val LEV_PREFIX = 80  // chars of prefix the edit distance sees
+  private val LEV_BLOCK = 64   // chars per length-bucket blocking key
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -140,6 +143,67 @@ object TextQueries {
     "q_lsh_verified_dups" -> { (s, dir) =>
       Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
         "doc_id", "text", K, NUM_HASHES, BANDS, THRESH)
+    },
+
+    // ── sketch-estimated Jaccard for candidate pairs ────────────────────
+    // Signature-only similarity triage: rank LSH candidates by MinHash
+    // slot agreement (an unbiased Jaccard estimator) WITHOUT touching
+    // shingle sets again. At 100 TB this is the cheap middle tier
+    // between banding (recall) and exact verify (precision): the join
+    // payload is numHashes longs per side, not a posting list.
+    "q_minhash_est" -> { (s, dir) =>
+      Dedup.estimatedJaccardPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", K, NUM_HASHES, BANDS)
+    },
+
+    // ── edit-distance near-dup pairs (blocked levenshtein) ──────────────
+    // The classic record-linkage shape: never all-pairs — block on
+    // (lang, length div 64) so candidate volume is Σ blockᵢ², then run
+    // the quadratic-cost levenshtein only inside blocks and only on an
+    // 80-char prefix (cost capped per pair regardless of doc length).
+    // Blocking is a recall heuristic by design: a pair straddling a
+    // length-bucket boundary is missed — the price of never shipping
+    // O(n²) comparisons. One shuffle on the block key; DuckDB has the
+    // same `levenshtein`, so the oracle is exact.
+    "q_edit_distance_pairs" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr(s"length(text) div $LEV_BLOCK").as("lb"),
+          lower(substring(col("text"), 1, LEV_PREFIX)).as("pfx"))
+      val a = d.as("a")
+      val b = d.as("b")
+      a.join(b, col("a.lang") === col("b.lang") &&
+          col("a.lb") === col("b.lb") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.pfx"), col("b.pfx")).cast("long").as("lev"))
+        .filter(col("lev") <= MAX_LEV)
+    },
+
+    // ── corpus-rarity quality score (LM-filter proxy, integer-exact) ────
+    // CCNet-style language-model filtering ranks documents by how
+    // "surprising" their tokens are under a corpus model; this is the
+    // integer-exact analogue: rarity(token) = totalTokens div count(token)
+    // (inverse frequency), per-doc score = mean token rarity. Common-word
+    // boilerplate scores low, rare-token text scores high. Two
+    // vocabulary-bounded aggregates + one broadcast join back to the
+    // token stream — the term table is tiny at any corpus size, so the
+    // only corpus-sized shuffle is the per-doc aggregation keyed by
+    // doc_id (high cardinality, no funnel).
+    "q_rarity_score" -> { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+      val tc = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val total = tc.agg(sum(col("c")).as("total"))
+      toks.join(broadcast(tc), "term")
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(expr("total div c")).as("rarity_sum"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("rarity_sum div n_tokens").as("rarity"))
     },
 
     // ── SimHash near-dup retrieval: byte-banded candidates + hamming ────
@@ -625,6 +689,42 @@ object TextQueries {
     "q_lsh_verified_dups" ->
       s"""WITH $lshVerifiedCtes
          |SELECT doc_a, doc_b, n_common, sz_a, sz_b FROM vp""".stripMargin,
+
+    "q_minhash_est" -> {
+      val agree = (0 until NUM_HASHES)
+        .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $sigCte,
+         |bands AS (${(0 until BANDS).map(bandSelect).mkString("\n UNION ALL\n ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST($agree AS BIGINT) AS n_agree,
+         |  CAST(($agree) * 100 // $NUM_HASHES AS BIGINT) AS est_jaccard_pct
+         |FROM cand
+         |JOIN sig sa ON sa.doc_id = cand.doc_a
+         |JOIN sig sb ON sb.doc_id = cand.doc_b""".stripMargin
+    },
+
+    "q_edit_distance_pairs" ->
+      s"""WITH d AS (SELECT doc_id, lang, length(text) // $LEV_BLOCK AS lb,
+         |    lower(substring(text, 1, $LEV_PREFIX)) AS pfx FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS lev
+         |FROM d a JOIN d b
+         |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+         |WHERE levenshtein(a.pfx, b.pfx) <= $MAX_LEV""".stripMargin,
+
+    "q_rarity_score" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, tok AS term FROM toks, unnest(t) AS u(tok)),
+         |tc AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT sum(c) AS total FROM tc)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(total // c) // count(*) AS BIGINT) AS rarity
+         |FROM tok JOIN tc USING (term) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
 
     "q_dup_clusters" ->
       s"""WITH RECURSIVE $ccCtes,

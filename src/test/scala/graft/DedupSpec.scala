@@ -44,6 +44,17 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("estimatedJaccardPairs: exact dups estimate 100%, bounded slots") {
+    val est = Dedup.estimatedJaccardPairs(docs, "doc_id", "text",
+      k = 3, numHashes = 8, bands = 4).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("n_agree"), r.getAs[Long]("est_jaccard_pct"))))
+      .toMap
+    assert(est((1L, 2L)) === ((8L, 100L))) // identical shingle sets
+    assert(est.values.forall { case (n, p) =>
+      n >= 0 && n <= 8 && p >= 0 && p <= 100 })
+  }
+
   test("simhash60: identical docs equal, near-dups within small hamming") {
     val fp = Dedup.simhash60(docs, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

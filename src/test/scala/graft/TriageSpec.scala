@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{EventQueries, TextQueries}
+
+/** Independent-recomputation checks for the triage signals: blocked
+  * edit-distance pairs, corpus-rarity scores, and z-score outliers are
+  * re-derived driver-side from the raw sf0.001 rows (plain Scala, no
+  * Spark expressions) and compared to the distributed answers exactly.
+  */
+class TriageSpec extends AnyFunSuite with SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def lowerAscii(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT)
+
+  test("q_edit_distance_pairs ≡ driver-side blocked levenshtein") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val expected = (for {
+      (ia, la, ta) <- docs; (ib, lb, tb) <- docs
+      if ia < ib && la == lb && ta.length / 64 == tb.length / 64
+      d = lev(lowerAscii(ta.take(80)), lowerAscii(tb.take(80)))
+      if d <= 10
+    } yield (ia, ib, d.toLong)).toSet
+    val got = TextQueries.queries("q_edit_distance_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty) // the corpus does contain near-identical prefixes
+  }
+
+  test("q_rarity_score ≡ driver-side integer recomputation") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        lowerAscii(r.getString(1)).trim.split("\\s+").toSeq)
+      .filter(_._2.exists(_.nonEmpty))
+    val counts = toks.flatMap(_._2).groupBy(identity).map {
+      case (t, xs) => t -> xs.size.toLong
+    }
+    val total = counts.values.sum
+    val expected = toks.map { case (id, ts) =>
+      val raw = ts.map(t => total / counts(t)).sum
+      (id, ts.size.toLong, raw / ts.size)
+    }.toSet
+    val got = TextQueries.queries("q_rarity_score")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
+  test("q_outliers flags exactly the integer-z² > 4 events") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "event_type",
+        "CAST(floor(value) AS BIGINT) AS v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byType = ev.groupBy(_._2)
+    val stats = byType.map { case (t, rows) =>
+      val n = rows.size.toLong
+      val s = rows.map(_._3).sum
+      val q = rows.map(r => r._3 * r._3).sum
+      t -> ((n, s, q))
+    }
+    val expected = ev.filter { case (_, t, v) =>
+      val (n, s, q) = stats(t)
+      val d = v * n - s
+      d * d > 4 * (n * q - s * s)
+    }.map(_._1).toSet
+    val got = EventQueries.queries("q_outliers")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty) // right-skewed values ⇒ a >2σ tail exists
+  }
+}
