@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TextFunctions
 
 /** Training-data curation operators over the `documents` table:
   * reproducible sampling, train/valid/test splitting, and distribution
@@ -30,6 +31,7 @@ object Curation {
 
   private val SAMPLE_SEED = 7
   private val SAMPLE_PCT = 10          // q_sample_hash keeps ~10 %
+  private val WEIGHTED_SEED = 11       // q_weighted_sample acceptance hash
   private val STRATA_K = 5             // docs kept per language stratum
   private val PACK_BUDGET = 256        // tokens per packed training sequence
   private val PACK_SHARDS = 8          // parallel packing streams
@@ -85,6 +87,21 @@ object Curation {
       docs(s, dir)
         .filter(bucket < SAMPLE_PCT)
         .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
+
+    // ── quality-weighted acceptance sampling ────────────────────────────
+    // The DCLM/FineWeb-style resampling shape: keep each document with
+    // probability proportional to its quality score (0..100), but
+    // DETERMINISTICALLY — acceptance = (hash bucket of the id) < quality
+    // — so the kept set is a pure function of (id, text), identical
+    // across engines, runs, and partitionings. Zero-shuffle projection +
+    // filter; high-quality docs are upweighted exactly as a sampler
+    // with per-row Bernoulli(quality/100) would in expectation.
+    "q_weighted_sample" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .filter(hashBucket(col("doc_id"), WEIGHTED_SEED) < col("quality"))
     },
 
     // ── 80/10/10 train/valid/test split, audited per language ───────────
@@ -213,6 +230,12 @@ object Curation {
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE $bucketSql < $SAMPLE_PCT""".stripMargin,
+
+    "q_weighted_sample" ->
+      s"""WITH ${TextQueries.qualityCtes}
+         |SELECT doc_id, quality FROM qv
+         |WHERE ${Dedup.hash32Sql(WEIGHTED_SEED, "CAST(doc_id AS VARCHAR)")}
+         |  % 100 < quality""".stripMargin,
 
     "q_train_test_split" ->
       s"""WITH b AS (SELECT lang, $bucketSql AS bkt FROM documents)

@@ -232,6 +232,26 @@ object EventQueries {
         .select(col("event_id"), col("event_type"), col("v"))
     },
 
+    // ── hourly event-rate anomalies per type (time-series twin of
+    // q_outliers): aggregate to hourly counts first — corpus-sized rows
+    // never reach the anomaly test — then flag hours whose count sits
+    // >2σ from that type's mean hourly rate, in the same division-free
+    // integer form. Hours with zero events are absent by construction
+    // (the baseline is "hours with traffic"); counts are small, so
+    // every product stays far from 2⁶³.
+    "q_rate_anomaly" -> { (s, dir) =>
+      val hourly = loadEvents(s, dir)
+        .groupBy(expr("(ms div 3600000) * 3600000").as("window_start_ms"),
+          col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val st = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          sum(expr("c * c")).as("q"))
+      hourly.join(broadcast(st), "event_type")
+        .filter(expr("(c * n - s) * (c * n - s) > 4 * (n * q - s * s)"))
+        .select(col("window_start_ms"), col("event_type"), col("c"))
+    },
+
     // ── CDC change feed between two entity-state snapshots ─────────────
     // See [[ChangeFeed]]: per-user state (event count + latest
     // event_type) as of Jan 15 vs Jan 25, diffed into the
@@ -437,6 +457,15 @@ object EventQueries {
         |       WHEN s1.old_n <> s2.new_n
         |         OR s1.old_attr <> s2.new_attr THEN 'update' END
         |  IS NOT NULL""".stripMargin,
+
+    "q_rate_anomaly" ->
+      """WITH h AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+        |    event_type, count(*) AS c FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS n, sum(c) AS s,
+        |    sum(c * c) AS q FROM h GROUP BY 1)
+        |SELECT window_start_ms, h.event_type, c
+        |FROM h JOIN st USING (event_type)
+        |WHERE (c * n - s) * (c * n - s) > 4 * (n * q - s * s)""".stripMargin,
 
     "q_outliers" ->
       """WITH e AS (SELECT event_id, event_type,

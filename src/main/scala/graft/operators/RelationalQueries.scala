@@ -19,6 +19,9 @@ import graft.Tables
   */
 object RelationalQueries {
 
+  /** q_interval_overlap: each order's activity window is 7 days. */
+  private val OVERLAP_SPAN_DAYS = 7
+
   /** Exact, order-insensitive sum of a 2-decimal double column → double. */
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
@@ -455,6 +458,33 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("n_shipments_4d"))
     },
 
+    // ── interval-interval overlap join on a shared equi-key ────────────
+    // The OTHER range-join shape ([[RangeJoin]] covers point-in-
+    // interval): find same-customer order windows ([o_orderdate,
+    // +7 days]) that overlap. The customer key carries the join — one
+    // hash shuffle per side, never a BNLJ — and the overlap predicate
+    // is a residual filter inside each key group, whose size the key's
+    // cardinality bounds. When no natural equi-key exists, grain-
+    // bucketing the interval (RangeJoin) is the fallback; with one, this
+    // is the plan you want at any scale. Overlap length in whole days.
+    "q_interval_overlap" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("d"))
+        .withColumn("end_d", date_add(col("d"), OVERLAP_SPAN_DAYS))
+      val a = o.as("a")
+      val b = o.as("b")
+      a.join(b, col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.o_orderkey") < col("b.o_orderkey") &&
+          col("a.d") <= col("b.end_d") && col("b.d") <= col("a.end_d"))
+        .select(col("a.o_custkey").as("custkey"),
+          col("a.o_orderkey").as("order_a"),
+          col("b.o_orderkey").as("order_b"),
+          (datediff(least(col("a.end_d"), col("b.end_d")),
+            greatest(col("a.d"), col("b.d"))) + 1).cast("long")
+            .as("overlap_days"))
+    },
+
     // ── explicit salted skew join, oracle-checked: the salt only changes
     // the PHYSICAL shuffle (hot keys spread over `salt` reducers); the
     // logical result is row-identical to the plain inner join, which is
@@ -762,6 +792,19 @@ object RelationalQueries {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_interval_overlap" ->
+      s"""WITH o AS (SELECT o_orderkey, o_custkey,
+         |    CAST(o_orderdate AS DATE) AS d,
+         |    CAST(o_orderdate AS DATE) + $OVERLAP_SPAN_DAYS AS end_d
+         |  FROM orders)
+         |SELECT a.o_custkey AS custkey, a.o_orderkey AS order_a,
+         |  b.o_orderkey AS order_b,
+         |  CAST(date_diff('day', greatest(a.d, b.d),
+         |    least(a.end_d, b.end_d)) + 1 AS BIGINT) AS overlap_days
+         |FROM o a JOIN o b
+         |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+         | AND a.d <= b.end_d AND b.d <= a.end_d""".stripMargin,
 
     "q_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n,

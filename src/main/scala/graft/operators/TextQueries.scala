@@ -24,6 +24,7 @@ object TextQueries {
   private val THRESH = 60      // jaccard threshold, percent
   private val MAX_HAMMING = 3  // simhash near-dup hamming radius
   private val CONTAIN_T = 90   // containment threshold, percent
+  private val VOCAB_V = 10     // vocab size for the OOV-coverage signal
   private val MAX_LEV = 10     // edit-distance near-dup radius (80-char prefix)
   private val LEV_PREFIX = 80  // chars of prefix the edit distance sees
   private val LEV_BLOCK = 64   // chars per length-bucket blocking key
@@ -178,6 +179,30 @@ object TextQueries {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           levenshtein(col("a.pfx"), col("b.pfx")).cast("long").as("lev"))
         .filter(col("lev") <= MAX_LEV)
+    },
+
+    // ── vocabulary coverage / OOV rate under a frequency-built vocab ────
+    // Tokenizer-engineering signal: build the top-V corpus vocabulary by
+    // frequency, then measure each document's out-of-vocabulary token
+    // share in basis points. The vocab table is vocabulary-bounded (the
+    // global rank window runs over |vocab| rows, not corpus rows) and
+    // broadcasts to a map-side membership probe; the only corpus-sized
+    // shuffle is the doc-keyed aggregation.
+    "q_vocab_coverage" -> { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+      val vw = Window.orderBy(col("c").desc, col("term").asc)
+      val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .withColumn("rank", row_number().over(vw))
+        .filter(col("rank") <= VOCAB_V)
+        .select(col("term"), lit(1).as("iv"))
+      toks.join(broadcast(vocab), Seq("term"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("iv").isNull, 1).otherwise(0)).as("n_oov"))
+        .withColumn("oov_bp", expr("n_oov * 10000 div n_tokens"))
     },
 
     // ── corpus-rarity quality score (LM-filter proxy, integer-exact) ────
@@ -507,10 +532,10 @@ object TextQueries {
        |$langPredSelect""".stripMargin
 
   /** qm + qv CTEs ending in `qv(doc_id, quality)` — the SQL twin of
-    * TextFunctions.qualityScore, shared by q_quality_score and the
-    * curation funnel.
+    * TextFunctions.qualityScore, shared by q_quality_score, the
+    * curation funnel, and Curation's quality-weighted sampler.
     */
-  private def qualityCtes: String =
+  private[operators] def qualityCtes: String =
     s"""qm AS (SELECT doc_id, length(text) AS n,
        |  CASE WHEN length(trim(text)) = 0 THEN 0
        |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
@@ -715,6 +740,21 @@ object TextQueries {
          |FROM d a JOIN d b
          |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
          |WHERE levenshtein(a.pfx, b.pfx) <= $MAX_LEV""".stripMargin,
+
+    "q_vocab_coverage" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, tok AS term FROM toks, unnest(t) AS u(tok)),
+         |tc AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+         |v AS (SELECT term FROM (SELECT term,
+         |    row_number() OVER (ORDER BY c DESC, term ASC) AS rank FROM tc)
+         |  WHERE rank <= $VOCAB_V)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 10000
+         |    // count(*) AS BIGINT) AS oov_bp
+         |FROM tok LEFT JOIN v USING (term)
+         |GROUP BY doc_id""".stripMargin,
 
     "q_rarity_score" ->
       s"""WITH $toksCte,

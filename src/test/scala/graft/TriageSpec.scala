@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{EventQueries, TextQueries}
+import graft.operators.{Curation, EventQueries, RelationalQueries, TextQueries}
 
 /** Independent-recomputation checks for the triage signals: blocked
   * edit-distance pairs, corpus-rarity scores, and z-score outliers are
@@ -61,6 +61,90 @@ class TriageSpec extends AnyFunSuite with SparkSpec {
     val got = TextQueries.queries("q_rarity_score")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === expected)
+  }
+
+  test("q_vocab_coverage ≡ driver-side top-V vocab + OOV recount") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        lowerAscii(r.getString(1)).trim.split("\\s+").toSeq)
+      .filter(_._2.exists(_.nonEmpty))
+    val counts = toks.flatMap(_._2).groupBy(identity).map {
+      case (t, xs) => t -> xs.size.toLong
+    }
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(10).map(_._1).toSet
+    val expected = toks.map { case (id, ts) =>
+      val oov = ts.count(!vocab.contains(_)).toLong
+      (id, ts.size.toLong, oov, oov * 10000 / ts.size)
+    }.toSet
+    val got = TextQueries.queries("q_vocab_coverage")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+  }
+
+  test("q_rate_anomaly flags exactly the >2σ traffic hours") {
+    val hourly = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("(ts div 1000000 div 3600000) * 3600000 AS h",
+        "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val stats = hourly.groupBy(_._1._2).map { case (t, m) =>
+      val cs = m.values
+      t -> ((cs.size.toLong, cs.sum, cs.map(c => c * c).sum))
+    }
+    val expected = hourly.collect {
+      case ((h, t), c) if {
+        val (n, s, q) = stats(t); val d = c * n - s
+        d * d > 4 * (n * q - s * s)
+      } => (h, t, c)
+    }.toSet
+    val got = EventQueries.queries("q_rate_anomaly")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === expected)
+  }
+
+  test("q_interval_overlap ≡ driver-side same-customer window overlap") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey",
+        "CAST(CAST(o_orderdate AS DATE) AS STRING) AS d").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.time.LocalDate.parse(r.getString(2))))
+    val expected = (for {
+      (ka, ca, da) <- orders; (kb, cb, db) <- orders
+      if ca == cb && ka < kb
+      ea = da.plusDays(7); eb = db.plusDays(7)
+      if !da.isAfter(eb) && !db.isAfter(ea)
+      ov = java.time.temporal.ChronoUnit.DAYS.between(
+        if (da.isAfter(db)) da else db,
+        if (ea.isBefore(eb)) ea else eb) + 1
+    } yield (ca, ka, kb, ov)).toSet
+    val got = RelationalQueries.queries("q_interval_overlap")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q_weighted_sample: deterministic, quality-consistent acceptance") {
+    val quality = TextQueries.queries("q_quality_score")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"11:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val expected = quality.collect {
+      case (id, q) if bucket(id) < q => (id, q.toLong)
+    }.toSet
+    val got = Curation.queries("q_weighted_sample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < quality.size) // a real subsample
   }
 
   test("q_outliers flags exactly the integer-z² > 4 events") {
