@@ -65,6 +65,14 @@ object Graft {
                             maxHamming: Int = 3): DataFrame =
     Dedup.simhashNearDupPairs(docs, id, text, maxHamming)
 
+  /** Signature-only similarity triage: LSH candidates ranked by MinHash
+    * slot agreement (estimated Jaccard, integer percent) — the cheap
+    * middle tier between banding and [[nearDuplicates]]' exact verify.
+    */
+  def estimatedNearDuplicates(docs: DataFrame, id: String,
+                              text: String): DataFrame =
+    Dedup.estimatedJaccardPairs(docs, id, text)
+
   /** Close near-dup PAIRS into clusters: (id, cluster_id) via
     * distributed connected components — see [[operators.Clusters]].
     */

@@ -58,7 +58,7 @@ object Curation {
 
   private def bucket = hashBucket(col("doc_id"))
 
-  private def bucketSql =
+  private[operators] def bucketSql =
     s"${Dedup.hash32Sql(SAMPLE_SEED, "CAST(doc_id AS VARCHAR)")} % 100"
 
   /** Shared oracle for q_decontaminate / q_bloom_decontaminate. */

@@ -237,6 +237,44 @@ object TextQueries {
         "doc_id", "text", MAX_HAMMING)
     },
 
+    // ── incremental-ingestion dedup: new batch vs existing corpus ───────
+    // The shape a daily pipeline actually runs: classify each INCOMING
+    // document (hash bucket ≥ 90 stands in for "today's batch") against
+    // the EXISTING corpus (bucket < 90) — exact_dup (fingerprint already
+    // present), near_dup (LSH-verified pair with a corpus doc), or new.
+    // At 100 TB the corpus side of both probes is pre-computed state
+    // (fingerprint table + signature table, maintained incrementally);
+    // the per-batch cost is the batch's projections plus joins bounded
+    // by band collisions — nothing rescans the corpus text.
+    "q_incremental_dedup" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val withB = d.select(col("doc_id"), col("text"),
+        Curation.hashBucket(col("doc_id")).as("bkt"))
+      val batch = withB.filter(col("bkt") >= 90)
+      val corpus = withB.filter(col("bkt") < 90)
+      val fpB = batch.select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      val fpC = corpus.select(
+        TextFunctions.fingerprint(col("text")).as("fp")).distinct()
+      val exact = fpB.join(fpC, Seq("fp"), "left_semi")
+        .select(col("doc_id")).withColumn("is_exact", lit(1))
+      val pairs = Dedup.lshVerifiedPairs(d, "doc_id", "text",
+        K, NUM_HASHES, BANDS, THRESH)
+      val corpusIds = corpus.select(col("doc_id").as("cid"))
+      val near = pairs.join(corpusIds, col("doc_a") === col("cid"))
+        .select(col("doc_b").as("doc_id"))
+        .union(pairs.join(corpusIds, col("doc_b") === col("cid"))
+          .select(col("doc_a").as("doc_id")))
+        .distinct().withColumn("is_near", lit(1))
+      batch.select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left_outer")
+        .join(near, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          when(col("is_exact") === 1, lit("exact_dup"))
+            .when(col("is_near") === 1, lit("near_dup"))
+            .otherwise(lit("new")).as("verdict"))
+    },
+
     // ── near-dup CLUSTERS: pairs closed into connected components ──────
     // The actionable form of the dedup output — see [[Clusters]]; the
     // oracle replays the fixpoint as a recursive reachability CTE.
@@ -765,6 +803,29 @@ object TextQueries {
          |  CAST(sum(total // c) // count(*) AS BIGINT) AS rarity
          |FROM tok JOIN tc USING (term) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin,
+
+    "q_incremental_dedup" ->
+      s"""WITH $lshVerifiedCtes,
+         |bk AS (SELECT doc_id, ${Curation.bucketSql} AS bkt FROM documents),
+         |fpt AS (SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |batch AS (SELECT doc_id FROM bk WHERE bkt >= 90),
+         |corpus AS (SELECT doc_id FROM bk WHERE bkt < 90),
+         |ex AS (SELECT DISTINCT f.doc_id FROM fpt f
+         |  JOIN batch USING (doc_id)
+         |  WHERE f.fp IN (SELECT fp FROM fpt JOIN corpus USING (doc_id))),
+         |nr AS (SELECT DISTINCT x.doc_id FROM (
+         |    SELECT doc_b AS doc_id, doc_a AS other FROM vp
+         |    UNION ALL SELECT doc_a, doc_b FROM vp) x
+         |  JOIN corpus c ON c.doc_id = x.other)
+         |SELECT b.doc_id,
+         |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'new' END AS verdict
+         |FROM batch b
+         |LEFT JOIN ex ON ex.doc_id = b.doc_id
+         |LEFT JOIN nr ON nr.doc_id = b.doc_id""".stripMargin,
 
     "q_dup_clusters" ->
       s"""WITH RECURSIVE $ccCtes,

@@ -147,6 +147,43 @@ class TriageSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty && got.size < quality.size) // a real subsample
   }
 
+  test("q_incremental_dedup verdicts ≡ fingerprints + verified pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16) % 100
+    }
+    def fp(text: String): String = {
+      val norm = text.trim.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val batch = docs.keySet.filter(bucket(_) >= 90)
+    val corpus = docs.keySet -- batch
+    val corpusFps = corpus.map(id => fp(docs(id)))
+    // near-dup edges from the (independently oracle-checked) LSH query
+    val pairs = TextQueries.queries("q_lsh_verified_dups")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nearToCorpus = pairs.flatMap { case (a, b) =>
+      Seq(a -> b, b -> a)
+    }.collect { case (x, other) if corpus.contains(other) => x }.toSet
+    val expected = batch.map { id =>
+      id -> (if (corpusFps.contains(fp(docs(id)))) "exact_dup"
+             else if (nearToCorpus.contains(id)) "near_dup"
+             else "new")
+    }.toMap
+    val got = TextQueries.queries("q_incremental_dedup")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("q_outliers flags exactly the integer-z² > 4 events") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .selectExpr("event_id", "event_type",
