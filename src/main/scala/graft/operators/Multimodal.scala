@@ -296,6 +296,20 @@ object Multimodal {
       Dedup.bandedHammingPairs(aHashed(mediaOf(s, dir)),
           "media_id", "ahash", AHASH_BITS, maxHamming = 3)
         .toDF("media_a", "media_b", "hamming")
+    },
+
+    // ── perceptual near-dup CLUSTERS: the actionable media dedup form ──
+    // Same pairs→components closure the text side uses ([[Clusters]]):
+    // banded-hamming pairs over the aHash fingerprints, closed into
+    // (media_id, cluster_id, cluster_sz) — the keep/drop unit a media
+    // curation pipeline executes. The recursive-CTE oracle replays the
+    // fixpoint exactly.
+    "q_media_clusters" -> { (s, dir) =>
+      Clusters.memberTable(
+        Dedup.bandedHammingPairs(aHashed(mediaOf(s, dir)),
+            "media_id", "ahash", AHASH_BITS, maxHamming = 3)
+          .toDF("doc_a", "doc_b", "hamming"))
+        .toDF("media_id", "cluster_id", "cluster_sz")
     }
   )
 
@@ -378,6 +392,30 @@ object Multimodal {
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id)
          |SELECT media_a, media_b, hamming FROM cand
          |WHERE hamming <= 3""".stripMargin
+    },
+
+    "q_media_clusters" -> {
+      val width = AHASH_BITS / 4
+      val mask = (1L << width) - 1
+      s"""WITH RECURSIVE $mediaCte,
+         |$aHashCtes,
+         |banded AS (SELECT media_id, ahash, bands.band,
+         |    (ahash >> (bands.band * $width)) & $mask AS bkey
+         |  FROM ah, (SELECT unnest(range(4)) AS band) bands),
+         |vp AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+         |e AS (SELECT media_a AS src, media_b AS dst FROM vp
+         |      UNION SELECT media_b, media_a FROM vp),
+         |reach AS (SELECT src AS id, src AS r FROM e
+         |          UNION
+         |          SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+         |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |csz AS (SELECT cluster_id, count(*) AS cluster_sz
+         |  FROM cc GROUP BY cluster_id)
+         |SELECT cc.id AS media_id, cc.cluster_id, csz.cluster_sz
+         |FROM cc JOIN csz USING (cluster_id)""".stripMargin
     }
   )
 }

@@ -25,6 +25,7 @@ object TextQueries {
   private val MAX_HAMMING = 3  // simhash near-dup hamming radius
   private val CONTAIN_T = 90   // containment threshold, percent
   private val VOCAB_V = 10     // vocab size for the OOV-coverage signal
+  private val MIN_COOC = 5     // co-occurrence support floor (PMI table)
   private val MAX_LEV = 10     // edit-distance near-dup radius (80-char prefix)
   private val LEV_PREFIX = 80  // chars of prefix the edit distance sees
   private val LEV_BLOCK = 64   // chars per length-bucket blocking key
@@ -367,6 +368,38 @@ object TextQueries {
         .agg(count(lit(1)).as("n_occurrences"))
     },
 
+    // ── PMI-style token co-occurrence (collocation mining) ──────────────
+    // The association table behind phrase/collocation detection:
+    // within-doc DISTINCT token pairs, scored by the PMI interior ratio
+    // P(a,b)/(P(a)·P(b)) = n_ab·n_docs / (n_a·n_b), scaled ×10⁶ in
+    // integer math (no float log drift). The pair table is bounded by
+    // vocab² and df-floored (n_ab ≥ 5); the per-doc pair build is a
+    // doc-keyed self-join — each side is the distinct-token explode,
+    // so group sizes are per-doc vocab, not doc length. At real corpus
+    // scale the same df-cap machinery as the Jaccard family bounds the
+    // explode.
+    "q_pmi_cooccur" -> { (s, dir) =>
+      val dt = Tables.load(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(array_distinct(
+          TextFunctions.tokens(lower(col("text"))))).as("tok"))
+      val dfq = dt.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val nd = dt.agg(countDistinct(col("doc_id")).as("n_docs"))
+      dt.as("a").join(dt.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+        .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= MIN_COOC)
+        .join(broadcast(dfq.select(col("tok").as("tok_a"),
+          col("n").as("n_a"))), "tok_a")
+        .join(broadcast(dfq.select(col("tok").as("tok_b"),
+          col("n").as("n_b"))), "tok_b")
+        .crossJoin(broadcast(nd))
+        .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          expr("n_ab * n_docs * 1000000 div (n_a * n_b)").as("pmi_score"))
+    },
+
     // ── blocklist / pattern redaction (PII-scrub machinery) ─────────────
     // The standard scrub stage of a training pipeline: a rule list of
     // (name, regex) patterns is applied per document; output = redacted
@@ -616,6 +649,23 @@ object TextQueries {
          |FROM toks, unnest(range(1, len(t))) AS u(i)
          |WHERE len(t) >= 2
          |GROUP BY pair""".stripMargin,
+
+    "q_pmi_cooccur" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT DISTINCT doc_id, tok FROM toks, unnest(t) AS u(tok)),
+         |dfq AS (SELECT tok, count(*) AS n FROM dt GROUP BY 1),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
+         |p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+         |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |  GROUP BY 1, 2)
+         |SELECT tok_a, tok_b, n_ab, da.n AS n_a, db.n AS n_b,
+         |  CAST(n_ab * n_docs * 1000000 // (da.n * db.n) AS BIGINT)
+         |    AS pmi_score
+         |FROM p
+         |JOIN dfq da ON da.tok = p.tok_a
+         |JOIN dfq db ON db.tok = p.tok_b
+         |CROSS JOIN nd
+         |WHERE n_ab >= $MIN_COOC""".stripMargin,
 
     "q_blocklist_redact" ->
       s"""SELECT doc_id,

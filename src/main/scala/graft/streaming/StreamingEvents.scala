@@ -26,6 +26,22 @@ final case class FunnelState(gates: Seq[Long])
   */
 final case class FunnelAdvance(user_id: Long, step: Int, step_name: String)
 
+/** Per-type running state for [[StreamingEvents.rateAnomalyStream]]:
+  * the OPEN hour (`hourStart`, `c`) plus the closed-hour baseline in
+  * mergeable (n, s, q) moment form — five longs per key, constant
+  * width forever. Top-level and public for the state encoder (see
+  * [[SessionState]]). `hourStart = -1` ⇔ no hour is open.
+  */
+final case class RateState(hourStart: Long, c: Long,
+                           n: Long, s: Long, q: Long)
+
+/** One rate anomaly: `event_type`'s traffic in the hour starting at
+  * `hour_start_ms` was `c` events against a `n_baseline`-hour history
+  * whose mean it exceeds by more than 2σ.
+  */
+final case class RateAnomaly(event_type: String, hour_start_ms: Long,
+                             c: Long, n_baseline: Long)
+
 /** Event-stream operators: watermarked tumbling-window aggregation,
   * gap-based session windows, and custom per-key state via
   * `flatMapGroupsWithState` — the streaming counterparts of
@@ -111,6 +127,81 @@ object StreamingEvents {
               state.setTimeoutTimestamp(st.lastMs + gapMs)
             }
             closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming rate-anomaly detection — the incremental twin of
+    * [[graft.operators.EventQueries]]' q_rate_anomaly: per event_type,
+    * maintain the closed-hour count history as mergeable integer
+    * moments (n, s, q) and test each hour AS IT CLOSES with the same
+    * division-free z² > 4 rule the batch query uses. An hour closes
+    * when a later hour's event arrives for that key, or when the
+    * watermark passes its end (event-time timeout) — so a spike is
+    * flagged one hour-boundary after it happens, not at end-of-day.
+    *
+    * Semantics vs batch: the baseline is PRIOR closed hours only (a
+    * prefix test — the batch query tests against the full-window
+    * stats), anomalies need `minBaselineHours` of history before the
+    * detector arms, and late events for already-closed hours are
+    * dropped (they refine nothing; the batch query is the
+    * reconciliation path). State per key is five longs — constant
+    * width at any stream length, the 100-TB-safe shape.
+    */
+  def rateAnomalyStream(events: Dataset[Event],
+                        minBaselineHours: Int = 5)
+      : Dataset[RateAnomaly] = {
+    import events.sparkSession.implicits._
+    val HOUR = 3600000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[RateState, RateAnomaly](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (etype: String, rows: Iterator[Event],
+         state: GroupState[RateState]) =>
+          // close the open hour: maybe-fire the z² test against the
+          // PRIOR baseline, then fold the hour into (n, s, q)
+          def close(st: RateState): (Option[RateAnomaly], RateState) = {
+            val d = st.c * st.n - st.s
+            val fire = st.n >= minBaselineHours &&
+              d * d > 4 * (st.n * st.q - st.s * st.s)
+            val out =
+              if (fire) Some(RateAnomaly(etype, st.hourStart, st.c, st.n))
+              else None
+            (out, RateState(-1L, 0L,
+              st.n + 1, st.s + st.c, st.q + st.c * st.c))
+          }
+          if (state.hasTimedOut) {
+            val st = state.get
+            if (st.hourStart < 0) Iterator.empty
+            else {
+              val (out, next) = close(st)
+              state.update(next)
+              out.iterator
+            }
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption
+              .getOrElse(RateState(-1L, 0L, 0L, 0L, 0L))
+            val outs = Seq.newBuilder[RateAnomaly]
+            sorted.foreach { e =>
+              val h = (e.ts.getTime / HOUR) * HOUR
+              if (st.hourStart < 0)
+                st = st.copy(hourStart = h, c = 1L)
+              else if (h == st.hourStart)
+                st = st.copy(c = st.c + 1)
+              else if (h > st.hourStart) {
+                val (out, next) = close(st)
+                out.foreach(outs += _)
+                st = next.copy(hourStart = h, c = 1L)
+              }
+              // h < hourStart: late event for a closed hour — dropped
+            }
+            state.update(st)
+            if (st.hourStart >= 0)
+              state.setTimeoutTimestamp(st.hourStart + HOUR)
+            outs.result().iterator
           }
       }
   }

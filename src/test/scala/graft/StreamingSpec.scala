@@ -237,4 +237,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.stop()
     assert(spark.table("dedup").count() === 2)
   }
+
+  test("rateAnomalyStream: spike fires after baseline arms, steady hours do not") {
+    val in = MemoryStream[Event](spark)
+    val q = StreamingEvents.rateAnomalyStream(in.toDS(),
+        minBaselineHours = 5)
+      .writeStream.format("memory").queryName("rate_anom")
+      .outputMode("append").start()
+    var id = 0L
+    def hourOf(h: Int, n: Int): Seq[Event] =
+      (0 until n).map { i =>
+        id += 1; Event(id, ts(h * 60 + i), 1, "click", 1.0)
+      }
+    // hours 0..5: steady 10 events/hour — builds the baseline; each
+    // hour closes when the next one starts. Hour 5 closes with a
+    // 5-hour armed baseline of constant 10s (variance 0) and c = 10:
+    // d = 0, no fire.
+    in.addData((0 to 5).flatMap(h => hourOf(h, 10)): _*)
+    q.processAllAvailable()
+    assert(spark.table("rate_anom").count() === 0)
+    // hour 6 is a 60-event spike; hour 7 opens and closes it
+    in.addData(hourOf(6, 60): _*)
+    in.addData(hourOf(7, 10): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("rate_anom")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out === Set(("click", 6L * 3600000L, 60L, 6L)))
+  }
 }
