@@ -252,6 +252,61 @@ object EventQueries {
         .select(col("window_start_ms"), col("event_type"), col("c"))
     },
 
+    // ── winsorized robust stats per type (outlier-resistant sums) ──────
+    // The robust-aggregation twin of q_outliers: clip each value to its
+    // type's exact [p05, p95] before summing, so a handful of extreme
+    // rows cannot dominate the statistic. Quantiles come from the
+    // distributed-exact shape (pre-agg to distinct values, cumulative
+    // window over the tiny per-type value table — Curation.q_quantiles'
+    // pattern); the clip itself is a broadcast join + map-side
+    // greatest/least. Integer arithmetic end to end.
+    "q_winsorized_stats" -> { (s, dir) =>
+      val e = loadEvents(s, dir)
+        .select(col("event_type"),
+          expr("CAST(floor(value) AS BIGINT)").as("v"))
+      val byVal = e.groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      val bounds = byVal
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .groupBy(col("event_type"))
+        // cum·20 ≥ n ⇔ cum ≥ 5 % of n; cum·20 ≥ 19·n ⇔ cum ≥ 95 %
+        .agg(min(when(col("cum") * 20 >= col("n"), col("v"))).as("lo"),
+          min(when(col("cum") * 20 >= col("n") * 19, col("v"))).as("hi"))
+      e.join(broadcast(bounds), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("lo")).as("lo"),
+          max(col("hi")).as("hi"),
+          sum(greatest(col("lo"), least(col("hi"), col("v"))))
+            .as("sum_winsorized"))
+    },
+
+    // ── conversion-lag histogram (view → purchase time-to-event) ────────
+    // Time from a user's FIRST view to their FIRST purchase, bucketed
+    // into whole hours: one user-keyed aggregate (two conditional mins
+    // in a single pass) plus a histogram agg over the tiny bucket
+    // domain. Users who purchased before ever viewing (or never did
+    // both) are excluded.
+    "q_conversion_lag" -> { (s, dir) =>
+      loadEvents(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ms")))
+            .as("first_view"),
+          min(when(col("event_type") === "purchase", col("ms")))
+            .as("first_purchase"))
+        .filter(col("first_view").isNotNull &&
+          col("first_purchase").isNotNull &&
+          col("first_purchase") >= col("first_view"))
+        .select(expr("(first_purchase - first_view) div 3600000")
+          .as("lag_hours"))
+        .groupBy(col("lag_hours"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+
     // ── CDC change feed between two entity-state snapshots ─────────────
     // See [[ChangeFeed]]: per-user state (event count + latest
     // event_type) as of Jan 15 vs Jan 25, diffed into the
@@ -457,6 +512,37 @@ object EventQueries {
         |       WHEN s1.old_n <> s2.new_n
         |         OR s1.old_attr <> s2.new_attr THEN 'update' END
         |  IS NOT NULL""".stripMargin,
+
+    "q_winsorized_stats" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value) AS BIGINT) AS v FROM events),
+        |vc AS (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2),
+        |cum AS (SELECT event_type, v,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n FROM vc),
+        |b AS (SELECT event_type,
+        |    min(CASE WHEN cum * 20 >= n THEN v END) AS lo,
+        |    min(CASE WHEN cum * 20 >= n * 19 THEN v END) AS hi
+        |  FROM cum GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n, max(lo) AS lo, max(hi) AS hi,
+        |  CAST(sum(greatest(lo, least(hi, v))) AS BIGINT) AS sum_winsorized
+        |FROM e JOIN b USING (event_type)
+        |GROUP BY 1""".stripMargin,
+
+    "q_conversion_lag" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+        |  WHERE event_type IN ('view', 'purchase')),
+        |f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ms END) AS first_view,
+        |    min(CASE WHEN event_type = 'purchase' THEN ms END) AS first_purchase
+        |  FROM e GROUP BY 1)
+        |SELECT (first_purchase - first_view) // 3600000 AS lag_hours,
+        |  count(*) AS n_users
+        |FROM f
+        |WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        |  AND first_purchase >= first_view
+        |GROUP BY 1""".stripMargin,
 
     "q_rate_anomaly" ->
       """WITH h AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,

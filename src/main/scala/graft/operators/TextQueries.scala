@@ -368,6 +368,29 @@ object TextQueries {
         .agg(count(lit(1)).as("n_occurrences"))
     },
 
+    // ── percentile-rank normalization of quality scores ─────────────────
+    // Rank-normalize the raw quality score into corpus percentile basis
+    // points (integer cume_dist): the form threshold policies are
+    // written against ("drop the bottom 20 %"), stable across corpora
+    // with different raw-score distributions. The cumulative window
+    // runs over the DISTINCT-value table (quality has ≤ a handful of
+    // band values — bounded regardless of corpus size); docs join the
+    // tiny percentile map by broadcast.
+    "q_quality_percentile" -> { (s, dir) =>
+      val qd = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+      val wCum = Window.orderBy(col("quality"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = qd.agg(count(lit(1)).as("tot"))
+      val pct = qd.groupBy(col("quality")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .crossJoin(broadcast(tot))
+        .select(col("quality"), expr("cum * 10000 div tot").as("pct_bp"))
+      qd.join(broadcast(pct), "quality")
+        .select(col("doc_id"), col("quality"), col("pct_bp"))
+    },
+
     // ── PMI-style token co-occurrence (collocation mining) ──────────────
     // The association table behind phrase/collocation detection:
     // within-doc DISTINCT token pairs, scored by the PMI interior ratio
@@ -649,6 +672,17 @@ object TextQueries {
          |FROM toks, unnest(range(1, len(t))) AS u(i)
          |WHERE len(t) >= 2
          |GROUP BY pair""".stripMargin,
+
+    "q_quality_percentile" ->
+      s"""WITH $qualityCtes,
+         |qc AS (SELECT quality, count(*) AS c FROM qv GROUP BY 1),
+         |tot AS (SELECT count(*) AS tot FROM qv),
+         |cum AS (SELECT quality,
+         |    sum(c) OVER (ORDER BY quality ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM qc)
+         |SELECT doc_id, qv.quality,
+         |  CAST(cum * 10000 // tot AS BIGINT) AS pct_bp
+         |FROM qv JOIN cum USING (quality) CROSS JOIN tot""".stripMargin,
 
     "q_pmi_cooccur" ->
       s"""WITH $toksCte,

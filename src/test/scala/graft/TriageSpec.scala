@@ -147,6 +147,67 @@ class TriageSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty && got.size < quality.size) // a real subsample
   }
 
+  test("q_winsorized_stats ≡ driver-side exact-quantile clip") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_type", "CAST(floor(value) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).map { case (t, rows) =>
+      val vs = rows.map(_._2).sorted
+      val n = vs.length
+      // smallest v whose cumulative count reaches 5 % / 95 %
+      def q(p20: Int): Long = {
+        var cum = 0L
+        vs.map { v => cum += 1; (v, cum) }
+          .collectFirst { case (v, c) if c * 20 >= n.toLong * p20 => v }.get
+      }
+      val (lo, hi) = (q(1), q(19))
+      (t, n.toLong, lo, hi,
+        vs.map(v => math.max(lo, math.min(hi, v))).sum)
+    }.toSet
+    val got = EventQueries.queries("q_winsorized_stats")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === expected)
+  }
+
+  test("q_conversion_lag ≡ driver-side first-view→first-purchase buckets") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "event_type", "ts div 1000000 AS ms")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.filter(e => e._2 == "view" || e._2 == "purchase")
+      .groupBy(_._1)
+    val expected = byUser.flatMap { case (_, rows) =>
+      val views = rows.filter(_._2 == "view").map(_._3)
+      val purchases = rows.filter(_._2 == "purchase").map(_._3)
+      for {
+        fv <- views.sorted.headOption; fp <- purchases.sorted.headOption
+        if fp >= fv
+      } yield (fp - fv) / 3600000L
+    }.groupBy(identity).map { case (h, xs) => (h, xs.size.toLong) }.toSet
+    val got = EventQueries.queries("q_conversion_lag")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q_quality_percentile ≡ cume_dist in basis points over quality") {
+    val q = TextQueries.queries("q_quality_score")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val n = q.length.toLong
+    val cum = q.map(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (v, c)) =>
+        (v, acc + c)
+      }.drop(1).toMap
+    val expected = q.map { case (id, v) =>
+      (id, v.toLong, cum(v) * 10000 / n)
+    }.toSet
+    val got = TextQueries.queries("q_quality_percentile")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+      .toSet
+    assert(got === expected)
+  }
+
   test("q_incremental_dedup verdicts ≡ fingerprints + verified pairs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
