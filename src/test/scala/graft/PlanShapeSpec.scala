@@ -101,4 +101,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(semi.contains("LeftSemi"), s"plan:\n$semi")
     assert(anti.contains("LeftAnti"), s"plan:\n$anti")
   }
+
+  test("round-5 pair builders stay equi-keyed: no nested loop / cartesian") {
+    // interval overlap rides the custkey; edit distance rides the
+    // (lang, length-bucket) block; PMI rides doc_id. A planner fallback
+    // to BNLJ/cartesian on any of these is the O(n²) regression the
+    // operators exist to avoid.
+    for (q <- Seq("q_interval_overlap", "q_edit_distance_pairs"))
+      assertNoCross(planOf(RelationalQueries.queries
+        .getOrElse(q, operators.TextQueries.queries(q))(spark, sf)), q)
+    // PMI's one BNLJ is the single-row n_docs scalar attach (a broadcast
+    // of ONE row — constant cost); the corpus-sized pair build itself
+    // must be hash-keyed and there must be no second nested loop.
+    val pmi = planOf(
+      operators.TextQueries.queries("q_pmi_cooccur")(spark, sf))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pmi).size <= 1 &&
+      !pmi.contains("CartesianProduct"), s"q_pmi_cooccur plan:\n$pmi")
+    assert(pmi.contains("BroadcastHashJoin") ||
+      pmi.contains("SortMergeJoin"),
+      s"q_pmi_cooccur pair build not hash-keyed:\n$pmi")
+  }
+
+  test("q_outliers / q_rate_anomaly: per-group stats broadcast, map-side filter") {
+    for (q <- Seq("q_outliers", "q_rate_anomaly")) {
+      val plan = planOf(operators.EventQueries.queries(q)(spark, sf))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q stats side did not broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q shuffled the probe:\n$plan")
+    }
+  }
+
+  private def assertNoCross(plan: String, q: String): Unit =
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"$q fell back to a cross-style join:\n$plan")
 }
