@@ -36,6 +36,7 @@ object Curation {
   private val PACK_BUDGET = 256        // tokens per packed training sequence
   private val PACK_SHARDS = 8          // parallel packing streams
   private val DECON_K = 5              // decontamination shingle width
+  private val MAX_EPOCHS_MILLI = 4000  // mixture cap: ≤4 epochs per source
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -102,6 +103,35 @@ object Curation {
         .select(col("doc_id"),
           TextFunctions.qualityScore(col("text")).as("quality"))
         .filter(hashBucket(col("doc_id"), WEIGHTED_SEED) < col("quality"))
+    },
+
+    // ── source-mixture token-budget allocation ──────────────────────────
+    // The data-mixing step every multi-source training run starts with:
+    // given a token budget (here: half the corpus, split equally across
+    // sources), how many EPOCHS of each source fill its share? Sources
+    // smaller than their share are up-sampled (epochs > 1.0, capped at
+    // MAX_EPOCHS_MILLI — the repetition ceiling the data-diet papers
+    // recommend); bigger sources are sub-sampled (< 1.0). Integer
+    // milli-epochs end-to-end. One source-keyed aggregate (the only
+    // corpus-sized pass) + one broadcast of the 1-row total — the
+    // allocator itself is O(|sources|).
+    "q_mixture_weights" -> { (s, dir) =>
+      val perSrc = docs(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+        .filter(col("n_tokens") > 0) // an all-empty source has no share
+      val tot = perSrc.agg(sum(col("n_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      perSrc.crossJoin(broadcast(tot))
+        .withColumn("share_bp", expr("n_tokens * 10000 div total_tokens"))
+        .withColumn("epochs_milli", expr(
+          s"least($MAX_EPOCHS_MILLI, " +
+            "(total_tokens div 2 div n_sources) * 1000 div n_tokens)"))
+        .withColumn("planned_tokens",
+          expr("n_tokens * epochs_milli div 1000"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("share_bp"), col("epochs_milli"), col("planned_tokens"))
     },
 
     // ── 80/10/10 train/valid/test split, audited per language ───────────
@@ -236,6 +266,26 @@ object Curation {
          |SELECT doc_id, quality FROM qv
          |WHERE ${Dedup.hash32Sql(WEIGHTED_SEED, "CAST(doc_id AS VARCHAR)")}
          |  % 100 < quality""".stripMargin,
+
+    "q_mixture_weights" ->
+      s"""WITH ps AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END)
+         |      AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |ps2 AS (SELECT * FROM ps WHERE n_tokens > 0),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |               count(*) AS n_sources FROM ps2),
+         |e AS (SELECT source, n_docs, n_tokens,
+         |    CAST(n_tokens * 10000 // total_tokens AS BIGINT) AS share_bp,
+         |    CAST(least($MAX_EPOCHS_MILLI,
+         |      (total_tokens // 2 // n_sources) * 1000 // n_tokens)
+         |      AS BIGINT) AS epochs_milli
+         |  FROM ps2 CROSS JOIN tot)
+         |SELECT source, n_docs, n_tokens, share_bp, epochs_milli,
+         |  CAST(n_tokens * epochs_milli // 1000 AS BIGINT)
+         |    AS planned_tokens
+         |FROM e""".stripMargin,
 
     "q_train_test_split" ->
       s"""WITH b AS (SELECT lang, $bucketSql AS bkt FROM documents)

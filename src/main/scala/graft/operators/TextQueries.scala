@@ -423,6 +423,97 @@ object TextQueries {
           expr("n_ab * n_docs * 1000000 div (n_a * n_b)").as("pmi_score"))
     },
 
+    // ── cross-document duplicated n-gram coverage ───────────────────────
+    // The corpus-level twin of q_repetition (which is within-doc): what
+    // share of a document's DISTINCT 3-grams also appears in at least
+    // one OTHER document? This is the per-doc signal behind exact-
+    // substring dedup policies ("drop spans duplicated across the
+    // corpus"): high coverage ⇒ the doc is mostly boilerplate shared
+    // with the rest of the crawl. Same inverted-index economics as the
+    // Jaccard family — one gram-keyed df aggregate, one gram-keyed join
+    // back, one doc-keyed fold; gram-table size is bounded by distinct
+    // shingles, never by pair volume. Integer basis points.
+    "q_dup_ngram_coverage" -> { (s, dir) =>
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokens(lower(col("text"))).as("toks"))
+        .filter(size(col("toks")) >= K)
+        .select(col("doc_id"), explode(array_distinct(
+          TextFunctions.shinglesFromTokens(col("toks"), K))).as("gram"))
+      // (doc, gram) is distinct ⇒ count(*) per gram IS document
+      // frequency
+      val dfreq = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      sh.join(dfreq, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("coverage_bp", expr("n_shared * 10000 div n_grams"))
+    },
+
+    // ── corpus bigram-LM surprisal score (LM-filter proxy) ──────────────
+    // The CCNet/KenLM quality-filter shape with the LM trained ON the
+    // corpus itself: per adjacent token pair, conditional surprisal
+    // ≈ 1/p(w2|w1) = n(w1·)/n(w1,w2), scaled ×10⁶ in integer math; a
+    // document's score is the mean over its bigram positions. Fluent
+    // (common-continuation) text scores low, rare-continuation text
+    // high — the ranking a perplexity filter acts on, with zero float
+    // log drift. The model tables are vocab-bounded (pairs ≤ vocab²)
+    // and broadcast; the only corpus-sized shuffle is the doc-keyed
+    // fold.
+    "q_bigram_lm_score" -> { (s, dir) =>
+      val bi = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokens(lower(col("text"))).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> " +
+            "struct(t[i] AS w1, concat(t[i], ' ', t[i + 1]) AS pair))"))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"),
+          col("bg.pair").as("pair"))
+      val model = bi.groupBy(col("pair")).agg(count(lit(1)).as("n_pair"))
+      val ctx = bi.groupBy(col("w1")).agg(count(lit(1)).as("n_ctx"))
+      bi.join(broadcast(model), "pair")
+        .join(broadcast(ctx), "w1")
+        .withColumn("sup", expr("n_ctx * 1000000 div n_pair"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("sup")).as("surprisal_sum"))
+        .withColumn("lm_score", expr("surprisal_sum div n_bigrams"))
+    },
+
+    // ── Pareto frontier (skyline) of quality vs length, per language ────
+    // The curation trade-off surface: which (quality, n_tokens) points
+    // are not dominated — within their language — by a document at
+    // least as good on both axes and strictly better on one? The O(n²)
+    // NOT-EXISTS definition (the oracle) collapses to two windows over
+    // the DISTINCT-point table: a point is on the frontier iff it holds
+    // the max token count within its (lang, quality) band AND beats the
+    // max over all strictly higher bands of its lang. The point table
+    // is bounded by |langs| × |quality bands| × |distinct lengths|
+    // regardless of corpus size, so the range window runs over a
+    // broadcast-scale input — the raw rows only ever see one hash
+    // aggregate.
+    "q_skyline" -> { (s, dir) =>
+      val pc = Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .groupBy(col("lang"), col("quality"), col("n_tokens"))
+        .agg(count(lit(1)).as("n_docs"))
+      val wSame = Window.partitionBy(col("lang"), col("quality"))
+      val wHigher = Window.partitionBy(col("lang"))
+        .orderBy(col("quality"))
+        .rangeBetween(1L, Window.unboundedFollowing)
+      pc.withColumn("max_same", max(col("n_tokens")).over(wSame))
+        .withColumn("max_higher", max(col("n_tokens")).over(wHigher))
+        .filter(col("n_tokens") === col("max_same") &&
+          (col("max_higher").isNull ||
+            col("max_higher") < col("n_tokens")))
+        .select(col("lang"), col("quality"), col("n_tokens"),
+          col("n_docs"))
+    },
+
     // ── blocklist / pattern redaction (PII-scrub machinery) ─────────────
     // The standard scrub stage of a training pipeline: a rule list of
     // (name, regex) patterns is applied per document; output = redacted
@@ -700,6 +791,46 @@ object TextQueries {
          |JOIN dfq db ON db.tok = p.tok_b
          |CROSS JOIN nd
          |WHERE n_ab >= $MIN_COOC""".stripMargin,
+
+    "q_dup_ngram_coverage" ->
+      s"""WITH $shinglesCte,
+         |dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_shared,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 10000
+         |    // count(*) AS BIGINT) AS coverage_bp
+         |FROM sh JOIN dfq USING (shingle)
+         |GROUP BY doc_id""".stripMargin,
+
+    "q_bigram_lm_score" ->
+      s"""WITH $toksCte,
+         |bi AS (SELECT doc_id, t[CAST(i AS INT)] AS w1,
+         |    t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)] AS pair
+         |  FROM toks, unnest(range(1, len(t))) AS u(i)
+         |  WHERE len(t) >= 2),
+         |model AS (SELECT pair, count(*) AS n_pair FROM bi GROUP BY 1),
+         |ctx AS (SELECT w1, count(*) AS n_ctx FROM bi GROUP BY 1),
+         |sc AS (SELECT doc_id, n_ctx * 1000000 // n_pair AS sup
+         |  FROM bi JOIN model USING (pair) JOIN ctx USING (w1))
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(sup) AS BIGINT) AS surprisal_sum,
+         |  CAST(sum(sup) // count(*) AS BIGINT) AS lm_score
+         |FROM sc GROUP BY doc_id""".stripMargin,
+
+    "q_skyline" ->
+      s"""WITH $qualityCtes,
+         |pv AS (SELECT qv.doc_id, d.lang, quality, qm.toks AS n_tokens
+         |  FROM qv JOIN qm ON qv.doc_id = qm.doc_id
+         |  JOIN documents d ON qv.doc_id = d.doc_id),
+         |pc AS (SELECT lang, quality, n_tokens, count(*) AS n_docs
+         |  FROM pv GROUP BY 1, 2, 3)
+         |SELECT p.lang, p.quality, p.n_tokens, p.n_docs FROM pc p
+         |WHERE NOT EXISTS (SELECT 1 FROM pc d
+         |  WHERE d.lang = p.lang
+         |    AND d.quality >= p.quality AND d.n_tokens >= p.n_tokens
+         |    AND (d.quality > p.quality OR d.n_tokens > p.n_tokens))
+         |""".stripMargin,
 
     "q_blocklist_redact" ->
       s"""SELECT doc_id,

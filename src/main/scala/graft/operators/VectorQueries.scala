@@ -44,6 +44,7 @@ object VectorQueries {
   private val N_CELLS = 16   // IVF centroids for top-k search (fixed:
                              // probe FRACTION nprobe/cells sets recall)
   private val N_PROBE = 4
+  private val RP_DIMS = 16   // random-projection sketch width
   private val MIN_CELLS = 16         // near-dup blocking: floor
   private val DUP_COPIES = 50        // planted duplicates for near-dup
   private val DUP_OFFSET = 1000000L  // planted-copy id offset
@@ -447,6 +448,23 @@ object VectorQueries {
       recallOf(bruteTopk(s, dir), ivfTopk(s, dir))
     },
 
+    // ── sign-random-projection dimensionality reduction ─────────────────
+    // Project every embedding dim→RP_DIMS through the native codegen'd
+    // `rp_project` ([[graft.plans.RpProject]]): the Johnson–
+    // Lindenstrauss sketch a pipeline feeds to coarse clustering /
+    // bucketing when the full vector is too wide to shuffle. Pure
+    // zero-shuffle projection — the only Exchange here is the
+    // row-per-component posexplode's none at all. Output is
+    // (vec_id, pos, comp) with comp an exact LONG (quantize-then-
+    // integer-dot, same 2⁻²⁰ grid and LCG as srp_sig), so the sketch
+    // hash-matches the oracle's SQL replay bit-for-bit.
+    "q_rp_project" -> { (s, dir) =>
+      loadEmb(s, dir)
+        .select(col("vec_id"),
+          posexplode(expr(s"rp_project(embedding, $RP_DIMS)")))
+        .toDF("vec_id", "pos", "comp")
+    },
+
     // ── embedding-cosine near-dup: cell-blocked candidates + verify ─────
     // The corpus is augmented with exact duplicate vectors (offset ids) —
     // the testdata's random embeddings have no natural near-dups (max
@@ -668,6 +686,22 @@ object VectorQueries {
          |SELECT query_id, neighbor_id, rank FROM sscored
          |WHERE rank <= $TOP_K""".stripMargin
     },
+
+    // SQL replay of rp_project: same quantize grid and LCG as the
+    // srp_sig oracle above, minus the sign threshold — the summed
+    // integer dot IS the output component.
+    "q_rp_project" ->
+      s"""WITH sqv AS (SELECT vec_id, pos - 1 AS d, dim,
+         |    CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, len(embedding) AS dim,
+         |               generate_subscripts(embedding, 1) AS pos,
+         |               unnest(embedding) AS v FROM embeddings))
+         |SELECT vec_id, CAST(t.j AS INT) AS pos,
+         |  CAST(sum(q * (CASE WHEN ((1103515245 * (CAST(t.j AS BIGINT)
+         |      * dim + d) + 12345) >> 16) & 1 = 1
+         |    THEN 1 ELSE -1 END)) AS BIGINT) AS comp
+         |FROM sqv, range(0, $RP_DIMS) t(j)
+         |GROUP BY vec_id, pos""".stripMargin,
 
     "q_ann_recall" ->
       s"""WITH $bruteCtes,

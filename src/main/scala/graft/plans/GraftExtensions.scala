@@ -55,6 +55,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "srp_sig(vec, bits) takes 2 arguments")
         SrpSignature(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("rp_project"),
+      new ExpressionInfo(classOf[RpProject].getName, "rp_project"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "rp_project(vec, dims) takes 2 arguments")
+        RpProject(children(0), children(1))
+      }))
     // Spark's OWN runtime-filter machinery, exposed as named functions
     // (they back InjectRuntimeFilter but have no public SQL surface):
     // bloom_agg builds the sketch, bloom_contains probes it. Used by

@@ -122,6 +122,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"q_pmi_cooccur pair build not hash-keyed:\n$pmi")
   }
 
+  test("q_rp_project: no keyed shuffle (pure projection)") {
+    // the only Exchange allowed is Tables.load's local round-robin
+    // fan-out of the single-row-group scan — the sketch itself must
+    // never hash/range/single-partition the data
+    val plan = planOf(VectorQueries.queries("q_rp_project")(spark, sf))
+    assert(!plan.contains("hashpartitioning") &&
+      !plan.contains("rangepartitioning") &&
+      !plan.contains("SinglePartition"),
+      s"rp sketch introduced a keyed shuffle:\n$plan")
+  }
+
+  test("q_bigram_lm_score: vocab-bounded model tables broadcast") {
+    val plan = planOf(
+      operators.TextQueries.queries("q_bigram_lm_score")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"model/ctx joins should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side must not shuffle for the model join:\n$plan")
+  }
+
   test("q_outliers / q_rate_anomaly: per-group stats broadcast, map-side filter") {
     for (q <- Seq("q_outliers", "q_rate_anomaly")) {
       val plan = planOf(operators.EventQueries.queries(q)(spark, sf))

@@ -245,6 +245,110 @@ class TriageSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q_skyline ≡ driver-side NOT-EXISTS frontier") {
+    val lang = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val quality = TextQueries.queries("q_quality_score")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val toks = TextQueries.queries("q_text_stats")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("n_tokens").longValue)
+      .toMap
+    val pc = quality.keys.toSeq
+      .map(id => (lang(id), quality(id), toks(id)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = pc.keySet.filter { case (l, q, t) =>
+      !pc.keySet.exists { case (l2, q2, t2) =>
+        l2 == l && q2 >= q && t2 >= t && (q2 > q || t2 > t)
+      }
+    }.map { case k @ (l, q, t) => (l, q, t, pc(k)) }
+    val got = TextQueries.queries("q_skyline")(spark, sf)
+      .collect().map(r => (r.getString(0),
+        r.getAs[Number](1).longValue, r.getAs[Number](2).longValue,
+        r.getLong(3))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q_mixture_weights ≡ driver-side allocator; budget respected") {
+    val srcOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val toks = TextQueries.queries("q_text_stats")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("n_tokens").longValue)
+      .toMap
+    val perSrc = srcOf.keys.toSeq.groupBy(srcOf)
+      .view.mapValues(ids => (ids.size.toLong, ids.map(toks).sum))
+      .toMap.filter(_._2._2 > 0)
+    val totalTokens = perSrc.values.map(_._2).sum
+    val nSources = perSrc.size.toLong
+    val expected = perSrc.map { case (src, (nDocs, nToks)) =>
+      val epochs =
+        math.min(4000L, (totalTokens / 2 / nSources) * 1000 / nToks)
+      (src, nDocs, nToks, nToks * 10000 / totalTokens, epochs,
+        nToks * epochs / 1000)
+    }.toSet
+    val got = Curation.queries("q_mixture_weights")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got === expected)
+    // allocator invariant: no source exceeds the repetition cap, and
+    // planned volume never exceeds its equal share by more than the
+    // one-token integer-division slack
+    val target = totalTokens / 2 / nSources
+    for ((_, _, _, _, ep, planned) <- got) {
+      assert(ep <= 4000L)
+      assert(planned <= target + 1000)
+    }
+  }
+
+  test("q_dup_ngram_coverage ≡ driver-side shared-shingle recount") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val gramsOf = docs.collect { case (id, text)
+        if lowerAscii(text).trim.split("\\s+").count(_.nonEmpty) >= 3 =>
+      id -> lowerAscii(text).trim.split("\\s+").filter(_.nonEmpty)
+        .sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = gramsOf.values.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = gramsOf.map { case (id, grams) =>
+      val shared = grams.count(g => df(g) >= 2).toLong
+      (id, grams.size.toLong, shared, shared * 10000 / grams.size)
+    }.toSet
+    val got = TextQueries.queries("q_dup_ngram_coverage")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === expected)
+    assert(got.exists(_._4 > 0)) // the corpus has cross-doc overlap
+  }
+
+  test("q_bigram_lm_score ≡ driver-side bigram-surprisal recount") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val bigramsOf = docs.collect { case (id, text)
+        if lowerAscii(text).trim.split("\\s+").count(_.nonEmpty) >= 2 =>
+      val t = lowerAscii(text).trim.split("\\s+").filter(_.nonEmpty)
+      id -> t.sliding(2).map(p => (p(0), p.mkString(" "))).toSeq
+    }.toMap
+    val all = bigramsOf.values.flatten.toSeq
+    val nPair = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nCtx = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expected = bigramsOf.map { case (id, bgs) =>
+      val sups = bgs.map { case (w1, p) => nCtx(w1) * 1000000L / nPair(p) }
+      (id, bgs.size.toLong, sups.sum, sups.sum / bgs.size)
+    }.toSet
+    val got = TextQueries.queries("q_bigram_lm_score")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("q_outliers flags exactly the integer-z² > 4 events") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .selectExpr("event_id", "event_type",

@@ -56,4 +56,32 @@ class VectorExprSpec extends AnyFunSuite with SparkSpec {
       .collect().head
     assert(out.isNullAt(0) && out.isNullAt(1) && out.isNullAt(2))
   }
+
+  test("rp_project: srp_sig IS the sign bits of rp_project") {
+    // the two expressions share the quantize grid and LCG by
+    // construction; this pins that they can never drift apart
+    val df = randVecs(200, 64, seed = 17)
+    val bad = df.select(expr("srp_sig(a, 16)").as("sig"),
+        expr("rp_project(a, 16)").as("rp"))
+      .withColumn("recon", expr(
+        "aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) -> " +
+          "acc + CASE WHEN element_at(rp, j + 1) > 0 " +
+          "THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"))
+      .filter(col("sig") =!= col("recon"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("rp_project: degenerate inputs → null; sane values") {
+    val df = Seq((Array.empty[Float], Array(Float.NaN, 1f),
+      Array(1f, 0f))).toDF("e", "n", "v")
+    val out = df.select(expr("rp_project(e, 8)").as("re"),
+      expr("rp_project(n, 8)").as("rn"),
+      expr("rp_project(v, 8)").as("rv")).collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1))
+    // q = (floor(1·2²⁰), floor(0·2²⁰)) = (2²⁰, 0) ⇒ every component
+    // is ±2²⁰ depending on the LCG sign of flat index j·2+0
+    val rv = out.getSeq[Long](2)
+    assert(rv.length === 8 && rv.forall(v => math.abs(v) === 1048576L))
+  }
 }
