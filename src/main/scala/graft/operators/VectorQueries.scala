@@ -307,6 +307,88 @@ object VectorQueries {
     ivfTopkFrom(emb, KMeans.refineQuantized(emb, seedCentroids(emb), KM_ITERS))
   }
 
+  private[graft] val PQ_M = 32 // product-quantization subspaces
+  private[graft] val PQ_K = 16 // codewords per subspace
+
+  /** Product-quantization ANN top-k via asymmetric-distance computation
+    * (ADC) — the memory-bound scale path beside IVF and SRP-LSH: each
+    * corpus vector is compressed to PQ_M small codes (one
+    * nearest-codeword argmin per subspace — 32 nibble codes standing in
+    * for a 256-byte float vector, 8× compression), and a query scans
+    * CODES, not vectors: its per-subspace distance TABLE to all PQ_K
+    * codewords is computed once (M·K tiny integer L2s), after which
+    * each candidate costs M array lookups instead of a dim-length
+    * float loop. At 100 TB the coded table is the index you persist —
+    * it fits in a fraction of the vector table's footprint and the ADC
+    * scan is bandwidth-bound on ~12 % of the bytes. M is the
+    * compression↔recall dial (RecallProbe: recall@5 = 16/38/48 % at
+    * M = 8/16/32 on these iid-random embeddings — PQ's worst case, no
+    * inter-dim correlation to exploit; production codebooks are
+    * KMeans-fitted with K = 256, the refineQuantized upgrade path).
+    *
+    * Everything runs on the 2⁻²⁰ integer grid shared with srp_sig /
+    * KMeans.refineQuantized, so codes, tables, and the final
+    * (adist, neighbor) ranking are bit-identical in any engine — the
+    * DuckDB oracle replays codebook, encode, and ADC in SQL and the
+    * result sits behind the hash gate. Codewords are the first PQ_K
+    * vectors' sub-slices (the same first-N convention as the IVF seed
+    * index; KMeans.refineQuantized upgrades them the same way when
+    * recall matters).
+    *
+    * Plan shape: codebook is ONE broadcast row; encode is an in-row
+    * double argmin projection (zero shuffle); the ADC scan is a
+    * BroadcastNestedLoopJoin of the 10 query tables against the coded
+    * corpus; the only Exchange is bounded_topk's k-capped aggregate.
+    */
+  private[graft] def pqTopk(s: SparkSession, dir: String): DataFrame = {
+    val quant = "transform(embedding, x -> " +
+      "CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+    val emb = loadEmb(s, dir)
+    val cbRow = emb.filter(col("vec_id") < PQ_K)
+      .select(col("vec_id").cast("int").as("k"), expr(quant).as("cq"))
+      .agg(sort_array(collect_list(struct(col("k"), col("cq")))).as("cb"))
+    val q = emb.select(col("vec_id"), expr(quant).as("vq"))
+    // integer L2² between subspace m of vq and codeword k (SQL text;
+    // sub-dim = size(vq) div PQ_M so the expression is dim-generic)
+    def subDist(k: String) =
+      s"""aggregate(sequence(0, size(vq) div $PQ_M - 1),
+         | CAST(0 AS BIGINT), (acc, d) -> acc +
+         |  (vq[m * (size(vq) div $PQ_M) + d] -
+         |    cb[$k].cq[m * (size(vq) div $PQ_M) + d]) *
+         |  (vq[m * (size(vq) div $PQ_M) + d] -
+         |    cb[$k].cq[m * (size(vq) div $PQ_M) + d]))""".stripMargin
+    // encode: per subspace, struct-min argmin over the PQ_K codewords
+    val coded = q.crossJoin(broadcast(cbRow))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, $PQ_M - 1), m ->
+           |  array_min(transform(sequence(0, ${PQ_K - 1}), k ->
+           |    struct(${subDist("k")} AS dist, k AS k))).k)""".stripMargin))
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    // per-query ADC tables: dtab[m][k] = distance(query sub m, codeword k)
+    val dtabs = q.filter(col("vec_id") < N_QUERIES)
+      .crossJoin(broadcast(cbRow))
+      .withColumn("dtab", expr(
+        s"""transform(sequence(0, $PQ_M - 1), m ->
+           |  transform(sequence(0, ${PQ_K - 1}), k -> ${subDist("k")}))"""
+          .stripMargin))
+      .select(col("vec_id").as("query_id"), col("dtab"))
+    coded.join(broadcast(dtabs), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", expr(
+        s"aggregate(sequence(0, $PQ_M - 1), CAST(0 AS BIGINT), " +
+          "(acc, m) -> acc + dtab[m][codes[m]])"))
+      // bounded_topk orders (score asc, id asc) — adist is already
+      // "smaller is closer", no negation; the double cast is exact
+      // (adist < 2⁴⁸ ≪ 2⁵³)
+      .groupBy(col("query_id"))
+      .agg(expr(
+        s"bounded_topk(CAST(adist AS DOUBLE), neighbor_id, $TOP_K)")
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .toDF("query_id", "pos", "t")
+      .select(col("query_id"), col("t.n").as("neighbor_id"),
+        (col("pos") + 1).as("rank"))
+  }
+
   private[graft] val SRP_BITS = 16
   private[graft] val SRP_BANDS = 4
 
@@ -399,6 +481,9 @@ object VectorQueries {
 
     // ── SRP-LSH bucketed ANN top-k (see srpTopk) ────────────────────────
     "q_ann_srp_topk" -> { (s, dir) => srpTopk(s, dir) },
+
+    // ── product-quantization ADC top-k (see pqTopk) ─────────────────────
+    "q_ann_pq_topk" -> { (s, dir) => pqTopk(s, dir) },
 
     // ── kNN label vote: the classify/label-propagation read of ANN ─────
     // Predict each query vector's label by majority vote over its
@@ -686,6 +771,37 @@ object VectorQueries {
          |SELECT query_id, neighbor_id, rank FROM sscored
          |WHERE rank <= $TOP_K""".stripMargin
     },
+
+    // SQL replay of PQ: quantize to the shared 2⁻²⁰ grid, build every
+    // (vector, codeword, subspace) integer L2 once (pd), argmin per
+    // (vector, subspace) = the codes, then ADC = summing the QUERY's pd
+    // rows selected by the NEIGHBOR's codes — identical integer
+    // arithmetic, so ranks hash-match.
+    "q_ann_pq_topk" ->
+      s"""WITH pqv AS (SELECT vec_id, pos - 1 AS d, dim,
+         |    CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, len(embedding) AS dim,
+         |               generate_subscripts(embedding, 1) AS pos,
+         |               unnest(embedding) AS v FROM embeddings)),
+         |pd AS (SELECT v.vec_id, c.vec_id AS k,
+         |    v.d // (v.dim // $PQ_M) AS m,
+         |    CAST(sum((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS dist
+         |  FROM pqv v JOIN pqv c ON v.d = c.d AND c.vec_id < $PQ_K
+         |  GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, m, k FROM (
+         |  SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m
+         |    ORDER BY dist ASC, k ASC) AS rn FROM pd) WHERE rn = 1),
+         |ad AS (SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    sum(qd.dist) AS adist
+         |  FROM codes c JOIN pd qd ON qd.m = c.m AND qd.k = c.k
+         |  WHERE qd.vec_id < $N_QUERIES AND qd.vec_id <> c.vec_id
+         |  GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist ASC, neighbor_id ASC) AS rank
+         |  FROM ad)
+         |SELECT query_id, neighbor_id, rank FROM r
+         |WHERE rank <= $TOP_K""".stripMargin,
 
     // SQL replay of rp_project: same quantize grid and LCG as the
     // srp_sig oracle above, minus the sign threshold — the summed

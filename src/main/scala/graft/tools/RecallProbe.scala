@@ -41,6 +41,13 @@ object RecallProbe {
             .as("sig"))).count()
       println(f"RECALLPROBE $sf srp recall=${sr.sum.toDouble / sr.length}%.1f scanned=$srpScanned")
       graft.Graft.releaseCaches() // srpTopk persists its sig table per SF
+      // PQ-ADC arm: full coded-corpus scan (candidates = n − 1 by
+      // design — PQ trades recall for BYTES scanned, not rows; the
+      // interesting number is how much ranking quality 8 codes retain)
+      val pq = VectorQueries.queries("q_ann_pq_topk")(spark, sf)
+      val pr = VectorQueries.recallOf(brute, pq).collect()
+        .map(_.getAs[Long]("recall_pct"))
+      println(f"RECALLPROBE $sf pq recall=${pr.sum.toDouble / pr.length}%.1f scanned=all-coded")
     }
     spark.stop()
   }

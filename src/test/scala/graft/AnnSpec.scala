@@ -24,6 +24,19 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(mean >= 80.0, s"mean recall $mean < 80; per-query: ${recalls.toSeq}")
   }
 
+  test("PQ-ADC recall@k: mean ≥ 35 % at sf0.01 (measured 48 %)") {
+    // iid-random embeddings are PQ's worst case (no inter-dim
+    // correlation); the pin is a floor against code regressions, not a
+    // quality target — RecallProbe records the honest trade per M
+    val r = VectorQueries.recallOf(
+        VectorQueries.bruteTopk(spark, sf),
+        VectorQueries.queries("q_ann_pq_topk")(spark, sf))
+      .collect().map(_.getAs[Long]("recall_pct"))
+    assert(r.nonEmpty)
+    val mean = r.sum.toDouble / r.length
+    assert(mean >= 35.0, s"mean PQ recall $mean < 35; per-query: ${r.toSeq}")
+  }
+
   test("KMeans-refined centroids plug into IVF assignment and improve WCSS") {
     import graft.operators.{KMeans, VectorQueries}
     import org.apache.spark.sql.functions.col

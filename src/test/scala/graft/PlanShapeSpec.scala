@@ -122,6 +122,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"q_pmi_cooccur pair build not hash-keyed:\n$pmi")
   }
 
+  test("q_ann_pq_topk: broadcast ADC scan, one keyed exchange (topk agg)") {
+    val plan = planOf(VectorQueries.queries("q_ann_pq_topk")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"ADC scan should broadcast the query tables:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"coded corpus must not shuffle for the scan:\n$plan")
+    assert("hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"expected only bounded_topk's exchange:\n$plan")
+  }
+
   test("q_rp_project: no keyed shuffle (pure projection)") {
     // the only Exchange allowed is Tables.load's local round-robin
     // fan-out of the single-row-group scan — the sketch itself must
