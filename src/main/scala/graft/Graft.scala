@@ -212,6 +212,46 @@ object Graft {
         "ahash", Multimodal.AHASH_BITS, maxHamming)
       .toDF("media_a", "media_b", "hamming")
 
+  /** Sign-random-projection sketch of an `array<float>` embedding
+    * column: `dims` exact integer components via the native codegen'd
+    * `rp_project` (zero shuffle; srp_sig ≡ its sign bits). Requires a
+    * GraftExtensions session.
+    */
+  def rpProject(df: DataFrame, vecCol: String, dims: Int = 16,
+                outCol: String = "rp"): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    df.withColumn(outCol, expr(s"rp_project($vecCol, $dims)"))
+  }
+
+  /** Per-document share of distinct k-grams duplicated across the
+    * corpus (basis points) — the exact-substring-dedup signal.
+    */
+  def dupNgramCoverage(docs: DataFrame, id: String, text: String,
+                       k: Int = 3): DataFrame =
+    TextQueries.dupNgramCoverage(docs, id, text, k)
+
+  /** Corpus-trained integer bigram-LM surprisal score per document —
+    * the CCNet/KenLM-style perplexity-filter ranking.
+    */
+  def bigramLmScores(docs: DataFrame, id: String,
+                     text: String): DataFrame =
+    TextQueries.bigramLmScores(docs, id, text)
+
+  /** Equal-share token-budget mixture allocation per source: milli-
+    * epochs (capped) + planned token volume. `tokenCol` carries the
+    * per-row token count.
+    */
+  def mixtureWeights(rows: DataFrame, srcCol: String, tokenCol: String,
+                     capMilli: Int = 4000): DataFrame =
+    Curation.mixtureWeights(rows, srcCol, tokenCol, capMilli)
+
+  /** 2-D Pareto frontier (maximize both axes) per group, with a point
+    * multiplicity count — O(distinct points), never O(n²).
+    */
+  def skyline(points: DataFrame, partCols: Seq[String], xCol: String,
+              yCol: String, countName: String = "n_rows"): DataFrame =
+    Curation.skyline(points, partCols, xCol, yCol, countName)
+
   // ── versioned table surface (Delta-protocol stand-in) ────────────────
 
   /** Open the versioned table at `path`: merge / delete / optimize /

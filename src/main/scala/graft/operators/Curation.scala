@@ -116,22 +116,10 @@ object Curation {
     // corpus-sized pass) + one broadcast of the 1-row total — the
     // allocator itself is O(|sources|).
     "q_mixture_weights" -> { (s, dir) =>
-      val perSrc = docs(s, dir)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
-        .filter(col("n_tokens") > 0) // an all-empty source has no share
-      val tot = perSrc.agg(sum(col("n_tokens")).as("total_tokens"),
-        count(lit(1)).as("n_sources"))
-      perSrc.crossJoin(broadcast(tot))
-        .withColumn("share_bp", expr("n_tokens * 10000 div total_tokens"))
-        .withColumn("epochs_milli", expr(
-          s"least($MAX_EPOCHS_MILLI, " +
-            "(total_tokens div 2 div n_sources) * 1000 div n_tokens)"))
-        .withColumn("planned_tokens",
-          expr("n_tokens * epochs_milli div 1000"))
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          col("share_bp"), col("epochs_milli"), col("planned_tokens"))
+      mixtureWeights(docs(s, dir)
+        .select(col("source"),
+          TextFunctions.tokenCount(col("text")).as("__tok")),
+        "source", "__tok")
     },
 
     // ── 80/10/10 train/valid/test split, audited per language ───────────
@@ -255,6 +243,57 @@ object Curation {
           max(col("n_chars")).as("max_chars"))
     }
   )
+
+  /** The q_mixture_weights body over any table carrying a source column
+    * and a per-row token count: equal-share budget (half the corpus
+    * tokens split across sources), per-source milli-epochs capped at
+    * `capMilli`. One source-keyed aggregate + one 1-row broadcast; the
+    * allocator itself is O(|sources|).
+    */
+  private[graft] def mixtureWeights(rows: DataFrame, srcCol: String,
+                                    tokenCol: String,
+                                    capMilli: Int = MAX_EPOCHS_MILLI)
+      : DataFrame = {
+    val perSrc = rows
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("n_tokens"))
+      .filter(col("n_tokens") > 0) // an all-empty source has no share
+    val tot = perSrc.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("share_bp", expr("n_tokens * 10000 div total_tokens"))
+      .withColumn("epochs_milli", expr(
+        s"least($capMilli, " +
+          "(total_tokens div 2 div n_sources) * 1000 div n_tokens)"))
+      .withColumn("planned_tokens",
+        expr("n_tokens * epochs_milli div 1000"))
+      .select(col(srcCol), col("n_docs"), col("n_tokens"),
+        col("share_bp"), col("epochs_milli"), col("planned_tokens"))
+  }
+
+  /** Generic 2-D Pareto frontier (skyline), maximizing `xCol` and
+    * `yCol` within each `partCols` group: the O(n²) NOT-EXISTS
+    * definition collapsed to one aggregate + two windows over the
+    * distinct-point table (bounded by the cross-product of distinct
+    * axis values, never by row count). A point survives iff it holds
+    * the max y within its x value AND beats the max y over all
+    * strictly greater x (integer axes; x+1 range frame).
+    */
+  private[graft] def skyline(points: DataFrame, partCols: Seq[String],
+                             xCol: String, yCol: String,
+                             countName: String): DataFrame = {
+    val part = partCols.map(col)
+    val pc = points.groupBy((part :+ col(xCol)) :+ col(yCol): _*)
+      .agg(count(lit(1)).as(countName))
+    val wSame = Window.partitionBy(part :+ col(xCol): _*)
+    val wHigher = Window.partitionBy(part: _*).orderBy(col(xCol))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    pc.withColumn("__max_same", max(col(yCol)).over(wSame))
+      .withColumn("__max_higher", max(col(yCol)).over(wHigher))
+      .filter(col(yCol) === col("__max_same") &&
+        (col("__max_higher").isNull || col("__max_higher") < col(yCol)))
+      .select((part :+ col(xCol)) :+ col(yCol) :+ col(countName): _*)
+  }
 
   val oracle: Map[String, String] = Map(
     "q_sample_hash" ->

@@ -434,20 +434,8 @@ object TextQueries {
     // back, one doc-keyed fold; gram-table size is bounded by distinct
     // shingles, never by pair volume. Integer basis points.
     "q_dup_ngram_coverage" -> { (s, dir) =>
-      val sh = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          TextFunctions.tokens(lower(col("text"))).as("toks"))
-        .filter(size(col("toks")) >= K)
-        .select(col("doc_id"), explode(array_distinct(
-          TextFunctions.shinglesFromTokens(col("toks"), K))).as("gram"))
-      // (doc, gram) is distinct ⇒ count(*) per gram IS document
-      // frequency
-      val dfreq = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      sh.join(dfreq, "gram")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
-        .withColumn("coverage_bp", expr("n_shared * 10000 div n_grams"))
+      dupNgramCoverage(Tables.load(s, dir, "documents"),
+        "doc_id", "text", K)
     },
 
     // ── corpus bigram-LM surprisal score (LM-filter proxy) ──────────────
@@ -461,25 +449,7 @@ object TextQueries {
     // and broadcast; the only corpus-sized shuffle is the doc-keyed
     // fold.
     "q_bigram_lm_score" -> { (s, dir) =>
-      val bi = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          TextFunctions.tokens(lower(col("text"))).as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(t) - 2), i -> " +
-            "struct(t[i] AS w1, concat(t[i], ' ', t[i + 1]) AS pair))"))
-          .as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"),
-          col("bg.pair").as("pair"))
-      val model = bi.groupBy(col("pair")).agg(count(lit(1)).as("n_pair"))
-      val ctx = bi.groupBy(col("w1")).agg(count(lit(1)).as("n_ctx"))
-      bi.join(broadcast(model), "pair")
-        .join(broadcast(ctx), "w1")
-        .withColumn("sup", expr("n_ctx * 1000000 div n_pair"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(col("sup")).as("surprisal_sum"))
-        .withColumn("lm_score", expr("surprisal_sum div n_bigrams"))
+      bigramLmScores(Tables.load(s, dir, "documents"), "doc_id", "text")
     },
 
     // ── Pareto frontier (skyline) of quality vs length, per language ────
@@ -495,23 +465,12 @@ object TextQueries {
     // broadcast-scale input — the raw rows only ever see one hash
     // aggregate.
     "q_skyline" -> { (s, dir) =>
-      val pc = Tables.load(s, dir, "documents")
-        .select(col("lang"),
-          TextFunctions.qualityScore(col("text")).as("quality"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"))
-        .groupBy(col("lang"), col("quality"), col("n_tokens"))
-        .agg(count(lit(1)).as("n_docs"))
-      val wSame = Window.partitionBy(col("lang"), col("quality"))
-      val wHigher = Window.partitionBy(col("lang"))
-        .orderBy(col("quality"))
-        .rangeBetween(1L, Window.unboundedFollowing)
-      pc.withColumn("max_same", max(col("n_tokens")).over(wSame))
-        .withColumn("max_higher", max(col("n_tokens")).over(wHigher))
-        .filter(col("n_tokens") === col("max_same") &&
-          (col("max_higher").isNull ||
-            col("max_higher") < col("n_tokens")))
-        .select(col("lang"), col("quality"), col("n_tokens"),
-          col("n_docs"))
+      Curation.skyline(
+        Tables.load(s, dir, "documents")
+          .select(col("lang"),
+            TextFunctions.qualityScore(col("text")).as("quality"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        Seq("lang"), "quality", "n_tokens", "n_docs")
     },
 
     // ── blocklist / pattern redaction (PII-scrub machinery) ─────────────
@@ -536,6 +495,53 @@ object TextQueries {
         length(col("text")).as("raw_chars"))
     }
   )
+
+  /** The q_dup_ngram_coverage body over any (id, text) table: per doc,
+    * how many of its distinct k-gram shingles appear in ≥2 documents
+    * (count + basis points). Inverted-index economics: one gram-keyed
+    * df aggregate, one gram-keyed join back, one doc-keyed fold.
+    */
+  private[graft] def dupNgramCoverage(docs: DataFrame, id: String,
+                                      text: String, k: Int): DataFrame = {
+    val sh = docs
+      .select(col(id), TextFunctions.tokens(lower(col(text))).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col(id), explode(array_distinct(
+        TextFunctions.shinglesFromTokens(col("toks"), k))).as("gram"))
+    // (doc, gram) is distinct ⇒ count(*) per gram IS document frequency
+    val dfreq = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "gram")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("coverage_bp", expr("n_shared * 10000 div n_grams"))
+  }
+
+  /** The q_bigram_lm_score body over any (id, text) table: integer
+    * bigram-LM surprisal proxy (mean 10⁶·n(w1·)/n(w1,w2) per doc) with
+    * the model trained on the corpus itself. Model tables are
+    * vocab-bounded and broadcast.
+    */
+  private[graft] def bigramLmScores(docs: DataFrame, id: String,
+                                    text: String): DataFrame = {
+    val bi = docs
+      .select(col(id), TextFunctions.tokens(lower(col(text))).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col(id), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> " +
+          "struct(t[i] AS w1, concat(t[i], ' ', t[i + 1]) AS pair))"))
+        .as("bg"))
+      .select(col(id), col("bg.w1").as("w1"), col("bg.pair").as("pair"))
+    val model = bi.groupBy(col("pair")).agg(count(lit(1)).as("n_pair"))
+    val ctx = bi.groupBy(col("w1")).agg(count(lit(1)).as("n_ctx"))
+    bi.join(broadcast(model), "pair")
+      .join(broadcast(ctx), "w1")
+      .withColumn("sup", expr("n_ctx * 1000000 div n_pair"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("sup")).as("surprisal_sum"))
+      .withColumn("lm_score", expr("surprisal_sum div n_bigrams"))
+  }
 
   /** The q_curation_funnel body over any (doc_id, text) table:
     * (doc_id, verdict) with verdict ∈ {duplicate, too_short,
