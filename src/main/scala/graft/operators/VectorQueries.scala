@@ -340,45 +340,70 @@ object VectorQueries {
     * BroadcastNestedLoopJoin of the 10 query tables against the coded
     * corpus; the only Exchange is bounded_topk's k-capped aggregate.
     */
-  private[graft] def pqTopk(s: SparkSession, dir: String): DataFrame = {
-    val quant = "transform(embedding, x -> " +
+  /** Quantize a float-array column to the shared 2⁻²⁰ integer grid. */
+  private def pqQuant(vecCol: String): String =
+    s"transform($vecCol, x -> " +
       "CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
-    val emb = loadEmb(s, dir)
-    val cbRow = emb.filter(col("vec_id") < PQ_K)
-      .select(col("vec_id").cast("int").as("k"), expr(quant).as("cq"))
+
+  /** Codebook: sub-codewords from the first PQ_K vectors, ONE broadcast
+    * row of (k, quantized coords) structs sorted by k — cb[k].cq is
+    * codeword k, same broadcast-row shape as centroidArray.
+    */
+  private def pqCodebook(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < PQ_K)
+      .select(col("vec_id").cast("int").as("k"),
+        expr(pqQuant("embedding")).as("cq"))
       .agg(sort_array(collect_list(struct(col("k"), col("cq")))).as("cb"))
-    val q = emb.select(col("vec_id"), expr(quant).as("vq"))
-    // integer L2² between subspace m of vq and codeword k (SQL text;
-    // sub-dim = size(vq) div PQ_M so the expression is dim-generic)
-    def subDist(k: String) =
-      s"""aggregate(sequence(0, size(vq) div $PQ_M - 1),
-         | CAST(0 AS BIGINT), (acc, d) -> acc +
-         |  (vq[m * (size(vq) div $PQ_M) + d] -
-         |    cb[$k].cq[m * (size(vq) div $PQ_M) + d]) *
-         |  (vq[m * (size(vq) div $PQ_M) + d] -
-         |    cb[$k].cq[m * (size(vq) div $PQ_M) + d]))""".stripMargin
-    // encode: per subspace, struct-min argmin over the PQ_K codewords
-    val coded = q.crossJoin(broadcast(cbRow))
+
+  /** Integer L2² between subspace m of `vq` and codeword k (SQL text;
+    * sub-dim = size(vq) div PQ_M so the expression is dim-generic).
+    * Expects `vq`, `cb`, and `m` in scope.
+    */
+  private def pqSubDist(k: String) =
+    s"""aggregate(sequence(0, size(vq) div $PQ_M - 1),
+       | CAST(0 AS BIGINT), (acc, d) -> acc +
+       |  (vq[m * (size(vq) div $PQ_M) + d] -
+       |    cb[$k].cq[m * (size(vq) div $PQ_M) + d]) *
+       |  (vq[m * (size(vq) div $PQ_M) + d] -
+       |    cb[$k].cq[m * (size(vq) div $PQ_M) + d]))""".stripMargin
+
+  /** Encode: per subspace, struct-min argmin over the PQ_K codewords —
+    * appends `codes` (array<int> of length PQ_M) to rows carrying `vq`
+    * and the broadcast `cb`.
+    */
+  private def withPqCodes(rowsWithVq: DataFrame,
+                          cbRow: DataFrame): DataFrame =
+    rowsWithVq.crossJoin(broadcast(cbRow))
       .withColumn("codes", expr(
         s"""transform(sequence(0, $PQ_M - 1), m ->
            |  array_min(transform(sequence(0, ${PQ_K - 1}), k ->
-           |    struct(${subDist("k")} AS dist, k AS k))).k)""".stripMargin))
-      .select(col("vec_id").as("neighbor_id"), col("codes"))
-    // per-query ADC tables: dtab[m][k] = distance(query sub m, codeword k)
-    val dtabs = q.filter(col("vec_id") < N_QUERIES)
+           |    struct(${pqSubDist("k")} AS dist, k AS k))).k)"""
+          .stripMargin))
+      .drop("cb", "vq")
+
+  /** Per-query ADC tables: dtab[m][k] = distance(query sub m, codeword
+    * k) — M·K tiny integer L2s per query, computed once.
+    */
+  private def pqDtabs(emb: DataFrame, cbRow: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id"), expr(pqQuant("embedding")).as("vq"))
       .crossJoin(broadcast(cbRow))
       .withColumn("dtab", expr(
         s"""transform(sequence(0, $PQ_M - 1), m ->
-           |  transform(sequence(0, ${PQ_K - 1}), k -> ${subDist("k")}))"""
+           |  transform(sequence(0, ${PQ_K - 1}), k -> ${pqSubDist("k")}))"""
           .stripMargin))
       .select(col("vec_id").as("query_id"), col("dtab"))
-    coded.join(broadcast(dtabs), col("query_id") =!= col("neighbor_id"))
+
+  /** ADC score + k-capped top-k over rows carrying (query_id,
+    * neighbor_id, codes, dtab). The double cast is exact
+    * (adist < 2⁴⁸ ≪ 2⁵³); bounded_topk orders (score asc, id asc) —
+    * adist is already "smaller is closer", no negation.
+    */
+  private def adcTopk(cands: DataFrame): DataFrame =
+    cands
       .withColumn("adist", expr(
         s"aggregate(sequence(0, $PQ_M - 1), CAST(0 AS BIGINT), " +
           "(acc, m) -> acc + dtab[m][codes[m]])"))
-      // bounded_topk orders (score asc, id asc) — adist is already
-      // "smaller is closer", no negation; the double cast is exact
-      // (adist < 2⁴⁸ ≪ 2⁵³)
       .groupBy(col("query_id"))
       .agg(expr(
         s"bounded_topk(CAST(adist AS DOUBLE), neighbor_id, $TOP_K)")
@@ -387,6 +412,47 @@ object VectorQueries {
       .toDF("query_id", "pos", "t")
       .select(col("query_id"), col("t.n").as("neighbor_id"),
         (col("pos") + 1).as("rank"))
+
+  private[graft] def pqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = loadEmb(s, dir)
+    val cbRow = pqCodebook(emb)
+    val coded = withPqCodes(
+      emb.select(col("vec_id").as("neighbor_id"),
+        expr(pqQuant("embedding")).as("vq")), cbRow)
+      .select(col("neighbor_id"), col("codes"))
+    adcTopk(coded.join(broadcast(pqDtabs(emb, cbRow)),
+      col("query_id") =!= col("neighbor_id")))
+  }
+
+  /** IVF-PQ: the classic composition of the two ANN scale axes —
+    * IVF cells cut the CANDIDATE COUNT (each query probes nprobe of
+    * the C cells, scanning ~nprobe/C of the corpus) and PQ codes cut
+    * the BYTES PER CANDIDATE (each scanned row costs M code lookups on
+    * an 8×-compressed table, not a dim-float loop). The persisted
+    * index at scale is (cell, codes) per vector — this is the FAISS
+    * IVFPQ layout, and the shape a 10¹¹-vector corpus actually ships.
+    * Assignment and probing reuse the IVF machinery (broadcast
+    * centroid row, in-row argmin); scoring reuses the ADC machinery;
+    * both stay engine-exact, so the composition sits behind the same
+    * DuckDB hash gate. Recall compounds the two approximations
+    * (RecallProbe measures all three side by side).
+    */
+  private[graft] def ivfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = loadEmb(s, dir)
+    val centArr = centroidArray(seedCentroids(emb))
+    val cbRow = pqCodebook(emb)
+    val coded = withPqCodes(
+      withCell(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cvec"),
+          expr(pqQuant("embedding")).as("vq")),
+        centArr, col("cvec")),
+      cbRow).select(col("neighbor_id"), col("cell"), col("codes"))
+    val probes = probeCells(queryVectors(emb), centArr, N_PROBE)
+      .select(col("query_id"), col("cell"))
+    adcTopk(coded
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(pqDtabs(emb, cbRow)), Seq("query_id")))
   }
 
   private[graft] val SRP_BITS = 16
@@ -484,6 +550,9 @@ object VectorQueries {
 
     // ── product-quantization ADC top-k (see pqTopk) ─────────────────────
     "q_ann_pq_topk" -> { (s, dir) => pqTopk(s, dir) },
+
+    // ── IVF-PQ: cells × codes, the FAISS-style composition ──────────────
+    "q_ann_ivfpq_topk" -> { (s, dir) => ivfPqTopk(s, dir) },
 
     // ── kNN label vote: the classify/label-propagation read of ANN ─────
     // Predict each query vector's label by majority vote over its
@@ -629,7 +698,11 @@ object VectorQueries {
        |  WHERE rank <= $TOP_K)""".stripMargin
 
   /** IVF top-k CTE chain ending in `ivf(query_id, neighbor_id, rank)`. */
-  private def ivfCtes: String =
+  /** Assignment + probing CTEs shared by the IVF and IVF-PQ oracles:
+    * `assigned(neighbor_id, cvec, cell)` + `probes(query_id, qvec,
+    * cell)` over the first-N seed centroids.
+    */
+  private def ivfAssignCtes: String =
     s"""cent AS (SELECT vec_id AS cell, embedding AS centroid
        |         FROM embeddings WHERE vec_id < $N_CELLS),
        |assigned AS (SELECT vec_id AS neighbor_id, cvec, cell FROM (
@@ -643,7 +716,10 @@ object VectorQueries {
        |  SELECT iq.query_id, iq.qvec, cent.cell,
        |    row_number() OVER (PARTITION BY iq.query_id
        |      ORDER BY list_distance(iq.qvec, cent.centroid) ASC, cent.cell ASC) AS prn
-       |  FROM iq, cent) WHERE prn <= $N_PROBE),
+       |  FROM iq, cent) WHERE prn <= $N_PROBE)""".stripMargin
+
+  private def ivfCtes: String =
+    s"""$ivfAssignCtes,
        |iscored AS (SELECT p.query_id, a.neighbor_id,
        |    row_number() OVER (PARTITION BY p.query_id
        |      ORDER BY list_cosine_similarity(p.qvec, a.cvec) DESC, a.neighbor_id ASC) AS rank
@@ -651,6 +727,25 @@ object VectorQueries {
        |  WHERE p.query_id <> a.neighbor_id),
        |ivf AS (SELECT query_id, neighbor_id, rank FROM iscored
        |  WHERE rank <= $TOP_K)""".stripMargin
+
+  /** PQ CTEs shared by the PQ and IVF-PQ oracles: quantized coords →
+    * per-(vector, codeword, subspace) integer L2 (`pd`) → per-(vector,
+    * subspace) argmin codes (`codes`).
+    */
+  private def pqCtes: String =
+    s"""pqv AS (SELECT vec_id, pos - 1 AS d, dim,
+       |    CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, len(embedding) AS dim,
+       |               generate_subscripts(embedding, 1) AS pos,
+       |               unnest(embedding) AS v FROM embeddings)),
+       |pd AS (SELECT v.vec_id, c.vec_id AS k,
+       |    v.d // (v.dim // $PQ_M) AS m,
+       |    CAST(sum((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS dist
+       |  FROM pqv v JOIN pqv c ON v.d = c.d AND c.vec_id < $PQ_K
+       |  GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, m, k FROM (
+       |  SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m
+       |    ORDER BY dist ASC, k ASC) AS rn FROM pd) WHERE rn = 1)""".stripMargin
 
   /** SQL replay of [[KMeans.refineQuantized]]: `KM_ITERS` unrolled
     * Lloyd iterations ending in `cent{KM_ITERS}(cell, centroid)`. Each
@@ -778,23 +873,32 @@ object VectorQueries {
     // rows selected by the NEIGHBOR's codes — identical integer
     // arithmetic, so ranks hash-match.
     "q_ann_pq_topk" ->
-      s"""WITH pqv AS (SELECT vec_id, pos - 1 AS d, dim,
-         |    CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS q
-         |  FROM (SELECT vec_id, len(embedding) AS dim,
-         |               generate_subscripts(embedding, 1) AS pos,
-         |               unnest(embedding) AS v FROM embeddings)),
-         |pd AS (SELECT v.vec_id, c.vec_id AS k,
-         |    v.d // (v.dim // $PQ_M) AS m,
-         |    CAST(sum((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS dist
-         |  FROM pqv v JOIN pqv c ON v.d = c.d AND c.vec_id < $PQ_K
-         |  GROUP BY 1, 2, 3),
-         |codes AS (SELECT vec_id, m, k FROM (
-         |  SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m
-         |    ORDER BY dist ASC, k ASC) AS rn FROM pd) WHERE rn = 1),
+      s"""WITH $pqCtes,
          |ad AS (SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    sum(qd.dist) AS adist
          |  FROM codes c JOIN pd qd ON qd.m = c.m AND qd.k = c.k
          |  WHERE qd.vec_id < $N_QUERIES AND qd.vec_id <> c.vec_id
+         |  GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist ASC, neighbor_id ASC) AS rank
+         |  FROM ad)
+         |SELECT query_id, neighbor_id, rank FROM r
+         |WHERE rank <= $TOP_K""".stripMargin,
+
+    // IVF-PQ: the IVF assignment/probe CTEs select WHICH rows are
+    // scored; the PQ codes CTEs say HOW — adist sums the QUERY's pd
+    // rows at the CANDIDATE's codes, over probed cells only.
+    "q_ann_ivfpq_topk" ->
+      s"""WITH $pqCtes,
+         |$ivfAssignCtes,
+         |ad AS (SELECT p.query_id, a.neighbor_id, sum(qd.dist) AS adist
+         |  FROM probes p
+         |  JOIN assigned a ON p.cell = a.cell
+         |    AND p.query_id <> a.neighbor_id
+         |  JOIN codes c ON c.vec_id = a.neighbor_id
+         |  JOIN pd qd ON qd.vec_id = p.query_id
+         |    AND qd.m = c.m AND qd.k = c.k
          |  GROUP BY 1, 2),
          |r AS (SELECT query_id, neighbor_id,
          |    row_number() OVER (PARTITION BY query_id

@@ -48,6 +48,12 @@ object RecallProbe {
       val pr = VectorQueries.recallOf(brute, pq).collect()
         .map(_.getAs[Long]("recall_pct"))
       println(f"RECALLPROBE $sf pq recall=${pr.sum.toDouble / pr.length}%.1f scanned=all-coded")
+      // IVF-PQ arm: candidate volume = the IVF probe fraction, bytes =
+      // the PQ codes — recall compounds the two approximations
+      val ivfpq = VectorQueries.queries("q_ann_ivfpq_topk")(spark, sf)
+      val ipr = VectorQueries.recallOf(brute, ivfpq).collect()
+        .map(_.getAs[Long]("recall_pct"))
+      println(f"RECALLPROBE $sf ivfpq recall=${ipr.sum.toDouble / ipr.length}%.1f scanned=ivf-fraction-coded")
     }
     spark.stop()
   }

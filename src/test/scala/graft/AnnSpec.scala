@@ -37,6 +37,24 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(mean >= 35.0, s"mean PQ recall $mean < 35; per-query: ${r.toSeq}")
   }
 
+  test("IVF-PQ recall ≈ full-scan PQ at the probe fraction's cost") {
+    // the composition's point: if IVF cells rarely drop true
+    // neighbors (IVF-alone recall ≥ 80 % pinned above), PQ ranking is
+    // the binding constraint — ivfpq must not fall more than one
+    // 20 %-granule below the full-scan ADC result
+    def mean(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = df.collect().map(_.getAs[Long]("recall_pct"))
+      r.sum.toDouble / r.length
+    }
+    val brute = VectorQueries.bruteTopk(spark, sf)
+    val pq = mean(VectorQueries.recallOf(brute,
+      VectorQueries.queries("q_ann_pq_topk")(spark, sf)))
+    val ivfpq = mean(VectorQueries.recallOf(brute,
+      VectorQueries.queries("q_ann_ivfpq_topk")(spark, sf)))
+    assert(ivfpq >= pq - 20.0,
+      s"ivfpq recall $ivfpq fell too far below full-scan pq $pq")
+  }
+
   test("KMeans-refined centroids plug into IVF assignment and improve WCSS") {
     import graft.operators.{KMeans, VectorQueries}
     import org.apache.spark.sql.functions.col

@@ -132,6 +132,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"expected only bounded_topk's exchange:\n$plan")
   }
 
+  test("q_ann_ivfpq_topk: broadcast probes+tables, one keyed exchange") {
+    val plan = planOf(VectorQueries.queries("q_ann_ivfpq_topk")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probed-cell join should broadcast the probe list:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"coded corpus must not shuffle:\n$plan")
+    assert("hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"expected only bounded_topk's exchange:\n$plan")
+  }
+
   test("q_rp_project: no keyed shuffle (pure projection)") {
     // the only Exchange allowed is Tables.load's local round-robin
     // fan-out of the single-row-group scan — the sketch itself must
