@@ -252,6 +252,16 @@ object Graft {
               yCol: String, countName: String = "n_rows"): DataFrame =
     Curation.skyline(points, partCols, xCol, yCol, countName)
 
+  /** Incremental streaming skyline: per-group frontier folded per
+    * micro-batch in bounded state; emits the updated frontier stamped
+    * with a revision (read the max-rev rows). See
+    * [[streaming.StreamingEvents.skylineStream]].
+    */
+  def skylineStream(points: org.apache.spark.sql.Dataset[
+      streaming.SkyPoint]): org.apache.spark.sql.Dataset[
+      streaming.SkyFrontier] =
+    streaming.StreamingEvents.skylineStream(points)
+
   // ── versioned table surface (Delta-protocol stand-in) ────────────────
 
   /** Open the versioned table at `path`: merge / delete / optimize /

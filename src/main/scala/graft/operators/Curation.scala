@@ -122,6 +122,38 @@ object Curation {
         "source", "__tok")
     },
 
+    // ── per-source distribution drift (total-variation distance) ────────
+    // The ingest-monitoring question behind every "did this source
+    // change under us" alert: how far is each source's document-length
+    // histogram from the corpus-wide one? Distance = total variation
+    // (½·Σ|p_s − p|) in integer basis points over fixed 100-char bins —
+    // data-independent binning, so the number is comparable across
+    // snapshots (PSI-style monitors are this plus a log weight; TV
+    // keeps it integer-exact). The bin table is bounded
+    // (|sources| × |bins|); the only corpus-sized pass is the one
+    // (source, bin) count. A missing bin counts its full corpus mass —
+    // the grid join makes absent bins explicit.
+    "q_dist_drift" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .select(col("source"), expr("n_chars div 100").as("bin"))
+      val cb = d.groupBy(col("bin")).agg(count(lit(1)).as("c_all"))
+      val tot = d.agg(count(lit(1)).as("n_all"))
+      val sb = d.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("c_src"))
+      val stot = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      stot.crossJoin(broadcast(cb))
+        .join(sb, Seq("source", "bin"), "left")
+        .na.fill(0L, Seq("c_src"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("source"))
+        .agg(max(col("n_src")).as("n_rows"),
+          sum(abs(col("c_src") * col("n_all") -
+            col("c_all") * col("n_src"))).as("diff"),
+          max(col("n_all")).as("n_all"))
+        .withColumn("tv_bp", expr("diff * 10000 div (2 * n_all * n_rows)"))
+        .select(col("source"), col("n_rows"), col("tv_bp"))
+    },
+
     // ── 80/10/10 train/valid/test split, audited per language ───────────
     // The split LABEL is what a pipeline persists; the per-(lang, split)
     // counts are the auditable output (and catch stratification skew).
@@ -325,6 +357,24 @@ object Curation {
          |  CAST(n_tokens * epochs_milli // 1000 AS BIGINT)
          |    AS planned_tokens
          |FROM e""".stripMargin,
+
+    "q_dist_drift" ->
+      """WITH d AS (SELECT source, n_chars // 100 AS bin FROM documents),
+        |cb AS (SELECT bin, count(*) AS c_all FROM d GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_all FROM d),
+        |sb AS (SELECT source, bin, count(*) AS c_src FROM d GROUP BY 1, 2),
+        |stot AS (SELECT source, count(*) AS n_src FROM d GROUP BY 1),
+        |g AS (SELECT s.source, s.n_src, cb.bin, cb.c_all,
+        |    coalesce(sb.c_src, 0) AS c_src
+        |  FROM stot s CROSS JOIN cb
+        |  LEFT JOIN sb ON sb.source = s.source AND sb.bin = cb.bin),
+        |a AS (SELECT source, max(n_src) AS n_rows,
+        |    sum(abs(c_src * n_all - c_all * n_src)) AS diff,
+        |    max(n_all) AS n_all
+        |  FROM g CROSS JOIN tot GROUP BY 1)
+        |SELECT source, n_rows,
+        |  CAST(diff * 10000 // (2 * n_all * n_rows) AS BIGINT) AS tv_bp
+        |FROM a""".stripMargin,
 
     "q_train_test_split" ->
       s"""WITH b AS (SELECT lang, $bucketSql AS bkt FROM documents)

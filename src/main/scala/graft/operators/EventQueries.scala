@@ -173,6 +173,29 @@ object EventQueries {
     // run ids + the run-level valid_to are three window passes ALL
     // keyed by user_id (high cardinality — no funnel), then one keyed
     // agg; ties broken by event_id everywhere, all integers.
+    // ── Markov transition matrix over the event stream ──────────────────
+    // The behavioral model behind next-event prediction and anomaly
+    // scoring: per user, each consecutive (prev → next) event-type pair
+    // counts one transition; probabilities are integer parts-per-
+    // million over the prev-type's outgoing total. One user-keyed
+    // window (same sort the sessionizers already pay), then two
+    // aggregates over the |types|²-bounded transition table; the
+    // per-prev totals broadcast back. No float division anywhere.
+    "q_event_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms").asc, col("event_id").asc)
+      val tr = loadEvents(s, dir)
+        .select(col("user_id"), col("event_type").as("next_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+      val tot = tr.groupBy(col("prev_type"))
+        .agg(count(lit(1)).as("n_from"))
+      tr.groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_trans"))
+        .join(broadcast(tot), "prev_type")
+        .withColumn("prob_ppm", expr("n_trans * 1000000 div n_from"))
+    },
+
     "q_scd2_runs" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ms").asc, col("event_id").asc)
@@ -458,6 +481,22 @@ object EventQueries {
         |  FROM e JOIN o ON e.user_id = o.o_custkey AND o.oms <= e.ms)
         |SELECT event_id, user_id, ms, o_orderkey, o_totalprice
         |FROM j WHERE rn = 1""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ms FROM events),
+        |tr AS (SELECT event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ms ASC, event_id ASC) AS prev_type
+        |  FROM e),
+        |t2 AS (SELECT prev_type, next_type FROM tr
+        |  WHERE prev_type IS NOT NULL),
+        |tot AS (SELECT prev_type, count(*) AS n_from FROM t2 GROUP BY 1),
+        |tx AS (SELECT prev_type, next_type, count(*) AS n_trans
+        |  FROM t2 GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_trans, n_from,
+        |  CAST(n_trans * 1000000 // n_from AS BIGINT) AS prob_ppm
+        |FROM tx JOIN tot USING (prev_type)""".stripMargin,
 
     "q_scd2_runs" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -42,6 +42,25 @@ final case class RateState(hourStart: Long, c: Long,
 final case class RateAnomaly(event_type: String, hour_start_ms: Long,
                              c: Long, n_baseline: Long)
 
+/** One candidate point for [[StreamingEvents.skylineStream]]: a group
+  * key (e.g. language) and the two axes being maximized. Top-level and
+  * public for the state encoder (see [[SessionState]]).
+  */
+final case class SkyPoint(group: String, x: Long, y: Long)
+
+/** Per-group incremental-skyline state: `rev` counts the batches this
+  * group has folded; `xy` is the current frontier as interleaved
+  * (x, y) pairs sorted by x — bounded by |distinct x values on the
+  * frontier|, NOT by points seen. Top-level and public for the state
+  * encoder.
+  */
+final case class SkyState(rev: Long, xy: Seq[Long])
+
+/** One frontier point of `group`'s skyline as of batch `rev`. The
+  * frontier at the group's max rev is the current answer.
+  */
+final case class SkyFrontier(group: String, rev: Long, x: Long, y: Long)
+
 /** Event-stream operators: watermarked tumbling-window aggregation,
   * gap-based session windows, and custom per-key state via
   * `flatMapGroupsWithState` — the streaming counterparts of
@@ -271,6 +290,52 @@ object StreamingEvents {
           }
           if (gates.nonEmpty) state.update(FunnelState(gates))
           out.result().iterator
+      }
+  }
+
+  /** Incremental Pareto skyline — the streaming twin of
+    * [[graft.operators.Curation.skyline]]: per group, maintain the set
+    * of points not dominated by any other seen so far (maximize both
+    * axes), folding each micro-batch into bounded per-group state. A
+    * new point is admitted iff no frontier point weakly dominates it;
+    * admission evicts every frontier point it strictly dominates — so
+    * state is exactly the current frontier (≤ |distinct x| pairs),
+    * never the points seen, and a batch's work is
+    * O(batch · frontier). Each batch the group touches emits its full
+    * updated frontier stamped with a revision; the max-rev rows are
+    * the current answer (append mode cannot retract, so consumers
+    * read the latest revision — the same convention a compacted
+    * changelog topic uses).
+    *
+    * No watermark/timeout: the frontier is monotone (a point once
+    * dominated can never return), so state needs no expiry to stay
+    * bounded.
+    */
+  def skylineStream(points: Dataset[SkyPoint]): Dataset[SkyFrontier] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.group)
+      .flatMapGroupsWithState[SkyState, SkyFrontier](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[SkyPoint],
+         state: GroupState[SkyState]) =>
+          var front = state.getOption
+            .map(_.xy.grouped(2).map(p => (p(0), p(1))).toVector)
+            .getOrElse(Vector.empty[(Long, Long)])
+          rows.foreach { p =>
+            val pt = (p.x, p.y)
+            val dominated = front.exists { case (fx, fy) =>
+              fx >= p.x && fy >= p.y && (fx > p.x || fy > p.y)
+            }
+            if (!dominated && !front.contains(pt))
+              front = front.filterNot { case (fx, fy) =>
+                p.x >= fx && p.y >= fy && (p.x > fx || p.y > fy)
+              } :+ pt
+          }
+          val rev = state.getOption.map(_.rev + 1).getOrElse(1L)
+          val sorted = front.sorted
+          state.update(SkyState(rev,
+            sorted.flatMap { case (x, y) => Seq(x, y) }))
+          sorted.iterator.map { case (x, y) => SkyFrontier(g, rev, x, y) }
       }
   }
 

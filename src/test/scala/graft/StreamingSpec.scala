@@ -265,4 +265,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSet
     assert(out === Set(("click", 6L * 3600000L, 60L, 6L)))
   }
+
+  test("skylineStream: incremental frontier converges to the batch skyline") {
+    import graft.streaming.{SkyFrontier, SkyPoint}
+    val in = MemoryStream[SkyPoint](spark)
+    val q = StreamingEvents.skylineStream(in.toDS())
+      .writeStream.format("memory").queryName("sky")
+      .outputMode("append").start()
+    // batch 1: (5,5) admitted, then (3,9) and (9,3) join it (mutually
+    // non-dominated), (2,2) rejected (dominated by everything)
+    in.addData(SkyPoint("en", 5, 5), SkyPoint("en", 3, 9),
+      SkyPoint("en", 9, 3), SkyPoint("en", 2, 2),
+      SkyPoint("de", 1, 1))
+    q.processAllAvailable()
+    // batch 2: (6,6) evicts (5,5); (3,9) duplicate ignored; de gets a
+    // dominating point evicting (1,1)
+    in.addData(SkyPoint("en", 6, 6), SkyPoint("en", 3, 9),
+      SkyPoint("de", 4, 4))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sky").as[SkyFrontier].collect()
+    val latest = all.groupBy(_.group).flatMap { case (_, rows) =>
+      val maxRev = rows.map(_.rev).max
+      rows.filter(_.rev == maxRev).toSeq
+    }.map(f => (f.group, f.x, f.y)).toSet
+    assert(latest === Set(("en", 3L, 9L), ("en", 6L, 6L), ("en", 9L, 3L),
+      ("de", 4L, 4L)))
+    // and the streaming answer ≡ the batch operator over all points
+    val pts = Seq(("en", 5L, 5L), ("en", 3L, 9L), ("en", 9L, 3L),
+      ("en", 2L, 2L), ("de", 1L, 1L), ("en", 6L, 6L), ("de", 4L, 4L))
+      .toDF("group", "x", "y")
+    val batch = graft.operators.Curation
+      .skyline(pts, Seq("group"), "x", "y", "n")
+      .select("group", "x", "y")
+      .as[(String, Long, Long)].collect().toSet
+    assert(latest === batch)
+  }
 }
