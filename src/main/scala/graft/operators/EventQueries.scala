@@ -173,6 +173,48 @@ object EventQueries {
     // run ids + the run-level valid_to are three window passes ALL
     // keyed by user_id (high cardinality — no funnel), then one keyed
     // agg; ties broken by event_id everywhere, all integers.
+    // ── hopping (sliding) window aggregation ────────────────────────────
+    // The overlapping-window twin of q_event_window_agg: 2-hour windows
+    // advancing every hour, so each event lands in exactly TWO windows
+    // — the standard smoothing/alerting window shape. Implemented as
+    // the generic explode-the-offsets rewrite (each row contributes to
+    // window_start ∈ {its hour, its hour − 1h}), which is how a hopping
+    // window decomposes on ANY engine: a windows/slide-factor row
+    // fan-out followed by one tumbling-shaped aggregate. Counts only —
+    // integer-exact.
+    "q_hopping_window" -> { (s, dir) =>
+      loadEvents(s, dir)
+        .select(col("event_type"),
+          (expr("ms div 3600000") * 3600000L).as("hr"))
+        .select(col("event_type"), explode(array(lit(0L), lit(1L)))
+          .as("o"), col("hr"))
+        .select(col("event_type"),
+          (col("hr") - col("o") * 3600000L).as("window_start_ms"))
+        .groupBy(col("event_type"), col("window_start_ms"))
+        .agg(count(lit(1)).as("n_events"))
+    },
+
+    // ── event path mining (ordered k-step sequences) ────────────────────
+    // The navigation-pattern table: per user, every consecutive
+    // 3-step event-type sequence (with multiplicity), counted across
+    // the corpus. One user-keyed sort (shared shape with the
+    // sessionizers), two lead() columns, one aggregate over a table
+    // bounded by |types|³ — the top rows are the "common journeys" a
+    // product/funnel analysis starts from.
+    "q_event_paths" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms").asc, col("event_id").asc)
+      loadEvents(s, dir)
+        .select(col("event_type").as("s1"),
+          lead(col("event_type"), 1).over(w).as("s2"),
+          lead(col("event_type"), 2).over(w).as("s3"))
+        .filter(col("s2").isNotNull && col("s3").isNotNull)
+        .select(concat_ws(">", col("s1"), col("s2"), col("s3"))
+          .as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_occurrences"))
+    },
+
     // ── Markov transition matrix over the event stream ──────────────────
     // The behavioral model behind next-event prediction and anomaly
     // scoring: per user, each consecutive (prev → next) event-type pair
@@ -481,6 +523,27 @@ object EventQueries {
         |  FROM e JOIN o ON e.user_id = o.o_custkey AND o.oms <= e.ms)
         |SELECT event_id, user_id, ms, o_orderkey, o_totalprice
         |FROM j WHERE rn = 1""".stripMargin,
+
+    "q_hopping_window" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_ms(ts) // 3600000) * 3600000 AS hr FROM events)
+        |SELECT event_type, hr - o * 3600000 AS window_start_ms,
+        |  count(*) AS n_events
+        |FROM e, range(0, 2) t(o)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_event_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ms FROM events),
+        |p AS (SELECT event_type AS s1,
+        |    lead(event_type, 1) OVER w AS s2,
+        |    lead(event_type, 2) OVER w AS s3
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ms ASC, event_id ASC))
+        |SELECT s1 || '>' || s2 || '>' || s3 AS path,
+        |  count(*) AS n_occurrences
+        |FROM p WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     "q_event_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

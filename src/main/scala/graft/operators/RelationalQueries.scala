@@ -165,6 +165,31 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     },
 
+    // ── generic per-group top-k via the native bounded_topk ─────────────
+    // Top-3 line items by price per supplier — the HIGH-cardinality
+    // group top-k (thousands of suppliers), where a rank window would
+    // work but bounded_topk's k-capped map-side partials ship ≤ k rows
+    // per (task, supplier) into the one shuffle instead of every row.
+    // Price in integer cents (floor(×100) is IEEE-exact in both
+    // engines); (orderkey·100 + linenumber) packs the unique tiebreak
+    // id into the aggregate's long id slot.
+    "q_group_topk" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+            .as("price_cents"),
+          expr("l_orderkey * 100 + l_linenumber").as("item_id"))
+        .groupBy(col("l_suppkey"))
+        .agg(expr(
+          "bounded_topk(CAST(-price_cents AS DOUBLE), item_id, 3)")
+          .as("top"))
+        .select(col("l_suppkey"), posexplode(col("top")))
+        .toDF("l_suppkey", "pos", "t")
+        .select(col("l_suppkey"), col("t.n").as("item_id"),
+          expr("CAST(-t.s AS BIGINT)").as("price_cents"),
+          (col("pos") + 1).as("rank"))
+    },
+
     // ── W1: window rank per group (top-3 orders per customer) ───────────
     "q_window_rank" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
@@ -655,6 +680,17 @@ object RelationalQueries {
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_group_topk" ->
+      """WITH li AS (SELECT l_suppkey,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |    l_orderkey * 100 + l_linenumber AS item_id FROM lineitem),
+        |r AS (SELECT l_suppkey, item_id, price_cents,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY price_cents DESC, item_id ASC) AS rank
+        |  FROM li)
+        |SELECT l_suppkey, item_id, price_cents, rank FROM r
+        |WHERE rank <= 3""".stripMargin,
 
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

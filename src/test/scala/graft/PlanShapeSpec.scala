@@ -95,6 +95,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Window"), s"window funnel:\n$plan")
   }
 
+  test("q_group_topk: map-side k-capped partials, no rank window") {
+    val plan = planOf(RelationalQueries.queries("q_group_topk")(spark, sf))
+    assert(plan.contains("partial_bounded_topk"),
+      s"no map-side combine in:\n$plan")
+    assert(!plan.contains("Window"),
+      s"group top-k fell back to a rank window:\n$plan")
+  }
+
   test("q_semi_join / q_anti_join lower to semi/anti hash joins") {
     val semi = planOf(RelationalQueries.queries("q_semi_join")(spark, sf))
     val anti = planOf(RelationalQueries.queries("q_anti_join")(spark, sf))
