@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g was measurably too small once the suite passed ~115 queries ×
+  // 3 reps in one JVM: heavy queries ran 2-3× their isolated medians
+  // (GC churn from per-rep cache fills), and hundreds of generated
+  // classes pressure the JIT code cache (full cache ⇒ silent
+  // interpreter fallback). 24g/1g restores isolated-run timings.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:ReservedCodeCacheSize=1g",
 )

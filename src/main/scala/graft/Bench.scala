@@ -148,5 +148,35 @@ object Bench {
       .withColumn("hx", bit_count(col("vec_id").bitwiseXOR(col("col"))))
       .agg(count(lit(1)))
       .collect()
+    // PQ family: the nested transform→array_min(struct)→aggregate HOF
+    // encode and the dtab[m][codes[m]] ADC lookup pay ~10 s on first
+    // touch (PqProbe) — mostly HOF-interpreter JIT, which transfers
+    // across queries (unlike whole-stage codegen, keyed on exact text;
+    // the per-query median already discards the residual cold rep).
+    // Warm the interpreter classes here, not inside a timed rep
+    spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))")
+          .as("vq"))
+      .withColumn("cb", array(struct(lit(0).as("k"), col("vq").as("cq"))))
+      .withColumn("codes", expr(
+        """transform(sequence(0, 3), m ->
+          |  array_min(transform(sequence(0, 0), k ->
+          |    struct(aggregate(sequence(0, size(vq) div 4 - 1),
+          |      CAST(0 AS BIGINT), (acc, d) -> acc +
+          |        (vq[m * (size(vq) div 4) + d] -
+          |          cb[k].cq[m * (size(vq) div 4) + d]) *
+          |        (vq[m * (size(vq) div 4) + d] -
+          |          cb[k].cq[m * (size(vq) div 4) + d])) AS dist,
+          |      k AS k))).k)""".stripMargin))
+      .withColumn("dtab", expr(
+        "transform(sequence(0, 3), m -> transform(sequence(0, 0), " +
+          "k -> CAST(m AS BIGINT)))"))
+      .withColumn("adist", expr(
+        "aggregate(sequence(0, 3), CAST(0 AS BIGINT), " +
+          "(acc, m) -> acc + dtab[m][codes[m]])"))
+      .agg(count(lit(1)))
+      .collect()
   }
 }

@@ -473,6 +473,70 @@ object TextQueries {
         Seq("lang"), "quality", "n_tokens", "n_docs")
     },
 
+    // ── TF-IDF-weighted document similarity pairs ───────────────────────
+    // The WEIGHTED tier of the dedup family: Jaccard treats all
+    // shingles equally, but near-dup policy often wants rare terms to
+    // count more — so weight each (doc, term) by tf·(1000 div df) and
+    // threshold on weighted DICE similarity 2·⟨a,b⟩/(‖a‖²+‖b‖²). Dice,
+    // not cosine: Cauchy–Schwarz bounds it to [0,1] like cosine, but
+    // it is LINEAR in the integer products — no square roots, and no
+    // dot² that would overflow a BIGINT in one engine and promote to
+    // int128 in the other. Same inverted-index economics as
+    // q_jaccard_pairs (df-capped postings, candidate volume Σ df²);
+    // the threshold compares pre-division (exact in both engines).
+    "q_tfidf_pairs" -> { (s, dir) =>
+      val tf = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MAX_DF) // df cap bounds posting lists
+      val w = tf.join(dfq, "term")
+        .withColumn("w", expr("tf * (1000 div df)"))
+      val norms = w.groupBy(col("doc_id"))
+        .agg(sum(expr("w * w")).as("nrm"))
+      w.select(col("term"), col("doc_id").as("doc_a"), col("w").as("wa"))
+        .join(w.select(col("term"), col("doc_id").as("doc_b"),
+          col("w").as("wb")), "term")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(expr("wa * wb")).as("dot"))
+        .join(norms.select(col("doc_id").as("doc_a"),
+          col("nrm").as("na")), "doc_a")
+        .join(norms.select(col("doc_id").as("doc_b"),
+          col("nrm").as("nb")), "doc_b")
+        .filter(expr(s"dot * 20000 >= ${THRESH * 100} * (na + nb)"))
+        .withColumn("dice_bp", expr("dot * 20000 div (na + nb)"))
+        .select(col("doc_a"), col("doc_b"), col("dot"), col("dice_bp"))
+    },
+
+    // ── golden-record merge per duplicate cluster ───────────────────────
+    // What a pipeline DOES with resolved clusters: one merged record
+    // per cluster — the survivor id (quality desc, id asc — the same
+    // struct-min argmax q_cluster_survivors pins) plus best-of fields
+    // merged ACROSS members (max quality, max length, distinct langs).
+    // One aggregate over the member table; cluster count ≪ doc count.
+    "q_golden_record" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      Clusters.memberTable(
+        Dedup.lshVerifiedPairs(d, "doc_id", "text",
+          K, NUM_HASHES, BANDS, THRESH))
+        .join(d.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          col("n_chars"), col("lang")), "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(struct((lit(1000) - col("quality")).as("nq"),
+            col("doc_id").as("id"))).as("best"),
+          max(col("quality")).as("max_quality"),
+          max(col("n_chars")).as("max_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .select(col("cluster_id"), col("best.id").as("survivor_id"),
+          col("n_members"), col("max_quality"), col("max_chars"),
+          col("n_langs"))
+    },
+
     // ── blocklist / pattern redaction (PII-scrub machinery) ─────────────
     // The standard scrub stage of a training pipeline: a rule list of
     // (name, regex) patterns is applied per document; output = redacted
@@ -837,6 +901,48 @@ object TextQueries {
          |    AND d.quality >= p.quality AND d.n_tokens >= p.n_tokens
          |    AND (d.quality > p.quality OR d.n_tokens > p.n_tokens))
          |""".stripMargin,
+
+    "q_tfidf_pairs" ->
+      s"""WITH $toksCte,
+         |tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+         |  FROM toks, unnest(t) AS u(tok) GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+         |  HAVING count(*) <= $MAX_DF),
+         |w AS (SELECT doc_id, tf.term, CAST(tf * (1000 // df) AS BIGINT) AS w
+         |  FROM tf JOIN dfq USING (term)),
+         |nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nrm
+         |  FROM w GROUP BY 1),
+         |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(sum(a.w * b.w) AS BIGINT) AS dot
+         |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, dot,
+         |  CAST(dot * 20000 // (na.nrm + nb.nrm) AS BIGINT) AS dice_bp
+         |FROM dots
+         |JOIN nrm na ON na.doc_id = doc_a
+         |JOIN nrm nb ON nb.doc_id = doc_b
+         |WHERE dot * 20000 >= ${THRESH * 100} * (na.nrm + nb.nrm)"""
+        .stripMargin,
+
+    "q_golden_record" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |$qualityCtes,
+         |mem AS (SELECT cc.id, cc.cluster_id, qv.quality, d.n_chars,
+         |    d.lang
+         |  FROM cc JOIN qv ON qv.doc_id = cc.id
+         |  JOIN documents d ON d.doc_id = cc.id),
+         |r AS (SELECT cluster_id, id,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, id ASC) AS rn
+         |  FROM mem),
+         |a AS (SELECT cluster_id, count(*) AS n_members,
+         |    max(quality) AS max_quality, max(n_chars) AS max_chars,
+         |    count(DISTINCT lang) AS n_langs
+         |  FROM mem GROUP BY 1)
+         |SELECT a.cluster_id, r.id AS survivor_id, n_members,
+         |  max_quality, max_chars, n_langs
+         |FROM a JOIN r ON r.cluster_id = a.cluster_id AND r.rn = 1"""
+        .stripMargin,
 
     "q_blocklist_redact" ->
       s"""SELECT doc_id,

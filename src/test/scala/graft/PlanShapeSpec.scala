@@ -118,6 +118,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     for (q <- Seq("q_interval_overlap", "q_edit_distance_pairs"))
       assertNoCross(planOf(RelationalQueries.queries
         .getOrElse(q, operators.TextQueries.queries(q))(spark, sf)), q)
+    // the TF-IDF pair build rides the term key with df-capped postings
+    // — same no-cross contract as the jaccard family
+    assertNoCross(planOf(
+      operators.TextQueries.queries("q_tfidf_pairs")(spark, sf)),
+      "q_tfidf_pairs")
     // PMI's one BNLJ is the single-row n_docs scalar attach (a broadcast
     // of ONE row — constant cost); the corpus-sized pair build itself
     // must be hash-keyed and there must be no second nested loop.
