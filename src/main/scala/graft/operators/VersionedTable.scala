@@ -148,6 +148,34 @@ final class VersionedTable private (spark: SparkSession, path: String,
       case None => throw new IOException(s"optimize on missing table $path")
     }
 
+  /** OPTIMIZE ZORDER BY (x, y): rewrite the table clustered by Morton
+    * z-value so every output file covers a tight axis-aligned cell in
+    * BOTH dimensions — the file-footer min/max stats then prune scans
+    * filtered on either column (or both), which a single-dim sort only
+    * provides for its leading key. `repartitionByRange` on the z-value
+    * gives contiguous z-ranges per file (a range shuffle over the
+    * sampled z distribution — no global sort), and the within-file
+    * sort keeps row groups tight. A new version like any mutation, so
+    * a bad layout is time-travel recoverable. The Delta analogy:
+    * `OPTIMIZE t ZORDER BY (x, y)`; pruning math pinned in ZOrderSpec.
+    */
+  def optimizeZOrder(x: Column, y: Column,
+                     targetBytes: Long = 128L * 1024 * 1024,
+                     numFiles: Option[Int] = None): Unit =
+    mutate {
+      case Some(existing) =>
+        val bytes = fs.getContentSummary(target).getLength
+        val n = numFiles.getOrElse(
+          math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
+        existing
+          .withColumn("__graft_z", ZOrder.zValue(x, y))
+          .repartitionByRange(n, org.apache.spark.sql.functions.col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z")
+      case None =>
+        throw new IOException(s"optimizeZOrder on missing table $path")
+    }
+
   /** Prune retained versions beyond the newest `keepLast`. No default:
     * `keepLast = 0` deletes the ENTIRE time-travel window, and that
     * must be something the caller typed, not something a bare

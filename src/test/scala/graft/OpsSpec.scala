@@ -168,4 +168,35 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     // the pre-compaction layout is still readable at v1
     assert(t.readAt(1).count() === 1000)
   }
+
+  test("versioned table: OPTIMIZE ZORDER tightens per-file spans on BOTH dims") {
+    val path = Files.createTempDirectory("graft-vt5").toString + "/t"
+    val t = Graft.table(spark, path)
+    // 64×64 grid in row-major order: a naive x-sorted layout gives
+    // each file the FULL y range
+    val grid = spark.range(4096)
+      .selectExpr("id div 64 AS x", "id % 64 AS y")
+    t.overwrite(grid.repartitionByRange(8, col("x")))
+    def spans(): (Long, Long) = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .agg(avg("sx"), avg("sy")).collect()(0)
+      (perFile.getDouble(0).round, perFile.getDouble(1).round)
+    }
+    val (_, syBefore) = spans()
+    assert(syBefore === 63L) // x-sorted files span all of y
+    // 16 z-range files over the 64×64 grid ≈ one 16×16 z-tile each
+    t.optimizeZOrder(col("x"), col("y"), numFiles = Some(16))
+    assert(t.version() === 2)
+    // content identical, layout clustered: both spans now well under
+    // the full 0..63 range (each file ≈ an axis-aligned z-cell)
+    val zread = t.read()
+    assert(zread.count() === 4096)
+    assert(zread.selectExpr("sum(x * 64 + y)").as[Long].head() ===
+      (0L until 4096L).sum)
+    val (sxAfter, syAfter) = spans()
+    assert(sxAfter <= 32L && syAfter <= 32L,
+      s"z-layout spans ($sxAfter, $syAfter) not tight on both dims")
+  }
 }
