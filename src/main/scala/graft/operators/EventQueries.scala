@@ -215,6 +215,25 @@ object EventQueries {
         .agg(count(lit(1)).as("n_occurrences"))
     },
 
+    // ── rolling 7-day active users (distinct over sliding windows) ──────
+    // The DAU/WAU-family metric, and the classic "distinct doesn't
+    // slide" problem: a windowed count-distinct cannot reuse adjacent
+    // windows' state, so the scalable rewrite is presence-set algebra —
+    // dedup to (user, day) once (the only corpus-sized pass), fan each
+    // presence out to the ≤7 window-ends it supports, dedup again
+    // (users active on several days in one window count once), count.
+    // Work is |distinct (user, day)| × 7, independent of event volume.
+    "q_rolling_active" -> { (s, dir) =>
+      loadEvents(s, dir)
+        .select(col("user_id"), expr("ms div 86400000").as("day"))
+        .distinct()
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("window_day"))
+        .distinct()
+        .groupBy(col("window_day"))
+        .agg(count(lit(1)).as("n_active_7d"))
+    },
+
     // ── Markov transition matrix over the event stream ──────────────────
     // The behavioral model behind next-event prediction and anomaly
     // scoring: per user, each consecutive (prev → next) event-type pair
@@ -523,6 +542,14 @@ object EventQueries {
         |  FROM e JOIN o ON e.user_id = o.o_custkey AND o.oms <= e.ms)
         |SELECT event_id, user_id, ms, o_orderkey, o_totalprice
         |FROM j WHERE rn = 1""".stripMargin,
+
+    "q_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 AS day FROM events),
+        |uw AS (SELECT DISTINCT user_id, day + o AS window_day
+        |  FROM ud, range(0, 7) t(o))
+        |SELECT window_day, count(*) AS n_active_7d
+        |FROM uw GROUP BY 1""".stripMargin,
 
     "q_hopping_window" ->
       """WITH e AS (SELECT event_type,

@@ -165,6 +165,27 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     },
 
+    // ── trailing range-frame aggregation (moving sum) ───────────────────
+    // The time-series smoothing shape: per supplier, the quantity sum
+    // over a trailing 7-DAY window at each ship date — a RANGE frame
+    // over epoch-day integers, so gaps in the calendar are handled by
+    // VALUE distance, not row count (a rows-frame would silently widen
+    // over sparse days). Pre-aggregating to one row per (supplier, day)
+    // first keeps the window input |suppliers|×|days|, not row count —
+    // the same pre-agg-then-window discipline as the quantile family.
+    "q_trailing_sum" -> { (s, dir) =>
+      val daily = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+            .as("day"),
+          expr("CAST(l_quantity AS BIGINT)").as("qty"))
+        .groupBy(col("l_suppkey"), col("day"))
+        .agg(sum(col("qty")).as("day_qty"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("day"))
+        .rangeBetween(-6L, 0L)
+      daily.withColumn("qty_7d", sum(col("day_qty")).over(w))
+    },
+
     // ── generic per-group top-k via the native bounded_topk ─────────────
     // Top-3 line items by price per supplier — the HIGH-cardinality
     // group top-k (thousands of suppliers), where a rank window would
@@ -680,6 +701,17 @@ object RelationalQueries {
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_trailing_sum" ->
+      """WITH daily AS (SELECT l_suppkey,
+        |    date_diff('day', DATE '1970-01-01', l_shipdate) AS day,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS day_qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_suppkey, day, day_qty,
+        |  CAST(sum(day_qty) OVER (PARTITION BY l_suppkey ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS qty_7d
+        |FROM daily""".stripMargin,
 
     "q_group_topk" ->
       """WITH li AS (SELECT l_suppkey,
