@@ -424,6 +424,100 @@ object VectorQueries {
       col("query_id") =!= col("neighbor_id")))
   }
 
+  /** One quantized-Lloyd iteration per SUBSPACE: the PQ codebook fit.
+    * Each of the PQ_M subspaces independently refines its PQ_K seed
+    * codewords (the first PQ_K vectors' slices) exactly as
+    * [[KMeans.refineQuantized]] refines full-dim centroids — same
+    * float-l2 argmin assignment (struct-min, cell-asc tie-break), same
+    * integer-quantized coordinate mean, so the fit is bit-reproducible
+    * and the FITTED codebook stays behind the DuckDB hash gate. One
+    * iteration (the q_ann_ivf_kmeans convention): recall ≥ seeds at
+    * equal work, lowest fit cost. Returns (m, cell, centroid[sub]).
+    */
+  private[graft] def pqFitSubspaces(emb: DataFrame): DataFrame = {
+    val sv = emb.select(col("vec_id"), explode(expr(
+      s"""transform(sequence(0, $PQ_M - 1), m -> struct(m AS m,
+         | slice(embedding, m * (size(embedding) div $PQ_M) + 1,
+         |   size(embedding) div $PQ_M) AS svec))""".stripMargin)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.svec").as("svec"))
+    val seedsArr = sv.filter(col("vec_id") < PQ_K)
+      .select(col("m"), struct(col("vec_id").cast("int").as("cell"),
+        col("svec").as("centroid")).as("cc"))
+      .groupBy(col("m")).agg(sort_array(collect_list(col("cc"))).as("cents"))
+    sv.join(broadcast(seedsArr), "m")
+      .withColumn("cell",
+        array_min(transform(col("cents"), c =>
+          struct(l2Sq(col("svec"), c.getField("centroid")).as("d2"),
+            c.getField("cell").as("cell")))).getField("cell"))
+      .select(col("m"), col("cell"), posexplode(col("svec")))
+      .toDF("m", "cell", "pos", "v")
+      .groupBy(col("m"), col("cell"), col("pos"))
+      .agg(sum(floor(col("v").cast("double") * KMeans.QUANT)).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy(col("m"), col("cell"))
+      .agg(sort_array(collect_list(struct(col("pos"),
+        ((col("s").cast("double") / col("n")) / KMeans.QUANT)
+          .cast("float").as("mm")))).as("pm"))
+      .select(col("m"), col("cell"),
+        transform(col("pm"), x => x.getField("mm")).as("centroid"))
+  }
+
+  /** The fitted codebook as ONE broadcast row: `cbm[m]` = subspace m's
+    * codewords sorted by cell id, each with integer-quantized coords.
+    * Codes are POSITIONAL into cbm[m] (Lloyd can drop empty cells, so
+    * cell ids may be sparse; position order ≡ cell-id order keeps the
+    * argmin tie-break aligned with the oracle's ORDER BY dist, k).
+    */
+  private def pqFittedCbRow(fitted: DataFrame): DataFrame =
+    fitted.select(col("m"), struct(col("cell").cast("int").as("k"),
+        expr("transform(centroid, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))")
+          .as("cq")).as("e"))
+      .groupBy(col("m")).agg(sort_array(collect_list(col("e"))).as("cw"))
+      .agg(sort_array(collect_list(struct(col("m"), col("cw"))))
+        .as("mw"))
+      .select(expr("transform(mw, x -> x.cw)").as("cbm"))
+
+  /** Integer L2² between subspace m of `vq` and fitted codeword
+    * cbm[m][i] (sub-length coords, indexed from 0). Expects `vq`,
+    * `cbm`, `m`, `i` in scope.
+    */
+  private def pqSubDistFitted: String =
+    s"""aggregate(sequence(0, size(vq) div $PQ_M - 1),
+       | CAST(0 AS BIGINT), (acc, d) -> acc +
+       |  (vq[m * (size(vq) div $PQ_M) + d] - cbm[m][i].cq[d]) *
+       |  (vq[m * (size(vq) div $PQ_M) + d] - cbm[m][i].cq[d]))"""
+      .stripMargin
+
+  /** PQ-ADC top-k over a KMEANS-FITTED codebook — the production PQ
+    * configuration (q_ann_pq_topk's documented upgrade path), behind
+    * the same hash gate because the fit is engine-exact. Same plan
+    * shape as pqTopk: one broadcast codebook row, in-row positional
+    * argmin encode, broadcast query tables, BNLJ ADC scan,
+    * bounded_topk.
+    */
+  private[graft] def pqKmeansTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = loadEmb(s, dir)
+    val cbm = pqFittedCbRow(pqFitSubspaces(emb))
+    val q = emb.select(col("vec_id"), expr(pqQuant("embedding")).as("vq"))
+    val coded = q.crossJoin(broadcast(cbm))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, $PQ_M - 1), m ->
+           |  array_min(transform(sequence(0, size(cbm[m]) - 1), i ->
+           |    struct($pqSubDistFitted AS dist, i AS i))).i)"""
+          .stripMargin))
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    val dtabs = q.filter(col("vec_id") < N_QUERIES)
+      .crossJoin(broadcast(cbm))
+      .withColumn("dtab", expr(
+        s"""transform(sequence(0, $PQ_M - 1), m ->
+           |  transform(sequence(0, size(cbm[m]) - 1), i ->
+           |    $pqSubDistFitted))""".stripMargin))
+      .select(col("vec_id").as("query_id"), col("dtab"))
+    adcTopk(coded.join(broadcast(dtabs),
+      col("query_id") =!= col("neighbor_id")))
+  }
+
   /** IVF-PQ: the classic composition of the two ANN scale axes —
     * IVF cells cut the CANDIDATE COUNT (each query probes nprobe of
     * the C cells, scanning ~nprobe/C of the corpus) and PQ codes cut
@@ -553,6 +647,9 @@ object VectorQueries {
 
     // ── IVF-PQ: cells × codes, the FAISS-style composition ──────────────
     "q_ann_ivfpq_topk" -> { (s, dir) => ivfPqTopk(s, dir) },
+
+    // ── PQ-ADC over a KMeans-fitted codebook (see pqKmeansTopk) ─────────
+    "q_ann_pq_kmeans" -> { (s, dir) => pqKmeansTopk(s, dir) },
 
     // ── kNN label vote: the classify/label-propagation read of ANN ─────
     // Predict each query vector's label by majority vote over its
@@ -905,6 +1002,57 @@ object VectorQueries {
          |      ORDER BY adist ASC, neighbor_id ASC) AS rank
          |  FROM ad)
          |SELECT query_id, neighbor_id, rank FROM r
+         |WHERE rank <= $TOP_K""".stripMargin,
+
+    // SQL replay of the fitted-codebook PQ: slice per subspace, one
+    // quantized-Lloyd iteration per (m) — the kmeansCtes shape with m
+    // added to every key — then quantize the fitted codewords and run
+    // the same pd/codes/ADC pipeline against them.
+    "q_ann_pq_kmeans" ->
+      s"""WITH $pqCtes,
+         |sv AS (SELECT vec_id, t.m,
+         |    embedding[CAST(t.m * (len(embedding) // $PQ_M) + 1 AS INT):
+         |              CAST((t.m + 1) * (len(embedding) // $PQ_M) AS INT)]
+         |      AS svec
+         |  FROM embeddings, range(0, $PQ_M) t(m)),
+         |scent0 AS (SELECT m, vec_id AS cell, svec AS centroid
+         |  FROM sv WHERE vec_id < $PQ_K),
+         |kasg AS (SELECT m, cell, svec FROM (
+         |  SELECT s.m, c.cell, s.svec,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.m
+         |      ORDER BY list_distance(s.svec, c.centroid) ASC,
+         |        c.cell ASC) AS rn
+         |  FROM sv s JOIN scent0 c ON s.m = c.m) WHERE rn = 1),
+         |kq AS (SELECT m, cell, pos,
+         |    sum(CAST(floor(CAST(v AS DOUBLE) * ${KMeans.QUANT})
+         |      AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM (SELECT m, cell, generate_subscripts(svec, 1) AS pos,
+         |               unnest(svec) AS v FROM kasg)
+         |  GROUP BY 1, 2, 3),
+         |cqt AS (SELECT m, cell AS k, pos - 1 AS pd,
+         |    CAST(floor(CAST(CAST((CAST(s AS DOUBLE) / n) / ${KMeans.QUANT}
+         |      AS FLOAT) AS DOUBLE) * 1048576) AS BIGINT) AS qc
+         |  FROM kq),
+         |psv AS (SELECT vec_id, d // (dim // $PQ_M) AS m,
+         |    d % (dim // $PQ_M) AS pd, q FROM pqv),
+         |pd2 AS (SELECT v.vec_id, c.k, v.m,
+         |    CAST(sum((v.q - c.qc) * (v.q - c.qc)) AS BIGINT) AS dist
+         |  FROM psv v JOIN cqt c ON v.m = c.m AND v.pd = c.pd
+         |  GROUP BY 1, 2, 3),
+         |codes2 AS (SELECT vec_id, m, k FROM (
+         |  SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m
+         |    ORDER BY dist ASC, k ASC) AS rn FROM pd2) WHERE rn = 1),
+         |ad2 AS (SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    sum(qd.dist) AS adist
+         |  FROM codes2 c JOIN pd2 qd ON qd.m = c.m AND qd.k = c.k
+         |  WHERE qd.vec_id < $N_QUERIES AND qd.vec_id <> c.vec_id
+         |  GROUP BY 1, 2),
+         |r2 AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist ASC, neighbor_id ASC) AS rank
+         |  FROM ad2)
+         |SELECT query_id, neighbor_id, rank FROM r2
          |WHERE rank <= $TOP_K""".stripMargin,
 
     // SQL replay of rp_project: same quantize grid and LCG as the

@@ -54,6 +54,12 @@ object RecallProbe {
       val ipr = VectorQueries.recallOf(brute, ivfpq).collect()
         .map(_.getAs[Long]("recall_pct"))
       println(f"RECALLPROBE $sf ivfpq recall=${ipr.sum.toDouble / ipr.length}%.1f scanned=ivf-fraction-coded")
+      // fitted-codebook PQ arm: does one per-subspace Lloyd iteration
+      // beat the first-K-slices codebook at equal code budget?
+      val pqf = VectorQueries.queries("q_ann_pq_kmeans")(spark, sf)
+      val fpr = VectorQueries.recallOf(brute, pqf).collect()
+        .map(_.getAs[Long]("recall_pct"))
+      println(f"RECALLPROBE $sf pq-kmeans recall=${fpr.sum.toDouble / fpr.length}%.1f scanned=all-coded")
     }
     spark.stop()
   }
