@@ -215,6 +215,24 @@ object EventQueries {
         .agg(count(lit(1)).as("n_occurrences"))
     },
 
+    // ── inter-arrival time histogram per event type ─────────────────────
+    // The traffic-model profile behind rate alerting and capacity
+    // planning: per type, consecutive-event gaps bucketed into minutes
+    // (capped at 60 — the tail folds into one bucket). One type-keyed
+    // sort (|types| partitions of the same window the sessionizers
+    // use), then a |types|×61-bounded aggregate.
+    "q_arrival_histogram" -> { (s, dir) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ms").asc, col("event_id").asc)
+      loadEvents(s, dir)
+        .select(col("event_type"),
+          (col("ms") - lag(col("ms"), 1).over(w)).as("gap_ms"))
+        .filter(col("gap_ms").isNotNull)
+        .withColumn("bucket_min", expr("least(gap_ms div 60000, 60)"))
+        .groupBy(col("event_type"), col("bucket_min"))
+        .agg(count(lit(1)).as("n_gaps"))
+    },
+
     // ── rolling 7-day active users (distinct over sliding windows) ──────
     // The DAU/WAU-family metric, and the classic "distinct doesn't
     // slide" problem: a windowed count-distinct cannot reuse adjacent
@@ -542,6 +560,19 @@ object EventQueries {
         |  FROM e JOIN o ON e.user_id = o.o_custkey AND o.oms <= e.ms)
         |SELECT event_id, user_id, ms, o_orderkey, o_totalprice
         |FROM j WHERE rn = 1""".stripMargin,
+
+    "q_arrival_histogram" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    epoch_ms(ts) AS ms FROM events),
+        |g AS (SELECT event_type,
+        |    ms - lag(ms) OVER (PARTITION BY event_type
+        |      ORDER BY ms ASC, event_id ASC) AS gap_ms
+        |  FROM e)
+        |SELECT event_type,
+        |  CAST(least(gap_ms // 60000, 60) AS BIGINT) AS bucket_min,
+        |  count(*) AS n_gaps
+        |FROM g WHERE gap_ms IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_rolling_active" ->
       """WITH ud AS (SELECT DISTINCT user_id,

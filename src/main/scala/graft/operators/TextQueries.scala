@@ -473,6 +473,29 @@ object TextQueries {
         Seq("lang"), "quality", "n_tokens", "n_docs")
     },
 
+    // ── dataset card: one-row corpus profile ────────────────────────────
+    // The summary block every dataset release ships: volume, language/
+    // source breadth, exact-duplicate mass, and mean quality — one
+    // aggregate pass (countDistinct expands to a couple of shuffles,
+    // all over a single-row result; integer mean via div). The per-doc
+    // signals reuse the same fingerprint/quality/token definitions the
+    // dedup and curation queries bind to, so the card cannot drift
+    // from the pipeline it summarizes.
+    "q_corpus_card" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(TextFunctions.fingerprint(col("text")).as("fp"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.tokenCount(col("text")).as("toks"),
+          col("lang"), col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"),
+          expr("sum(quality) div count(1)").as("mean_quality"))
+    },
+
     // ── TF-IDF-weighted document similarity pairs ───────────────────────
     // The WEIGHTED tier of the dedup family: Jaccard treats all
     // shingles equally, but near-dup policy often wants rare terms to
@@ -901,6 +924,26 @@ object TextQueries {
          |    AND d.quality >= p.quality AND d.n_tokens >= p.n_tokens
          |    AND (d.quality > p.quality OR d.n_tokens > p.n_tokens))
          |""".stripMargin,
+
+    "q_corpus_card" ->
+      s"""WITH $qualityCtes,
+         |fp AS (SELECT doc_id,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+         |  FROM documents),
+         |tk AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
+         |  FROM documents)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(tk.toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+         |  count(DISTINCT d.lang) AS n_langs,
+         |  count(DISTINCT d.source) AS n_sources,
+         |  count(*) - count(DISTINCT fp.f) AS n_dup_docs,
+         |  CAST(sum(qv.quality) // count(*) AS BIGINT) AS mean_quality
+         |FROM documents d
+         |JOIN fp ON fp.doc_id = d.doc_id
+         |JOIN tk ON tk.doc_id = d.doc_id
+         |JOIN qv ON qv.doc_id = d.doc_id""".stripMargin,
 
     "q_tfidf_pairs" ->
       s"""WITH $toksCte,

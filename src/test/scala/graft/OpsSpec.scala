@@ -169,6 +169,26 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(t.readAt(1).count() === 1000)
   }
 
+  test("versioned table: merge evolves the schema; old versions keep theirs") {
+    val path = Files.createTempDirectory("graft-vt6").toString + "/t"
+    val t = Graft.table(spark, path)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // incoming batch adds a column and updates a key: unionByName with
+    // allowMissingColumns null-fills the old rows — Delta's
+    // mergeSchema behavior
+    t.merge(Seq((2L, "b2", 99L), (3L, "c", 7L))
+      .toDF("id", "v", "score"), keys = Seq("id"))
+    val live = t.read()
+    assert(live.columns.toSet === Set("id", "v", "score"))
+    assert(live.count() === 3)
+    assert(live.filter(col("id") === 1L).select("score")
+      .collect()(0).isNullAt(0)) // old row null-filled
+    assert(live.filter(col("id") === 2L).select("v")
+      .as[String].head() === "b2") // incoming wins on the merge key
+    // time travel still serves the PRE-evolution schema
+    assert(t.readAt(1).columns.toSet === Set("id", "v"))
+  }
+
   test("versioned table: OPTIMIZE ZORDER tightens per-file spans on BOTH dims") {
     val path = Files.createTempDirectory("graft-vt5").toString + "/t"
     val t = Graft.table(spark, path)
