@@ -496,6 +496,25 @@ object TextQueries {
           expr("sum(quality) div count(1)").as("mean_quality"))
     },
 
+    // ── duplicate concentration per source ──────────────────────────────
+    // The curation diagnostic behind source-level policy ("this crawl
+    // is 40 % boilerplate — downweight it"): per source, how many of
+    // its docs belong to a corpus-wide exact-duplicate group? One
+    // fingerprint aggregate + one join back + one source-keyed fold;
+    // integer basis points. Pairs naturally with q_mixture_weights —
+    // dup_bp is the first correction a mixing plan applies.
+    "q_dup_rate_by_source" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+      val fpc = d.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      d.join(fpc, "fp")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_docs"))
+        .withColumn("dup_bp", expr("n_dup_docs * 10000 div n_docs"))
+    },
+
     // ── TF-IDF-weighted document similarity pairs ───────────────────────
     // The WEIGHTED tier of the dedup family: Jaccard treats all
     // shingles equally, but near-dup policy often wants rare terms to
@@ -924,6 +943,19 @@ object TextQueries {
          |    AND d.quality >= p.quality AND d.n_tokens >= p.n_tokens
          |    AND (d.quality > p.quality OR d.n_tokens > p.n_tokens))
          |""".stripMargin,
+
+    "q_dup_rate_by_source" ->
+      """WITH f AS (SELECT source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |fc AS (SELECT fp, count(*) AS c FROM f GROUP BY 1)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 10000
+        |    // count(*) AS BIGINT) AS dup_bp
+        |FROM f JOIN fc USING (fp)
+        |GROUP BY source""".stripMargin,
 
     "q_corpus_card" ->
       s"""WITH $qualityCtes,

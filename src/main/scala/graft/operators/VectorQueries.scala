@@ -747,36 +747,58 @@ object VectorQueries {
     // sides read it, and without the cache each side would re-derive
     // the augmented corpus and re-run the n·C argmin — the round-3
     // driver record showed exactly that as a 5× regression.
-    "q_embedding_neardup" -> { (s, dir) =>
-      val emb = loadEmb(s, dir).select(col("vec_id"), col("embedding"))
-      val aug = emb.unionByName(
-        emb.filter(col("vec_id") < DUP_COPIES)
-          .select((col("vec_id") + DUP_OFFSET).as("vec_id"),
-            col("embedding")))
-      // exact augmented size for ANY corpus (no dense-id assumption —
-      // `emb.count + DUP_COPIES` would diverge from the oracle when
-      // fewer than DUP_COPIES ids exist below the cutoff): one cheap
-      // driver-side aggregate over the scan
-      val cnts = emb.agg(count(lit(1)),
-        count(when(col("vec_id") < DUP_COPIES, 1))).head()
-      val n = cnts.getLong(0) + cnts.getLong(1)
-      val nCells = math.max(MIN_CELLS.toLong, math.sqrt(n.toDouble).toLong)
-      val centroids = emb.filter(col("vec_id") < nCells)
-        .select(col("vec_id").as("cell"),
-          col("embedding").as("centroid"))
-      val assigned = graft.CacheRegistry.register(
-        withCell(aug, centroidArray(centroids), col("embedding"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val a = assigned.select(col("vec_id").as("vec_a"),
-        col("embedding").as("ea"), col("cell"))
-      val b = assigned.select(col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("cell"))
-      a.join(b, Seq("cell"))
-        .filter(col("vec_a") < col("vec_b") &&
-          cosine(col("ea"), col("eb")) >= NEARDUP_THRESHOLD)
-        .select(col("vec_a"), col("vec_b"))
+    "q_embedding_neardup" -> { (s, dir) => embeddingNearDupPairs(s, dir) },
+
+    // ── semantic-duplicate clusters over the embedding space ────────────
+    // The SemDeDup shape: close the cosine near-dup pairs into
+    // connected components (the same distributed hash-min fixpoint the
+    // text and media cluster queries use) — each cluster is one
+    // semantic equivalence class, and "keep one representative per
+    // cluster" is the dedup policy a pipeline executes on it. Member
+    // table output (vec_id, cluster_id, cluster_sz); recursive-CTE
+    // oracle.
+    "q_embedding_clusters" -> { (s, dir) =>
+      Clusters.memberTable(
+        embeddingNearDupPairs(s, dir).toDF("doc_a", "doc_b"))
+        .toDF("vec_id", "cluster_id", "cluster_sz")
     }
   )
+
+  /** The q_embedding_neardup body — cell-blocked candidates + exact
+    * cosine verify over the duplicate-augmented corpus (see the query
+    * comment above for the scale contract). Shared with
+    * q_embedding_clusters, which closes these pairs into components.
+    */
+  private def embeddingNearDupPairs(s: SparkSession,
+                                    dir: String): DataFrame = {
+    val emb = loadEmb(s, dir).select(col("vec_id"), col("embedding"))
+    val aug = emb.unionByName(
+      emb.filter(col("vec_id") < DUP_COPIES)
+        .select((col("vec_id") + DUP_OFFSET).as("vec_id"),
+          col("embedding")))
+    // exact augmented size for ANY corpus (no dense-id assumption —
+    // `emb.count + DUP_COPIES` would diverge from the oracle when
+    // fewer than DUP_COPIES ids exist below the cutoff): one cheap
+    // driver-side aggregate over the scan
+    val cnts = emb.agg(count(lit(1)),
+      count(when(col("vec_id") < DUP_COPIES, 1))).head()
+    val n = cnts.getLong(0) + cnts.getLong(1)
+    val nCells = math.max(MIN_CELLS.toLong, math.sqrt(n.toDouble).toLong)
+    val centroids = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"),
+        col("embedding").as("centroid"))
+    val assigned = graft.CacheRegistry.register(
+      withCell(aug, centroidArray(centroids), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val a = assigned.select(col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("cell"))
+    val b = assigned.select(col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b") &&
+        cosine(col("ea"), col("eb")) >= NEARDUP_THRESHOLD)
+      .select(col("vec_a"), col("vec_b"))
+  }
 
   // ─── DuckDB oracle twins ──────────────────────────────────────────────
 
@@ -1082,22 +1104,45 @@ object VectorQueries {
          |GROUP BY b.query_id""".stripMargin,
 
     "q_embedding_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
-         |           UNION ALL
-         |           SELECT vec_id + $DUP_OFFSET, embedding FROM embeddings
-         |           WHERE vec_id < $DUP_COPIES),
-         |nc AS (SELECT greatest($MIN_CELLS, CAST(floor(sqrt(count(*))) AS BIGINT)) AS n_cells
-         |       FROM e),
-         |cent AS (SELECT vec_id AS cell, embedding AS centroid
-         |         FROM embeddings, nc WHERE vec_id < n_cells),
-         |assigned AS (SELECT vec_id, embedding, cell FROM (
-         |  SELECT e.vec_id, e.embedding, cent.cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_distance(e.embedding, cent.centroid) ASC, cent.cell ASC) AS rn
-         |  FROM e, cent) WHERE rn = 1)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |FROM assigned a JOIN assigned b
-         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= $NEARDUP_THRESHOLD""".stripMargin
+      s"""WITH $embNearDupCtes
+         |SELECT vec_a, vec_b FROM evp""".stripMargin,
+
+    "q_embedding_clusters" ->
+      s"""WITH RECURSIVE $embNearDupCtes,
+         |ee AS (SELECT vec_a AS src, vec_b AS dst FROM evp
+         |       UNION SELECT vec_b, vec_a FROM evp),
+         |reach AS (SELECT src AS id, src AS r FROM ee
+         |          UNION
+         |          SELECT reach.id, ee.dst FROM reach
+         |            JOIN ee ON ee.src = reach.r),
+         |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |csz AS (SELECT cluster_id, count(*) AS cluster_sz
+         |  FROM cc GROUP BY cluster_id)
+         |SELECT cc.id AS vec_id, cc.cluster_id, csz.cluster_sz
+         |FROM cc JOIN csz USING (cluster_id)""".stripMargin
   )
+
+  /** CTE chain ending in `evp(vec_a, vec_b)` — the cell-blocked,
+    * cosine-verified near-dup pairs over the duplicate-augmented
+    * corpus; shared by q_embedding_neardup and q_embedding_clusters.
+    */
+  private def embNearDupCtes: String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings
+       |           UNION ALL
+       |           SELECT vec_id + $DUP_OFFSET, embedding FROM embeddings
+       |           WHERE vec_id < $DUP_COPIES),
+       |nc AS (SELECT greatest($MIN_CELLS, CAST(floor(sqrt(count(*))) AS BIGINT)) AS n_cells
+       |       FROM e),
+       |cent AS (SELECT vec_id AS cell, embedding AS centroid
+       |         FROM embeddings, nc WHERE vec_id < n_cells),
+       |assigned AS (SELECT vec_id, embedding, cell FROM (
+       |  SELECT e.vec_id, e.embedding, cent.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_distance(e.embedding, cent.centroid) ASC, cent.cell ASC) AS rn
+       |  FROM e, cent) WHERE rn = 1),
+       |evp AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= $NEARDUP_THRESHOLD)"""
+      .stripMargin
 }
