@@ -252,6 +252,16 @@ object Graft {
               yCol: String, countName: String = "n_rows"): DataFrame =
     Curation.skyline(points, partCols, xCol, yCol, countName)
 
+  /** Incremental Markov transition facts: one (prev → next) row per
+    * consecutive event pair per user, constant state. Aggregate
+    * downstream for the live matrix. See
+    * [[streaming.StreamingEvents.transitionsStream]].
+    */
+  def transitionsStream(events: org.apache.spark.sql.Dataset[
+      streaming.StreamingEvents.Event]): org.apache.spark.sql.Dataset[
+      streaming.Transition] =
+    streaming.StreamingEvents.transitionsStream(events)
+
   /** Incremental streaming skyline: per-group frontier folded per
     * micro-batch in bounded state; emits the updated frontier stamped
     * with a revision (read the max-rev rows). See

@@ -61,6 +61,20 @@ final case class SkyState(rev: Long, xy: Seq[Long])
   */
 final case class SkyFrontier(group: String, rev: Long, x: Long, y: Long)
 
+/** Per-user last-event frontier for
+  * [[StreamingEvents.transitionsStream]] — three fields, constant
+  * width forever. Top-level and public for the state encoder (see
+  * [[SessionState]]).
+  */
+final case class TransState(lastMs: Long, lastId: Long, lastType: String)
+
+/** One consecutive-event transition fact for `user_id`. Downstream,
+  * `groupBy(prev_type, next_type).count()` is the live Markov matrix —
+  * the streaming twin of q_event_transitions.
+  */
+final case class Transition(user_id: Long, prev_type: String,
+                            next_type: String)
+
 /** Event-stream operators: watermarked tumbling-window aggregation,
   * gap-based session windows, and custom per-key state via
   * `flatMapGroupsWithState` — the streaming counterparts of
@@ -289,6 +303,45 @@ object StreamingEvents {
             }
           }
           if (gates.nonEmpty) state.update(FunnelState(gates))
+          out.result().iterator
+      }
+  }
+
+  /** Incremental Markov transitions — the streaming twin of
+    * q_event_transitions: per user, emit one (prev → next) fact per
+    * consecutive event pair, carrying only the LAST event per user as
+    * state (three fields — the minimum any cross-batch sequence
+    * operator can hold). Within a batch events sort by (ts, event_id);
+    * an event older than the consumed frontier is dropped rather than
+    * spliced (splicing would retro-invalidate an already-emitted
+    * transition — the same no-replay convention as rateAnomalyStream's
+    * closed hours and funnelStream's rejections). On an in-order
+    * stream the emitted facts aggregate to exactly the batch matrix;
+    * the spec pins both the equivalence and the documented drop.
+    */
+  def transitionsStream(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event],
+         state: GroupState[TransState]) =>
+          val sorted = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { e =>
+            val ms = e.ts.getTime
+            if (st == null)
+              st = TransState(ms, e.event_id, e.event_type)
+            else if (ms > st.lastMs ||
+              (ms == st.lastMs && e.event_id > st.lastId)) {
+              out += Transition(uid, st.lastType, e.event_type)
+              st = TransState(ms, e.event_id, e.event_type)
+            }
+            // else: behind the frontier — dropped, see scaladoc
+          }
+          if (st != null) state.update(st)
           out.result().iterator
       }
   }

@@ -266,6 +266,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out === Set(("click", 6L * 3600000L, 60L, 6L)))
   }
 
+  test("transitionsStream: in-order stream aggregates to the batch matrix") {
+    import graft.streaming.Transition
+    val in = MemoryStream[Event](spark)
+    val q = StreamingEvents.transitionsStream(in.toDS())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode("append").start()
+    // batch 1: u1 view→click; u2 view
+    in.addData(Event(1, ts(10), 1, "view", 0.0),
+      Event(2, ts(20), 1, "click", 0.0),
+      Event(3, ts(15), 2, "view", 0.0))
+    q.processAllAvailable()
+    // batch 2: u1 click→purchase (cross-batch transition from held
+    // state); u2 view→view; u1's LATE event behind the frontier drops
+    in.addData(Event(4, ts(30), 1, "purchase", 0.0),
+      Event(5, ts(25), 2, "view", 0.0),
+      Event(6, ts(5), 1, "view", 0.0)) // behind u1's frontier → dropped
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trans").as[Transition].collect()
+      .groupBy(t => (t.prev_type, t.next_type))
+      .view.mapValues(_.length).toMap
+    assert(got === Map(("view", "click") -> 1, ("click", "purchase") -> 1,
+      ("view", "view") -> 1))
+  }
+
   test("skylineStream: incremental frontier converges to the batch skyline") {
     import graft.streaming.{SkyFrontier, SkyPoint}
     val in = MemoryStream[SkyPoint](spark)
