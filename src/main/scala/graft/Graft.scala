@@ -162,6 +162,19 @@ object Graft {
                            vec: Column): DataFrame =
     operators.VectorQueries.assignCells(df, centroids, vec)
 
+  /** Persisted mergeable distinct-count profile state: one ~2 KB HLL
+    * sketch per unit (day/source/shard); answer any-subset distinct
+    * queries by unioning sketches — O(|sketches|), no rescan. See
+    * [[operators.Sketches]].
+    */
+  def sketchByUnit(df: DataFrame, unitCol: String, keyCol: String,
+                   lgK: Int = 12): DataFrame =
+    Sketches.sketchByUnit(df, unitCol, keyCol, lgK)
+
+  /** Union a (filtered) sketch table into one distinct estimate. */
+  def mergedDistinct(sketches: DataFrame): DataFrame =
+    Sketches.mergedEstimate(sketches)
+
   /** Exchange-aware salted join for skewed keys. */
   def skewJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                salt: Int = 16): DataFrame =
