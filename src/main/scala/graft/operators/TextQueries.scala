@@ -496,6 +496,56 @@ object TextQueries {
           expr("sum(quality) div count(1)").as("mean_quality"))
     },
 
+    // ── vocabulary head-coverage curve (Zipf diagnostic) ────────────────
+    // What share of all token occurrences do the top-k terms cover, at
+    // a ladder of k? The curve is how corpus reports quantify
+    // "head-heaviness" (near-Zipf text ⇒ ~log growth; flat synthetic
+    // vocab ⇒ linear). One vocab-bounded frequency aggregate, then a
+    // rank + cumulative window over the DISTINCT-term table (tiny by
+    // construction, same unpartitioned-window argument as
+    // q_quality_percentile); integer basis points.
+    "q_head_coverage" -> { (s, dir) =>
+      val tf = Tables.load(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(lower(col("text"))))
+          .as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      val tot = tf.agg(sum(col("n")).as("t"))
+      val w = Window.orderBy(col("n").desc, col("term").asc)
+      val wCum = w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      tf.withColumn("k", row_number().over(w))
+        .withColumn("cum", sum(col("n")).over(wCum))
+        .filter(col("k").isin(1, 2, 5, 10, 20, 50))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("cum").as("cum_tokens"),
+          expr("cum * 10000 div t").as("coverage_bp"))
+    },
+
+    // ── per-document n-gram novelty in ingest order ─────────────────────
+    // The marginal-contribution metric dedup ablations rank documents
+    // by: what share of a doc's distinct 3-grams had never appeared in
+    // any EARLIER doc (smaller doc_id = earlier ingest)? A doc full of
+    // already-seen grams is redundant no matter how good it looks in
+    // isolation. Same inverted-index economics as q_dup_ngram_coverage
+    // with min(doc_id) standing in for the df count — the gram table
+    // is the bound, never pair volume.
+    "q_ngram_novelty" -> { (s, dir) =>
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokens(lower(col("text"))).as("toks"))
+        .filter(size(col("toks")) >= K)
+        .select(col("doc_id"), explode(array_distinct(
+          TextFunctions.shinglesFromTokens(col("toks"), K))).as("gram"))
+      val firsts = sh.groupBy(col("gram"))
+        .agg(min(col("doc_id")).as("first_id"))
+      sh.join(firsts, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_bp", expr("n_novel * 10000 div n_grams"))
+    },
+
     // ── duplicate concentration per source ──────────────────────────────
     // The curation diagnostic behind source-level policy ("this crawl
     // is 40 % boilerplate — downweight it"): per source, how many of
@@ -943,6 +993,33 @@ object TextQueries {
          |    AND d.quality >= p.quality AND d.n_tokens >= p.n_tokens
          |    AND (d.quality > p.quality OR d.n_tokens > p.n_tokens))
          |""".stripMargin,
+
+    "q_head_coverage" ->
+      s"""WITH $toksCte,
+         |tf AS (SELECT tok AS term, count(*) AS n
+         |  FROM toks, unnest(t) AS u(tok) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM tf),
+         |r AS (SELECT term, n,
+         |    row_number() OVER (ORDER BY n DESC, term ASC) AS k,
+         |    sum(n) OVER (ORDER BY n DESC, term ASC
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM tf)
+         |SELECT k, CAST(cum AS BIGINT) AS cum_tokens,
+         |  CAST(cum * 10000 // t AS BIGINT) AS coverage_bp
+         |FROM r CROSS JOIN tot
+         |WHERE k IN (1, 2, 5, 10, 20, 50)""".stripMargin,
+
+    "q_ngram_novelty" ->
+      s"""WITH $shinglesCte,
+         |firsts AS (SELECT shingle, min(doc_id) AS first_id
+         |  FROM sh GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+         |    * 10000 // count(*) AS BIGINT) AS novelty_bp
+         |FROM sh JOIN firsts USING (shingle)
+         |GROUP BY doc_id""".stripMargin,
 
     "q_dup_rate_by_source" ->
       """WITH f AS (SELECT source,
