@@ -496,6 +496,40 @@ object TextQueries {
           expr("sum(quality) div count(1)").as("mean_quality"))
     },
 
+    // ── source-level content similarity from MERGEABLE MinHash sketches ─
+    // The cross-source contamination question ("are crawl A and crawl B
+    // the same content?") answered WITHOUT a shingle join: each doc's
+    // zero-shuffle minhash signature folds into its source's by
+    // per-slot MIN — min is associative/commutative/idempotent, so the
+    // source sketch is exactly the sketch of the source's shingle-set
+    // UNION, buildable incrementally per ingest batch (the same
+    // mergeable-state pattern as the HLL profile, but integer-exact
+    // and hence hash-gated). Pairwise estimated Jaccard = matching
+    // slots; the pair table is |sources|², the sketch table
+    // |sources|×16 longs.
+    "q_source_similarity" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val srcSigs = Dedup
+        .minhashSignatures(d, "doc_id", "text", K, NUM_HASHES)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(min(col("mh0")).as("mh0"),
+          (1 until NUM_HASHES).map(i => min(col(s"mh$i")).as(s"mh$i")): _*)
+      val a = srcSigs.select(col("source").as("src_a") +:
+        (0 until NUM_HASHES).map(i => col(s"mh$i").as(s"a$i")): _*)
+      val b = srcSigs.select(col("source").as("src_b") +:
+        (0 until NUM_HASHES).map(i => col(s"mh$i").as(s"b$i")): _*)
+      a.crossJoin(b).filter(col("src_a") < col("src_b"))
+        .withColumn("n_match",
+          (0 until NUM_HASHES).map(i =>
+            when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+            .reduce(_ + _))
+        .withColumn("est_jaccard_pct",
+          expr(s"n_match * 100 div $NUM_HASHES"))
+        .select(col("src_a"), col("src_b"), col("n_match"),
+          col("est_jaccard_pct"))
+    },
+
     // ── vocabulary head-coverage curve (Zipf diagnostic) ────────────────
     // What share of all token occurrences do the top-k terms cover, at
     // a ladder of k? The curve is how corpus reports quantify
@@ -993,6 +1027,21 @@ object TextQueries {
          |    AND d.quality >= p.quality AND d.n_tokens >= p.n_tokens
          |    AND (d.quality > p.quality OR d.n_tokens > p.n_tokens))
          |""".stripMargin,
+
+    "q_source_similarity" -> {
+      val matches = (0 until NUM_HASHES)
+        .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $shinglesCte,
+         |hms AS (SELECT d.source, ${Dedup.hash32Sql(0, "sh.shingle")} % ${Dedup.P} AS hm
+         |  FROM sh JOIN documents d ON d.doc_id = sh.doc_id),
+         |ssig AS (SELECT source, $minhashSelect FROM hms GROUP BY source)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST($matches AS BIGINT) AS n_match,
+         |  CAST(($matches) * 100 // $NUM_HASHES AS BIGINT)
+         |    AS est_jaccard_pct
+         |FROM ssig a JOIN ssig b ON a.source < b.source""".stripMargin
+    },
 
     "q_head_coverage" ->
       s"""WITH $toksCte,
