@@ -134,24 +134,23 @@ object Curation {
     // (source, bin) count. A missing bin counts its full corpus mass —
     // the grid join makes absent bins explicit.
     "q_dist_drift" -> { (s, dir) =>
-      val d = docs(s, dir)
-        .select(col("source"), expr("n_chars div 100").as("bin"))
-      val cb = d.groupBy(col("bin")).agg(count(lit(1)).as("c_all"))
-      val tot = d.agg(count(lit(1)).as("n_all"))
-      val sb = d.groupBy(col("source"), col("bin"))
-        .agg(count(lit(1)).as("c_src"))
-      val stot = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
-      stot.crossJoin(broadcast(cb))
-        .join(sb, Seq("source", "bin"), "left")
-        .na.fill(0L, Seq("c_src"))
-        .crossJoin(broadcast(tot))
-        .groupBy(col("source"))
-        .agg(max(col("n_src")).as("n_rows"),
-          sum(abs(col("c_src") * col("n_all") -
-            col("c_all") * col("n_src"))).as("diff"),
-          max(col("n_all")).as("n_all"))
-        .withColumn("tv_bp", expr("diff * 10000 div (2 * n_all * n_rows)"))
-        .select(col("source"), col("n_rows"), col("tv_bp"))
+      tvDistance(docs(s, dir)
+        .select(col("source"), expr("n_chars div 100").as("bin")),
+        "source")
+    },
+
+    // ── split-bias audit: is any split distributionally skewed? ─────────
+    // The hash split promises each of train/valid/test the SAME
+    // distribution; this measures it — per split, the TV distance of
+    // its length histogram from the corpus's (same machinery as
+    // q_dist_drift, keyed by the split label instead of the source).
+    // Near-zero tv_bp ⇒ the 80/10/10 selection is unbiased in length;
+    // a hot split would mean the hash leaks the binned feature.
+    "q_split_drift" -> { (s, dir) =>
+      tvDistance(docs(s, dir)
+        .select(splitLabel(col("doc_id")).as("split"),
+          expr("n_chars div 100").as("bin")),
+        "split")
     },
 
     // ── 80/10/10 train/valid/test split, audited per language ───────────
@@ -303,6 +302,33 @@ object Curation {
         col("share_bp"), col("epochs_milli"), col("planned_tokens"))
   }
 
+  /** Per-group total-variation distance between each group's `bin`
+    * histogram and the overall one, in integer basis points — the
+    * shared body of q_dist_drift / q_split_drift. Input: rows of
+    * (groupCol, bin). Bin grid bounded ⇒ everything after the one
+    * (group, bin) count is broadcast-scale; a group's missing bins
+    * count their full corpus mass via the explicit grid join.
+    */
+  private[graft] def tvDistance(rows: DataFrame,
+                                groupCol: String): DataFrame = {
+    val cb = rows.groupBy(col("bin")).agg(count(lit(1)).as("c_all"))
+    val tot = rows.agg(count(lit(1)).as("n_all"))
+    val sb = rows.groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("c_grp"))
+    val stot = rows.groupBy(col(groupCol)).agg(count(lit(1)).as("n_grp"))
+    stot.crossJoin(broadcast(cb))
+      .join(sb, Seq(groupCol, "bin"), "left")
+      .na.fill(0L, Seq("c_grp"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col(groupCol))
+      .agg(max(col("n_grp")).as("n_rows"),
+        sum(abs(col("c_grp") * col("n_all") -
+          col("c_all") * col("n_grp"))).as("diff"),
+        max(col("n_all")).as("n_all"))
+      .withColumn("tv_bp", expr("diff * 10000 div (2 * n_all * n_rows)"))
+      .select(col(groupCol), col("n_rows"), col("tv_bp"))
+  }
+
   /** Generic 2-D Pareto frontier (skyline), maximizing `xCol` and
     * `yCol` within each `partCols` group: the O(n²) NOT-EXISTS
     * definition collapsed to one aggregate + two windows over the
@@ -326,6 +352,27 @@ object Curation {
         (col("__max_higher").isNull || col("__max_higher") < col(yCol)))
       .select((part :+ col(xCol)) :+ col(yCol) :+ col(countName): _*)
   }
+
+  /** SQL twin of [[tvDistance]]: `dSql` yields rows (g, bin); the
+    * output group column is renamed `outName` to match the Spark side.
+    */
+  private def tvSql(dSql: String, outName: String): String =
+    s"""WITH d AS ($dSql),
+       |cb AS (SELECT bin, count(*) AS c_all FROM d GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_all FROM d),
+       |sb AS (SELECT g, bin, count(*) AS c_grp FROM d GROUP BY 1, 2),
+       |stot AS (SELECT g, count(*) AS n_grp FROM d GROUP BY 1),
+       |gr AS (SELECT s.g, s.n_grp, cb.bin, cb.c_all,
+       |    coalesce(sb.c_grp, 0) AS c_grp
+       |  FROM stot s CROSS JOIN cb
+       |  LEFT JOIN sb ON sb.g = s.g AND sb.bin = cb.bin),
+       |a AS (SELECT g, max(n_grp) AS n_rows,
+       |    sum(abs(c_grp * n_all - c_all * n_grp)) AS diff,
+       |    max(n_all) AS n_all
+       |  FROM gr CROSS JOIN tot GROUP BY 1)
+       |SELECT g AS $outName, n_rows,
+       |  CAST(diff * 10000 // (2 * n_all * n_rows) AS BIGINT) AS tv_bp
+       |FROM a""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_sample_hash" ->
@@ -358,23 +405,17 @@ object Curation {
          |    AS planned_tokens
          |FROM e""".stripMargin,
 
-    "q_dist_drift" ->
-      """WITH d AS (SELECT source, n_chars // 100 AS bin FROM documents),
-        |cb AS (SELECT bin, count(*) AS c_all FROM d GROUP BY 1),
-        |tot AS (SELECT count(*) AS n_all FROM d),
-        |sb AS (SELECT source, bin, count(*) AS c_src FROM d GROUP BY 1, 2),
-        |stot AS (SELECT source, count(*) AS n_src FROM d GROUP BY 1),
-        |g AS (SELECT s.source, s.n_src, cb.bin, cb.c_all,
-        |    coalesce(sb.c_src, 0) AS c_src
-        |  FROM stot s CROSS JOIN cb
-        |  LEFT JOIN sb ON sb.source = s.source AND sb.bin = cb.bin),
-        |a AS (SELECT source, max(n_src) AS n_rows,
-        |    sum(abs(c_src * n_all - c_all * n_src)) AS diff,
-        |    max(n_all) AS n_all
-        |  FROM g CROSS JOIN tot GROUP BY 1)
-        |SELECT source, n_rows,
-        |  CAST(diff * 10000 // (2 * n_all * n_rows) AS BIGINT) AS tv_bp
-        |FROM a""".stripMargin,
+    "q_dist_drift" -> tvSql(
+      "SELECT source AS g, n_chars // 100 AS bin FROM documents",
+      "source"),
+
+    "q_split_drift" -> tvSql(
+      s"""SELECT CASE WHEN bkt < 80 THEN 'train'
+         |            WHEN bkt < 90 THEN 'valid' ELSE 'test' END AS g,
+         |       n_chars // 100 AS bin
+         |FROM (SELECT $bucketSql AS bkt, n_chars FROM documents)"""
+        .stripMargin,
+      "split"),
 
     "q_train_test_split" ->
       s"""WITH b AS (SELECT lang, $bucketSql AS bkt FROM documents)

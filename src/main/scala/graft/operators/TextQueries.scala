@@ -496,6 +496,22 @@ object TextQueries {
           expr("sum(quality) div count(1)").as("mean_quality"))
     },
 
+    // ── language-ID confusion matrix (classifier evaluation) ────────────
+    // The labeled corpus doubles as a validation set for the langId
+    // heuristic: cross-tab declared language × predicted language.
+    // Off-diagonal mass IS the classifier's error profile — the number
+    // a pipeline watches before trusting lang gates (the curation
+    // funnel's unknown_lang rule binds to this same predictor). One
+    // zero-shuffle projection + a |langs|²-bounded aggregate.
+    "q_lang_confusion" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("lang"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ── source-level content similarity from MERGEABLE MinHash sketches ─
     // The cross-source contamination question ("are crawl A and crawl B
     // the same content?") answered WITHOUT a shingle join: each doc's
@@ -1027,6 +1043,13 @@ object TextQueries {
          |    AND d.quality >= p.quality AND d.n_tokens >= p.n_tokens
          |    AND (d.quality > p.quality OR d.n_tokens > p.n_tokens))
          |""".stripMargin,
+
+    "q_lang_confusion" ->
+      s"""WITH $langScoredCtes,
+         |lp AS ($langPredSelect)
+         |SELECT d.lang, lp.lang_pred, count(*) AS n
+         |FROM documents d JOIN lp ON lp.doc_id = d.doc_id
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_source_similarity" -> {
       val matches = (0 until NUM_HASHES)
