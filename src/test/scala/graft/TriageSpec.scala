@@ -349,6 +349,49 @@ class TriageSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q_head_coverage ≡ driver-side Zipf recount") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().flatMap(r =>
+        lowerAscii(r.getString(0)).trim.split("\\s+").filter(_.nonEmpty))
+    val freq = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (t, n) => (-n, t) }
+    val total = toks.length.toLong
+    val cums = freq.scanLeft(0L)(_ + _._2).drop(1)
+    val expected = Seq(1, 2, 5, 10, 20, 50)
+      .filter(_ <= freq.size)
+      .map(k => (k.toLong, cums(k - 1), cums(k - 1) * 10000 / total))
+      .toSet
+    val got = TextQueries.queries("q_head_coverage")(spark, sf)
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getLong(1),
+        r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q_ngram_novelty ≡ driver-side first-introducer recount") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val gramsOf = docs.collect { case (id, text)
+        if lowerAscii(text).trim.split("\\s+").count(_.nonEmpty) >= 3 =>
+      id -> lowerAscii(text).trim.split("\\s+").filter(_.nonEmpty)
+        .sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    val firstOf = gramsOf.toSeq.flatMap { case (id, gs) =>
+      gs.map(_ -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = gramsOf.map { case (id, gs) =>
+      val novel = gs.count(g => firstOf(g) == id).toLong
+      (id, gs.size.toLong, novel, novel * 10000 / gs.size)
+    }.toSet
+    val got = TextQueries.queries("q_ngram_novelty")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === expected)
+    // the earliest doc is all-novel; later exact dups are all-stale
+    assert(got.exists(_._4 == 10000L) && got.exists(_._4 == 0L))
+  }
+
   test("q_outliers flags exactly the integer-z² > 4 events") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .selectExpr("event_id", "event_type",
