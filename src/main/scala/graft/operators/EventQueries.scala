@@ -233,6 +233,54 @@ object EventQueries {
         .agg(count(lit(1)).as("n_gaps"))
     },
 
+    // ── seasonality-adjusted rate anomalies ─────────────────────────────
+    // q_rate_anomaly's one-baseline-per-type test flags every rush hour
+    // of a diurnal stream; the production fix is to baseline each hour
+    // against ITS OWN hour-of-day cohort — (type, hour-of-day) keyed
+    // (n, s, q) moments, same division-free z² — so only deviations
+    // from the type's seasonal PROFILE fire. Stats table is
+    // |types|×24, broadcast; corpus rows never reach the anomaly join.
+    "q_seasonal_anomaly" -> { (s, dir) =>
+      val hourly = loadEvents(s, dir)
+        .groupBy(expr("ms div 3600000").as("h"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("hod", expr("h % 24"))
+      val st = hourly.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          sum(expr("c * c")).as("q"))
+      hourly.join(broadcast(st), Seq("event_type", "hod"))
+        .filter(expr("(c * n - s) * (c * n - s) > 4 * (n * q - s * s)"))
+        .select(expr("h * 3600000").as("window_start_ms"),
+          col("event_type"), col("hod"), col("c"))
+    },
+
+    // ── gap + max-duration sessionization ───────────────────────────────
+    // The production session rule: a session breaks on a 30-minute gap
+    // OR when it reaches 15 minutes of total span (billing/analytics
+    // conventions cap runaway sessions a pure gap rule lets grow
+    // unbounded). Gap sessions first (the cumulative-flag sum the
+    // batch sessionizer uses), then each gap-session subdivides by
+    // elapsed-time quotient — both windows keyed by user, no funnel.
+    "q_capped_sessions" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms").asc, col("event_id").asc)
+      val gapped = loadEvents(s, dir)
+        .withColumn("new_s",
+          when(lag(col("ms"), 1).over(w).isNull ||
+            col("ms") - lag(col("ms"), 1).over(w) > 1800000L, 1)
+            .otherwise(0))
+        .withColumn("gap_id", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      gapped
+        .withColumn("sub_id",
+          expr("(ms - min(ms) OVER (PARTITION BY user_id, gap_id)) " +
+            "div 900000"))
+        .groupBy(col("user_id"), col("gap_id"), col("sub_id"))
+        .agg(min(col("ms")).as("session_start_ms"),
+          max(col("ms")).as("session_end_ms"),
+          count(lit(1)).as("n_events"))
+    },
+
     // ── rolling 7-day active users (distinct over sliding windows) ──────
     // The DAU/WAU-family metric, and the classic "distinct doesn't
     // slide" problem: a windowed count-distinct cannot reuse adjacent
@@ -703,6 +751,42 @@ object EventQueries {
         |WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
         |  AND first_purchase >= first_view
         |GROUP BY 1""".stripMargin,
+
+    "q_seasonal_anomaly" ->
+      """WITH h0 AS (SELECT epoch_ms(ts) // 3600000 AS h, event_type,
+        |    count(*) AS c FROM events GROUP BY 1, 2),
+        |h2 AS (SELECT h, event_type, c, h % 24 AS hod FROM h0),
+        |st AS (SELECT event_type, hod, count(*) AS n, sum(c) AS s,
+        |    sum(c * c) AS q FROM h2 GROUP BY 1, 2)
+        |SELECT h * 3600000 AS window_start_ms, h2.event_type, h2.hod, c
+        |FROM h2 JOIN st ON st.event_type = h2.event_type
+        |  AND st.hod = h2.hod
+        |WHERE (c * n - s) * (c * n - s) > 4 * (n * q - s * s)"""
+        .stripMargin,
+
+    "q_capped_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
+        |  FROM events),
+        |g AS (SELECT user_id, event_id, ms,
+        |    CASE WHEN lag(ms) OVER w IS NULL
+        |           OR ms - lag(ms) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ms ASC, event_id ASC)),
+        |gi AS (SELECT user_id, ms,
+        |    sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ms ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS gap_id
+        |  FROM g),
+        |si AS (SELECT user_id, gap_id, ms,
+        |    (ms - min(ms) OVER (PARTITION BY user_id, gap_id))
+        |      // 900000 AS sub_id
+        |  FROM gi)
+        |SELECT user_id, CAST(gap_id AS BIGINT) AS gap_id,
+        |  CAST(sub_id AS BIGINT) AS sub_id,
+        |  min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+        |  count(*) AS n_events
+        |FROM si GROUP BY 1, 2, 3""".stripMargin,
 
     "q_rate_anomaly" ->
       """WITH h AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
