@@ -233,6 +233,37 @@ object EventQueries {
         .agg(count(lit(1)).as("n_gaps"))
     },
 
+    // ── mergeable-histogram quantiles ───────────────────────────────────
+    // The third mergeable-state pattern beside the HLL (distinct) and
+    // MinHash (Jaccard) sketches: per-day VALUE HISTOGRAMS are the
+    // persisted state — fixed 5-unit integer bins, so day states merge
+    // by plain addition (associative/commutative, any subset) — and
+    // any day range's p50/p95 comes from the merged counts without
+    // touching raw rows. Built exactly as deployed: the (type, day,
+    // bin) aggregate FIRST (the state table a pipeline persists), the
+    // day-merge SECOND, so the query demonstrates the merge is a
+    // separate cheap stage. Quantiles read off the cumulative window
+    // over ≤ |types|×|bins| rows; answers are exact to bin width.
+    "q_mergeable_quantiles" -> { (s, dir) =>
+      val state = loadEvents(s, dir)
+        .groupBy(col("event_type"), expr("ms div 86400000").as("day"),
+          expr("CAST(floor(value) AS BIGINT) div 5").as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val merged = state.groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("c")).as("c"))
+      val wCum = Window.partitionBy(col("event_type"))
+        .orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      merged.withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_rows"),
+          min(when(expr("cum * 2 >= n"), col("bin") * 5)).as("p50_value"),
+          min(when(expr("cum * 20 >= n * 19"), col("bin") * 5))
+            .as("p95_value"))
+    },
+
     // ── seasonality-adjusted rate anomalies ─────────────────────────────
     // q_rate_anomaly's one-baseline-per-type test flags every rush hour
     // of a diurnal stream; the production fix is to baseline each hour
@@ -751,6 +782,25 @@ object EventQueries {
         |WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
         |  AND first_purchase >= first_view
         |GROUP BY 1""".stripMargin,
+
+    "q_mergeable_quantiles" ->
+      """WITH state AS (SELECT event_type,
+        |    epoch_ms(ts) // 86400000 AS day,
+        |    CAST(floor(value) AS BIGINT) // 5 AS bin, count(*) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |merged AS (SELECT event_type, bin, CAST(sum(c) AS BIGINT) AS c
+        |  FROM state GROUP BY 1, 2),
+        |cum AS (SELECT event_type, bin, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM merged)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+        |  CAST(min(CASE WHEN cum * 2 >= n THEN bin * 5 END) AS BIGINT)
+        |    AS p50_value,
+        |  CAST(min(CASE WHEN cum * 20 >= n * 19 THEN bin * 5 END)
+        |    AS BIGINT) AS p95_value
+        |FROM cum GROUP BY event_type""".stripMargin,
 
     "q_seasonal_anomaly" ->
       """WITH h0 AS (SELECT epoch_ms(ts) // 3600000 AS h, event_type,
