@@ -392,6 +392,69 @@ class TriageSpec extends AnyFunSuite with SparkSpec {
     assert(got.exists(_._4 == 10000L) && got.exists(_._4 == 0L))
   }
 
+  test("q_dup_rate_by_source ≡ driver-side fingerprint recount") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def fp(text: String): String = {
+      val norm = lowerAscii(text).trim.replaceAll("\\s+", " ")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val fpCount = rows.map(r => fp(r._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expected = rows.groupBy(_._1).map { case (src, rs) =>
+      val dup = rs.count(r => fpCount(fp(r._2)) >= 2).toLong
+      (src, rs.size.toLong, dup, dup * 10000 / rs.size)
+    }.toSet
+    val got = TextQueries.queries("q_dup_rate_by_source")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === expected)
+    // sf0.001 has no planted exact dups — the recount equality above is
+    // the check; just pin that every source is present
+    assert(got.toSeq.map(_._2).sum === rows.length.toLong)
+  }
+
+  test("q_event_paths ≡ driver-side 3-gram path recount") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "event_id", "event_type",
+        "ts div 1000000 AS ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val expected = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(e => (e._4, e._2)).map(_._3).sliding(3)
+        .filter(_.length == 3).map(_.mkString(">"))
+    }.toSeq.groupBy(identity).map { case (p, xs) =>
+      (p, xs.size.toLong)
+    }.toSet
+    val got = operators.EventQueries.queries("q_event_paths")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q_arrival_histogram ≡ driver-side gap recount") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "event_type", "ts div 1000000 AS ms")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = ev.groupBy(_._2).toSeq.flatMap { case (t, rows) =>
+      val sorted = rows.sortBy(e => (e._3, e._1)).map(_._3).toSeq
+      sorted.zip(sorted.tail).map { case (a, b) =>
+        (t, math.min((b - a) / 60000, 60L))
+      }
+    }.groupBy(x => x).map { case ((t, b), xs) =>
+      (t, b, xs.size.toLong)
+    }.toSet
+    val got = operators.EventQueries
+      .queries("q_arrival_histogram")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("q_outliers flags exactly the integer-z² > 4 events") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .selectExpr("event_id", "event_type",
