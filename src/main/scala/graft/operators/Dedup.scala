@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -479,9 +480,18 @@ object Dedup {
       minhashSignatures(docs, id, text, k, numHashes)
         .persist(StorageLevel.MEMORY_AND_DISK))
     val cands = candidatesFromSigs(sigs, numHashes, bands)
+    exactVerify(cands, ds, thresholdPct)
+  }
+
+  /** Shared verify stage of the candidate-generation family: exact
+    * Jaccard computed ONLY on (doc_a, doc_b) candidate pairs by joining
+    * them back to the cached (doc_id, shingle) set table `ds`. Cost is
+    * |candidates| · avg-shingles, never Σ df² — whichever generator
+    * produced the candidates (LSH bands, prefix filter, …).
+    */
+  private def exactVerify(cands: DataFrame, ds: DataFrame,
+                          thresholdPct: Int): DataFrame = {
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // candidate pairs × shingles of side a, matched against side b:
-    // cost is |candidates| · avg-shingles, not Σ df².
     val common = cands
       .join(ds.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
       .join(ds.select(col("doc_id").as("doc_b"), col("shingle")),
@@ -489,6 +499,164 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     thresholdAndSize(common, sizes, thresholdPct)
+  }
+
+  /** Prefix-filtering similarity join (All-Pairs / PPJoin shape,
+    * Bayardo et al. WWW'07; Xiao et al. WWW'08) — the EXACT set-similarity
+    * join that never enumerates all pairs: under a global token order
+    * (df ascending = rarest first, shingle-hash tiebreak), any pair with
+    * Jaccard ≥ t/100 MUST share a token inside both docs' first
+    * |d| − ⌈t·|d|⌉ + 1 ordered shingles. Proof: the smallest common
+    * shingle w (in the global order) outside doc x's prefix would leave
+    * ≤ ⌈t·|x|⌉ − 1 < t·|x| ≤ |x∩y| common shingles — contradiction; so
+    * w sits in BOTH prefixes and the prefix self-join finds the pair.
+    * The DuckDB oracle computes the naive all-pairs join, so the hash
+    * gate IS the completeness theorem checked end-to-end.
+    *
+    * Unlike [[jaccardPairs]] there is NO df cap — output is the full
+    * exact answer (this query is also the ground truth [[lshRecall]]
+    * grades LSH against).
+    *
+    * 100 TB posture: the candidate join touches only PREFIX tokens,
+    * and the df-ascending order systematically pushes common shingles
+    * out of prefixes — posting lists that explode in the naive join
+    * (stopword shingles) are exactly the ones prefixes exclude. The
+    * PPJoin length filter (100·min ≥ t·max) prunes cross-size pairs
+    * before the distinct. Work beyond that is candidate-bounded
+    * verify, shared with the LSH path. One Window per doc (doc-keyed,
+    * bounded by per-doc shingle count); df table is vocab-bounded.
+    */
+  def prefixFilterPairs(docs: DataFrame, id: String, text: String,
+                        k: Int = 3, thresholdPct: Int = 60): DataFrame = {
+    // ds feeds the df-count, the prefix projection, and both verify
+    // sides — lazy cache fill, per-partition get-or-compute dedup.
+    val ds = CacheRegistry.register(
+      hashedShingles(docs, id, text, k)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val dfCounts = ds.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id")
+      .orderBy(col("df"), col("shingle"))
+    val ranked = ds.join(dfCounts, "shingle")
+      .select(col("doc_id"), col("shingle"),
+        row_number().over(byRarity).as("rn"),
+        count(lit(1)).over(Window.partitionBy("doc_id")).as("sz"))
+    // prefix length |d| − ⌈t·|d|⌉ + 1, integer ceiling
+    val prefix = ranked
+      .filter(col("rn") <=
+        expr(s"sz - ((sz * $thresholdPct + 99) div 100) + 1"))
+      .select(col("doc_id"), col("shingle"), col("sz"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          lit(100) * least(col("a.sz"), col("b.sz")) >=
+            lit(thresholdPct) * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    exactVerify(cands, ds, thresholdPct)
+  }
+
+  /** Recall of the LSH-then-verify scale path against exact ground
+    * truth — the measure-don't-guess number for the DEDUP family, the
+    * way q_ann_recall is for ANN: one row
+    * (n_true, n_found, recall_pct). Truth = [[prefixFilterPairs]]
+    * (exact, uncapped); found = [[lshVerifiedPairs]] (⊆ truth by
+    * construction, since verify applies the same threshold to the same
+    * shingle sets). At 100 TB this runs on a sampled slice exactly as
+    * here — recall is a property of the banding scheme (b, r, t), not
+    * of corpus size.
+    */
+  def lshRecall(docs: DataFrame, id: String, text: String,
+                k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                thresholdPct: Int = 60): DataFrame = {
+    val truth = prefixFilterPairs(docs, id, text, k, thresholdPct)
+    val found = lshVerifiedPairs(docs, id, text, k, numHashes, bands,
+        thresholdPct)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+    truth.join(found, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
+      .select(col("n_true"), col("n_found"),
+        when(col("n_true") > 0,
+          expr("n_found * 100 div n_true")).as("recall_pct"))
+  }
+
+  /** Dedup ablation curve: what a near-dup dedup pass at each threshold
+    * in `thresholds` would remove — (threshold_pct, n_pairs, n_docs,
+    * n_tokens) per threshold, where flagged docs are the LARGER id of
+    * each qualifying pair (the standard remove-the-later-doc quick
+    * ablation; cluster-exact removal is [[graft.operators.Clusters]]).
+    * The pair table is computed ONCE at the loosest threshold via the
+    * exact [[prefixFilterPairs]] join, then each rung of the ladder is
+    * an integer re-filter of the same (n_common, sz_a, sz_b) rows —
+    * the |thresholds|× fan-out touches only the tiny pair table, never
+    * the corpus. Thresholds absent from the output had zero qualifying
+    * pairs (group-after-filter in both engines).
+    */
+  def dedupAblation(docs: DataFrame, id: String, text: String,
+                    k: Int = 3,
+                    thresholds: Seq[Int] = Seq(50, 60, 70, 80, 90))
+      : DataFrame = {
+    val base = prefixFilterPairs(docs, id, text, k, thresholds.min)
+    val tokCounts = docs.select(col(id).as("doc_id"),
+      size(TextFunctions.tokens(lower(col(text)))).as("n_toks"))
+    val lad = base.select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("sz_a"), col("sz_b"),
+        explode(array(thresholds.map(t => lit(t)): _*))
+          .as("threshold_pct"))
+      .filter(col("n_common") * 100 >=
+        col("threshold_pct") * (col("sz_a") + col("sz_b") - col("n_common")))
+    val pairsPerT = lad.groupBy("threshold_pct")
+      .agg(count(lit(1)).as("n_pairs"))
+    val docsPerT = lad.select("threshold_pct", "doc_b").distinct()
+      .join(tokCounts, col("doc_b") === col("doc_id"))
+      .groupBy("threshold_pct")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    pairsPerT.join(docsPerT, Seq("threshold_pct"), "left")
+      .select(col("threshold_pct").cast("long"), col("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
+  /** Longest duplicated-span per doc — the exact-substring-dedup signal
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": long VERBATIM repeats are the highest-value dedup
+    * target, and Jaccard over unordered shingle sets can't see run
+    * length). A position's k-gram is "duplicated" when it appears in
+    * ≥ 2 distinct docs; per doc, the longest run of consecutive
+    * duplicated positions is a maximal shared span of
+    * run + k − 1 tokens. Output: (doc_id, max_run, max_span) for docs
+    * whose longest span reaches minRun consecutive grams.
+    *
+    * 100 TB posture: the positional gram table is a pure projection
+    * (Generate, no shuffle) feeding ONE groupBy(gram) for the
+    * distinct-doc count and one join back on the 8-byte gram hash; the
+    * islands window is doc-keyed and bounded by per-doc length. The
+    * gram table is shared across both consumers via a registered cache.
+    */
+  def dupSpans(docs: DataFrame, id: String, text: String,
+               k: Int = 3, minRun: Int = 2): DataFrame = {
+    val grams = CacheRegistry.register(
+      docs.select(col(id).as("doc_id"),
+          TextFunctions.tokens(lower(col(text))).as("toks"))
+        .filter(size(col("toks")) >= k)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.shinglesFromTokens(col("toks"), k)))
+        .toDF("doc_id", "pos", "shingle")
+        .select(col("doc_id"), col("pos"),
+          shingleHash(col("shingle")).as("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val dupG = grams.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    // islands: consecutive duplicated positions share pos − row_number
+    val runs = grams.join(dupG, "g")
+      .select(col("doc_id"),
+        (col("pos") - row_number().over(byPos)).as("grp"))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+    runs.groupBy("doc_id").agg(max(col("run")).as("max_run"))
+      .filter(col("max_run") >= minRun)
+      .select(col("doc_id"), col("max_run"),
+        (col("max_run") + lit(k - 1)).as("max_span"))
   }
 
   /** Attach both docs' set sizes to the pair common-counts. */

@@ -122,4 +122,48 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!jacc.contains((1L, 2L)))
     assert(!contain.contains((1L, 3L)))
   }
+
+  test("prefixFilterPairs ≡ uncapped exact jaccard (completeness)") {
+    // uncapped jaccardPairs (maxDf ≫ corpus) is the naive exact answer;
+    // the prefix filter must reproduce it pair-for-pair, counts included
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("n_common"), r.getAs[Long]("sz_a"),
+          r.getAs[Long]("sz_b")))).toMap
+    val naive = keyed(Dedup.jaccardPairs(docs, "doc_id", "text", k = 3,
+      maxDf = 100000, thresholdPct = 60))
+    val pf = keyed(Dedup.prefixFilterPairs(docs, "doc_id", "text",
+      k = 3, thresholdPct = 60))
+    assert(pf === naive)
+    assert(pf.contains((1L, 2L)))
+  }
+
+  test("prefixFilterPairs: higher threshold shortens prefixes, still exact") {
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$filler tail one"),
+      (2L, s"$filler tail two"),   // ~90 % jaccard vs 1
+      (3L, "unrelated content entirely different words here")
+    ).toDF("doc_id", "text")
+    val naive = Dedup.jaccardPairs(corpus, "doc_id", "text", k = 3,
+        maxDf = 100000, thresholdPct = 80)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val pf = Dedup.prefixFilterPairs(corpus, "doc_id", "text",
+        k = 3, thresholdPct = 80)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pf === naive)
+    assert(pf.contains((1L, 2L)))
+  }
+
+  test("lshRecall: one row, found ≤ true, identical-dup corpus recalls 100%") {
+    val r = Dedup.lshRecall(docs, "doc_id", "text", k = 3,
+      numHashes = 8, bands = 4, thresholdPct = 60).collect().head
+    val (nTrue, nFound) =
+      (r.getAs[Long]("n_true"), r.getAs[Long]("n_found"))
+    assert(nFound <= nTrue)
+    assert(nTrue > 0) // (1,2) qualifies by construction
+    val pct = r.getAs[Long]("recall_pct")
+    assert(pct >= 0 && pct <= 100)
+    assert(pct === nFound * 100 / nTrue)
+  }
 }
