@@ -24,6 +24,8 @@ object TextQueries {
   private val THRESH = 60      // jaccard threshold, percent
   private val MAX_HAMMING = 3  // simhash near-dup hamming radius
   private val CONTAIN_T = 90   // containment threshold, percent
+  private val ABLATION_THRESHOLDS = Seq(50, 60, 70, 80, 90) // dedup ablation ladder
+  private val MIN_RUN = 12     // dup-span floor: spans >= 14 tokens, past chance-collision runs
   private val VOCAB_V = 10     // vocab size for the OOV-coverage signal
   private val MIN_COOC = 5     // co-occurrence support floor (PMI table)
   private val MAX_LEV = 10     // edit-distance near-dup radius (80-char prefix)
@@ -145,6 +147,35 @@ object TextQueries {
     "q_lsh_verified_dups" -> { (s, dir) =>
       Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
         "doc_id", "text", K, NUM_HASHES, BANDS, THRESH)
+    },
+
+    // ── prefix-filtering similarity join (All-Pairs/PPJoin, EXACT) ──────
+    // The third member of the pair-generation family: jaccardPairs
+    // (df-capped inverted index), lshVerifiedPairs (probabilistic), and
+    // this — exact AND candidate-bounded. The oracle is the naive
+    // all-pairs join, so the hash gate checks the prefix-filtering
+    // completeness theorem end-to-end.
+    "q_prefix_filter_pairs" -> { (s, dir) =>
+      Dedup.prefixFilterPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", K, THRESH)
+    },
+
+    // ── LSH recall vs exact ground truth (measure, don't guess) ─────────
+    "q_lsh_recall" -> { (s, dir) =>
+      Dedup.lshRecall(Tables.load(s, dir, "documents"),
+        "doc_id", "text", K, NUM_HASHES, BANDS, THRESH)
+    },
+
+    // ── dedup ablation curve (pairs/docs/tokens removed per threshold) ──
+    "q_dedup_ablation" -> { (s, dir) =>
+      Dedup.dedupAblation(Tables.load(s, dir, "documents"),
+        "doc_id", "text", K, ABLATION_THRESHOLDS)
+    },
+
+    // ── longest duplicated span per doc (exact-substring-dedup signal) ──
+    "q_dup_span" -> { (s, dir) =>
+      Dedup.dupSpans(Tables.load(s, dir, "documents"),
+        "doc_id", "text", K, MIN_RUN)
     },
 
     // ── sketch-estimated Jaccard for candidate pairs ────────────────────
@@ -1303,6 +1334,90 @@ object TextQueries {
     "q_lsh_verified_dups" ->
       s"""WITH $lshVerifiedCtes
          |SELECT doc_a, doc_b, n_common, sz_a, sz_b FROM vp""".stripMargin,
+
+    // deliberately the NAIVE all-pairs join: the Spark side only ever
+    // joins prefix tokens, so a hash match proves prefix-filtering
+    // completeness (no qualifying pair lacks a shared prefix token)
+    "q_prefix_filter_pairs" ->
+      s"""WITH $hashedShinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |fcommon AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS n_common
+         |  FROM shh a JOIN shh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT f.doc_a, f.doc_b, f.n_common, sa.sz AS sz_a, sb.sz AS sz_b
+         |FROM fcommon f
+         |JOIN sizes sa ON f.doc_a = sa.doc_id
+         |JOIN sizes sb ON f.doc_b = sb.doc_id
+         |WHERE f.n_common * 100 >= $THRESH * (sa.sz + sb.sz - f.n_common)""".stripMargin,
+
+    "q_dedup_ablation" -> {
+      val ladder = ABLATION_THRESHOLDS.mkString(", ")
+      s"""WITH $hashedShinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |fcommon AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS n_common
+         |  FROM shh a JOIN shh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |lad AS (SELECT f.doc_a, f.doc_b, f.n_common,
+         |    sa.sz AS sz_a, sb.sz AS sz_b, t.threshold_pct
+         |  FROM fcommon f
+         |  JOIN sizes sa ON f.doc_a = sa.doc_id
+         |  JOIN sizes sb ON f.doc_b = sb.doc_id
+         |  CROSS JOIN (SELECT unnest([$ladder]) AS threshold_pct) t
+         |  WHERE f.n_common * 100 >=
+         |    t.threshold_pct * (sa.sz + sb.sz - f.n_common)),
+         |tc AS (SELECT doc_id, len(t) AS n_toks FROM toks),
+         |ppt AS (SELECT threshold_pct, count(*) AS n_pairs
+         |  FROM lad GROUP BY 1),
+         |fl AS (SELECT DISTINCT threshold_pct, doc_b FROM lad),
+         |dpt AS (SELECT threshold_pct, count(*) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         |  FROM fl JOIN tc ON fl.doc_b = tc.doc_id GROUP BY 1)
+         |SELECT CAST(ppt.threshold_pct AS BIGINT) AS threshold_pct, n_pairs,
+         |  coalesce(n_docs, 0) AS n_docs, coalesce(n_tokens, 0) AS n_tokens
+         |FROM ppt LEFT JOIN dpt USING (threshold_pct)""".stripMargin
+    },
+
+    "q_dup_span" ->
+      s"""WITH $toksCte,
+         |grams AS (SELECT doc_id, i AS pos,
+         |    ${Dedup.shingleHashSql(
+               s"array_to_string(t[CAST(i AS INT):CAST(i + ${K - 1} AS INT)], ' ')")} AS g
+         |  FROM toks, unnest(range(1, len(t) - ${K - 2})) AS u(i)
+         |  WHERE len(t) >= $K),
+         |dupg AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams) d
+         |  GROUP BY g HAVING count(*) >= 2),
+         |isl AS (SELECT doc_id,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM grams JOIN dupg USING (g)),
+         |runs AS (SELECT doc_id, count(*) AS run
+         |  FROM isl GROUP BY doc_id, grp)
+         |SELECT doc_id, max(run) AS max_run,
+         |  max(run) + ${K - 1} AS max_span
+         |FROM runs GROUP BY doc_id
+         |HAVING max(run) >= $MIN_RUN""".stripMargin,
+
+    "q_lsh_recall" ->
+      s"""WITH $lshVerifiedCtes,
+         |fcommon AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS n_common
+         |  FROM shh a JOIN shh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ep AS (SELECT f.doc_a, f.doc_b
+         |  FROM fcommon f
+         |  JOIN sizes sa ON f.doc_a = sa.doc_id
+         |  JOIN sizes sb ON f.doc_b = sb.doc_id
+         |  WHERE f.n_common * 100 >= $THRESH * (sa.sz + sb.sz - f.n_common))
+         |SELECT count(*) AS n_true,
+         |  count(v.doc_a) AS n_found,
+         |  CASE WHEN count(*) > 0
+         |    THEN CAST(count(v.doc_a) * 100 // count(*) AS BIGINT)
+         |    ELSE NULL END AS recall_pct
+         |FROM ep LEFT JOIN vp v USING (doc_a, doc_b)""".stripMargin,
 
     "q_minhash_est" -> {
       val agree = (0 until NUM_HASHES)

@@ -155,6 +155,51 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pf.contains((1L, 2L)))
   }
 
+  test("dedupAblation: monotone non-increasing curve, exact dups survive to 90") {
+    val curve = Dedup.dedupAblation(docs, "doc_id", "text", k = 3,
+      thresholds = Seq(50, 60, 70, 80, 90)).collect()
+      .map(r => r.getAs[Long]("threshold_pct") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens")))).toMap
+    // (1,2) are identical (J=100) → qualify at every rung of the ladder
+    assert(curve.keySet === Set(50L, 60L, 70L, 80L, 90L))
+    val sorted = curve.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.sliding(2).forall {
+      case Seq((p1, d1, t1), (p2, d2, t2)) =>
+        p2 <= p1 && d2 <= d1 && t2 <= t1
+      case _ => true
+    })
+    assert(curve(90L)._1 >= 1) // the identical pair
+  }
+
+  test("dupSpans: full-length run for exact dups, absent for unique docs") {
+    // docs 1 and 2 normalize to the same 9 tokens → all 7 3-gram
+    // positions duplicated → one run of 7, span 9 (the whole doc)
+    val spans = Dedup.dupSpans(docs, "doc_id", "text", k = 3, minRun = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("max_run"), r.getAs[Long]("max_span")))).toMap
+    assert(spans(1L) === ((7L, 9L)))
+    assert(spans(2L) === ((7L, 9L)))
+    assert(!spans.contains(4L)) // unique content, no duplicated grams
+  }
+
+  test("dupSpans: a shared interior span is measured, not the doc length") {
+    val corpus = Seq(
+      (1L, "aa bb cc shared one two three four dd ee"),
+      (2L, "xx yy shared one two three four zz qq ww"),
+      (3L, "pp qq2 rr ss tt uu vv")).toDF("doc_id", "text")
+    // shared run: tokens "shared one two three four" = 5 tokens → 3
+    // consecutive 3-grams in both docs
+    val spans = Dedup.dupSpans(corpus, "doc_id", "text", k = 3, minRun = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("max_run"), r.getAs[Long]("max_span")))).toMap
+    assert(spans(1L) === ((3L, 5L)))
+    assert(spans(2L) === ((3L, 5L)))
+    assert(!spans.contains(3L))
+  }
+
   test("lshRecall: one row, found ≤ true, identical-dup corpus recalls 100%") {
     val r = Dedup.lshRecall(docs, "doc_id", "text", k = 3,
       numHashes = 8, bands = 4, thresholdPct = 60).collect().head
