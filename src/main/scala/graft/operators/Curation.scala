@@ -37,6 +37,7 @@ object Curation {
   private val PACK_SHARDS = 8          // parallel packing streams
   private val DECON_K = 5              // decontamination shingle width
   private val MAX_EPOCHS_MILLI = 4000  // mixture cap: ≤4 epochs per source
+  private val PAD_CTX = 48             // q_padding_waste fixed context length
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -204,6 +205,37 @@ object Curation {
           expr(s"(cum - n_tokens) div $PACK_BUDGET").as("seq_in_shard"),
           ((col("cum") - col("n_tokens")) % PACK_BUDGET)
             .as("offset_tokens"))
+    },
+
+    // ── padding waste vs packed packing at a fixed context length ──────
+    // The batch-shape economics behind q_pack_chunks: if every doc were
+    // its own padded sequence of PAD_CTX tokens, how much of the batch
+    // is padding (and how many tokens fall off the truncation edge) vs
+    // the concat-then-chunk packed layout, which wastes at most one
+    // partial tail sequence corpus-wide. One full-data projection into
+    // ONE aggregate row — the report that justifies packing at any
+    // scale. Integer basis points throughout.
+    "q_padding_waste" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val t = docs(s, dir).select(
+        TextFunctions.tokenCount(col("text")).cast("long").as("t"))
+      t.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("t")).as("total_tokens"),
+          sum(least(col("t"), lit(PAD_CTX.toLong))).as("usable_tokens"),
+          sum(greatest(lit(PAD_CTX.toLong) - col("t"), lit(0L)))
+            .as("pad_tokens"),
+          sum(greatest(col("t") - lit(PAD_CTX.toLong), lit(0L)))
+            .as("trunc_tokens"))
+        .select(col("n_docs"), col("total_tokens"), col("usable_tokens"),
+          col("pad_tokens"), col("trunc_tokens"),
+          expr(s"usable_tokens * 10000 div (n_docs * $PAD_CTX)")
+            .as("padded_util_bp"),
+          expr(s"(total_tokens + $PAD_CTX - 1) div $PAD_CTX")
+            .as("packed_seqs"),
+          expr(s"total_tokens * 10000 div " +
+              s"(((total_tokens + $PAD_CTX - 1) div $PAD_CTX) * $PAD_CTX)")
+            .as("packed_util_bp"))
     },
 
     // ── train/test decontamination: benchmark n-gram overlap ────────────
@@ -448,6 +480,26 @@ object Curation {
          |  CAST((cum - n_tokens) // $PACK_BUDGET AS BIGINT) AS seq_in_shard,
          |  CAST((cum - n_tokens) % $PACK_BUDGET AS BIGINT) AS offset_tokens
          |FROM c""".stripMargin,
+
+    "q_padding_waste" ->
+      s"""WITH t AS (SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |    AS BIGINT) AS t
+         |  FROM documents),
+         |a AS (SELECT count(*) AS n_docs,
+         |    CAST(sum(t) AS BIGINT) AS total_tokens,
+         |    CAST(sum(least(t, $PAD_CTX)) AS BIGINT) AS usable_tokens,
+         |    CAST(sum(greatest($PAD_CTX - t, 0)) AS BIGINT) AS pad_tokens,
+         |    CAST(sum(greatest(t - $PAD_CTX, 0)) AS BIGINT) AS trunc_tokens
+         |  FROM t)
+         |SELECT n_docs, total_tokens, usable_tokens, pad_tokens,
+         |  trunc_tokens,
+         |  usable_tokens * 10000 // (n_docs * $PAD_CTX) AS padded_util_bp,
+         |  (total_tokens + $PAD_CTX - 1) // $PAD_CTX AS packed_seqs,
+         |  total_tokens * 10000 //
+         |    (((total_tokens + $PAD_CTX - 1) // $PAD_CTX) * $PAD_CTX)
+         |    AS packed_util_bp
+         |FROM a""".stripMargin,
 
     "q_decontaminate" -> deconSql,
 

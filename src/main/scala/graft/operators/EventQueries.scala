@@ -465,6 +465,48 @@ object EventQueries {
             .as("sum_winsorized"))
     },
 
+    // ── MAD robust outliers per type (median absolute deviation) ───────
+    // The robust-scale sibling of q_outliers: z-scores break when the
+    // mean/stddev are themselves dragged by the outliers they should
+    // flag; median ± k·MAD is the standard resistant rule. Both
+    // medians (value, then |v − med|) come from the distributed-exact
+    // quantile shape — pre-agg to distinct values, cumulative window
+    // over the tiny per-type value table — and the per-type
+    // (med, mad) row broadcasts back for a map-side outlier count.
+    // "Median" is the exact lower median (smallest v with 2·cum ≥ n),
+    // integer end to end.
+    "q_mad_outliers" -> { (s, dir) =>
+      val e = loadEvents(s, dir)
+        .select(col("event_type"),
+          expr("CAST(floor(value) AS BIGINT)").as("v"))
+      val byVal = e.groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      val med = byVal
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") * 2 >= col("n"), col("v"))).as("med"))
+      val wCumD = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mad = byVal.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"), abs(col("v") - col("med")).as("d"))
+        .agg(sum(col("c")).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCumD))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") * 2 >= col("n"), col("d"))).as("mad"))
+      e.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          sum(when(abs(col("v") - col("med")) > col("mad") * 3, 1L)
+            .otherwise(0L)).as("n_outliers"))
+    },
+
     // ── conversion-lag histogram (view → purchase time-to-event) ────────
     // Time from a user's FIRST view to their FIRST purchase, bucketed
     // into whole hours: one user-keyed aggregate (two conditional mins
@@ -767,6 +809,33 @@ object EventQueries {
         |SELECT e.event_type, count(*) AS n, max(lo) AS lo, max(hi) AS hi,
         |  CAST(sum(greatest(lo, least(hi, v))) AS BIGINT) AS sum_winsorized
         |FROM e JOIN b USING (event_type)
+        |GROUP BY 1""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value) AS BIGINT) AS v FROM events),
+        |vc AS (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2),
+        |cumv AS (SELECT event_type, v,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n FROM vc),
+        |med AS (SELECT event_type,
+        |    min(CASE WHEN cum * 2 >= n THEN v END) AS med
+        |  FROM cumv GROUP BY 1),
+        |dc AS (SELECT vc.event_type, abs(v - med) AS d, sum(c) AS c
+        |  FROM vc JOIN med USING (event_type) GROUP BY 1, 2),
+        |cumd AS (SELECT event_type, d,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n FROM dc),
+        |mad AS (SELECT event_type,
+        |    min(CASE WHEN cum * 2 >= n THEN d END) AS mad
+        |  FROM cumd GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n, max(med) AS med,
+        |  max(mad) AS mad,
+        |  CAST(sum(CASE WHEN abs(v - med) > mad * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM e JOIN med USING (event_type) JOIN mad USING (event_type)
         |GROUP BY 1""".stripMargin,
 
     "q_conversion_lag" ->

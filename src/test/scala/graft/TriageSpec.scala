@@ -477,4 +477,58 @@ class TriageSpec extends AnyFunSuite with SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty) // right-skewed values ⇒ a >2σ tail exists
   }
+
+  test("q_mad_outliers ≡ driver-side median/MAD recount") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_type", "CAST(floor(value) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // exact lower median: smallest value with 2·cum ≥ n
+    def lowerMedian(vs: Seq[Long]): Long = {
+      val sorted = vs.sorted
+      val n = sorted.length
+      sorted.zipWithIndex
+        .collectFirst { case (v, i) if (i + 1) * 2 >= n => v }.get
+    }
+    val expected = ev.groupBy(_._1).map { case (t, rows) =>
+      val vs = rows.map(_._2).toSeq
+      val med = lowerMedian(vs)
+      val mad = lowerMedian(vs.map(v => math.abs(v - med)))
+      (t, vs.length.toLong, med, mad,
+        vs.count(v => math.abs(v - med) > mad * 3).toLong)
+    }.toSet
+    val got = EventQueries.queries("q_mad_outliers")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === expected)
+    // the skewed value distribution must flag a tail somewhere
+    assert(got.exists(_._5 > 0))
+  }
+
+  test("q_padding_waste ≡ driver-side token-count recount") {
+    val ctx = 48L
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map { r =>
+        val t = r.getString(0).trim
+        if (t.isEmpty) 0L else t.split("\\s+").length.toLong
+      }
+    val nDocs = toks.length.toLong
+    val total = toks.sum
+    val usable = toks.map(math.min(_, ctx)).sum
+    val pad = toks.map(t => math.max(ctx - t, 0L)).sum
+    val trunc = toks.map(t => math.max(t - ctx, 0L)).sum
+    val packedSeqs = (total + ctx - 1) / ctx
+    val r = Curation.queries("q_padding_waste")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_docs") === nDocs)
+    assert(r.getAs[Long]("total_tokens") === total)
+    assert(r.getAs[Long]("usable_tokens") === usable)
+    assert(r.getAs[Long]("pad_tokens") === pad)
+    assert(r.getAs[Long]("trunc_tokens") === trunc)
+    assert(r.getAs[Long]("padded_util_bp") ===
+      usable * 10000 / (nDocs * ctx))
+    assert(r.getAs[Long]("packed_seqs") === packedSeqs)
+    assert(r.getAs[Long]("packed_util_bp") ===
+      total * 10000 / (packedSeqs * ctx))
+    // packing must strictly beat pad-per-doc on this corpus
+    assert(r.getAs[Long]("packed_util_bp") > r.getAs[Long]("padded_util_bp"))
+  }
 }
