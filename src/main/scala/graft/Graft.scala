@@ -250,6 +250,21 @@ object Graft {
                      text: String): DataFrame =
     TextQueries.bigramLmScores(docs, id, text)
 
+  /** Deflate compression-ratio quality signal per document (basis
+    * points; null for empty text) — the model-free templating/noise
+    * filter. Zero-shuffle mapPartitions projection.
+    */
+  def compressionRatios(docs: DataFrame, id: String,
+                        text: String): DataFrame =
+    operators.Compression.ratios(docs, id, text)
+
+  /** Exact prefix-filtering similarity join (All-Pairs/PPJoin): the
+    * full Jaccard-threshold pair set without all-pairs enumeration.
+    */
+  def exactSimilarityJoin(docs: DataFrame, id: String, text: String,
+                          k: Int = 3, thresholdPct: Int = 60): DataFrame =
+    Dedup.prefixFilterPairs(docs, id, text, k, thresholdPct)
+
   /** Equal-share token-budget mixture allocation per source: milli-
     * epochs (capped) + planned token volume. `tokenCol` carries the
     * per-row token count.

@@ -22,6 +22,17 @@ object RelationalQueries {
   /** q_interval_overlap: each order's activity window is 7 days. */
   private val OVERLAP_SPAN_DAYS = 7
 
+  /** q_correlation: sample-selection hash seed. */
+  private val CORR_SEED = 13
+
+  /** q_correlation pairs: (var_x, var_y, Σxy, Σx, Σy, Σx², Σy²) over
+    * the shared one-row sum aggregate.
+    */
+  private val CORR_PAIRS = Seq(
+    ("quantity", "price", "sqp", "sq", "sp", "sqq", "spp"),
+    ("quantity", "discount", "sqd", "sq", "sd", "sqq", "sdd"),
+    ("price", "discount", "spd", "sp", "sd", "spp", "sdd"))
+
   /** Exact, order-insensitive sum of a 2-decimal double column → double. */
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
@@ -427,6 +438,51 @@ object RelationalQueries {
           (col("sum_x") / col("n")).as("mean"),
           ((col("sum_x2") - col("sum_x") * col("sum_x") / col("n"))
             / col("n")).as("var_pop"))
+    },
+
+    // ── sampled integer correlation profile: pairwise corr² (ppm) and
+    // sign over (quantity, price, discount) on a deterministic 1 % hash
+    // sample. Correlation is a DIAGNOSTIC — estimates converge at tiny
+    // sample fractions, so at 100 TB you sample first (hash-stable, so
+    // the sample is identical across engines/runs/cluster sizes) and
+    // never pay a full scan. ONE aggregate computes all ten sums; each
+    // pair is then pure one-row arithmetic in DECIMAL(38,0) — corr² =
+    // (nΣxy−ΣxΣy)² / ((nΣx²−(Σx)²)(nΣy²−(Σy)²)) stays division-free
+    // until the final integer ppm, so there is no float drift for the
+    // hash gate to trip on. Values are quantized: whole quantity,
+    // whole-dollar price, discount in percent (bounds keep every
+    // decimal product < 10³⁵).
+    "q_correlation" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(Dedup.hash32(CORR_SEED,
+          concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+          % 100 === 0)
+        .select(expr("CAST(floor(l_quantity) AS BIGINT)").as("q"),
+          expr("CAST(floor(l_extendedprice) AS BIGINT)").as("p"),
+          expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").as("d"))
+      val sums = li.agg(count(lit(1)).as("cnt"),
+        sum("q").as("sq"), sum("p").as("sp"), sum("d").as("sd"),
+        sum(expr("q*p")).as("sqp"), sum(expr("q*d")).as("sqd"),
+        sum(expr("p*d")).as("spd"), sum(expr("q*q")).as("sqq"),
+        sum(expr("p*p")).as("spp"), sum(expr("d*d")).as("sdd"))
+        .selectExpr(Seq("cnt") ++
+          Seq("sq", "sp", "sd", "sqp", "sqd", "spd", "sqq", "spp", "sdd")
+            .map(c => s"CAST($c AS DECIMAL(38,0)) AS $c"): _*)
+      val rows = CORR_PAIRS.map { case (nx, ny, sxy, sx, sy, sxx, syy) =>
+        val num = s"(cnt*$sxy - $sx*$sy)"
+        val den = s"((cnt*$sxx - $sx*$sx) * (cnt*$syy - $sy*$sy))"
+        s"""'$nx', '$ny',
+           |CASE WHEN $num > 0 THEN CAST(1 AS BIGINT)
+           |     WHEN $num < 0 THEN CAST(-1 AS BIGINT)
+           |     ELSE CAST(0 AS BIGINT) END,
+           |CASE WHEN $den = 0 THEN CAST(NULL AS BIGINT)
+           |     ELSE CAST(($num*$num*1000000) div $den AS BIGINT)
+           |END""".stripMargin
+      }.mkString(",\n")
+      sums.selectExpr("CAST(cnt AS BIGINT) AS n",
+        s"stack(${CORR_PAIRS.size}, $rows) AS (var_x, var_y, corr_sign, corr2_ppm)")
+        .select(col("var_x"), col("var_y"), col("n"),
+          col("corr_sign"), col("corr2_ppm"))
     },
 
     // ── fixed-width histogram: the distribution profile that needs no
@@ -844,6 +900,35 @@ object RelationalQueries {
         | CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
         | CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
         |FROM orders""".stripMargin,
+
+    "q_correlation" -> {
+      val pairSelects = CORR_PAIRS.map {
+        case (nx, ny, sxy, sx, sy, sxx, syy) =>
+          val num = s"(cnt*$sxy - $sx*$sy)"
+          val den = s"((cnt*$sxx - $sx*$sx) * (cnt*$syy - $sy*$sy))"
+          s"""SELECT '$nx' AS var_x, '$ny' AS var_y,
+             |  CAST(cnt AS BIGINT) AS n,
+             |  CASE WHEN $num > 0 THEN CAST(1 AS BIGINT)
+             |       WHEN $num < 0 THEN CAST(-1 AS BIGINT)
+             |       ELSE CAST(0 AS BIGINT) END AS corr_sign,
+             |  CASE WHEN $den = 0 THEN CAST(NULL AS BIGINT)
+             |       ELSE CAST(($num*$num*1000000) // $den AS BIGINT)
+             |  END AS corr2_ppm
+             |FROM s""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH li AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+         |    CAST(floor(l_extendedprice) AS BIGINT) AS p,
+         |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
+         |  FROM lineitem
+         |  WHERE ${Dedup.hash32Sql(CORR_SEED,
+             "concat_ws('|', l_orderkey, l_linenumber)")} % 100 = 0),
+         |s AS (SELECT count(*) AS cnt, sum(q) AS sq, sum(p) AS sp,
+         |    sum(d) AS sd, sum(q*p) AS sqp, sum(q*d) AS sqd,
+         |    sum(p*d) AS spd, sum(q*q) AS sqq, sum(p*p) AS spp,
+         |    sum(d*d) AS sdd
+         |  FROM li)
+         |$pairSelects""".stripMargin
+    },
 
     "q_stats_moments" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n,
