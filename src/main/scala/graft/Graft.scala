@@ -175,6 +175,20 @@ object Graft {
   def mergedDistinct(sketches: DataFrame): DataFrame =
     Sketches.mergedEstimate(sketches)
 
+  /** One mergeable Misra–Gries heavy-hitters sketch per unit — the
+    * persisted top-k profile state (exact when distinct keys fit the
+    * capacity; MG lower-bound guarantees otherwise).
+    */
+  def freqByUnit(df: DataFrame, unitCol: String, keyCol: String,
+                 capacity: Int = 64): DataFrame =
+    Sketches.freqByUnit(df, unitCol, keyCol, capacity)
+
+  /** Union a (filtered) freq-sketch table into one heavy-hitters
+    * summary (PODS'12 MG merge) — O(|sketches|·capacity), no rescan.
+    */
+  def mergedFreq(sketches: DataFrame, capacity: Int = 64): DataFrame =
+    Sketches.mergedFreq(sketches, capacity)
+
   /** Exchange-aware salted join for skewed keys. */
   def skewJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                salt: Int = 16): DataFrame =

@@ -465,6 +465,21 @@ object EventQueries {
             .as("sum_winsorized"))
     },
 
+    // ── heavy hitters via the mergeable Misra–Gries sketch ─────────────
+    // graft's freq_sketch TypedImperativeAggregate in its EXACT regime
+    // (distinct event types ≪ capacity ⇒ no decrement ever fires, in
+    // any partial buffer), so the DuckDB plain-count oracle pins the
+    // whole update/merge/serialize path bit-for-bit. The approximate
+    // regime (vocab ≫ capacity) carries Misra–Gries lower-bound
+    // guarantees instead and is spec-pinned (FreqSketchSpec); persisted
+    // per-unit sketches merge via Sketches.mergedFreq without rescans.
+    "q_heavy_hitters" -> { (s, dir) =>
+      loadEvents(s, dir)
+        .agg(expr("freq_sketch(event_type, 64)").as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.t").as("event_type"), col("e.c").as("n"))
+    },
+
     // ── MAD robust outliers per type (median absolute deviation) ───────
     // The robust-scale sibling of q_outliers: z-scores break when the
     // mean/stddev are themselves dragged by the outliers they should
@@ -810,6 +825,10 @@ object EventQueries {
         |  CAST(sum(greatest(lo, least(hi, v))) AS BIGINT) AS sum_winsorized
         |FROM e JOIN b USING (event_type)
         |GROUP BY 1""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_mad_outliers" ->
       """WITH e AS (SELECT event_type,

@@ -44,4 +44,44 @@ object Sketches {
       expr("hll_sketch_estimate(hll_union_agg(sketch))")
         .cast("long").as("n_distinct"),
       sum(col("n_rows")).as("n_rows"))
+
+  /** One Misra–Gries heavy-hitters sketch of `keyCol` per `unitCol`
+    * value — the persisted top-k profile state (graft's `freq_sketch`
+    * TypedImperativeAggregate; requires GraftExtensions).
+    */
+  def freqByUnit(df: DataFrame, unitCol: String, keyCol: String,
+                 capacity: Int = 64): DataFrame =
+    df.groupBy(col(unitCol))
+      .agg(expr(s"freq_sketch($keyCol, $capacity)").as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Union a table of persisted freq sketches into one summary with
+    * the PODS'12 Misra–Gries merge, entirely in DataFrame ops:
+    * keywise count sum, then subtract the (capacity+1)-th largest
+    * count and drop ≤ 0. The (cap+1)-sized cut list comes from ONE
+    * `bounded_topk` aggregate (k-capped partials), so merging any
+    * number of sketches shuffles |sketches|·capacity tiny rows and
+    * never rescans raw data. Output mirrors freq_sketch rows:
+    * (t, c) sorted by consumer.
+    */
+  def mergedFreq(sketches: DataFrame, capacity: Int = 64): DataFrame = {
+    val summed = sketches
+      .select(explode(col("sketch")).as("e"))
+      .groupBy(col("e.t").as("t"))
+      .agg(sum(col("e.c")).as("c"))
+    // top cap+1 by count desc (score = −count; ids are dense ranks of
+    // keys — we need the threshold VALUE only, so hash the key into
+    // the id slot purely as a tiebreak)
+    val cut = summed
+      .agg(expr(
+        s"bounded_topk(cast(-c as double), cast(abs(hash(t)) as bigint), ${capacity + 1})")
+        .as("top"))
+      .select(
+        when(size(col("top")) > capacity,
+          (-col("top").getItem(capacity).getField("s")).cast("long"))
+          .otherwise(lit(0L)).as("d"))
+    summed.crossJoin(broadcast(cut))
+      .filter(col("c") - col("d") > 0)
+      .select(col("t"), (col("c") - col("d")).as("c"))
+  }
 }

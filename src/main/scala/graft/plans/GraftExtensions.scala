@@ -63,6 +63,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "rp_project(vec, dims) takes 2 arguments")
         RpProject(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketch].getName, "freq_sketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "freq_sketch(key, capacity) takes 2 arguments")
+        FreqSketch(children(0), children(1))
+      }))
     // Spark's OWN runtime-filter machinery, exposed as named functions
     // (they back InjectRuntimeFilter but have no public SQL surface):
     // bloom_agg builds the sketch, bloom_contains probes it. Used by
