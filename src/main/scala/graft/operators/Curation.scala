@@ -38,6 +38,8 @@ object Curation {
   private val DECON_K = 5              // decontamination shingle width
   private val MAX_EPOCHS_MILLI = 4000  // mixture cap: ≤4 epochs per source
   private val PAD_CTX = 48             // q_padding_waste fixed context length
+  private val PRIORITY_SEED = 17       // q_priority_sample randomness hash
+  private val PRIORITY_K = 100         // q_priority_sample sample size
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -205,6 +207,34 @@ object Curation {
           expr(s"(cum - n_tokens) div $PACK_BUDGET").as("seq_in_shard"),
           ((col("cum") - col("n_tokens")) % PACK_BUDGET)
             .as("offset_tokens"))
+    },
+
+    // ── priority sampling: fixed-SIZE weight-proportional sample ───────
+    // Duffield–Lund–Thorup priority sampling: priority = w/u with
+    // u ~ U(0,1]; the top-K priorities are a size-K sample where
+    // inclusion probability tracks weight — the fixed-budget
+    // counterpart of q_weighted_sample's Bernoulli thinning (which
+    // cannot hit an exact K). Deterministic integer form: u is the
+    // doc's 32-bit selection hash + 1 and priority = w·2³¹ div u, so
+    // the sample is a pure function of (id, weight) — stable across
+    // engines and partitionings. Selection is ONE bounded_topk
+    // aggregate (≤ K rows per task reach the shuffle), the same
+    // no-Window discipline as q_stratified_sample.
+    "q_priority_sample" -> { (s, dir) =>
+      val prio = docs(s, dir).select(col("doc_id"),
+          (col("n_chars") + 1).as("w"),
+          (Dedup.hash32(PRIORITY_SEED, col("doc_id").cast("string")) + 1)
+            .as("u"))
+        .select(col("doc_id"), col("w"),
+          expr(s"(w * ${1L << 31}) div u").as("priority"))
+      prio.agg(expr(
+          s"bounded_topk(cast(-priority as double), doc_id, $PRIORITY_K)")
+          .as("top"))
+        .select(posexplode(col("top")))
+        .toDF("pos", "t")
+        .select(col("t.n").as("doc_id"), (col("pos") + 1).as("rn"))
+        .join(prio, "doc_id")
+        .select(col("doc_id"), col("w"), col("priority"), col("rn"))
     },
 
     // ── padding waste vs packed packing at a fixed context length ──────
@@ -480,6 +510,18 @@ object Curation {
          |  CAST((cum - n_tokens) // $PACK_BUDGET AS BIGINT) AS seq_in_shard,
          |  CAST((cum - n_tokens) % $PACK_BUDGET AS BIGINT) AS offset_tokens
          |FROM c""".stripMargin,
+
+    "q_priority_sample" ->
+      s"""WITH p AS (SELECT doc_id, n_chars + 1 AS w,
+         |    ${Dedup.hash32Sql(PRIORITY_SEED, "CAST(doc_id AS VARCHAR)")} + 1 AS u
+         |  FROM documents),
+         |pr AS (SELECT doc_id, w,
+         |    CAST((w * ${1L << 31}) // u AS BIGINT) AS priority FROM p),
+         |r AS (SELECT doc_id, w, priority,
+         |    row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rn
+         |  FROM pr)
+         |SELECT doc_id, w, priority, rn FROM r
+         |WHERE rn <= $PRIORITY_K""".stripMargin,
 
     "q_padding_waste" ->
       s"""WITH t AS (SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -13,6 +13,48 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.types._
 
+/** The Misra–Gries update/merge rules, shared by the [[FreqSketch]]
+  * aggregate and the streaming twin
+  * ([[graft.streaming.StreamingEvents.heavyHittersStream]]) so both
+  * surfaces provably maintain the same state.
+  */
+object MisraGries {
+
+  /** One arrival of `k` into a ≤ cap counter map. */
+  def update(m: mutable.HashMap[String, Long], k: String,
+             cap: Int): Unit =
+    m.get(k) match {
+      case Some(c) => m.update(k, c + 1)
+      case None if m.size < cap => m.update(k, 1L)
+      case None => // full: decrement-all round, arriving key absorbed
+        val dead = mutable.ArrayBuffer.empty[String]
+        m.foreach { case (key0, c) =>
+          if (c == 1L) dead += key0 else m.update(key0, c - 1)
+        }
+        dead.foreach(m.remove)
+    }
+
+  /** PODS'12 combine: keywise sum of `other` into `m`, then if over
+    * capacity subtract the (cap+1)-th largest count and drop ≤ 0.
+    */
+  def merge(m: mutable.HashMap[String, Long],
+            other: Iterable[(String, Long)], cap: Int): Unit = {
+    other.foreach { case (k, c) =>
+      m.update(k, m.getOrElse(k, 0L) + c)
+    }
+    if (m.size > cap) {
+      val counts = m.values.toArray
+      java.util.Arrays.sort(counts)
+      val d = counts(counts.length - (cap + 1))
+      val dead = mutable.ArrayBuffer.empty[String]
+      m.foreach { case (k, c) =>
+        if (c - d <= 0L) dead += k else m.update(k, c - d)
+      }
+      dead.foreach(m.remove)
+    }
+  }
+}
+
 /** `freq_sketch(key, capacity)` — mergeable Misra–Gries heavy-hitters
   * summary (the deterministic frequent-items sketch; Misra & Gries
   * 1982, merge rule from Agarwal et al., "Mergeable Summaries", PODS
@@ -66,38 +108,14 @@ case class FreqSketch(
   override def update(m: mutable.HashMap[String, Long],
                       input: InternalRow): mutable.HashMap[String, Long] = {
     val k = key.eval(input)
-    if (k != null) {
-      val s = k.asInstanceOf[UTF8String].toString
-      m.get(s) match {
-        case Some(c) => m.update(s, c + 1)
-        case None if m.size < cap => m.update(s, 1L)
-        case None => // full: decrement-all round, arriving key absorbed
-          val dead = mutable.ArrayBuffer.empty[String]
-          m.foreach { case (key0, c) =>
-            if (c == 1L) dead += key0 else m.update(key0, c - 1)
-          }
-          dead.foreach(m.remove)
-      }
-    }
+    if (k != null)
+      MisraGries.update(m, k.asInstanceOf[UTF8String].toString, cap)
     m
   }
 
   override def merge(m: mutable.HashMap[String, Long],
                      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    other.foreach { case (k, c) =>
-      m.update(k, m.getOrElse(k, 0L) + c)
-    }
-    if (m.size > cap) {
-      // subtract the (cap+1)-th largest count from everything
-      val counts = m.values.toArray
-      java.util.Arrays.sort(counts)
-      val d = counts(counts.length - (cap + 1))
-      val dead = mutable.ArrayBuffer.empty[String]
-      m.foreach { case (k, c) =>
-        if (c - d <= 0L) dead += k else m.update(k, c - d)
-      }
-      dead.foreach(m.remove)
-    }
+    MisraGries.merge(m, other, cap)
     m
   }
 

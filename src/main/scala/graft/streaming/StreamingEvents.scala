@@ -75,6 +75,21 @@ final case class TransState(lastMs: Long, lastId: Long, lastType: String)
 final case class Transition(user_id: Long, prev_type: String,
                             next_type: String)
 
+/** Per-shard Misra–Gries counter state for
+  * [[StreamingEvents.heavyHittersStream]] — parallel key/count seqs
+  * (≤ capacity entries) plus the emission revision. Top-level and
+  * public for the state encoder (see [[SessionState]]).
+  */
+final case class FreqState(rev: Long, keys: Seq[String],
+                           counts: Seq[Long])
+
+/** One heavy-hitter counter row from shard `shard` at revision `rev`;
+  * consumers keep each shard's max-rev rows and union shards via
+  * [[graft.operators.Sketches.mergedFreq]] (the compacted-changelog
+  * convention [[SkyFrontier]] uses).
+  */
+final case class FreqRow(shard: Int, rev: Long, t: String, c: Long)
+
 /** Event-stream operators: watermarked tumbling-window aggregation,
   * gap-based session windows, and custom per-key state via
   * `flatMapGroupsWithState` — the streaming counterparts of
@@ -389,6 +404,50 @@ object StreamingEvents {
           state.update(SkyState(rev,
             sorted.flatMap { case (x, y) => Seq(x, y) }))
           sorted.iterator.map { case (x, y) => SkyFrontier(g, rev, x, y) }
+      }
+  }
+
+  /** Incremental heavy hitters — the streaming twin of q_heavy_hitters:
+    * per SHARD (deterministic hash of the key, so hot keys cannot
+    * funnel one task and state splits `shards` ways), fold each
+    * micro-batch's arrivals into a ≤ capacity Misra–Gries counter map
+    * using the EXACT update rule of the `freq_sketch` aggregate
+    * ([[graft.plans.MisraGries]] is shared code, so the two cannot
+    * drift). Each batch the shard touches emits its full updated
+    * counter set stamped with a revision; consumers keep max-rev rows
+    * per shard and union shards with
+    * [[graft.operators.Sketches.mergedFreq]] — the same PODS'12 merge
+    * the batch side uses for persisted sketches.
+    *
+    * State is ≤ capacity (string, long) pairs per shard — constant
+    * width forever, no watermark needed. In the exact regime (distinct
+    * keys ≤ capacity per shard) replaying any prefix of the stream
+    * reproduces the batch sketch of that prefix bit-for-bit
+    * (spec-pinned); under capacity pressure the MG lower-bound
+    * guarantees hold per shard and survive the merge.
+    */
+  def heavyHittersStream(events: Dataset[Event], capacity: Int = 64,
+                         shards: Int = 8): Dataset[FreqRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e =>
+        math.floorMod(e.event_type.hashCode, shards))
+      .flatMapGroupsWithState[FreqState, FreqRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[Event],
+         state: GroupState[FreqState]) =>
+          val m = scala.collection.mutable.HashMap
+            .empty[String, Long]
+          val prev = state.getOption
+          prev.foreach(st => st.keys.zip(st.counts).foreach {
+            case (k, c) => m.update(k, c)
+          })
+          rows.foreach(e =>
+            graft.plans.MisraGries.update(m, e.event_type, capacity))
+          val rev = prev.map(_.rev + 1).getOrElse(1L)
+          val sorted = m.toSeq.sortBy { case (k, c) => (-c, k) }
+          state.update(FreqState(rev, sorted.map(_._1),
+            sorted.map(_._2)))
+          sorted.iterator.map { case (k, c) => FreqRow(shard, rev, k, c) }
       }
   }
 

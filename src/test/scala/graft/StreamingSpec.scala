@@ -326,4 +326,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(latest === batch)
   }
+
+  test("heavyHittersStream: exact regime replays to the batch sketch") {
+    import graft.streaming.FreqRow
+    val in = MemoryStream[StreamingEvents.Event](spark)
+    val q = StreamingEvents.heavyHittersStream(in.toDS(),
+        capacity = 16, shards = 4)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("append").start()
+    def ev(id: Long, t: String) = StreamingEvents.Event(
+      id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, t, 0.0)
+    in.addData(ev(1, "view"), ev(2, "view"), ev(3, "click"),
+      ev(4, "view"))
+    q.processAllAvailable()
+    in.addData(ev(5, "click"), ev(6, "purchase"), ev(7, "view"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("hh").as[FreqRow].collect()
+    // compacted-changelog read: max-rev rows per shard, shards unioned
+    val latest = all.groupBy(_.shard).toSeq.flatMap { case (_, rows) =>
+      val maxRev = rows.map(_.rev).max
+      rows.filter(_.rev == maxRev).toSeq
+    }
+    val sketches = latest.groupBy(_.shard).map { case (_, rows) =>
+      Tuple1(rows.sortBy(r => (-r.c, r.t)).map(r => (r.t, r.c)))
+    }.toSeq.toDF("sketch")
+      .selectExpr("transform(sketch, e -> struct(e._1 AS t, e._2 AS c)) AS sketch")
+    val merged = graft.operators.Sketches.mergedFreq(sketches, 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === Map("view" -> 4L, "click" -> 2L, "purchase" -> 1L))
+  }
 }
