@@ -316,6 +316,43 @@ object TextQueries {
           "doc_id", "text", K, NUM_HASHES, BANDS, THRESH))
     },
 
+    // ── END-TO-END dedup pipeline summary (the composition, one row) ───
+    // What a user actually runs: exact dedup (content-hash survivors)
+    // → LSH-then-verify near-dup pairs restricted to exact survivors →
+    // cluster resolution → one survivor per cluster → final corpus
+    // size in docs and tokens. Every stage is the already-oracle-
+    // checked operator; this query pins that the COMPOSITION holds
+    // together (id flow, survivor filters, cluster removal) against a
+    // DuckDB replay of the whole pipeline. Restricting near-dup work
+    // to exact survivors is the documented ordering contract from
+    // [[Dedup]] — exact-dup clusters would otherwise quadratically
+    // inflate every band bucket.
+    "q_dedup_pipeline" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val fp = Dedup.exactGroups(d, "doc_id", "text")
+      val surv = fp.select(col("keep_id").as("doc_id"))
+      val pairs = Dedup.lshVerifiedPairs(d, "doc_id", "text",
+          K, NUM_HASHES, BANDS, THRESH)
+        .join(surv.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(surv.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select("doc_a", "doc_b")
+      val cc = Clusters.connectedComponents(pairs, "doc_a", "doc_b")
+      val removedNear = cc.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      val finalDocs = surv.join(removedNear, Seq("doc_id"), "left_anti")
+      val tok = d.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("t"))
+      d.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(fp.agg(count(lit(1)).as("n_exact_survivors")))
+        .crossJoin(removedNear.agg(count(lit(1)).as("n_near_removed")))
+        .crossJoin(finalDocs.join(tok, "doc_id")
+          .agg(count(lit(1)).as("n_final"),
+            coalesce(sum(col("t")), lit(0L)).as("tokens_final")))
+        .select(col("n_docs"),
+          (col("n_docs") - col("n_exact_survivors")).as("n_exact_removed"),
+          col("n_near_removed"), col("n_final"), col("tokens_final"))
+    },
+
     // ── one survivor per cluster by (quality desc, id asc) ──────────────
     // The keep/drop decision a curation pipeline executes: struct-min
     // argmax per cluster (map-side combinable), quality from the same
@@ -1499,6 +1536,39 @@ object TextQueries {
          |  FROM cc GROUP BY cluster_id)
          |SELECT cc.id AS doc_id, cc.cluster_id, csz.cluster_sz
          |FROM cc JOIN csz USING (cluster_id)""".stripMargin,
+
+    "q_dedup_pipeline" ->
+      s"""WITH RECURSIVE $lshVerifiedCtes,
+         |fpg AS (SELECT
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f,
+         |    min(doc_id) AS keep_id
+         |  FROM documents GROUP BY 1),
+         |surv AS (SELECT keep_id AS doc_id FROM fpg),
+         |vps AS (SELECT doc_a, doc_b FROM vp
+         |  WHERE doc_a IN (SELECT doc_id FROM surv)
+         |    AND doc_b IN (SELECT doc_id FROM surv)),
+         |se AS (SELECT doc_a AS src, doc_b AS dst FROM vps
+         |       UNION SELECT doc_b, doc_a FROM vps),
+         |sreach AS (SELECT src AS id, src AS r FROM se
+         |           UNION
+         |           SELECT sreach.id, se.dst FROM sreach
+         |           JOIN se ON se.src = sreach.r),
+         |scc AS (SELECT id, min(r) AS cluster_id FROM sreach GROUP BY id),
+         |rem AS (SELECT id AS doc_id FROM scc WHERE id != cluster_id),
+         |fin AS (SELECT doc_id FROM surv
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM rem)),
+         |tok AS (SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |      AS BIGINT) AS t
+         |  FROM documents)
+         |SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |  (SELECT count(*) FROM documents) - (SELECT count(*) FROM fpg)
+         |    AS n_exact_removed,
+         |  (SELECT count(*) FROM rem) AS n_near_removed,
+         |  (SELECT count(*) FROM fin) AS n_final,
+         |  (SELECT CAST(coalesce(sum(t), 0) AS BIGINT)
+         |   FROM fin JOIN tok USING (doc_id)) AS tokens_final""".stripMargin,
 
     "q_cluster_survivors" ->
       s"""WITH RECURSIVE $ccCtes,
