@@ -479,9 +479,18 @@ object Dedup {
     val sigs = CacheRegistry.register(
       minhashSignatures(docs, id, text, k, numHashes)
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val cands = candidatesFromSigs(sigs, numHashes, bands)
-    exactVerify(cands, ds, thresholdPct)
+    lshPairsFromDs(ds, sigs, numHashes, bands, thresholdPct)
   }
+
+  /** LSH-then-verify over PREcomputed cached shingle/signature tables —
+    * lets composite queries ([[lshRecall]]) share one scan with the
+    * prefix-filter truth side instead of re-deriving both caches.
+    */
+  private def lshPairsFromDs(ds: DataFrame, sigs: DataFrame,
+                             numHashes: Int, bands: Int,
+                             thresholdPct: Int): DataFrame =
+    exactVerify(candidatesFromSigs(sigs, numHashes, bands), ds,
+      thresholdPct)
 
   /** Shared verify stage of the candidate-generation family: exact
     * Jaccard computed ONLY on (doc_a, doc_b) candidate pairs by joining
@@ -533,6 +542,12 @@ object Dedup {
     val ds = CacheRegistry.register(
       hashedShingles(docs, id, text, k)
         .persist(StorageLevel.MEMORY_AND_DISK))
+    prefixPairsFromDs(ds, thresholdPct)
+  }
+
+  /** Prefix-filter join over a PREcomputed cached shingle table. */
+  private def prefixPairsFromDs(ds: DataFrame,
+                                thresholdPct: Int): DataFrame = {
     val dfCounts = ds.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id")
       .orderBy(col("df"), col("shingle"))
@@ -568,9 +583,17 @@ object Dedup {
   def lshRecall(docs: DataFrame, id: String, text: String,
                 k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                 thresholdPct: Int = 60): DataFrame = {
-    val truth = prefixFilterPairs(docs, id, text, k, thresholdPct)
-    val found = lshVerifiedPairs(docs, id, text, k, numHashes, bands,
-        thresholdPct)
+    // ONE shingle cache feeds both the truth side (prefix filter) and
+    // the LSH side's verify joins — the two pair generators differ
+    // only above the shared (doc_id, shingle) table.
+    val ds = CacheRegistry.register(
+      hashedShingles(docs, id, text, k)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val sigs = CacheRegistry.register(
+      minhashSignatures(docs, id, text, k, numHashes)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val truth = prefixPairsFromDs(ds, thresholdPct)
+    val found = lshPairsFromDs(ds, sigs, numHashes, bands, thresholdPct)
       .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
     truth.join(found, Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))

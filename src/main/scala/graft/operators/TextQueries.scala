@@ -316,6 +316,68 @@ object TextQueries {
           "doc_id", "text", K, NUM_HASHES, BANDS, THRESH))
     },
 
+    // ── cross-source EXACT shingle-overlap matrix ──────────────────────
+    // For every source pair: exact distinct-shingle intersection and
+    // Jaccard (basis points) — the ground truth that VALIDATES
+    // q_source_similarity's mergeable-MinHash estimates, the way
+    // q_lsh_recall validates banding and q_ann_recall validates IVF.
+    // At 100 TB you run the sketch version incrementally and this
+    // exact version on a sampled slice to calibrate it. The
+    // (source, shingle) distinct table is vocab-bounded × |sources|;
+    // self-join posting lists are ≤ |sources| per shingle, so pair
+    // volume is Σ ≤ vocab·|sources|², never corpus-sized.
+    "q_source_overlap" -> { (s, dir) =>
+      val sg = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          TextFunctions.tokens(lower(col("text"))).as("toks"))
+        .filter(size(col("toks")) >= K)
+        .select(col("source"), explode(array_distinct(
+          TextFunctions.shinglesFromTokens(col("toks"), K))).as("sh"))
+        .select(col("source"), Dedup.shingleHash(col("sh")).as("g"))
+        .distinct()
+      val cached = graft.CacheRegistry.register(sg.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val sz = cached.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      cached.as("a").join(cached.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(sz.select(col("source").as("source_a"),
+          col("sz").as("sz_a")), "source_a")
+        .join(sz.select(col("source").as("source_b"),
+          col("sz").as("sz_b")), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          col("sz_a"), col("sz_b"),
+          expr("n_shared * 10000 div (sz_a + sz_b - n_shared)")
+            .as("jaccard_bp"))
+    },
+
+    // ── quality-score × near-duplication calibration ───────────────────
+    // Are near-duplicates concentrated in low-quality bands? The
+    // answer decides whether dedup and quality filtering are redundant
+    // or complementary (a flat dup_rate_bp across bands ⇒ they remove
+    // DIFFERENT documents and you need both). "Duplicated" = appears
+    // in an exact Jaccard-threshold pair (the prefix-filter ground
+    // truth); the flag joins back on id and folds per quality band —
+    // the same scorer q_quality_score gates.
+    "q_quality_vs_dup" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val pairs = Dedup.prefixFilterPairs(d, "doc_id", "text", K, THRESH)
+      val dupIds = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id")))
+        .distinct()
+        .withColumn("is_dup", lit(1L))
+      d.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .join(dupIds, Seq("doc_id"), "left")
+        .groupBy(col("quality"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+        .select(col("quality"), col("n_docs"), col("n_dup_docs"),
+          expr("n_dup_docs * 10000 div n_docs").as("dup_rate_bp"))
+    },
+
     // ── END-TO-END dedup pipeline summary (the composition, one row) ───
     // What a user actually runs: exact dedup (content-hash survivors)
     // → LSH-then-verify near-dup pairs restricted to exact survivors →
@@ -1536,6 +1598,51 @@ object TextQueries {
          |  FROM cc GROUP BY cluster_id)
          |SELECT cc.id AS doc_id, cc.cluster_id, csz.cluster_sz
          |FROM cc JOIN csz USING (cluster_id)""".stripMargin,
+
+    "q_source_overlap" ->
+      s"""WITH st AS (SELECT source,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |sg AS (SELECT DISTINCT source,
+         |    ${Dedup.shingleHashSql(
+               s"array_to_string(t[CAST(i AS INT):CAST(i + ${K - 1} AS INT)], ' ')")} AS g
+         |  FROM st, unnest(range(1, len(t) - ${K - 2})) AS u(i)
+         |  WHERE len(t) >= $K),
+         |sz AS (SELECT source, count(*) AS sz FROM sg GROUP BY 1),
+         |ov AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    count(*) AS n_shared
+         |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_shared, za.sz AS sz_a, zb.sz AS sz_b,
+         |  CAST(n_shared * 10000 // (za.sz + zb.sz - n_shared) AS BIGINT)
+         |    AS jaccard_bp
+         |FROM ov
+         |JOIN sz za ON source_a = za.source
+         |JOIN sz zb ON source_b = zb.source""".stripMargin,
+
+    "q_quality_vs_dup" ->
+      s"""WITH $hashedShinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |fcommon AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS n_common
+         |  FROM shh a JOIN shh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ep AS (SELECT f.doc_a, f.doc_b FROM fcommon f
+         |  JOIN sizes sa ON f.doc_a = sa.doc_id
+         |  JOIN sizes sb ON f.doc_b = sb.doc_id
+         |  WHERE f.n_common * 100 >= $THRESH * (sa.sz + sb.sz - f.n_common)),
+         |dup AS (SELECT DISTINCT doc_id FROM
+         |  (SELECT doc_a AS doc_id FROM ep
+         |   UNION ALL SELECT doc_b FROM ep) u),
+         |$qualityCtes
+         |SELECT qv.quality, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END)
+         |    * 10000 // count(*) AS BIGINT) AS dup_rate_bp
+         |FROM qv LEFT JOIN dup ON qv.doc_id = dup.doc_id
+         |GROUP BY 1""".stripMargin,
 
     "q_dedup_pipeline" ->
       s"""WITH RECURSIVE $lshVerifiedCtes,
