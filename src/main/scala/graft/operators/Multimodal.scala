@@ -54,6 +54,31 @@ object Multimodal {
   /** Payload size in bytes. */
   def byteSize(bytes: Column): Column = length(bytes)
 
+  /** Strided byte-diversity stats per payload — the decode-free
+    * blank/corruption screen (q_media_bytestats): sample ≤ 64 bytes at
+    * a fixed stride in-row, count distinct, flag uniform payloads.
+    * Pure projection, cost independent of payload size; expects
+    * (media_id, bytes).
+    */
+  def byteStats(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"),
+        byteSize(col("bytes")).cast("long").as("n_bytes"),
+        col("bytes"))
+      .withColumn("stride",
+        when(col("n_bytes") >= 64, expr("n_bytes div 64"))
+          .otherwise(lit(1L)))
+      .withColumn("k", least(lit(64L), col("n_bytes")))
+      .withColumn("n_distinct",
+        when(col("k") > 0, size(array_distinct(expr(
+          "transform(sequence(0L, k - 1), " +
+            "i -> substring(bytes, CAST(1 + i * stride AS INT), 1))")))
+          .cast("long"))
+          .otherwise(lit(0L)))
+      .select(col("media_id"), col("n_bytes"),
+        col("k").as("n_sampled"), col("n_distinct"),
+        (col("n_distinct") === 1).cast("long").as("is_uniform"))
+
   /** Magic-byte mime sniff over the hex encoding (production form:
     * compare `substring(bytes, 1, n)` against binary literals).
     */
@@ -275,6 +300,16 @@ object Multimodal {
             .as("n_pixels"))
     },
 
+    // ── strided byte-diversity stats (blank/corruption screen) ─────────
+    // Up to 64 bytes sampled at a fixed stride per payload; the
+    // distinct count is the cheap decode-free screen for blank frames,
+    // zero-filled uploads, and truncated constant padding (uniform ⇒
+    // nothing to decode). Pure projection — HOF transform over an
+    // in-row sample, no shuffle, cost independent of payload size.
+    // The DuckDB twin samples the SAME positions via hex-string pairs
+    // (BLOB slicing is off-limits there), 1:1 with the binary bytes.
+    "q_media_bytestats" -> { (s, dir) => byteStats(mediaOf(s, dir)) },
+
     // exact binary dedup: group identical payloads by content hash
     // (duplicate text payloads in documents collide across mime wrappers
     // only when the full byte stream — header included — matches)
@@ -372,6 +407,25 @@ object Multimodal {
          |SELECT sha256(hex(bytes)) AS fp, min(media_id) AS keep_id,
          |  count(*) AS n_dups
          |FROM media GROUP BY 1""".stripMargin,
+
+    "q_media_bytestats" ->
+      s"""WITH $mediaCte,
+         |b AS (SELECT media_id, octet_length(bytes) AS n_bytes,
+         |    hex(bytes) AS h FROM media),
+         |p AS (SELECT media_id, n_bytes, least(64, n_bytes) AS k,
+         |    CASE WHEN n_bytes >= 64 THEN n_bytes // 64 ELSE 1 END
+         |      AS stride, h
+         |  FROM b),
+         |d AS (SELECT media_id, n_bytes, k,
+         |    CAST(len(list_distinct(list_transform(range(0, k),
+         |      i -> substr(h, CAST(2 * i * stride + 1 AS INT), 2))))
+         |      AS BIGINT) AS n_distinct
+         |  FROM p)
+         |SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+         |  CAST(k AS BIGINT) AS n_sampled, n_distinct,
+         |  CAST(CASE WHEN n_distinct = 1 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_uniform
+         |FROM d""".stripMargin,
 
     "q_media_ahash" ->
       s"""WITH $mediaCte,

@@ -440,6 +440,24 @@ object RelationalQueries {
             / col("n")).as("var_pop"))
     },
 
+    // ── scalar subquery through the SQL surface ────────────────────────
+    // Orders priced above the global mean, phrased with SCALAR
+    // subqueries so Catalyst's subquery planning (one reused
+    // single-row aggregate, not a per-row loop) is the surface under
+    // test. Kept division-free: price·n > Σprice ⇔ price > mean, in
+    // half-cent-rounded integer cents — exact in both engines.
+    "q_scalar_subquery" -> { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_ssq")
+      s.sql("""
+        SELECT o_orderkey,
+          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        FROM orders_ssq
+        WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+            * (SELECT count(*) FROM orders_ssq)
+          > (SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             FROM orders_ssq)""")
+    },
+
     // ── sampled integer correlation profile: pairwise corr² (ppm) and
     // sign over (quantity, price, discount) on a deterministic 1 % hash
     // sample. Correlation is a DIAGNOSTIC — estimates converge at tiny
@@ -900,6 +918,15 @@ object RelationalQueries {
         | CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
         | CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
         |FROM orders""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        |FROM orders
+        |WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |    * (SELECT count(*) FROM orders)
+        |  > (SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+        |        AS BIGINT)) AS BIGINT) FROM orders)""".stripMargin,
 
     "q_correlation" -> {
       val pairSelects = CORR_PAIRS.map {

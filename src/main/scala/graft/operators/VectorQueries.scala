@@ -690,6 +690,28 @@ object VectorQueries {
         .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_q"))
     },
 
+    // ── embedding hygiene: quantized-norm histogram + zero vectors ─────
+    // The profile a vector pipeline runs BEFORE indexing: norm²
+    // distribution (0.25-wide buckets on the shared 2⁻²⁰ grid — same
+    // quantization as srp_sig/PQ/KMeans, so the histogram is
+    // engine-exact) and all-zero vectors, which break cosine (0/0) and
+    // pollute IVF cells. One Generate + one vec-keyed agg + one tiny
+    // bucket fold; no shuffle carries raw coordinates twice.
+    "q_embedding_norms" -> { (s, dir) =>
+      loadEmb(s, dir)
+        .select(col("vec_id"), explode(col("embedding")).as("x"))
+        .select(col("vec_id"),
+          floor(col("x").cast("double") * 1048576d).as("q"))
+        .groupBy(col("vec_id"))
+        .agg(sum(expr("q * q")).as("norm2_q"), count(lit(1)).as("dim"),
+          sum(when(col("q") === 0, 1L).otherwise(0L)).as("n_zero"))
+        .select(expr(s"norm2_q div ${(1L << 40) / 4}").as("norm2_bucket"),
+          (col("n_zero") === col("dim")).cast("long").as("is_zero_vec"))
+        .groupBy(col("norm2_bucket"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("is_zero_vec")).as("n_zero_vecs"))
+    },
+
     // ── IVF recall@k against the brute-force truth ──────────────────────
     // recall_pct = 100·|ivf ∩ brute| / k per query — the number a
     // training-data pipeline tunes nprobe/cells against. Integer
@@ -920,6 +942,22 @@ object VectorQueries {
         |    AS BIGINT)) AS BIGINT) AS sum_q
         |FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
         |GROUP BY label, pos""".stripMargin,
+
+    "q_embedding_norms" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) u),
+         |per AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS norm2_q,
+         |    count(*) AS dim,
+         |    CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_zero
+         |  FROM e GROUP BY 1)
+         |SELECT CAST(norm2_q // ${(1L << 40) / 4} AS BIGINT)
+         |    AS norm2_bucket,
+         |  count(*) AS n_vecs,
+         |  CAST(sum(CASE WHEN n_zero = dim THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_zero_vecs
+         |FROM per GROUP BY 1""".stripMargin,
 
     "q_ann_ivf_kmeans" ->
       s"""WITH $kmeansCtes,

@@ -188,4 +188,21 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
   }
 
   conformance("StubDecoder", StubDecoder)
+
+  test("byteStats: uniform, varied, and empty payloads") {
+    // raw-wrapped docs (id % 3 == 2): payload is exactly the text bytes
+    val corpus = Seq(
+      (2L, "aaaaaaaaaaaaaaaa"),  // uniform byte content
+      (5L, "abcdefghijklmnop"),  // all-distinct bytes
+      (8L, "")                   // empty payload
+    ).toDF("doc_id", "text")
+    val stats = Multimodal.byteStats(Multimodal.fakeMedia(corpus))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Long]("n_bytes"), r.getAs[Long]("n_sampled"),
+          r.getAs[Long]("n_distinct"), r.getAs[Long]("is_uniform"))))
+      .toMap
+    assert(stats(2L) === ((16L, 16L, 1L, 1L)))   // uniform flagged
+    assert(stats(5L) === ((16L, 16L, 16L, 0L)))  // varied not flagged
+    assert(stats(8L) === ((0L, 0L, 0L, 0L)))     // empty: no sample
+  }
 }
