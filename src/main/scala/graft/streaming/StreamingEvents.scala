@@ -487,4 +487,36 @@ object StreamingEvents {
       .select(col("user_id"), col("trigger_id"), col("action_id"),
         col("trigger_ts"), col("action_ts"))
   }
+
+  /** LEFT OUTER stream-stream attribution: like [[attributionJoin]],
+    * but triggers that never convert still come out — with null action
+    * columns — once the watermark passes the end of their match
+    * window, i.e. when the engine can PROVE no action can still
+    * arrive. That deferred null-padding is the semantic difference
+    * from a batch left join (which answers immediately) and the reason
+    * the time bound + both-side watermarks are mandatory here: they
+    * are what lets state for old triggers be evicted instead of
+    * buffered forever. Downstream this is the conversion-rate input —
+    * matched AND unmatched triggers in one stream.
+    */
+  def attributionJoinLeftOuter(triggers: DataFrame, actions: DataFrame,
+                               withinMs: Long = 30L * 60 * 1000)
+      : DataFrame = {
+    val t = triggers
+      .select(col("user_id"), col("event_id").as("trigger_id"),
+        col("ts").as("trigger_ts"))
+      .withWatermark("trigger_ts", "2 hours")
+    val a = actions
+      .select(col("user_id").as("a_user_id"),
+        col("event_id").as("action_id"), col("ts").as("action_ts"))
+      .withWatermark("action_ts", "2 hours")
+    t.join(a,
+      col("user_id") === col("a_user_id") &&
+        col("action_ts") >= col("trigger_ts") &&
+        col("action_ts") <=
+          col("trigger_ts") + expr(s"INTERVAL $withinMs MILLISECOND"),
+      "leftOuter")
+      .select(col("user_id"), col("trigger_id"), col("action_id"),
+        col("trigger_ts"), col("action_ts"))
+  }
 }

@@ -82,6 +82,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out === Set((1L, 1L, 101L)))
   }
 
+  test("attributionJoinLeftOuter: unmatched triggers null-pad after eviction") {
+    val trig = MemoryStream[Event](spark)
+    val act = MemoryStream[Event](spark)
+    val q = StreamingEvents.attributionJoinLeftOuter(trig.toDF(),
+        act.toDF(), withinMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("attr_lo")
+      .outputMode("append").start()
+    trig.addData(
+      Event(1, ts(1000), 1, "click", 0.0),  // will convert
+      Event(2, ts(1000), 2, "click", 0.0))  // never converts
+    act.addData(
+      Event(101, ts(1010), 1, "buy", 9.0))
+    q.processAllAvailable()
+    // the unmatched trigger must NOT be emitted yet: an action could
+    // still arrive until the watermark passes trigger_ts + 30 min
+    val early = spark.table("attr_lo")
+      .select(col("trigger_id")).as[Long].collect().toSet
+    assert(early === Set(1L))
+    // advance event time far past every bound ON BOTH SIDES: the
+    // global watermark is the MIN over all inputs (watermark =
+    // min(max_ts) - 2h), so a stalled trigger stream would hold back
+    // eviction forever
+    trig.addData(Event(998, ts(1000 + 60 * 5), 8, "click", 0.0))
+    act.addData(Event(999, ts(1000 + 60 * 5), 9, "buy", 1.0))
+    q.processAllAvailable()
+    // one more batch so the new watermark triggers state eviction
+    trig.addData(Event(1001, ts(1000 + 60 * 5 + 1), 8, "click", 0.0))
+    act.addData(Event(1000, ts(1000 + 60 * 5 + 1), 9, "buy", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("attr_lo")
+      .select(col("trigger_id"), col("action_id")).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    // trigger 2 null-pads after eviction; the late watermark-advancing
+    // triggers (998, 1001) are themselves still unmatched-but-young,
+    // so they must NOT appear
+    assert(out === Set((1L, Some(101L)), (2L, None)))
+  }
+
   test("crash leftovers in the silver root are invisible to partition discovery") {
     val layout = Layout(Files.createTempDirectory("graft-leftover").toString)
     val ckpt = Files.createTempDirectory("graft-ckpt3").toString
