@@ -690,6 +690,25 @@ object VectorQueries {
         .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_q"))
     },
 
+    // ── IVF index health: cell-size balance diagnostic ─────────────────
+    // Per-cell population + share (bp) of the IVF assignment — the
+    // number that tells you whether nprobe/candidate-volume math holds:
+    // a cell at 30× the mean makes every probe touching it pay 30× the
+    // scan, and empty cells waste centroid budget. Same in-row argmin
+    // assignment as the search path (one broadcast row, corpus scanned
+    // once); output bounded by the centroid count.
+    "q_ivf_cell_balance" -> { (s, dir) =>
+      val emb = loadEmb(s, dir)
+      val assigned = withCell(
+        emb.select(col("vec_id"), col("embedding").as("cvec")),
+        centroidArray(seedCentroids(emb)), col("cvec"))
+      assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(broadcast(emb.agg(count(lit(1)).as("total"))))
+        .select(col("cell"), col("n_vecs"),
+          expr("n_vecs * 10000 div total").as("share_bp"))
+    },
+
     // ── embedding hygiene: quantized-norm histogram + zero vectors ─────
     // The profile a vector pipeline runs BEFORE indexing: norm²
     // distribution (0.25-wide buckets on the shared 2⁻²⁰ grid — same
@@ -942,6 +961,20 @@ object VectorQueries {
         |    AS BIGINT)) AS BIGINT) AS sum_q
         |FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
         |GROUP BY label, pos""".stripMargin,
+
+    "q_ivf_cell_balance" ->
+      s"""WITH cent AS (SELECT vec_id AS cell, embedding AS centroid
+         |         FROM embeddings WHERE vec_id < $N_CELLS),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, cent.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_distance(e.embedding, cent.centroid) ASC,
+         |        cent.cell ASC) AS arn
+         |  FROM embeddings e, cent) a WHERE arn = 1),
+         |t AS (SELECT count(*) AS total FROM embeddings)
+         |SELECT cell, count(*) AS n_vecs,
+         |  CAST(count(*) * 10000 // total AS BIGINT) AS share_bp
+         |FROM assigned, t GROUP BY cell, total""".stripMargin,
 
     "q_embedding_norms" ->
       s"""WITH e AS (SELECT vec_id,
