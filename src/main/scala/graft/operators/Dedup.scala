@@ -570,6 +570,39 @@ object Dedup {
     exactVerify(cands, ds, thresholdPct)
   }
 
+  /** LSH banding tuning curve: for each (bands, rows-per-band) split
+    * of the same numHashes-slot signatures, the candidate volume and
+    * how many candidates survive exact verification — the empirical
+    * S-curve behind the banding choice (more bands ⇒ higher recall
+    * AND more false candidates; the collision probability
+    * 1−(1−J^r)^b is theory, this is the measured trade on YOUR
+    * corpus). Signatures and shingle sets are each computed ONCE and
+    * shared across every configuration; per config the work is one
+    * band self-join plus candidate-bounded verify.
+    */
+  def lshTuning(docs: DataFrame, id: String, text: String,
+                k: Int = 3, numHashes: Int = 16,
+                bandConfigs: Seq[Int] = Seq(1, 2, 4, 8, 16),
+                thresholdPct: Int = 60): DataFrame = {
+    require(bandConfigs.forall(b => numHashes % b == 0),
+      s"every band count must divide numHashes=$numHashes")
+    val ds = CacheRegistry.register(
+      hashedShingles(docs, id, text, k)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val sigs = CacheRegistry.register(
+      minhashSignatures(docs, id, text, k, numHashes)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    bandConfigs.map { b =>
+      val cands = candidatesFromSigs(sigs, numHashes, b)
+      val verified = exactVerify(cands, ds, thresholdPct)
+      cands.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+        .select(lit(b.toLong).as("bands"),
+          lit((numHashes / b).toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Recall of the LSH-then-verify scale path against exact ground
     * truth — the measure-don't-guess number for the DEDUP family, the
     * way q_ann_recall is for ANN: one row

@@ -25,6 +25,7 @@ object TextQueries {
   private val MAX_HAMMING = 3  // simhash near-dup hamming radius
   private val CONTAIN_T = 90   // containment threshold, percent
   private val ABLATION_THRESHOLDS = Seq(50, 60, 70, 80, 90) // dedup ablation ladder
+  private val TUNING_BANDS = Seq(1, 2, 4, 8, 16) // q_lsh_tuning band splits
   private val MIN_RUN = 12     // dup-span floor: spans >= 14 tokens, past chance-collision runs
   private val VOCAB_V = 10     // vocab size for the OOV-coverage signal
   private val MIN_COOC = 5     // co-occurrence support floor (PMI table)
@@ -158,6 +159,12 @@ object TextQueries {
     "q_prefix_filter_pairs" -> { (s, dir) =>
       Dedup.prefixFilterPairs(Tables.load(s, dir, "documents"),
         "doc_id", "text", K, THRESH)
+    },
+
+    // ── LSH banding tuning curve (candidates vs verified per config) ───
+    "q_lsh_tuning" -> { (s, dir) =>
+      Dedup.lshTuning(Tables.load(s, dir, "documents"),
+        "doc_id", "text", K, NUM_HASHES, TUNING_BANDS, THRESH)
     },
 
     // ── LSH recall vs exact ground truth (measure, don't guess) ─────────
@@ -1498,6 +1505,45 @@ object TextQueries {
          |  max(run) + ${K - 1} AS max_span
          |FROM runs GROUP BY doc_id
          |HAVING max(run) >= $MIN_RUN""".stripMargin,
+
+    "q_lsh_tuning" -> {
+      def bandSelectFor(bands: Int)(band: Int): String = {
+        val r = NUM_HASHES / bands
+        val key = (0 until r).map(j => s"CAST(mh${band * r + j} AS VARCHAR)")
+          .mkString(", ")
+        s"SELECT doc_id, $band AS band, md5(concat_ws('-', $key)) AS bkey FROM sig"
+      }
+      val perConfig = TUNING_BANDS.map { b =>
+        s"""bands$b AS (${(0 until b).map(bandSelectFor(b))
+             .mkString("\n UNION ALL\n ")}),
+           |cand$b AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands$b a JOIN bands$b b
+           |    ON a.band = b.band AND a.bkey = b.bkey
+           |      AND a.doc_id < b.doc_id),
+           |common$b AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+           |  FROM cand$b c
+           |  JOIN shh sa ON sa.doc_id = c.doc_a
+           |  JOIN shh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+           |  GROUP BY 1, 2),
+           |ver$b AS (SELECT 1 AS one FROM common$b m
+           |  JOIN sizes za ON m.doc_a = za.doc_id
+           |  JOIN sizes zb ON m.doc_b = zb.doc_id
+           |  WHERE m.n_common * 100 >= $THRESH * (za.sz + zb.sz - m.n_common))"""
+          .stripMargin
+      }.mkString(",\n")
+      val selects = TUNING_BANDS.map { b =>
+        s"""SELECT CAST($b AS BIGINT) AS bands,
+           |  CAST(${NUM_HASHES / b} AS BIGINT) AS rows_per_band,
+           |  (SELECT count(*) FROM cand$b) AS n_candidates,
+           |  (SELECT count(*) FROM ver$b) AS n_verified""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $sigCte,
+         |shh AS (SELECT doc_id, ${Dedup.shingleHashSql("shingle")} AS shingle
+         |  FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |$perConfig
+         |$selects""".stripMargin
+    },
 
     "q_lsh_recall" ->
       s"""WITH $lshVerifiedCtes,

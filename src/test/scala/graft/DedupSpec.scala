@@ -200,6 +200,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!spans.contains(3L))
   }
 
+  test("lshTuning: monotone S-curve, verified bounded by candidates") {
+    val rows = Dedup.lshTuning(docs, "doc_id", "text", k = 3,
+        numHashes = 8, bandConfigs = Seq(1, 2, 4, 8), thresholdPct = 60)
+      .collect().map(r => (r.getAs[Long]("bands"),
+        r.getAs[Long]("rows_per_band"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_verified"))).sortBy(_._1)
+    assert(rows.map(_._1) === Seq(1L, 2L, 4L, 8L))
+    rows.foreach { case (b, r, cand, ver) =>
+      assert(b * r === 8L)
+      assert(ver <= cand)
+    }
+    // more bands can only ADD candidate pairs (each band is another
+    // chance to collide) and therefore never lose a verified pair
+    assert(rows.map(_._3).toSeq.sliding(2).forall {
+      case Seq(a, b) => a <= b; case _ => true })
+    assert(rows.map(_._4).toSeq.sliding(2).forall {
+      case Seq(a, b) => a <= b; case _ => true })
+    // identical docs (1,2) collide in every config → always verified
+    assert(rows.forall(_._4 >= 1L))
+  }
+
   test("lshRecall: one row, found ≤ true, identical-dup corpus recalls 100%") {
     val r = Dedup.lshRecall(docs, "doc_id", "text", k = 3,
       numHashes = 8, bands = 4, thresholdPct = 60).collect().head
