@@ -592,15 +592,51 @@ object Dedup {
     val sigs = CacheRegistry.register(
       minhashSignatures(docs, id, text, k, numHashes)
         .persist(StorageLevel.MEMORY_AND_DISK))
-    bandConfigs.map { b =>
-      val cands = candidatesFromSigs(sigs, numHashes, b)
-      val verified = exactVerify(cands, ds, thresholdPct)
-      cands.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
-        .select(lit(b.toLong).as("bands"),
-          lit((numHashes / b).toLong).as("rows_per_band"),
-          col("n_candidates"), col("n_verified"))
-    }.reduce(_ unionByName _)
+    // Nested-split structure: a pair colliding on an r-slot band agrees
+    // on each of its slots, so candidates(b) ⊆ candidates(numHashes)
+    // for every b dividing numHashes. ONE finest-grain band join
+    // (bands = numHashes, one slot each) therefore yields the superset;
+    // each config's membership is then pure IN-ROW bit math over the
+    // per-pair slot-agreement mask, and exact verification runs ONCE
+    // over the superset — instead of |configs| joins + verifies.
+    val cands = candidatesFromSigs(sigs, numHashes, numHashes)
+    val sa = sigs.toDF(
+      "doc_a" +: (0 until numHashes).map(i => s"a$i"): _*)
+    val sb = sigs.toDF(
+      "doc_b" +: (0 until numHashes).map(i => s"b$i"): _*)
+    val mask = (0 until numHashes).map(i =>
+      when(col(s"a$i") === col(s"b$i"), lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    val configFlags = bandConfigs.map { b =>
+      val r = numHashes / b
+      val bandFull = (0 until b).map { j =>
+        val bm = ((1L << r) - 1) << (j * r)
+        (col("mask").bitwiseAND(lit(bm)) === lit(bm)).cast("long")
+      }.reduce(_ + _)
+      (bandFull > 0).cast("long").as(s"in_$b")
+    }
+    val flagged = cands
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a") +: col("doc_b") +: Seq(mask.as("mask")): _*)
+      .select(col("doc_a") +: col("doc_b") +: configFlags: _*)
+    val verified = exactVerify(cands, ds, thresholdPct)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("ok"))
+    val one = flagged.join(verified, Seq("doc_a", "doc_b"), "left")
+      .agg(
+        bandConfigs.flatMap(b => Seq(
+          sum(col(s"in_$b")).as(s"cand_$b"),
+          sum(col(s"in_$b") * coalesce(col("ok"), lit(0L)))
+            .as(s"ver_$b"))).head,
+        bandConfigs.flatMap(b => Seq(
+          sum(col(s"in_$b")).as(s"cand_$b"),
+          sum(col(s"in_$b") * coalesce(col("ok"), lit(0L)))
+            .as(s"ver_$b"))).tail: _*)
+    val rows = bandConfigs.map(b =>
+      s"CAST(${b.toLong} AS BIGINT), CAST(${(numHashes / b).toLong} AS BIGINT), " +
+        s"coalesce(cand_$b, CAST(0 AS BIGINT)), " +
+        s"coalesce(ver_$b, CAST(0 AS BIGINT))").mkString(", ")
+    one.selectExpr(s"stack(${bandConfigs.size}, $rows) AS " +
+      "(bands, rows_per_band, n_candidates, n_verified)")
   }
 
   /** Recall of the LSH-then-verify scale path against exact ground
@@ -713,6 +749,44 @@ object Dedup {
       .filter(col("max_run") >= minRun)
       .select(col("doc_id"), col("max_run"),
         (col("max_run") + lit(k - 1)).as("max_span"))
+  }
+
+  /** Exact token coverage of duplicated spans per doc — the REMOVAL
+    * volume an exact-substring dedup pass would excise, where
+    * [[dupSpans]] reports only the longest run. Each duplicated k-gram
+    * at position p covers tokens [p, p+k−1]; the union length of those
+    * intervals per doc reduces to ONE lag window via the identity
+    * Σ min(k, pᵢ − pᵢ₋₁) (first gram contributes k): a new gram adds
+    * exactly its gap's worth of fresh tokens, capped at k. No interval
+    * merging, no second pass. Output: (doc_id, n_tokens,
+    * dup_span_tokens, coverage_bp).
+    */
+  def dupSpanCoverage(docs: DataFrame, id: String, text: String,
+                      k: Int = 3): DataFrame = {
+    val grams = CacheRegistry.register(
+      docs.select(col(id).as("doc_id"),
+          TextFunctions.tokens(lower(col(text))).as("toks"))
+        .filter(size(col("toks")) >= k)
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          posexplode(TextFunctions.shinglesFromTokens(col("toks"), k)))
+        .toDF("doc_id", "n_tokens", "pos", "shingle")
+        .select(col("doc_id"), col("n_tokens"), col("pos"),
+          shingleHash(col("shingle")).as("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val dupG = grams.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    grams.join(dupG, "g")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(least(lit(k),
+          col("pos") - lag(col("pos"), 1).over(byPos)), lit(k))
+          .as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).cast("long").as("n_tokens"),
+        sum(col("c")).as("dup_span_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_span_tokens"),
+        expr("dup_span_tokens * 10000 div n_tokens").as("coverage_bp"))
   }
 
   /** Attach both docs' set sizes to the pair common-counts. */

@@ -185,6 +185,12 @@ object TextQueries {
         "doc_id", "text", K, MIN_RUN)
     },
 
+    // ── duplicated-span token coverage (the removal volume) ─────────────
+    "q_dup_span_coverage" -> { (s, dir) =>
+      Dedup.dupSpanCoverage(Tables.load(s, dir, "documents"),
+        "doc_id", "text", K)
+    },
+
     // ── sketch-estimated Jaccard for candidate pairs ────────────────────
     // Signature-only similarity triage: rank LSH candidates by MinHash
     // slot agreement (an unbiased Jaccard estimator) WITHOUT touching
@@ -1505,6 +1511,24 @@ object TextQueries {
          |  max(run) + ${K - 1} AS max_span
          |FROM runs GROUP BY doc_id
          |HAVING max(run) >= $MIN_RUN""".stripMargin,
+
+    "q_dup_span_coverage" ->
+      s"""WITH $toksCte,
+         |grams AS (SELECT doc_id, len(t) AS n_tokens, i AS pos,
+         |    ${Dedup.shingleHashSql(
+               s"array_to_string(t[CAST(i AS INT):CAST(i + ${K - 1} AS INT)], ' ')")} AS g
+         |  FROM toks, unnest(range(1, len(t) - ${K - 2})) AS u(i)
+         |  WHERE len(t) >= $K),
+         |dupg AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams) d
+         |  GROUP BY g HAVING count(*) >= 2),
+         |c AS (SELECT doc_id, n_tokens,
+         |    coalesce(least($K, pos - lag(pos)
+         |      OVER (PARTITION BY doc_id ORDER BY pos)), $K) AS c
+         |  FROM grams JOIN dupg USING (g))
+         |SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(c) AS BIGINT) AS dup_span_tokens,
+         |  CAST(sum(c) * 10000 // max(n_tokens) AS BIGINT) AS coverage_bp
+         |FROM c GROUP BY doc_id""".stripMargin,
 
     "q_lsh_tuning" -> {
       def bandSelectFor(bands: Int)(band: Int): String = {

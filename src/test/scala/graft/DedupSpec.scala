@@ -200,6 +200,43 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!spans.contains(3L))
   }
 
+  test("dupSpanCoverage: gap-capped lag sum equals interval union") {
+    val corpus = Seq(
+      (1L, "aa bb cc shared one two three four dd ee"),
+      (2L, "xx yy shared one two three four zz qq ww"),
+      (3L, "pp qq2 rr ss tt uu vv")).toDF("doc_id", "text")
+    val cov = Dedup.dupSpanCoverage(corpus, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_span_tokens"),
+          r.getAs[Long]("coverage_bp")))).toMap
+    // shared 5-token span = 3 consecutive dup grams → union = 5 tokens
+    assert(cov(1L) === ((10L, 5L, 5000L)))
+    assert(cov(2L) === ((10L, 5L, 5000L)))
+    assert(!cov.contains(3L))
+    // exact dups: the whole doc is one duplicated span
+    val full = Dedup.dupSpanCoverage(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("coverage_bp")).toMap
+    assert(full(1L) === 10000L)
+    assert(full(2L) === 10000L)
+  }
+
+  test("dupSpanCoverage: overlapping intervals are not double-counted") {
+    // doc 1's dup grams sit at positions {0, 2} (gap 2 < k): intervals
+    // [0..2] and [2..4] overlap at token 2. A naive per-island sum
+    // would count (1+2)+(1+2) = 6; the true union is all 5 tokens and
+    // the gap-capped identity gives k + min(k, 2) = 5.
+    val corpus = Seq(
+      (1L, "a b c d e"),       // "a b c" dup, "b c d" unique, "c d e" dup
+      (2L, "a b c x c d e"),   // shares "a b c" and "c d e", not "b c d"
+      (3L, "zz1 zz2 zz3")).toDF("doc_id", "text")
+    val cov = Dedup.dupSpanCoverage(corpus, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_span_tokens"))))
+      .toMap
+    assert(cov(1L) === ((5L, 5L)))
+  }
+
   test("lshTuning: monotone S-curve, verified bounded by candidates") {
     val rows = Dedup.lshTuning(docs, "doc_id", "text", k = 3,
         numHashes = 8, bandConfigs = Seq(1, 2, 4, 8), thresholdPct = 60)
