@@ -642,6 +642,13 @@ object VectorQueries {
     // ── SRP-LSH bucketed ANN top-k (see srpTopk) ────────────────────────
     "q_ann_srp_topk" -> { (s, dir) => srpTopk(s, dir) },
 
+    // ── SRP recall vs brute truth (the honest number for the zero-
+    // training retriever, previously only a PERF.md probe; now behind
+    // the same hash gate as q_ann_recall) ──────────────────────────────
+    "q_ann_srp_recall" -> { (s, dir) =>
+      recallOf(bruteTopk(s, dir), srpTopk(s, dir))
+    },
+
     // ── product-quantization ADC top-k (see pqTopk) ─────────────────────
     "q_ann_pq_topk" -> { (s, dir) => pqTopk(s, dir) },
 
@@ -878,6 +885,43 @@ object VectorQueries {
        |      ORDER BY list_distance(iq.qvec, cent.centroid) ASC, cent.cell ASC) AS prn
        |  FROM iq, cent) WHERE prn <= $N_PROBE)""".stripMargin
 
+  /** SRP-LSH CTE chain through `srp(query_id, neighbor_id, rank)` —
+    * shared by q_ann_srp_topk and q_ann_srp_recall.
+    */
+  private def srpSqlCtes: String = {
+    val bandWidth = SRP_BITS / SRP_BANDS
+    s"""sqv AS (SELECT vec_id, pos - 1 AS d, dim,
+       |    CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, len(embedding) AS dim,
+       |               generate_subscripts(embedding, 1) AS pos,
+       |               unnest(embedding) AS v FROM embeddings)),
+       |sdots AS (SELECT vec_id, t.j,
+       |    sum(q * (CASE WHEN ((1103515245 * (CAST(t.j AS BIGINT)
+       |        * dim + d) + 12345) >> 16) & 1 = 1
+       |      THEN 1 ELSE -1 END)) AS dot
+       |  FROM sqv, range(0, $SRP_BITS) t(j) GROUP BY vec_id, t.j),
+       |ssig AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j)
+       |      ELSE 0 END) AS BIGINT) AS sig
+       |  FROM sdots GROUP BY vec_id),
+       |sbnd AS (SELECT vec_id, b,
+       |    (sig >> (b * $bandWidth)) & ${(1L << bandWidth) - 1} AS bkey
+       |  FROM ssig, range(0, $SRP_BANDS) t(b)),
+       |scand AS (SELECT DISTINCT q.vec_id AS query_id,
+       |    c.vec_id AS neighbor_id
+       |  FROM sbnd q JOIN sbnd c ON q.b = c.b AND q.bkey = c.bkey
+       |  WHERE q.vec_id < $N_QUERIES AND q.vec_id <> c.vec_id),
+       |sscored AS (SELECT sc.query_id, sc.neighbor_id,
+       |    row_number() OVER (PARTITION BY sc.query_id
+       |      ORDER BY list_cosine_similarity(qe.embedding, ce.embedding)
+       |        DESC, sc.neighbor_id ASC) AS rank
+       |  FROM scand sc
+       |  JOIN embeddings qe ON qe.vec_id = sc.query_id
+       |  JOIN embeddings ce ON ce.vec_id = sc.neighbor_id),
+       |srp AS (SELECT query_id, neighbor_id, rank FROM sscored
+       |  WHERE rank <= $TOP_K)""".stripMargin
+  }
+
   private def ivfCtes: String =
     s"""$ivfAssignCtes,
        |iscored AS (SELECT p.query_id, a.neighbor_id,
@@ -1023,39 +1067,19 @@ object VectorQueries {
     // positive, so arithmetic >> ≡ logical), same integer dot — the
     // signature is bit-identical, then banding/candidates/ranking
     // mirror the Spark plan.
-    "q_ann_srp_topk" -> {
-      val bandWidth = SRP_BITS / SRP_BANDS
-      s"""WITH sqv AS (SELECT vec_id, pos - 1 AS d, dim,
-         |    CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS q
-         |  FROM (SELECT vec_id, len(embedding) AS dim,
-         |               generate_subscripts(embedding, 1) AS pos,
-         |               unnest(embedding) AS v FROM embeddings)),
-         |sdots AS (SELECT vec_id, t.j,
-         |    sum(q * (CASE WHEN ((1103515245 * (CAST(t.j AS BIGINT)
-         |        * dim + d) + 12345) >> 16) & 1 = 1
-         |      THEN 1 ELSE -1 END)) AS dot
-         |  FROM sqv, range(0, $SRP_BITS) t(j) GROUP BY vec_id, t.j),
-         |ssig AS (SELECT vec_id,
-         |    CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j)
-         |      ELSE 0 END) AS BIGINT) AS sig
-         |  FROM sdots GROUP BY vec_id),
-         |sbnd AS (SELECT vec_id, b,
-         |    (sig >> (b * $bandWidth)) & ${(1L << bandWidth) - 1} AS bkey
-         |  FROM ssig, range(0, $SRP_BANDS) t(b)),
-         |scand AS (SELECT DISTINCT q.vec_id AS query_id,
-         |    c.vec_id AS neighbor_id
-         |  FROM sbnd q JOIN sbnd c ON q.b = c.b AND q.bkey = c.bkey
-         |  WHERE q.vec_id < $N_QUERIES AND q.vec_id <> c.vec_id),
-         |sscored AS (SELECT sc.query_id, sc.neighbor_id,
-         |    row_number() OVER (PARTITION BY sc.query_id
-         |      ORDER BY list_cosine_similarity(qe.embedding, ce.embedding)
-         |        DESC, sc.neighbor_id ASC) AS rank
-         |  FROM scand sc
-         |  JOIN embeddings qe ON qe.vec_id = sc.query_id
-         |  JOIN embeddings ce ON ce.vec_id = sc.neighbor_id)
-         |SELECT query_id, neighbor_id, rank FROM sscored
-         |WHERE rank <= $TOP_K""".stripMargin
-    },
+    "q_ann_srp_topk" ->
+      s"""WITH $srpSqlCtes
+         |SELECT query_id, neighbor_id, rank FROM srp""".stripMargin,
+
+    "q_ann_srp_recall" ->
+      s"""WITH $bruteCtes,
+         |$srpSqlCtes
+         |SELECT b.query_id,
+         |  CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100 // $TOP_K AS BIGINT) AS recall_pct
+         |FROM brute b LEFT JOIN srp s
+         |  ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+         |GROUP BY b.query_id""".stripMargin,
 
     // SQL replay of PQ: quantize to the shared 2⁻²⁰ grid, build every
     // (vector, codeword, subspace) integer L2 once (pd), argmin per

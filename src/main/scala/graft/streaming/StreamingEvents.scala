@@ -90,6 +90,23 @@ final case class FreqState(rev: Long, keys: Seq[String],
   */
 final case class FreqRow(shard: Int, rev: Long, t: String, c: Long)
 
+/** Per-type running value-histogram state for
+  * [[StreamingEvents.quantileStream]]: parallel bin/count seqs plus
+  * the emission revision. Bins are data-independent (value div 5, the
+  * SAME grid as batch q_mergeable_quantiles), so states merge by
+  * addition and the seq stays bounded by the value range. Top-level
+  * and public for the state encoder (see [[SessionState]]).
+  */
+final case class QuantState(rev: Long, bins: Seq[Long],
+                            counts: Seq[Long])
+
+/** One histogram-bin row from `event_type` at revision `rev`;
+  * consumers keep max-rev rows per type — the merged counts give
+  * exact-to-bin-width quantiles, identically to the batch query.
+  */
+final case class QuantRow(event_type: String, rev: Long, bin: Long,
+                          c: Long)
+
 /** Event-stream operators: watermarked tumbling-window aggregation,
   * gap-based session windows, and custom per-key state via
   * `flatMapGroupsWithState` — the streaming counterparts of
@@ -448,6 +465,44 @@ object StreamingEvents {
           state.update(FreqState(rev, sorted.map(_._1),
             sorted.map(_._2)))
           sorted.iterator.map { case (k, c) => FreqRow(shard, rev, k, c) }
+      }
+  }
+
+  /** Incremental quantile histograms — the streaming twin of
+    * q_mergeable_quantiles: per event type, fold each micro-batch's
+    * values into the SAME data-independent fixed bins the batch query
+    * uses (value div 5), keep the running counts as state, and emit
+    * the full updated histogram revision-stamped (compacted-changelog
+    * convention, as [[skylineStream]]). Consumers take max-rev rows
+    * per type; p50/p95 fall out of a cumulative walk over the ≤
+    * |value range / 5| bins — exact to bin width, and because bins
+    * merge by ADDITION a replayed prefix reproduces the batch
+    * histogram of that prefix bit-for-bit (spec-pinned).
+    *
+    * State is the per-type bin map — bounded by the value range, not
+    * the stream; no watermark needed.
+    */
+  def quantileStream(events: Dataset[Event]): Dataset[QuantRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[QuantState, QuantRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[Event],
+         state: GroupState[QuantState]) =>
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          val prev = state.getOption
+          prev.foreach(st => st.bins.zip(st.counts).foreach {
+            case (b, c) => m.update(b, c)
+          })
+          rows.foreach { e =>
+            val bin = math.floor(e.value).toLong / 5
+            m.update(bin, m.getOrElse(bin, 0L) + 1L)
+          }
+          val rev = prev.map(_.rev + 1).getOrElse(1L)
+          val sorted = m.toSeq.sortBy(_._1)
+          state.update(QuantState(rev, sorted.map(_._1),
+            sorted.map(_._2)))
+          sorted.iterator.map { case (b, c) => QuantRow(tpe, rev, b, c) }
       }
   }
 

@@ -367,6 +367,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(latest === batch)
   }
 
+  test("quantileStream: replayed prefix reproduces the batch histogram") {
+    import graft.streaming.QuantRow
+    val in = MemoryStream[StreamingEvents.Event](spark)
+    val q = StreamingEvents.quantileStream(in.toDS())
+      .writeStream.format("memory").queryName("quant")
+      .outputMode("append").start()
+    def ev(id: Long, t: String, v: Double) = StreamingEvents.Event(
+      id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, t, v)
+    in.addData(ev(1, "view", 3.2), ev(2, "view", 7.9),
+      ev(3, "click", 12.0))
+    q.processAllAvailable()
+    in.addData(ev(4, "view", 8.5), ev(5, "view", 23.0),
+      ev(6, "click", 12.4))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("quant").as[QuantRow].collect()
+    val latest = all.groupBy(_.event_type).toSeq.flatMap {
+      case (_, rows) =>
+        val maxRev = rows.map(_.rev).max
+        rows.filter(_.rev == maxRev).toSeq
+    }.map(r => (r.event_type, r.bin, r.c)).toSet
+    // batch twin over the same six events: bin = floor(v) div 5
+    assert(latest === Set(
+      ("view", 0L, 1L),   // 3.2 → bin 0
+      ("view", 1L, 2L),   // 7.9 and 8.5 → bin 1
+      ("view", 4L, 1L),   // 23.0 → bin 4
+      ("click", 2L, 2L))) // 12.0 and 12.4 → bin 2
+  }
+
   test("heavyHittersStream: exact regime replays to the batch sketch") {
     import graft.streaming.FreqRow
     val in = MemoryStream[StreamingEvents.Event](spark)
