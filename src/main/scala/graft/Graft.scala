@@ -222,6 +222,20 @@ object Graft {
         streaming.FunnelAdvance] =
     streaming.StreamingEvents.funnelStream(events, steps)
 
+  /** Incremental sharded heavy hitters (Misra–Gries state). */
+  def heavyHittersStream(events: org.apache.spark.sql.Dataset[
+        streaming.StreamingEvents.Event],
+      capacity: Int = 64, shards: Int = 8)
+      : org.apache.spark.sql.Dataset[streaming.FreqRow] =
+    streaming.StreamingEvents.heavyHittersStream(events, capacity,
+      shards)
+
+  /** Incremental per-type quantile histograms (mergeable fixed bins). */
+  def quantileStream(events: org.apache.spark.sql.Dataset[
+        streaming.StreamingEvents.Event])
+      : org.apache.spark.sql.Dataset[streaming.QuantRow] =
+    streaming.StreamingEvents.quantileStream(events)
+
   def mediaCatalog(media: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     media.select(col("media_id"),
@@ -278,6 +292,52 @@ object Graft {
   def exactSimilarityJoin(docs: DataFrame, id: String, text: String,
                           k: Int = 3, thresholdPct: Int = 60): DataFrame =
     Dedup.prefixFilterPairs(docs, id, text, k, thresholdPct)
+
+  /** Recall of the LSH near-dup path vs the exact prefix-filter truth
+    * — one row (n_true, n_found, recall_pct). Run on a sampled slice
+    * to calibrate the banding scheme.
+    */
+  def lshRecall(docs: DataFrame, id: String, text: String,
+                k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                thresholdPct: Int = 60): DataFrame =
+    Dedup.lshRecall(docs, id, text, k, numHashes, bands, thresholdPct)
+
+  /** Candidate-vs-verified S-curve for every band split of one
+    * signature table — the empirical banding-tuning report.
+    */
+  def lshTuning(docs: DataFrame, id: String, text: String,
+                k: Int = 3, numHashes: Int = 16,
+                bandConfigs: Seq[Int] = Seq(1, 2, 4, 8, 16),
+                thresholdPct: Int = 60): DataFrame =
+    Dedup.lshTuning(docs, id, text, k, numHashes, bandConfigs,
+      thresholdPct)
+
+  /** Dedup ablation ladder: pairs/docs/tokens a near-dup pass would
+    * remove at each threshold.
+    */
+  def dedupAblation(docs: DataFrame, id: String, text: String,
+                    k: Int = 3,
+                    thresholds: Seq[Int] = Seq(50, 60, 70, 80, 90))
+      : DataFrame =
+    Dedup.dedupAblation(docs, id, text, k, thresholds)
+
+  /** Longest duplicated-span per doc (exact-substring-dedup signal). */
+  def dupSpans(docs: DataFrame, id: String, text: String,
+               k: Int = 3, minRun: Int = 2): DataFrame =
+    Dedup.dupSpans(docs, id, text, k, minRun)
+
+  /** Exact token coverage of duplicated spans per doc (the removal
+    * volume an exact-substring dedup pass would excise).
+    */
+  def dupSpanCoverage(docs: DataFrame, id: String, text: String,
+                      k: Int = 3): DataFrame =
+    Dedup.dupSpanCoverage(docs, id, text, k)
+
+  /** Strided byte-diversity stats per media payload — the decode-free
+    * blank/corruption screen.
+    */
+  def mediaByteStats(media: DataFrame): DataFrame =
+    operators.Multimodal.byteStats(media)
 
   /** Equal-share token-budget mixture allocation per source: milli-
     * epochs (capped) + planned token volume. `tokenCol` carries the
