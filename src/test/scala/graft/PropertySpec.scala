@@ -235,6 +235,46 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(batch.filter(_._2 > 0) === advance)
   }
 
+  test("property: prefix filtering ≡ uncapped exact jaccard on random corpora") {
+    // small vocab forces heavy shingle sharing — the adversarial case
+    // for prefix completeness (common shingles pushed out of prefixes)
+    val rnd = new scala.util.Random(37)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    def doc() = Seq.fill(3 + rnd.nextInt(15))(
+      vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpus = Seq.tabulate(40)(i => (i.toLong, doc()))
+      .toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "n_common")
+      .as[(Long, Long, Long)].collect().toSet
+    for (t <- Seq(50, 60, 80)) {
+      val naive = pairSet(graft.operators.Dedup.jaccardPairs(
+        corpus, "doc_id", "text", k = 3, maxDf = 1000000,
+        thresholdPct = t))
+      val pf = pairSet(graft.operators.Dedup.prefixFilterPairs(
+        corpus, "doc_id", "text", k = 3, thresholdPct = t))
+      assert(pf === naive, s"prefix filter diverged at threshold $t")
+    }
+  }
+
+  test("property: freq_sketch exact regime ≡ groupBy on random skewed streams") {
+    val rnd = new scala.util.Random(41)
+    // Zipf-ish skew over 20 keys < capacity 32 ⇒ exact regime
+    val rows = Seq.fill(2000) {
+      val r = rnd.nextDouble()
+      if (r < 0.5) s"k${rnd.nextInt(3)}"
+      else s"k${rnd.nextInt(20)}"
+    }
+    val df = rows.toDF("k").repartition(11)
+    val sketch = df.agg(expr("freq_sketch(k, 32)").as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.t"), col("e.c")).as[(String, Long)]
+      .collect().toMap
+    val exact = rows.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong }
+    assert(sketch === exact)
+  }
+
   test("property: cohort matrix partitions distinct (user, week) activity") {
     val rnd = new scala.util.Random(31)
     val wk = 7L * 86400000L
