@@ -19,21 +19,34 @@ import graft.sources.{FeedFetcher, Layout}
   */
 object Graft {
 
-  /** A session configured the way the library expects: UTC, AQE-friendly
-    * shuffle sizing left to the caller, graft extensions registered, and
-    * the InferFiltersFromGenerate exclusion that keeps expression-built
-    * array pipelines off the pathological pushdown path (PERF.md §1).
+  /** A session configured the way the library expects: UTC, graft
+    * extensions registered, and the InferFiltersFromGenerate exclusion
+    * that keeps expression-built array pipelines off the pathological
+    * pushdown path (PERF.md §1).
+    *
+    * For LOCAL masters, shuffle partitions default to the core count:
+    * the stock 200 turns every small shuffle into 200 near-empty tasks
+    * (measured 4× on sub-second queries at local[32] — the recurring
+    * benchmarking foot-gun). On cluster masters the setting is left to
+    * the deployment (AQE coalescing + site config own it there).
     */
   def newSession(master: String = "local[*]",
-                 appName: String = "graft"): SparkSession =
-    SparkSession.builder()
+                 appName: String = "graft"): SparkSession = {
+    val b = SparkSession.builder()
       .master(master)
       .appName(appName)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .getOrCreate()
+    if (master.startsWith("local")) {
+      val cores = "local\\[(\\d+)\\]".r.findFirstMatchIn(master)
+        .map(_.group(1).toInt)
+        .getOrElse(Runtime.getRuntime.availableProcessors)
+      b.config("spark.sql.shuffle.partitions", cores.toString)
+        .getOrCreate()
+    } else b.getOrCreate()
+  }
 
   // ── medallion pipeline (reference parity) ────────────────────────────
 
