@@ -465,6 +465,24 @@ object EventQueries {
             .as("sum_winsorized"))
     },
 
+    // ── windowed event dedup (batch twin of the streaming dedup) ───────
+    // Collapse repeated (user, type) firings inside each 5-minute
+    // tumbling window to one survivor (min event_id) — the batch
+    // counterpart of dropDuplicatesWithinWatermark's guarantee, and
+    // the idempotency layer a replayed event feed needs. One keyed
+    // aggregation; the window id is integer division, so the survivor
+    // set is deterministic and engine-exact.
+    "q_window_dedup" -> { (s, dir) =>
+      loadEvents(s, dir)
+        .groupBy(col("user_id"), col("event_type"),
+          expr("ms div 300000").as("w"))
+        .agg(min(col("event_id")).as("event_id"),
+          count(lit(1)).as("n_collapsed"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          (col("w") * 300000).as("window_start_ms"),
+          col("n_collapsed"))
+    },
+
     // ── heavy hitters via the mergeable Misra–Gries sketch ─────────────
     // graft's freq_sketch TypedImperativeAggregate in its EXACT regime
     // (distinct event types ≪ capacity ⇒ no decrement ever fires, in
@@ -829,6 +847,13 @@ object EventQueries {
     "q_heavy_hitters" ->
       """SELECT event_type, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_window_dedup" ->
+      """SELECT min(event_id) AS event_id, user_id, event_type,
+        |  (epoch_ms(ts) // 300000) * 300000 AS window_start_ms,
+        |  count(*) AS n_collapsed
+        |FROM events
+        |GROUP BY user_id, event_type, epoch_ms(ts) // 300000""".stripMargin,
 
     "q_mad_outliers" ->
       """WITH e AS (SELECT event_type,
