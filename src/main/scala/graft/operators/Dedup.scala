@@ -253,6 +253,39 @@ object Dedup {
         expr(s"n_agree * 100 div $numHashes"))
   }
 
+  /** MinHash estimator calibration: |estimated − exact| Jaccard error
+    * distribution over LSH candidate pairs, in 10-point buckets — the
+    * measured accuracy of the signature-only triage tier
+    * ([[estimatedJaccardPairs]]) against exact set intersection on the
+    * SAME pairs. The theory says stderr ≈ √(J(1−J)/numHashes) ≈ 12 pp
+    * at 16 slots; this reports what the corpus actually gets, so the
+    * triage thresholds can be set with known slack. Signatures AND
+    * shingle sets are computed once each; the exact side is the shared
+    * candidate-bounded verify with NO threshold (every candidate pair
+    * is priced).
+    */
+  def minhashAccuracy(docs: DataFrame, id: String, text: String,
+                      k: Int = 3, numHashes: Int = 16,
+                      bands: Int = 4): DataFrame = {
+    val ds = CacheRegistry.register(
+      hashedShingles(docs, id, text, k)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val est = estimatedJaccardPairs(docs, id, text, k, numHashes, bands)
+    val exact = exactVerify(
+      est.select(col("doc_a"), col("doc_b")), ds, 0)
+      .select(col("doc_a"), col("doc_b"),
+        expr("n_common * 100 div (sz_a + sz_b - n_common)")
+          .as("exact_pct"))
+    // left join: a band collision with ZERO shared shingles (hash luck)
+    // has no verify row — its exact Jaccard is 0, not absent
+    est.join(exact, Seq("doc_a", "doc_b"), "left")
+      .select(expr(
+        "abs(est_jaccard_pct - coalesce(exact_pct, 0)) div 10")
+        .as("err_bucket"))
+      .groupBy(col("err_bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** SimHash fingerprint width. 60 bits — the first 15 md5 hex digits
     * per token, i.e. [[shingleHash]] — rather than 64: a 60-bit value
     * stays non-negative in a signed 64-bit integer, so every downstream

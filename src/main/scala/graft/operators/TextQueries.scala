@@ -167,6 +167,12 @@ object TextQueries {
         "doc_id", "text", K, NUM_HASHES, TUNING_BANDS, THRESH)
     },
 
+    // ── MinHash estimator error distribution (calibration) ─────────────
+    "q_minhash_accuracy" -> { (s, dir) =>
+      Dedup.minhashAccuracy(Tables.load(s, dir, "documents"),
+        "doc_id", "text", K, NUM_HASHES, BANDS)
+    },
+
     // ── LSH recall vs exact ground truth (measure, don't guess) ─────────
     "q_lsh_recall" -> { (s, dir) =>
       Dedup.lshRecall(Tables.load(s, dir, "documents"),
@@ -1529,6 +1535,40 @@ object TextQueries {
          |  CAST(sum(c) AS BIGINT) AS dup_span_tokens,
          |  CAST(sum(c) * 10000 // max(n_tokens) AS BIGINT) AS coverage_bp
          |FROM c GROUP BY doc_id""".stripMargin,
+
+    "q_minhash_accuracy" -> {
+      val agree = (0 until NUM_HASHES)
+        .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $sigCte,
+         |shh AS (SELECT doc_id, ${Dedup.shingleHashSql("shingle")} AS shingle
+         |  FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |bands AS (${(0 until BANDS).map(bandSelect).mkString("\n UNION ALL\n ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |est AS (SELECT cand.doc_a, cand.doc_b,
+         |    ($agree) * 100 // $NUM_HASHES AS est_pct
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = cand.doc_a
+         |  JOIN sig sb ON sb.doc_id = cand.doc_b),
+         |cm AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN shh x ON x.doc_id = c.doc_a
+         |  JOIN shh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT cm.doc_a, cm.doc_b,
+         |    cm.n_common * 100 // (za.sz + zb.sz - cm.n_common) AS exact_pct
+         |  FROM cm
+         |  JOIN sizes za ON cm.doc_a = za.doc_id
+         |  JOIN sizes zb ON cm.doc_b = zb.doc_id)
+         |SELECT CAST(abs(est_pct - coalesce(exact_pct, 0)) // 10 AS BIGINT)
+         |    AS err_bucket,
+         |  count(*) AS n_pairs
+         |FROM est LEFT JOIN ex USING (doc_a, doc_b)
+         |GROUP BY 1""".stripMargin
+    },
 
     "q_lsh_tuning" -> {
       def bandSelectFor(bands: Int)(band: Int): String = {

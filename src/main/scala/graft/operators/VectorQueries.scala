@@ -716,6 +716,30 @@ object VectorQueries {
           expr("n_vecs * 10000 div total").as("share_bp"))
     },
 
+    // ── PQ codeword-usage balance (per-subspace index health) ──────────
+    // For each subspace m: how many of the PQ_K codewords are used and
+    // the heaviest codeword's share (bp) — dead codewords waste code
+    // budget and a dominant one collapses ADC resolution in that
+    // subspace (the diagnostic that says WHERE codebook fitting —
+    // q_ann_pq_kmeans — will pay). One encode pass (same in-row argmin
+    // as search) + one Generate + one (m, code)-keyed fold; output
+    // bounded by M·K.
+    "q_pq_code_balance" -> { (s, dir) =>
+      val emb = loadEmb(s, dir)
+      val coded = withPqCodes(
+        emb.select(col("vec_id"), expr(pqQuant("embedding")).as("vq")),
+        pqCodebook(emb))
+      val perCode = coded.select(posexplode(col("codes")))
+        .toDF("m", "code")
+        .groupBy(col("m"), col("code"))
+        .agg(count(lit(1)).as("c"))
+      perCode.groupBy(col("m"))
+        .agg(count(lit(1)).as("n_codes_used"),
+          sum(col("c")).as("n"), max(col("c")).as("max_c"))
+        .select(col("m").cast("long").as("m"), col("n_codes_used"),
+          expr("max_c * 10000 div n").as("top_share_bp"))
+    },
+
     // ── embedding hygiene: quantized-norm histogram + zero vectors ─────
     // The profile a vector pipeline runs BEFORE indexing: norm²
     // distribution (0.25-wide buckets on the shared 2⁻²⁰ grid — same
@@ -1005,6 +1029,14 @@ object VectorQueries {
         |    AS BIGINT)) AS BIGINT) AS sum_q
         |FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
         |GROUP BY label, pos""".stripMargin,
+
+    "q_pq_code_balance" ->
+      s"""WITH $pqCtes,
+         |pc AS (SELECT m, k AS code, count(*) AS c
+         |  FROM codes GROUP BY 1, 2)
+         |SELECT CAST(m AS BIGINT) AS m, count(*) AS n_codes_used,
+         |  CAST(max(c) * 10000 // sum(c) AS BIGINT) AS top_share_bp
+         |FROM pc GROUP BY m""".stripMargin,
 
     "q_ivf_cell_balance" ->
       s"""WITH cent AS (SELECT vec_id AS cell, embedding AS centroid
