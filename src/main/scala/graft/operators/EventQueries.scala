@@ -465,6 +465,22 @@ object EventQueries {
             .as("sum_winsorized"))
     },
 
+    // ── cohort retention in basis points (the chartable form) ──────────
+    // q_cohort_retention's counts normalized by each cohort's size
+    // (its offset-0 row — every user is active in their first week by
+    // definition, so that row IS the denominator). The matrix stays
+    // |cohorts|×|offsets|-bounded; one extra self-join on the tiny
+    // matrix, no new corpus pass.
+    "q_retention_pct" -> { (s, dir) =>
+      val m = cohortRetention(loadEvents(s, dir))
+      val sizes = m.filter(col("week_offset") === 0)
+        .select(col("cohort_wk"), col("n_users").as("n_cohort"))
+      m.join(sizes, "cohort_wk")
+        .select(col("cohort_wk"), col("week_offset"),
+          col("n_users"), col("n_cohort"),
+          expr("n_users * 10000 div n_cohort").as("retention_bp"))
+    },
+
     // ── windowed event dedup (batch twin of the streaming dedup) ───────
     // Collapse repeated (user, type) firings inside each 5-minute
     // tumbling window to one survivor (min event_id) — the batch
@@ -701,6 +717,20 @@ object EventQueries {
         |       count(*) AS n_users
         |FROM wks w JOIN f ON w.user_id = f.user_id
         |GROUP BY f.cohort_wk, w.wk - f.cohort_wk""".stripMargin,
+
+    "q_retention_pct" ->
+      """WITH wks AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 // 7 AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM wks GROUP BY user_id),
+        |m AS (SELECT f.cohort_wk, w.wk - f.cohort_wk AS week_offset,
+        |    count(*) AS n_users
+        |  FROM wks w JOIN f ON w.user_id = f.user_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT cohort_wk, n_users AS n_cohort FROM m
+        |  WHERE week_offset = 0)
+        |SELECT m.cohort_wk, m.week_offset, m.n_users, sz.n_cohort,
+        |  CAST(m.n_users * 10000 // sz.n_cohort AS BIGINT) AS retention_bp
+        |FROM m JOIN sz ON m.cohort_wk = sz.cohort_wk""".stripMargin,
 
     // deterministic as-of: among orders with oms <= event ms, the winner
     // is max (oms, orderkey) — mirrored by the Spark union-and-carry sort
