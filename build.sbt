@@ -14,6 +14,20 @@ run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
+// Benchmark-grade heap when the machine has it, bounded so the JVM can
+// always start: min(24g, 2/3 of physical), floor 2g.
+val defaultHeap: String = {
+  val physMb =
+    try {
+      val bean = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      bean.getTotalMemorySize / (1024L * 1024L)
+    } catch { case _: Throwable => 24L * 1024L }
+  val mb = math.max(2048L, math.min(24L * 1024L, physMb * 2 / 3))
+  s"${mb}m"
+}
+
 val jdk17AddOpens = Seq(
   "java.base/java.lang", "java.base/java.lang.invoke",
   "java.base/java.lang.reflect", "java.base/java.io",
@@ -31,6 +45,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (GC churn from per-rep cache fills), and hundreds of generated
   // classes pressure the JIT code cache (full cache ⇒ silent
   // interpreter fallback). 24g/1g restores isolated-run timings.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // The default is capped to ~2/3 of physical RAM so `sbt test` still
+  // STARTS on smaller machines (a fixed 24g default refused to boot the
+  // JVM there); set SPARK_DRIVER_MEM to override either way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
   "-XX:ReservedCodeCacheSize=1g",
 )

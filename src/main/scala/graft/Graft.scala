@@ -39,13 +39,34 @@ object Graft {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-    if (master.startsWith("local")) {
-      val cores = "local\\[(\\d+)\\]".r.findFirstMatchIn(master)
-        .map(_.group(1).toInt)
-        .getOrElse(Runtime.getRuntime.availableProcessors)
-      b.config("spark.sql.shuffle.partitions", cores.toString)
-        .getOrCreate()
-    } else b.getOrCreate()
+    localWorkerThreads(master) match {
+      case Some(cores) =>
+        b.config("spark.sql.shuffle.partitions", cores.toString)
+          .getOrCreate()
+      case None => b.getOrCreate()
+    }
+  }
+
+  /** Worker-thread count of a LOCAL master string, None for cluster
+    * masters. Covers every form Spark's `local` family accepts — a
+    * partial parse here silently mismatches shuffle partitions to the
+    * thread count (`local` runs ONE thread; defaulting it to nproc
+    * would fan every small shuffle into nproc near-empty tasks):
+    *   `local`                → 1
+    *   `local[N]`/`local[N,F]` → N      (F = task max-failures)
+    *   `local[*]`/`local[*,F]` → nproc
+    *   `local-cluster[n,c,m]` → n·c    (n workers × c cores each)
+    */
+  private[graft] def localWorkerThreads(master: String): Option[Int] = {
+    val localRe = """local(?:\[(\d+|\*)(?:,\d+)?\])?""".r
+    val clusterRe = """local-cluster\[\s*(\d+)\s*,\s*(\d+)\s*,\s*\d+\s*\]""".r
+    master match {
+      case localRe(null) => Some(1)
+      case localRe("*") => Some(Runtime.getRuntime.availableProcessors)
+      case localRe(n) => Some(n.toInt)
+      case clusterRe(n, c) => Some(n.toInt * c.toInt)
+      case _ => None
+    }
   }
 
   // ── medallion pipeline (reference parity) ────────────────────────────
@@ -85,6 +106,19 @@ object Graft {
   def estimatedNearDuplicates(docs: DataFrame, id: String,
                               text: String): DataFrame =
     Dedup.estimatedJaccardPairs(docs, id, text)
+
+  /** The SHARED dedup composition a production pipeline runs ONCE:
+    * exact tier → LSH-verified pairs on exact survivors → one CC
+    * fixpoint → persisted member table, with every consumer (keep/drop
+    * list, golden records, removal accounting) one aggregate over the
+    * shared intermediates instead of re-deriving the pipeline per
+    * question — see [[operators.DedupPlan]]. Release with
+    * [[releaseCaches]] when done.
+    */
+  def dedupPlan(docs: DataFrame, id: String = "doc_id",
+                text: String = "text", k: Int = 3, numHashes: Int = 16,
+                bands: Int = 4, thresholdPct: Int = 60): DedupPlan =
+    DedupPlan(docs, id, text, k, numHashes, bands, thresholdPct)
 
   /** Close near-dup PAIRS into clusters: (id, cluster_id) via
     * distributed connected components — see [[operators.Clusters]].

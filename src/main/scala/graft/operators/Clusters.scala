@@ -143,7 +143,16 @@ object Clusters {
     * map-side combinable, no per-cluster funnel.
     */
   def survivors(pairs: DataFrame, quality: DataFrame): DataFrame =
-    memberTable(pairs)
+    survivorsFromMembers(memberTable(pairs), quality)
+
+  /** [[survivors]] over a PREcomputed member table (doc_id, cluster_id)
+    * — the shared-plan path ([[DedupPlan]]): when several consumers read
+    * one clustering, the CC fixpoint is paid once and each consumer is
+    * one aggregate over the persisted members.
+    */
+  def survivorsFromMembers(members: DataFrame,
+                           quality: DataFrame): DataFrame =
+    members
       .join(quality, "doc_id")
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"),

@@ -38,29 +38,47 @@ object Observability {
     * reading immediately after the action).
     */
   final class MetricsTap(spark: SparkSession) extends AutoCloseable {
-    private val seen = TrieMap.empty[String, Row]
+    // keyed by name, VALUED by every (executionId, row) that carried the
+    // name: two executions observing the same name (a retry, a rerun, a
+    // concurrent pipeline) must not overwrite each other — last-writer-
+    // wins here returned the WRONG execution's audit row
+    private val seen = TrieMap.empty[String, Vector[(Long, Row)]]
 
     private val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
                              durationNs: Long): Unit =
-        qe.observedMetrics.foreach { case (k, v) => seen.put(k, v) }
+        qe.observedMetrics.foreach { case (k, v) =>
+          seen.updateWith(k) {
+            case Some(rows) if rows.exists(_._1 == qe.id) => Some(rows)
+            case Some(rows) => Some(rows :+ (qe.id, v))
+            case None => Some(Vector((qe.id, v)))
+          }
+        }
       override def onFailure(funcName: String, qe: QueryExecution,
                              exception: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
 
-    /** Latest observed row for `name`, if any execution carried it. */
-    def metrics(name: String): Option[Row] = seen.get(name)
+    /** Latest observed row for `name`, if any execution carried it.
+      * With several executions observing the same name, prefer
+      * [[history]] and correlate by execution.
+      */
+    def metrics(name: String): Option[Row] =
+      seen.get(name).flatMap(_.lastOption).map(_._2)
 
-    /** Poll until `name` shows up or the deadline passes. */
-    def await(name: String, timeoutMs: Long = 10000L): Option[Row] = {
+    /** Every captured (executionId, row) for `name`, arrival order. */
+    def history(name: String): Seq[(Long, Row)] =
+      seen.get(name).getOrElse(Vector.empty)
+
+    /** Poll until ≥ `minCount` executions carrying `name` have completed
+      * (or the deadline passes); returns the latest row.
+      */
+    def await(name: String, timeoutMs: Long = 10000L,
+              minCount: Int = 1): Option[Row] = {
       val deadline = System.nanoTime() + timeoutMs * 1000000L
-      var out = metrics(name)
-      while (out.isEmpty && System.nanoTime() < deadline) {
+      while (history(name).size < minCount && System.nanoTime() < deadline)
         Thread.sleep(25L)
-        out = metrics(name)
-      }
-      out
+      if (history(name).size < minCount) None else metrics(name)
     }
 
     override def close(): Unit =

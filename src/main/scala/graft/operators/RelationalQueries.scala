@@ -468,8 +468,15 @@ object RelationalQueries {
     // (nΣxy−ΣxΣy)² / ((nΣx²−(Σx)²)(nΣy²−(Σy)²)) stays division-free
     // until the final integer ppm, so there is no float drift for the
     // hash gate to trip on. Values are quantized: whole quantity,
-    // whole-dollar price, discount in percent (bounds keep every
-    // decimal product < 10³⁵).
+    // whole-dollar price, discount in percent. Headroom is GUARDED, not
+    // assumed: with q≤51, p<1.31e5, d≤10 the worst product is the (q,p)
+    // pair's num²·10⁶ ≤ (n²·6.7e6)²·10⁶, which crosses DECIMAL(38,0)'s
+    // 10³⁸ ceiling near n≈2.2e4 — Spark nulls an overflowing decimal
+    // multiply while DuckDB silently promotes to int128, so past the
+    // bound the engines SPLIT instead of erroring. The CASE below makes
+    // cnt > 20 000 raise loudly (the 1 % sample reaches that only past
+    // ~sf0.3; the fix there is a smaller sample fraction — correlation
+    // estimates converged long before 20 k rows anyway).
     "q_correlation" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
         .filter(Dedup.hash32(CORR_SEED,
@@ -483,7 +490,11 @@ object RelationalQueries {
         sum(expr("q*p")).as("sqp"), sum(expr("q*d")).as("sqd"),
         sum(expr("p*d")).as("spd"), sum(expr("q*q")).as("sqq"),
         sum(expr("p*p")).as("spp"), sum(expr("d*d")).as("sdd"))
-        .selectExpr(Seq("cnt") ++
+        .selectExpr(Seq(
+          """CASE WHEN cnt <= 20000 THEN cnt ELSE raise_error(
+            |  'q_correlation: sample exceeds the proven DECIMAL(38,0)
+            | headroom bound (20000 rows) - lower the sample fraction')
+            |END AS cnt""".stripMargin) ++
           Seq("sq", "sp", "sd", "sqp", "sqd", "spd", "sqq", "spp", "sdd")
             .map(c => s"CAST($c AS DECIMAL(38,0)) AS $c"): _*)
       val rows = CORR_PAIRS.map { case (nx, ny, sxy, sx, sy, sxx, syy) =>

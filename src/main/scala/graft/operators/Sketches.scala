@@ -69,12 +69,15 @@ object Sketches {
       .select(explode(col("sketch")).as("e"))
       .groupBy(col("e.t").as("t"))
       .agg(sum(col("e.c")).as("c"))
-    // top cap+1 by count desc (score = −count; ids are dense ranks of
-    // keys — we need the threshold VALUE only, so hash the key into
-    // the id slot purely as a tiebreak)
+    // top cap+1 by count desc (score = −count). The id slot is filled
+    // with hash(t) ONLY because bounded_topk wants a payload — it is
+    // NOT a clean tiebreak (hash collisions exist, and no downstream
+    // reader consumes it): the only value read out is the (cap+1)-th
+    // SCORE, and when counts tie at the cut every choice of survivor
+    // yields the same threshold d, so ties/collisions are harmless
     val cut = summed
       .agg(expr(
-        s"bounded_topk(cast(-c as double), cast(abs(hash(t)) as bigint), ${capacity + 1})")
+        s"bounded_topk(cast(-c as double), cast(hash(t) as bigint), ${capacity + 1})")
         .as("top"))
       .select(
         when(size(col("top")) > capacity,
