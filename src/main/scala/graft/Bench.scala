@@ -154,6 +154,53 @@ object Bench {
     // across queries (unlike whole-stage codegen, keyed on exact text;
     // the per-query median already discards the residual cold rep).
     // Warm the interpreter classes here, not inside a timed rep
+    // tuning/accuracy family (round 6): the newest first-touch shapes —
+    // wide sig-table self-join folded into a per-pair bitmask, a one-row
+    // multi-column aggregate, and a stack() reshape (q_lsh_tuning's
+    // ladder) plus a tiny pivot (q_pivot_status) — rep 1 of the r5
+    // record paid ~21 s of first-touch cost concentrated here. Warms
+    // JIT/interpreter classes; per-query codegen is text-keyed and
+    // still paid once per novel plan, which the medians absorb
+    locally {
+      val sg = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+            .as("h"))
+      // reduce h below 2^31 BEFORE the affine multiply: 1.1e9 * 2.1e9
+      // fits a long, 1.1e9 * a 60-bit md5 prefix does not (ANSI throws)
+      val sig = sg.groupBy(col("doc_id")).agg(
+        (0 until 4).map(i =>
+          min(expr(s"(1103515245 * (h % 2147483647) + $i) % 2147483647"))
+            .as(s"s$i")).head,
+        (0 until 4).map(i =>
+          min(expr(s"(1103515245 * (h % 2147483647) + $i) % 2147483647"))
+            .as(s"s$i")).tail: _*)
+      val cands = sg.toDF("doc_a", "ha")
+        .join(sg.toDF("doc_b", "hb"),
+          col("ha") === col("hb") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val sa = sig.toDF("doc_a" +: (0 until 4).map(i => s"a$i"): _*)
+      val sb = sig.toDF("doc_b" +: (0 until 4).map(i => s"b$i"): _*)
+      val mask = (0 until 4).map(i =>
+        when(col(s"a$i") === col(s"b$i"), lit(1L << i)).otherwise(0L))
+        .reduce(_ + _)
+      cands.join(sa, "doc_a").join(sb, "doc_b")
+        .select(mask.as("mask"))
+        .agg(sum(when(col("mask").bitwiseAND(lit(3L)) === 3L, 1L)
+            .otherwise(0L)).as("c0"),
+          sum(when(col("mask").bitwiseAND(lit(12L)) === 12L, 1L)
+            .otherwise(0L)).as("c1"))
+        .selectExpr("stack(2, CAST(0 AS BIGINT), c0, " +
+          "CAST(1 AS BIGINT), c1) AS (b, c)")
+        .count()
+      spark.read.parquet(s"$sfDir/orders.parquet").limit(50)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus")
+        .agg(count(lit(1)))
+        .count()
+    }
     spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
       .select(col("vec_id"),
         expr("transform(embedding, x -> " +

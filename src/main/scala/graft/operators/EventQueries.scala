@@ -19,6 +19,7 @@ import graft.Tables
 object EventQueries {
 
   private val GAP_MS = 30L * 60 * 1000 // 30-minute session gap
+  private val ATTR_WINDOW_MS = 7L * 24 * 3600 * 1000 // attribution window
 
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` set
@@ -556,6 +557,47 @@ object EventQueries {
             .otherwise(0L)).as("n_outliers"))
     },
 
+    // ── linear multi-touch attribution (batch) ──────────────────────────
+    // Each purchase's value (half-cent-rounded integer cents) is split
+    // EQUALLY across the user's preceding click/view touches inside a
+    // 7-day window; the integer-division remainder goes to the earliest
+    // touch (min (t_ms, t_id) — deterministic, and credit sums exactly
+    // to the purchase value). The batch twin of the streaming
+    // attribution join (attributionJoinLeftOuter); output is credit and
+    // touch volume per touch channel.
+    //
+    // 100 TB posture: the purchase⋈touch join is USER-keyed (equi-join,
+    // no range fan-out across users) and the time predicate bounds pair
+    // volume by per-user activity inside one attribution window — the
+    // same shuffle shape as sessionization. Both downstream aggregates
+    // are keyed (purchase id, then channel) and map-side combinable;
+    // the remainder rule needs no window — one struct-min per purchase.
+    "q_attribution_linear" -> { (s, dir) =>
+      val ev = loadEvents(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ms").as("p_ms"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id").as("t_id"),
+          col("ms").as("t_ms"), col("event_type").as("touch_type"))
+      val pairs = purchases.join(touches, "user_id")
+        .filter(col("t_ms") <= col("p_ms") &&
+          col("p_ms") - col("t_ms") <= ATTR_WINDOW_MS)
+      val per = pairs.groupBy(col("p_id"))
+        .agg(count(lit(1)).as("nt"),
+          min(struct(col("t_ms"), col("t_id"))).as("first"))
+      pairs.join(per, "p_id")
+        .select(col("touch_type"), col("p_id"),
+          expr("""cents div nt + CASE WHEN t_id = first.t_id
+                 | THEN cents % nt ELSE CAST(0 AS BIGINT) END"""
+            .stripMargin).as("credit"))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("p_id")).as("n_purchases"),
+          sum(col("credit")).as("credit_cents"))
+    },
+
     // ── conversion-lag histogram (view → purchase time-to-event) ────────
     // Time from a user's FIRST view to their FIRST purchase, bucketed
     // into whole hours: one user-keyed aggregate (two conditional mins
@@ -911,6 +953,33 @@ object EventQueries {
         |    AS BIGINT) AS n_outliers
         |FROM e JOIN med USING (event_type) JOIN mad USING (event_type)
         |GROUP BY 1""".stripMargin,
+
+    "q_attribution_linear" ->
+      s"""WITH p AS (SELECT event_id AS p_id, user_id, epoch_ms(ts) AS p_ms,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |t AS (SELECT event_id AS t_id, user_id, epoch_ms(ts) AS t_ms,
+         |    event_type AS touch_type
+         |  FROM events WHERE event_type IN ('click', 'view')),
+         |pr AS (SELECT p.p_id, p.cents, t.t_id, t.t_ms, t.touch_type
+         |  FROM p JOIN t ON p.user_id = t.user_id
+         |  WHERE t.t_ms <= p.p_ms AND p.p_ms - t.t_ms <= $ATTR_WINDOW_MS),
+         |per AS (SELECT p_id, CAST(count(*) AS BIGINT) AS nt,
+         |    min(t_ms) AS m_ms
+         |  FROM pr GROUP BY 1),
+         |firstid AS (SELECT pr.p_id, min(pr.t_id) AS f_id
+         |  FROM pr JOIN per ON pr.p_id = per.p_id AND pr.t_ms = per.m_ms
+         |  GROUP BY 1),
+         |credited AS (SELECT pr.touch_type, pr.p_id,
+         |    pr.cents // per.nt +
+         |      CASE WHEN pr.t_ms = per.m_ms AND pr.t_id = firstid.f_id
+         |        THEN pr.cents % per.nt ELSE 0 END AS credit
+         |  FROM pr JOIN per ON pr.p_id = per.p_id
+         |  JOIN firstid ON pr.p_id = firstid.p_id)
+         |SELECT touch_type, count(*) AS n_touches,
+         |  CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+         |  CAST(sum(credit) AS BIGINT) AS credit_cents
+         |FROM credited GROUP BY 1""".stripMargin,
 
     "q_conversion_lag" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events

@@ -20,8 +20,16 @@ object TextScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // q_prefix_filter_pairs / q_dedup_ablation: the exact-pair
+    // ground-truth tier. Expected growth is the Σ prefix-posting²
+    // model — near-linear while prefix postings stay short (the
+    // df-ascending order keeps common shingles OUT of prefixes), so a
+    // ~10× ratio at 10× rows confirms the sampled-slice economics the
+    // 100 TB contract states; quadratic growth would mean a prefix
+    // posting list is corpus-sized after all.
     val names = Seq("q_dup_ngram_coverage", "q_bigram_lm_score",
-      "q_tfidf_pairs", "q_rolling_active", "q_event_transitions")
+      "q_tfidf_pairs", "q_rolling_active", "q_event_transitions",
+      "q_prefix_filter_pairs", "q_dedup_ablation")
     for (name <- names) {
       val ts = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").map { sf =>
         val warm = (1 to 2).map { _ =>

@@ -184,6 +184,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q_attribution_linear: user-keyed equi-join, no window, no cross") {
+    val plan = planOf(
+      operators.EventQueries.queries("q_attribution_linear")(spark, sf))
+    assertNoCross(plan, "q_attribution_linear")
+    assert(!plan.contains("Window"),
+      s"attribution fell back to a window:\n$plan")
+  }
+
   private def assertNoCross(plan: String, q: String): Unit =
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
