@@ -38,6 +38,8 @@ object Curation {
   private val DECON_K = 5              // decontamination shingle width
   private val MAX_EPOCHS_MILLI = 4000  // mixture cap: ≤4 epochs per source
   private val PAD_CTX = 48             // q_padding_waste fixed context length
+  private val CHUNK_TOKENS = 64        // q_chunk_stats RAG chunk width
+  private val CHUNK_STRIDE = 48        // q_chunk_stats chunk stride (16 overlap)
   private val PRIORITY_SEED = 17       // q_priority_sample randomness hash
   private val PRIORITY_K = 100         // q_priority_sample sample size
 
@@ -266,6 +268,44 @@ object Curation {
           expr(s"total_tokens * 10000 div " +
               s"(((total_tokens + $PAD_CTX - 1) div $PAD_CTX) * $PAD_CTX)")
             .as("packed_util_bp"))
+    },
+
+    // ── RAG chunking: overlapping token windows per document ────────────
+    // Every doc becomes ⌈n_tok/STRIDE⌉ chunks of ≤CHUNK_TOKENS tokens
+    // starting every CHUNK_STRIDE (16-token overlap — the standard
+    // retrieval-chunking layout); reported per source: chunk count,
+    // chunk-token volume, tokens DUPLICATED by the overlap (the storage
+    // tax chunking pays), and short tail chunks. The chunk table itself
+    // is the thing a pipeline embeds; this query prices it.
+    //
+    // 100 TB posture: pure projection + Generate (sequence→explode, no
+    // join, no window) into one source-keyed aggregate — chunk rows
+    // stay on the partition that read the doc, so the only shuffle is
+    // the bounded per-source rollup. Fan-out is n_tok/STRIDE ≈ 2 rows
+    // per doc-context, not a blow-up.
+    "q_chunk_stats" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      docs(s, dir)
+        .select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .select(col("source"), col("n_tok"),
+          explode(sequence(lit(0L), col("n_tok") - 1L,
+            lit(CHUNK_STRIDE.toLong))).as("start"))
+        .groupBy(col("source"))
+        .agg(
+          sum(when(col("start") === 0L, 1L).otherwise(0L)).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(least(lit(CHUNK_TOKENS.toLong), col("n_tok") - col("start")))
+            .as("chunk_tokens"),
+          sum(when(col("start") === 0L, col("n_tok")).otherwise(0L))
+            .as("corpus_tokens"),
+          sum(when(col("n_tok") - col("start") < CHUNK_TOKENS, 1L)
+            .otherwise(0L)).as("short_chunks"))
+        .select(col("source"), col("n_docs"), col("n_chunks"),
+          col("chunk_tokens"),
+          (col("chunk_tokens") - col("corpus_tokens")).as("overlap_tokens"),
+          col("short_chunks"))
     },
 
     // ── train/test decontamination: benchmark n-gram overlap ────────────
@@ -542,6 +582,28 @@ object Curation {
          |    (((total_tokens + $PAD_CTX - 1) // $PAD_CTX) * $PAD_CTX)
          |    AS packed_util_bp
          |FROM a""".stripMargin,
+
+    "q_chunk_stats" ->
+      s"""WITH t AS (SELECT source,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |      AS BIGINT) AS n_tok
+         |  FROM documents),
+         |ch AS (SELECT source, n_tok,
+         |    unnest(generate_series(0, n_tok - 1, $CHUNK_STRIDE)) AS start
+         |  FROM t WHERE n_tok > 0)
+         |SELECT source,
+         |  CAST(sum(CASE WHEN start = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs,
+         |  count(*) AS n_chunks,
+         |  CAST(sum(least($CHUNK_TOKENS, n_tok - start)) AS BIGINT)
+         |    AS chunk_tokens,
+         |  CAST(sum(least($CHUNK_TOKENS, n_tok - start)) -
+         |    sum(CASE WHEN start = 0 THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS overlap_tokens,
+         |  CAST(sum(CASE WHEN n_tok - start < $CHUNK_TOKENS THEN 1 ELSE 0
+         |    END) AS BIGINT) AS short_chunks
+         |FROM ch GROUP BY 1""".stripMargin,
 
     "q_decontaminate" -> deconSql,
 

@@ -38,6 +38,45 @@ object EventQueries {
   private val DIFF_T1_MS = 1705276800000L
   private val DIFF_T2_MS = 1706140800000L
 
+  /** The purchase⋈touch pair table every attribution model starts from:
+    * each purchase (half-cent-rounded integer cents) joined to the same
+    * user's click/view touches inside the 7-day window ending at the
+    * purchase.
+    *
+    * 100 TB posture: USER-keyed equi-join (no range fan-out across
+    * users); the time predicate bounds pair volume by per-user activity
+    * inside one attribution window — the sessionization shuffle shape.
+    * Every model downstream aggregates this table by purchase id and
+    * then by channel, both map-side combinable.
+    */
+  private def attributionPairs(s: SparkSession, dir: String): DataFrame = {
+    val ev = loadEvents(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ms").as("p_ms"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("ms").as("t_ms"), col("event_type").as("touch_type"))
+    purchases.join(touches, "user_id")
+      .filter(col("t_ms") <= col("p_ms") &&
+        col("p_ms") - col("t_ms") <= ATTR_WINDOW_MS)
+  }
+
+  /** DuckDB twin of [[attributionPairs]] — the shared CTE prefix every
+    * attribution oracle starts WITH.
+    */
+  private val attrPairsCtes: String =
+    s"""p AS (SELECT event_id AS p_id, user_id, epoch_ms(ts) AS p_ms,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |t AS (SELECT event_id AS t_id, user_id, epoch_ms(ts) AS t_ms,
+       |    event_type AS touch_type
+       |  FROM events WHERE event_type IN ('click', 'view')),
+       |pr AS (SELECT p.p_id, p.cents, p.p_ms, t.t_id, t.t_ms, t.touch_type
+       |  FROM p JOIN t ON p.user_id = t.user_id
+       |  WHERE t.t_ms <= p.p_ms AND p.p_ms - t.t_ms <= $ATTR_WINDOW_MS)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── gap-based sessionization + per-session aggregate ────────────────
@@ -558,32 +597,15 @@ object EventQueries {
     },
 
     // ── linear multi-touch attribution (batch) ──────────────────────────
-    // Each purchase's value (half-cent-rounded integer cents) is split
-    // EQUALLY across the user's preceding click/view touches inside a
-    // 7-day window; the integer-division remainder goes to the earliest
+    // Each purchase's cents split EQUALLY across the user's touches in
+    // the window; the integer-division remainder goes to the earliest
     // touch (min (t_ms, t_id) — deterministic, and credit sums exactly
     // to the purchase value). The batch twin of the streaming
-    // attribution join (attributionJoinLeftOuter); output is credit and
-    // touch volume per touch channel.
-    //
-    // 100 TB posture: the purchase⋈touch join is USER-keyed (equi-join,
-    // no range fan-out across users) and the time predicate bounds pair
-    // volume by per-user activity inside one attribution window — the
-    // same shuffle shape as sessionization. Both downstream aggregates
-    // are keyed (purchase id, then channel) and map-side combinable;
-    // the remainder rule needs no window — one struct-min per purchase.
+    // attribution join (attributionJoinLeftOuter). Shuffle shape: see
+    // [[attributionPairs]]; the remainder rule needs no window — one
+    // struct-min per purchase.
     "q_attribution_linear" -> { (s, dir) =>
-      val ev = loadEvents(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id"),
-          col("ms").as("p_ms"),
-          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
-      val touches = ev.filter(col("event_type").isin("click", "view"))
-        .select(col("user_id"), col("event_id").as("t_id"),
-          col("ms").as("t_ms"), col("event_type").as("touch_type"))
-      val pairs = purchases.join(touches, "user_id")
-        .filter(col("t_ms") <= col("p_ms") &&
-          col("p_ms") - col("t_ms") <= ATTR_WINDOW_MS)
+      val pairs = attributionPairs(s, dir)
       val per = pairs.groupBy(col("p_id"))
         .agg(count(lit(1)).as("nt"),
           min(struct(col("t_ms"), col("t_id"))).as("first"))
@@ -595,6 +617,83 @@ object EventQueries {
         .groupBy(col("touch_type"))
         .agg(count(lit(1)).as("n_touches"),
           countDistinct(col("p_id")).as("n_purchases"),
+          sum(col("credit")).as("credit_cents"))
+    },
+
+    // ── last-touch attribution ──────────────────────────────────────────
+    // 100 % of each purchase's cents to the LAST touch in the window
+    // (max (t_ms, t_id) — t_id is a unique event id, so the struct-max
+    // survivor is deterministic). One struct-max per purchase carries
+    // the winning channel along — no join-back, no window.
+    "q_attribution_last" -> { (s, dir) =>
+      attributionPairs(s, dir)
+        .groupBy(col("p_id"))
+        .agg(max(struct(col("t_ms"), col("t_id"), col("touch_type")))
+            .as("last"),
+          max(col("cents")).as("cents"))
+        .select(col("last.touch_type").as("touch_type"), col("cents"))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("credit_cents"))
+    },
+
+    // ── time-decay attribution (1-day half-life, integer weights) ───────
+    // Touch weight halves per day of age: w = 64 >> min(age_days, 6),
+    // so weights are exact powers of two in [1, 64] and all credit math
+    // stays in integers. Per-touch base credit = cents·w div Σw; the
+    // total rounding shortfall (cents − Σ base) goes to the earliest
+    // touch, so credit again sums EXACTLY to the purchase value. Three
+    // purchase-keyed aggregates/joins — all equi-joins on p_id, all
+    // map-side combinable; no window.
+    "q_attribution_decay" -> { (s, dir) =>
+      val wt = attributionPairs(s, dir)
+        .withColumn("w", expr(
+          "shiftright(64L, CAST(least((p_ms - t_ms) div 86400000, 6) AS INT))"))
+      val per = wt.groupBy(col("p_id"))
+        .agg(sum(col("w")).as("sw"),
+          min(struct(col("t_ms"), col("t_id"))).as("first"))
+      val based = wt.join(per, "p_id")
+        .select(col("touch_type"), col("p_id"), col("t_id"), col("cents"),
+          col("first"), expr("(cents * w) div sw").as("b"))
+      val bt = based.groupBy(col("p_id"))
+        .agg(sum(col("b")).as("base_total"))
+      based.join(bt, "p_id")
+        .select(col("touch_type"),
+          (col("b") + when(col("t_id") === col("first.t_id"),
+            col("cents") - col("base_total")).otherwise(0L)).as("credit"))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit")).as("credit_cents"))
+    },
+
+    // ── position-based (U-shaped 40/20/40) attribution ──────────────────
+    // First and last touch get 40 % each (integer: (cents·2) div 5),
+    // middles split the remainder evenly with the rounding residue on
+    // the FIRST middle; a lone touch takes everything, a pair splits
+    // 50/50 with the odd cent to the first. Credit provably sums to
+    // cents in every arity. Needs touch rank AND count per purchase —
+    // one Window keyed by p_id (high-cardinality partition key, the
+    // allowed shape), then a channel aggregate.
+    "q_attribution_position" -> { (s, dir) =>
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(col("t_ms").asc, col("t_id").asc)
+      attributionPairs(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .withColumn("nt", count(lit(1)).over(
+          Window.partitionBy(col("p_id"))))
+        .select(col("touch_type"), expr(
+          """CASE WHEN nt = 1 THEN cents
+            |  WHEN rk = 1 THEN CASE WHEN nt = 2
+            |    THEN cents - (cents div 2) ELSE (cents * 2) div 5 END
+            |  WHEN rk = nt THEN CASE WHEN nt = 2
+            |    THEN cents div 2 ELSE (cents * 2) div 5 END
+            |  ELSE (cents - 2 * ((cents * 2) div 5)) div (nt - 2) +
+            |    CASE WHEN rk = 2
+            |      THEN (cents - 2 * ((cents * 2) div 5)) % (nt - 2)
+            |      ELSE CAST(0 AS BIGINT) END
+            |END""".stripMargin).as("credit"))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_touches"),
           sum(col("credit")).as("credit_cents"))
     },
 
@@ -955,15 +1054,7 @@ object EventQueries {
         |GROUP BY 1""".stripMargin,
 
     "q_attribution_linear" ->
-      s"""WITH p AS (SELECT event_id AS p_id, user_id, epoch_ms(ts) AS p_ms,
-         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-         |  FROM events WHERE event_type = 'purchase'),
-         |t AS (SELECT event_id AS t_id, user_id, epoch_ms(ts) AS t_ms,
-         |    event_type AS touch_type
-         |  FROM events WHERE event_type IN ('click', 'view')),
-         |pr AS (SELECT p.p_id, p.cents, t.t_id, t.t_ms, t.touch_type
-         |  FROM p JOIN t ON p.user_id = t.user_id
-         |  WHERE t.t_ms <= p.p_ms AND p.p_ms - t.t_ms <= $ATTR_WINDOW_MS),
+      s"""WITH $attrPairsCtes,
          |per AS (SELECT p_id, CAST(count(*) AS BIGINT) AS nt,
          |    min(t_ms) AS m_ms
          |  FROM pr GROUP BY 1),
@@ -980,6 +1071,63 @@ object EventQueries {
          |  CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
          |  CAST(sum(credit) AS BIGINT) AS credit_cents
          |FROM credited GROUP BY 1""".stripMargin,
+
+    "q_attribution_last" ->
+      s"""WITH $attrPairsCtes,
+         |m AS (SELECT p_id, max(t_ms) AS m_ms FROM pr GROUP BY 1),
+         |l AS (SELECT pr.p_id, max(pr.t_id) AS l_id
+         |  FROM pr JOIN m ON pr.p_id = m.p_id AND pr.t_ms = m.m_ms
+         |  GROUP BY 1)
+         |SELECT pr.touch_type, count(*) AS n_purchases,
+         |  CAST(sum(pr.cents) AS BIGINT) AS credit_cents
+         |FROM pr JOIN l ON pr.p_id = l.p_id AND pr.t_id = l.l_id
+         |GROUP BY 1""".stripMargin,
+
+    "q_attribution_decay" ->
+      s"""WITH $attrPairsCtes,
+         |wt AS (SELECT p_id, cents, t_id, t_ms, touch_type,
+         |    CAST(64 >> CAST(least((p_ms - t_ms) // 86400000, 6) AS INT)
+         |      AS BIGINT) AS w
+         |  FROM pr),
+         |per AS (SELECT p_id, CAST(sum(w) AS BIGINT) AS sw,
+         |    min(t_ms) AS m_ms
+         |  FROM wt GROUP BY 1),
+         |firstid AS (SELECT wt.p_id, min(wt.t_id) AS f_id
+         |  FROM wt JOIN per ON wt.p_id = per.p_id AND wt.t_ms = per.m_ms
+         |  GROUP BY 1),
+         |based AS (SELECT wt.touch_type, wt.p_id, wt.t_id, wt.cents,
+         |    (wt.cents * wt.w) // per.sw AS b
+         |  FROM wt JOIN per ON wt.p_id = per.p_id),
+         |bt AS (SELECT p_id, CAST(sum(b) AS BIGINT) AS base_total
+         |  FROM based GROUP BY 1)
+         |SELECT based.touch_type, count(*) AS n_touches,
+         |  CAST(sum(based.b + CASE WHEN based.t_id = firstid.f_id
+         |    THEN based.cents - bt.base_total ELSE 0 END) AS BIGINT)
+         |    AS credit_cents
+         |FROM based JOIN firstid ON based.p_id = firstid.p_id
+         |JOIN bt ON based.p_id = bt.p_id
+         |GROUP BY 1""".stripMargin,
+
+    "q_attribution_position" ->
+      s"""WITH $attrPairsCtes,
+         |rk AS (SELECT p_id, cents, t_id, touch_type,
+         |    row_number() OVER (PARTITION BY p_id ORDER BY t_ms, t_id)
+         |      AS rk,
+         |    count(*) OVER (PARTITION BY p_id) AS nt
+         |  FROM pr),
+         |c AS (SELECT touch_type, CASE WHEN nt = 1 THEN cents
+         |    WHEN rk = 1 THEN CASE WHEN nt = 2
+         |      THEN cents - (cents // 2) ELSE (cents * 2) // 5 END
+         |    WHEN rk = nt THEN CASE WHEN nt = 2
+         |      THEN cents // 2 ELSE (cents * 2) // 5 END
+         |    ELSE (cents - 2 * ((cents * 2) // 5)) // (nt - 2) +
+         |      CASE WHEN rk = 2
+         |        THEN (cents - 2 * ((cents * 2) // 5)) % (nt - 2)
+         |        ELSE 0 END
+         |  END AS credit FROM rk)
+         |SELECT touch_type, count(*) AS n_touches,
+         |  CAST(sum(credit) AS BIGINT) AS credit_cents
+         |FROM c GROUP BY 1""".stripMargin,
 
     "q_conversion_lag" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events

@@ -697,6 +697,47 @@ object VectorQueries {
         .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_q"))
     },
 
+    // ── inter-label centroid cosine matrix (signed cos², ppm) ───────────
+    // How separable the label clusters are: pairwise cosine between the
+    // per-label centroid SUM vectors (cosine is scale-invariant, so the
+    // sum stands in for the mean with no division). Embeddings quantize
+    // to the 2⁻¹⁰ grid FIRST — coarser than the 2⁻²⁰ family grid by
+    // design, so the decimal headroom proof holds to sf1+: per-dim sums
+    // |s| ≤ 2¹⁰·n ≈ 5·10⁶ at sf1, dot ≤ 64·s² ≈ 1.6·10¹⁵, and the
+    // final dot²·10⁶ ≤ 2.6·10³⁶ < 10³⁸ stays inside DECIMAL(38,0) on
+    // both engines (q_correlation's pattern). cos² avoids integer sqrt;
+    // the sign is emitted separately.
+    //
+    // 100 TB posture: ONE corpus pass builds the centroid table, which
+    // is labels×dims rows — broadcast-sized for any real label count;
+    // the pairwise stage is a self-join of that tiny table, never of
+    // the corpus.
+    "q_centroid_similarity" -> { (s, dir) =>
+      val cent = loadEmb(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .toDF("label", "pos", "x")
+        .select(col("label"), col("pos"), expr(
+          "CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)")
+          .as("qv"))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("qv")).as("sq"))
+      cent.toDF("la", "posa", "qa")
+        .join(cent.toDF("lb", "posb", "qb"),
+          col("posa") === col("posb") && col("la") < col("lb"))
+        .groupBy(col("la"), col("lb"))
+        .agg(sum(expr("qa * qb")).as("dot0"),
+          sum(expr("qa * qa")).as("na2"),
+          sum(expr("qb * qb")).as("nb2"))
+        .selectExpr("la", "lb",
+          """CASE WHEN dot0 > 0 THEN CAST(1 AS BIGINT)
+            |     WHEN dot0 < 0 THEN CAST(-1 AS BIGINT)
+            |     ELSE CAST(0 AS BIGINT) END AS cos_sign""".stripMargin,
+          """CASE WHEN na2 = 0 OR nb2 = 0 THEN CAST(NULL AS BIGINT)
+            |  ELSE CAST((CAST(dot0 AS DECIMAL(38,0)) * dot0 * 1000000)
+            |    div (CAST(na2 AS DECIMAL(38,0)) * nb2) AS BIGINT)
+            |END AS cos2_ppm""".stripMargin)
+    },
+
     // ── IVF index health: cell-size balance diagnostic ─────────────────
     // Per-cell population + share (bp) of the IVF assignment — the
     // number that tells you whether nprobe/candidate-volume math holds:
@@ -1029,6 +1070,28 @@ object VectorQueries {
         |    AS BIGINT)) AS BIGINT) AS sum_q
         |FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
         |GROUP BY label, pos""".stripMargin,
+
+    "q_centroid_similarity" ->
+      """WITH q AS (SELECT label, CAST(i AS INT) AS pos,
+        |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+        |      * 1024.0 + 0.5) AS BIGINT) AS qv
+        |  FROM embeddings, unnest(range(0, len(embedding))) AS u(i)),
+        |c AS (SELECT label, pos, CAST(sum(qv) AS BIGINT) AS sq
+        |  FROM q GROUP BY 1, 2),
+        |pr AS (SELECT a.label AS la, b.label AS lb,
+        |    CAST(sum(a.sq * b.sq) AS HUGEINT) AS dot0,
+        |    CAST(sum(a.sq * a.sq) AS HUGEINT) AS na2,
+        |    CAST(sum(b.sq * b.sq) AS HUGEINT) AS nb2
+        |  FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT la, lb,
+        |  CASE WHEN dot0 > 0 THEN CAST(1 AS BIGINT)
+        |       WHEN dot0 < 0 THEN CAST(-1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS cos_sign,
+        |  CASE WHEN na2 = 0 OR nb2 = 0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST((dot0 * dot0 * 1000000) // (na2 * nb2) AS BIGINT)
+        |  END AS cos2_ppm
+        |FROM pr""".stripMargin,
 
     "q_pq_code_balance" ->
       s"""WITH $pqCtes,

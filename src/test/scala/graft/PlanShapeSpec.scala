@@ -192,6 +192,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"attribution fell back to a window:\n$plan")
   }
 
+  test("attribution family: every model stays on equi-joins; only the " +
+    "position model may rank inside a purchase partition") {
+    for (q <- Seq("q_attribution_last", "q_attribution_decay")) {
+      val plan = planOf(operators.EventQueries.queries(q)(spark, sf))
+      assertNoCross(plan, q)
+      assert(!plan.contains("Window"), s"$q fell back to a window:\n$plan")
+    }
+    val pos = planOf(
+      operators.EventQueries.queries("q_attribution_position")(spark, sf))
+    assertNoCross(pos, "q_attribution_position")
+  }
+
+  test("q_chunk_stats: projection+Generate only — no join of any kind") {
+    val plan = planOf(
+      operators.Curation.queries("q_chunk_stats")(spark, sf))
+    assert(!plan.contains("Join"), s"chunking must not join:\n$plan")
+    assert(plan.contains("Generate"), s"expected sequence explode:\n$plan")
+  }
+
+  test("q_centroid_similarity: pairwise stage joins the bounded centroid " +
+    "table by broadcast, never the corpus") {
+    val plan = planOf(
+      operators.VectorQueries.queries("q_centroid_similarity")(spark, sf))
+    assertNoCross(plan, "q_centroid_similarity")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid self-join should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"centroid table should never be shuffle-joined:\n$plan")
+  }
+
   private def assertNoCross(plan: String, q: String): Unit =
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
