@@ -374,6 +374,46 @@ object Curation {
           min(when(col("cum") * 10 >= col("n") * 9, col("n_chars")))
             .as("p90_chars"),
           max(col("n_chars")).as("max_chars"))
+    },
+
+    // ── token-mass concentration: exact Gini per language (bp) ──────────
+    // How unequally token mass is spread across documents — the census
+    // number behind "a few giant docs dominate this slice" curation
+    // calls. Exact grouped Gini: with docs ranked by token count
+    // ascending, G = (2·Σ rank·tᵢ − (n+1)·Σt) / (n·Σt); the rank-sum is
+    // computed per VALUE GROUP (cb·c + c(c+1)/2 ranks inside a group of
+    // c docs after cb predecessors), so the only window runs over the
+    // ~hundreds of DISTINCT token counts per language — never a
+    // per-document sort. Ties are rank-order invariant (equal t makes
+    // Σ rank·t independent of order within the group), so the result is
+    // deterministic with no tiebreak. Final scaling in DECIMAL(38,0)
+    // (HUGEINT in the oracle) so the ×10⁴ never overflows; everything
+    // upstream provably fits BIGINT past sf10 (Σrank·t ≤ n·Σt ≈ 4·10¹⁵).
+    //
+    // 100 TB posture: one corpus projection into a (lang, token-count)
+    // aggregate bounded by |langs|×max_tokens, then window+rollup on
+    // that tiny table — same shape as q_quantiles.
+    "q_gini_concentration" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val tk = docs(s, dir).select(col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("t"))
+      val byVal = tk.groupBy(col("lang"), col("t"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("lang")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byVal.withColumn("cum", sum(col("c")).over(wCum))
+        .groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_docs"),
+          sum(expr("t * c")).as("total_tokens"),
+          sum(expr("t * ((cum - c) * c + (c * (c + 1)) div 2)")).as("srt"))
+        .select(col("lang"), col("n_docs"), col("total_tokens"), expr(
+          """CASE WHEN total_tokens = 0 THEN CAST(NULL AS BIGINT)
+            |  ELSE CAST(
+            |    (CAST(2 * srt - (n_docs + 1) * total_tokens
+            |       AS DECIMAL(38,0)) * 10000)
+            |    div (CAST(n_docs AS DECIMAL(38,0)) * total_tokens)
+            |    AS BIGINT)
+            |END""".stripMargin).as("gini_bp"))
     }
   )
 
@@ -611,6 +651,29 @@ object Curation {
     // positives; false negatives impossible) ⇒ the oracle IS the
     // unpruned query's
     "q_bloom_decontaminate" -> deconSql,
+
+    "q_gini_concentration" ->
+      """WITH tk AS (SELECT lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT) AS t
+        |  FROM documents),
+        |byval AS (SELECT lang, t, count(*) AS c FROM tk GROUP BY 1, 2),
+        |cum AS (SELECT lang, t, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM byval),
+        |a AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(sum(t * c) AS BIGINT) AS total_tokens,
+        |    CAST(sum(t * ((cum - c) * c + (c * (c + 1)) // 2))
+        |      AS HUGEINT) AS srt
+        |  FROM cum GROUP BY 1)
+        |SELECT lang, n_docs, total_tokens,
+        |  CASE WHEN total_tokens = 0 THEN NULL
+        |    ELSE CAST(((2 * srt - (n_docs + 1) * total_tokens) * 10000)
+        |      // (CAST(n_docs AS HUGEINT) * total_tokens) AS BIGINT)
+        |  END AS gini_bp
+        |FROM a""".stripMargin,
 
     "q_quantiles" ->
       """WITH byval AS (SELECT lang, n_chars, count(*) AS c

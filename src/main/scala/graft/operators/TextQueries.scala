@@ -335,6 +335,35 @@ object TextQueries {
           "doc_id", "text", K, NUM_HASHES, BANDS, THRESH))
     },
 
+    // ── dedup census: cluster-size histogram + singleton row ───────────
+    // The one-screen duplication report a curation run opens with: for
+    // each cluster size, how many clusters and docs; singletons (docs
+    // in NO near-dup cluster) appear as the size-1 row so the histogram
+    // partitions the whole corpus — n_docs sums to the document count,
+    // and Σ (sz−1)·n_clusters is exactly the drop-list size.
+    //
+    // 100 TB posture: one aggregate over the member table (bounded by
+    // dup volume, not corpus), plus two single-row counts attached by
+    // the constant-row pattern; no new corpus pass beyond the shared
+    // LSH pipeline the cluster family already prices.
+    "q_cluster_stats" -> { (s, dir) =>
+      val members = Clusters.memberTable(
+        Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", K, NUM_HASHES, BANDS, THRESH))
+      val hist = members.groupBy(col("cluster_sz"))
+        .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+          count(lit(1)).as("n_docs"))
+      val singles = Tables.load(s, dir, "documents")
+        .agg(count(lit(1)).as("total"))
+        .crossJoin(members.agg(count(lit(1)).as("inc")))
+        .select(lit(1L).as("cluster_sz"),
+          (col("total") - col("inc")).as("n_clusters"),
+          (col("total") - col("inc")).as("n_docs"))
+      hist.select(col("cluster_sz").cast("long").as("cluster_sz"),
+          col("n_clusters"), col("n_docs"))
+        .unionByName(singles)
+    },
+
     // ── cross-source EXACT shingle-overlap matrix ──────────────────────
     // For every source pair: exact distinct-shingle intersection and
     // Jaccard (basis points) — the ground truth that VALIDATES
@@ -1708,6 +1737,22 @@ object TextQueries {
          |  FROM cc GROUP BY cluster_id)
          |SELECT cc.id AS doc_id, cc.cluster_id, csz.cluster_sz
          |FROM cc JOIN csz USING (cluster_id)""".stripMargin,
+
+    "q_cluster_stats" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |csz AS (SELECT cluster_id, count(*) AS cluster_sz
+         |  FROM cc GROUP BY cluster_id),
+         |hist AS (SELECT CAST(cluster_sz AS BIGINT) AS cluster_sz,
+         |    CAST(count(*) AS BIGINT) AS n_clusters,
+         |    CAST(sum(cluster_sz) AS BIGINT) AS n_docs
+         |  FROM csz GROUP BY 1),
+         |tot AS (SELECT count(*) AS total FROM documents),
+         |inc AS (SELECT count(*) AS inc FROM cc)
+         |SELECT cluster_sz, n_clusters, n_docs FROM hist
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(total - inc AS BIGINT),
+         |  CAST(total - inc AS BIGINT)
+         |FROM tot, inc""".stripMargin,
 
     "q_source_overlap" ->
       s"""WITH st AS (SELECT source,

@@ -96,6 +96,28 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(path).count() === 2)
   }
 
+  test("versioned table: restore rolls back AS a new commit; history survives") {
+    val path = Files.createTempDirectory("graft-vt-restore").toString + "/t"
+    val t = Graft.table(spark, path)
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    t.overwrite(Seq((2L, "b")).toDF("id", "v"))
+    t.overwrite(Seq((3L, "c")).toDF("id", "v"))
+    assert(t.version() === 3)
+    t.restore(1)
+    // rollback is a COMMIT: v4 carries v1's rows, v3 stays retained
+    assert(t.version() === 4)
+    assert(t.read().as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+    assert(t.readAt(3).as[(Long, String)].collect().toSeq === Seq((3L, "c")))
+    // a restore of a pruned version fails loudly, mutating nothing
+    val e = intercept[java.io.IOException](t.restore(99))
+    assert(e.getMessage.contains("not retained"))
+    assert(t.version() === 4)
+    // restoring the live version is a no-op commit (Delta allows it)
+    t.restore(4)
+    assert(t.version() === 5 &&
+      t.read().as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+  }
+
   test("versioned table: retention prunes, vacuum tightens, readAt fails clearly") {
     val path = Files.createTempDirectory("graft-vt2").toString + "/t"
     val t = Graft.table(spark, path, retain = 2)

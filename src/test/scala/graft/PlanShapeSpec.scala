@@ -204,6 +204,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assertNoCross(pos, "q_attribution_position")
   }
 
+  test("q_gini_concentration: window runs over the value-group table, " +
+    "never a per-document sort; no join") {
+    val plan = planOf(
+      operators.Curation.queries("q_gini_concentration")(spark, sf))
+    assert(!plan.contains("Join"), s"gini must not join:\n$plan")
+    // the cumulative window must consume the (lang, t) AGGREGATE —
+    // a Window directly over the scan would be the corpus-sort shape
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"expected Window above a pre-aggregate:\n$plan")
+  }
+
+  test("q_cluster_stats: singleton attach is constant-row, never a " +
+    "cartesian of data") {
+    val plan = planOf(
+      operators.TextQueries.queries("q_cluster_stats")(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q_cluster_stats fell back to a cartesian:\n$plan")
+  }
+
   test("q_chunk_stats: projection+Generate only — no join of any kind") {
     val plan = planOf(
       operators.Curation.queries("q_chunk_stats")(spark, sf))
