@@ -335,6 +335,32 @@ object TextQueries {
           "doc_id", "text", K, NUM_HASHES, BANDS, THRESH))
     },
 
+    // ── shingle document-frequency histogram (log₂ buckets) ────────────
+    // The measured distribution behind every posting-list cost claim in
+    // the dedup tier: how many shingles have df in [2^b, 2^(b+1)), how
+    // much posting mass they carry, and the heaviest df. The
+    // prefix-filter/inverted-index economics (pair volume ≈
+    // Σ posting², df-caps, stopword-shingle exclusion) are exactly a
+    // statement about this histogram's tail — this query lets a run
+    // CHECK that statement on its own corpus before trusting the tier.
+    //
+    // 100 TB posture: one shingle pass (in-row-distinct explode, same
+    // as the Jaccard family), one shingle-keyed count, then a rollup on
+    // the ~64-row bucket table. The log₂ bucket is integer-exact via
+    // binary-string length — no float log to disagree across engines.
+    "q_shingle_df_histogram" -> { (s, dir) =>
+      Dedup.docShingles(Tables.load(s, dir, "documents"),
+          "doc_id", "text", K)
+        .select(Dedup.shingleHash(col("shingle")).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .select((length(bin(col("df"))) - 1).cast("long").as("df_bucket"),
+          col("df"))
+        .groupBy(col("df_bucket"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(col("df")).as("n_postings"),
+          max(col("df")).as("max_df"))
+    },
+
     // ── dedup census: cluster-size histogram + singleton row ───────────
     // The one-screen duplication report a curation run opens with: for
     // each cluster size, how many clusters and docs; singletons (docs
@@ -1737,6 +1763,17 @@ object TextQueries {
          |  FROM cc GROUP BY cluster_id)
          |SELECT cc.id AS doc_id, cc.cluster_id, csz.cluster_sz
          |FROM cc JOIN csz USING (cluster_id)""".stripMargin,
+
+    "q_shingle_df_histogram" ->
+      s"""WITH $hashedShinglesCte,
+         |dfp AS (SELECT shingle, count(*) AS df FROM shh GROUP BY 1),
+         |b AS (SELECT CAST(length(format('{:b}', df)) - 1 AS BIGINT)
+         |    AS df_bucket, df
+         |  FROM dfp)
+         |SELECT df_bucket, count(*) AS n_shingles,
+         |  CAST(sum(df) AS BIGINT) AS n_postings,
+         |  CAST(max(df) AS BIGINT) AS max_df
+         |FROM b GROUP BY 1""".stripMargin,
 
     "q_cluster_stats" ->
       s"""WITH RECURSIVE $ccCtes,

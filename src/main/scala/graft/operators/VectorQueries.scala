@@ -44,6 +44,7 @@ object VectorQueries {
   private val N_CELLS = 16   // IVF centroids for top-k search (fixed:
                              // probe FRACTION nprobe/cells sets recall)
   private val N_PROBE = 4
+  private val NPROBE_LADDER = Seq(1, 2, 4) // q_ann_nprobe_sweep rungs (≤ N_PROBE)
   private val RP_DIMS = 16   // random-projection sketch width
   private val MIN_CELLS = 16         // near-dup blocking: floor
   private val DUP_COPIES = 50        // planted duplicates for near-dup
@@ -617,8 +618,11 @@ object VectorQueries {
     */
   private[graft] def recallOf(truth: DataFrame, approx: DataFrame): DataFrame =
     truth.select(col("query_id"), col("neighbor_id"))
-      .join(approx.select(col("query_id"), col("neighbor_id"),
-          lit(1).as("hit")),
+      // approx is Q·k rows BY CONSTRUCTION (a top-k table), but it sits
+      // above aggregates Spark won't size-estimate — hint the broadcast
+      // or the tiny recall join plans as a shuffled SMJ
+      .join(broadcast(approx.select(col("query_id"), col("neighbor_id"),
+          lit(1).as("hit"))),
         Seq("query_id", "neighbor_id"), "left_outer")
       .groupBy(col("query_id"))
       .agg(sum(coalesce(col("hit"), lit(0))).as("n_match"))
@@ -810,6 +814,54 @@ object VectorQueries {
     // zero-recall queries in the output.
     "q_ann_recall" -> { (s, dir) =>
       recallOf(bruteTopk(s, dir), ivfTopk(s, dir))
+    },
+
+    // ── IVF nprobe tuning sweep: recall AND work per probe depth ────────
+    // The IVF twin of q_lsh_tuning: for nprobe ∈ {1,2,4}, macro
+    // recall@k (bp), the worst query's recall, and the candidate volume
+    // actually scored — the curve an operator reads to pick nprobe.
+    // Superset rewrite like the LSH ladder: cells are ranked ONCE per
+    // query (in-row sorted-struct slice, rank = position) and scored
+    // ONCE at the deepest probe; every shallower rung is an integer
+    // re-filter on probe rank — 3 rungs cost one probe pass, not three.
+    //
+    // 100 TB posture: inherits q_ann_ivf_topk's ONE-Exchange shape —
+    // in-row assignment, broadcast probe table, bounded_topk partials;
+    // the sweep adds only tiny per-rung aggregates over the shared
+    // candidate set.
+    "q_ann_nprobe_sweep" -> { (s, dir) =>
+      val emb = loadEmb(s, dir)
+      val centArr = centroidArray(seedCentroids(emb))
+      val assigned = withCell(
+        emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cvec")),
+        centArr, col("cvec"))
+      val probes = queryVectors(emb).crossJoin(broadcast(centArr))
+        .select(col("query_id"), col("qvec"),
+          posexplode(slice(array_sort(transform(col("cents"), c =>
+            struct(l2Sq(col("qvec"), c.getField("centroid")).as("d2"),
+              c.getField("cell").as("cell")))), 1, N_PROBE)))
+        .toDF("query_id", "qvec", "pp", "pc")
+        .select(col("query_id"), col("qvec"), (col("pp") + 1).as("prn"),
+          col("pc.cell").as("cell"))
+      val scoredAll = assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", cosine(col("qvec"), col("cvec")))
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("prn"))
+      val truth = bruteTopk(s, dir)
+      NPROBE_LADDER.map { p =>
+        val sc = scoredAll.filter(col("prn") <= p)
+        recallOf(truth, topkByQuery(sc))
+          .agg(count(lit(1)).as("n_queries"),
+            expr("CAST(sum(recall_pct) * 100 div count(1) AS BIGINT)")
+              .as("macro_recall_bp"),
+            min(col("recall_pct")).as("min_recall_pct"))
+          .crossJoin(sc.agg(count(lit(1)).as("n_scanned")))
+          .select(lit(p.toLong).as("nprobe"), col("n_queries"),
+            col("macro_recall_bp"), col("min_recall_pct"),
+            col("n_scanned"))
+      }.reduce(_.unionByName(_))
     },
 
     // ── sign-random-projection dimensionality reduction ─────────────────
@@ -1292,6 +1344,55 @@ object VectorQueries {
          |FROM brute b LEFT JOIN ivf i
          |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
          |GROUP BY b.query_id""".stripMargin,
+
+    "q_ann_nprobe_sweep" -> {
+      // cells ranked once to the deepest rung; per-rung scored/recall
+      // CTEs are integer re-filters on probe rank — the same superset
+      // rewrite as the Spark side
+      val rungCtes = NPROBE_LADDER.map { p =>
+        s"""sc_$p AS (SELECT pr.query_id, a.neighbor_id,
+           |    row_number() OVER (PARTITION BY pr.query_id
+           |      ORDER BY list_cosine_similarity(pr.qvec, a.cvec) DESC,
+           |        a.neighbor_id ASC) AS rank
+           |  FROM pranks pr JOIN assigned a ON pr.cell = a.cell
+           |  WHERE pr.prn <= $p AND pr.query_id <> a.neighbor_id),
+           |rc_$p AS (SELECT b.query_id,
+           |    CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1
+           |      ELSE 0 END) * 100 // $TOP_K AS BIGINT) AS recall_pct
+           |  FROM brute b LEFT JOIN (SELECT query_id, neighbor_id
+           |      FROM sc_$p WHERE rank <= $TOP_K) s
+           |    ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val rungSelects = NPROBE_LADDER.map { p =>
+        s"""SELECT CAST($p AS BIGINT) AS nprobe,
+           |  CAST(count(*) AS BIGINT) AS n_queries,
+           |  CAST(sum(recall_pct) * 100 // count(*) AS BIGINT)
+           |    AS macro_recall_bp,
+           |  CAST(min(recall_pct) AS BIGINT) AS min_recall_pct,
+           |  (SELECT count(*) FROM sc_$p) AS n_scanned
+           |FROM rc_$p""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $bruteCtes,
+         |cent AS (SELECT vec_id AS cell, embedding AS centroid
+         |         FROM embeddings WHERE vec_id < $N_CELLS),
+         |assigned AS (SELECT vec_id AS neighbor_id, cvec, cell FROM (
+         |  SELECT e.vec_id, e.embedding AS cvec, cent.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_distance(e.embedding, cent.centroid) ASC,
+         |        cent.cell ASC) AS arn
+         |  FROM embeddings e, cent) WHERE arn = 1),
+         |iq AS (SELECT vec_id AS query_id, embedding AS qvec
+         |       FROM embeddings WHERE vec_id < $N_QUERIES),
+         |pranks AS (SELECT query_id, qvec, cell, prn FROM (
+         |  SELECT iq.query_id, iq.qvec, cent.cell,
+         |    row_number() OVER (PARTITION BY iq.query_id
+         |      ORDER BY list_distance(iq.qvec, cent.centroid) ASC,
+         |        cent.cell ASC) AS prn
+         |  FROM iq, cent) WHERE prn <= $N_PROBE),
+         |$rungCtes
+         |$rungSelects""".stripMargin
+    },
 
     "q_embedding_neardup" ->
       s"""WITH $embNearDupCtes

@@ -225,6 +225,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"q_cluster_stats fell back to a cartesian:\n$plan")
   }
 
+  test("q_ann_nprobe_sweep: rungs are re-filters — bounded_topk, no " +
+    "window, no shuffle join") {
+    val plan = planOf(
+      operators.VectorQueries.queries("q_ann_nprobe_sweep")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"sweep top-k fell back to a window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"sweep shuffled a join side:\n$plan")
+    assert(plan.contains("bounded_topk"),
+      s"expected bounded_topk partials:\n$plan")
+  }
+
   test("q_chunk_stats: projection+Generate only — no join of any kind") {
     val plan = planOf(
       operators.Curation.queries("q_chunk_stats")(spark, sf))
