@@ -107,6 +107,24 @@ final case class QuantState(rev: Long, bins: Seq[Long],
 final case class QuantRow(event_type: String, rev: Long, bin: Long,
                           c: Long)
 
+/** Pending-touch window state for
+  * [[StreamingEvents.attributionStream]]: the processed-event frontier
+  * plus parallel (t_ms, t_id, touch_type) seqs — bounded by per-user
+  * activity inside ONE attribution window, the same bound as the batch
+  * pair volume. Top-level and public for the state encoder (see
+  * [[SessionState]]).
+  */
+final case class AttrState(frontMs: Long, tMs: Seq[Long],
+                           tId: Seq[Long], tType: Seq[String])
+
+/** One attribution credit fact: purchase `p_id` paid `credit` cents to
+  * touch `t_id` of channel `touch_type`. A purchase's credits sum
+  * EXACTLY to its half-cent-rounded value (integer split, remainder to
+  * the earliest touch) — the same rule as batch q_attribution_linear.
+  */
+final case class AttrCredit(user_id: Long, p_id: Long, t_id: Long,
+                            touch_type: String, credit: Long)
+
 /** Event-stream operators: watermarked tumbling-window aggregation,
   * gap-based session windows, and custom per-key state via
   * `flatMapGroupsWithState` — the streaming counterparts of
@@ -521,6 +539,87 @@ object StreamingEvents {
     * requirements that make an unbounded stream-stream join runnable
     * (an unconstrained one would buffer both streams forever).
     */
+  /** Streaming LINEAR multi-touch attribution — the stateful twin of
+    * batch q_attribution_linear. Per user, the state is the click/view
+    * touches inside the trailing `windowMs`; each purchase emits its
+    * credit split AT THE PURCHASE: cents div nt per touch, the integer
+    * remainder to the earliest (t_ms, t_id) touch, so per-purchase
+    * credit sums exactly to the half-cent-rounded value. On an
+    * in-order stream the emitted facts aggregate to exactly the batch
+    * query's channel totals; behind-frontier events drop by the
+    * [[transitionsStream]] convention (the batch query is the
+    * reconciliation path, as with [[rateAnomalyStream]]).
+    *
+    * 100 TB posture: state per user = frontier + touches inside ONE
+    * window (the batch pair-volume bound), pruned on every event and
+    * evicted by event-time timeout once a user goes idle past the
+    * window; purchases never buffer.
+    */
+  def attributionStream(events: Dataset[Event],
+                        windowMs: Long = 7L * 24 * 3600 * 1000)
+      : Dataset[AttrCredit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrCredit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Event],
+         state: GroupState[AttrState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq
+              .sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption
+              .getOrElse(AttrState(Long.MinValue, Nil, Nil, Nil))
+            val out = Seq.newBuilder[AttrCredit]
+            sorted.foreach { e =>
+              val ms = e.ts.getTime
+              val relevant = e.event_type == "click" ||
+                e.event_type == "view" || e.event_type == "purchase"
+              if (relevant && ms >= st.frontMs) {
+                // prune touches that fell out of the window
+                val keep = st.tMs.indices
+                  .filter(i => ms - st.tMs(i) <= windowMs)
+                var tMs = keep.map(st.tMs)
+                var tId = keep.map(st.tId)
+                var tType = keep.map(st.tType)
+                if (e.event_type == "purchase") {
+                  val nt = tMs.size
+                  if (nt > 0) {
+                    val cents = math.floor(e.value * 100 + 0.5).toLong
+                    val base = cents / nt
+                    val rem = cents % nt
+                    val first = tMs.indices
+                      .minBy(i => (tMs(i), tId(i)))
+                    tMs.indices.foreach { i =>
+                      out += AttrCredit(user, e.event_id, tId(i),
+                        tType(i),
+                        base + (if (i == first) rem else 0L))
+                    }
+                  }
+                } else {
+                  tMs :+= ms; tId :+= e.event_id; tType :+= e.event_type
+                }
+                st = AttrState(ms, tMs, tId, tType)
+              }
+            }
+            if (st.frontMs != Long.MinValue) {
+              state.update(st)
+              // the eviction alarm must sit ABOVE the current watermark
+              // (Spark rejects a timeout the clock already passed — a
+              // user whose whole batch was behind-frontier drops would
+              // hit that with a bare frontMs + windowMs)
+              state.setTimeoutTimestamp(math.max(st.frontMs + windowMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   def attributionJoin(triggers: DataFrame, actions: DataFrame,
                       withinMs: Long = 30L * 60 * 1000): DataFrame = {
     // rename FIRST, then watermark the renamed column: withWatermark

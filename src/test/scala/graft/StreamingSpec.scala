@@ -331,6 +331,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       ("view", "view") -> 1))
   }
 
+  test("attributionStream: purchases split cents across windowed touches " +
+    "by the exact batch rule (remainder to earliest, eviction honored)") {
+    import graft.streaming.AttrCredit
+    val in = MemoryStream[Event](spark)
+    // 30-minute window so eviction is testable at minute granularity
+    val q = StreamingEvents.attributionStream(in.toDS(),
+        windowMs = 30L * 60000)
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    // batch 1: u1 accrues two touches; u2 one touch that will AGE OUT
+    in.addData(Event(1, ts(10), 1, "view", 0.0),
+      Event(2, ts(20), 1, "click", 0.0),
+      Event(3, ts(5), 2, "view", 0.0))
+    q.processAllAvailable()
+    // batch 2 (cross-batch state): u1 purchase 1.01 → 101 cents over 2
+    // touches = 50 each, remainder cent to the EARLIEST (event 1);
+    // u2 purchase at minute 40 — its only touch is 35 min old, outside
+    // the 30-min window → NO credit rows (batch inner-join semantics)
+    in.addData(Event(4, ts(30), 1, "purchase", 1.01),
+      Event(5, ts(40), 2, "purchase", 9.99))
+    q.processAllAvailable()
+    // batch 3: u1's second purchase still sees both touches (25/20 min
+    // old) — state survived the first purchase; 0.05 → 5 cents: 2 each
+    // + remainder to event 1 → 3/2
+    in.addData(Event(6, ts(35), 1, "purchase", 0.05))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr").as[AttrCredit].collect().toSet
+    assert(got === Set(
+      AttrCredit(1, 4, 1, "view", 51L), AttrCredit(1, 4, 2, "click", 50L),
+      AttrCredit(1, 6, 1, "view", 3L), AttrCredit(1, 6, 2, "click", 2L)))
+    // conservation: every purchase's credits sum exactly to its cents
+    val byPurchase = got.groupBy(_.p_id).view.mapValues(_.map(_.credit).sum)
+    assert(byPurchase.toMap === Map(4L -> 101L, 6L -> 5L))
+  }
+
   test("skylineStream: incremental frontier converges to the batch skyline") {
     import graft.streaming.{SkyFrontier, SkyPoint}
     val in = MemoryStream[SkyPoint](spark)
