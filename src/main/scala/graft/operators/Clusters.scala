@@ -160,4 +160,72 @@ object Clusters {
           col("doc_id").as("id"), col("quality").as("q"))).as("best"))
       .select(col("cluster_id"), col("best.id").as("keep_id"),
         col("best.q").as("keep_quality"), col("n_members"))
+
+  private val rankSchema = StructType(Seq(
+    StructField("id", LongType), StructField("rank_ppm", LongType)))
+
+  /** Integer PageRank over an undirected pair list: `iters` power
+    * iterations at damping 85/100, ranks in ppm of the uniform start
+    * (1 000 000 per node). All arithmetic is BIGINT floor division on
+    * positives, so the result is engine-exact (the DuckDB twin unrolls
+    * the same iterations as chained CTEs).
+    *
+    * Same execution contract as [[connectedComponents]]: the symmetric
+    * edge list (joined once with its out-degrees) is persisted and each
+    * iteration is ONE edges ⋈ ranks join plus ONE dst-keyed sum —
+    * shuffles keyed by node id, never corpus-wide — with the rank table
+    * truncated by a parquet round-trip per round (the self-referential
+    * join would otherwise stack every prior round into one plan; the
+    * 122-exchange plan the unchecked loop produced is the measured
+    * failure mode). Iteration count is a CONSTANT, so cost is
+    * O(iters · |edges|) by construction; on a cluster `scratchDir`
+    * goes on shared storage, same as the CC fixpoint.
+    */
+  def pageRank(pairs: DataFrame, src: String, dst: String,
+               iters: Int = 5,
+               scratchDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val scratch = new Path(scratchDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_pr_").toString))
+    val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val edges = graft.CacheRegistry.register(
+      pairs.select(col(src).cast("long").as("src"),
+          col(dst).cast("long").as("dst"))
+        .union(pairs.select(col(dst).cast("long").as("src"),
+          col(src).cast("long").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // (src, dst, d): out-degree attached ONCE — every iteration's
+    // contribution term divides by it, so pre-joining keeps the loop
+    // body to a single join + aggregate
+    val ed = graft.CacheRegistry.register(
+      edges.join(edges.groupBy(col("src"))
+          .agg(count(lit(1)).as("d")), "src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nodes = graft.CacheRegistry.register(
+      edges.select(col("src").as("id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    def roundTrip(df: DataFrame, iter: Int): DataFrame = {
+      val dir = new Path(scratch, s"ranks_$iter")
+      df.write.mode("overwrite").parquet(dir.toString)
+      if (iter > 0) fs.delete(new Path(scratch, s"ranks_${iter - 1}"), true)
+      spark.read.schema(rankSchema).parquet(dir.toString)
+    }
+
+    var ranks = roundTrip(
+      nodes.select(col("id"), lit(1000000L).as("rank_ppm")), 0)
+    for (i <- 1 to iters) {
+      val contrib = ranks.join(ed, ranks("id") === ed("src"))
+        .select(col("dst"), expr("rank_ppm div d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = roundTrip(
+        nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+          .select(col("id"),
+            (lit(150000L) + expr("85 * coalesce(s, 0L) div 100"))
+              .as("rank_ppm")),
+        i)
+    }
+    ranks
+  }
 }

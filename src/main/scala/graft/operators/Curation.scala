@@ -67,6 +67,13 @@ object Curation {
   private[operators] def bucketSql =
     s"${Dedup.hash32Sql(SAMPLE_SEED, "CAST(doc_id AS VARCHAR)")} % 100"
 
+  /** The same 0..99 selection bucket over an arbitrary id expression —
+    * lets oracles outside this file (q_split_leakage) reuse THE split
+    * arithmetic instead of re-deriving it.
+    */
+  private[operators] def bucketSqlFor(idExpr: String): String =
+    s"${Dedup.hash32Sql(SAMPLE_SEED, s"CAST($idExpr AS VARCHAR)")} % 100"
+
   /** Shared oracle for q_decontaminate / q_bloom_decontaminate. */
   private lazy val deconSql =
     s"""WITH b AS (SELECT doc_id, text, $bucketSql AS bkt FROM documents),
@@ -414,6 +421,32 @@ object Curation {
             |    div (CAST(n_docs AS DECIMAL(38,0)) * total_tokens)
             |    AS BIGINT)
             |END""".stripMargin).as("gini_bp"))
+    },
+
+    // ── temperature-scaled mixture reweighting (α = 0.5) ───────────────
+    // The multilingual/multi-source sampling rule (XLM-R, mT5 shape):
+    // sample source s proportionally to n_s^α instead of n_s, boosting
+    // tails and shaving heads. α = 1/2 keeps the arithmetic engine-
+    // exact: floor(sqrt(n)) of an exact BIGINT is bit-identical in both
+    // engines (correctly-rounded double sqrt cannot cross an integer
+    // boundary below ~10¹²). Output: proportional share vs temperature
+    // share in basis points plus the per-source boost ratio — the
+    // knob table a sampler consumes. One source-keyed aggregate + a
+    // 1-row broadcast; O(|sources|) after the first fold.
+    "q_mixture_temperature" -> { (s, dir) =>
+      val per = docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w",
+          expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+      val tot = per.agg(sum(col("n_docs")).as("tot_docs"),
+        sum(col("w")).as("tot_w"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          expr("10000 * n_docs div tot_docs").as("prop_bp"),
+          expr("10000 * w div tot_w").as("temp_bp"))
+        .withColumn("boost_bp", expr(
+          "CASE WHEN prop_bp > 0 THEN 10000 * temp_bp div prop_bp " +
+            "ELSE CAST(NULL AS BIGINT) END"))
     }
   )
 
@@ -687,6 +720,21 @@ object Curation {
         |  min(CASE WHEN cum * 2 >= n THEN n_chars END) AS p50_chars,
         |  min(CASE WHEN cum * 10 >= n * 9 THEN n_chars END) AS p90_chars,
         |  max(n_chars) AS max_chars
-        |FROM cum GROUP BY lang""".stripMargin
+        |FROM cum GROUP BY lang""".stripMargin,
+
+    "q_mixture_temperature" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+        |    CAST(sum(w) AS BIGINT) AS tot_w FROM per)
+        |SELECT source, n_docs,
+        |  CAST(10000 * n_docs // tot_docs AS BIGINT) AS prop_bp,
+        |  CAST(10000 * w // tot_w AS BIGINT) AS temp_bp,
+        |  CASE WHEN 10000 * n_docs // tot_docs > 0
+        |    THEN CAST(10000 * (10000 * w // tot_w)
+        |      // (10000 * n_docs // tot_docs) AS BIGINT)
+        |    ELSE NULL END AS boost_bp
+        |FROM per CROSS JOIN tot""".stripMargin
   )
 }

@@ -744,6 +744,30 @@ object EventQueries {
         count(lit(1)).as("n_rows"),
         approx_count_distinct(col("user_id")).as("approx_users"),
         approx_count_distinct(col("event_type")).as("approx_types"))
+    },
+
+    // ── PII scrub audit over semi-structured payloads ───────────────────
+    // The redaction-coverage report a privacy pass emits: digit runs
+    // (account-number shape — the only PII-like signal this synthetic
+    // payload carries; a real deployment swaps the rule list) matched,
+    // redacted, and counted per event type. Complements
+    // q_blocklist_redact (per-doc projection form) with the AUDIT form:
+    // rows hit, total matches, chars redacted — the numbers a DPIA
+    // wants per category. Regex is RE2-safe so the oracle runs it
+    // verbatim. One codegen'd regex projection + a low-cardinality
+    // keyed aggregate with map-side partials; zero joins.
+    "q_pii_scrub" -> { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("regexp_count(props, '[0-9]{2,}')").as("m"),
+          (length(col("props")) -
+            length(regexp_replace(col("props"), "[0-9]{2,}", "")))
+            .as("chars"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("m") > 0, 1L).otherwise(0L)).as("n_hit_rows"),
+          sum(col("m").cast("long")).as("n_matches"),
+          sum(col("chars").cast("long")).as("chars_redacted"))
     }
   )
 
@@ -1239,6 +1263,19 @@ object EventQueries {
          |  FROM flagged)
          |SELECT user_id, min(ms) AS start_ms, max(ms) + $GAP_MS AS end_ms,
          |  count(*) AS n_events
-         |FROM sessions GROUP BY user_id, session_idx""".stripMargin
+         |FROM sessions GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH m AS (SELECT event_type,
+        |    len(regexp_extract_all(props, '[0-9]{2,}')) AS m,
+        |    length(props) - length(regexp_replace(props, '[0-9]{2,}',
+        |      '', 'g')) AS chars
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hit_rows,
+        |  CAST(sum(m) AS BIGINT) AS n_matches,
+        |  CAST(sum(chars) AS BIGINT) AS chars_redacted
+        |FROM m GROUP BY 1""".stripMargin
   )
 }

@@ -26,6 +26,7 @@ object TextQueries {
   private val CONTAIN_T = 90   // containment threshold, percent
   private val ABLATION_THRESHOLDS = Seq(50, 60, 70, 80, 90) // dedup ablation ladder
   private val TUNING_BANDS = Seq(1, 2, 4, 8, 16) // q_lsh_tuning band splits
+  private val PR_ITERS = 5     // q_pagerank_centrality power iterations
   private val MIN_RUN = 12     // dup-span floor: spans >= 14 tokens, past chance-collision runs
   private val VOCAB_V = 10     // vocab size for the OOV-coverage signal
   private val MIN_COOC = 5     // co-occurrence support floor (PMI table)
@@ -903,6 +904,94 @@ object TextQueries {
           lit(TextFunctions.emailPattern), lit(0))).as("n_email"),
         length(red).as("clean_chars"),
         length(col("text")).as("raw_chars"))
+    },
+
+    // ── train/eval split leakage via near-dup pairs ─────────────────────
+    // The contamination check q_decontaminate can't do: decontamination
+    // finds EXACT shared n-grams against a benchmark, while leakage is
+    // about NEAR-duplicates straddling the train/valid/test boundary —
+    // a test doc whose 80 %-Jaccard twin sits in train is leaked even
+    // if no single 13-gram survived verbatim. Composition: the verified
+    // LSH pair table × the SAME hash-split rule q_train_test_split
+    // derives, folded to a (split_a ≤ split_b) matrix with pair counts
+    // and summed Jaccard severity. The diagonal rows (train-train)
+    // price ordinary in-split duplication; off-diagonal mass is the
+    // leak. 100 TB posture: split labels are a projection on the pair
+    // table (bounded by dup volume), so the only corpus-scale work is
+    // the LSH pipeline the dedup tier already prices.
+    "q_split_leakage" -> { (s, dir) =>
+      val sa = Curation.splitLabel(col("doc_a"))
+      val sb = Curation.splitLabel(col("doc_b"))
+      Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", K, NUM_HASHES, BANDS, THRESH)
+        .select(least(sa, sb).as("split_a"),
+          greatest(sa, sb).as("split_b"),
+          expr("n_common * 10000 div (sz_a + sz_b - n_common)")
+            .as("jac_bp"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("jac_bp")).as("sum_jac_bp"))
+    },
+
+    // ── linear quality classifier (fixed-weight logit score) ───────────
+    // The fasttext-style quality-classifier SHAPE with a fixed,
+    // documented weight vector: four integer features in basis points
+    // (length saturation, stopword rate, punctuation rate, type/token
+    // ratio), one dot product in centipoints, thresholded into
+    // keep/review/drop. Differs from q_quality_score's rule bands: this
+    // is the continuous-score form whose weights a real deployment
+    // swaps for learned ones — the engine-side contract (featurize →
+    // broadcast weights → score → gate) is what's being pinned. Pure
+    // one-pass projection, zero shuffle, integer-exact.
+    "q_quality_logit" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("n"),
+          TextFunctions.tokenCount(col("text")).as("toks"),
+          TextFunctions.stopwordCount(col("text")).as("stops"),
+          TextFunctions.punctCount(col("text")).as("punct"),
+          size(array_distinct(TextFunctions.tokens(col("text"))))
+            .as("uniq"))
+        .select(col("doc_id"),
+          expr("10000 * least(n, 2000) div 2000").as("len_bp"),
+          expr("CASE WHEN toks > 0 THEN 10000 * stops div toks " +
+            "ELSE 0 END").as("stop_bp"),
+          expr("CASE WHEN n > 0 THEN 10000 * punct div n " +
+            "ELSE 0 END").as("punct_bp"),
+          expr("CASE WHEN toks > 0 THEN 10000 * uniq div toks " +
+            "ELSE 0 END").as("uniq_bp"))
+        // clamp at 0 BEFORE div: Spark div truncates toward zero while
+        // DuckDB // floors — they only agree on non-negative operands
+        .select(col("doc_id"), col("len_bp"), col("stop_bp"),
+          col("punct_bp"), col("uniq_bp"),
+          expr("greatest(0, 3 * len_bp + 4 * stop_bp - 2 * punct_bp" +
+            " + 2 * uniq_bp) div 10").as("logit_cp"))
+        .withColumn("verdict",
+          when(col("logit_cp") >= 1750, lit("keep"))
+            .when(col("logit_cp") >= 1550, lit("review"))
+            .otherwise(lit("drop")))
+    },
+
+    // ── PageRank centrality over the near-dup graph ────────────────────
+    // Which member of a duplicate cluster is the CANONICAL one? Degree
+    // (q_cluster_survivors uses quality) treats a hub linked to many
+    // near-identical variants the same as a chain end; PageRank is the
+    // standard centrality answer. Fixed PR_ITERS power iterations of
+    // integer PageRank (damping 85/100, ranks in ppm of the uniform
+    // start) over the symmetric verified-pair edge list. All arithmetic
+    // is BIGINT floor division on positives, so the engines agree bit
+    // for bit; the oracle unrolls the same iterations as chained CTEs.
+    //
+    // 100 TB posture: the edge list is bounded by dup volume, persisted
+    // once (one job per iteration, O(PR_ITERS) rounds like the CC
+    // fixpoint); each round is edge ⋈ rank + a dst-keyed sum — shuffle
+    // keyed by doc id, never corpus-wide — and the rank table parquet-
+    // round-trips per round, so plans stay iteration-local (see
+    // [[Clusters.pageRank]] for the measured blowup this avoids).
+    "q_pagerank_centrality" -> { (s, dir) =>
+      Clusters.pageRank(
+        Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", K, NUM_HASHES, BANDS, THRESH),
+        "doc_a", "doc_b", PR_ITERS)
     }
   )
 
@@ -1881,6 +1970,86 @@ object TextQueries {
          |  FROM mem)
          |SELECT cluster_id, id AS keep_id, quality AS keep_quality,
          |  n_members
-         |FROM r WHERE rn = 1""".stripMargin
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_split_leakage" ->
+      s"""WITH $lshVerifiedCtes,
+         |sp AS (SELECT n_common, sz_a, sz_b,
+         |    ${Curation.bucketSqlFor("doc_a")} AS ba,
+         |    ${Curation.bucketSqlFor("doc_b")} AS bb
+         |  FROM vp),
+         |lab AS (SELECT
+         |    CASE WHEN ba < 80 THEN 'train' WHEN ba < 90 THEN 'valid'
+         |         ELSE 'test' END AS la,
+         |    CASE WHEN bb < 80 THEN 'train' WHEN bb < 90 THEN 'valid'
+         |         ELSE 'test' END AS lb,
+         |    CAST(n_common * 10000 // (sz_a + sz_b - n_common)
+         |      AS BIGINT) AS jac_bp
+         |  FROM sp)
+         |SELECT least(la, lb) AS split_a, greatest(la, lb) AS split_b,
+         |  count(*) AS n_pairs, CAST(sum(jac_bp) AS BIGINT) AS sum_jac_bp
+         |FROM lab GROUP BY 1, 2""".stripMargin,
+
+    "q_quality_logit" ->
+      s"""WITH f AS (SELECT doc_id, length(text) AS n,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |             x -> lower(x) IN ($stopwordsSql))) END AS stops,
+         |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+         |      AS punct,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(list_distinct(string_split_regex(trim(text),
+         |             '\\s+'))) END AS uniq
+         |  FROM documents),
+         |bp AS (SELECT doc_id,
+         |    CAST(10000 * least(n, 2000) // 2000 AS BIGINT) AS len_bp,
+         |    CAST(CASE WHEN toks > 0 THEN 10000 * stops // toks
+         |      ELSE 0 END AS BIGINT) AS stop_bp,
+         |    CAST(CASE WHEN n > 0 THEN 10000 * punct // n
+         |      ELSE 0 END AS BIGINT) AS punct_bp,
+         |    CAST(CASE WHEN toks > 0 THEN 10000 * uniq // toks
+         |      ELSE 0 END AS BIGINT) AS uniq_bp
+         |  FROM f)
+         |SELECT doc_id, len_bp, stop_bp, punct_bp, uniq_bp,
+         |  CAST(greatest(0, 3 * len_bp + 4 * stop_bp - 2 * punct_bp
+         |    + 2 * uniq_bp) // 10 AS BIGINT) AS logit_cp,
+         |  CASE WHEN greatest(0, 3 * len_bp + 4 * stop_bp - 2 * punct_bp
+         |      + 2 * uniq_bp) // 10 >= 1750 THEN 'keep'
+         |    WHEN greatest(0, 3 * len_bp + 4 * stop_bp - 2 * punct_bp
+         |      + 2 * uniq_bp) // 10 >= 1550 THEN 'review'
+         |    ELSE 'drop' END AS verdict
+         |FROM bp""".stripMargin,
+
+    "q_pagerank_centrality" -> pagerankSql
   )
+
+  /** q_pagerank_centrality oracle: PR_ITERS power iterations unrolled
+    * as chained CTEs (recursive CTEs cannot aggregate in the recursive
+    * term, but the iteration count is a constant, so unrolling IS the
+    * faithful twin of the Spark loop). Integer floor division on
+    * positive BIGINTs keeps both engines bit-identical.
+    */
+  private def pagerankSql: String = {
+    val iters = (1 to PR_ITERS).map { i =>
+      s"""pr$i AS (SELECT n.id,
+         |    CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT)
+         |      AS rank_ppm
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ed.dst, sum(p.rank_ppm // ed.d) AS s
+         |    FROM pr${i - 1} p JOIN ed ON ed.src = p.id
+         |    GROUP BY ed.dst) c ON c.dst = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $lshVerifiedCtes,
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+       |      UNION ALL SELECT doc_b, doc_a FROM vp),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, deg.d FROM e JOIN deg USING (src)),
+       |nodes AS (SELECT DISTINCT src AS id FROM e),
+       |pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_ppm
+       |  FROM nodes),
+       |$iters
+       |SELECT id, rank_ppm FROM pr$PR_ITERS""".stripMargin
+  }
 }

@@ -27,9 +27,14 @@ object TextScaleProbe {
     // ~10× ratio at 10× rows confirms the sampled-slice economics the
     // 100 TB contract states; quadratic growth would mean a prefix
     // posting list is corpus-sized after all.
-    val names = Seq("q_dup_ngram_coverage", "q_bigram_lm_score",
+    val defaults = Seq("q_dup_ngram_coverage", "q_bigram_lm_score",
       "q_tfidf_pairs", "q_rolling_active", "q_event_transitions",
       "q_prefix_filter_pairs", "q_dedup_ablation")
+    // args override the default list (comma-separated) so a round can
+    // probe just its new queries without re-pricing the whole set
+    val names =
+      if (args.nonEmpty) args(0).split(",").toSeq.filter(_.nonEmpty)
+      else defaults
     for (name <- names) {
       val ts = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").map { sf =>
         val warm = (1 to 2).map { _ =>
