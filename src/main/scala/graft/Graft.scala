@@ -128,6 +128,22 @@ object Graft {
                         scratchDir: Option[String] = None): DataFrame =
     Clusters.connectedComponents(pairs, src, dst, scratchDir)
 
+  /** Integer PageRank centrality over a near-dup pair list (canonical-
+    * doc selection) — see [[operators.Clusters.pageRank]].
+    */
+  def pageRank(pairs: DataFrame, src: String = "doc_a",
+               dst: String = "doc_b", iters: Int = 5,
+               scratchDir: Option[String] = None): DataFrame =
+    Clusters.pageRank(pairs, src, dst, iters, scratchDir)
+
+  /** Train BPE merges over a document table; apply them with
+    * [[operators.Bpe.applyMerges]] — see [[operators.Bpe]].
+    */
+  def bpeTrain(docs: DataFrame, id: String = "doc_id",
+               text: String = "text", nMerges: Int = 16,
+               scratchDir: Option[String] = None): DataFrame =
+    Bpe.train(docs, id, text, nMerges, scratchDir)
+
   /** One keep-doc per near-dup cluster by (quality desc, id asc);
     * `quality` carries (doc_id, quality). The keep/drop list a curation
     * pipeline executes.

@@ -92,4 +92,56 @@ class ClustersSpec extends AnyFunSuite with SparkSpec {
     // cluster {10,20}: quality 10 tie → min id 10
     assert(got.toSeq === Seq((1L, 2L, 90, 3L), (10L, 10L, 10, 2L)))
   }
+
+  private def pr(pairs: Seq[(Long, Long)], iters: Int = 5): Map[Long, Long] =
+    Clusters.pageRank(pairs.toDF("a", "b"), "a", "b", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** The same integer recurrence, driver-side: independent replay the
+    * way the union-find reference checks CC.
+    */
+  private def prReference(pairs: Seq[(Long, Long)],
+                          iters: Int): Map[Long, Long] = {
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = edges.map(_._1).distinct
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / deg(s) }.sum).toMap
+      rank = nodes.map(n =>
+        n -> (150000L + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("pageRank: isolated symmetric pair sits at the uniform fixpoint") {
+    // deg 1 both sides: contribution = rank, so rank stays exactly 10^6
+    val got = pr(Seq((3L, 9L)))
+    assert(got === Map(3L -> 1000000L, 9L -> 1000000L))
+  }
+
+  test("pageRank: star hub outranks its leaves, leaves tie") {
+    val got = pr(Seq((1L, 10L), (1L, 20L), (1L, 30L), (1L, 40L)))
+    val leaves = Seq(10L, 20L, 30L, 40L).map(got)
+    assert(leaves.distinct.size === 1)
+    assert(got(1L) > leaves.head)
+  }
+
+  test("pageRank: random graphs ≡ driver-side integer replay (10 seeds)") {
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(100 + seed)
+      val pairs = Seq.fill(40)(
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+      assert(pr(pairs) === prReference(pairs, 5), s"seed=$seed")
+    }
+  }
+
+  test("pageRank: empty pair list yields an empty, well-typed result") {
+    val out = Clusters.pageRank(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(out.columns.toSeq === Seq("id", "rank_ppm"))
+    assert(out.count() === 0)
+  }
 }
