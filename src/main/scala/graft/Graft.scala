@@ -500,4 +500,31 @@ object Graft {
   /** CDC diff of two keyed snapshots (see [[operators.ChangeFeed]]). */
   def changeFeed(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
     operators.ChangeFeed.diff(oldSnap, newSnap)
+
+  /** Per-doc winnowing fingerprint selections (MOSS; see
+    * [[operators.Winnow]]): zero-shuffle, position-robust k-gram
+    * subset with the 2/(w+1)-density guarantee.
+    */
+  def winnowFingerprints(docs: DataFrame, id: String = "doc_id",
+                         text: String = "text", k: Int = 3,
+                         w: Int = 4): DataFrame =
+    operators.Winnow.selections(docs, id, text, k, w)
+
+  /** Partial-overlap pairs via shared winnow fingerprints (see
+    * [[operators.Winnow.matches]]) — catches shared runs ≥ k+w-1
+    * tokens that whole-doc Jaccard thresholds miss.
+    */
+  def winnowMatches(docs: DataFrame, id: String = "doc_id",
+                    text: String = "text", k: Int = 3, w: Int = 4,
+                    maxDf: Int = 100, minShared: Int = 3): DataFrame =
+    operators.Winnow.matches(docs, id, text, k, w, maxDf, minShared)
+
+  /** DSIR-shape hashed-unigram importance weights against a target
+    * membership predicate (see [[operators.Curation.importanceWeights]]).
+    */
+  def importanceWeights(docs: DataFrame,
+                        isTarget: org.apache.spark.sql.Column,
+                        id: String = "doc_id",
+                        text: String = "text"): DataFrame =
+    operators.Curation.importanceWeights(docs, isTarget, id, text)
 }

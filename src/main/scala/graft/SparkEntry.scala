@@ -31,7 +31,8 @@ object SparkEntry {
       operators.VectorQueries.queries ++
       operators.EventQueries.queries ++
       operators.Multimodal.queries ++
-      operators.Curation.queries
+      operators.Curation.queries ++
+      operators.Winnow.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
@@ -42,5 +43,6 @@ object SparkEntry {
       operators.VectorQueries.oracle ++
       operators.EventQueries.oracle ++
       operators.Multimodal.oracle ++
-      operators.Curation.oracle
+      operators.Curation.oracle ++
+      operators.Winnow.oracle
 }

@@ -206,25 +206,30 @@ object Clusters {
       edges.select(col("src").as("id")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+    var lastDir: Option[Path] = None
     def roundTrip(df: DataFrame, iter: Int): DataFrame = {
       val dir = new Path(scratch, s"ranks_$iter")
       df.write.mode("overwrite").parquet(dir.toString)
-      if (iter > 0) fs.delete(new Path(scratch, s"ranks_${iter - 1}"), true)
+      lastDir.foreach(fs.delete(_, true))
+      lastDir = Some(dir)
       spark.read.schema(rankSchema).parquet(dir.toString)
     }
 
-    var ranks = roundTrip(
-      nodes.select(col("id"), lit(1000000L).as("rank_ppm")), 0)
+    // lineage is truncated every SECOND iteration: the Catalyst blowup
+    // this guards against (see the 122-exchange note in PERF.md) grows
+    // per CHAINED iteration, so a 2-deep chain stays a bounded, audited
+    // plan while halving the per-round parquet-round-trip fixed cost —
+    // the dominant term at small scale, pure overhead at 100 TB
+    var ranks = nodes.select(col("id"), lit(1000000L).as("rank_ppm"))
     for (i <- 1 to iters) {
       val contrib = ranks.join(ed, ranks("id") === ed("src"))
         .select(col("dst"), expr("rank_ppm div d").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = roundTrip(
-        nodes.join(contrib, nodes("id") === contrib("dst"), "left")
-          .select(col("id"),
-            (lit(150000L) + expr("85 * coalesce(s, 0L) div 100"))
-              .as("rank_ppm")),
-        i)
+      val next = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("85 * coalesce(s, 0L) div 100"))
+            .as("rank_ppm"))
+      ranks = if (i % 2 == 0 || i == iters) roundTrip(next, i) else next
     }
     ranks
   }

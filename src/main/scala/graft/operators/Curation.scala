@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,9 @@ object Curation {
   private val CHUNK_STRIDE = 48        // q_chunk_stats chunk stride (16 overlap)
   private val PRIORITY_SEED = 17       // q_priority_sample randomness hash
   private val PRIORITY_K = 100         // q_priority_sample sample size
+  private val IW_BUCKETS = 256         // q_importance_weights hashed-feature buckets
+  private val IW_SEED = 1              // q_importance_weights bucket hash seed
+  private val IW_TARGET = "src0"       // q_importance_weights target domain slice
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -447,8 +450,64 @@ object Curation {
         .withColumn("boost_bp", expr(
           "CASE WHEN prop_bp > 0 THEN 10000 * temp_bp div prop_bp " +
             "ELSE CAST(NULL AS BIGINT) END"))
+    },
+
+    // ── hashed-n-gram importance weights (DSIR shape) ──────────────────
+    // Data Selection via Importance Resampling (Xie et al., NeurIPS'23):
+    // score every raw doc by how target-like its hashed unigram-bucket
+    // profile is, then resample raw data toward the target domain. The
+    // engine-exact integer twin of the log-likelihood-ratio score: both
+    // unigram models are add-1-smoothed bucket distributions in ppm
+    // (target = the IW_TARGET source slice, raw = the whole corpus) and
+    // the per-doc statistic is the ratio of summed target-model vs
+    // raw-model token masses in basis points — monotone in the same
+    // preference order, free of transcendental math the two engines
+    // would round differently. Plan shape: one corpus token scan →
+    // 256-bucket profile aggregates (map-side combine collapses to
+    // |buckets| rows) → broadcast probability table joined back in-row
+    // → ONE doc-keyed sum. At 100 TB the only corpus-scale exchange is
+    // the doc-keyed aggregate; the model is O(IW_BUCKETS) and rides the
+    // broadcast. ppm floors to 0 only if a bucket's mass < 1 ppm —
+    // impossible at 256 buckets (mean 3 906 ppm) unless the hash were
+    // catastrophically skewed.
+    "q_importance_weights" -> { (s, dir) =>
+      importanceWeights(docs(s, dir), col("source") === IW_TARGET)
     }
   )
+
+  /** The q_importance_weights body over any (doc_id, text) table and
+    * target-membership predicate — see the query comment above for the
+    * DSIR contract and plan-shape argument.
+    */
+  private[graft] def importanceWeights(docs: DataFrame, isTarget: Column,
+                                       id: String = "doc_id",
+                                       text: String = "text",
+                                       buckets: Int = IW_BUCKETS,
+                                       seed: Int = IW_SEED): DataFrame = {
+    val bk = docs
+      .filter(length(trim(col(text))) > 0)
+      .select(col(id), isTarget.as("is_tgt"),
+        explode(split(trim(lower(col(text))), "\\s+")).as("tok"))
+      .select(col(id), col("is_tgt"),
+        (Dedup.hash32(seed, col("tok")) % buckets).as("b"))
+    val raw = bk.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val tgt = bk.filter(col("is_tgt"))
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val tot = raw.agg(sum(col("rc")).as("rt"))
+      .crossJoin(tgt.agg(sum(col("tc")).as("tt")))
+    val probs = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        expr(s"(tc + 1) * 1000000 div (tt + $buckets)").as("t_ppm"),
+        expr(s"(rc + 1) * 1000000 div (rt + $buckets)").as("r_ppm"))
+    bk.join(broadcast(probs), "b")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("t_ppm")).as("w_target"),
+        sum(col("r_ppm")).as("w_raw"))
+      .withColumn("ratio_bp", expr("w_target * 10000 div w_raw"))
+  }
 
   /** The q_mixture_weights body over any table carrying a source column
     * and a per-row token count: equal-share budget (half the corpus
@@ -735,6 +794,30 @@ object Curation {
         |    THEN CAST(10000 * (10000 * w // tot_w)
         |      // (10000 * n_docs // tot_docs) AS BIGINT)
         |    ELSE NULL END AS boost_bp
-        |FROM per CROSS JOIN tot""".stripMargin
+        |FROM per CROSS JOIN tot""".stripMargin,
+
+    "q_importance_weights" ->
+      s"""WITH toks AS (SELECT doc_id, source,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |tok AS (SELECT doc_id, source, u.tok FROM toks, unnest(t) AS u(tok)),
+         |bk AS (SELECT doc_id, source,
+         |    ${Dedup.hash32Sql(IW_SEED, "tok")} % $IW_BUCKETS AS b
+         |  FROM tok),
+         |raw AS (SELECT b, count(*) AS rc FROM bk GROUP BY b),
+         |tgt AS (SELECT b, count(*) AS tc FROM bk
+         |  WHERE source = '$IW_TARGET' GROUP BY b),
+         |tot AS (SELECT CAST((SELECT sum(rc) FROM raw) AS BIGINT) AS rt,
+         |               CAST((SELECT sum(tc) FROM tgt) AS BIGINT) AS tt),
+         |probs AS (SELECT r.b,
+         |    (COALESCE(t.tc, 0) + 1) * 1000000 // (tot.tt + $IW_BUCKETS) AS t_ppm,
+         |    (r.rc + 1) * 1000000 // (tot.rt + $IW_BUCKETS) AS r_ppm
+         |  FROM raw r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN tot)
+         |SELECT bk.doc_id, count(*) AS n_toks,
+         |  CAST(sum(p.t_ppm) AS BIGINT) AS w_target,
+         |  CAST(sum(p.r_ppm) AS BIGINT) AS w_raw,
+         |  CAST(sum(p.t_ppm) * 10000 // sum(p.r_ppm) AS BIGINT) AS ratio_bp
+         |FROM bk JOIN probs p ON bk.b = p.b
+         |GROUP BY bk.doc_id""".stripMargin
   )
 }

@@ -32,7 +32,8 @@ class ContractSpec extends AnyFunSuite {
       "vector" -> VectorQueries.queries.keySet,
       "events" -> EventQueries.queries.keySet,
       "multimodal" -> Multimodal.queries.keySet,
-      "curation" -> Curation.queries.keySet)
+      "curation" -> Curation.queries.keySet,
+      "winnow" -> Winnow.queries.keySet)
     val perModule = modules.map(_._2.size).sum
     assert(SparkEntry.queries.size === perModule,
       s"merged ${SparkEntry.queries.size} != sum $perModule — a key collision dropped a query")

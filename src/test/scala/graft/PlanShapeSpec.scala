@@ -255,6 +255,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"centroid table should never be shuffle-joined:\n$plan")
   }
 
+  test("winnow selections: zero shuffle (pure projection)") {
+    // direct operator call — Tables.load adds a small-file round-robin
+    // spread locally that is not part of the operator's shape
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "b c d e f g h i"))
+      .toDF("doc_id", "text")
+    val plan = planOf(operators.Winnow.selections(docs))
+    assert(!plan.contains("Exchange"),
+      s"winnow selection must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"winnow selection must not join:\n$plan")
+  }
+
+  test("q_importance_weights: 256-row model rides broadcast joins; the " +
+    "only keyed exchange is the doc aggregate") {
+    val plan = planOf(
+      operators.Curation.queries("q_importance_weights")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    // single-row totals attach as broadcast crosses (the audited
+    // constant-attach shape); the keyed joins must never sort-merge
+    assert(!plan.contains("SortMergeJoin"),
+      s"model join must broadcast, not sort-merge:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q_importance_weights fell back to a cartesian:\n$plan")
+  }
+
   private def assertNoCross(plan: String, q: String): Unit =
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
