@@ -527,4 +527,12 @@ object Graft {
                         id: String = "doc_id",
                         text: String = "text"): DataFrame =
     operators.Curation.importanceWeights(docs, isTarget, id, text)
+
+  /** Per-doc content-defined chunk decomposition (LBFS gear chunking
+    * at token granularity; see [[operators.Chunking]]) — the
+    * storage-dedup complement to the similarity tier.
+    */
+  def cdcChunks(docs: DataFrame, id: String = "doc_id",
+                text: String = "text"): DataFrame =
+    operators.Chunking.decompose(docs, id, text)
 }

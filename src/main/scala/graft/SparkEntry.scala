@@ -32,7 +32,8 @@ object SparkEntry {
       operators.EventQueries.queries ++
       operators.Multimodal.queries ++
       operators.Curation.queries ++
-      operators.Winnow.queries
+      operators.Winnow.queries ++
+      operators.Chunking.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
@@ -44,5 +45,6 @@ object SparkEntry {
       operators.EventQueries.oracle ++
       operators.Multimodal.oracle ++
       operators.Curation.oracle ++
-      operators.Winnow.oracle
+      operators.Winnow.oracle ++
+      operators.Chunking.oracle
 }

@@ -279,6 +279,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"q_importance_weights fell back to a cartesian:\n$plan")
   }
 
+  test("cdc decompose: zero shuffle (pure projection)") {
+    val docs = Seq((1L, "a b c d e f g h i j k l"))
+      .toDF("doc_id", "text")
+    val plan = planOf(operators.Chunking.decompose(docs))
+    assert(!plan.contains("Exchange"),
+      s"chunk decomposition must not shuffle:\n$plan")
+    assert(!plan.contains("Join"),
+      s"chunk decomposition must not join:\n$plan")
+  }
+
   private def assertNoCross(plan: String, q: String): Unit =
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
