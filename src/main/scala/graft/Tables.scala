@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Path-addressed table loading over the driver-generated parquet test
   * tables (TESTDATA.md). Mirrors the reference's metastore-free,
@@ -39,5 +41,31 @@ object Tables {
     if (computeHeavy.contains(name) && planned < target)
       df.repartition(target)
     else df
+  }
+
+  /** Epoch milliseconds of `events.ts`, adaptive to the physical type the
+    * generator wrote. The column has shipped as both TIMESTAMP(NANOS)
+    * (readable only as int64 via `nanosAsLong=true`) and TIMESTAMP(MICROS)
+    * (a real timestamp column); the engine's event-time semantics are
+    * defined on epoch ms, so every consumer derives ms HERE and nowhere
+    * else.
+    *
+    * All branches FLOOR (pmod keeps the int64 path floor-division, and
+    * `unix_millis` floor-divides Spark's internal micros), matching
+    * DuckDB's `epoch_ms(ts)` for pre-epoch timestamps too — a plain
+    * `div` would truncate toward zero and disagree before 1970
+    * (EpochMsSpec pins this).
+    */
+  def epochMs(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => // int64 nanos: exact integer floor-division
+      expr("(ts - pmod(ts, 1000000)) div 1000000")
+    case TimestampType => unix_millis(col("ts"))
+    case TimestampNTZType => // naive micros; session tz is pinned UTC, so
+      // the cast re-labels the same wall-clock instant DuckDB assumes
+      unix_millis(col("ts").cast(TimestampType))
+    case other => throw new IllegalStateException(
+      s"events.ts: unsupported physical type $other — expected int64 " +
+        "nanos (LongType via nanosAsLong) or a timestamp type; did the " +
+        "testdata generator change its parquet contract again?")
   }
 }

@@ -21,16 +21,16 @@ object EventQueries {
   private val GAP_MS = 30L * 60 * 1000 // 30-minute session gap
   private val ATTR_WINDOW_MS = 7L * 24 * 3600 * 1000 // attribution window
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` set
-    * ONCE in the session builder (Verify/Bench/TestSpark — never inside a
-    * query, which would be a global side effect on sibling queries) the
-    * column reads as raw int64 nanos, and epoch-ms follows by exact
-    * integer division — bit-identical to DuckDB's epoch_ms(ts).
+  /** events.parquet has shipped `ts` as both TIMESTAMP(NANOS) (int64 via
+    * the sessions' `nanosAsLong=true`) and TIMESTAMP(MICROS) (a real
+    * timestamp column) across testdata generations; [[Tables.epochMs]]
+    * derives epoch ms type-adaptively so the whole event tier keys off
+    * one contract — bit-identical to DuckDB's epoch_ms(ts) either way.
     */
-  private def loadEvents(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "events")
-      .withColumn("ms", expr("ts div 1000000"))
+  private def loadEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    ev.withColumn("ms", Tables.epochMs(ev))
+  }
 
   /** q_table_diff snapshot cutoffs: 2024-01-15 / 2024-01-25 UTC, as
     * epoch ms (the event log spans January 2024).

@@ -25,6 +25,13 @@ object RelationalQueries {
   /** q_correlation: sample-selection hash seed. */
   private val CORR_SEED = 13
 
+  /** q_correlation: hard sample-size cap — the DECIMAL(38,0) headroom
+    * proof (see the query comment) holds for n ≤ 20 000, so the sample
+    * is BOUNDED by construction: deterministic bottom-k on a second
+    * hash, not a fixed fraction that outgrows the proof with the data.
+    */
+  private val CORR_MAX_N = 20000
+
   /** q_correlation pairs: (var_x, var_y, Σxy, Σx, Σy, Σx², Σy²) over
     * the shared one-row sum aggregate.
     */
@@ -468,20 +475,28 @@ object RelationalQueries {
     // (nΣxy−ΣxΣy)² / ((nΣx²−(Σx)²)(nΣy²−(Σy)²)) stays division-free
     // until the final integer ppm, so there is no float drift for the
     // hash gate to trip on. Values are quantized: whole quantity,
-    // whole-dollar price, discount in percent. Headroom is GUARDED, not
-    // assumed: with q≤51, p<1.31e5, d≤10 the worst product is the (q,p)
-    // pair's num²·10⁶ ≤ (n²·6.7e6)²·10⁶, which crosses DECIMAL(38,0)'s
-    // 10³⁸ ceiling near n≈2.2e4 — Spark nulls an overflowing decimal
+    // whole-dollar price, discount in percent. Headroom: with q≤51,
+    // p<1.31e5, d≤10 the worst product is the (q,p) pair's
+    // num²·10⁶ ≤ (n²·6.7e6)²·10⁶, which crosses DECIMAL(38,0)'s 10³⁸
+    // ceiling near n≈2.2e4 — Spark nulls an overflowing decimal
     // multiply while DuckDB silently promotes to int128, so past the
-    // bound the engines SPLIT instead of erroring. The CASE below makes
-    // cnt > 20 000 raise loudly (the 1 % sample reaches that only past
-    // ~sf0.3; the fix there is a smaller sample fraction — correlation
-    // estimates converged long before 20 k rows anyway).
+    // bound the engines would SPLIT instead of erroring. The sample is
+    // therefore size-BOUNDED by construction: after the 1 % hash
+    // gate, keep the CORR_MAX_N rows with the smallest second-level
+    // hash (deterministic bottom-k — TakeOrdered per-partition heaps,
+    // identical across engines/cluster sizes, never a global sort).
+    // Estimates converged long before 20 k rows; the raise_error CASE
+    // below stays as an in-plan assertion of the invariant.
     "q_correlation" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
         .filter(Dedup.hash32(CORR_SEED,
           concat_ws("|", col("l_orderkey"), col("l_linenumber")))
           % 100 === 0)
+        .withColumn("hk", Dedup.hash32(CORR_SEED + 1,
+          concat_ws("|", col("l_orderkey"), col("l_linenumber"))))
+        .orderBy(col("hk").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(CORR_MAX_N)
         .select(expr("CAST(floor(l_quantity) AS BIGINT)").as("q"),
           expr("CAST(floor(l_extendedprice) AS BIGINT)").as("p"),
           expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").as("d"))
@@ -954,12 +969,17 @@ object RelationalQueries {
              |  END AS corr2_ppm
              |FROM s""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH li AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+      s"""WITH li0 AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
          |    CAST(floor(l_extendedprice) AS BIGINT) AS p,
-         |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
+         |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+         |    ${Dedup.hash32Sql(CORR_SEED + 1,
+             "concat_ws('|', l_orderkey, l_linenumber)")} AS hk,
+         |    l_orderkey, l_linenumber
          |  FROM lineitem
          |  WHERE ${Dedup.hash32Sql(CORR_SEED,
              "concat_ws('|', l_orderkey, l_linenumber)")} % 100 = 0),
+         |li AS (SELECT q, p, d FROM li0
+         |  ORDER BY hk, l_orderkey, l_linenumber LIMIT $CORR_MAX_N),
          |s AS (SELECT count(*) AS cnt, sum(q) AS sq, sum(p) AS sp,
          |    sum(d) AS sd, sum(q*p) AS sqp, sum(q*d) AS sqd,
          |    sum(p*d) AS spd, sum(q*q) AS sqq, sum(p*p) AS spp,

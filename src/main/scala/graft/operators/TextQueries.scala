@@ -236,19 +236,21 @@ object TextQueries {
     // ── vocabulary coverage / OOV rate under a frequency-built vocab ────
     // Tokenizer-engineering signal: build the top-V corpus vocabulary by
     // frequency, then measure each document's out-of-vocabulary token
-    // share in basis points. The vocab table is vocabulary-bounded (the
-    // global rank window runs over |vocab| rows, not corpus rows) and
-    // broadcasts to a map-side membership probe; the only corpus-sized
-    // shuffle is the doc-keyed aggregation.
+    // share in basis points. Top-V selection is orderBy+limit —
+    // TakeOrderedAndProject keeps a V-bounded heap per partition and
+    // never globally sorts the distinct-term table (at web scale that
+    // table is 10⁸–10⁹ rows; a rank window over it would funnel into one
+    // sort partition). The V-row vocab broadcasts to a map-side
+    // membership probe; the only corpus-sized shuffle is the doc-keyed
+    // aggregation.
     "q_vocab_coverage" -> { (s, dir) =>
       val toks = Tables.load(s, dir, "documents")
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"),
           explode(TextFunctions.tokens(lower(col("text")))).as("term"))
-      val vw = Window.orderBy(col("c").desc, col("term").asc)
       val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
-        .withColumn("rank", row_number().over(vw))
-        .filter(col("rank") <= VOCAB_V)
+        .orderBy(col("c").desc, col("term").asc)
+        .limit(VOCAB_V)
         .select(col("term"), lit(1).as("iv"))
       toks.join(broadcast(vocab), Seq("term"), "left_outer")
         .groupBy(col("doc_id"))
@@ -755,20 +757,21 @@ object TextQueries {
     // What share of all token occurrences do the top-k terms cover, at
     // a ladder of k? The curve is how corpus reports quantify
     // "head-heaviness" (near-Zipf text ⇒ ~log growth; flat synthetic
-    // vocab ⇒ linear). One vocab-bounded frequency aggregate, then a
-    // rank + cumulative window over the DISTINCT-term table (tiny by
-    // construction, same unpartitioned-window argument as
-    // q_quality_percentile); integer basis points.
+    // vocab ⇒ linear). One vocab-bounded frequency aggregate; the top-50
+    // head is orderBy+limit (TakeOrdered — per-partition heaps, no
+    // global sort of the distinct-term table), and only those ≤50 rows
+    // feed the rank + cumulative window; integer basis points.
     "q_head_coverage" -> { (s, dir) =>
       val tf = Tables.load(s, dir, "documents")
         .select(explode(TextFunctions.tokens(lower(col("text"))))
           .as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
       val tot = tf.agg(sum(col("n")).as("t"))
+      val head = tf.orderBy(col("n").desc, col("term").asc).limit(50)
       val w = Window.orderBy(col("n").desc, col("term").asc)
       val wCum = w.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)
-      tf.withColumn("k", row_number().over(w))
+      head.withColumn("k", row_number().over(w))
         .withColumn("cum", sum(col("n")).over(wCum))
         .filter(col("k").isin(1, 2, 5, 10, 20, 50))
         .crossJoin(broadcast(tot))

@@ -18,8 +18,8 @@ class DppSpec extends AnyFunSuite with SparkSpec {
 
   private lazy val dir: String = {
     val d = Files.createTempDirectory("graft_dpp_").toString
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("day", expr("(ts div 1000000) div 86400000"))
+    eventsWithMs("/root/testdata/sf0.001/events.parquet")
+      .withColumn("day", expr("ms div 86400000")).drop("ms")
       .write.mode("overwrite").partitionBy("day").parquet(d)
     d
   }

@@ -46,8 +46,8 @@ class FreqSketchSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("offline merge of per-unit sketches: exact regime reproduces totals") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("day", expr("(ts div 1000000) div 86400000"))
+    val ev = eventsWithMs("/root/testdata/sf0.001/events.parquet")
+      .withColumn("day", expr("ms div 86400000"))
     val perDay = Sketches.freqByUnit(ev, "day", "event_type", 64)
     assert(perDay.count() > 1) // the merge is actually exercised
     val merged = Sketches.mergedFreq(perDay, 64).collect()

@@ -279,6 +279,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"q_importance_weights fell back to a cartesian:\n$plan")
   }
 
+  test("vocab head selection: TakeOrdered heaps, no global-sort window " +
+    "over the distinct-term table") {
+    // at web scale the distinct-term table is 10⁸–10⁹ rows; top-V must
+    // be per-partition heaps (TakeOrderedAndProject), never a rank
+    // window (single-partition global sort)
+    val vocab = planOf(operators.TextQueries.queries("q_vocab_coverage")(spark, sf))
+    assert(vocab.contains("TakeOrderedAndProject"),
+      s"vocab top-V is not a TakeOrdered:\n$vocab")
+    assert(!vocab.contains("Window"),
+      s"vocab selection fell back to a rank window:\n$vocab")
+    val head = planOf(operators.TextQueries.queries("q_head_coverage")(spark, sf))
+    assert(head.contains("TakeOrderedAndProject"),
+      s"head top-50 is not a TakeOrdered:\n$head")
+    // the surviving window ranks the ≤50-row TakeOrdered output only
+  }
+
   test("cdc decompose: zero shuffle (pure projection)") {
     val docs = Seq((1L, "a b c d e f g h i j k l"))
       .toDF("doc_id", "text")

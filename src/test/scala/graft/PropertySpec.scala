@@ -292,4 +292,27 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       rows.select("user_id").distinct().count())
     assert(matrix.forall(_._2 >= 0L))
   }
+
+  test("property: q_correlation caps its sample AT the DECIMAL(38,0) bound") {
+    // a lineitem big enough that the 1 % hash gate passes >20 000 rows —
+    // the regime where an unbounded fraction would overflow Spark's
+    // decimal multiply (nulls) while DuckDB promotes to int128 (values),
+    // silently splitting the engines. The bottom-k cap must make the
+    // query both RUN (no raise_error) and answer from exactly 20 000 rows.
+    val d = java.nio.file.Files.createTempDirectory("graft_corr_").toString
+    spark.range(2200000).selectExpr(
+      "id AS l_orderkey",
+      "CAST(id % 7 AS INT) AS l_linenumber",
+      "CAST(id % 51 AS DOUBLE) AS l_quantity",
+      "CAST((id * 7919) % 131000 AS DOUBLE) AS l_extendedprice",
+      "CAST(id % 11 AS DOUBLE) / 100.0 AS l_discount")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = graft.operators.RelationalQueries
+      .queries("q_correlation")(spark, d).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("n") === 20000L))
+    // varied q/p/d ⇒ every denominator is nonzero ⇒ an overflow (which
+    // Spark would surface as NULL) is the only way ppm could be null
+    assert(out.forall(r => !r.isNullAt(r.fieldIndex("corr2_ppm"))))
+  }
 }

@@ -13,8 +13,8 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
 
   private val sf = "/root/testdata/sf0.01"
 
-  private def events = spark.read.parquet(s"$sf/events.parquet")
-    .withColumn("day", expr("(ts div 1000000) div 86400000"))
+  private def events = eventsWithMs(s"$sf/events.parquet")
+    .withColumn("day", expr("ms div 86400000"))
 
   test("union of per-day sketches ≡ one-shot sketch (merge exactness)") {
     val daily = Sketches.sketchByUnit(events, "day", "user_id")

@@ -86,8 +86,8 @@ class TriageSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q_rate_anomaly flags exactly the >2σ traffic hours") {
-    val hourly = spark.read.parquet(s"$sf/events.parquet")
-      .selectExpr("(ts div 1000000 div 3600000) * 3600000 AS h",
+    val hourly = eventsWithMs(s"$sf/events.parquet")
+      .selectExpr("(ms div 3600000) * 3600000 AS h",
         "event_type").collect()
       .map(r => (r.getLong(0), r.getString(1)))
       .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
@@ -171,8 +171,8 @@ class TriageSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q_conversion_lag ≡ driver-side first-view→first-purchase buckets") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .selectExpr("user_id", "event_type", "ts div 1000000 AS ms")
+    val ev = eventsWithMs(s"$sf/events.parquet")
+      .selectExpr("user_id", "event_type", "ms")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val byUser = ev.filter(e => e._2 == "view" || e._2 == "purchase")
       .groupBy(_._1)
@@ -417,9 +417,9 @@ class TriageSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q_event_paths ≡ driver-side 3-gram path recount") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = eventsWithMs(s"$sf/events.parquet")
       .selectExpr("user_id", "event_id", "event_type",
-        "ts div 1000000 AS ms").collect()
+        "ms").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         r.getLong(3)))
     val expected = ev.groupBy(_._1).values.flatMap { rows =>
@@ -435,8 +435,8 @@ class TriageSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q_arrival_histogram ≡ driver-side gap recount") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .selectExpr("event_id", "event_type", "ts div 1000000 AS ms")
+    val ev = eventsWithMs(s"$sf/events.parquet")
+      .selectExpr("event_id", "event_type", "ms")
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val expected = ev.groupBy(_._2).toSeq.flatMap { case (t, rows) =>
