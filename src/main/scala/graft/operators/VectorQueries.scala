@@ -45,6 +45,7 @@ object VectorQueries {
                              // probe FRACTION nprobe/cells sets recall)
   private val N_PROBE = 4
   private val NPROBE_LADDER = Seq(1, 2, 4) // q_ann_nprobe_sweep rungs (≤ N_PROBE)
+  private val DIM_LADDER = Seq(8, 16, 32)  // q_ann_dim_ladder prefix widths
   private val RP_DIMS = 16   // random-projection sketch width
   private val MIN_CELLS = 16         // near-dup blocking: floor
   private val DUP_COPIES = 50        // planted duplicates for near-dup
@@ -935,6 +936,54 @@ object VectorQueries {
       Clusters.memberTable(
         embeddingNearDupPairs(s, dir).toDF("doc_a", "doc_b"))
         .toDF("vec_id", "cluster_id", "cluster_sz")
+    },
+
+    // ── dimension-truncation recall ladder (Matryoshka-style) ───────────
+    // The DIMS axis of the recall/cost trade, completing the calibration
+    // family (q_ann_nprobe_sweep = probe depth, q_lsh_tuning = band
+    // split, q_ann_srp_recall = sketch width): nested-trained
+    // embeddings are served truncated to a dim prefix, and this ladder
+    // measures brute-force recall@k of each prefix against the
+    // full-dim truth — the curve an operator reads to pick the
+    // cheapest prefix that holds recall (index bytes, shuffle volume,
+    // and distance-eval cost all scale linearly with d).
+    //
+    // 100 TB posture: ONE corpus pass scores every rung — the scored
+    // table carries one sim column per rung and persists for the
+    // ladder; queries ride broadcast; per-rung top-k is bounded_topk
+    // partials (≤ k rows per task per query into the shuffle).
+    "q_ann_dim_ladder" -> { (s, dir) =>
+      val emb = loadEmb(s, dir)
+      val simCols = DIM_LADDER.map(d =>
+        cosine(slice(col("qvec"), 1, d), slice(col("cvec"), 1, d))
+          .as(s"sim_$d"))
+      val scored = graft.CacheRegistry.register(
+        emb.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("cvec"))
+          .join(broadcast(queryVectors(emb)),
+            col("query_id") =!= col("neighbor_id"))
+          .select(Seq(col("query_id"), col("neighbor_id")) ++ simCols: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val truth = graft.CacheRegistry.register(
+        bruteTopk(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      DIM_LADDER.map { d =>
+        val top = scored
+          .filter(!isnan(col(s"sim_$d"))) // zero-norm prefix guard
+          .groupBy(col("query_id"))
+          .agg(expr(s"bounded_topk(-sim_$d, neighbor_id, $TOP_K)")
+            .as("top"))
+          .select(col("query_id"), posexplode(col("top")))
+          .toDF("query_id", "pos", "t")
+          .select(col("query_id"), col("t.n").as("neighbor_id"))
+        recallOf(truth, top)
+          .agg(count(lit(1)).as("n_queries"),
+            expr("CAST(sum(recall_pct) * 100 div count(1) AS BIGINT)")
+              .as("macro_recall_bp"),
+            min(col("recall_pct")).as("min_recall_pct"))
+          .select(lit(d.toLong).as("dims"), col("n_queries"),
+            col("macro_recall_bp"), col("min_recall_pct"))
+      }.reduce(_.unionByName(_))
     }
   )
 
@@ -1419,7 +1468,38 @@ object VectorQueries {
          |csz AS (SELECT cluster_id, count(*) AS cluster_sz
          |  FROM cc GROUP BY cluster_id)
          |SELECT cc.id AS vec_id, cc.cluster_id, csz.cluster_sz
-         |FROM cc JOIN csz USING (cluster_id)""".stripMargin
+         |FROM cc JOIN csz USING (cluster_id)""".stripMargin,
+
+    "q_ann_dim_ladder" -> {
+      // prefix-sim rank per rung over the same bq×bc cross as brute;
+      // per-rung recall joins the full-dim truth exactly like the
+      // nprobe sweep's rung CTEs
+      val rungCtes = DIM_LADDER.map { d =>
+        s"""dsc_$d AS (SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY list_cosine_similarity(qvec[1:$d], cvec[1:$d]) DESC,
+           |        neighbor_id ASC) AS rank
+           |  FROM bq, bc WHERE query_id <> neighbor_id),
+           |drc_$d AS (SELECT b.query_id,
+           |    CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1
+           |      ELSE 0 END) * 100 // $TOP_K AS BIGINT) AS recall_pct
+           |  FROM brute b LEFT JOIN (SELECT query_id, neighbor_id
+           |      FROM dsc_$d WHERE rank <= $TOP_K) s
+           |    ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val rungSelects = DIM_LADDER.map { d =>
+        s"""SELECT CAST($d AS BIGINT) AS dims,
+           |  CAST(count(*) AS BIGINT) AS n_queries,
+           |  CAST(sum(recall_pct) * 100 // count(*) AS BIGINT)
+           |    AS macro_recall_bp,
+           |  CAST(min(recall_pct) AS BIGINT) AS min_recall_pct
+           |FROM drc_$d""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $bruteCtes,
+         |$rungCtes
+         |$rungSelects""".stripMargin
+    }
   )
 
   /** CTE chain ending in `evp(vec_a, vec_b)` — the cell-blocked,

@@ -187,6 +187,24 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(rows(2L).isEmpty && rows(3L).isEmpty && rows(4L).isEmpty)
   }
 
+  test("q_ann_dim_ladder: one row per rung, recall bounded and widest-rung best-or-equal trend") {
+    val rows = VectorQueries.queries("q_ann_dim_ladder")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("dims"), r.getAs[Long]("n_queries"),
+        r.getAs[Long]("macro_recall_bp"), r.getAs[Long]("min_recall_pct")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(8L, 16L, 32L))
+    rows.foreach { case (d, nq, bp, minPct) =>
+      assert(nq === 10L, s"dims=$d lost queries")
+      assert(bp >= 0 && bp <= 10000, s"dims=$d macro_recall_bp $bp out of range")
+      assert(minPct >= 0 && minPct <= 100)
+    }
+    // not strictly monotone in theory, but the widest prefix must not be
+    // the WORST rung — that would mean the ladder is wired backwards
+    val byDim = rows.map(r => r._1 -> r._3).toMap
+    assert(byDim(32L) >= byDim(8L),
+      s"recall at 32 dims (${byDim(32L)}bp) below 8 dims (${byDim(8L)}bp)")
+  }
+
   test("q_ann_srp_topk: planted duplicate retrieved at rank 1 end-to-end") {
     import org.apache.spark.sql.functions.{col, expr}
     import spark.implicits._
