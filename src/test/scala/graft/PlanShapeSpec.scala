@@ -279,6 +279,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"q_importance_weights fell back to a cartesian:\n$plan")
   }
 
+  test("event tier: event_type filters push through the epochMs projection " +
+    "into the parquet scan") {
+    // Tables.epochMs adds a projected ms column; a filter on event_type
+    // must still reach PushedFilters — if the projection ever blocks
+    // pushdown, every event query rescans the full fact table
+    val plan = planOf(operators.EventQueries.queries("q_event_funnel")(spark, sf))
+    assert(plan.contains("EqualTo(event_type"),
+      s"event_type filter not pushed into the events scan:\n$plan")
+  }
+
   test("vocab head selection: TakeOrdered heaps, no global-sort window " +
     "over the distinct-term table") {
     // at web scale the distinct-term table is 10⁸–10⁹ rows; top-V must
