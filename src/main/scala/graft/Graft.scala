@@ -37,6 +37,10 @@ object Graft {
       .appName(appName)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // nanos-era parquet (TIMESTAMP(NANOS)) reads as int64 under this
+      // flag instead of erroring; micros/real-timestamp data ignores it.
+      // Tables.epochMs handles both physical shapes downstream.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     localWorkerThreads(master) match {
