@@ -938,6 +938,20 @@ object VectorQueries {
         .toDF("vec_id", "cluster_id", "cluster_sz")
     },
 
+    // ── two-level IVF assignment behind the hash gate ───────────────────
+    // The coarse-then-fine descent [[assignCells]] switches to above
+    // TWO_LEVEL_MIN_CELLS, replayed at testdata scale (fanout 4 over
+    // the 16 seed cells, probe 2 groups) against the DuckDB replay of
+    // the SAME descent — upgrading it from spec-only to oracle-gated:
+    // the descent's approximation is engine-REPRODUCIBLE (deterministic
+    // group selection and argmin tie-breaks), not incidental.
+    "q_ann_twolevel_cells" -> { (s, dir) =>
+      val emb = loadEmb(s, dir)
+      withCellTwoLevel(emb.select(col("vec_id"), col("embedding")),
+        seedCentroids(emb), col("embedding"), fanout = 4, probeGroups = 2)
+        .select(col("vec_id"), col("cell"))
+    },
+
     // ── dimension-truncation recall ladder (Matryoshka-style) ───────────
     // The DIMS axis of the recall/cost trade, completing the calibration
     // family (q_ann_nprobe_sweep = probe depth, q_lsh_tuning = band
@@ -1469,6 +1483,32 @@ object VectorQueries {
          |  FROM cc GROUP BY cluster_id)
          |SELECT cc.id AS vec_id, cc.cluster_id, csz.cluster_sz
          |FROM cc JOIN csz USING (cluster_id)""".stripMargin,
+
+    "q_ann_twolevel_cells" ->
+      s"""WITH cent AS (SELECT vec_id AS cell, embedding AS centroid
+         |  FROM embeddings WHERE vec_id < $N_CELLS),
+         |reps AS (SELECT cell AS gid, centroid AS crep FROM cent
+         |  WHERE cell % 4 = 0),
+         |f2g AS (SELECT fine_cell, centroid, gid FROM (
+         |  SELECT cent.cell AS fine_cell, cent.centroid, reps.gid,
+         |    row_number() OVER (PARTITION BY cent.cell
+         |      ORDER BY list_distance(cent.centroid, reps.crep) ASC,
+         |        reps.gid ASC) AS rn
+         |  FROM cent, reps) WHERE rn = 1),
+         |gsel AS (SELECT vec_id, gid FROM (
+         |  SELECT e.vec_id, reps.gid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_distance(e.embedding, reps.crep) ASC,
+         |        reps.gid ASC) AS grn
+         |  FROM embeddings e, reps) WHERE grn <= 2)
+         |SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, f.fine_cell AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_distance(e.embedding, f.centroid) ASC,
+         |        f.fine_cell ASC) AS arn
+         |  FROM embeddings e
+         |  JOIN gsel ON gsel.vec_id = e.vec_id
+         |  JOIN f2g f ON f.gid = gsel.gid) WHERE arn = 1""".stripMargin,
 
     "q_ann_dim_ladder" -> {
       // prefix-sim rank per rung over the same bq×bc cross as brute;
