@@ -202,6 +202,63 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out.contains((90L * 60000L, 1L)))
   }
 
+  test("statefulSessionize over the REAL events parquet (file stream) ≡ " +
+    "batch sessionize minus still-open sessions") {
+    // end-to-end through the regenerated testdata's physical timestamp
+    // type: file-stream read → cast to TimestampType (UTC session) →
+    // typed Event → stateful sessionize. One AvailableNow batch carries
+    // every event (each user's non-final sessions close in-batch), then
+    // the advanced watermark (max event time − 2 h) triggers a final
+    // no-data batch whose event-time timeouts also close each user's
+    // LAST session when it ended more than the gap before the
+    // watermark — the batch truth below mirrors exactly that closure
+    // rule, so `got === expected` pins the full emission contract.
+    import org.apache.spark.sql.expressions.Window
+    val src = "/root/testdata/sf0.001/events.parquet"
+    val ev = eventsWithMs(src)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ms").asc, col("event_id").asc)
+    val sess = ev.withColumn("prev", lag(col("ms"), 1).over(w))
+      .withColumn("new_s", when(col("prev").isNull ||
+        col("ms") - col("prev") > 1800000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ms")).as("session_start_ms"),
+        max(col("ms")).as("session_end_ms"),
+        count(lit(1)).as("n_events"))
+    val lastSid = sess.groupBy(col("user_id")).agg(max(col("sid")).as("maxsid"))
+    val maxMs = ev.agg(max(col("ms"))).head().getLong(0)
+    val wmark = maxMs - 7200000L // final watermark: max event time − 2 h
+    val expected = sess.join(lastSid, "user_id")
+      .filter(col("sid") =!= col("maxsid") ||
+        (col("session_end_ms") + lit(1800000L)) < wmark)
+      .select(col("user_id"), col("session_start_ms"),
+        col("session_end_ms"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+
+    // file streams list directories: stage the single parquet file
+    val streamDir = Files.createTempDirectory("graft_evstream_")
+    Files.copy(java.nio.file.Paths.get(src),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(src).schema
+    val evS = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val q = StreamingEvents.statefulSessionize(evS)
+      .writeStream.format("memory").queryName("real_sess")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q.awaitTermination(180000)
+    val got = spark.table("real_sess")
+      .select(col("user_id"), col("session_start_ms"),
+        col("session_end_ms"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
   test("funnelStream: ordered advancement across batches with late-gate refinement") {
     val in = MemoryStream[Event](spark)
     val q = StreamingEvents.funnelStream(in.toDS(),
