@@ -37,6 +37,8 @@ object Curation {
   private val PACK_SHARDS = 8          // parallel packing streams
   private val DECON_K = 5              // decontamination shingle width
   private val MAX_EPOCHS_MILLI = 4000  // mixture cap: ≤4 epochs per source
+  private val MANIFEST_SHARDS = 10     // q_shard_manifest: 100 % 10 = 0 ⇒
+                                       // uniform over the 0..99 hash bucket
   private val PAD_CTX = 48             // q_padding_waste fixed context length
   private val CHUNK_TOKENS = 64        // q_chunk_stats RAG chunk width
   private val CHUNK_STRIDE = 48        // q_chunk_stats chunk stride (16 overlap)
@@ -472,6 +474,29 @@ object Curation {
     // catastrophically skewed.
     "q_importance_weights" -> { (s, dir) =>
       importanceWeights(docs(s, dir), col("source") === IW_TARGET)
+    },
+
+    // ── per-shard release manifest ─────────────────────────────────────
+    // The artifact a dataset RELEASE ships next to the shards: per
+    // output shard (the same hash bucketing the writer uses), row and
+    // char volume, id range, and an ORDER-INDEPENDENT content hash
+    // (bit_xor of the 60-bit doc md5 prefixes) a consumer re-derives to
+    // verify shard integrity without trusting file bytes. Everything is
+    // one map-side-combinable groupBy(shard) pass — count/sum/xor/min/
+    // max all combine associatively and commutatively, so the manifest
+    // is partitioning-invariant and can ride the write job itself at
+    // 100 TB (no second corpus scan; xor makes row order irrelevant).
+    "q_shard_manifest" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select((hashBucket(col("doc_id")) % MANIFEST_SHARDS).as("shard"),
+          col("doc_id"), col("n_chars"),
+          Dedup.shingleHash(col("text")).as("h"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          expr("bit_xor(h)").as("content_hash"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
     }
   )
 
@@ -818,6 +843,16 @@ object Curation {
          |  CAST(sum(p.r_ppm) AS BIGINT) AS w_raw,
          |  CAST(sum(p.t_ppm) * 10000 // sum(p.r_ppm) AS BIGINT) AS ratio_bp
          |FROM bk JOIN probs p ON bk.b = p.b
-         |GROUP BY bk.doc_id""".stripMargin
+         |GROUP BY bk.doc_id""".stripMargin,
+
+    "q_shard_manifest" ->
+      s"""SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  bit_xor(h) AS content_hash,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM (SELECT ($bucketSql % $MANIFEST_SHARDS) AS shard,
+         |    doc_id, n_chars, ${Dedup.shingleHashSql("text")} AS h
+         |  FROM documents)
+         |GROUP BY shard""".stripMargin
   )
 }
