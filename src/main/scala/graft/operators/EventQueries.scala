@@ -736,14 +736,28 @@ object EventQueries {
           col("old_n"), col("new_n"), col("old_attr"), col("new_attr"))
     },
 
-    // ── scalable profile: approx_count_distinct (HLL). No oracleSql —
-    // DuckDB's sketch differs, so the driver records the weaker
-    // rows-only check; the exact-profile twin is q_profile_onepass.
+    // ── scalable profile: approx_count_distinct (HLL), oracle-gated by
+    // TOLERANCE: raw sketch estimates differ per engine (different HLL
+    // hashing), so the row can never hash-match on values — instead
+    // each engine checks ITS OWN estimate against its own exact count
+    // and emits the engine-independent verdict (within ±15 %, integer
+    // arithmetic — ≈3σ of Spark's default rsd 0.05; DuckDB's sketch is
+    // tighter). The capability under test — "the approx profile is a
+    // faithful stand-in for the exact one" — is exactly what the
+    // boolean pins, in both engines; the exact-profile twin is
+    // q_profile_onepass.
     "q_profile_approx" -> { (s, dir) =>
       loadEvents(s, dir).agg(
         count(lit(1)).as("n_rows"),
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        approx_count_distinct(col("event_type")).as("approx_types"))
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        approx_count_distinct(col("user_id")).as("au"),
+        approx_count_distinct(col("event_type")).as("at"))
+        .select(col("n_rows"), col("n_users"), col("n_types"),
+          (abs(col("au") - col("n_users")) * 100 <=
+            col("n_users") * 15).cast("int").as("users_within_15pct"),
+          (abs(col("at") - col("n_types")) * 100 <=
+            col("n_types") * 15).cast("int").as("types_within_15pct"))
     },
 
     // ── PII scrub audit over semi-structured payloads ───────────────────
@@ -822,6 +836,18 @@ object EventQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_profile_approx" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(abs(approx_count_distinct(user_id)
+        |      - count(DISTINCT user_id)) * 100
+        |    <= count(DISTINCT user_id) * 15 AS INT) AS users_within_15pct,
+        |  CAST(abs(approx_count_distinct(event_type)
+        |      - count(DISTINCT event_type)) * 100
+        |    <= count(DISTINCT event_type) * 15 AS INT) AS types_within_15pct
+        |FROM events""".stripMargin,
+
     "q_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
          |flagged AS (SELECT *,

@@ -11,8 +11,9 @@ import graft.operators._
   */
 class ContractSpec extends AnyFunSuite {
 
-  private val rowsOnlyAllowlist = Set(
-    "q_profile_approx") // HLL sketches differ per engine — documented
+  // empty since round 7: q_profile_approx became oracle-gated by
+  // reducing each engine's own sketch-vs-exact check to booleans
+  private val rowsOnlyAllowlist = Set.empty[String]
 
   test("every query has oracle SQL or a documented rows-only waiver") {
     val missing = SparkEntry.queries.keySet --
