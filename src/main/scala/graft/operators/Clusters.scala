@@ -233,4 +233,68 @@ object Clusters {
     }
     ranks
   }
+
+  /** Deterministic synchronous label propagation (community detection)
+    * over an undirected pair list: every node starts labeled with its
+    * own id; each round it adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — both rules integer,
+    * so the result is engine-exact and the DuckDB twin unrolls the same
+    * rounds as chained CTEs. Communities differ from connected
+    * components exactly where CC over-merges: a thin bridge between two
+    * dense near-dup groups keeps its sides in separate communities
+    * (majority vote) while CC fuses them — the diagnostic a curation
+    * run reads when cluster sizes look suspiciously large.
+    *
+    * Execution contract mirrors [[pageRank]]: the symmetric edge list is
+    * persisted once; each round is ONE edges ⋈ labels join plus a
+    * two-level aggregate — groupBy(node, label) count (map-side
+    * combinable; input bounded by |edges|, per-node label candidates by
+    * degree) then a struct-max argmax per node (no window, no
+    * per-community funnel). `iters` is a CONSTANT (asynchronous LPA
+    * converges faster but is order-dependent — non-reproducible across
+    * partitionings, which disqualifies it here), so cost is
+    * O(iters · |edges|); the label table round-trips through parquet
+    * every second round, same bounded-lineage contract as the CC loop.
+    */
+  def labelPropagation(pairs: DataFrame, src: String, dst: String,
+                       iters: Int = 2,
+                       scratchDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val scratch = new Path(scratchDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_lpa_").toString))
+    val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val edges = graft.CacheRegistry.register(
+      pairs.select(col(src).cast("long").as("src"),
+          col(dst).cast("long").as("dst"))
+        .union(pairs.select(col(dst).cast("long").as("src"),
+          col(src).cast("long").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    var lastDir: Option[Path] = None
+    def roundTrip(df: DataFrame, iter: Int): DataFrame = {
+      val dir = new Path(scratch, s"lpa_$iter")
+      df.write.mode("overwrite").parquet(dir.toString)
+      lastDir.foreach(fs.delete(_, true))
+      lastDir = Some(dir)
+      spark.read.schema(labelSchema).parquet(dir.toString)
+    }
+
+    // round 0 state: every edge endpoint labeled with itself (the edge
+    // list is symmetric, so dst alone covers the node set)
+    var labels = edges.select(col("dst").as("id"), col("dst").as("lbl"))
+      .distinct()
+    for (i <- 1 to iters) {
+      val next = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        // argmax by (count DESC, label ASC) as one struct-max: max c
+        // first, then max(-lbl) = min label — deterministic under ties
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), negate(col("lbl")).as("nl"))).as("best"))
+        .select(col("dst").as("id"), negate(col("best.nl")).as("lbl"))
+      labels = if (i % 2 == 0 || i == iters) roundTrip(next, i) else next
+    }
+    labels.toDF("id", "community")
+  }
 }

@@ -47,6 +47,12 @@ object Curation {
   private val IW_BUCKETS = 256         // q_importance_weights hashed-feature buckets
   private val IW_SEED = 1              // q_importance_weights bucket hash seed
   private val IW_TARGET = "src0"       // q_importance_weights target domain slice
+  private val EPOCH_SEED = 23          // q_epoch_shuffle permutation hash
+  private val EPOCH_SHARDS = 8         // q_epoch_shuffle training shards
+  private val FOLD_SEED = 29           // q_crossfold assignment hash
+  private val N_FOLDS = 5              // q_crossfold k-fold count
+  private val LF_LO_PCT = 5            // q_length_filter lower cutoff percentile
+  private val LF_HI_PCT = 95           // q_length_filter upper cutoff percentile
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -497,6 +503,103 @@ object Curation {
           expr("bit_xor(h)").as("content_hash"),
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
+    },
+
+    // ── deterministic epoch shuffle: the training-order permutation ────
+    // What a trainer consumes: every doc assigned a shard and a position
+    // within it, both pure functions of (seed, doc_id) — the "global
+    // shuffle" of a training run without a global sort. Shard = hash
+    // bucket (a projection); position = rank within shard ordered by a
+    // SECOND application of the same hash (so within-shard order is
+    // uncorrelated with the shard split).
+    //
+    // 100 TB posture: there is deliberately NO global row_number — the
+    // only window is PARTITIONED BY shard, and in production the shard
+    // count scales with the corpus (it is pinned at 8 here only so the
+    // oracle is deterministic), so each window partition is corpus/shards
+    // and the whole query is one hash-partitioned sort, exactly the
+    // sort the shard writer performs anyway (sortWithinPartitions on the
+    // write job — position materializes for free as the row offset).
+    "q_epoch_shuffle" -> { (s, dir) =>
+      val h = Dedup.hash32(EPOCH_SEED, col("doc_id").cast("string"))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+      docs(s, dir)
+        .select(col("doc_id"), (h % EPOCH_SHARDS).as("shard"), h.as("h"))
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    },
+
+    // ── k-fold cross-validation assignment (balance matrix) ────────────
+    // fold = hash(doc_id) % k — the reproducible complement of the
+    // 80/10/10 split ([[splitLabel]]): every doc is in exactly one fold,
+    // any k−1 folds form a training set. The output is the fold × lang
+    // balance matrix a practitioner eyeballs before trusting the folds:
+    // per (fold, lang) doc and char counts. One projection + one
+    // low-cardinality groupBy — map-side combinable, no corpus sort.
+    "q_crossfold" -> { (s, dir) =>
+      docs(s, dir)
+        .select((Dedup.hash32(FOLD_SEED, col("doc_id").cast("string"))
+            % N_FOLDS).as("fold"),
+          col("lang"), col("n_chars"))
+        .groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    },
+
+    // ── per-source language diversity: inverse-Simpson, integer-exact ──
+    // "How many languages does this source EFFECTIVELY contribute?" —
+    // the diversity number a mixture designer reads next to the raw lang
+    // count. Inverse Simpson D = n²/Σcᵢ² (1 = monolingual, |langs| =
+    // perfectly balanced), reported in basis points so the arithmetic is
+    // integer division — no float log entropy to disagree across
+    // engines. Two nested low-cardinality aggregates over a (source,
+    // lang) count table; nothing corpus-wide shuffles twice.
+    "q_source_entropy" -> { (s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          sum(expr("c * c")).as("sum_c2"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          expr("n_docs * n_docs * 10000 div sum_c2").as("eff_langs_bp"))
+    },
+
+    // ── percentile length filter: per-language p5/p95 cutoffs ──────────
+    // The length-outlier gate a curation run applies before training:
+    // docs shorter than the language's p5 or longer than its p95 are
+    // flagged. Cutoffs use the same discrete-quantile arithmetic as
+    // q_quantiles (smallest value whose cumulative count crosses the
+    // percentile, integer cross-multiplication), computed on the
+    // pre-agg'd (lang, n_chars) table; the verdict pass then joins the
+    // per-lang cutoff row back BROADCAST — the corpus is scanned once
+    // for the pre-agg and once for the verdict, both full-parallel.
+    "q_length_filter" -> { (s, dir) =>
+      val byVal = docs(s, dir)
+        .groupBy(col("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("lang"))
+      val cuts = byVal
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .groupBy(col("lang"))
+        .agg(min(when(col("cum") * 100 >= col("n") * LF_LO_PCT,
+            col("n_chars"))).as("lo_chars"),
+          min(when(col("cum") * 100 >= col("n") * LF_HI_PCT,
+            col("n_chars"))).as("hi_chars"))
+      docs(s, dir).join(broadcast(cuts), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(max(col("lo_chars")).as("lo_chars"),
+          max(col("hi_chars")).as("hi_chars"),
+          sum(when(col("n_chars") < col("lo_chars"), 1L).otherwise(0L))
+            .as("n_drop_short"),
+          sum(when(col("n_chars") > col("hi_chars"), 1L).otherwise(0L))
+            .as("n_drop_long"),
+          sum(when(col("n_chars").between(col("lo_chars"), col("hi_chars")),
+            1L).otherwise(0L)).as("n_kept"))
     }
   )
 
@@ -853,6 +956,55 @@ object Curation {
          |FROM (SELECT ($bucketSql % $MANIFEST_SHARDS) AS shard,
          |    doc_id, n_chars, ${Dedup.shingleHashSql("text")} AS h
          |  FROM documents)
-         |GROUP BY shard""".stripMargin
+         |GROUP BY shard""".stripMargin,
+
+    "q_epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    ${Dedup.hash32Sql(EPOCH_SEED, "CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents)
+         |SELECT doc_id, h % $EPOCH_SHARDS AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % $EPOCH_SHARDS
+         |    ORDER BY h ASC, doc_id ASC) AS INT) AS pos
+         |FROM h""".stripMargin,
+
+    "q_crossfold" ->
+      s"""SELECT ${Dedup.hash32Sql(FOLD_SEED, "CAST(doc_id AS VARCHAR)")}
+         |    % $N_FOLDS AS fold,
+         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "q_source_entropy" ->
+      """WITH sl AS (SELECT source, lang, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    count(*) AS n_langs, CAST(sum(c * c) AS BIGINT) AS sum_c2
+        |  FROM sl GROUP BY 1)
+        |SELECT source, n_docs, n_langs,
+        |  CAST(n_docs * n_docs * 10000 // sum_c2 AS BIGINT) AS eff_langs_bp
+        |FROM a""".stripMargin,
+
+    "q_length_filter" ->
+      s"""WITH byval AS (SELECT lang, n_chars, count(*) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |cum AS (SELECT lang, n_chars,
+         |    sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(c) OVER (PARTITION BY lang) AS n
+         |  FROM byval),
+         |cuts AS (SELECT lang,
+         |    min(CASE WHEN cum * 100 >= n * $LF_LO_PCT THEN n_chars END)
+         |      AS lo_chars,
+         |    min(CASE WHEN cum * 100 >= n * $LF_HI_PCT THEN n_chars END)
+         |      AS hi_chars
+         |  FROM cum GROUP BY lang)
+         |SELECT d.lang, max(lo_chars) AS lo_chars, max(hi_chars) AS hi_chars,
+         |  CAST(sum(CASE WHEN d.n_chars < lo_chars THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_drop_short,
+         |  CAST(sum(CASE WHEN d.n_chars > hi_chars THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_drop_long,
+         |  CAST(sum(CASE WHEN d.n_chars BETWEEN lo_chars AND hi_chars
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents d JOIN cuts ON d.lang = cuts.lang
+         |GROUP BY d.lang""".stripMargin
   )
 }

@@ -27,6 +27,10 @@ object TextQueries {
   private val ABLATION_THRESHOLDS = Seq(50, 60, 70, 80, 90) // dedup ablation ladder
   private val TUNING_BANDS = Seq(1, 2, 4, 8, 16) // q_lsh_tuning band splits
   private val PR_ITERS = 5     // q_pagerank_centrality power iterations
+  private val LPA_ITERS = 3    // q_label_propagation synchronous rounds
+  private val PREFIX_K = 8     // q_prefix_dup shared-header token width
+  private val CURR_SEED = 31   // q_curriculum_order within-band hash
+  private val CURR_SHARDS = 4  // q_curriculum_order shards per band
   private val MIN_RUN = 12     // dup-span floor: spans >= 14 tokens, past chance-collision runs
   private val VOCAB_V = 10     // vocab size for the OOV-coverage signal
   private val MIN_COOC = 5     // co-occurrence support floor (PMI table)
@@ -995,6 +999,117 @@ object TextQueries {
         Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
           "doc_id", "text", K, NUM_HASHES, BANDS, THRESH),
         "doc_a", "doc_b", PR_ITERS)
+    },
+
+    // ── communities on the near-dup graph (majority-vote labels) ───────
+    // [[Clusters.labelPropagation]] over the same verified pair list the
+    // CC/survivor/PageRank family shares — the over-merge diagnostic:
+    // where q_dup_clusters fuses two dense groups across a thin bridge,
+    // LPA's majority vote keeps them apart. Deterministic synchronous
+    // rounds (count-then-min tie-break, all integer); the oracle unrolls
+    // the identical rounds as chained CTEs.
+    "q_label_propagation" -> { (s, dir) =>
+      val members = Clusters.labelPropagation(
+        Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", K, NUM_HASHES, BANDS, THRESH),
+        "doc_a", "doc_b", LPA_ITERS)
+      val sz = members.groupBy(col("community"))
+        .agg(count(lit(1)).as("community_sz"))
+      members.join(sz, "community")
+        .select(col("id").as("doc_id"), col("community"),
+          col("community_sz"))
+    },
+
+    // ── normalization-aware exact dedup ────────────────────────────────
+    // Exact dedup AFTER canonicalization (lowercase, strip every
+    // non-alphanumeric, collapse runs of spaces) — the cheap tier that
+    // catches trivially-reformatted copies byte-exact dedup misses.
+    // Per surviving group: the min-id survivor, the group size, and how
+    // many RAW byte-distinct variants the normalization merged (the
+    // measured win over q_dedup_exact_text). One projection + one
+    // fingerprint-keyed aggregate; the fingerprint is the shared 60-bit
+    // md5 prefix, so the shuffle carries 8-byte keys, not document text.
+    "q_normalize_dedup" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("raw_h"),
+          Dedup.shingleHash(trim(regexp_replace(regexp_replace(
+            lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+            .as("norm_h"))
+        .groupBy(col("norm_h"))
+        .agg(min(col("doc_id")).as("survivor_doc_id"),
+          count(lit(1)).as("group_sz"),
+          countDistinct(col("raw_h")).as("n_raw_variants"))
+    },
+
+    // ── shared-prefix (boilerplate header) detection ───────────────────
+    // Docs opening with the SAME first-k tokens — the shape scraped
+    // boilerplate (licence headers, navigation chrome, template
+    // preambles) takes in a web corpus. Groups of ≥2 docs sharing an
+    // 8-token prefix, with the min-id exemplar: the report a curation
+    // run reads before writing a prefix-strip rule. One slice projection
+    // + one hash-keyed aggregate — the prefix travels as its 60-bit
+    // hash, and the HAVING-style size filter runs post-aggregate, so
+    // the exchange is corpus-rows × 8 bytes, once.
+    "q_prefix_dup" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokens(lower(col("text"))).as("t"))
+        .filter(size(col("t")) >= PREFIX_K)
+        .select(col("doc_id"),
+          Dedup.shingleHash(array_join(slice(col("t"), 1, PREFIX_K), " "))
+            .as("prefix_h"))
+        .groupBy(col("prefix_h"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("exemplar_doc_id"))
+        .filter(col("n_docs") >= 2)
+    },
+
+    // ── tokenizer fertility by language ────────────────────────────────
+    // Subwords-per-word in basis points plus chars-per-word — the
+    // numbers a tokenizer owner reads per language before committing a
+    // vocab (high fertility = the language is being shredded). Uses the
+    // shared whitespace-word and BPE-ish subword counters, so the ratio
+    // is consistent with q_text_stats by construction. One projection +
+    // one |langs|-row aggregate; guards divide-by-zero on empty slices.
+    "q_token_fertility" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), length(col("text")).as("n_chars"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("toks"),
+          TextFunctions.subwordCount(col("text")).cast("long").as("subs"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_words"),
+          sum(col("subs")).as("n_subwords"),
+          sum(col("n_chars")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_subwords"),
+          expr("CASE WHEN n_words = 0 THEN NULL " +
+            "ELSE n_subwords * 10000 div n_words END").as("fertility_bp"),
+          expr("CASE WHEN n_words = 0 THEN NULL " +
+            "ELSE n_chars * 100 div n_words END").as("chars_per_word_c"))
+    },
+
+    // ── curriculum training order: quality bands, sharded within ───────
+    // The quality-first training order a curriculum schedule consumes:
+    // docs bucketed into quality bands (q div 10, high band first at
+    // read time), sharded within each band by an independent hash, and
+    // positioned within (band, shard) by a second hash application.
+    // Same NO-global-sort posture as q_epoch_shuffle: the only window
+    // is partitioned by (band, shard) — shard count scales with the
+    // corpus in production (pinned at 4 here for the oracle), so every
+    // window partition is corpus/(bands·shards) and materializes as the
+    // shard writer's sortWithinPartitions order.
+    "q_curriculum_order" -> { (s, dir) =>
+      val h = Dedup.hash32(CURR_SEED, col("doc_id").cast("string"))
+      val w = Window.partitionBy(col("band"), col("shard"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).cast("long").as("q"),
+          h.as("h"))
+        .withColumn("band", expr("q div 10"))
+        .withColumn("shard", col("h") % CURR_SHARDS)
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("band"), col("shard"), col("pos"))
     }
   )
 
@@ -2025,8 +2140,87 @@ object TextQueries {
          |    ELSE 'drop' END AS verdict
          |FROM bp""".stripMargin,
 
-    "q_pagerank_centrality" -> pagerankSql
+    "q_pagerank_centrality" -> pagerankSql,
+
+    "q_label_propagation" -> lpaSql,
+
+    "q_normalize_dedup" ->
+      s"""WITH n AS (SELECT doc_id, md5(text) AS raw_h,
+         |    ${Dedup.shingleHashSql(
+               "trim(regexp_replace(regexp_replace(lower(text), " +
+                 "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))")} AS norm_h
+         |  FROM documents)
+         |SELECT norm_h, min(doc_id) AS survivor_doc_id,
+         |  count(*) AS group_sz,
+         |  count(DISTINCT raw_h) AS n_raw_variants
+         |FROM n GROUP BY norm_h""".stripMargin,
+
+    "q_prefix_dup" ->
+      s"""WITH $toksCte,
+         |p AS (SELECT doc_id,
+         |    ${Dedup.shingleHashSql(
+               s"array_to_string(t[1:$PREFIX_K], ' ')")} AS prefix_h
+         |  FROM toks WHERE len(t) >= $PREFIX_K)
+         |SELECT prefix_h, count(*) AS n_docs,
+         |  min(doc_id) AS exemplar_doc_id
+         |FROM p GROUP BY prefix_h
+         |HAVING count(*) >= 2""".stripMargin,
+
+    "q_token_fertility" ->
+      s"""WITH m AS (SELECT lang, length(text) AS n_chars,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |      AS toks,
+         |    len(regexp_extract_all(text,
+         |      '${TextFunctions.subwordPattern}')) AS subs
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS n_words,
+         |  CAST(sum(subs) AS BIGINT) AS n_subwords,
+         |  CASE WHEN sum(toks) = 0 THEN NULL
+         |    ELSE CAST(sum(subs) * 10000 // sum(toks) AS BIGINT) END
+         |    AS fertility_bp,
+         |  CASE WHEN sum(toks) = 0 THEN NULL
+         |    ELSE CAST(sum(n_chars) * 100 // sum(toks) AS BIGINT) END
+         |    AS chars_per_word_c
+         |FROM m GROUP BY lang""".stripMargin,
+
+    "q_curriculum_order" ->
+      s"""WITH $qualityCtes,
+         |h AS (SELECT qv.doc_id, CAST(qv.quality AS BIGINT) // 10 AS band,
+         |    ${Dedup.hash32Sql(CURR_SEED, "CAST(qv.doc_id AS VARCHAR)")} AS h
+         |  FROM qv)
+         |SELECT doc_id, band, h % $CURR_SHARDS AS shard,
+         |  CAST(row_number() OVER (PARTITION BY band, h % $CURR_SHARDS
+         |    ORDER BY h ASC, doc_id ASC) AS INT) AS pos
+         |FROM h""".stripMargin
   )
+
+  /** q_label_propagation oracle: LPA_ITERS synchronous rounds unrolled
+    * as chained CTEs over the shared verified-pair graph — per round,
+    * per-node neighbor-label counts, then argmax by (count DESC, label
+    * ASC) via row_number. Same determinism contract as the Spark loop.
+    */
+  private def lpaSql: String = {
+    val rounds = (1 to LPA_ITERS).map { i =>
+      s"""v$i AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+         |  FROM e JOIN l${i - 1} l ON e.src = l.id
+         |  GROUP BY 1, 2),
+         |l$i AS (SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |      ORDER BY c DESC, lbl ASC) AS rn FROM v$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $lshVerifiedCtes,
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+       |      UNION ALL SELECT doc_b, doc_a FROM vp),
+       |l0 AS (SELECT DISTINCT dst AS id, dst AS lbl FROM e),
+       |$rounds,
+       |sz AS (SELECT lbl, count(*) AS community_sz
+       |  FROM l$LPA_ITERS GROUP BY 1)
+       |SELECT l.id AS doc_id, l.lbl AS community, sz.community_sz
+       |FROM l$LPA_ITERS l JOIN sz ON l.lbl = sz.lbl""".stripMargin
+  }
 
   /** q_pagerank_centrality oracle: PR_ITERS power iterations unrolled
     * as chained CTEs (recursive CTEs cannot aggregate in the recursive

@@ -998,6 +998,43 @@ object VectorQueries {
           .select(lit(d.toLong).as("dims"), col("n_queries"),
             col("macro_recall_bp"), col("min_recall_pct"))
       }.reduce(_.unionByName(_))
+    },
+
+    // ── IVF mean-reciprocal-rank: WHERE the true NN lands, not just if ─
+    // Recall@k says whether the true neighbor is in the candidate list;
+    // MRR says where it ranks — the number that matters when only the
+    // top result is consumed (retrieval-augmented lookup). Per query:
+    // the brute-force top-1 neighbor, its rank inside the IVF top-k
+    // (0 = missed), and the reciprocal rank in basis points (integer
+    // floor — engine-exact). Reuses the shared brute/IVF top-k plans;
+    // the join is Q rows against Q·k rows, broadcast both ways.
+    "q_ann_mrr" -> { (s, dir) =>
+      val truth1 = bruteTopk(s, dir).filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("true_nn"))
+      val approx = ivfTopk(s, dir)
+        .select(col("query_id"), col("neighbor_id").as("true_nn"),
+          col("rank").cast("long").as("found_rank"))
+      truth1.join(broadcast(approx), Seq("query_id", "true_nn"),
+          "left_outer")
+        .select(col("query_id"), col("true_nn"),
+          coalesce(col("found_rank"), lit(0L)).as("found_rank"),
+          when(col("found_rank").isNull, lit(0L))
+            .otherwise(expr("10000 div found_rank")).as("rr_bp"))
+    },
+
+    // ── hubness: which vectors crowd the top-k lists ───────────────────
+    // The pathology detector for embedding spaces: a "hub" appears in
+    // many queries' top-k lists (and everything near it drowns), an
+    // anti-hub in none. Per corpus vector appearing in ≥1 brute-force
+    // top-k list over the query set: list membership count and its best
+    // rank. One aggregate over the shared Q·k truth table — the brute
+    // pass is already priced by q_ann_cosine_topk; at 100 TB the query
+    // set is the sampled probe panel, so this stays Q·k rows.
+    "q_hubness" -> { (s, dir) =>
+      bruteTopk(s, dir)
+        .groupBy(col("neighbor_id"))
+        .agg(count(lit(1)).as("n_lists"),
+          min(col("rank")).cast("long").as("best_rank"))
     }
   )
 
@@ -1539,7 +1576,24 @@ object VectorQueries {
       s"""WITH $bruteCtes,
          |$rungCtes
          |$rungSelects""".stripMargin
-    }
+    },
+
+    "q_ann_mrr" ->
+      s"""WITH $bruteCtes,
+         |$ivfCtes
+         |SELECT b.query_id, b.neighbor_id AS true_nn,
+         |  CAST(COALESCE(i.rank, 0) AS BIGINT) AS found_rank,
+         |  CAST(CASE WHEN i.rank IS NULL THEN 0
+         |    ELSE 10000 // i.rank END AS BIGINT) AS rr_bp
+         |FROM brute b LEFT JOIN ivf i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |WHERE b.rank = 1""".stripMargin,
+
+    "q_hubness" ->
+      s"""WITH $bruteCtes
+         |SELECT neighbor_id, count(*) AS n_lists,
+         |  CAST(min(rank) AS BIGINT) AS best_rank
+         |FROM brute GROUP BY neighbor_id""".stripMargin
   )
 
   /** CTE chain ending in `evp(vec_a, vec_b)` — the cell-blocked,

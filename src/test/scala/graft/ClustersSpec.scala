@@ -47,6 +47,43 @@ class ClustersSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() === 0)
   }
 
+  private def lpa(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Clusters.labelPropagation(pairs.toDF("a", "b"), "a", "b", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation separates bridged triangles that CC over-merges") {
+    // two triangles joined by one bridge edge 3-10: CC fuses them into
+    // one cluster; 3 synchronous LPA rounds reach the fixpoint with the
+    // triangles in distinct communities — the over-merge diagnostic the
+    // query documents
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val communities = lpa(pairs, 3)
+    assert(communities(1L) === communities(2L))
+    assert(communities(2L) === communities(3L))
+    assert(communities(10L) === communities(11L))
+    assert(communities(11L) === communities(12L))
+    assert(communities(1L) !== communities(10L))
+    val ccGot = cc(pairs)
+    assert(ccGot.values.toSet.size === 1) // CC: one merged cluster
+  }
+
+  test("labelPropagation is deterministic under repartitioning") {
+    val pairs = (0L until 40L).map(i => (i, (i * 3 + 1) % 40))
+    val a = lpa(pairs, 3)
+    val b = Clusters.labelPropagation(
+        pairs.toDF("a", "b").repartition(7), "a", "b", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("labelPropagation: empty pair list yields empty, well-typed result") {
+    val out = Clusters.labelPropagation(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", 2)
+    assert(out.columns.toSeq === Seq("id", "community"))
+    assert(out.count() === 0)
+  }
+
   test("maxIter too small fails loudly, never silently partial") {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
     intercept[IllegalStateException] {
