@@ -297,4 +297,62 @@ object Clusters {
     }
     labels.toDF("id", "community")
   }
+
+  /** Per-node triangle count and local clustering coefficient (basis
+    * points) over an undirected pair list — the clique-likeness signal
+    * that distinguishes "m rewrites of one template" (dense, high
+    * clustering) from a triangle-free chain of pairwise drafts.
+    *
+    * Scale contract: DEGREE-ORDERED orientation. Each canonical edge
+    * points from its (degree, id)-smaller endpoint; wedges are generated
+    * only at a triangle's smallest vertex, so wedge volume is
+    * Σ out-deg² with out-degrees bounded by O(√|E|) (the arboricity
+    * bound) — the hub that breaks a naive Σ deg² wedge join never
+    * pivots. Each triangle is enumerated exactly once, then its three
+    * corners are exploded back for per-node counts; every join is an
+    * equi-join on node ids.
+    *
+    * @return (id, degree, n_triangles, clustering_bp) — one row per
+    *         node appearing in any pair; clustering_bp =
+    *         ⌊2·tri·10⁴ / (d·(d−1))⌋, 0 for degree-1 nodes.
+    */
+  def triangleClustering(pairs: DataFrame, src: String,
+                         dst: String): DataFrame = {
+    // canonical id-ordered edges; persisted — it is joined three times
+    // (degree, orientation, triangle closing)
+    val canon = graft.CacheRegistry.register(
+      pairs.select(least(col(src), col(dst)).cast("long").as("u"),
+          greatest(col(src), col(dst)).cast("long").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val deg = canon.select(col("u").as("x"))
+      .union(canon.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val du = deg.select(col("x").as("u"), col("d").as("du"))
+    val dv = deg.select(col("x").as("v"), col("d").as("dv"))
+    val arrows = canon.join(du, "u").join(dv, "v")
+      .select(when(col("du") < col("dv")
+          || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t")))
+        .as("a"))
+      .select(col("a.s").as("s"), col("a.t").as("t"))
+    val tris = arrows.as("e1")
+      .join(arrows.as("e2"), col("e1.s") === col("e2.s")
+        && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("s"), col("e1.t").as("u"),
+        col("e2.t").as("v"))
+      .join(canon, Seq("u", "v")) // closing edge in canonical id order
+      .select(col("s"), col("u"), col("v"))
+    val perNode = tris
+      .select(explode(array(col("s"), col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("x"), "left_outer")
+      .select(col("x").as("id"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2,
+          expr("coalesce(n_triangles, CAST(0 AS BIGINT)) * 20000" +
+            " div (d * (d - 1))"))
+          .otherwise(lit(0L)).as("clustering_bp"))
+  }
 }

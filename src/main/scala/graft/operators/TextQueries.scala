@@ -1020,6 +1020,29 @@ object TextQueries {
           col("community_sz"))
     },
 
+    // ── triangle count + local clustering on the near-dup graph ────────
+    // How CLIQUE-LIKE each doc's neighborhood is: triangles distinguish
+    // "20 rewrites of one template" (dense, high clustering — safe to
+    // collapse) from "a chain of pairwise-similar drafts" (triangle-free
+    // — collapsing loses ends). Per node: degree, triangle membership
+    // count, and the local clustering coefficient in basis points.
+    //
+    // 100 TB posture: DEGREE-ORDERED orientation — each canonical edge
+    // points from its (degree, id)-smaller endpoint, wedges are
+    // generated only at a triangle's smallest vertex, so wedge volume is
+    // Σ out-deg² with out-degrees bounded by √|E| (the classic
+    // arboricity bound) instead of raw Σ deg² — the hub that breaks the
+    // naive wedge join never pivots. Each triangle is enumerated exactly
+    // once, then its three corners are exploded back for per-node
+    // counts; every join is an equi-join on node ids.
+    "q_triangle_clustering" -> { (s, dir) =>
+      Clusters.triangleClustering(
+          Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
+            "doc_id", "text", K, NUM_HASHES, BANDS, THRESH),
+          "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // ── normalization-aware exact dedup ────────────────────────────────
     // Exact dedup AFTER canonicalization (lowercase, strip every
     // non-alphanumeric, collapse runs of spaces) — the cheap tier that
@@ -2143,6 +2166,32 @@ object TextQueries {
     "q_pagerank_centrality" -> pagerankSql,
 
     "q_label_propagation" -> lpaSql,
+
+    "q_triangle_clustering" ->
+      s"""WITH $lshVerifiedCtes,
+         |ce AS (SELECT doc_a AS u, doc_b AS v FROM vp),
+         |deg AS (SELECT x, count(*) AS d FROM (
+         |    SELECT u AS x FROM ce UNION ALL SELECT v FROM ce)
+         |  GROUP BY 1),
+         |ar AS (SELECT
+         |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND ce.u < ce.v)
+         |      THEN ce.u ELSE ce.v END AS s,
+         |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND ce.u < ce.v)
+         |      THEN ce.v ELSE ce.u END AS t
+         |  FROM ce JOIN deg du ON du.x = ce.u JOIN deg dv ON dv.x = ce.v),
+         |tri AS (SELECT e1.s, e1.t AS u, e2.t AS v
+         |  FROM ar e1 JOIN ar e2 ON e1.s = e2.s AND e1.t < e2.t
+         |  JOIN ce ON ce.u = least(e1.t, e2.t)
+         |    AND ce.v = greatest(e1.t, e2.t)),
+         |corners AS (SELECT s AS x FROM tri
+         |  UNION ALL SELECT u FROM tri UNION ALL SELECT v FROM tri),
+         |pn AS (SELECT x, count(*) AS n_triangles FROM corners GROUP BY 1)
+         |SELECT deg.x AS doc_id, CAST(deg.d AS BIGINT) AS degree,
+         |  CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+         |  CAST(CASE WHEN deg.d >= 2 THEN
+         |      COALESCE(pn.n_triangles, 0) * 20000 // (deg.d * (deg.d - 1))
+         |    ELSE 0 END AS BIGINT) AS clustering_bp
+         |FROM deg LEFT JOIN pn ON pn.x = deg.x""".stripMargin,
 
     "q_normalize_dedup" ->
       s"""WITH n AS (SELECT doc_id, md5(text) AS raw_h,

@@ -84,6 +84,31 @@ class ClustersSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() === 0)
   }
 
+  private def triangles(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+    Clusters.triangleClustering(pairs.toDF("a", "b"), "a", "b")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("triangleClustering: K4 plus pendant — exact counts and coefficients") {
+    // K4 on {1,2,3,4} (4 triangles, 3 per node) with pendant 5 on 1
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L))
+    val got = triangles(pairs)
+    assert(got(1L) === ((4L, 3L, 5000L)))  // 2*3/(4*3) = 0.5
+    assert(got(2L) === ((3L, 3L, 10000L))) // perfectly clustered
+    assert(got(3L) === ((3L, 3L, 10000L)))
+    assert(got(4L) === ((3L, 3L, 10000L)))
+    assert(got(5L) === ((1L, 0L, 0L)))     // degree-1: no wedge possible
+    assert(got.values.map(_._2).sum === 12L) // 3 corners x 4 triangles
+  }
+
+  test("triangleClustering: chains are triangle-free") {
+    val got = triangles(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(got.values.forall(_._2 === 0L))
+    assert(got(2L)._1 === 2L && got(2L)._3 === 0L)
+  }
+
   test("maxIter too small fails loudly, never silently partial") {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
     intercept[IllegalStateException] {
