@@ -44,6 +44,7 @@ object VectorQueries {
   private val N_CELLS = 16   // IVF centroids for top-k search (fixed:
                              // probe FRACTION nprobe/cells sets recall)
   private val N_PROBE = 4
+  private val EIG_ITERS = 3  // q_top_eigvec power iterations
   private val NPROBE_LADDER = Seq(1, 2, 4) // q_ann_nprobe_sweep rungs (≤ N_PROBE)
   private val DIM_LADDER = Seq(8, 16, 32)  // q_ann_dim_ladder prefix widths
   private val RP_DIMS = 16   // random-projection sketch width
@@ -1035,6 +1036,71 @@ object VectorQueries {
         .groupBy(col("neighbor_id"))
         .agg(count(lit(1)).as("n_lists"),
           min(col("rank")).cast("long").as("best_rank"))
+    },
+
+    // ── dominant embedding direction: integer power iteration ──────────
+    // The spectral diagnostic a pipeline reads before trusting cosine
+    // similarity: a dominant direction with outsized mass (anisotropy —
+    // the common pathology of learned embeddings) makes cosine scores
+    // collapse toward it. EIG_ITERS power iterations of v ← Aᵀ(Av) on
+    // the 2⁻²⁰-quantized coordinate grid, renormalized each half-step
+    // to max-abs 2²⁰ by SIGN-SPLIT truncating division (negatives
+    // negated before the divide, so both engines truncate identically —
+    // floor-vs-truncate never fires). Everything is exact integer
+    // arithmetic (DECIMAL(38,0) sums here, HUGEINT in the oracle), so
+    // the final vector hash-matches the SQL replay bit-for-bit.
+    //
+    // 100 TB posture: NO joins — Av is an in-row dot against the
+    // broadcast d-sized iterate (zip_with/aggregate), Aᵀu attaches u
+    // before the coordinate explode so the only exchange per iteration
+    // is the d-row (pos) aggregate; the corpus is scanned 2·EIG_ITERS
+    // times from the persisted quantized projection. Iterations are a
+    // CONSTANT; each half-step's magnitudes are bounded by the rescale,
+    // and the cross-row sums ride exact decimals, so no width blowup.
+    "q_top_eigvec" -> { (s, dir) =>
+      val qv = graft.CacheRegistry.register(
+        loadEmb(s, dir).select(col("vec_id"),
+            expr("transform(embedding, x -> " +
+              "CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))")
+              .as("q"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // v₀ = (2²⁰, …, 2²⁰): one row carrying the d-sized iterate
+      var vRow = qv.select(expr(
+        "transform(q, x -> CAST(1048576 AS BIGINT))").as("v")).limit(1)
+      // sign-split rescale of a raw column to max-abs 2²⁰ — truncating
+      // division on POSITIVE operands only (engine-exact)
+      val scaled = "CASE WHEN r < 0 THEN " +
+        "-((CAST(-r AS DECIMAL(38,0)) * 1048576) div m) " +
+        "ELSE (CAST(r AS DECIMAL(38,0)) * 1048576) div m END"
+      var wTab: DataFrame = null
+      for (_ <- 1 to EIG_ITERS) {
+        // u = rescale(A·v): in-row dot, magnitudes ≤ d·2⁴⁰ (long-safe)
+        val uRaw = qv.crossJoin(broadcast(vRow))
+          .select(col("vec_id"), col("q"),
+            expr("aggregate(zip_with(q, v, (a, b) -> a * b), " +
+              "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("r"))
+        val mU = uRaw.agg(
+          greatest(max(abs(col("r"))), lit(1L)).as("m"))
+        val withU = uRaw.crossJoin(broadcast(mU))
+          .select(col("vec_id"), col("q"), expr(scaled).as("u"))
+        // w = rescale(Aᵀ·u): u rides the row into the explode; the only
+        // exchange is the d-row pos aggregate (decimal-exact sum)
+        val wRaw = withU
+          .select(col("u"), posexplode(col("q")))
+          .toDF("u", "pos", "qd")
+          .groupBy(col("pos"))
+          .agg(sum(expr("CAST(qd * u AS DECIMAL(38,0))")).as("r"))
+        val mW = wRaw.agg(
+          greatest(max(abs(col("r"))), lit(1L).cast("decimal(38,0)"))
+            .as("m"))
+        wTab = wRaw.crossJoin(broadcast(mW))
+          .select(col("pos"), expr(scaled).as("v"))
+        vRow = wTab
+          .agg(sort_array(collect_list(struct(col("pos"), col("v"))))
+            .as("pv"))
+          .select(expr("transform(pv, x -> x.v)").as("v"))
+      }
+      wTab.select(col("pos"), col("v").as("comp"))
     }
   )
 
@@ -1593,8 +1659,40 @@ object VectorQueries {
       s"""WITH $bruteCtes
          |SELECT neighbor_id, count(*) AS n_lists,
          |  CAST(min(rank) AS BIGINT) AS best_rank
-         |FROM brute GROUP BY neighbor_id""".stripMargin
+         |FROM brute GROUP BY neighbor_id""".stripMargin,
+
+    "q_top_eigvec" -> eigSql
   )
+
+  /** q_top_eigvec oracle: EIG_ITERS integer power iterations unrolled
+    * as chained CTEs — HUGEINT raw sums, sign-split truncating division
+    * for the max-abs rescale, same arithmetic as the Spark loop.
+    */
+  private def eigSql: String = {
+    // one half-step: raw HUGEINT sum keyed by `key`, then the sign-split
+    // max-abs rescale emitting column `outCol`
+    def half(out: String, key: String, joinTab: String, joinKey: String,
+             joinCol: String, outCol: String): String =
+      s"""${out}r AS (SELECT qc.$key, CAST(sum(qc.q * $joinTab.$joinCol)
+         |    AS HUGEINT) AS r
+         |  FROM qc JOIN $joinTab USING ($joinKey) GROUP BY 1),
+         |${out}m AS (SELECT greatest(max(abs(r)), 1) AS m FROM ${out}r),
+         |$out AS (SELECT $key, CAST(CASE WHEN r < 0
+         |    THEN -((-r) * 1048576 // m)
+         |    ELSE r * 1048576 // m END AS BIGINT) AS $outCol
+         |  FROM ${out}r, ${out}m)""".stripMargin
+    val iters = (1 to EIG_ITERS).map { i =>
+      half(s"u$i", "vec_id", s"v${i - 1}", "pos", "v", "u") + ",\n" +
+        half(s"v$i", "pos", s"u$i", "vec_id", "u", "v")
+    }.mkString(",\n")
+    s"""WITH qc AS (SELECT vec_id, pos - 1 AS pos,
+       |    CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       |        unnest(embedding) AS v FROM embeddings)),
+       |v0 AS (SELECT DISTINCT pos, CAST(1048576 AS BIGINT) AS v FROM qc),
+       |$iters
+       |SELECT pos, v AS comp FROM v$EIG_ITERS""".stripMargin
+  }
 
   /** CTE chain ending in `evp(vec_a, vec_b)` — the cell-blocked,
     * cosine-verified near-dup pairs over the duplicate-augmented

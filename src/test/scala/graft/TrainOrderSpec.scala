@@ -113,4 +113,28 @@ class TrainOrderSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getLong(1)).sum === 10L * 5L) // N_QUERIES * TOP_K
     assert(out.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 5L))
   }
+
+  test("q_top_eigvec recovers the direction of rank-1 data") {
+    // x_i = s_i · (0.4, 0.2, 0.1, 0.05): the dominant eigenvector IS the
+    // generating direction; after max-abs renormalization the iterate
+    // must be ~(2^20, 2^19, 2^18, 2^17) up to quantization rounding
+    val dir0 = Seq(0.4f, 0.2f, 0.1f, 0.05f)
+    val scalars = Seq(1.0f, -2.0f, 3.0f, 0.5f, -1.5f, 2.5f)
+    val dir = java.nio.file.Files.createTempDirectory("eig").toString
+    scalars.zipWithIndex
+      .map { case (sc, i) => (i.toLong, dir0.map(_ * sc).toArray, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = VectorQueries.queries("q_top_eigvec")(spark, dir)
+      .orderBy("pos").collect().map(_.getLong(1))
+    assert(out.length === 4)
+    assert(math.abs(out(0)) === 1048576L) // max-abs normalized
+    // all components carry the SAME sign and halve down the direction
+    val s0 = math.signum(out(0).toDouble)
+    (0 until 4).foreach { i =>
+      val expected = s0 * (1048576L >> i)
+      assert(math.abs(out(i) - expected) <= 4000L,
+        s"pos $i: ${out(i)} vs $expected")
+    }
+  }
 }
