@@ -1058,51 +1058,96 @@ object VectorQueries {
     // CONSTANT; each half-step's magnitudes are bounded by the rescale,
     // and the cross-row sums ride exact decimals, so no width blowup.
     "q_top_eigvec" -> { (s, dir) =>
-      val qv = graft.CacheRegistry.register(
-        loadEmb(s, dir).select(col("vec_id"),
-            expr("transform(embedding, x -> " +
-              "CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))")
-              .as("q"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      // v₀ = (2²⁰, …, 2²⁰): one row carrying the d-sized iterate
-      var vRow = qv.select(expr(
-        "transform(q, x -> CAST(1048576 AS BIGINT))").as("v")).limit(1)
-      // sign-split rescale of a raw column to max-abs 2²⁰ — truncating
-      // division on POSITIVE operands only (engine-exact)
-      val scaled = "CASE WHEN r < 0 THEN " +
-        "-((CAST(-r AS DECIMAL(38,0)) * 1048576) div m) " +
-        "ELSE (CAST(r AS DECIMAL(38,0)) * 1048576) div m END"
-      var wTab: DataFrame = null
-      for (_ <- 1 to EIG_ITERS) {
-        // u = rescale(A·v): in-row dot, magnitudes ≤ d·2⁴⁰ (long-safe)
-        val uRaw = qv.crossJoin(broadcast(vRow))
-          .select(col("vec_id"), col("q"),
-            expr("aggregate(zip_with(q, v, (a, b) -> a * b), " +
-              "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("r"))
-        val mU = uRaw.agg(
-          greatest(max(abs(col("r"))), lit(1L)).as("m"))
-        val withU = uRaw.crossJoin(broadcast(mU))
-          .select(col("vec_id"), col("q"), expr(scaled).as("u"))
-        // w = rescale(Aᵀ·u): u rides the row into the explode; the only
-        // exchange is the d-row pos aggregate (decimal-exact sum)
-        val wRaw = withU
-          .select(col("u"), posexplode(col("q")))
-          .toDF("u", "pos", "qd")
-          .groupBy(col("pos"))
-          .agg(sum(expr("CAST(qd * u AS DECIMAL(38,0))")).as("r"))
-        val mW = wRaw.agg(
-          greatest(max(abs(col("r"))), lit(1L).cast("decimal(38,0)"))
-            .as("m"))
-        wTab = wRaw.crossJoin(broadcast(mW))
-          .select(col("pos"), expr(scaled).as("v"))
-        vRow = wTab
-          .agg(sort_array(collect_list(struct(col("pos"), col("v"))))
-            .as("pv"))
-          .select(expr("transform(pv, x -> x.v)").as("v"))
-      }
-      wTab.select(col("pos"), col("v").as("comp"))
+      eigIterate(s, dir)._2.select(col("pos"), col("v").as("comp"))
+    },
+
+    // ── anisotropy ratio: λ_top vs the average eigenvalue, in bp ───────
+    // The one-number verdict on q_top_eigvec's direction: the Rayleigh
+    // quotient of the converged iterate over AᵀA, relative to the
+    // average eigenvalue trace(AᵀA)/d — 10000·λ_top·d/trace. Isotropic
+    // embeddings sit near 10000·(d/d)=10⁴; a dominant direction pushes
+    // it toward d·10⁴. One extra corpus pass past the shared iteration
+    // (in-row dot + q² fold, one single-row aggregate); every term is
+    // an exact decimal of bounded width, so the ratio is engine-exact.
+    "q_anisotropy_ratio" -> { (s, dir) =>
+      val (qv, wTab) = eigIterate(s, dir)
+      val vRow = vRowOf(wTab)
+      val scored = qv.crossJoin(broadcast(vRow))
+        .select(expr("aggregate(zip_with(q, v, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("u"),
+          expr("aggregate(q, CAST(0 AS DECIMAL(38,0)), " +
+            "(acc, x) -> acc + CAST(x * x AS DECIMAL(38,0)))").as("tr_i"))
+      val agg = scored.agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(u AS DECIMAL(38,0)) * u")).as("num"),
+        sum(col("tr_i")).as("trace"))
+      val vStats = vRow.select(size(col("v")).cast("long").as("dims"),
+        expr("aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+          .as("den"))
+      agg.crossJoin(broadcast(vStats))
+        .select(col("n_vecs"), col("dims"),
+          expr("num * dims * 10000 div " +
+            "(CAST(den AS DECIMAL(38,0)) * trace)").as("anisotropy_bp"))
     }
   )
+
+  /** The shared q_top_eigvec power iteration: EIG_ITERS rounds of
+    * v ← rescale(Aᵀ·rescale(A·v)) over the 2⁻²⁰-quantized coordinate
+    * grid (see the q_top_eigvec commentary for the scale contract).
+    *
+    * @return (qv, wTab): the persisted quantized projection
+    *         (vec_id, q: array) and the final iterate (pos, v).
+    */
+  private def eigIterate(s: SparkSession,
+                         dir: String): (DataFrame, DataFrame) = {
+    val qv = graft.CacheRegistry.register(
+      loadEmb(s, dir).select(col("vec_id"),
+          expr("transform(embedding, x -> " +
+            "CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))")
+            .as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // v₀ = (2²⁰, …, 2²⁰): one row carrying the d-sized iterate
+    var vRow = qv.select(expr(
+      "transform(q, x -> CAST(1048576 AS BIGINT))").as("v")).limit(1)
+    // sign-split rescale of a raw column to max-abs 2²⁰ — truncating
+    // division on POSITIVE operands only (engine-exact)
+    val scaled = "CASE WHEN r < 0 THEN " +
+      "-((CAST(-r AS DECIMAL(38,0)) * 1048576) div m) " +
+      "ELSE (CAST(r AS DECIMAL(38,0)) * 1048576) div m END"
+    var wTab: DataFrame = null
+    for (_ <- 1 to EIG_ITERS) {
+      // u = rescale(A·v): in-row dot, magnitudes ≤ d·2⁴⁰ (long-safe)
+      val uRaw = qv.crossJoin(broadcast(vRow))
+        .select(col("vec_id"), col("q"),
+          expr("aggregate(zip_with(q, v, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("r"))
+      val mU = uRaw.agg(
+        greatest(max(abs(col("r"))), lit(1L)).as("m"))
+      val withU = uRaw.crossJoin(broadcast(mU))
+        .select(col("vec_id"), col("q"), expr(scaled).as("u"))
+      // w = rescale(Aᵀ·u): u rides the row into the explode; the only
+      // exchange is the d-row pos aggregate (decimal-exact sum)
+      val wRaw = withU
+        .select(col("u"), posexplode(col("q")))
+        .toDF("u", "pos", "qd")
+        .groupBy(col("pos"))
+        .agg(sum(expr("CAST(qd * u AS DECIMAL(38,0))")).as("r"))
+      val mW = wRaw.agg(
+        greatest(max(abs(col("r"))), lit(1L).cast("decimal(38,0)"))
+          .as("m"))
+      wTab = wRaw.crossJoin(broadcast(mW))
+        .select(col("pos"), expr(scaled).as("v"))
+      vRow = vRowOf(wTab)
+    }
+    (qv, wTab)
+  }
+
+  /** Collapse a (pos, v) table into the one-row broadcastable array
+    * iterate, ordered by pos.
+    */
+  private def vRowOf(wTab: DataFrame): DataFrame =
+    wTab.agg(sort_array(collect_list(struct(col("pos"), col("v"))))
+        .as("pv"))
+      .select(expr("transform(pv, x -> x.v)").as("v"))
 
   /** The q_embedding_neardup body — cell-blocked candidates + exact
     * cosine verify over the duplicate-augmented corpus (see the query
@@ -1661,14 +1706,31 @@ object VectorQueries {
          |  CAST(min(rank) AS BIGINT) AS best_rank
          |FROM brute GROUP BY neighbor_id""".stripMargin,
 
-    "q_top_eigvec" -> eigSql
+    "q_top_eigvec" -> eigSql,
+
+    "q_anisotropy_ratio" ->
+      s"""WITH $eigCtes,
+         |ur AS (SELECT qc.vec_id, CAST(sum(qc.q * vf.v) AS HUGEINT) AS u
+         |  FROM qc JOIN v$EIG_ITERS vf USING (pos) GROUP BY 1),
+         |a AS (SELECT count(*) AS n_vecs, sum(u * u) AS num FROM ur),
+         |t AS (SELECT CAST(sum(q * q) AS HUGEINT) AS trace FROM qc),
+         |vs AS (SELECT count(*) AS dims,
+         |    CAST(sum(v * v) AS HUGEINT) AS den FROM v$EIG_ITERS)
+         |SELECT CAST(a.n_vecs AS BIGINT) AS n_vecs,
+         |  CAST(vs.dims AS BIGINT) AS dims,
+         |  CAST(a.num * vs.dims * 10000 // (vs.den * t.trace) AS BIGINT)
+         |    AS anisotropy_bp
+         |FROM a, t, vs""".stripMargin
   )
 
   /** q_top_eigvec oracle: EIG_ITERS integer power iterations unrolled
     * as chained CTEs — HUGEINT raw sums, sign-split truncating division
     * for the max-abs rescale, same arithmetic as the Spark loop.
     */
-  private def eigSql: String = {
+  /** CTE chain through `v{EIG_ITERS}(pos, v)` — the unrolled integer
+    * power iteration shared by the eigvec and anisotropy oracles.
+    */
+  private def eigCtes: String = {
     // one half-step: raw HUGEINT sum keyed by `key`, then the sign-split
     // max-abs rescale emitting column `outCol`
     def half(out: String, key: String, joinTab: String, joinKey: String,
@@ -1685,14 +1747,17 @@ object VectorQueries {
       half(s"u$i", "vec_id", s"v${i - 1}", "pos", "v", "u") + ",\n" +
         half(s"v$i", "pos", s"u$i", "vec_id", "u", "v")
     }.mkString(",\n")
-    s"""WITH qc AS (SELECT vec_id, pos - 1 AS pos,
+    s"""qc AS (SELECT vec_id, pos - 1 AS pos,
        |    CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS q
        |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
        |        unnest(embedding) AS v FROM embeddings)),
        |v0 AS (SELECT DISTINCT pos, CAST(1048576 AS BIGINT) AS v FROM qc),
-       |$iters
-       |SELECT pos, v AS comp FROM v$EIG_ITERS""".stripMargin
+       |$iters""".stripMargin
   }
+
+  private def eigSql: String =
+    s"""WITH $eigCtes
+       |SELECT pos, v AS comp FROM v$EIG_ITERS""".stripMargin
 
   /** CTE chain ending in `evp(vec_a, vec_b)` — the cell-blocked,
     * cosine-verified near-dup pairs over the duplicate-augmented

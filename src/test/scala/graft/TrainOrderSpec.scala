@@ -136,5 +136,13 @@ class TrainOrderSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(out(i) - expected) <= 4000L,
         s"pos $i: ${out(i)} vs $expected")
     }
+
+    // rank-1 data puts ALL variance in one direction: the anisotropy
+    // ratio must sit at its ceiling d*10^4 (up to quantization)
+    val ratio = VectorQueries.queries("q_anisotropy_ratio")(spark, dir)
+      .collect()(0)
+    assert(ratio.getLong(1) === 4L) // dims
+    assert(ratio.getLong(2) >= 39000L && ratio.getLong(2) <= 40000L,
+      s"anisotropy_bp ${ratio.getLong(2)}")
   }
 }
