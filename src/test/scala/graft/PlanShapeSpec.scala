@@ -67,6 +67,44 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("q_epoch_shuffle / q_curriculum_order: sharded window, never a " +
+    "global sort") {
+    for (q <- Seq(
+        graft.operators.Curation.queries("q_epoch_shuffle")(spark, sf),
+        graft.operators.TextQueries.queries("q_curriculum_order")(
+          spark, sf))) {
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange rangepartitioning"),
+        s"global sort leaked into the training-order plan:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"single-partition funnel in:\n$plan")
+    }
+  }
+
+  test("q_triangle_clustering: equi-joins only, no cartesian wedge") {
+    val plan = planOf(
+      graft.operators.TextQueries.queries("q_triangle_clustering")(
+        spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the triangle plan:\n$plan")
+  }
+
+  test("q_top_eigvec: no corpus-keyed shuffle join — iterate rides " +
+    "broadcast") {
+    val plan = planOf(
+      VectorQueries.queries("q_top_eigvec")(spark, sf))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"corpus-shuffling join in the power-iteration plan:\n$plan")
+  }
+
+  test("q_ann_mrr: the rank lookup joins broadcast") {
+    val plan = planOf(VectorQueries.queries("q_ann_mrr")(spark, sf))
+    assert(!plan.contains("SortMergeJoin"),
+      s"tiny truth/approx tables shuffled into a SMJ:\n$plan")
+  }
+
   test("native cosine_sim stays inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
