@@ -1051,14 +1051,21 @@ object VectorQueries {
     // the final vector hash-matches the SQL replay bit-for-bit.
     //
     // 100 TB posture: NO joins — Av is an in-row dot against the
-    // broadcast d-sized iterate (zip_with/aggregate), Aᵀu attaches u
-    // before the coordinate explode so the only exchange per iteration
-    // is the d-row (pos) aggregate; the corpus is scanned 2·EIG_ITERS
-    // times from the persisted quantized projection. Iterations are a
-    // CONSTANT; each half-step's magnitudes are bounded by the rescale,
-    // and the cross-row sums ride exact decimals, so no width blowup.
+    // LITERAL d-sized iterate, Aᵀu attaches u before the coordinate
+    // explode so the only exchange per iteration is the d-row (pos)
+    // aggregate; the corpus is scanned 2·EIG_ITERS times from the
+    // persisted quantized projection. The iterate itself is
+    // DRIVER-COLLECTED each round (d longs — the same bounded-state
+    // truncation as the KMeans centroid table; leaving it as a lazy
+    // one-row plan made every broadcast subtree re-derive the whole
+    // chain: ~3× blowup per iteration, 23.6 s measured at sf0.1 vs
+    // ~1 s collected). Iterations are a CONSTANT; each half-step's
+    // magnitudes are bounded by the rescale, and the cross-row sums
+    // ride exact decimals, so no width blowup.
     "q_top_eigvec" -> { (s, dir) =>
-      eigIterate(s, dir)._2.select(col("pos"), col("v").as("comp"))
+      import s.implicits._
+      eigIterate(s, dir)._2.zipWithIndex
+        .map { case (c, p) => (p, c) }.toSeq.toDF("pos", "comp")
     },
 
     // ── anisotropy ratio: λ_top vs the average eigenvalue, in bp ───────
@@ -1070,84 +1077,86 @@ object VectorQueries {
     // (in-row dot + q² fold, one single-row aggregate); every term is
     // an exact decimal of bounded width, so the ratio is engine-exact.
     "q_anisotropy_ratio" -> { (s, dir) =>
-      val (qv, wTab) = eigIterate(s, dir)
-      val vRow = vRowOf(wTab)
-      val scored = qv.crossJoin(broadcast(vRow))
-        .select(expr("aggregate(zip_with(q, v, (a, b) -> a * b), " +
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("u"),
+      val (qv, v) = eigIterate(s, dir)
+      val dims = v.length.toLong
+      val den = v.map(x => BigInt(x) * x).sum // ≤ d·2⁴⁰ — long-safe
+      qv.select(dotWith(v).as("u"),
           expr("aggregate(q, CAST(0 AS DECIMAL(38,0)), " +
             "(acc, x) -> acc + CAST(x * x AS DECIMAL(38,0)))").as("tr_i"))
-      val agg = scored.agg(count(lit(1)).as("n_vecs"),
-        sum(expr("CAST(u AS DECIMAL(38,0)) * u")).as("num"),
-        sum(col("tr_i")).as("trace"))
-      val vStats = vRow.select(size(col("v")).cast("long").as("dims"),
-        expr("aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
-          .as("den"))
-      agg.crossJoin(broadcast(vStats))
-        .select(col("n_vecs"), col("dims"),
-          expr("num * dims * 10000 div " +
-            "(CAST(den AS DECIMAL(38,0)) * trace)").as("anisotropy_bp"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(expr("CAST(u AS DECIMAL(38,0)) * u")).as("num"),
+          sum(col("tr_i")).as("trace"))
+        .select(col("n_vecs"), lit(dims).as("dims"),
+          expr(s"num * $dims * 10000 div " +
+            s"(CAST(${den.toLong} AS DECIMAL(38,0)) * trace)")
+            .as("anisotropy_bp"))
     }
   )
+
+  /** In-row integer dot of the quantized coordinate array `q` against a
+    * literal iterate — the join-free Av half-step.
+    */
+  private def dotWith(v: Array[Long]): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(col("q"), typedLit(v.toSeq), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
 
   /** The shared q_top_eigvec power iteration: EIG_ITERS rounds of
     * v ← rescale(Aᵀ·rescale(A·v)) over the 2⁻²⁰-quantized coordinate
     * grid (see the q_top_eigvec commentary for the scale contract).
     *
-    * @return (qv, wTab): the persisted quantized projection
-    *         (vec_id, q: array) and the final iterate (pos, v).
+    * Per round, TWO jobs over the persisted projection: the max-abs
+    * scalar of the in-row dots, then the d-row Aᵀ aggregate — whose
+    * result (d longs) is collected and rescaled ON THE DRIVER in exact
+    * BigInteger arithmetic (truncating division ≡ the oracle's
+    * sign-split `//` on positives). Bounded driver state is the point:
+    * the lazy one-row-plan formulation re-derived the whole upstream
+    * chain inside every broadcast subtree (measured 9–24 s at sf0.1);
+    * the collected iterate keeps every round's plan two levels deep.
+    *
+    * @return (qv, v): the persisted quantized projection and the final
+    *         iterate as a driver array indexed by pos.
     */
   private def eigIterate(s: SparkSession,
-                         dir: String): (DataFrame, DataFrame) = {
+                         dir: String): (DataFrame, Array[Long]) = {
     val qv = graft.CacheRegistry.register(
       loadEmb(s, dir).select(col("vec_id"),
           expr("transform(embedding, x -> " +
             "CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))")
             .as("q"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // v₀ = (2²⁰, …, 2²⁰): one row carrying the d-sized iterate
-    var vRow = qv.select(expr(
-      "transform(q, x -> CAST(1048576 AS BIGINT))").as("v")).limit(1)
-    // sign-split rescale of a raw column to max-abs 2²⁰ — truncating
-    // division on POSITIVE operands only (engine-exact)
-    val scaled = "CASE WHEN r < 0 THEN " +
-      "-((CAST(-r AS DECIMAL(38,0)) * 1048576) div m) " +
-      "ELSE (CAST(r AS DECIMAL(38,0)) * 1048576) div m END"
-    var wTab: DataFrame = null
+    val dims = qv.select(size(col("q")).as("d")).head().getInt(0)
+    var v = Array.fill(dims)(1048576L)
     for (_ <- 1 to EIG_ITERS) {
-      // u = rescale(A·v): in-row dot, magnitudes ≤ d·2⁴⁰ (long-safe)
-      val uRaw = qv.crossJoin(broadcast(vRow))
-        .select(col("vec_id"), col("q"),
-          expr("aggregate(zip_with(q, v, (a, b) -> a * b), " +
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("r"))
-      val mU = uRaw.agg(
-        greatest(max(abs(col("r"))), lit(1L)).as("m"))
-      val withU = uRaw.crossJoin(broadcast(mU))
-        .select(col("vec_id"), col("q"), expr(scaled).as("u"))
-      // w = rescale(Aᵀ·u): u rides the row into the explode; the only
-      // exchange is the d-row pos aggregate (decimal-exact sum)
-      val wRaw = withU
-        .select(col("u"), posexplode(col("q")))
+      // u = rescale(A·v): in-row dot (magnitudes ≤ d·2⁴⁰, long-safe),
+      // one scalar aggregate for the max-abs
+      val r = dotWith(v)
+      val mU = qv.select(r.as("r"))
+        .agg(greatest(max(abs(col("r"))), lit(1L)))
+        .head().getLong(0)
+      // sign-split truncating rescale of the dot, fused into the Aᵀ
+      // pass: u rides the row into the explode; the only exchange is
+      // the d-row pos aggregate (decimal-exact sum)
+      val u = expr("CASE WHEN r_ < 0 THEN " +
+        s"-((CAST(-r_ AS DECIMAL(38,0)) * 1048576) div $mU) " +
+        s"ELSE (CAST(r_ AS DECIMAL(38,0)) * 1048576) div $mU END")
+      val wRaw = qv.withColumn("r_", r)
+        .select(u.as("u"), posexplode(col("q")))
         .toDF("u", "pos", "qd")
         .groupBy(col("pos"))
         .agg(sum(expr("CAST(qd * u AS DECIMAL(38,0))")).as("r"))
-      val mW = wRaw.agg(
-        greatest(max(abs(col("r"))), lit(1L).cast("decimal(38,0)"))
-          .as("m"))
-      wTab = wRaw.crossJoin(broadcast(mW))
-        .select(col("pos"), expr(scaled).as("v"))
-      vRow = vRowOf(wTab)
+        .collect()
+      // driver-side rescale in exact BigInteger math: BigInt `/`
+      // truncates toward zero — identical to the engines' sign-split
+      // positive-operand division
+      val w = new Array[BigInt](dims)
+      wRaw.foreach(row => w(row.getInt(0)) =
+        BigInt(row.getDecimal(1).toBigInteger))
+      val mW = w.map(_.abs).max.max(BigInt(1))
+      v = w.map(x => ((x * 1048576) / mW).toLong)
     }
-    (qv, wTab)
+    (qv, v)
   }
-
-  /** Collapse a (pos, v) table into the one-row broadcastable array
-    * iterate, ordered by pos.
-    */
-  private def vRowOf(wTab: DataFrame): DataFrame =
-    wTab.agg(sort_array(collect_list(struct(col("pos"), col("v"))))
-        .as("pv"))
-      .select(expr("transform(pv, x -> x.v)").as("v"))
 
   /** The q_embedding_neardup body — cell-blocked candidates + exact
     * cosine verify over the duplicate-augmented corpus (see the query
