@@ -316,27 +316,45 @@ object Clusters {
     *         node appearing in any pair; clustering_bp =
     *         ⌊2·tri·10⁴ / (d·(d−1))⌋, 0 for degree-1 nodes.
     */
-  def triangleClustering(pairs: DataFrame, src: String,
-                         dst: String): DataFrame = {
-    // canonical id-ordered edges; persisted — it is joined three times
-    // (degree, orientation, triangle closing)
-    val canon = graft.CacheRegistry.register(
+  def triangleClustering(pairs: DataFrame, src: String, dst: String,
+                         scratchDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val scratch = new Path(scratchDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_tri_").toString))
+    // the graph tables are MULTIPLY REFERENCED (canon: degree +
+    // orientation + triangle closing; deg: both arrow sides + output;
+    // arrows: both wedge sides), so each is truncated by a parquet
+    // round-trip — the same bounded-lineage contract as the CC/PageRank
+    // loops; a cache-only formulation re-expanded the whole upstream
+    // pair pipeline into the plan per reference (66-exchange audit).
+    // All three are dup-graph-bounded, never corpus-sized.
+    def roundTrip(df: DataFrame, name: String): DataFrame = {
+      val dir = new Path(scratch, name)
+      df.write.mode("overwrite").parquet(dir.toString)
+      spark.read.parquet(dir.toString)
+    }
+    // canonical id-ordered edges
+    val canon = roundTrip(
       pairs.select(least(col(src), col(dst)).cast("long").as("u"),
           greatest(col(src), col(dst)).cast("long").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val deg = canon.select(col("u").as("x"))
-      .union(canon.select(col("v").as("x")))
-      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+        .filter(col("u") =!= col("v")).distinct(),
+      "canon")
+    val deg = roundTrip(
+      canon.select(col("u").as("x"))
+        .union(canon.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d")),
+      "deg")
     val du = deg.select(col("x").as("u"), col("d").as("du"))
     val dv = deg.select(col("x").as("v"), col("d").as("dv"))
-    val arrows = canon.join(du, "u").join(dv, "v")
-      .select(when(col("du") < col("dv")
-          || (col("du") === col("dv") && col("u") < col("v")),
-          struct(col("u").as("s"), col("v").as("t")))
-        .otherwise(struct(col("v").as("s"), col("u").as("t")))
-        .as("a"))
-      .select(col("a.s").as("s"), col("a.t").as("t"))
+    val arrows = roundTrip(
+      canon.join(du, "u").join(dv, "v")
+        .select(when(col("du") < col("dv")
+            || (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t")))
+          .as("a"))
+        .select(col("a.s").as("s"), col("a.t").as("t")),
+      "arrows")
     val tris = arrows.as("e1")
       .join(arrows.as("e2"), col("e1.s") === col("e2.s")
         && col("e1.t") < col("e2.t"))
