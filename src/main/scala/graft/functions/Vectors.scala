@@ -49,4 +49,15 @@ object VectorFunctions {
         (x, y) => (x.cast("double") - y.cast("double")) *
           (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Exact integer dot over `array<bigint>` — native fused-loop
+    * expression (the SQ reconstruction-dot kernel).
+    */
+  def longDot(a: Column, b: Column): Column =
+    call_function("long_dot", a, b)
+
+  /** Integer dot, HOF reference formulation. */
+  def longDotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
 }

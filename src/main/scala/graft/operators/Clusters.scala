@@ -373,4 +373,145 @@ object Clusters {
             " div (d * (d - 1))"))
           .otherwise(lit(0L)).as("clustering_bp"))
   }
+
+  /** Per-edge triangle SUPPORT (number of triangles each edge closes)
+    * over an undirected pair list — the truss/bridge signal a cluster
+    * audit reads per EDGE where [[triangleClustering]] reads it per
+    * NODE: a near-dup edge with support 0 is a thin bridge (no third
+    * document agrees the two sides belong together), the exact edge a
+    * curation run cuts before collapsing clusters that q_dup_clusters
+    * would otherwise over-merge through it.
+    *
+    * Same scale contract as [[triangleClustering]] (shared
+    * degree-ordered orientation: wedge volume Σ out-deg², out-degrees
+    * arboricity-bounded): triangles are enumerated exactly once, then
+    * each contributes its THREE id-canonical edges to a counts table
+    * that the canonical edge list left-joins. All integer, engine-exact.
+    *
+    * @return (u, v, support, is_bridge) — one row per canonical edge
+    *         (u < v); is_bridge = support == 0.
+    */
+  def edgeSupport(pairs: DataFrame, src: String, dst: String,
+                  scratchDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val scratch = new Path(scratchDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_supp_").toString))
+    // multiply-referenced graph tables round-trip through parquet —
+    // the bounded-lineage contract shared with the triangle/CC loops
+    def roundTrip(df: DataFrame, name: String): DataFrame = {
+      val dir = new Path(scratch, name)
+      df.write.mode("overwrite").parquet(dir.toString)
+      spark.read.parquet(dir.toString)
+    }
+    val canon = roundTrip(
+      pairs.select(least(col(src), col(dst)).cast("long").as("u"),
+          greatest(col(src), col(dst)).cast("long").as("v"))
+        .filter(col("u") =!= col("v")).distinct(),
+      "canon")
+    val deg = roundTrip(
+      canon.select(col("u").as("x"))
+        .union(canon.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d")),
+      "deg")
+    val du = deg.select(col("x").as("u"), col("d").as("du"))
+    val dv = deg.select(col("x").as("v"), col("d").as("dv"))
+    val arrows = roundTrip(
+      canon.join(du, "u").join(dv, "v")
+        .select(when(col("du") < col("dv")
+            || (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t")))
+          .as("a"))
+        .select(col("a.s").as("s"), col("a.t").as("t")),
+      "arrows")
+    val tris = arrows.as("e1")
+      .join(arrows.as("e2"), col("e1.s") === col("e2.s")
+        && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("s"), col("e1.t").as("u"),
+        col("e2.t").as("v"))
+      .join(canon, Seq("u", "v"))
+      .select(col("s"), col("u"), col("v"))
+    // each triangle (s,u,v) contributes its three edges in id-canonical
+    // (least, greatest) form; u<v already holds for the closing edge
+    val triEdges = tris.select(explode(array(
+        struct(least(col("s"), col("u")).as("u"),
+          greatest(col("s"), col("u")).as("v")),
+        struct(least(col("s"), col("v")).as("u"),
+          greatest(col("s"), col("v")).as("v")),
+        struct(col("u").as("u"), col("v").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    canon.join(triEdges, Seq("u", "v"), "left_outer")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        (coalesce(col("support"), lit(0L)) === 0L).as("is_bridge"))
+  }
+
+  /** Fixed-round peel toward the k-core of an undirected pair list:
+    * each round recomputes degrees within the surviving subgraph and
+    * drops nodes with degree < k. After `rounds` rounds the survivors
+    * of a CONVERGED peel are exactly the k-core (max subgraph with min
+    * degree ≥ k) — the "dense center" of a near-dup cluster that
+    * survives even after thin bridges and chain ends are stripped,
+    * i.e. the documents whose duplication is corroborated by ≥ k
+    * independent neighbors.
+    *
+    * The round count is a CONSTANT (not run-to-fixpoint) so the DuckDB
+    * twin can unroll the identical rounds as chained CTEs and stay
+    * engine-exact; near-dup graphs peel in 1–2 rounds (dense tiny
+    * clusters shed their pendant vertices immediately), so the default
+    * rounds=3 is convergence plus a confirming round in practice.
+    * Execution per round is ONE symmetric-edge ⋈ alive semi-join pair
+    * plus ONE dst-keyed count — shuffles keyed by node id, never
+    * corpus-sized — with the alive set truncated by a parquet
+    * round-trip per round (multiply referenced: both edge endpoints),
+    * the same bounded-lineage contract as the CC fixpoint.
+    *
+    * @return (id, core_degree): survivors of the final round with
+    *         their degree within the previous round's subgraph (all
+    *         ≥ k by construction).
+    */
+  def kCore(pairs: DataFrame, src: String, dst: String, k: Int,
+            rounds: Int = 3,
+            scratchDir: Option[String] = None): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val spark = pairs.sparkSession
+    val scratch = new Path(scratchDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_kcore_").toString))
+    val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val edges = graft.CacheRegistry.register(
+      pairs.select(col(src).cast("long").as("src"),
+          col(dst).cast("long").as("dst"))
+        .union(pairs.select(col(dst).cast("long").as("src"),
+          col(src).cast("long").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    var lastDir: Option[Path] = None
+    def roundTrip(df: DataFrame, iter: Int): DataFrame = {
+      val dir = new Path(scratch, s"alive_$iter")
+      df.write.mode("overwrite").parquet(dir.toString)
+      lastDir.foreach(fs.delete(_, true))
+      lastDir = Some(dir)
+      spark.read.parquet(dir.toString)
+    }
+
+    // round 0: every edge endpoint is alive (symmetric list ⇒ dst
+    // covers the node set); keeps a degree column so the final round's
+    // survivors carry core_degree without an extra pass
+    var alive = roundTrip(
+      edges.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+        .select(col("dst").as("id"), col("d")), 0)
+    for (i <- 1 to rounds) {
+      val s = alive.select(col("id").as("sid"))
+      val t = alive.select(col("id").as("tid"))
+      alive = roundTrip(
+        edges.join(s, col("src") === col("sid"))
+          .join(t, col("dst") === col("tid"))
+          .groupBy(col("dst")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k)
+          .select(col("dst").as("id"), col("d")), i)
+    }
+    alive.select(col("id"), col("d").as("core_degree"))
+  }
 }

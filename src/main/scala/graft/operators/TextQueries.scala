@@ -37,6 +37,9 @@ object TextQueries {
   private val MAX_LEV = 10     // edit-distance near-dup radius (80-char prefix)
   private val LEV_PREFIX = 80  // chars of prefix the edit distance sees
   private val LEV_BLOCK = 64   // chars per length-bucket blocking key
+  private val KCORE_K = 2      // q_kcore minimum corroborating degree
+  private val KCORE_ROUNDS = 3 // q_kcore fixed peel rounds (oracle-unrolled)
+  private val GROWTH_BUCKETS = 10 // q_vocab_growth arrival-order deciles
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1133,6 +1136,130 @@ object TextQueries {
         .withColumn("shard", col("h") % CURR_SHARDS)
         .withColumn("pos", row_number().over(w))
         .select(col("doc_id"), col("band"), col("shard"), col("pos"))
+    },
+
+    // ── per-edge triangle support on the near-dup graph ────────────────
+    // The truss/bridge read of what q_triangle_clustering reports per
+    // NODE: an edge with support 0 (no third doc adjacent to both ends)
+    // is a thin bridge — the exact edge to cut before CC collapses two
+    // dense rewrite groups through one accidental pairwise match. Same
+    // degree-ordered orientation as the triangle query (wedge volume
+    // arboricity-bounded), each triangle enumerated once then exploded
+    // back onto its three id-canonical edges. All integer/boolean.
+    "q_edge_support" -> { (s, dir) =>
+      Clusters.edgeSupport(
+          Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
+            "doc_id", "text", K, NUM_HASHES, BANDS, THRESH),
+          "doc_a", "doc_b")
+        .select(col("u").as("doc_a"), col("v").as("doc_b"),
+          col("support"), col("is_bridge"))
+    },
+
+    // ── k-core of the near-dup graph (fixed-round peel) ────────────────
+    // The dense center that survives stripping pendant vertices and
+    // chain ends: docs whose duplication ≥ KCORE_K independent
+    // neighbors corroborate — the high-confidence collapse set, vs the
+    // full CC membership that q_dup_clusters reports. Fixed KCORE_ROUNDS
+    // so the oracle unrolls identical rounds as chained CTEs; per round
+    // one symmetric-edge ⋈ alive semi-join + one dst-keyed count, alive
+    // set parquet-round-tripped (multiply referenced per round).
+    "q_kcore" -> { (s, dir) =>
+      Clusters.kCore(
+          Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
+            "doc_id", "text", K, NUM_HASHES, BANDS, THRESH),
+          "doc_a", "doc_b", KCORE_K, KCORE_ROUNDS)
+        .select(col("id").as("doc_id"), col("core_degree"))
+    },
+
+    // ── degree distribution of the near-dup graph ──────────────────────
+    // The one-glance shape diagnostic a dedup run reads before trusting
+    // its banding: a power-law-ish tail says template families; a spike
+    // at high degree says a band collapsed (too-coarse LSH) and the
+    // pair volume downstream is about to explode. Two keyed aggregates
+    // over the pair list — output rows bounded by max degree.
+    "q_degree_hist" -> { (s, dir) =>
+      val vp = Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", K, NUM_HASHES, BANDS, THRESH)
+      vp.select(col("doc_a").as("x"))
+        .union(vp.select(col("doc_b").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    },
+
+    // ── stopword-ratio profile by language ─────────────────────────────
+    // The per-language read of the quality model's stopword feature in
+    // isolation: corpora where the English stopword list fires at a
+    // high rate in a NON-English slice are mislabeled or code-switched
+    // — the audit a lang-routing stage runs before trusting `lang`.
+    // One projection + one |langs|-row aggregate, ppm integers.
+    "q_stopword_profile" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("toks"),
+          TextFunctions.stopwordCount(col("text")).cast("long").as("stops"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          sum(col("stops")).as("n_stopwords"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          col("n_stopwords"),
+          expr("CASE WHEN n_tokens = 0 THEN NULL " +
+            "ELSE n_stopwords * 1000000 div n_tokens END").as("stop_ppm"))
+    },
+
+    // ── vocabulary growth curve (Heaps-law read, k-gram types) ─────────
+    // New distinct k-gram shingle types contributed by each decile of
+    // the corpus in doc-id (arrival) order, plus the cumulative type
+    // count: the curve flattening early says the corpus has gone stale
+    // (new data recombines what the old data already said — same signal
+    // family as q_ngram_novelty but decile-bucketed and one-glance).
+    // First-occurrence is a shingle-keyed min over the shared distinct
+    // (doc, shingle) table; the only window is ≤ GROWTH_BUCKETS rows.
+    "q_vocab_growth" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val firstSeen = docs
+        .select(col("doc_id"), TextFunctions.tokens(lower(col("text")))
+          .as("toks"))
+        .filter(size(col("toks")) >= K)
+        .select(col("doc_id"), explode(array_distinct(
+          TextFunctions.shinglesFromTokens(col("toks"), K))).as("gram"))
+        .groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      firstSeen.crossJoin(broadcast(n))
+        .select(expr(s"first_doc * $GROWTH_BUCKETS div n_docs")
+          .as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("new_terms"))
+        .withColumn("cum_vocab", sum(col("new_terms")).over(w))
+    },
+
+    // ── token inflation by source (near-dup collapse basis) ────────────
+    // Per source: how many tokens the raw slice claims vs what survives
+    // collapsing LSH-verified clusters to their min-id member — the
+    // "token inflation" a mixture-weight owner must correct for before
+    // weighting sources by raw size (a source that is 30 % rewrites of
+    // itself is smaller than it looks). Survivorship is doc_id ==
+    // cluster_id on the shared member table; singletons survive by
+    // definition (left join, null cluster).
+    "q_dedup_inflation" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val members = Clusters.memberTable(
+          Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+            K, NUM_HASHES, BANDS, THRESH))
+        .select(col("doc_id"), col("cluster_id"))
+      docs.select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+        .join(members, Seq("doc_id"), "left_outer")
+        .withColumn("keep",
+          col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept_docs"),
+          sum(when(col("keep"), col("toks")).otherwise(0L))
+            .as("kept_tokens"))
+        .withColumn("inflation_bp",
+          expr("CASE WHEN kept_tokens = 0 THEN NULL " +
+            "ELSE n_tokens * 10000 div kept_tokens END"))
     }
   )
 
@@ -1298,6 +1425,27 @@ object TextQueries {
        |          UNION
        |          SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
        |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  /** CTEs over `vp` through `tri(s, u, v)` — degree-ordered triangle
+    * enumeration (each triangle exactly once), the SQL twin of the
+    * orientation in [[Clusters.triangleClustering]]/[[Clusters.edgeSupport]];
+    * also exposes `ce(u, v)` (canonical edges) and `deg(x, d)`.
+    */
+  private val triCtes =
+    """ce AS (SELECT doc_a AS u, doc_b AS v FROM vp),
+      |deg AS (SELECT x, count(*) AS d FROM (
+      |    SELECT u AS x FROM ce UNION ALL SELECT v FROM ce)
+      |  GROUP BY 1),
+      |ar AS (SELECT
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND ce.u < ce.v)
+      |      THEN ce.u ELSE ce.v END AS s,
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND ce.u < ce.v)
+      |      THEN ce.v ELSE ce.u END AS t
+      |  FROM ce JOIN deg du ON du.x = ce.u JOIN deg dv ON dv.x = ce.v),
+      |tri AS (SELECT e1.s, e1.t AS u, e2.t AS v
+      |  FROM ar e1 JOIN ar e2 ON e1.s = e2.s AND e1.t < e2.t
+      |  JOIN ce ON ce.u = least(e1.t, e2.t)
+      |    AND ce.v = greatest(e1.t, e2.t))""".stripMargin
 
   private def bandSelect(b: Int): String = {
     val r = NUM_HASHES / BANDS
@@ -2169,20 +2317,7 @@ object TextQueries {
 
     "q_triangle_clustering" ->
       s"""WITH $lshVerifiedCtes,
-         |ce AS (SELECT doc_a AS u, doc_b AS v FROM vp),
-         |deg AS (SELECT x, count(*) AS d FROM (
-         |    SELECT u AS x FROM ce UNION ALL SELECT v FROM ce)
-         |  GROUP BY 1),
-         |ar AS (SELECT
-         |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND ce.u < ce.v)
-         |      THEN ce.u ELSE ce.v END AS s,
-         |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND ce.u < ce.v)
-         |      THEN ce.v ELSE ce.u END AS t
-         |  FROM ce JOIN deg du ON du.x = ce.u JOIN deg dv ON dv.x = ce.v),
-         |tri AS (SELECT e1.s, e1.t AS u, e2.t AS v
-         |  FROM ar e1 JOIN ar e2 ON e1.s = e2.s AND e1.t < e2.t
-         |  JOIN ce ON ce.u = least(e1.t, e2.t)
-         |    AND ce.v = greatest(e1.t, e2.t)),
+         |$triCtes,
          |corners AS (SELECT s AS x FROM tri
          |  UNION ALL SELECT u FROM tri UNION ALL SELECT v FROM tri),
          |pn AS (SELECT x, count(*) AS n_triangles FROM corners GROUP BY 1)
@@ -2192,6 +2327,97 @@ object TextQueries {
          |      COALESCE(pn.n_triangles, 0) * 20000 // (deg.d * (deg.d - 1))
          |    ELSE 0 END AS BIGINT) AS clustering_bp
          |FROM deg LEFT JOIN pn ON pn.x = deg.x""".stripMargin,
+
+    "q_edge_support" ->
+      s"""WITH $lshVerifiedCtes,
+         |$triCtes,
+         |te AS (SELECT least(s, u) AS u, greatest(s, u) AS v FROM tri
+         |  UNION ALL SELECT least(s, v), greatest(s, v) FROM tri
+         |  UNION ALL SELECT u, v FROM tri),
+         |sup AS (SELECT u, v, count(*) AS support FROM te GROUP BY 1, 2)
+         |SELECT ce.u AS doc_a, ce.v AS doc_b,
+         |  CAST(COALESCE(sup.support, 0) AS BIGINT) AS support,
+         |  COALESCE(sup.support, 0) = 0 AS is_bridge
+         |FROM ce LEFT JOIN sup ON sup.u = ce.u AND sup.v = ce.v""".stripMargin,
+
+    "q_kcore" -> {
+      // unroll the identical fixed peel rounds the Spark loop runs
+      val rounds = (1 to KCORE_ROUNDS).map { i =>
+        s"""a$i AS (SELECT e.dst AS id, count(*) AS d
+           |  FROM e JOIN a${i - 1} s ON e.src = s.id
+           |  JOIN a${i - 1} t ON e.dst = t.id
+           |  GROUP BY 1 HAVING count(*) >= $KCORE_K)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $lshVerifiedCtes,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |      UNION ALL SELECT doc_b, doc_a FROM vp),
+         |a0 AS (SELECT dst AS id, count(*) AS d FROM e GROUP BY 1),
+         |$rounds
+         |SELECT id AS doc_id, CAST(d AS BIGINT) AS core_degree
+         |FROM a$KCORE_ROUNDS""".stripMargin
+    },
+
+    "q_degree_hist" ->
+      s"""WITH $lshVerifiedCtes,
+         |dg AS (SELECT x, count(*) AS degree FROM (
+         |    SELECT doc_a AS x FROM vp UNION ALL SELECT doc_b FROM vp)
+         |  GROUP BY 1)
+         |SELECT CAST(degree AS BIGINT) AS degree,
+         |  count(*) AS n_nodes
+         |FROM dg GROUP BY 1""".stripMargin,
+
+    "q_stopword_profile" ->
+      s"""WITH m AS (SELECT lang,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |      AS toks,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |             x -> lower(x) IN ($stopwordsSql))) END AS stops
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(stops) AS BIGINT) AS n_stopwords,
+         |  CASE WHEN sum(toks) = 0 THEN NULL
+         |    ELSE CAST(sum(stops) * 1000000 // sum(toks) AS BIGINT) END
+         |    AS stop_ppm
+         |FROM m GROUP BY lang""".stripMargin,
+
+    "q_vocab_growth" ->
+      s"""WITH $shinglesCte,
+         |fs AS (SELECT shingle, min(doc_id) AS first_doc FROM sh
+         |  GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |b AS (SELECT CAST(first_doc * $GROWTH_BUCKETS // n_docs AS BIGINT)
+         |    AS decile FROM fs, n),
+         |g AS (SELECT decile, count(*) AS new_terms FROM b GROUP BY 1)
+         |SELECT decile, new_terms,
+         |  CAST(sum(new_terms) OVER (ORDER BY decile
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_vocab
+         |FROM g""".stripMargin,
+
+    "q_dedup_inflation" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |tok AS (SELECT doc_id, source,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |      AS toks
+         |  FROM documents),
+         |j AS (SELECT t.source, t.toks,
+         |    (cc.id IS NULL OR cc.cluster_id = t.doc_id) AS keep
+         |  FROM tok t LEFT JOIN cc ON cc.id = t.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept_docs,
+         |  CAST(sum(CASE WHEN keep THEN toks ELSE 0 END) AS BIGINT)
+         |    AS kept_tokens,
+         |  CASE WHEN sum(CASE WHEN keep THEN toks ELSE 0 END) = 0 THEN NULL
+         |    ELSE CAST(sum(toks) * 10000 //
+         |      sum(CASE WHEN keep THEN toks ELSE 0 END) AS BIGINT) END
+         |    AS inflation_bp
+         |FROM j GROUP BY source""".stripMargin,
 
     "q_normalize_dedup" ->
       s"""WITH n AS (SELECT doc_id, md5(text) AS raw_h,

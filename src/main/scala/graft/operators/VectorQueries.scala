@@ -348,6 +348,74 @@ object VectorQueries {
     s"transform($vecCol, x -> " +
       "CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
 
+  /** Scalar quantization (int8): per-DIMENSION min/max over the shared
+    * 2⁻²⁰ integer grid, each coordinate stored as an 8-bit code
+    * (q − minq)·255 div span — the classic 4×-compression SQ index
+    * (FAISS ScalarQuantizer shape) sitting between raw floats and PQ's
+    * 32×. Scoring reconstructs each coordinate back onto the grid
+    * (minq + code·span div 255, ALL integer, engine-exact) and ranks by
+    * the exact 64-bit reconstruction dot via the native codegen'd
+    * `long_dot` kernel; grid bounds keep the dot ≪ 2⁵³ so the
+    * bounded_topk double score is exact and ties break identically to
+    * the DuckDB twin's HUGEINT sum.
+    *
+    * Plan shape: dim-stats is ONE aggregate collapsed to ONE broadcast
+    * row (same shape as centroidArray); encode+reconstruct is an in-row
+    * projection (zero shuffle); the scan is the same broadcast
+    * query-panel join as brute force; the only Exchange is
+    * bounded_topk's k-capped aggregate. At 100 TB the win is the 4×
+    * smaller resident index and a dot kernel on longs — the scan
+    * economics are brute-force's; compose with IVF cells (as
+    * q_ann_ivfpq_topk does for PQ) when the corpus outgrows full scans.
+    */
+  private val SQ_LEVELS = 255
+
+  /** One broadcast row: per-dim (d, minq, span) structs sorted by d. */
+  private def sqStatsRow(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding"))).toDF("d", "v")
+      .select(col("d"),
+        floor(col("v").cast("double") * 1048576d).cast("long").as("q"))
+      .groupBy(col("d"))
+      .agg(min(col("q")).as("minq"),
+        (max(col("q")) - min(col("q"))).as("span"))
+      .agg(sort_array(collect_list(
+        struct(col("d"), col("minq"), col("span")))).as("st"))
+
+  /** Append `r`: the SQ-reconstructed integer coordinate array of
+    * `vecCol` (encode to 0..SQ_LEVELS then decode, both floor division
+    * on non-negatives — engine-exact).
+    */
+  private def sqRecon(df: DataFrame, statsRow: DataFrame,
+                      vecCol: String): DataFrame =
+    df.crossJoin(broadcast(statsRow))
+      .withColumn("r", expr(
+        s"""transform(sequence(0, size($vecCol) - 1), i ->
+           |  CASE WHEN st[i].span = 0 THEN st[i].minq
+           |  ELSE st[i].minq +
+           |    (((CAST(floor(CAST($vecCol[i] AS DOUBLE) * 1048576.0)
+           |        AS BIGINT) - st[i].minq) * $SQ_LEVELS div st[i].span)
+           |      * st[i].span) div $SQ_LEVELS END)""".stripMargin))
+      .drop("st")
+
+  private def sqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = loadEmb(s, dir)
+    val st = sqStatsRow(emb)
+    val cands = sqRecon(
+      emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cvec")), st, "cvec")
+      .select(col("neighbor_id"), col("r").as("cr"))
+    val qs = sqRecon(
+      emb.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qvec")), st, "qvec")
+      .select(col("query_id"), col("r").as("qr"))
+    val scored = cands.join(broadcast(qs),
+        col("query_id") =!= col("neighbor_id"))
+      // exact: |r| ≤ ~2²¹ ⇒ dot ≤ dim·2⁴² ≪ 2⁵³, cast loses nothing
+      .withColumn("sim", expr("CAST(long_dot(qr, cr) AS DOUBLE)"))
+    topkByQuery(scored)
+  }
+
   /** Codebook: sub-codewords from the first PQ_K vectors, ONE broadcast
     * row of (k, quantized coords) structs sorted by k — cb[k].cq is
     * codeword k, same broadcast-row shape as centroidArray.
@@ -653,6 +721,15 @@ object VectorQueries {
     // the same hash gate as q_ann_recall) ──────────────────────────────
     "q_ann_srp_recall" -> { (s, dir) =>
       recallOf(bruteTopk(s, dir), srpTopk(s, dir))
+    },
+
+    // ── scalar-quantization (int8) top-k (see sqTopk) ───────────────────
+    "q_ann_sq_topk" -> { (s, dir) => sqTopk(s, dir) },
+
+    // ── SQ recall vs brute truth — prices the 4×-compression memory
+    // trade the same way q_ann_recall prices IVF's probe trade ─────────
+    "q_ann_sq_recall" -> { (s, dir) =>
+      recallOf(bruteTopk(s, dir), sqTopk(s, dir))
     },
 
     // ── product-quantization ADC top-k (see pqTopk) ─────────────────────
@@ -1231,6 +1308,34 @@ object VectorQueries {
        |      ORDER BY list_distance(iq.qvec, cent.centroid) ASC, cent.cell ASC) AS prn
        |  FROM iq, cent) WHERE prn <= $N_PROBE)""".stripMargin
 
+  /** SQ CTE chain through `sq(query_id, neighbor_id, rank)` — shared by
+    * q_ann_sq_topk and q_ann_sq_recall; the SQL twin of [[sqTopk]]'s
+    * encode→reconstruct→long_dot pipeline (HUGEINT sum = exact twin of
+    * the bounded-grid long dot).
+    */
+  private def sqCtes: String =
+    s"""qv2 AS (SELECT vec_id, pos - 1 AS d,
+       |    CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       |               unnest(embedding) AS v FROM embeddings)),
+       |sqst AS (SELECT d, min(q) AS minq, max(q) - min(q) AS span
+       |  FROM qv2 GROUP BY 1),
+       |sqr AS (SELECT vec_id, qv2.d,
+       |    CASE WHEN span = 0 THEN minq
+       |      ELSE minq + (((q - minq) * $SQ_LEVELS // span) * span)
+       |        // $SQ_LEVELS END AS r
+       |  FROM qv2 JOIN sqst ON sqst.d = qv2.d),
+       |sqd AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    sum(a.r * b.r) AS adot
+       |  FROM sqr a JOIN sqr b ON a.d = b.d
+       |  WHERE a.vec_id < $N_QUERIES AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |sq AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adot DESC, neighbor_id ASC) AS rank
+       |  FROM sqd) WHERE rank <= $TOP_K)""".stripMargin
+
   /** SRP-LSH CTE chain through `srp(query_id, neighbor_id, rank)` —
     * shared by q_ann_srp_topk and q_ann_srp_recall.
     */
@@ -1330,6 +1435,20 @@ object VectorQueries {
     "q_ann_cosine_topk" ->
       s"""WITH $bruteCtes
          |SELECT query_id, neighbor_id, rank FROM brute""".stripMargin,
+
+    "q_ann_sq_topk" ->
+      s"""WITH $sqCtes
+         |SELECT query_id, neighbor_id, rank FROM sq""".stripMargin,
+
+    "q_ann_sq_recall" ->
+      s"""WITH $bruteCtes,
+         |$sqCtes
+         |SELECT b.query_id,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100 // $TOP_K AS BIGINT) AS recall_pct
+         |FROM brute b LEFT JOIN sq i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id""".stripMargin,
 
     "q_knn_classify" ->
       s"""WITH $bruteCtes,

@@ -49,6 +49,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         L2SquaredDistance(children(0), children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("long_dot"),
+      new ExpressionInfo(classOf[LongDotProduct].getName, "long_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "long_dot(a, b) takes 2 arguments")
+        LongDotProduct(children(0), children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("srp_sig"),
       new ExpressionInfo(classOf[SrpSignature].getName, "srp_sig"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

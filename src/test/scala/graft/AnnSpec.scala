@@ -24,6 +24,17 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(mean >= 80.0, s"mean recall $mean < 80; per-query: ${recalls.toSeq}")
   }
 
+  test("SQ-int8 recall@k: mean ≥ 85 % at sf0.01 (measured 96 %)") {
+    // scalar quantization keeps every dimension (unlike PQ's subspace
+    // codebooks), so on iid embeddings it should sit near brute force;
+    // the pin catches encode/reconstruct arithmetic regressions
+    val r = VectorQueries.queries("q_ann_sq_recall")(spark, sf)
+      .collect().map(_.getAs[Long]("recall_pct"))
+    assert(r.nonEmpty)
+    val mean = r.sum.toDouble / r.length
+    assert(mean >= 85.0, s"mean SQ recall $mean < 85; per-query: ${r.toSeq}")
+  }
+
   test("PQ-ADC recall@k: mean ≥ 35 % at sf0.01 (measured 48 %)") {
     // iid-random embeddings are PQ's worst case (no inter-dim
     // correlation); the pin is a floor against code regressions, not a

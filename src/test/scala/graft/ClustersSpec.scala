@@ -206,4 +206,49 @@ class ClustersSpec extends AnyFunSuite with SparkSpec {
     assert(out.columns.toSeq === Seq("id", "rank_ppm"))
     assert(out.count() === 0)
   }
+
+  private def support(pairs: Seq[(Long, Long)]): Map[(Long, Long), Long] =
+    Clusters.edgeSupport(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+
+  test("edgeSupport: bridged triangles — bridge has support 0") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val got = support(pairs)
+    assert(got((1L, 2L)) === 1L && got((2L, 3L)) === 1L
+      && got((1L, 3L)) === 1L)
+    assert(got((3L, 10L)) === 0L) // the thin bridge
+    assert(got.size === 7)
+  }
+
+  test("edgeSupport: K4 — every edge closes two triangles") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val got = support(k4)
+    assert(got.values.toSet === Set(2L) && got.size === 6)
+  }
+
+  private def core(pairs: Seq[(Long, Long)], k: Int,
+                   rounds: Int = 3): Map[Long, Long] =
+    Clusters.kCore(pairs.toDF("a", "b"), "a", "b", k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: pendant chain peels off, triangle core survives") {
+    // triangle 1-2-3 with a pendant path 3-10-11: 2-core = the triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 10L), (10L, 11L))
+    val got = core(pairs, 2)
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: cascade — peeling one node drops its neighbor next round") {
+    // path 1-2-3-4: round 1 peels 1 and 4, round 2 peels 2 and 3
+    val got = core(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 2)
+    assert(got === Map.empty[Long, Long])
+  }
+
+  test("kCore: k=1 keeps every non-isolated node with its degree") {
+    val got = core(Seq((1L, 2L), (2L, 3L)), 1)
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
 }

@@ -57,6 +57,32 @@ class VectorExprSpec extends AnyFunSuite with SparkSpec {
     assert(out.isNullAt(0) && out.isNullAt(1) && out.isNullAt(2))
   }
 
+  test("long_dot: native == HOF on random long arrays; null semantics") {
+    val rnd = new scala.util.Random(17)
+    val df = Seq.fill(300)((Array.fill(64)(rnd.nextInt(1 << 21).toLong),
+        Array.fill(64)(rnd.nextInt(1 << 21).toLong)))
+      .toDF("a", "b")
+    val mismatches = df.select(
+        VectorFunctions.longDot(col("a"), col("b")).as("n"),
+        VectorFunctions.longDotHof(col("a"), col("b")).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(mismatches === 0)
+    val edge = Seq((Array(2L, 3L), Array(4L, 5L)))
+      .toDF("a", "b")
+      .select(
+        VectorFunctions.longDot(col("a"), col("b")).as("v"),
+        VectorFunctions.longDot(col("a"),
+          lit(Array(1L, 2L, 3L))).as("mismatch"),
+        VectorFunctions.longDot(lit(null).cast("array<bigint>"),
+          col("b")).as("nul"),
+        VectorFunctions.longDot(lit(Array.empty[Long]),
+          lit(Array.empty[Long])).as("empty"))
+      .collect().head
+    assert(edge.getLong(0) === 23L)
+    assert(edge.isNullAt(1) && edge.isNullAt(2))
+    assert(edge.getLong(3) === 0L)
+  }
+
   test("rp_project: srp_sig IS the sign bits of rp_project") {
     // the two expressions share the quantize grid and LCG by
     // construction; this pins that they can never drift apart
