@@ -782,6 +782,26 @@ object EventQueries {
           sum(when(col("m") > 0, 1L).otherwise(0L)).as("n_hit_rows"),
           sum(col("m").cast("long")).as("n_matches"),
           sum(col("chars").cast("long")).as("chars_redacted"))
+    },
+
+    // ── DAU/WAU stickiness ─────────────────────────────────────────────
+    // Distinct daily actives over distinct weekly actives, per day in
+    // basis points — the engagement-density number a product dashboard
+    // leads with (10000 bp = every weekly user shows up daily). Two
+    // distinct-user aggregates (day- and week-keyed — Spark's two-phase
+    // distinct, map-side partial on (key, user)) joined on the tiny
+    // week table; all integer epoch-day/week arithmetic.
+    "q_stickiness" -> { (s, dir) =>
+      val days = loadEvents(s, dir)
+        .select(col("user_id"), expr("ms div 86400000").as("day"))
+        .withColumn("week", expr("day div 7"))
+      val dau = days.groupBy(col("day"), col("week"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = days.groupBy(col("week"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(broadcast(wau), "week")
+        .select(col("day"), col("week"), col("dau"), col("wau"),
+          expr("dau * 10000 div wau").as("stickiness_bp"))
     }
   )
 
@@ -1302,6 +1322,18 @@ object EventQueries {
         |    AS n_hit_rows,
         |  CAST(sum(m) AS BIGINT) AS n_matches,
         |  CAST(sum(chars) AS BIGINT) AS chars_redacted
-        |FROM m GROUP BY 1""".stripMargin
+        |FROM m GROUP BY 1""".stripMargin,
+
+    "q_stickiness" ->
+      """WITH d AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    (epoch_ms(ts) // 86400000) // 7 AS week
+        |  FROM events),
+        |dau AS (SELECT day, week, count(DISTINCT user_id) AS dau
+        |  FROM d GROUP BY 1, 2),
+        |wau AS (SELECT week, count(DISTINCT user_id) AS wau
+        |  FROM d GROUP BY 1)
+        |SELECT day, dau.week, dau, wau,
+        |  CAST(dau * 10000 // wau AS BIGINT) AS stickiness_bp
+        |FROM dau JOIN wau ON dau.week = wau.week""".stripMargin
   )
 }

@@ -1260,6 +1260,78 @@ object TextQueries {
         .withColumn("inflation_bp",
           expr("CASE WHEN kept_tokens = 0 THEN NULL " +
             "ELSE n_tokens * 10000 div kept_tokens END"))
+    },
+
+    // ── character-class profile by language ────────────────────────────
+    // Alpha/digit/whitespace/punct composition per lang slice in ppm —
+    // the one-glance encoding-health readout (a lang slice that is 30 %
+    // digits is tables, not prose; punct spikes are markup leakage).
+    // Four codegen'd regex passes + one |langs|-row aggregate.
+    "q_char_class_profile" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), length(col("text")).cast("long").as("n"),
+          TextFunctions.alphaCount(col("text")).cast("long").as("alpha"),
+          length(regexp_replace(col("text"), "[^0-9]", ""))
+            .cast("long").as("digit"),
+          length(regexp_replace(col("text"), "[^\\s]", ""))
+            .cast("long").as("space"),
+          TextFunctions.punctCount(col("text")).cast("long").as("punct"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_chars"),
+          sum(col("alpha")).as("a"), sum(col("digit")).as("g"),
+          sum(col("space")).as("w"), sum(col("punct")).as("p"))
+        .select(col("lang"), col("n_docs"), col("n_chars"),
+          expr("CASE WHEN n_chars = 0 THEN NULL " +
+            "ELSE a * 1000000 div n_chars END").as("alpha_ppm"),
+          expr("CASE WHEN n_chars = 0 THEN NULL " +
+            "ELSE g * 1000000 div n_chars END").as("digit_ppm"),
+          expr("CASE WHEN n_chars = 0 THEN NULL " +
+            "ELSE w * 1000000 div n_chars END").as("space_ppm"),
+          expr("CASE WHEN n_chars = 0 THEN NULL " +
+            "ELSE p * 1000000 div n_chars END").as("punct_ppm"))
+    },
+
+    // ── degree assortativity of the near-dup graph ─────────────────────
+    // Do high-degree docs pair with other high-degree docs (assortative,
+    // template families meshing together) or with low-degree ones
+    // (disassortative hub-and-spoke — one canonical doc plus scattered
+    // copies)? Reported as q_correlation's engine-exact shape: the sign
+    // and the SQUARED Pearson coefficient in ppm over the symmetrized
+    // (du, dv) edge ends — integer sufficient statistics through
+    // DECIMAL(38,0), no sqrt, no floats. Sums are dup-graph-bounded
+    // (Σd² ≤ |E|·dmax with arboricity-bounded dmax), far inside the
+    // DECIMAL(38) headroom q_correlation proves at 20k rows.
+    "q_assortativity" -> { (s, dir) =>
+      val vp = Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", K, NUM_HASHES, BANDS, THRESH)
+      val sym = vp.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(vp.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val ends = sym
+        .join(deg.select(col("src").as("s1"), col("d").as("du")),
+          col("src") === col("s1"))
+        .join(deg.select(col("src").as("s2"), col("d").as("dv")),
+          col("dst") === col("s2"))
+        .select(col("du"), col("dv"))
+      ends.agg(count(lit(1)).as("cnt"),
+          sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+          sum(expr("du * dv")).as("sxy"),
+          sum(expr("du * du")).as("sxx"),
+          sum(expr("dv * dv")).as("syy"))
+        .selectExpr(("CAST(cnt AS DECIMAL(38,0)) AS cnt" +:
+          Seq("sx", "sy", "sxy", "sxx", "syy")
+            .map(c => s"CAST($c AS DECIMAL(38,0)) AS $c")): _*)
+        .selectExpr("CAST(cnt AS BIGINT) AS n_dir_edges",
+          "CAST(sx AS BIGINT) AS sum_deg",
+          "CAST(sxy AS BIGINT) AS sum_dudv",
+          """CASE WHEN (cnt*sxy - sx*sy) > 0 THEN CAST(1 AS BIGINT)
+            |     WHEN (cnt*sxy - sx*sy) < 0 THEN CAST(-1 AS BIGINT)
+            |     ELSE CAST(0 AS BIGINT) END AS assort_sign""".stripMargin,
+          """CASE WHEN ((cnt*sxx - sx*sx) * (cnt*syy - sy*sy)) = 0
+            |     THEN CAST(NULL AS BIGINT)
+            |     ELSE CAST(((cnt*sxy - sx*sy) * (cnt*sxy - sx*sy)
+            |       * 1000000) div ((cnt*sxx - sx*sx) * (cnt*syy - sy*sy))
+            |       AS BIGINT) END AS assort2_ppm""".stripMargin)
     }
   )
 
@@ -2396,6 +2468,49 @@ object TextQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS cum_vocab
          |FROM g""".stripMargin,
+
+    "q_char_class_profile" ->
+      """WITH m AS (SELECT lang, length(text) AS n,
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS a,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS g,
+        |    length(regexp_replace(text, '[^\s]', '', 'g')) AS w,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS p
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_chars,
+        |  CASE WHEN sum(n) = 0 THEN NULL
+        |    ELSE CAST(sum(a) * 1000000 // sum(n) AS BIGINT) END AS alpha_ppm,
+        |  CASE WHEN sum(n) = 0 THEN NULL
+        |    ELSE CAST(sum(g) * 1000000 // sum(n) AS BIGINT) END AS digit_ppm,
+        |  CASE WHEN sum(n) = 0 THEN NULL
+        |    ELSE CAST(sum(w) * 1000000 // sum(n) AS BIGINT) END AS space_ppm,
+        |  CASE WHEN sum(n) = 0 THEN NULL
+        |    ELSE CAST(sum(p) * 1000000 // sum(n) AS BIGINT) END AS punct_ppm
+        |FROM m GROUP BY lang""".stripMargin,
+
+    "q_assortativity" ->
+      s"""WITH $lshVerifiedCtes,
+         |se AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |       UNION ALL SELECT doc_b, doc_a FROM vp),
+         |dg AS (SELECT src, count(*) AS d FROM se GROUP BY 1),
+         |ends AS (SELECT da.d AS du, db.d AS dv
+         |  FROM se JOIN dg da ON se.src = da.src
+         |  JOIN dg db ON se.dst = db.src),
+         |s AS (SELECT count(*) AS cnt,
+         |    sum(du) AS sx, sum(dv) AS sy, sum(du * dv) AS sxy,
+         |    sum(du * du) AS sxx, sum(dv * dv) AS syy
+         |  FROM ends)
+         |SELECT CAST(cnt AS BIGINT) AS n_dir_edges,
+         |  CAST(sx AS BIGINT) AS sum_deg,
+         |  CAST(sxy AS BIGINT) AS sum_dudv,
+         |  CAST(CASE WHEN (cnt*sxy - sx*sy) > 0 THEN 1
+         |       WHEN (cnt*sxy - sx*sy) < 0 THEN -1
+         |       ELSE 0 END AS BIGINT) AS assort_sign,
+         |  CASE WHEN ((cnt*sxx - sx*sx) * (cnt*syy - sy*sy)) = 0
+         |       THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST(((cnt*sxy - sx*sy) * (cnt*sxy - sx*sy)
+         |         * 1000000) // ((cnt*sxx - sx*sx) * (cnt*syy - sy*sy))
+         |         AS BIGINT) END AS assort2_ppm
+         |FROM s""".stripMargin,
 
     "q_dedup_inflation" ->
       s"""WITH RECURSIVE $ccCtes,

@@ -735,8 +735,21 @@ object VectorQueries {
     // ── product-quantization ADC top-k (see pqTopk) ─────────────────────
     "q_ann_pq_topk" -> { (s, dir) => pqTopk(s, dir) },
 
+    // ── PQ recall vs brute truth — completes the oracle-gated recall
+    // matrix (IVF, SRP, SQ, PQ, IVF-PQ each priced the same way); the
+    // AnnSpec floor pins regression, this row pins the exact number ──
+    "q_ann_pq_recall" -> { (s, dir) =>
+      recallOf(bruteTopk(s, dir), pqTopk(s, dir))
+    },
+
     // ── IVF-PQ: cells × codes, the FAISS-style composition ──────────────
     "q_ann_ivfpq_topk" -> { (s, dir) => ivfPqTopk(s, dir) },
+
+    // ── IVF-PQ recall — the compounded (probe × code) loss, read
+    // against q_ann_recall (probe-only) and q_ann_pq_recall (code-only)
+    "q_ann_ivfpq_recall" -> { (s, dir) =>
+      recallOf(bruteTopk(s, dir), ivfPqTopk(s, dir))
+    },
 
     // ── PQ-ADC over a KMeans-fitted codebook (see pqKmeansTopk) ─────────
     "q_ann_pq_kmeans" -> { (s, dir) => pqKmeansTopk(s, dir) },
@@ -1594,6 +1607,50 @@ object VectorQueries {
          |  FROM ad)
          |SELECT query_id, neighbor_id, rank FROM r
          |WHERE rank <= $TOP_K""".stripMargin,
+
+    "q_ann_pq_recall" ->
+      s"""WITH $bruteCtes,
+         |$pqCtes,
+         |ad AS (SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    sum(qd.dist) AS adist
+         |  FROM codes c JOIN pd qd ON qd.m = c.m AND qd.k = c.k
+         |  WHERE qd.vec_id < $N_QUERIES AND qd.vec_id <> c.vec_id
+         |  GROUP BY 1, 2),
+         |pqk AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist ASC, neighbor_id ASC) AS rank
+         |  FROM ad) WHERE rank <= $TOP_K)
+         |SELECT b.query_id,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100 // $TOP_K AS BIGINT) AS recall_pct
+         |FROM brute b LEFT JOIN pqk i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id""".stripMargin,
+
+    "q_ann_ivfpq_recall" ->
+      s"""WITH $bruteCtes,
+         |$pqCtes,
+         |$ivfAssignCtes,
+         |ad AS (SELECT p.query_id, a.neighbor_id, sum(qd.dist) AS adist
+         |  FROM probes p
+         |  JOIN assigned a ON p.cell = a.cell
+         |    AND p.query_id <> a.neighbor_id
+         |  JOIN codes c ON c.vec_id = a.neighbor_id
+         |  JOIN pd qd ON qd.vec_id = p.query_id
+         |    AND qd.m = c.m AND qd.k = c.k
+         |  GROUP BY 1, 2),
+         |ipqk AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist ASC, neighbor_id ASC) AS rank
+         |  FROM ad) WHERE rank <= $TOP_K)
+         |SELECT b.query_id,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100 // $TOP_K AS BIGINT) AS recall_pct
+         |FROM brute b LEFT JOIN ipqk i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id""".stripMargin,
 
     // IVF-PQ: the IVF assignment/probe CTEs select WHICH rows are
     // scored; the PQ codes CTEs say HOW — adist sums the QUERY's pd

@@ -90,6 +90,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"non-equi join in the triangle plan:\n$plan")
   }
 
+  test("q_edge_support: equi-joins only, no cartesian wedge") {
+    val plan = planOf(
+      graft.operators.TextQueries.queries("q_edge_support")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the edge-support plan:\n$plan")
+  }
+
+  test("q_ann_sq_topk: broadcast stats + query panel, bounded_topk " +
+    "partials, no SMJ") {
+    val plan = planOf(
+      VectorQueries.queries("q_ann_sq_topk")(spark, sf))
+    assert(plan.contains("partial_bounded_topk"),
+      s"no map-side k-cap in the SQ scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"corpus-shuffling join in the SQ plan:\n$plan")
+  }
+
   test("q_top_eigvec: no corpus-keyed shuffle join — iterate rides " +
     "broadcast") {
     val plan = planOf(
