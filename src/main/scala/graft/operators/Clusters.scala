@@ -514,4 +514,77 @@ object Clusters {
     }
     alive.select(col("id"), col("d").as("core_degree"))
   }
+
+  /** Distance-2 link prediction over an undirected pair list — the
+    * "which near-dup edge did the banding MISS" screen: for every
+    * non-adjacent pair (u, v) sharing at least one neighbor, the three
+    * classic neighborhood scores in one pass:
+    *
+    *  - `cn`           common-neighbor count,
+    *  - `ra_ppm`       resource-allocation index Σ_w 10⁶ div deg(w)
+    *                   (Adamic–Adar's 1/log replaced by the integral
+    *                   1/deg — same ordering intuition, engine-exact),
+    *  - `jaccard_bp`   neighborhood Jaccard cn·10⁴ div (du+dv−cn).
+    *
+    * A high-scoring non-edge between two verified clusters is either a
+    * banding miss (tighten bands / raise numHashes) or a genuine
+    * borderline pair for the human queue — either way the list is the
+    * audit a dedup owner reads next to q_lsh_recall's aggregate number.
+    *
+    * 100 TB posture: wedges are generated per CENTER, so volume is
+    * Σ deg(w)² — the same hub hazard as any wedge join. Centers with
+    * degree > `wedgeCap` are EXCLUDED from wedge generation (not from
+    * the degree table): a collapsed-band hub connected to everything
+    * predicts nothing (its neighbors share it trivially) and would
+    * alone dominate the join; the cap bounds per-center work at
+    * wedgeCap² while `cn`/`jaccard_bp` remain exact over the capped
+    * center set. The oracle applies the identical cap, so both engines
+    * compute the same statistic BY DEFINITION (the cap is part of the
+    * operator's contract, like maxDf in the inverted-index family).
+    * Graph tables are multiply referenced → parquet round-trip, the
+    * shared bounded-lineage contract.
+    *
+    * @return (u, v, cn, ra_ppm, jaccard_bp) for non-adjacent u < v
+    *         with ≥ 1 sub-cap common neighbor.
+    */
+  def linkPrediction(pairs: DataFrame, src: String, dst: String,
+                     wedgeCap: Int = 64,
+                     scratchDir: Option[String] = None): DataFrame = {
+    require(wedgeCap >= 1)
+    val spark = pairs.sparkSession
+    val scratch = new Path(scratchDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_lp_").toString))
+    def roundTrip(df: DataFrame, name: String): DataFrame = {
+      val dir = new Path(scratch, name)
+      df.write.mode("overwrite").parquet(dir.toString)
+      spark.read.parquet(dir.toString)
+    }
+    val canon = roundTrip(
+      pairs.select(least(col(src), col(dst)).cast("long").as("u"),
+          greatest(col(src), col(dst)).cast("long").as("v"))
+        .filter(col("u") =!= col("v")).distinct(),
+      "canon")
+    val sym = roundTrip(
+      canon.select(col("u").as("c"), col("v").as("n"))
+        .union(canon.select(col("v").as("c"), col("u").as("n"))),
+      "sym")
+    val deg = roundTrip(
+      sym.groupBy(col("c")).agg(count(lit(1)).as("d")), "deg")
+    // wedge sides: edges whose CENTER is sub-cap, carrying the center's
+    // degree for the RA contribution
+    val cse = sym.join(deg.filter(col("d") <= wedgeCap), "c")
+    val scores = cse.select(col("c"), col("n").as("u"), col("d"))
+      .join(cse.select(col("c"), col("n").as("v")), "c")
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div d")).as("ra_ppm"))
+    scores
+      .join(canon, Seq("u", "v"), "left_anti") // non-adjacent only
+      .join(deg.select(col("c").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("c").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"), col("cn"),
+        col("ra_ppm").cast("long").as("ra_ppm"),
+        expr("cn * 10000 div (du + dv - cn)").as("jaccard_bp"))
+  }
 }

@@ -802,8 +802,52 @@ object EventQueries {
       dau.join(broadcast(wau), "week")
         .select(col("day"), col("week"), col("dau"), col("wau"),
           expr("dau * 10000 div wau").as("stickiness_bp"))
-    }
+    },
+
+    // ── per-user inter-arrival burstiness (CV² of gaps, ppm) ───────────
+    // The bot/automation screen q_arrival_histogram (per-TYPE traffic
+    // shape) can't see: a Poisson-ish human has gap CV² ≈ 10⁶ ppm, a
+    // cron-driven client sits near 0 (metronome regularity), and a
+    // scraper burst pushes it far above 10⁶. Per user with ≥ 2 gaps:
+    // gap count, integer mean gap (seconds), and the squared
+    // coefficient of variation (n·Σg² − (Σg)²)·10⁶ div (Σg)² — the
+    // biased-variance/mean² identity, so one pass of plain sums
+    // suffices and both engines compute it bit-identically. Moments go
+    // through DECIMAL(38,0)/HUGEINT (q_correlation's headroom pattern:
+    // month-scale gaps in seconds square to ~10¹³, and n·Σg²·10⁶
+    // leaves int64 long before sf1). The lag window is USER-keyed —
+    // the sessionization shuffle shape, no low-cardinality funnel.
+    "q_burstiness" -> { (s, dir) => burstiness(loadEvents(s, dir)) }
   )
+
+  /** The q_burstiness body over any (user_id, ms, event_id) event
+    * table: per-user gap count, integer mean gap in seconds, and CV²
+    * of the inter-arrival gaps in ppm (biased variance over squared
+    * mean — one pass of plain sums). Users with fewer than two gaps
+    * are dropped; an all-zero gap sum yields NULL (CV undefined).
+    */
+  private[graft] def burstiness(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("ms"), col("event_id"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("gap_s", expr("(ms - prev_ms) div 1000"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sg"),
+        sum(expr("gap_s * gap_s")).as("sgg"))
+      .filter(col("n_gaps") >= 2)
+      .selectExpr("user_id", "CAST(n_gaps AS DECIMAL(38,0)) AS n",
+        "CAST(sg AS DECIMAL(38,0)) AS sg",
+        "CAST(sgg AS DECIMAL(38,0)) AS sgg")
+      .selectExpr("user_id", "CAST(n AS BIGINT) AS n_gaps",
+        "CAST(sg div n AS BIGINT) AS mean_gap_s",
+        """CASE WHEN sg = 0 THEN CAST(NULL AS BIGINT)
+          |  ELSE CAST(((n * sgg - sg * sg) * 1000000) div (sg * sg)
+          |    AS BIGINT) END AS cv2_ppm""".stripMargin)
+  }
 
   /** Ordered-funnel user counts over (user_id, event_type, ms): one row
     * per step with the number of users whose FIRST qualifying time for
@@ -1334,6 +1378,23 @@ object EventQueries {
         |  FROM d GROUP BY 1)
         |SELECT day, dau.week, dau, wau,
         |  CAST(dau * 10000 // wau AS BIGINT) AS stickiness_bp
-        |FROM dau JOIN wau ON dau.week = wau.week""".stripMargin
+        |FROM dau JOIN wau ON dau.week = wau.week""".stripMargin,
+
+    "q_burstiness" ->
+      """WITH g AS (SELECT user_id,
+        |    (epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts) ASC, event_id ASC)) // 1000 AS gap_s
+        |  FROM events),
+        |s AS (SELECT user_id, count(*) AS n,
+        |    sum(gap_s) AS sg, sum(gap_s * gap_s) AS sgg
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+        |  HAVING count(*) >= 2)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+        |  CAST(sg // n AS BIGINT) AS mean_gap_s,
+        |  CASE WHEN sg = 0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(((n * sgg - sg * sg) * 1000000) // (sg * sg)
+        |      AS BIGINT) END AS cv2_ppm
+        |FROM s""".stripMargin
   )
 }

@@ -40,6 +40,8 @@ object TextQueries {
   private val KCORE_K = 2      // q_kcore minimum corroborating degree
   private val KCORE_ROUNDS = 3 // q_kcore fixed peel rounds (oracle-unrolled)
   private val GROWTH_BUCKETS = 10 // q_vocab_growth arrival-order deciles
+  private val ZIPF_TOP = 64    // q_zipf_slope head width (fit window)
+  private val WEDGE_CAP = 16   // q_link_prediction center-degree cap
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1332,6 +1334,64 @@ object TextQueries {
             |     ELSE CAST(((cnt*sxy - sx*sy) * (cnt*sxy - sx*sy)
             |       * 1000000) div ((cnt*sxx - sx*sx) * (cnt*syy - sy*sy))
             |       AS BIGINT) END AS assort2_ppm""".stripMargin)
+    },
+
+    // ── Zipf slope of the term-frequency head (log₂-log₂ fit, ppm) ─────
+    // Does the corpus obey Zipf's law? Least-squares slope of
+    // (⌊log₂ rank⌋, ⌊log₂ freq⌋) over the top-ZIPF_TOP terms — a
+    // natural corpus sits near −10⁶ ppm (slope −1); a template-stamped
+    // or boilerplate-heavy crawl flattens the head (slope → 0), and a
+    // spam corpus with one runaway token steepens it. Integer-exact
+    // cross-engine: the log₂ floor is binary-string length − 1 (the
+    // q_shingle_df_histogram idiom — no float log), the moments are
+    // tiny (n ≤ 64, x ≤ 6), and the ONE negative division is
+    // sign-split in the oracle so DuckDB's floor `//` matches Spark's
+    // truncating `div` (the q_top_eigvec convention). Head selection
+    // is orderBy+limit (TakeOrdered — no global window); the only
+    // window ranks ≤ ZIPF_TOP rows.
+    "q_zipf_slope" -> { (s, dir) =>
+      val tf = Tables.load(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(TextFunctions.tokens(lower(col("text"))))
+          .as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val head = tf.orderBy(col("c").desc, col("term").asc)
+        .limit(ZIPF_TOP)
+      val w = Window.orderBy(col("c").desc, col("term").asc)
+      head.withColumn("r", row_number().over(w))
+        .select((length(bin(col("r"))) - 1).cast("long").as("x"),
+          (length(bin(col("c"))) - 1).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"),
+          sum(expr("x * x")).as("sxx"))
+        .selectExpr("CAST(n AS BIGINT) AS n_terms",
+          """CASE WHEN (n*sxx - sx*sx) = 0 THEN CAST(NULL AS BIGINT)
+            |  ELSE CAST((n*sxy - sx*sy) * 1000000
+            |    div (n*sxx - sx*sx) AS BIGINT)
+            |END AS slope_ppm""".stripMargin)
+    },
+
+    // ── distance-2 link prediction on the SimHash near-dup graph ───────
+    // The "which pair sits one notch outside the radius" audit: every
+    // NON-adjacent doc pair sharing ≥ 1 SimHash near-dup neighbor,
+    // scored by common neighbors, resource-allocation Σ 10⁶ div deg(w)
+    // (the integral Adamic–Adar), and neighborhood Jaccard. The
+    // SimHash graph is the right input because Hamming balls are NOT
+    // transitive — A~B and B~C puts A,C within 2·radius but often
+    // outside the pair cut, exactly the near-miss a re-verify queue
+    // wants ranked (the Jaccard-verified graph is transitively closed
+    // on this corpus: its wedge set is empty by construction). Wedge
+    // volume is capped at the center (deg ≤ WEDGE_CAP — a collapsed
+    // hub predicts nothing and would dominate the join); the cap is
+    // part of the operator contract and the oracle applies it
+    // identically. See Clusters.linkPrediction.
+    "q_link_prediction" -> { (s, dir) =>
+      Clusters.linkPrediction(
+          Dedup.simhashNearDupPairs(Tables.load(s, dir, "documents"),
+            "doc_id", "text", MAX_HAMMING),
+          "doc_a", "doc_b", WEDGE_CAP)
+        .select(col("u").as("doc_a"), col("v").as("doc_b"),
+          col("cn"), col("ra_ppm"), col("jaccard_bp"))
     }
   )
 
@@ -1544,6 +1604,23 @@ object TextQueries {
        |votes AS (SELECT doc_id, $votes FROM hashed GROUP BY doc_id),
        |fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)""".stripMargin
   }
+
+  /** [[simhashCte]] extended through `snd(doc_a, doc_b, hamming)` — the
+    * banded-candidate + exact-Hamming-verify pair table (twin of
+    * [[Dedup.simhashNearDupPairs]]); shared by q_simhash_neardup and
+    * q_link_prediction.
+    */
+  private val simhashNearDupCtes: String =
+    s"""$simhashCte,
+       |banded AS (SELECT doc_id, simhash, bands.band,
+       |    (simhash >> (bands.band * ${Dedup.SIMHASH_BITS / (MAX_HAMMING + 1)})) & ${(1L << (Dedup.SIMHASH_BITS / (MAX_HAMMING + 1))) - 1} AS bkey
+       |  FROM fp, (SELECT unnest(range(${MAX_HAMMING + 1})) AS band) bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |snd AS (SELECT doc_a, doc_b, hamming FROM cand
+       |  WHERE hamming <= $MAX_HAMMING)""".stripMargin
 
   private val stopwordsSql =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
@@ -1908,16 +1985,8 @@ object TextQueries {
          |SELECT doc_id, simhash FROM fp""".stripMargin,
 
     "q_simhash_neardup" ->
-      s"""WITH $simhashCte,
-         |banded AS (SELECT doc_id, simhash, bands.band,
-         |    (simhash >> (bands.band * ${Dedup.SIMHASH_BITS / (MAX_HAMMING + 1)})) & ${(1L << (Dedup.SIMHASH_BITS / (MAX_HAMMING + 1))) - 1} AS bkey
-         |  FROM fp, (SELECT unnest(range(${MAX_HAMMING + 1})) AS band) bands),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, hamming FROM cand
-         |WHERE hamming <= $MAX_HAMMING""".stripMargin,
+      s"""WITH $simhashNearDupCtes
+         |SELECT doc_a, doc_b, hamming FROM snd""".stripMargin,
 
     "q_repetition" ->
       s"""WITH $toksCte,
@@ -2511,6 +2580,51 @@ object TextQueries {
          |         * 1000000) // ((cnt*sxx - sx*sx) * (cnt*syy - sy*sy))
          |         AS BIGINT) END AS assort2_ppm
          |FROM s""".stripMargin,
+
+    "q_zipf_slope" ->
+      s"""WITH $toksCte,
+         |tc AS (SELECT tok AS term, count(*) AS c
+         |  FROM toks, unnest(t) AS u(tok) GROUP BY 1),
+         |hd AS (SELECT term, c,
+         |    row_number() OVER (ORDER BY c DESC, term ASC) AS r
+         |  FROM tc ORDER BY c DESC, term ASC LIMIT $ZIPF_TOP),
+         |xy AS (SELECT CAST(length(format('{:b}', r)) - 1 AS BIGINT) AS x,
+         |    CAST(length(format('{:b}', c)) - 1 AS BIGINT) AS y
+         |  FROM hd),
+         |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+         |SELECT CAST(n AS BIGINT) AS n_terms,
+         |  CASE WHEN (n*sxx - sx*sx) = 0 THEN CAST(NULL AS BIGINT)
+         |    WHEN (n*sxy - sx*sy) < 0 THEN
+         |      CAST(-((-(n*sxy - sx*sy) * 1000000)
+         |        // (n*sxx - sx*sx)) AS BIGINT)
+         |    ELSE CAST(((n*sxy - sx*sy) * 1000000)
+         |      // (n*sxx - sx*sx) AS BIGINT)
+         |  END AS slope_ppm
+         |FROM s""".stripMargin,
+
+    "q_link_prediction" ->
+      s"""WITH $simhashNearDupCtes,
+         |lce AS (SELECT least(doc_a, doc_b) AS u,
+         |    greatest(doc_a, doc_b) AS v
+         |  FROM snd WHERE doc_a <> doc_b GROUP BY 1, 2),
+         |lse AS (SELECT u AS c, v AS n FROM lce
+         |        UNION ALL SELECT v, u FROM lce),
+         |ldg AS (SELECT c, count(*) AS d FROM lse GROUP BY 1),
+         |lcse AS (SELECT lse.c, lse.n, ldg.d FROM lse
+         |  JOIN ldg ON lse.c = ldg.c WHERE ldg.d <= $WEDGE_CAP),
+         |lsc AS (SELECT a.n AS u, b.n AS v, count(*) AS cn,
+         |    sum(1000000 // a.d) AS ra
+         |  FROM lcse a JOIN lcse b ON a.c = b.c AND a.n < b.n
+         |  GROUP BY 1, 2),
+         |lna AS (SELECT * FROM lsc WHERE NOT EXISTS (
+         |  SELECT 1 FROM lce WHERE lce.u = lsc.u AND lce.v = lsc.v))
+         |SELECT lna.u AS doc_a, lna.v AS doc_b,
+         |  CAST(cn AS BIGINT) AS cn, CAST(ra AS BIGINT) AS ra_ppm,
+         |  CAST(cn * 10000 // (da.d + db.d - cn) AS BIGINT)
+         |    AS jaccard_bp
+         |FROM lna JOIN ldg da ON da.c = lna.u
+         |JOIN ldg db ON db.c = lna.v""".stripMargin,
 
     "q_dedup_inflation" ->
       s"""WITH RECURSIVE $ccCtes,

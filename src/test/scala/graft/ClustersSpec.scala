@@ -251,4 +251,30 @@ class ClustersSpec extends AnyFunSuite with SparkSpec {
     val got = core(Seq((1L, 2L), (2L, 3L)), 1)
     assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
+
+  private def predict(pairs: Seq[(Long, Long)], cap: Int = 64) =
+    Clusters.linkPrediction(pairs.toDF("a", "b"), "a", "b", cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+  test("linkPrediction: path endpoints share the center; square diagonals score double") {
+    // path 1-2-3: (1,3) via center 2 → cn=1, ra=10⁶/2, jacc=1/(1+1-1)
+    assert(predict(Seq((1L, 2L), (2L, 3L))) ===
+      Map((1L, 3L) -> ((1L, 500000L, 10000L))))
+    // square 1-2-3-4-1: both diagonals get cn=2, ra=2·(10⁶/2),
+    // jaccard = 2/(2+2-2) = full — and no adjacent pair appears
+    val sq = predict(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(sq === Map((1L, 3L) -> ((2L, 1000000L, 10000L)),
+      (2L, 4L) -> ((2L, 1000000L, 10000L))))
+  }
+
+  test("linkPrediction: an over-cap hub center predicts nothing") {
+    // star center 10 with 3 leaves; cap 2 < deg(10)=3 → no wedges
+    val star = Seq((10L, 20L), (10L, 30L), (10L, 40L))
+    assert(predict(star, cap = 2) === Map.empty)
+    // cap 3 admits the center: the 3 leaf pairs appear
+    assert(predict(star, cap = 3).keySet ===
+      Set((20L, 30L), (20L, 40L), (30L, 40L)))
+  }
 }

@@ -61,4 +61,22 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSpec {
       (0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L), // user 1's cohort-0 row per week
       (1L, 0L, 1L), (1L, 2L, 1L)))              // user 2's cohort-1 rows
   }
+
+  test("burstiness: metronome gaps → CV² 0; a 1s/99s burst pair → 960400 ppm") {
+    val events = Seq(
+      // user 1: events every 10 s — three equal gaps, CV² = 0
+      (1L, 0L, 1L), (1L, 10000L, 2L), (1L, 20000L, 3L),
+      (1L, 30000L, 4L),
+      // user 2: gaps 1 s and 99 s — n=2, sg=100, sgg=9802:
+      // cv2 = (2*9802 - 10000)*1e6 // 10000 = 960400
+      (2L, 0L, 5L), (2L, 1000L, 6L), (2L, 100000L, 7L),
+      // user 3: a single gap — dropped by the >= 2 gate
+      (3L, 0L, 8L), (3L, 5000L, 9L))
+      .toDF("user_id", "ms", "event_id")
+    val got = EventQueries.burstiness(events)
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(got === Set(
+      (1L, 3L, 10L, Some(0L)),
+      (2L, 2L, 50L, Some(960400L))))
+  }
 }
