@@ -1029,6 +1029,63 @@ object VectorQueries {
         .toDF("vec_id", "cluster_id", "cluster_sz")
     },
 
+    // ── SemDeDup survivor selection (centroid-sim argmin per cluster) ──
+    // Semantic dedup's keep rule (Abbas et al. 2023): within each
+    // embedding near-dup cluster keep the member with the LOWEST
+    // cosine similarity to the cluster centroid — the boundary point
+    // preserves the most diversity when the rest of the cluster is
+    // dropped (min-id keeps an arbitrary member; q_cluster_survivors'
+    // quality rule needs a quality signal embeddings don't carry).
+    // Engine-exact ranking without sqrt or float: members are ranked
+    // by sign(dot)·(dot²·10⁶ div (‖a‖²·‖c‖²)) against the cluster's
+    // quantized SUM vector (cosine is scale-invariant, so the sum
+    // stands in for the mean — q_centroid_similarity's contract), a
+    // monotone image of cosine; ties break on vec_id. 2⁻¹⁰ grid keeps
+    // dot²·10⁶ inside DECIMAL(38,0)/HUGEINT at sf1+ (unit-norm
+    // embeddings: per-dim |qv| ≤ 512, cluster sums ≤ 512·sz).
+    //
+    // 100 TB posture: clusters come from the cell-blocked pair table
+    // (never all-pairs); the scoring pass is two cluster-keyed
+    // aggregates over members×dims rows — dup-bounded, not
+    // corpus-bounded — and every join is an equi-join on cluster/pos.
+    "q_semdedup" -> { (s, dir) =>
+      val members = Clusters.memberTable(
+          embeddingNearDupPairs(s, dir).toDF("doc_a", "doc_b"))
+        .toDF("vec_id", "cluster_id", "cluster_sz")
+      val qcoords = augmentedEmb(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "pos", "x")
+        .select(col("vec_id"), col("pos"), expr(
+          "CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)")
+          .as("qv"))
+      val mq = members.join(qcoords, "vec_id")
+      val sums = mq.groupBy(col("cluster_id"), col("pos"))
+        .agg(sum(col("qv")).as("sq"))
+      val keyed = mq.join(sums, Seq("cluster_id", "pos"))
+        .groupBy(col("cluster_id"), col("cluster_sz"), col("vec_id"))
+        .agg(sum(expr("qv * sq")).as("dot0"),
+          sum(expr("qv * qv")).as("na2"),
+          sum(expr("sq * sq")).as("nc2"))
+        .selectExpr("cluster_id", "cluster_sz", "vec_id",
+          "CAST(dot0 AS DECIMAL(38,0)) AS dot0",
+          "CAST(na2 AS DECIMAL(38,0)) AS na2",
+          "CAST(nc2 AS DECIMAL(38,0)) AS nc2")
+        .selectExpr("cluster_id", "cluster_sz", "vec_id",
+          """CASE WHEN na2 = 0 OR nc2 = 0 THEN CAST(0 AS BIGINT)
+            |  WHEN dot0 < 0 THEN
+            |    CAST(-((dot0 * dot0 * 1000000) div (na2 * nc2))
+            |      AS BIGINT)
+            |  ELSE CAST((dot0 * dot0 * 1000000) div (na2 * nc2)
+            |    AS BIGINT)
+            |END AS key_ppm""".stripMargin)
+      keyed.groupBy(col("cluster_id"), col("cluster_sz"))
+        .agg(min(struct(col("key_ppm"), col("vec_id"))).as("m"))
+        .select(col("cluster_id"), col("cluster_sz"),
+          col("m.vec_id").as("keep_vec_id"),
+          col("m.key_ppm").as("keep_cos2_ppm"),
+          (col("cluster_sz") - 1).as("n_dropped"))
+    },
+
     // ── two-level IVF assignment behind the hash gate ───────────────────
     // The coarse-then-fine descent [[assignCells]] switches to above
     // TWO_LEVEL_MIN_CELLS, replayed at testdata scale (fanout 4 over
@@ -1253,13 +1310,23 @@ object VectorQueries {
     * comment above for the scale contract). Shared with
     * q_embedding_clusters, which closes these pairs into components.
     */
-  private def embeddingNearDupPairs(s: SparkSession,
-                                    dir: String): DataFrame = {
+  /** The duplicate-augmented corpus (originals plus DUP_COPIES planted
+    * copies at id + DUP_OFFSET) — shared by the near-dup pair/cluster
+    * family and q_semdedup, which must score the SAME node set the
+    * clusters were built over.
+    */
+  private def augmentedEmb(s: SparkSession, dir: String): DataFrame = {
     val emb = loadEmb(s, dir).select(col("vec_id"), col("embedding"))
-    val aug = emb.unionByName(
+    emb.unionByName(
       emb.filter(col("vec_id") < DUP_COPIES)
         .select((col("vec_id") + DUP_OFFSET).as("vec_id"),
           col("embedding")))
+  }
+
+  private def embeddingNearDupPairs(s: SparkSession,
+                                    dir: String): DataFrame = {
+    val emb = loadEmb(s, dir).select(col("vec_id"), col("embedding"))
+    val aug = augmentedEmb(s, dir)
     // exact augmented size for ANY corpus (no dense-id assumption —
     // `emb.count + DUP_COPIES` would diverge from the oracle when
     // fewer than DUP_COPIES ids exist below the cutoff): one cheap
@@ -1816,6 +1883,49 @@ object VectorQueries {
          |  FROM cc GROUP BY cluster_id)
          |SELECT cc.id AS vec_id, cc.cluster_id, csz.cluster_sz
          |FROM cc JOIN csz USING (cluster_id)""".stripMargin,
+
+    "q_semdedup" ->
+      s"""WITH RECURSIVE $embNearDupCtes,
+         |ee AS (SELECT vec_a AS src, vec_b AS dst FROM evp
+         |       UNION SELECT vec_b, vec_a FROM evp),
+         |reach AS (SELECT src AS id, src AS r FROM ee
+         |          UNION
+         |          SELECT reach.id, ee.dst FROM reach
+         |            JOIN ee ON ee.src = reach.r),
+         |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |csz AS (SELECT cluster_id, count(*) AS cluster_sz
+         |  FROM cc GROUP BY cluster_id),
+         |mem AS (SELECT cc.id AS vec_id, cc.cluster_id, csz.cluster_sz
+         |  FROM cc JOIN csz USING (cluster_id)),
+         |qvs AS (SELECT e.vec_id, CAST(i AS INT) AS pos,
+         |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+         |      * 1024.0 + 0.5) AS BIGINT) AS qv
+         |  FROM e, unnest(range(0, len(embedding))) AS u(i)),
+         |mq AS (SELECT mem.vec_id, mem.cluster_id, mem.cluster_sz,
+         |    qvs.pos, qvs.qv
+         |  FROM mem JOIN qvs ON qvs.vec_id = mem.vec_id),
+         |sm AS (SELECT cluster_id, pos, CAST(sum(qv) AS BIGINT) AS sq
+         |  FROM mq GROUP BY 1, 2),
+         |ky AS (SELECT mq.cluster_id, mq.cluster_sz, mq.vec_id,
+         |    CAST(sum(mq.qv * sm.sq) AS HUGEINT) AS dot0,
+         |    CAST(sum(mq.qv * mq.qv) AS HUGEINT) AS na2,
+         |    CAST(sum(sm.sq * sm.sq) AS HUGEINT) AS nc2
+         |  FROM mq JOIN sm ON sm.cluster_id = mq.cluster_id
+         |    AND sm.pos = mq.pos
+         |  GROUP BY 1, 2, 3),
+         |kk AS (SELECT cluster_id, cluster_sz, vec_id,
+         |    CASE WHEN na2 = 0 OR nc2 = 0 THEN CAST(0 AS BIGINT)
+         |      WHEN dot0 < 0 THEN
+         |        CAST(-((dot0 * dot0 * 1000000) // (na2 * nc2))
+         |          AS BIGINT)
+         |      ELSE CAST((dot0 * dot0 * 1000000) // (na2 * nc2)
+         |        AS BIGINT)
+         |    END AS key_ppm FROM ky),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY key_ppm ASC, vec_id ASC) AS rn FROM kk)
+         |SELECT cluster_id, cluster_sz, vec_id AS keep_vec_id,
+         |  key_ppm AS keep_cos2_ppm, cluster_sz - 1 AS n_dropped
+         |FROM rk WHERE rn = 1""".stripMargin,
 
     "q_ann_twolevel_cells" ->
       s"""WITH cent AS (SELECT vec_id AS cell, embedding AS centroid

@@ -254,4 +254,20 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(hashExchanges == 1,
       s"$hashExchanges hash exchanges — assignment shuffling? plan:\n$plan")
   }
+
+  test("q_semdedup: every cluster keeps exactly one member, the original on ties") {
+    // planted copies have embeddings IDENTICAL to their originals, so
+    // within a pure (original, copies) cluster every member has the
+    // same centroid cosine — the vec_id tie-break must keep the
+    // ORIGINAL (id < DUP_OFFSET), pinning deterministic survivor
+    // selection where the centroid rule alone cannot decide
+    val rows = VectorQueries.queries("q_semdedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("keep_vec_id") < 1000000L,
+        s"augmented copy survived over its original: $r")
+      assert(r.getAs[Long]("n_dropped") ===
+        r.getAs[Long]("cluster_sz") - 1)
+    }
+  }
 }
