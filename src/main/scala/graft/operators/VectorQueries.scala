@@ -48,6 +48,8 @@ object VectorQueries {
   private val NPROBE_LADDER = Seq(1, 2, 4) // q_ann_nprobe_sweep rungs (≤ N_PROBE)
   private val DIM_LADDER = Seq(8, 16, 32)  // q_ann_dim_ladder prefix widths
   private val RP_DIMS = 16   // random-projection sketch width
+  private val MMR_C = 10     // q_mmr_diversify candidate pool per query
+  private val MMR_K = 5      // q_mmr_diversify selected slots (λ = 0.7)
   private val MIN_CELLS = 16         // near-dup blocking: floor
   private val DUP_COPIES = 50        // planted duplicates for near-dup
   private val DUP_OFFSET = 1000000L  // planted-copy id offset
@@ -1086,6 +1088,118 @@ object VectorQueries {
           (col("cluster_sz") - 1).as("n_dropped"))
     },
 
+    // ── MMR diversified top-k (maximal marginal relevance, unrolled) ───
+    // The RAG-retrieval re-rank plain top-k can't express: after the
+    // most relevant hit, each next slot goes to argmax of
+    // 7·rel − 3·max_sim_to_already_selected (λ = 0.7) — near-dup hits
+    // that top-k would stack into slots 2..5 are displaced by diverse
+    // ones. Greedy selection is inherently sequential, so the K rounds
+    // are UNROLLED (the q_kcore/eigIterate convention — the oracle
+    // replays identical rounds as chained CTEs); every round runs on
+    // the Q×C candidate table, never the corpus. The similarity kernel
+    // is sign(dot)·cos²·10⁶ on the 2⁻¹⁰ grid — a monotone image of
+    // cosine per pair, integer on both engines, so scores and
+    // tie-breaks (cand_id asc) are bit-identical BY CONSTRUCTION.
+    //
+    // 100 TB posture: ONE corpus pass computes query relevances (the
+    // brute tier — swap in IVF candidates at scale); candidates cap at
+    // MMR_C per query via bounded_topk, pairwise sims are Q·C² rows,
+    // and the selection rounds touch only Q·C-row tables — all joins
+    // query-keyed equi-joins.
+    "q_mmr_diversify" -> { (s, dir) =>
+      val qc = graft.CacheRegistry.register(
+        loadEmb(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .toDF("vec_id", "pos", "x")
+          .select(col("vec_id"), col("pos"), expr(
+            "CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)")
+            .as("qv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val norms = qc.groupBy(col("vec_id"))
+        .agg(sum(expr("qv * qv")).as("n2"))
+      val qq = qc.filter(col("vec_id") < N_QUERIES)
+        .toDF("query_id", "pos", "qv_q")
+      def cos2Ppm(dot: String, na: String, nb: String): String =
+        s"""CASE WHEN $na = 0 OR $nb = 0 THEN CAST(0 AS BIGINT)
+           |  WHEN $dot < 0 THEN CAST(-((CAST($dot AS DECIMAL(38,0))
+           |    * $dot * 1000000) div (CAST($na AS DECIMAL(38,0))
+           |    * $nb)) AS BIGINT)
+           |  ELSE CAST((CAST($dot AS DECIMAL(38,0)) * $dot * 1000000)
+           |    div (CAST($na AS DECIMAL(38,0)) * $nb) AS BIGINT)
+           |END""".stripMargin
+      val rel = qc.join(broadcast(qq), "pos")
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(expr("qv * qv_q")).as("dot"))
+        .join(norms.toDF("query_id", "nq"), "query_id")
+        .join(norms.toDF("vec_id", "nc"), "vec_id")
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          expr(cos2Ppm("dot", "nq", "nc")).as("rel"))
+      val cand = graft.CacheRegistry.register(
+        rel.groupBy(col("query_id"))
+          .agg(expr(
+            s"bounded_topk(CAST(-rel AS DOUBLE), cand_id, $MMR_C)")
+            .as("top"))
+          .select(col("query_id"), explode(col("top")).as("t"))
+          .select(col("query_id"), col("t.n").as("cand_id"),
+            (-col("t.s")).cast("long").as("rel"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val cc = cand.select(col("query_id"), col("cand_id"))
+        .join(qc, col("cand_id") === col("vec_id")).drop("vec_id")
+      val ps = graft.CacheRegistry.register(
+        cc.toDF("query_id", "a", "pos", "qv_a")
+          .join(cc.toDF("query_id", "b", "pos", "qv_b"),
+            Seq("query_id", "pos"))
+          .filter(col("a") =!= col("b"))
+          .groupBy(col("query_id"), col("a"), col("b"))
+          .agg(sum(expr("qv_a * qv_b")).as("dot"))
+          .join(norms.toDF("a", "na"), "a")
+          .join(norms.toDF("b", "nb"), "b")
+          .select(col("query_id"), col("a"), col("b"),
+            expr(cos2Ppm("dot", "na", "nb")).as("sim"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // each round reads `sel` THREE times (anti-join, penalty join,
+      // union), so an un-truncated loop grows the logical plan 3^K —
+      // measured 90 s of pure optimizer/codegen at ANY data size. The
+      // iterate is ≤ Q·K rows; parquet round-trip per round (the
+      // pageRank bounded-lineage contract) keeps every round's plan
+      // flat and the whole query in the seconds range.
+      val scratch = new org.apache.hadoop.fs.Path(
+        java.nio.file.Files.createTempDirectory("graft_mmr_").toString)
+      def roundTrip(df: DataFrame, r: Int): DataFrame = {
+        val d = new org.apache.hadoop.fs.Path(scratch, s"sel_$r")
+        df.write.mode("overwrite").parquet(d.toString)
+        s.read.parquet(d.toString)
+      }
+      // round 1: pure relevance (empty selected set ⇒ no penalty)
+      var sel = roundTrip(cand
+        .groupBy(col("query_id"))
+        .agg(min(struct((-col("rel") * 7).as("ns"), col("cand_id")))
+          .as("m"))
+        .select(col("query_id"), col("m.cand_id").as("cand_id"),
+          lit(1L).as("rank"), (-col("m.ns")).as("score")), 1)
+      for (r <- 2 to MMR_K) {
+        val rem = cand
+          .join(sel.select(col("query_id"), col("cand_id")),
+            Seq("query_id", "cand_id"), "left_anti")
+          .withColumnRenamed("cand_id", "a")
+        val pick = rem
+          .join(ps, Seq("query_id", "a"))
+          .join(sel.select(col("query_id"), col("cand_id").as("b")),
+            Seq("query_id", "b"))
+          .groupBy(col("query_id"), col("a"), col("rel"))
+          .agg(max(col("sim")).as("ms"))
+          .groupBy(col("query_id"))
+          .agg(min(struct((col("ms") * 3 - col("rel") * 7).as("ns"),
+            col("a").as("cand_id"))).as("m"))
+          .select(col("query_id"), col("m.cand_id").as("cand_id"),
+            lit(r.toLong).as("rank"), (-col("m.ns")).as("score"))
+        sel = roundTrip(sel.unionByName(pick), r)
+      }
+      sel.select(col("query_id"), col("rank"), col("cand_id"),
+        col("score"))
+    },
+
     // ── two-level IVF assignment behind the hash gate ───────────────────
     // The coarse-then-fine descent [[assignCells]] switches to above
     // TWO_LEVEL_MIN_CELLS, replayed at testdata scale (fanout 4 over
@@ -1926,6 +2040,76 @@ object VectorQueries {
          |SELECT cluster_id, cluster_sz, vec_id AS keep_vec_id,
          |  key_ppm AS keep_cos2_ppm, cluster_sz - 1 AS n_dropped
          |FROM rk WHERE rn = 1""".stripMargin,
+
+    "q_mmr_diversify" -> {
+      def cos2(dot: String, na: String, nb: String): String =
+        s"""CASE WHEN $na = 0 OR $nb = 0 THEN CAST(0 AS BIGINT)
+           |      WHEN $dot < 0 THEN CAST(-(($dot * $dot * 1000000)
+           |        // ($na * $nb)) AS BIGINT)
+           |      ELSE CAST(($dot * $dot * 1000000) // ($na * $nb)
+           |        AS BIGINT) END""".stripMargin
+      val rounds = (2 to MMR_K).map { r =>
+        s"""rem$r AS (SELECT c.query_id, c.cand_id, c.rel FROM mcand c
+           |  WHERE NOT EXISTS (SELECT 1 FROM selu${r - 1} s
+           |    WHERE s.query_id = c.query_id
+           |      AND s.cand_id = c.cand_id)),
+           |ms$r AS (SELECT m.query_id, m.cand_id, m.rel,
+           |    max(p.sim) AS ms
+           |  FROM rem$r m JOIN mps p ON p.query_id = m.query_id
+           |    AND p.a = m.cand_id
+           |  JOIN selu${r - 1} s ON s.query_id = p.query_id
+           |    AND s.cand_id = p.b
+           |  GROUP BY 1, 2, 3),
+           |pick$r AS (SELECT query_id, cand_id,
+           |    CAST(7 * rel - 3 * ms AS BIGINT) AS score FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY 7 * rel - 3 * ms DESC, cand_id ASC) AS rn
+           |    FROM ms$r) WHERE rn = 1),
+           |selu$r AS (SELECT * FROM selu${r - 1} UNION ALL
+           |  SELECT query_id, cand_id, $r AS rank, score FROM pick$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH qcq AS (SELECT vec_id, CAST(i AS INT) AS pos,
+         |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+         |      * 1024.0 + 0.5) AS BIGINT) AS qv
+         |  FROM embeddings, unnest(range(0, len(embedding))) AS u(i)),
+         |mnorm AS (SELECT vec_id, CAST(sum(qv * qv) AS HUGEINT) AS n2
+         |  FROM qcq GROUP BY 1),
+         |mdot AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    CAST(sum(c.qv * q.qv) AS HUGEINT) AS dot
+         |  FROM qcq c JOIN qcq q ON q.pos = c.pos
+         |  WHERE q.vec_id < $N_QUERIES AND c.vec_id <> q.vec_id
+         |  GROUP BY 1, 2),
+         |mrel AS (SELECT query_id, cand_id,
+         |    ${cos2("dot", "nq.n2", "nc.n2")} AS rel
+         |  FROM mdot JOIN mnorm nq ON nq.vec_id = mdot.query_id
+         |  JOIN mnorm nc ON nc.vec_id = mdot.cand_id),
+         |mcand AS (SELECT query_id, cand_id, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, cand_id ASC) AS rn FROM mrel)
+         |  WHERE rn <= $MMR_C),
+         |mpd AS (SELECT ca.query_id, ca.cand_id AS a, cb.cand_id AS b,
+         |    CAST(sum(x.qv * y.qv) AS HUGEINT) AS dot
+         |  FROM mcand ca JOIN mcand cb ON cb.query_id = ca.query_id
+         |    AND cb.cand_id <> ca.cand_id
+         |  JOIN qcq x ON x.vec_id = ca.cand_id
+         |  JOIN qcq y ON y.vec_id = cb.cand_id AND y.pos = x.pos
+         |  GROUP BY 1, 2, 3),
+         |mps AS (SELECT query_id, a, b,
+         |    ${cos2("dot", "na.n2", "nb.n2")} AS sim
+         |  FROM mpd JOIN mnorm na ON na.vec_id = mpd.a
+         |  JOIN mnorm nb ON nb.vec_id = mpd.b),
+         |pick1 AS (SELECT query_id, cand_id,
+         |    CAST(7 * rel AS BIGINT) AS score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, cand_id ASC) AS rn FROM mcand)
+         |  WHERE rn = 1),
+         |selu1 AS (SELECT query_id, cand_id, 1 AS rank, score
+         |  FROM pick1),
+         |$rounds
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, score
+         |FROM selu$MMR_K""".stripMargin
+    },
 
     "q_ann_twolevel_cells" ->
       s"""WITH cent AS (SELECT vec_id AS cell, embedding AS centroid

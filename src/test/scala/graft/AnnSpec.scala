@@ -255,6 +255,28 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
       s"$hashExchanges hash exchanges — assignment shuffling? plan:\n$plan")
   }
 
+  test("q_mmr_diversify: distinct picks, non-increasing marginal scores") {
+    // the MMR objective 7·rel − 3·max_sim_to_selected can only fall as
+    // the selected set grows (max-sim is monotone in S), so per query
+    // the K marginal scores must be non-increasing — and the K picks
+    // distinct. A stacked near-dup slipping through would show as a
+    // score INCREASE after its twin was selected.
+    val byQuery = VectorQueries.queries("q_mmr_diversify")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("cand_id"), r.getAs[Long]("score")))
+      .groupBy(_._1)
+    assert(byQuery.size === 10)
+    byQuery.foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._3).distinct.length === byRank.length,
+        s"query $q repeated a pick: ${byRank.toSeq}")
+      val scores = byRank.map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q marginal scores increased: ${scores.toSeq}")
+    }
+  }
+
   test("q_semdedup: every cluster keeps exactly one member, the original on ties") {
     // planted copies have embeddings IDENTICAL to their originals, so
     // within a pure (original, copies) cluster every member has the
