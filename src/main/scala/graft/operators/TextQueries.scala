@@ -42,6 +42,10 @@ object TextQueries {
   private val GROWTH_BUCKETS = 10 // q_vocab_growth arrival-order deciles
   private val ZIPF_TOP = 64    // q_zipf_slope head width (fit window)
   private val WEDGE_CAP = 16   // q_link_prediction center-degree cap
+  private val BM25_K1_C = 120  // q_bm25_topk k1 = 1.2 in centiunits
+  private val BM25_B_C = 75    // q_bm25_topk b = 0.75 in centiunits
+  private val BM25_TOP = 20    // q_bm25_topk result size
+  private val BM25_QUERY = Seq("spark", "vector", "window", "merge")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1392,6 +1396,54 @@ object TextQueries {
           "doc_a", "doc_b", WEDGE_CAP)
         .select(col("u").as("doc_a"), col("v").as("doc_b"),
           col("cn"), col("ra_ppm"), col("jaccard_bp"))
+    },
+
+    // ── BM25 ranked retrieval (integer contract, top-20) ───────────────
+    // The lexical-search counterpart of the ANN family: Okapi BM25 over
+    // a fixed query-term panel, k1 = 1.2, b = 0.75, with every factor
+    // integral so both engines rank identically — idf as the floor-log₂
+    // bit length of 2N/(2df+1) (the Robertson idf's integer image, same
+    // binary-string idiom as q_zipf_slope), length normalization via
+    // len·N div total_len (avgdl never materialized as a float), and
+    // the tf saturation tf·(100+k1)·100 div (tf·100 + k1·norm div 100)
+    // in basis points. All divisions positive → truncate ≡ floor.
+    //
+    // 100 TB posture: the ONLY corpus-sized work is the token explode
+    // (shared shape with q_text_stats); tf rows are filtered to the
+    // query panel BEFORE the doc-keyed aggregate, df/stats are
+    // broadcast one-row/|Q|-row tables, and the final cut is
+    // orderBy+limit (TakeOrdered — no global window).
+    "q_bm25_topk" -> { (s, dir) =>
+      val toks = graft.CacheRegistry.register(
+        Tables.load(s, dir, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(lower(col("text"))))
+              .as("term"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val dlen = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("len"))
+      val stats = dlen.agg(count(lit(1)).as("nd"), sum(col("len")).as("tl"))
+      val tf = toks.filter(col("term").isin(BM25_QUERY: _*))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "term")
+        .join(dlen, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_bits",
+          (length(bin(greatest(lit(1L),
+            expr("nd * 2 div (2 * df + 1)")))) - 1).cast("long"))
+        .withColumn("norm_c",
+          expr(s"100 - $BM25_B_C + ($BM25_B_C * len * nd) div tl"))
+        .withColumn("part_bp", expr(
+          s"(tf * ${100 + BM25_K1_C} * 100)" +
+            s" div (tf * 100 + ($BM25_K1_C * norm_c) div 100)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("idf_bits * part_bp")).as("score"),
+          count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(BM25_TOP)
     }
   )
 
@@ -2625,6 +2677,34 @@ object TextQueries {
          |    AS jaccard_bp
          |FROM lna JOIN ldg da ON da.c = lna.u
          |JOIN ldg db ON db.c = lna.v""".stripMargin,
+
+    "q_bm25_topk" -> {
+      val terms = BM25_QUERY.map(t => s"'$t'").mkString(", ")
+      s"""WITH $toksCte,
+         |bdl AS (SELECT doc_id, len(t) AS len FROM toks),
+         |bst AS (SELECT count(*) AS nd, sum(len) AS tl FROM bdl),
+         |btf AS (SELECT doc_id, tok AS term, count(*) AS tf
+         |  FROM toks, unnest(t) AS u(tok)
+         |  WHERE tok IN ($terms) GROUP BY 1, 2),
+         |bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY 1),
+         |bsc AS (SELECT btf.doc_id,
+         |    CAST(length(format('{:b}',
+         |      greatest(1, nd * 2 // (2 * df + 1)))) - 1 AS BIGINT)
+         |      AS idf_bits,
+         |    100 - $BM25_B_C + ($BM25_B_C * bdl.len * nd) // tl
+         |      AS norm_c,
+         |    btf.tf AS tf
+         |  FROM btf JOIN bdf USING (term)
+         |  JOIN bdl ON bdl.doc_id = btf.doc_id, bst),
+         |bag AS (SELECT doc_id,
+         |    CAST(sum(idf_bits * ((tf * ${100 + BM25_K1_C} * 100)
+         |      // (tf * 100 + ($BM25_K1_C * norm_c) // 100)))
+         |      AS BIGINT) AS score,
+         |    count(*) AS n_terms_hit
+         |  FROM bsc GROUP BY 1)
+         |SELECT doc_id, score, n_terms_hit FROM bag
+         |ORDER BY score DESC, doc_id ASC LIMIT $BM25_TOP""".stripMargin
+    },
 
     "q_dedup_inflation" ->
       s"""WITH RECURSIVE $ccCtes,

@@ -704,6 +704,30 @@ object VectorQueries {
 
     "q_ann_cosine_topk" -> { (s, dir) => bruteTopk(s, dir) },
 
+    // ── filtered vector search (label-constrained top-k) ───────────────
+    // The metadata-filtered retrieval every vector store ends up
+    // needing ("nearest within MY tenant/category"): candidates are
+    // restricted to the query's OWN label BEFORE scoring — pre-filter
+    // semantics, so the top-k is exact within the predicate (post-
+    // filtering an unfiltered top-k would silently under-fill when the
+    // neighborhood is dominated by other labels). The label equality
+    // rides the broadcast-join condition, so Catalyst evaluates it at
+    // the scan side and non-matching candidates are never scored; the
+    // same bounded_topk shape as the brute tier — at 100 TB the same
+    // query runs against the IVF/SQ tiers with the filter in the scan.
+    "q_ann_filtered" -> { (s, dir) =>
+      val emb = loadEmb(s, dir)
+      val fq = emb.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qvec"), col("label").as("qlabel"))
+      val scored = emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cvec"), col("label"))
+        .join(broadcast(fq), col("label") === col("qlabel")
+          && col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", cosine(col("qvec"), col("cvec")))
+      topkByQuery(scored)
+    },
+
     "q_ann_ivf_topk" -> { (s, dir) => ivfTopk(s, dir) },
 
     // ── IVF top-k over a KMEANS-FITTED index ────────────────────────────
@@ -1629,6 +1653,21 @@ object VectorQueries {
     "q_ann_cosine_topk" ->
       s"""WITH $bruteCtes
          |SELECT query_id, neighbor_id, rank FROM brute""".stripMargin,
+
+    "q_ann_filtered" ->
+      s"""WITH fqv AS (SELECT vec_id AS query_id, embedding AS qvec,
+         |    label AS qlabel
+         |  FROM embeddings WHERE vec_id < $N_QUERIES),
+         |fcv AS (SELECT vec_id AS neighbor_id, embedding AS cvec, label
+         |  FROM embeddings),
+         |fsc AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY list_cosine_similarity(qvec, cvec) DESC,
+         |        neighbor_id ASC) AS rank
+         |  FROM fqv JOIN fcv ON label = qlabel
+         |    AND query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, rank FROM fsc
+         |WHERE rank <= $TOP_K""".stripMargin,
 
     "q_ann_sq_topk" ->
       s"""WITH $sqCtes
