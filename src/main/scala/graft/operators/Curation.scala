@@ -50,6 +50,10 @@ object Curation {
   private val EPOCH_SEED = 23          // q_epoch_shuffle permutation hash
   private val EPOCH_SHARDS = 8         // q_epoch_shuffle training shards
   private val FOLD_SEED = 29           // q_crossfold assignment hash
+  private val BATCH_B = 8              // q_binned_batching docs per batch
+  private val BIN_WIDTH = 16           // q_binned_batching token-length bin
+  private val BATCH_SHARDS = 4         // q_binned_batching parallel streams
+  private val BATCH_SEED = 37          // q_binned_batching shard hash
   private val N_FOLDS = 5              // q_crossfold k-fold count
   private val LF_LO_PCT = 5            // q_length_filter lower cutoff percentile
   private val LF_HI_PCT = 95           // q_length_filter upper cutoff percentile
@@ -600,6 +604,45 @@ object Curation {
             .as("n_drop_long"),
           sum(when(col("n_chars").between(col("lo_chars"), col("hi_chars")),
             1L).otherwise(0L)).as("n_kept"))
+    },
+
+    // ── length-binned batching: padding tax per length bin ─────────────
+    // What length-BINNED batching actually saves over fixed-context
+    // padding (q_padding_waste's number): docs are binned by
+    // t div BIN_WIDTH, sharded within each bin by an independent hash
+    // (the data-parallel worker streams), batched BATCH_B at a time in
+    // (t, doc_id) order, and each batch pads its members to the batch
+    // MAX — per bin: docs, batches, real tokens, pad tokens, and
+    // utilization in bp. Same no-global-sort posture as
+    // q_curriculum_order: the only window is PARTITIONED BY
+    // (bin, shard), and shard count scales with the corpus in
+    // production, so each window partition is corpus/(bins·shards) —
+    // the shard writer's own sortWithinPartitions. Output bounded by
+    // the bin count.
+    "q_binned_batching" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val base = docs(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("t"))
+        .withColumn("bin", expr(s"t div $BIN_WIDTH"))
+        .withColumn("shard",
+          Dedup.hash32(BATCH_SEED, col("doc_id").cast("string"))
+            % BATCH_SHARDS)
+      val w = Window.partitionBy(col("bin"), col("shard"))
+        .orderBy(col("t").asc, col("doc_id").asc)
+      base.withColumn("rk", row_number().over(w))
+        .withColumn("batch", expr(s"(rk - 1) div $BATCH_B"))
+        .groupBy(col("bin"), col("shard"), col("batch"))
+        .agg(count(lit(1)).as("n"), max(col("t")).as("bmax"),
+          sum(col("t")).as("toks"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_batches"), sum(col("n")).as("n_docs"),
+          sum(col("toks")).as("total_tokens"),
+          sum(expr("n * bmax - toks")).as("pad_tokens"))
+        .withColumn("util_bp", expr(
+          "CASE WHEN total_tokens + pad_tokens = 0 THEN 10000 " +
+            "ELSE total_tokens * 10000 div (total_tokens + pad_tokens) " +
+            "END"))
     }
   )
 
@@ -1005,6 +1048,32 @@ object Curation {
          |  CAST(sum(CASE WHEN d.n_chars BETWEEN lo_chars AND hi_chars
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM documents d JOIN cuts ON d.lang = cuts.lang
-         |GROUP BY d.lang""".stripMargin
+         |GROUP BY d.lang""".stripMargin,
+
+    "q_binned_batching" ->
+      s"""WITH bt AS (SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |      AS BIGINT) AS t
+         |  FROM documents),
+         |bb AS (SELECT doc_id, t, t // $BIN_WIDTH AS bin,
+         |    ${Dedup.hash32Sql(BATCH_SEED, "CAST(doc_id AS VARCHAR)")}
+         |      % $BATCH_SHARDS AS shard
+         |  FROM bt),
+         |br AS (SELECT *, row_number() OVER (PARTITION BY bin, shard
+         |    ORDER BY t ASC, doc_id ASC) AS rk FROM bb),
+         |bg AS (SELECT bin, shard, (rk - 1) // $BATCH_B AS batch,
+         |    count(*) AS n, max(t) AS bmax, sum(t) AS toks
+         |  FROM br GROUP BY 1, 2, 3)
+         |SELECT bin, count(*) AS n_batches,
+         |  CAST(sum(n) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n * bmax - toks) AS BIGINT) AS pad_tokens,
+         |  CASE WHEN sum(toks) + sum(n * bmax - toks) = 0
+         |    THEN CAST(10000 AS BIGINT)
+         |    ELSE CAST(sum(toks) * 10000 //
+         |      (sum(toks) + sum(n * bmax - toks)) AS BIGINT)
+         |  END AS util_bp
+         |FROM bg GROUP BY 1""".stripMargin
   )
 }

@@ -817,7 +817,36 @@ object EventQueries {
     // month-scale gaps in seconds square to ~10¹³, and n·Σg²·10⁶
     // leaves int64 long before sf1). The lag window is USER-keyed —
     // the sessionization shuffle shape, no low-cardinality funnel.
-    "q_burstiness" -> { (s, dir) => burstiness(loadEvents(s, dir)) }
+    "q_burstiness" -> { (s, dir) => burstiness(loadEvents(s, dir)) },
+
+    // ── daily bounce rate (single-event sessions, bp) ──────────────────
+    // The engagement-quality readout on top of the shared gap
+    // sessionization: per day (of session START), how many sessions
+    // consisted of exactly one event and the bounce share in basis
+    // points — the number a funnel owner checks before blaming the
+    // funnel (a traffic-quality regression shows here first). Same
+    // user-keyed window as q_sessionize, then a |days|-bounded rollup;
+    // all integer epoch-day arithmetic.
+    "q_bounce_rate" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms").asc, col("event_id").asc)
+      loadEvents(s, dir)
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull ||
+            col("ms") - col("prev_ms") > GAP_MS, 1).otherwise(0))
+        .withColumn("session_idx",
+          sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"), min(col("ms")).as("start_ms"))
+        .select(expr("start_ms div 86400000").as("day"),
+          when(col("n_events") === 1, 1L).otherwise(0L).as("b"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("b")).as("n_bounces"))
+        .withColumn("bounce_bp",
+          expr("n_bounces * 10000 div n_sessions"))
+    }
   )
 
   /** The q_burstiness body over any (user_id, ms, event_id) event
@@ -1395,6 +1424,31 @@ object EventQueries {
         |  CASE WHEN sg = 0 THEN CAST(NULL AS BIGINT)
         |    ELSE CAST(((n * sgg - sg * sg) * 1000000) // (sg * sg)
         |      AS BIGINT) END AS cv2_ppm
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    "q_bounce_rate" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
+         |  FROM events),
+         |flagged AS (SELECT *,
+         |  CASE WHEN lag(ms) OVER w IS NULL
+         |         OR ms - lag(ms) OVER w > $GAP_MS THEN 1 ELSE 0 END
+         |    AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY ms ASC, event_id ASC)),
+         |sessions AS (SELECT *,
+         |  sum(new_sess) OVER (PARTITION BY user_id
+         |    ORDER BY ms ASC, event_id ASC
+         |    ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  FROM flagged),
+         |sess AS (SELECT user_id, session_idx, count(*) AS n_events,
+         |    min(ms) AS start_ms
+         |  FROM sessions GROUP BY 1, 2),
+         |d AS (SELECT start_ms // 86400000 AS day,
+         |    CASE WHEN n_events = 1 THEN 1 ELSE 0 END AS b
+         |  FROM sess)
+         |SELECT day, count(*) AS n_sessions,
+         |  CAST(sum(b) AS BIGINT) AS n_bounces,
+         |  CAST(sum(b) * 10000 // count(*) AS BIGINT) AS bounce_bp
+         |FROM d GROUP BY 1""".stripMargin
   )
 }

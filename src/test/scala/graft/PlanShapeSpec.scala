@@ -372,6 +372,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"chunk decomposition must not join:\n$plan")
   }
 
+  test("q_bm25_topk: TakeOrdered cut, broadcast df/stats, no cross fallback") {
+    // the final top-20 must be per-partition heaps (never a global
+    // rank window), and the one-row stats / |Q|-row df tables must
+    // ride broadcast — a doc-keyed SMJ against either would shuffle
+    // the corpus for a constant-sized side
+    val plan = planOf(operators.TextQueries.queries("q_bm25_topk")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"BM25 cut is not a TakeOrdered:\n$plan")
+    assert(!plan.contains("Window"),
+      s"BM25 fell back to a rank window:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1,
+      s"df join is not broadcast:\n$plan")
+  }
+
+  test("q_ann_filtered: label predicate evaluated in the broadcast join, " +
+    "no shuffle of the candidate side") {
+    // pre-filter semantics must not cost a candidate-side shuffle: the
+    // broadcast of the Q-row query panel carries the label equality,
+    // and the only hash exchange is the final bounded_topk aggregate
+    val plan = planOf(
+      VectorQueries.queries("q_ann_filtered")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"$hashExchanges hash exchanges in filtered search:\n$plan")
+  }
+
   private def assertNoCross(plan: String, q: String): Unit =
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
