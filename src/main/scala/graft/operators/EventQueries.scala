@@ -846,6 +846,36 @@ object EventQueries {
         .agg(count(lit(1)).as("n_sessions"), sum(col("b")).as("n_bounces"))
         .withColumn("bounce_bp",
           expr("n_bounces * 10000 div n_sessions"))
+    },
+
+    // ── RFM segmentation (recency / frequency / monetary bands) ────────
+    // The classic customer-base cut, with FIXED integer band rules as
+    // the operator contract (quantile bands would make each user's
+    // score depend on global sort order; fixed thresholds are
+    // engine-exact, explainable, and stable across reruns — the same
+    // determinism argument as the hash splits): recency in DAYS since
+    // the corpus frontier (r 5..1), frequency in bands of 20 events,
+    // monetary in bands of 400 currency units of purchase value
+    // (half-cent-rounded integer cents, the attribution convention).
+    // One user-keyed aggregate + a broadcast 1-row frontier + a
+    // ≤125-row segment rollup.
+    "q_rfm_segments" -> { (s, dir) =>
+      val ev = loadEvents(s, dir)
+      val frontier = ev.agg(max(col("ms")).as("now_ms"))
+      ev.groupBy(col("user_id"))
+        .agg(max(col("ms")).as("last_ms"),
+          count(lit(1)).as("freq"),
+          sum(when(col("event_type") === "purchase",
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .otherwise(0L)).as("cents"))
+        .crossJoin(broadcast(frontier))
+        .withColumn("r_score",
+          expr("5 - least(4, (now_ms - last_ms) div 86400000)"))
+        .withColumn("f_score", expr("least(5, 1 + freq div 20)"))
+        .withColumn("m_score", expr("least(5, 1 + cents div 40000)"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("cents")).as("segment_cents"))
     }
   )
 
@@ -1449,6 +1479,25 @@ object EventQueries {
          |SELECT day, count(*) AS n_sessions,
          |  CAST(sum(b) AS BIGINT) AS n_bounces,
          |  CAST(sum(b) * 10000 // count(*) AS BIGINT) AS bounce_bp
-         |FROM d GROUP BY 1""".stripMargin
+         |FROM d GROUP BY 1""".stripMargin,
+
+    "q_rfm_segments" ->
+      """WITH fr AS (SELECT max(epoch_ms(ts)) AS now_ms FROM events),
+        |pu AS (SELECT user_id, max(epoch_ms(ts)) AS last_ms,
+        |    count(*) AS freq,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |sc AS (SELECT
+        |    5 - least(4, (now_ms - last_ms) // 86400000)
+        |      AS r_score,
+        |    least(5, 1 + freq // 20) AS f_score,
+        |    least(5, 1 + cents // 40000) AS m_score,
+        |    cents
+        |  FROM pu, fr)
+        |SELECT r_score, f_score, m_score, count(*) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS segment_cents
+        |FROM sc GROUP BY 1, 2, 3""".stripMargin
   )
 }

@@ -531,6 +531,29 @@ object StreamingEvents {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: each streaming event picks up its
+    * dimension row (segment, tier, account metadata) by equi-joining
+    * the BATCH `dim` frame — the standard "enrich the fact stream"
+    * pattern. The static side is planned fresh per micro-batch (and
+    * broadcast, so no stream-side shuffle and NO stream state at
+    * all), which means a dim table updated between batches is picked
+    * up automatically — the property preloading dims into keyed state
+    * loses. LEFT join by contract: an event with no dim row passes
+    * through null-padded instead of silently dropping a fact whose
+    * dimension arrived late (the classic enrichment bug; the nulls
+    * are the signal a backfill pass reconciles).
+    *
+    * 100 TB posture: dims that outgrow broadcast fall back to the
+    * same call without the hint (per-batch shuffle join), or to the
+    * state-backed stream-stream join ([[attributionJoin]]) when the
+    * dim itself is a changelog.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq(key),
+      "left_outer")
+
   /** Stream-stream inner join: match each `action` event to the same
     * user's `trigger` event within `withinMs` AFTER the trigger — e.g.
     * click-to-conversion attribution. Both sides carry watermarks and

@@ -518,4 +518,25 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(merged === Map("view" -> 4L, "click" -> 2L, "purchase" -> 1L))
   }
+
+  test("enrichStream: facts with no dim row pass through null-padded") {
+    val dim = Seq((1L, "gold"), (3L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Event](spark)
+    val q = StreamingEvents.enrichStream(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    in.addData(
+      Event(1, ts(0), 1, "click", 1.0),  // dim hit
+      Event(2, ts(1), 2, "view", 2.0),   // NO dim row — must survive
+      Event(3, ts(2), 3, "click", 3.0))  // dim hit
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enriched")
+      .select(col("event_id"), col("tier"))
+      .as[(Long, Option[String])].collect().toSet
+    // the unmatched fact is present with a null tier — dropping it
+    // (inner-join enrichment) is the bug this operator exists to avoid
+    assert(out === Set((1L, Some("gold")), (2L, None),
+      (3L, Some("silver"))))
+  }
 }
