@@ -547,6 +547,47 @@ object Clusters {
     * @return (u, v, cn, ra_ppm, jaccard_bp) for non-adjacent u < v
     *         with ≥ 1 sub-cap common neighbor.
     */
+  /** Newman modularity of ONE labeling of an undirected pair list, in
+    * basis points via the single-division identity
+    * (4m·e_in − Σd_c²)·10⁴ div (4m²) — one truncating division on
+    * DECIMAL(38,0) so the number is engine-exact (the oracle
+    * sign-splits its floor division; Q goes negative for a
+    * worse-than-random partition). `labels` must carry (id, lbl) and
+    * cover every edge endpoint.
+    *
+    * @return one row (method, m, e_in, n_communities, modularity_bp).
+    */
+  def modularityOf(pairs: DataFrame, labels: DataFrame,
+                   method: String): DataFrame = {
+    val vp = pairs.select(least(col(pairs.columns(0)), col(pairs.columns(1)))
+        .cast("long").as("a"),
+      greatest(col(pairs.columns(0)), col(pairs.columns(1)))
+        .cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val lab = labels.toDF("id", "lbl")
+    val deg = vp.select(col("a").as("id"))
+      .union(vp.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val mRow = vp.agg(count(lit(1)).as("m"))
+    val ein = vp.join(lab.toDF("a", "la"), Seq("a"))
+      .join(lab.toDF("b", "lb"), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .agg(count(lit(1)).as("e_in"))
+    val dc2 = lab.join(deg, "id")
+      .groupBy(col("lbl")).agg(sum(col("d")).as("dsum"))
+      .agg(sum(expr("dsum * dsum")).as("sum_dc2"),
+        count(lit(1)).as("n_communities"))
+    ein.crossJoin(dc2).crossJoin(broadcast(mRow))
+      .selectExpr(s"'$method' AS method", "m", "e_in", "n_communities",
+        "CAST(e_in AS DECIMAL(38,0)) AS ein_d",
+        "CAST(sum_dc2 AS DECIMAL(38,0)) AS dc2_d",
+        "CAST(m AS DECIMAL(38,0)) AS m_d")
+      .selectExpr("method", "m", "e_in", "n_communities",
+        """CAST((ein_d * 4 * m_d - dc2_d) * 10000
+          |  div (4 * m_d * m_d) AS BIGINT) AS modularity_bp"""
+          .stripMargin)
+  }
+
   def linkPrediction(pairs: DataFrame, src: String, dst: String,
                      wedgeCap: Int = 64,
                      scratchDir: Option[String] = None): DataFrame = {

@@ -1398,6 +1398,37 @@ object TextQueries {
           col("cn"), col("ra_ppm"), col("jaccard_bp"))
     },
 
+    // ── Newman modularity of the near-dup partitions (CC vs LPA) ───────
+    // THE number that says whether a clustering respects the graph:
+    // Q = Σ_c [e_in(c)/m − (d_c/2m)²], here in basis points via the
+    // single-division identity (4m·Σe_in − Σd_c²)·10⁴ div (4m²) — one
+    // truncating division, DECIMAL(38,0)/HUGEINT, sign-split in the
+    // oracle because a worse-than-random partition goes negative. Both
+    // partitions of the SAME verified-pair graph are scored: CC (where
+    // e_in = m BY CONSTRUCTION — every edge lives inside its
+    // component, so the row pins the 1 − Σ(d_c/2m)² identity) and LPA
+    // (which can cut bridges, so its e_in < m prices what the cut
+    // bought). The audit a cluster owner reads before choosing which
+    // partition drives the drop list.
+    //
+    // 100 TB posture: labels come from the existing bounded-lineage
+    // fixpoint/round loops; the scoring pass is two node-keyed joins
+    // (edge ⋈ label twice) + |communities|-bounded aggregates.
+    "q_modularity" -> { (s, dir) =>
+      val vp = graft.CacheRegistry.register(
+        Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
+            "doc_id", "text", K, NUM_HASHES, BANDS, THRESH)
+          .select(col("doc_a").cast("long").as("doc_a"),
+            col("doc_b").cast("long").as("doc_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val cc = Clusters.connectedComponents(vp, "doc_a", "doc_b")
+      val lpa = Clusters.labelPropagation(vp, "doc_a", "doc_b", LPA_ITERS)
+      Clusters.modularityOf(vp,
+          cc.select(col("id"), col("cluster_id")), "cc")
+        .unionByName(Clusters.modularityOf(vp,
+          lpa.select(col("id"), col("community")), "lpa"))
+    },
+
     // ── BM25 ranked retrieval (integer contract, top-20) ───────────────
     // The lexical-search counterpart of the ANN family: Okapi BM25 over
     // a fixed query-term panel, k1 = 1.2, b = 0.75, with every factor
@@ -2677,6 +2708,55 @@ object TextQueries {
          |    AS jaccard_bp
          |FROM lna JOIN ldg da ON da.c = lna.u
          |JOIN ldg db ON db.c = lna.v""".stripMargin,
+
+    "q_modularity" -> {
+      // LPA rounds mirror Clusters.labelPropagation exactly (neighbor
+      // majority, count DESC then label ASC), renamed to avoid CTE
+      // collisions with the shared cc/lpa chains
+      val rounds = (1 to LPA_ITERS).map { i =>
+        s"""mv$i AS (SELECT me.dst AS id, l.lbl, count(*) AS c
+           |  FROM me JOIN ml${i - 1} l ON me.src = l.id
+           |  GROUP BY 1, 2),
+           |ml$i AS (SELECT id, lbl FROM (
+           |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+           |      ORDER BY c DESC, lbl ASC) AS rn FROM mv$i)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $lshVerifiedCtes,
+         |me AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |       UNION ALL SELECT doc_b, doc_a FROM vp),
+         |mreach AS (SELECT src AS id, src AS r FROM me
+         |           UNION
+         |           SELECT mreach.id, me.dst FROM mreach
+         |             JOIN me ON me.src = mreach.r),
+         |mcc AS (SELECT id, min(r) AS lbl FROM mreach GROUP BY id),
+         |ml0 AS (SELECT DISTINCT dst AS id, dst AS lbl FROM me),
+         |$rounds,
+         |mlab AS (SELECT 'cc' AS method, id, lbl FROM mcc
+         |         UNION ALL SELECT 'lpa', id, lbl FROM ml$LPA_ITERS),
+         |mm AS (SELECT count(*) AS m FROM vp),
+         |mdeg AS (SELECT src AS id, count(*) AS d FROM me GROUP BY 1),
+         |mein AS (SELECT l1.method, count(*) AS e_in FROM vp
+         |  JOIN mlab l1 ON l1.id = vp.doc_a
+         |  JOIN mlab l2 ON l2.id = vp.doc_b AND l2.method = l1.method
+         |  WHERE l1.lbl = l2.lbl GROUP BY 1),
+         |mdc AS (SELECT mlab.method, mlab.lbl,
+         |    CAST(sum(mdeg.d) AS HUGEINT) AS dsum
+         |  FROM mlab JOIN mdeg ON mdeg.id = mlab.id GROUP BY 1, 2),
+         |mdc2 AS (SELECT method, sum(dsum * dsum) AS sum_dc2,
+         |    count(*) AS n_communities
+         |  FROM mdc GROUP BY 1)
+         |SELECT e.method, CAST(m AS BIGINT) AS m,
+         |  CAST(e.e_in AS BIGINT) AS e_in,
+         |  CAST(n_communities AS BIGINT) AS n_communities,
+         |  CASE WHEN (CAST(e_in AS HUGEINT) * 4 * m - sum_dc2) < 0
+         |    THEN CAST(-((-(CAST(e_in AS HUGEINT) * 4 * m - sum_dc2)
+         |      * 10000) // (CAST(4 AS HUGEINT) * m * m)) AS BIGINT)
+         |    ELSE CAST(((CAST(e_in AS HUGEINT) * 4 * m - sum_dc2)
+         |      * 10000) // (CAST(4 AS HUGEINT) * m * m) AS BIGINT)
+         |  END AS modularity_bp
+         |FROM mein e JOIN mdc2 USING (method), mm""".stripMargin
+    },
 
     "q_bm25_topk" -> {
       val terms = BM25_QUERY.map(t => s"'$t'").mkString(", ")

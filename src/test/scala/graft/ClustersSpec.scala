@@ -269,6 +269,28 @@ class ClustersSpec extends AnyFunSuite with SparkSpec {
       (2L, 4L) -> ((2L, 1000000L, 10000L))))
   }
 
+  test("modularityOf: bridged triangles — triangle split beats one blob") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4: m = 7
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("a", "b")
+    // one community: Q = m/m − (2m/2m)² = 0 exactly
+    val one = (1L to 6L).map(i => (i, 0L)).toDF("id", "lbl")
+    val rowOne = Clusters.modularityOf(g, one, "one").collect().head
+    assert(rowOne.getLong(4) === 0L)
+    // triangle split: e_in = 6, d_c = 7 each →
+    // (6·4·7 − 2·49)·10⁴ div (4·49) = 700000 div 196 = 3571
+    val split = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("id", "lbl")
+    val rowSplit = Clusters.modularityOf(g, split, "split").collect().head
+    assert(rowSplit.getLong(4) === 3571L,
+      s"expected 3571 bp, got $rowSplit")
+    // a deliberately bad partition (odd/even) goes NEGATIVE
+    val bad = Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 1L), (5L, 0L),
+      (6L, 1L)).toDF("id", "lbl")
+    val rowBad = Clusters.modularityOf(g, bad, "bad").collect().head
+    assert(rowBad.getLong(4) < 0L, s"expected negative, got $rowBad")
+  }
+
   test("linkPrediction: an over-cap hub center predicts nothing") {
     // star center 10 with 3 leaves; cap 2 < deg(10)=3 → no wedges
     val star = Seq((10L, 20L), (10L, 30L), (10L, 40L))
