@@ -20,6 +20,7 @@ object EventQueries {
 
   private val GAP_MS = 30L * 60 * 1000 // 30-minute session gap
   private val ATTR_WINDOW_MS = 7L * 24 * 3600 * 1000 // attribution window
+  private val MARKOV_ITERS = 4 // q_markov_stationary power iterations
 
   /** events.parquet has shipped `ts` as both TIMESTAMP(NANOS) (int64 via
     * the sessions' `nanosAsLong=true`) and TIMESTAMP(MICROS) (a real
@@ -876,8 +877,59 @@ object EventQueries {
         .groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("n_users"),
           sum(col("cents")).as("segment_cents"))
+    },
+
+    // ── Markov stationary distribution of the event-type chain ─────────
+    // Where user behavior SETTLES: the long-run share of each event
+    // type under the measured transition matrix — the number that says
+    // what the steady-state mix looks like if today's transition
+    // behavior persists (vs the raw historical mix, which still
+    // carries the cold-start). MARKOV_ITERS unrolled integer power
+    // iterations (the q_pagerank_centrality convention: constant
+    // round count, oracle replays identical CTEs): π'(b) =
+    // Σ_a (π(a)·n(a→b)) div n(a→·) in ppm, uniform init 10⁶ div
+    // |types|. Truncation sheds ≤ |types| ppm per round by design —
+    // mass is NOT renormalized, so the floor division stays the whole
+    // contract. The only corpus-sized work is the shared transition
+    // aggregation (q_event_transitions' shape); every iteration runs
+    // on the |types|²-row matrix.
+    "q_markov_stationary" -> { (s, dir) =>
+      markovStationary(loadEvents(s, dir), MARKOV_ITERS)
     }
   )
+
+  /** The q_markov_stationary body over any (user_id, ms, event_id,
+    * event_type) event table — see the query comment above for the
+    * integer power-iteration contract.
+    */
+  private[graft] def markovStationary(events: DataFrame,
+                                      iters: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+    val tr = events
+      .select(col("user_id"), col("event_type").as("next_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+    val tot = tr.groupBy(col("prev_type"))
+      .agg(count(lit(1)).as("n_from"))
+    val tx = graft.CacheRegistry.register(
+      tr.groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_trans"))
+        .join(broadcast(tot), "prev_type")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val states = tx.select(col("prev_type").as("t"))
+      .union(tx.select(col("next_type").as("t"))).distinct()
+    var pi = states
+      .crossJoin(broadcast(states.agg(count(lit(1)).as("ns"))))
+      .select(col("t"), expr("1000000 div ns").as("pi_ppm"))
+    for (_ <- 1 to iters) {
+      pi = tx.join(pi.toDF("prev_type", "pi_ppm"), "prev_type")
+        .select(col("next_type").as("t"),
+          expr("(pi_ppm * n_trans) div n_from").as("c"))
+        .groupBy(col("t")).agg(sum(col("c")).as("pi_ppm"))
+    }
+    pi.select(col("t").as("event_type"), col("pi_ppm"))
+  }
 
   /** The q_burstiness body over any (user_id, ms, event_id) event
     * table: per-user gap count, integer mean gap in seconds, and CV²
@@ -1498,6 +1550,40 @@ object EventQueries {
         |  FROM pu, fr)
         |SELECT r_score, f_score, m_score, count(*) AS n_users,
         |  CAST(sum(cents) AS BIGINT) AS segment_cents
-        |FROM sc GROUP BY 1, 2, 3""".stripMargin
+        |FROM sc GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_markov_stationary" -> {
+      val rounds = (1 to MARKOV_ITERS).map { i =>
+        s"""p$i AS (SELECT tx.next_type AS t,
+           |    CAST(sum((p.pi_ppm * tx.n_trans) // tx.n_from)
+           |      AS BIGINT) AS pi_ppm
+           |  FROM tx JOIN p${i - 1} p ON p.t = tx.prev_type
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |    epoch_ms(ts) AS ms FROM events),
+         |tr AS (SELECT event_type AS next_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ms ASC, event_id ASC) AS prev_type
+         |  FROM e),
+         |t2 AS (SELECT prev_type, next_type FROM tr
+         |  WHERE prev_type IS NOT NULL),
+         |tot AS (SELECT prev_type, count(*) AS n_from FROM t2
+         |  GROUP BY 1),
+         |txc AS (SELECT prev_type, next_type, count(*) AS n_trans
+         |  FROM t2 GROUP BY 1, 2),
+         |tx AS (SELECT txc.prev_type, txc.next_type, txc.n_trans,
+         |    tot.n_from
+         |  FROM txc JOIN tot USING (prev_type)),
+         |st AS (SELECT DISTINCT t FROM (
+         |  SELECT prev_type AS t FROM tx
+         |  UNION ALL SELECT next_type FROM tx)),
+         |ns AS (SELECT count(*) AS n FROM st),
+         |p0 AS (SELECT t, CAST(1000000 // n AS BIGINT) AS pi_ppm
+         |  FROM st, ns),
+         |$rounds
+         |SELECT t AS event_type, pi_ppm
+         |FROM p$MARKOV_ITERS""".stripMargin
+    }
   )
 }

@@ -79,4 +79,32 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSpec {
       (1L, 3L, 10L, Some(0L)),
       (2L, 2L, 50L, Some(960400L))))
   }
+
+  test("markovStationary: a deterministic 2-cycle holds the uniform split") {
+    // a→b→a→b…: P is the swap matrix, uniform (500000, 500000) is the
+    // exact stationary point — every iteration maps it to itself, so
+    // the unrolled integer rounds must preserve it bit-exactly
+    val events = Seq(
+      (1L, 0L, 1L, "a"), (1L, 1000L, 2L, "b"),
+      (1L, 2000L, 3L, "a"), (1L, 3000L, 4L, "b"),
+      (1L, 4000L, 5L, "a"))
+      .toDF("user_id", "ms", "event_id", "event_type")
+    val got = EventQueries.markovStationary(events, 4)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 500000L, "b" -> 500000L))
+  }
+
+  test("markovStationary: an absorbing state collects the mass") {
+    // a always moves to b, b always stays at b: after 4 rounds almost
+    // all of a's initial half has drained into b (truncating integer
+    // division sheds nothing here — transitions are deterministic)
+    val events = Seq(
+      (1L, 0L, 1L, "a"), (1L, 1000L, 2L, "b"), (1L, 2000L, 3L, "b"),
+      (1L, 3000L, 4L, "b"))
+      .toDF("user_id", "ms", "event_id", "event_type")
+    val got = EventQueries.markovStationary(events, 4)
+      .as[(String, Long)].collect().toMap
+    // only b survives: a receives no mass after round 1 and drops out
+    assert(got === Map("b" -> 1000000L))
+  }
 }
