@@ -50,6 +50,7 @@ object Curation {
   private val EPOCH_SEED = 23          // q_epoch_shuffle permutation hash
   private val EPOCH_SHARDS = 8         // q_epoch_shuffle training shards
   private val FOLD_SEED = 29           // q_crossfold assignment hash
+  private val BEST_OF_N = 5            // q_best_of_n candidates per group
   private val BATCH_B = 8              // q_binned_batching docs per batch
   private val BIN_WIDTH = 16           // q_binned_batching token-length bin
   private val BATCH_SHARDS = 4         // q_binned_batching parallel streams
@@ -643,6 +644,31 @@ object Curation {
           "CASE WHEN total_tokens + pad_tokens = 0 THEN 10000 " +
             "ELSE total_tokens * 10000 div (total_tokens + pad_tokens) " +
             "END"))
+    },
+
+    // ── best-of-n selection (rejection sampling by quality) ────────────
+    // The synthetic-data curation cut: generations land in groups of
+    // BEST_OF_N consecutive ids (the per-prompt sampling batch); keep
+    // each group's quality argmax — (q DESC, doc_id ASC), a single
+    // struct-min aggregate, no per-group window — and report the
+    // kept-vs-mean quality gap the n-way sampling bought. Group id by
+    // integer division is the deterministic contract; at 100 TB the
+    // group key is whatever batch id the generator stamped, same
+    // one-aggregate shape.
+    "q_best_of_n" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      docs(s, dir)
+        .select(col("doc_id"),
+          expr(s"doc_id div $BEST_OF_N").as("group_id"),
+          TextFunctions.qualityScore(col("text")).cast("long").as("q"))
+        .groupBy(col("group_id"))
+        .agg(count(lit(1)).as("group_sz"),
+          min(struct((-col("q")).as("nq"), col("doc_id"))).as("m"),
+          sum(col("q")).as("sum_q"))
+        .select(col("group_id"), col("group_sz"),
+          col("m.doc_id").as("keep_doc_id"),
+          (-col("m.nq")).as("best_q"),
+          expr("sum_q * 100 div group_sz").as("mean_q_c"))
     }
   )
 
@@ -1074,6 +1100,24 @@ object Curation {
          |    ELSE CAST(sum(toks) * 10000 //
          |      (sum(toks) + sum(n * bmax - toks)) AS BIGINT)
          |  END AS util_bp
-         |FROM bg GROUP BY 1""".stripMargin
+         |FROM bg GROUP BY 1""".stripMargin,
+
+    "q_best_of_n" ->
+      s"""WITH ${TextQueries.qualityCtes},
+         |bg AS (SELECT doc_id, doc_id // $BEST_OF_N AS group_id,
+         |    CAST(quality AS BIGINT) AS q
+         |  FROM qv),
+         |pk AS (SELECT group_id, doc_id, q,
+         |    row_number() OVER (PARTITION BY group_id
+         |      ORDER BY q DESC, doc_id ASC) AS rn
+         |  FROM bg),
+         |ag AS (SELECT group_id, count(*) AS group_sz,
+         |    CAST(sum(q) AS BIGINT) AS sum_q
+         |  FROM bg GROUP BY 1)
+         |SELECT ag.group_id, group_sz, pk.doc_id AS keep_doc_id,
+         |  pk.q AS best_q,
+         |  CAST(sum_q * 100 // group_sz AS BIGINT) AS mean_q_c
+         |FROM ag JOIN pk ON pk.group_id = ag.group_id AND pk.rn = 1"""
+        .stripMargin
   )
 }

@@ -895,6 +895,56 @@ object EventQueries {
     // on the |types|²-row matrix.
     "q_markov_stationary" -> { (s, dir) =>
       markovStationary(loadEvents(s, dir), MARKOV_ITERS)
+    },
+
+    // ── NEAREST as-of join (both directions, closest wins) ─────────────
+    // The merge_asof(direction='nearest') variant of q_asof_join's
+    // backward-only rule: each event picks its user's closest order in
+    // TIME, before or after. Tie contract (part of the operator):
+    // equal distance → backward wins; equal (distance, direction) →
+    // the union-window formulation's natural pick (largest orderkey
+    // backward, smallest forward), which the oracle's independent
+    // join+row_number formulation reproduces via a signed-key sort.
+    // Same single user-keyed merge window as q_asof_join — ONE sort
+    // covers both directions (a per-event range join would fan out),
+    // orders never shuffle twice.
+    "q_asof_nearest" -> { (s, dir) =>
+      val ev = loadEvents(s, dir).select(
+        col("user_id"), col("ms"), lit(1).as("kind"),
+        col("event_id"), lit(null).cast("long").as("o_orderkey"))
+      val ord = Tables.load(s, dir, "orders").select(
+        col("o_custkey").as("user_id"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+        lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+        col("o_orderkey"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms").asc, col("kind").asc, col("o_orderkey").asc)
+      val wPrev = w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wNext = w.rowsBetween(Window.currentRow,
+        Window.unboundedFollowing)
+      val ordStruct = when(col("kind") === 0,
+        struct(col("ms").as("o_ms"), col("o_orderkey")))
+      ev.unionByName(ord)
+        .withColumn("prev_ord",
+          last(ordStruct, ignoreNulls = true).over(wPrev))
+        .withColumn("next_ord",
+          first(ordStruct, ignoreNulls = true).over(wNext))
+        .filter(col("kind") === 1 &&
+          (col("prev_ord").isNotNull || col("next_ord").isNotNull))
+        .withColumn("pick", expr(
+          """CASE
+            |  WHEN prev_ord IS NULL THEN next_ord
+            |  WHEN next_ord IS NULL THEN prev_ord
+            |  WHEN ms - prev_ord.o_ms <= next_ord.o_ms - ms
+            |    THEN prev_ord
+            |  ELSE next_ord
+            |END""".stripMargin))
+        .select(col("event_id"), col("user_id"), col("ms"),
+          col("pick.o_orderkey").as("o_orderkey"),
+          col("pick.o_ms").as("o_ms"),
+          when(col("pick.o_ms") <= col("ms"), "b").otherwise("f")
+            .as("direction"))
     }
   )
 
@@ -1584,6 +1634,22 @@ object EventQueries {
          |$rounds
          |SELECT t AS event_type, pi_ppm
          |FROM p$MARKOV_ITERS""".stripMargin
-    }
+    },
+
+    "q_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+        |  FROM events),
+        |o AS (SELECT o_custkey, o_orderkey,
+        |    epoch_ms(o_orderdate) AS oms FROM orders),
+        |j AS (SELECT e.event_id, e.user_id, e.ms, o.o_orderkey, o.oms,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY abs(o.oms - e.ms) ASC,
+        |        CASE WHEN o.oms <= e.ms THEN 0 ELSE 1 END ASC,
+        |        CASE WHEN o.oms <= e.ms THEN -o.o_orderkey
+        |          ELSE o.o_orderkey END ASC) AS rn
+        |  FROM e JOIN o ON e.user_id = o.o_custkey)
+        |SELECT event_id, user_id, ms, o_orderkey, oms AS o_ms,
+        |  CASE WHEN oms <= ms THEN 'b' ELSE 'f' END AS direction
+        |FROM j WHERE rn = 1""".stripMargin
   )
 }

@@ -1398,6 +1398,30 @@ object TextQueries {
           col("cn"), col("ra_ppm"), col("jaccard_bp"))
     },
 
+    // ── hapax rate + type/token ratio by source ────────────────────────
+    // Vocabulary health per source: the share of terms occurring
+    // EXACTLY once in that source (hapax legomena — high = rich/noisy
+    // long tail, collapsing = template-stamped output) and the
+    // type/token ratio, both in bp. The complement of q_vocab_growth's
+    // arrival-order read: per-source and frequency-resolved. One
+    // (source, term) aggregate — inverted-index economics — then a
+    // |sources|-row rollup.
+    "q_hapax_rate" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_types"), col("n_tokens"),
+          col("n_hapax"),
+          expr("n_hapax * 10000 div n_types").as("hapax_bp"),
+          expr("n_types * 10000 div n_tokens").as("type_token_bp"))
+    },
+
     // ── Newman modularity of the near-dup partitions (CC vs LPA) ───────
     // THE number that says whether a clustering respects the graph:
     // Q = Σ_c [e_in(c)/m − (d_c/2m)²], here in basis points via the
@@ -2708,6 +2732,23 @@ object TextQueries {
          |    AS jaccard_bp
          |FROM lna JOIN ldg da ON da.c = lna.u
          |JOIN ldg db ON db.c = lna.v""".stripMargin,
+
+    "q_hapax_rate" ->
+      """WITH hs AS (SELECT source, tok AS term FROM (
+        |    SELECT source,
+        |      string_split_regex(trim(lower(text)), '\s+') AS t
+        |    FROM documents WHERE length(trim(text)) > 0),
+        |  unnest(t) AS u(tok)),
+        |htc AS (SELECT source, term, count(*) AS c FROM hs
+        |  GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_types,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000
+        |    // count(*) AS BIGINT) AS hapax_bp,
+        |  CAST(count(*) * 10000 // sum(c) AS BIGINT) AS type_token_bp
+        |FROM htc GROUP BY 1""".stripMargin,
 
     "q_modularity" -> {
       // LPA rounds mirror Clusters.labelPropagation exactly (neighbor
