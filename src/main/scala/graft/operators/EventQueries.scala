@@ -945,6 +945,34 @@ object EventQueries {
           col("pick.o_ms").as("o_ms"),
           when(col("pick.o_ms") <= col("ms"), "b").otherwise("f")
             .as("direction"))
+    },
+
+    // ── audience overlap between event types (user-set Jaccard) ────────
+    // "Do the people who click also purchase?" — the |types|² matrix
+    // of user-set overlap: shared users, each side's audience size,
+    // and Jaccard in bp per canonical type pair. One distinct
+    // (type, user) projection (two-phase distinct, map-side partial),
+    // then a user-keyed self-join whose fan-out is bounded by
+    // |types-per-user|² — never |users|² — and a |types|²-row rollup.
+    "q_audience_overlap" -> { (s, dir) =>
+      val tu = graft.CacheRegistry.register(
+        Tables.load(s, dir, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val sz = tu.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+      val common = tu.toDF("type_a", "user_id")
+        .join(tu.toDF("type_b", "user_id"), "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(broadcast(sz.toDF("type_a", "n_a")), "type_a")
+        .join(broadcast(sz.toDF("type_b", "n_b")), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_common"),
+          col("n_a"), col("n_b"),
+          expr("n_common * 10000 div (n_a + n_b - n_common)")
+            .as("jaccard_bp"))
     }
   )
 
@@ -1650,6 +1678,20 @@ object EventQueries {
         |  FROM e JOIN o ON e.user_id = o.o_custkey)
         |SELECT event_id, user_id, ms, o_orderkey, oms AS o_ms,
         |  CASE WHEN oms <= ms THEN 'b' ELSE 'f' END AS direction
-        |FROM j WHERE rn = 1""".stripMargin
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    "q_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+        |cm AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_common
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_common, sa.n AS n_a, sb.n AS n_b,
+        |  CAST(n_common * 10000 // (sa.n + sb.n - n_common) AS BIGINT)
+        |    AS jaccard_bp
+        |FROM cm JOIN sz sa ON sa.event_type = cm.type_a
+        |JOIN sz sb ON sb.event_type = cm.type_b""".stripMargin
   )
 }

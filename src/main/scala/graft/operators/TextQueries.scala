@@ -1398,6 +1398,29 @@ object TextQueries {
           col("cn"), col("ra_ppm"), col("jaccard_bp"))
     },
 
+    // ── cross-language near-dup matrix ─────────────────────────────────
+    // Near-dup pairs bucketed by their endpoints' LANGUAGE labels —
+    // off-diagonal mass is either translated boilerplate (the same
+    // template stamped across locales, a real multilingual-corpus
+    // hazard) or lang-ID noise on near-identical docs; both need a
+    // different fix than ordinary dedup. Pairs from the shared
+    // verified-LSH table, labels attached by two id-keyed broadcast
+    // lookups on the lang projection; output bounded by |langs|².
+    // Language pair is canonicalized (least, greatest) so (en, fr)
+    // and (fr, en) fold together.
+    "q_crosslang_dup" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val vp = Dedup.lshVerifiedPairs(d, "doc_id", "text", K,
+        NUM_HASHES, BANDS, THRESH)
+      val langs = d.select(col("doc_id"), col("lang"))
+      vp.join(langs.toDF("doc_a", "lang_a"), "doc_a")
+        .join(langs.toDF("doc_b", "lang_b"), "doc_b")
+        .select(least(col("lang_a"), col("lang_b")).as("lang_1"),
+          greatest(col("lang_a"), col("lang_b")).as("lang_2"))
+        .groupBy(col("lang_1"), col("lang_2"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
     // ── hapax rate + type/token ratio by source ────────────────────────
     // Vocabulary health per source: the share of terms occurring
     // EXACTLY once in that source (hapax legomena — high = rich/noisy
@@ -2732,6 +2755,15 @@ object TextQueries {
          |    AS jaccard_bp
          |FROM lna JOIN ldg da ON da.c = lna.u
          |JOIN ldg db ON db.c = lna.v""".stripMargin,
+
+    "q_crosslang_dup" ->
+      s"""WITH $lshVerifiedCtes,
+         |cl AS (SELECT least(da.lang, db.lang) AS lang_1,
+         |    greatest(da.lang, db.lang) AS lang_2
+         |  FROM vp JOIN documents da ON da.doc_id = vp.doc_a
+         |  JOIN documents db ON db.doc_id = vp.doc_b)
+         |SELECT lang_1, lang_2, count(*) AS n_pairs
+         |FROM cl GROUP BY 1, 2""".stripMargin,
 
     "q_hapax_rate" ->
       """WITH hs AS (SELECT source, tok AS term FROM (
