@@ -947,6 +947,40 @@ object EventQueries {
             .as("direction"))
     },
 
+    // ── overdue users (silence vs personal cadence, churn screen) ──────
+    // Recency alone can't flag churn — a weekly user silent for 5 days
+    // is fine, an hourly user silent for 5 days is gone. Per user with
+    // ≥ 2 gaps: current silence (frontier − last event), the user's
+    // OWN mean inter-event gap, and the overdue factor silence·10⁶
+    // div mean_gap — at_risk once silence passes 3× the personal
+    // cadence. Same user-keyed lag window as q_burstiness, one
+    // broadcast frontier row; all integer ms/s arithmetic.
+    "q_overdue_users" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms").asc, col("event_id").asc)
+      val ev = loadEvents(s, dir)
+      val frontier = ev.agg(max(col("ms")).as("now_ms"))
+      ev.select(col("user_id"), col("ms"), col("event_id"))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("ms")).as("last_ms"),
+          count(when(col("prev_ms").isNotNull, 1)).as("n_gaps"),
+          sum(when(col("prev_ms").isNotNull,
+            col("ms") - col("prev_ms"))).as("sum_gap_ms"))
+        .filter(col("n_gaps") >= 2)
+        .crossJoin(broadcast(frontier))
+        .select(col("user_id"),
+          expr("(now_ms - last_ms) div 1000").as("silent_s"),
+          expr("(sum_gap_ms div n_gaps) div 1000").as("typical_gap_s"),
+          expr("""CASE WHEN sum_gap_ms div n_gaps = 0
+            |  THEN CAST(NULL AS BIGINT)
+            |  ELSE ((now_ms - last_ms) * 1000000)
+            |    div (sum_gap_ms div n_gaps)
+            |END""".stripMargin).as("overdue_ppm"))
+        .withColumn("at_risk",
+          coalesce(col("overdue_ppm") > 3000000L, lit(false)))
+    },
+
     // ── audience overlap between event types (user-set Jaccard) ────────
     // "Do the people who click also purchase?" — the |types|² matrix
     // of user-set overlap: shared users, each side's audience size,
@@ -1679,6 +1713,30 @@ object EventQueries {
         |SELECT event_id, user_id, ms, o_orderkey, oms AS o_ms,
         |  CASE WHEN oms <= ms THEN 'b' ELSE 'f' END AS direction
         |FROM j WHERE rn = 1""".stripMargin,
+
+    "q_overdue_users" ->
+      """WITH fr AS (SELECT max(epoch_ms(ts)) AS now_ms FROM events),
+        |g AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts) ASC, event_id ASC) AS prev_ms
+        |  FROM events),
+        |pu AS (SELECT user_id, max(ms) AS last_ms,
+        |    count(CASE WHEN prev_ms IS NOT NULL THEN 1 END) AS n_gaps,
+        |    sum(CASE WHEN prev_ms IS NOT NULL THEN ms - prev_ms END)
+        |      AS sum_gap_ms
+        |  FROM g GROUP BY 1 HAVING n_gaps >= 2)
+        |SELECT user_id,
+        |  CAST((now_ms - last_ms) // 1000 AS BIGINT) AS silent_s,
+        |  CAST((sum_gap_ms // n_gaps) // 1000 AS BIGINT)
+        |    AS typical_gap_s,
+        |  CASE WHEN sum_gap_ms // n_gaps = 0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(((now_ms - last_ms) * 1000000)
+        |      // (sum_gap_ms // n_gaps) AS BIGINT)
+        |  END AS overdue_ppm,
+        |  coalesce(CASE WHEN sum_gap_ms // n_gaps = 0 THEN NULL
+        |    ELSE ((now_ms - last_ms) * 1000000)
+        |      // (sum_gap_ms // n_gaps) > 3000000 END, false) AS at_risk
+        |FROM pu, fr""".stripMargin,
 
     "q_audience_overlap" ->
       """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),

@@ -742,6 +742,35 @@ object VectorQueries {
     // ── SRP-LSH bucketed ANN top-k (see srpTopk) ────────────────────────
     "q_ann_srp_topk" -> { (s, dir) => srpTopk(s, dir) },
 
+    // ── reciprocal-rank fusion of two retrievers (IVF ⊕ SRP) ───────────
+    // The hybrid-retrieval combinator every production search stack
+    // ends up with: fuse the IVF and SRP top-k lists per query by RRF
+    // score Σ 10⁶ div (60 + rank) (Cormack et al.'s k=60, scaled
+    // integral so both engines agree exactly), re-rank by (score DESC,
+    // neighbor ASC), keep TOP_K. The two retrievers fail differently —
+    // IVF misses when the true neighbor's cell isn't probed, SRP when
+    // a hyperplane splits a close pair — so their fusion recovers
+    // results either alone drops, without touching raw similarity
+    // scales (RRF only reads RANKS, which is why it composes retrievers
+    // with incomparable scores). Inputs are the existing bounded-topk
+    // lists (Q·k rows each); fusion itself is a Q·2k-row fold.
+    "q_rank_fusion" -> { (s, dir) =>
+      val lists = ivfTopk(s, dir).unionByName(srpTopk(s, dir))
+      lists
+        .select(col("query_id"), col("neighbor_id"),
+          expr("1000000 div (60 + rank)").as("c"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum(col("c")).as("score"))
+        .groupBy(col("query_id"))
+        .agg(expr(s"bounded_topk(CAST(-score AS DOUBLE)," +
+          s" neighbor_id, $TOP_K)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .toDF("query_id", "pos", "t")
+        .select(col("query_id"), col("t.n").as("neighbor_id"),
+          (col("pos") + 1).as("rank"),
+          (-col("t.s")).cast("long").as("rrf_score"))
+    },
+
     // ── SRP recall vs brute truth (the honest number for the zero-
     // training retriever, previously only a PERF.md probe; now behind
     // the same hash gate as q_ann_recall) ──────────────────────────────
@@ -1798,6 +1827,22 @@ object VectorQueries {
     "q_ann_srp_topk" ->
       s"""WITH $srpSqlCtes
          |SELECT query_id, neighbor_id, rank FROM srp""".stripMargin,
+
+    "q_rank_fusion" ->
+      s"""WITH $ivfCtes,
+         |$srpSqlCtes,
+         |fl AS (SELECT query_id, neighbor_id, rank FROM ivf
+         |       UNION ALL
+         |       SELECT query_id, neighbor_id, rank FROM srp),
+         |fs AS (SELECT query_id, neighbor_id,
+         |    CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS score
+         |  FROM fl GROUP BY 1, 2),
+         |fr AS (SELECT query_id, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id ASC) AS rank
+         |  FROM fs)
+         |SELECT query_id, neighbor_id, rank, score AS rrf_score
+         |FROM fr WHERE rank <= $TOP_K""".stripMargin,
 
     "q_ann_srp_recall" ->
       s"""WITH $bruteCtes,
