@@ -947,6 +947,34 @@ object EventQueries {
             .as("direction"))
     },
 
+    // ── within-session ordered funnel ──────────────────────────────────
+    // The funnel scoped to ONE sitting: view→click→purchase must
+    // happen in order INSIDE a session — the global funnel
+    // (q_event_funnel) credits a purchase days after the view, this
+    // one answers "does the visit itself convert". Sessions come from
+    // the shared gap rule; the session then becomes the funnel's
+    // grouping key via a composite surrogate (user·10⁶ + session_idx
+    // — session counts per user are bounded far below 10⁶ by the gap
+    // rule; at 100 TB the key is whatever session id the sessionizer
+    // materialized). Same gated min-time cascade as funnelCounts,
+    // session-keyed.
+    "q_session_funnel" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms").asc, col("event_id").asc)
+      val sess = loadEvents(s, dir)
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull ||
+            col("ms") - col("prev_ms") > GAP_MS, 1).otherwise(0))
+        .withColumn("session_idx",
+          sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select((col("user_id") * 1000000 + col("session_idx"))
+          .as("user_id"), col("event_type"), col("ms"))
+      funnelCounts(sess, Seq("view", "click", "purchase"))
+        .withColumnRenamed("n_users", "n_sessions")
+    },
+
     // ── overdue users (silence vs personal cadence, churn screen) ──────
     // Recency alone can't flag churn — a weekly user silent for 5 days
     // is fine, an hourly user silent for 5 days is gone. Per user with
@@ -1713,6 +1741,37 @@ object EventQueries {
         |SELECT event_id, user_id, ms, o_orderkey, oms AS o_ms,
         |  CASE WHEN oms <= ms THEN 'b' ELSE 'f' END AS direction
         |FROM j WHERE rn = 1""".stripMargin,
+
+    "q_session_funnel" ->
+      s"""WITH e0 AS (SELECT user_id, event_id, event_type,
+         |    epoch_ms(ts) AS ms FROM events),
+         |flagged AS (SELECT *,
+         |  CASE WHEN lag(ms) OVER w IS NULL
+         |         OR ms - lag(ms) OVER w > $GAP_MS THEN 1 ELSE 0 END
+         |    AS new_sess
+         |  FROM e0 WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY ms ASC, event_id ASC)),
+         |e AS (SELECT user_id * 1000000 +
+         |    sum(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY ms ASC, event_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS sk,
+         |    event_type, ms
+         |  FROM flagged),
+         |t1 AS (SELECT sk, min(ms) AS t1 FROM e
+         |       WHERE event_type = 'view' GROUP BY sk),
+         |t2 AS (SELECT e.sk, min(e.ms) AS t2 FROM e
+         |       JOIN t1 ON e.sk = t1.sk
+         |       WHERE e.event_type = 'click' AND e.ms >= t1.t1
+         |       GROUP BY e.sk),
+         |t3 AS (SELECT e.sk, min(e.ms) AS t3 FROM e
+         |       JOIN t2 ON e.sk = t2.sk
+         |       WHERE e.event_type = 'purchase' AND e.ms >= t2.t2
+         |       GROUP BY e.sk)
+         |SELECT 1 AS step, 'view' AS step_name,
+         |       (SELECT count(*) FROM t1) AS n_sessions
+         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)"""
+        .stripMargin,
 
     "q_overdue_users" ->
       """WITH fr AS (SELECT max(epoch_ms(ts)) AS now_ms FROM events),

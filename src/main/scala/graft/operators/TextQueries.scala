@@ -1398,6 +1398,37 @@ object TextQueries {
           col("cn"), col("ra_ppm"), col("jaccard_bp"))
     },
 
+    // ── Jaccard threshold sweep (the "how aggressive" dedup knob) ──────
+    // What each cut of the similarity threshold would do: for rungs
+    // 50/60/70/80 %, the surviving pair count and how many distinct
+    // docs those pairs touch — the measured curve behind choosing
+    // THRESH, next to q_lsh_tuning's banding curve. Superset rewrite
+    // (the q_ann_nprobe_sweep convention): ONE inverted-index pass
+    // builds the uncut pair table, each rung is an integer re-filter
+    // on the same derived j_bp — both engines compare the identical
+    // floored basis points, so rung membership is exact.
+    "q_jaccard_threshold_sweep" -> { (s, dir) =>
+      val p = graft.CacheRegistry.register(
+        Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
+            "doc_id", "text", K, MAX_DF, 0)
+          .withColumn("j_bp",
+            expr("n_common * 10000 div (sz_a + sz_b - n_common)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val sw = p
+        .select(explode(array(lit(50), lit(60), lit(70), lit(80)))
+          .as("threshold_pct"), col("doc_a"), col("doc_b"),
+          col("j_bp"))
+        .filter(col("j_bp") >= col("threshold_pct") * 100)
+      val pairsPerRung = sw.groupBy(col("threshold_pct"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val docsPerRung = sw
+        .select(col("threshold_pct"),
+          explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        .groupBy(col("threshold_pct"))
+        .agg(countDistinct(col("d")).as("n_docs"))
+      pairsPerRung.join(docsPerRung, "threshold_pct")
+    },
+
     // ── cross-language near-dup matrix ─────────────────────────────────
     // Near-dup pairs bucketed by their endpoints' LANGUAGE labels —
     // off-diagonal mass is either translated boilerplate (the same
@@ -2755,6 +2786,21 @@ object TextQueries {
          |    AS jaccard_bp
          |FROM lna JOIN ldg da ON da.c = lna.u
          |JOIN ldg db ON db.c = lna.v""".stripMargin,
+
+    "q_jaccard_threshold_sweep" ->
+      s"""WITH $jaccardCoreCtes,
+         |jsw AS (SELECT t.threshold_pct, pc.doc_a, pc.doc_b
+         |  FROM pc, (SELECT unnest([50, 60, 70, 80]) AS threshold_pct) t
+         |  WHERE pc.n_common * 10000 // (sz_a + sz_b - n_common)
+         |    >= t.threshold_pct * 100),
+         |jp AS (SELECT threshold_pct, count(*) AS n_pairs FROM jsw
+         |  GROUP BY 1),
+         |jd AS (SELECT threshold_pct, count(DISTINCT d) AS n_docs
+         |  FROM (SELECT threshold_pct, doc_a AS d FROM jsw
+         |        UNION ALL SELECT threshold_pct, doc_b FROM jsw)
+         |  GROUP BY 1)
+         |SELECT jp.threshold_pct, jp.n_pairs, jd.n_docs
+         |FROM jp JOIN jd USING (threshold_pct)""".stripMargin,
 
     "q_crosslang_dup" ->
       s"""WITH $lshVerifiedCtes,
