@@ -646,6 +646,36 @@ object Curation {
             "END"))
     },
 
+    // ── token-weighted median length (vs the doc median) ───────────────
+    // The length a random TOKEN lives in — the number that actually
+    // sizes batches and context budgets (the doc median under-weights
+    // the long tail exactly where the token mass is; the two medians
+    // diverging is the skew signal). Discrete-quantile arithmetic on
+    // the VALUE-grouped length table (q_quantiles' shape: the only
+    // window runs over |distinct lengths| rows, never per-doc), both
+    // medians as smallest-value-crossing-half integer rules.
+    "q_token_weighted_median" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val m = docs(s, dir)
+        .select(TextFunctions.tokenCount(col("text")).cast("long")
+          .as("t"))
+        .filter(col("t") > 0)
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .withColumn("mass", expr("t * c"))
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      m.withColumn("cum_mass", sum(col("mass")).over(wCum))
+        .withColumn("cum_docs", sum(col("c")).over(wCum))
+        .crossJoin(broadcast(m.agg(sum(col("mass")).as("tm"),
+          sum(col("c")).as("nd"))))
+        .agg(max(col("nd")).as("n_docs"),
+          max(col("tm")).as("total_tokens"),
+          min(when(col("cum_docs") * 2 >= col("nd"), col("t")))
+            .as("doc_median_len"),
+          min(when(col("cum_mass") * 2 >= col("tm"), col("t")))
+            .as("token_weighted_median_len"))
+    },
+
     // ── best-of-n selection (rejection sampling by quality) ────────────
     // The synthetic-data curation cut: generations land in groups of
     // BEST_OF_N consecutive ids (the per-prompt sampling batch); keep
@@ -1101,6 +1131,29 @@ object Curation {
          |      (sum(toks) + sum(n * bmax - toks)) AS BIGINT)
          |  END AS util_bp
          |FROM bg GROUP BY 1""".stripMargin,
+
+    "q_token_weighted_median" ->
+      """WITH wt AS (SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END
+        |    AS BIGINT) AS t
+        |  FROM documents),
+        |wm AS (SELECT t, count(*) AS c, CAST(t * count(*) AS BIGINT)
+        |    AS mass
+        |  FROM wt WHERE t > 0 GROUP BY 1),
+        |wc AS (SELECT t, c, mass,
+        |    CAST(sum(mass) OVER (ORDER BY t ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass,
+        |    CAST(sum(c) OVER (ORDER BY t ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs
+        |  FROM wm),
+        |wtot AS (SELECT CAST(sum(mass) AS BIGINT) AS tm,
+        |    CAST(sum(c) AS BIGINT) AS nd FROM wm)
+        |SELECT max(nd) AS n_docs, max(tm) AS total_tokens,
+        |  min(CASE WHEN cum_docs * 2 >= nd THEN t END)
+        |    AS doc_median_len,
+        |  min(CASE WHEN cum_mass * 2 >= tm THEN t END)
+        |    AS token_weighted_median_len
+        |FROM wc, wtot""".stripMargin,
 
     "q_best_of_n" ->
       s"""WITH ${TextQueries.qualityCtes},

@@ -1141,6 +1141,38 @@ object VectorQueries {
           (col("cluster_sz") - 1).as("n_dropped"))
     },
 
+    // ── cluster purity vs external labels ──────────────────────────────
+    // The clustering-eval number that needs GROUND TRUTH: per
+    // embedding near-dup cluster, the share of members carrying the
+    // cluster's majority `label`, plus the corpus-level purity
+    // Σ majority-counts / Σ members in bp — the external check the
+    // internal metrics (modularity, cell balance) can't give. Planted
+    // copies inherit their original's label (vec_id mod DUP_OFFSET),
+    // so a pure pipeline scores 10⁴. Majority is a two-level argmax
+    // (count DESC, label ASC struct-min — no per-cluster window);
+    // output bounded by cluster count.
+    "q_cluster_purity" -> { (s, dir) =>
+      val members = Clusters.memberTable(
+          embeddingNearDupPairs(s, dir).toDF("doc_a", "doc_b"))
+        .toDF("vec_id", "cluster_id", "cluster_sz")
+      val labels = loadEmb(s, dir)
+        .select(col("vec_id"), col("label"))
+      val withLbl = members
+        .withColumn("orig_id", expr(s"vec_id % $DUP_OFFSET"))
+        .join(labels.toDF("orig_id", "label"), "orig_id")
+      val perLabel = withLbl
+        .groupBy(col("cluster_id"), col("cluster_sz"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val majority = perLabel
+        .groupBy(col("cluster_id"), col("cluster_sz"))
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+        .select(col("cluster_id"), col("cluster_sz"),
+          col("m.label").as("majority_label"),
+          (-col("m.nc")).as("n_majority"),
+          expr("(-m.nc) * 10000 div cluster_sz").as("purity_bp"))
+      majority
+    },
+
     // ── MMR diversified top-k (maximal marginal relevance, unrolled) ───
     // The RAG-retrieval re-rank plain top-k can't express: after the
     // most relevant hit, each next slot goes to argmax of
@@ -2081,6 +2113,31 @@ object VectorQueries {
          |  FROM cc GROUP BY cluster_id)
          |SELECT cc.id AS vec_id, cc.cluster_id, csz.cluster_sz
          |FROM cc JOIN csz USING (cluster_id)""".stripMargin,
+
+    "q_cluster_purity" ->
+      s"""WITH RECURSIVE $embNearDupCtes,
+         |ee AS (SELECT vec_a AS src, vec_b AS dst FROM evp
+         |       UNION SELECT vec_b, vec_a FROM evp),
+         |reach AS (SELECT src AS id, src AS r FROM ee
+         |          UNION
+         |          SELECT reach.id, ee.dst FROM reach
+         |            JOIN ee ON ee.src = reach.r),
+         |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |csz AS (SELECT cluster_id, count(*) AS cluster_sz
+         |  FROM cc GROUP BY cluster_id),
+         |wl AS (SELECT cc.id, cc.cluster_id, csz.cluster_sz, emb.label
+         |  FROM cc JOIN csz USING (cluster_id)
+         |  JOIN embeddings emb ON emb.vec_id = cc.id % $DUP_OFFSET),
+         |pl AS (SELECT cluster_id, cluster_sz, label, count(*) AS c
+         |  FROM wl GROUP BY 1, 2, 3),
+         |mj AS (SELECT cluster_id, cluster_sz, label, c FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY c DESC, label ASC) AS rn FROM pl)
+         |  WHERE rn = 1)
+         |SELECT cluster_id, cluster_sz, label AS majority_label,
+         |  CAST(c AS BIGINT) AS n_majority,
+         |  CAST(c * 10000 // cluster_sz AS BIGINT) AS purity_bp
+         |FROM mj""".stripMargin,
 
     "q_semdedup" ->
       s"""WITH RECURSIVE $embNearDupCtes,
