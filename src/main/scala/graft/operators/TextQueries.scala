@@ -1398,6 +1398,41 @@ object TextQueries {
           col("cn"), col("ra_ppm"), col("jaccard_bp"))
     },
 
+    // ── detector agreement: LSH-verified vs winnow-match pair sets ─────
+    // Do the whole-doc detector (MinHash-LSH + exact-Jaccard verify)
+    // and the partial-overlap detector (shared winnow fingerprints)
+    // find the SAME pairs? One row: pairs both find, pairs only each
+    // finds, and the pair-set Jaccard in bp. lsh-only = overall-similar
+    // docs with no long shared run (paraphrase-shaped); winnow-only =
+    // docs sharing a ≥6-token run inside otherwise-different text
+    // (quotation/boilerplate) — the two tails are different REMOVAL
+    // decisions, which is why a curation stack runs both. Full-outer
+    // join of two dup-bounded pair tables, one fold.
+    "q_detector_agreement" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val l = Dedup.lshVerifiedPairs(d, "doc_id", "text", K,
+          NUM_HASHES, BANDS, THRESH)
+        .select(col("doc_a"), col("doc_b"))
+        .withColumn("in_lsh", lit(1))
+      val wm = Winnow.matches(d)
+        .select(col("doc_a"), col("doc_b"))
+        .withColumn("in_win", lit(1))
+      l.join(wm, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum(when(col("in_lsh").isNotNull && col("in_win").isNotNull,
+            1L).otherwise(0L)).as("n_both"),
+          sum(when(col("in_lsh").isNotNull && col("in_win").isNull,
+            1L).otherwise(0L)).as("n_lsh_only"),
+          sum(when(col("in_lsh").isNull && col("in_win").isNotNull,
+            1L).otherwise(0L)).as("n_winnow_only"))
+        .withColumn("agreement_bp", expr(
+          """CASE WHEN n_both + n_lsh_only + n_winnow_only = 0
+            |  THEN CAST(NULL AS BIGINT)
+            |  ELSE n_both * 10000
+            |    div (n_both + n_lsh_only + n_winnow_only)
+            |END""".stripMargin))
+    },
+
     // ── Jaccard threshold sweep (the "how aggressive" dedup knob) ──────
     // What each cut of the similarity threshold would do: for rungs
     // 50/60/70/80 %, the surviving pair count and how many distinct
@@ -2786,6 +2821,23 @@ object TextQueries {
          |    AS jaccard_bp
          |FROM lna JOIN ldg da ON da.c = lna.u
          |JOIN ldg db ON db.c = lna.v""".stripMargin,
+
+    "q_detector_agreement" ->
+      s"""WITH $lshVerifiedCtes,
+         |${Winnow.matchPairsTail},
+         |dab AS (SELECT count(*) AS n_both FROM vp
+         |  JOIN wmp USING (doc_a, doc_b)),
+         |dal AS (SELECT count(*) AS n_lsh FROM vp),
+         |daw AS (SELECT count(*) AS n_win FROM wmp)
+         |SELECT CAST(n_both AS BIGINT) AS n_both,
+         |  CAST(n_lsh - n_both AS BIGINT) AS n_lsh_only,
+         |  CAST(n_win - n_both AS BIGINT) AS n_winnow_only,
+         |  CASE WHEN n_lsh + n_win - n_both = 0
+         |    THEN CAST(NULL AS BIGINT)
+         |    ELSE CAST(n_both * 10000 // (n_lsh + n_win - n_both)
+         |      AS BIGINT)
+         |  END AS agreement_bp
+         |FROM dab, dal, daw""".stripMargin,
 
     "q_jaccard_threshold_sweep" ->
       s"""WITH $jaccardCoreCtes,

@@ -135,10 +135,12 @@ object Winnow {
 
   // grams → per-position 32-bit hashes → window-min selections, the
   // same rightmost-tie rule via list_position on the reversed slice
-  private val selCtes =
-    s"""toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-       |  FROM documents WHERE length(trim(text)) > 0),
-       |grams AS (SELECT doc_id,
+  /** The selection chain MINUS the leading `toks` CTE — composable
+    * into oracles whose chains already define the identical `toks`
+    * (TextQueries' q_detector_agreement).
+    */
+  private[operators] val selTailCtes =
+    s"""grams AS (SELECT doc_id,
        |    list_transform(range(1, len(t) - ${K - 2}), i ->
        |      array_to_string(t[CAST(i AS INT):CAST(i + ${K - 1} AS INT)], ' ')) AS gs
        |  FROM toks WHERE len(t) >= ${K + W - 1}),
@@ -153,6 +155,26 @@ object Winnow {
        |          list_min(h[CAST(j+1 AS INT):CAST(j+$W AS INT)])))) AS sels
        |  FROM hs)""".stripMargin
 
+  private val selCtes =
+    s"""toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |$selTailCtes""".stripMargin
+
+  /** [[selTailCtes]] extended through the match-pair table
+    * `wmp(doc_a, doc_b, n_shared)` — the partial-overlap pair chain
+    * for composition (shares nothing but `toks` with the LSH chain).
+    */
+  private[operators] val matchPairsTail =
+    s"""$selTailCtes,
+       |fps AS (SELECT DISTINCT doc_id, s // $POS_BITS AS fp
+       |  FROM sel, unnest(sels) AS u(s)),
+       |wkept AS (SELECT doc_id, fp FROM fps WHERE fp IN
+       |  (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $MAX_DF)),
+       |wmp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS n_shared
+       |  FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $MIN_SHARED)""".stripMargin
+
   val oracle: Map[String, String] = Map(
 
     "q_winnow_fingerprints" ->
@@ -163,14 +185,10 @@ object Winnow {
          |FROM sel""".stripMargin,
 
     "q_winnow_matches" ->
-      s"""WITH $selCtes,
-         |fps AS (SELECT DISTINCT doc_id, s // $POS_BITS AS fp
-         |  FROM sel, unnest(sels) AS u(s)),
-         |kept AS (SELECT doc_id, fp FROM fps WHERE fp IN
-         |  (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $MAX_DF))
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  count(*) AS n_shared
-         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING count(*) >= $MIN_SHARED""".stripMargin
+      s"""WITH toks AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |$matchPairsTail
+         |SELECT doc_a, doc_b, n_shared FROM wmp""".stripMargin
   )
 }
