@@ -721,6 +721,46 @@ object RelationalQueries {
     // See [[DataQuality]]: fused conditional aggregates per table + one
     // LeftAnti referential check → (rule, metric_bp, pass).
     "q_dq_checks" -> { (s, dir) => DataQuality.checks(s, dir) }
+    ,
+
+    // ── revenue concentration (top-decile customer share) ──────────────
+    // The 80/20 readout: what share of total order value sits with the
+    // customers at or above the p90 total-spend cutoff. Cutoff via the
+    // discrete-quantile rule on the VALUE-grouped customer-total table
+    // (the q_quantiles shape: the only window runs over distinct spend
+    // totals, never per customer) — "≥ cutoff" is the whole-tie-group
+    // contract, so no partial-group arithmetic and both engines pick
+    // the same set. Money sums ride half-cent-rounded integer cents.
+    "q_revenue_concentration" -> { (s, dir) =>
+      val per = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("cents")).as("tot"))
+      val byVal = per.groupBy(col("tot")).agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy(col("tot").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cut = byVal
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .crossJoin(broadcast(per.agg(count(lit(1)).as("n"))))
+        .agg(max(col("n")).as("n_customers"),
+          // first crossing walking DESC = the LARGEST total whose
+          // cumulative count reaches n/10 (all smaller totals also
+          // satisfy the predicate, so max — not min — is the cutoff)
+          max(when(col("cum") * 10 >= col("n"), col("tot")))
+            .as("cutoff_cents"))
+      per.crossJoin(broadcast(cut))
+        .agg(max(col("n_customers")).as("n_customers"),
+          max(col("cutoff_cents")).as("cutoff_cents"),
+          sum(when(col("tot") >= col("cutoff_cents"), 1L)
+            .otherwise(0L)).as("n_top"),
+          sum(col("tot")).as("total_cents"),
+          sum(when(col("tot") >= col("cutoff_cents"), col("tot"))
+            .otherwise(0L)).as("top_cents"))
+        .withColumn("top_share_bp",
+          expr("top_cents * 10000 div total_cents"))
+    }
   )
 
   val oracle: Map[String, String] = Map(
@@ -1085,6 +1125,31 @@ object RelationalQueries {
          |  min(y) AS y_min, max(y) AS y_max
          |FROM z GROUP BY zbucket""".stripMargin,
 
-    "q_dq_checks" -> DataQuality.checksSql
+    "q_dq_checks" -> DataQuality.checksSql,
+
+    "q_revenue_concentration" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS tot
+        |  FROM orders GROUP BY 1),
+        |bv AS (SELECT tot, count(*) AS c FROM per GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM per),
+        |cm AS (SELECT tot, c,
+        |    CAST(sum(c) OVER (ORDER BY tot DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM bv),
+        |ct AS (SELECT max(n) AS n_customers,
+        |    max(CASE WHEN cum * 10 >= n THEN tot END) AS cutoff_cents
+        |  FROM cm, nn)
+        |SELECT max(n_customers) AS n_customers,
+        |  max(cutoff_cents) AS cutoff_cents,
+        |  CAST(sum(CASE WHEN tot >= cutoff_cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_top,
+        |  CAST(sum(tot) AS BIGINT) AS total_cents,
+        |  CAST(sum(CASE WHEN tot >= cutoff_cents THEN tot ELSE 0 END)
+        |    AS BIGINT) AS top_cents,
+        |  CAST(sum(CASE WHEN tot >= cutoff_cents THEN tot ELSE 0 END)
+        |    * 10000 // sum(tot) AS BIGINT) AS top_share_bp
+        |FROM per, ct""".stripMargin
   )
 }
