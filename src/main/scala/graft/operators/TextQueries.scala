@@ -1398,6 +1398,30 @@ object TextQueries {
           col("cn"), col("ra_ppm"), col("jaccard_bp"))
     },
 
+    // ── cluster diversity: source/lang spread inside dup clusters ──────
+    // Is a near-dup cluster one site re-posting itself, or the same
+    // content SYNDICATED across sources (and languages)? Per cluster:
+    // member count, distinct sources, distinct langs, and a
+    // cross_source flag — cross-source clusters are the ones whose
+    // collapse changes mixture weights (q_dedup_inflation prices the
+    // aggregate; this names the clusters). Member table from the
+    // shared CC fixpoint, attrs by one id-keyed join, per-cluster
+    // distinct counts bounded by cluster size.
+    "q_cluster_diversity" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val members = Clusters.memberTable(
+        Dedup.lshVerifiedPairs(d, "doc_id", "text", K, NUM_HASHES,
+          BANDS, THRESH))
+      members
+        .join(d.select(col("doc_id"), col("source"), col("lang")),
+          "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"))
+        .withColumn("cross_source", col("n_sources") > 1)
+    },
+
     // ── detector agreement: LSH-verified vs winnow-match pair sets ─────
     // Do the whole-doc detector (MinHash-LSH + exact-Jaccard verify)
     // and the partial-overlap detector (shared winnow fingerprints)
@@ -2821,6 +2845,15 @@ object TextQueries {
          |    AS jaccard_bp
          |FROM lna JOIN ldg da ON da.c = lna.u
          |JOIN ldg db ON db.c = lna.v""".stripMargin,
+
+    "q_cluster_diversity" ->
+      s"""WITH RECURSIVE $ccCtes
+         |SELECT cc.cluster_id, count(*) AS n_docs,
+         |  count(DISTINCT d.source) AS n_sources,
+         |  count(DISTINCT d.lang) AS n_langs,
+         |  count(DISTINCT d.source) > 1 AS cross_source
+         |FROM cc JOIN documents d ON d.doc_id = cc.id
+         |GROUP BY 1""".stripMargin,
 
     "q_detector_agreement" ->
       s"""WITH $lshVerifiedCtes,
