@@ -699,6 +699,54 @@ object Curation {
           col("m.doc_id").as("keep_doc_id"),
           (-col("m.nq")).as("best_q"),
           expr("sum_q * 100 div group_sz").as("mean_q_c"))
+    },
+
+    // ── max-min fair token budget (water-filling allocation) ───────────
+    // The allocator q_mixture_weights' equal-share-with-cap is an
+    // approximation OF: given a token budget (half the corpus), give
+    // every source as much as it has UP TO a common water level chosen
+    // so the budget is exactly consumed — small sources keep everything,
+    // large ones are clipped at the level (max-min fairness). Closed
+    // form, no iteration: sources sorted by demand ascending, the first
+    // index where (budget − prefix) div (remaining sources) falls below
+    // the source's own demand fixes the level. All divisions have
+    // non-negative operands up to and including that deciding row
+    // (uncapped demands can never overrun the remaining budget), so
+    // truncate ≡ floor and the level is engine-exact; the integer
+    // remainder stays unallocated by contract.
+    //
+    // 100 TB posture: one corpus-sized source-keyed aggregate; the sort
+    // window and the level fold run over the |sources|-row table (the
+    // q_quantiles bounded-window shape), and the level attaches back as
+    // a one-row broadcast.
+    "q_token_budget" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val per = docs(s, dir)
+        .select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("tok")).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      val ord = Window.orderBy(col("n_tokens").asc, col("source").asc)
+      val lv = per.crossJoin(broadcast(tot))
+        .withColumn("idx", row_number().over(ord).cast("long"))
+        .withColumn("prefix",
+          coalesce(sum(col("n_tokens")).over(
+            ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("cand", expr(
+          "(total_tokens div 2 - prefix) div (n_sources - idx + 1)"))
+      val level = lv
+        .agg(min(when(col("cand") < col("n_tokens"),
+          struct(col("idx"), col("cand")))).as("m"))
+        .select(col("m.cand").as("level"))
+      lv.crossJoin(broadcast(level))
+        .select(col("source"), col("n_tokens"),
+          least(col("n_tokens"),
+            coalesce(col("level"), col("n_tokens"))).as("alloc_tokens"),
+          (col("n_tokens") > coalesce(col("level"), col("n_tokens")))
+            .as("capped"))
     }
   )
 
@@ -1171,6 +1219,36 @@ object Curation {
          |  pk.q AS best_q,
          |  CAST(sum_q * 100 // group_sz AS BIGINT) AS mean_q_c
          |FROM ag JOIN pk ON pk.group_id = ag.group_id AND pk.rn = 1"""
-        .stripMargin
+        .stripMargin,
+
+    "q_token_budget" ->
+      s"""WITH tb AS (SELECT source,
+         |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END)
+         |      AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |tb2 AS (SELECT * FROM tb WHERE n_tokens > 0),
+         |tbt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |               count(*) AS n_sources FROM tb2),
+         |tbl AS (SELECT source, n_tokens, total_tokens, n_sources,
+         |    CAST(row_number() OVER (ORDER BY n_tokens ASC, source ASC)
+         |      AS BIGINT) AS idx,
+         |    CAST(coalesce(sum(n_tokens) OVER (
+         |      ORDER BY n_tokens ASC, source ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS prefix
+         |  FROM tb2 CROSS JOIN tbt),
+         |tbc AS (SELECT source, n_tokens, idx,
+         |    CAST((total_tokens // 2 - prefix) // (n_sources - idx + 1)
+         |      AS BIGINT) AS cand
+         |  FROM tbl)
+         |SELECT source, n_tokens,
+         |  least(n_tokens, coalesce((SELECT cand FROM tbc
+         |    WHERE cand < n_tokens ORDER BY idx ASC LIMIT 1), n_tokens))
+         |    AS alloc_tokens,
+         |  n_tokens > coalesce((SELECT cand FROM tbc
+         |    WHERE cand < n_tokens ORDER BY idx ASC LIMIT 1), n_tokens)
+         |    AS capped
+         |FROM tbc""".stripMargin
   )
 }

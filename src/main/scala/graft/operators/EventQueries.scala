@@ -1035,6 +1035,28 @@ object EventQueries {
           col("n_a"), col("n_b"),
           expr("n_common * 10000 div (n_a + n_b - n_common)")
             .as("jaccard_bp"))
+    },
+
+    // ── day-of-week × hour traffic profile (seasonality heatmap) ───────
+    // The time-OF-DAY shape q_arrival_histogram's inter-event gaps
+    // can't see and q_seasonal_anomaly consumes only implicitly: event
+    // and distinct-user counts per (dow, hour) UTC cell — the 7×24
+    // heatmap capacity planning and anomaly baselining start from.
+    // Both coordinates are pure integer epoch-ms arithmetic (epoch day
+    // 0 = Thursday, so dow = (day + 4) % 7 with Sunday = 0), identical
+    // in DuckDB — no timestamp formatting, no locale, no DST.
+    //
+    // 100 TB posture: one map-side-combined aggregate onto ≤ 168 keys;
+    // the distinct-user count is the only expansion (two-phase
+    // distinct) and its key space is (cell × user), shuffled once.
+    "q_dow_hour_profile" -> { (s, dir) =>
+      loadEvents(s, dir)
+        .select(expr("(ms div 86400000 + 4) % 7").as("dow"),
+          expr("(ms div 3600000) % 24").as("hour"),
+          col("user_id"), col("event_id"))
+        .groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
     }
   )
 
@@ -1809,6 +1831,15 @@ object EventQueries {
         |  CAST(n_common * 10000 // (sa.n + sb.n - n_common) AS BIGINT)
         |    AS jaccard_bp
         |FROM cm JOIN sz sa ON sa.event_type = cm.type_a
-        |JOIN sz sb ON sb.event_type = cm.type_b""".stripMargin
+        |JOIN sz sb ON sb.event_type = cm.type_b""".stripMargin,
+
+    "q_dow_hour_profile" ->
+      """WITH dh AS (SELECT
+        |    (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+        |    (epoch_ms(ts) // 3600000) % 24 AS hour,
+        |    user_id FROM events)
+        |SELECT dow, hour, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM dh GROUP BY 1, 2""".stripMargin
   )
 }

@@ -760,6 +760,37 @@ object RelationalQueries {
             .otherwise(0L)).as("top_cents"))
         .withColumn("top_share_bp",
           expr("top_cents * 10000 div total_cents"))
+    },
+
+    // ── OLS trend of daily order volume (slope as exact rational) ──────
+    // The trend-detection primitive q_correlation's corr² can't give
+    // (corr² is sign-blind): the least-squares slope of count-per-day
+    // over the day index, emitted as the exact integer rational
+    // (n·Σdc − Σd·Σc) / (n·Σd² − (Σd)²) instead of a float. Emitting
+    // num/den dodges the one cross-engine division hazard: Spark's
+    // `div` truncates toward zero while DuckDB's `//` floors, and a
+    // declining corpus makes the numerator NEGATIVE — so no division
+    // happens at all and the hash gate stays exact. Headroom: day ≈
+    // 10⁴, so n·Σd² ≈ n²·10⁸ crosses 2⁶³ only past n ≈ 10⁵ days (270
+    // years of data) — safe at any SF.
+    //
+    // 100 TB posture: one map-side-combined aggregate to a day-keyed
+    // table (≤ a few thousand rows at any scale), then a single-row
+    // total — no window, no join, nothing driver-side.
+    "q_ols_trend" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("day")).as("sd"), sum(col("c")).as("sc"),
+          sum(col("day") * col("c")).as("sdc"),
+          sum(col("day") * col("day")).as("sdd"))
+        .select(col("n_days"),
+          (col("n_days") * col("sdc") - col("sd") * col("sc"))
+            .as("slope_num"),
+          (col("n_days") * col("sdd") - col("sd") * col("sd"))
+            .as("slope_den"))
     }
   )
 
@@ -1150,6 +1181,21 @@ object RelationalQueries {
         |    AS BIGINT) AS top_cents,
         |  CAST(sum(CASE WHEN tot >= cutoff_cents THEN tot ELSE 0 END)
         |    * 10000 // sum(tot) AS BIGINT) AS top_share_bp
-        |FROM per, ct""".stripMargin
+        |FROM per, ct""".stripMargin,
+
+    "q_ols_trend" ->
+      """WITH od AS (SELECT date_diff('day', DATE '1970-01-01',
+        |    o_orderdate) AS day FROM orders),
+        |odc AS (SELECT day, count(*) AS c FROM od GROUP BY 1),
+        |osm AS (SELECT count(*) AS n_days,
+        |    CAST(sum(day) AS BIGINT) AS sd,
+        |    CAST(sum(c) AS BIGINT) AS sc,
+        |    CAST(sum(day * c) AS BIGINT) AS sdc,
+        |    CAST(sum(day * day) AS BIGINT) AS sdd
+        |  FROM odc)
+        |SELECT CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(n_days * sdc - sd * sc AS BIGINT) AS slope_num,
+        |  CAST(n_days * sdd - sd * sd AS BIGINT) AS slope_den
+        |FROM osm""".stripMargin
   )
 }

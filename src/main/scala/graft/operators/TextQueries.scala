@@ -1612,6 +1612,96 @@ object TextQueries {
           count(lit(1)).as("n_terms_hit"))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(BM25_TOP)
+    },
+
+    // ── Simpson token-concentration index (repeated-token mass) ────────
+    // The lexical-diversity complement of q_repetition (3-gram repeat
+    // SHARE) and q_hapax_rate (per-SOURCE type/token): per DOCUMENT, the
+    // probability two tokens drawn without replacement are equal —
+    // Σ c·(c−1) · 10⁶ div (n·(n−1)) over the doc's token counts. A
+    // low-diversity (spammy/templated) doc scores high; the measure is
+    // length-unbiased (unlike raw TTR, which shrinks with n), which is
+    // why diversity filters prefer it. Integer-exact end to end, so the
+    // hash gate holds; n ≤ 10⁴ tokens keeps c·(c−1)·10⁶ ≪ 2⁶³.
+    //
+    // 100 TB posture: one tokenize + two doc-keyed aggregates — the
+    // shuffle key is doc_id, partial aggregation is map-side, and no
+    // cross-document state exists at all (corpus-linear).
+    "q_simpson_diversity" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(col("c") * (col("c") - 1)).as("rep_pairs"))
+        .filter(col("n_tokens") >= 2)
+        .select(col("doc_id"), col("n_tokens"),
+          expr("rep_pairs * 1000000 div (n_tokens * (n_tokens - 1))")
+            .as("simpson_ppm"))
+    },
+
+    // ── readability shape (syllable-proxy profile) ─────────────────────
+    // Flesch-style INPUTS as exact integer per-doc rates: the vowel-RUN
+    // count is the standard syllable proxy ('[aeiouy]+' matches —
+    // alternation-free, RE2-safe, so the oracle runs the identical
+    // pattern), and the two rates every readability formula combines —
+    // syllables/word (ppm) and letters/word (centi) — are emitted as
+    // integer ratios instead of a float grade, keeping the hash gate
+    // exact and letting the consumer apply whichever formula's
+    // coefficients it wants. The corpus has no sentence punctuation
+    // (verified: zero '[.!?]' matches at sf0.01), so words/sentence is
+    // deliberately NOT emitted — it would be the constant n_words.
+    //
+    // 100 TB posture: a single projection over the scan — no shuffle,
+    // no join, whole-stage codegen end to end.
+    "q_readability" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_words"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[aeiouy]+"), lit(0))).cast("long").as("n_syll"),
+          TextFunctions.alphaCount(col("text")).cast("long").as("n_alpha"))
+        .filter(col("n_words") >= 1)
+        .select(col("doc_id"), col("n_words"), col("n_syll"),
+          expr("n_syll * 1000000 div n_words").as("spw_ppm"),
+          expr("n_alpha * 100 div n_words").as("lpw_centi"))
+    },
+
+    // ── Cohen's kappa between the lang label and the lang-ID heuristic ─
+    // The one-number chance-corrected summary of q_lang_confusion's
+    // matrix — raw agreement flatters any labeler when one class
+    // dominates; kappa subtracts the agreement two independent labelers
+    // with these MARGINS would reach by luck. Emitted as the exact
+    // integer rational (N·agree − Σ_k row_k·col_k) / (N² − Σ row·col)
+    // — kappa can be NEGATIVE (worse than chance), so no division
+    // happens engine-side (the q_ols_trend truncate-vs-floor dodge).
+    //
+    // 100 TB posture: one corpus-keyed confusion aggregate (|langs|²
+    // rows), then every margin/total is a broadcast-scale fold.
+    "q_labeler_kappa" -> { (s, dir) =>
+      val cm = Tables.load(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("lang"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val rows = cm.groupBy(col("lang")).agg(sum(col("n")).as("row_n"))
+      val cols = cm.groupBy(col("lang_pred"))
+        .agg(sum(col("n")).as("col_n"))
+      val pe = rows.join(cols, rows("lang") === cols("lang_pred"))
+        .agg(coalesce(sum(col("row_n") * col("col_n")), lit(0L))
+          .as("pe_raw"))
+      cm.agg(sum(col("n")).as("n_docs"),
+          sum(when(col("lang") === col("lang_pred"), col("n"))
+            .otherwise(0L)).as("agree_n"))
+        .crossJoin(broadcast(pe))
+        .select(col("n_docs"), col("agree_n"),
+          (col("n_docs") * col("agree_n") - col("pe_raw"))
+            .as("kappa_num"),
+          (col("n_docs") * col("n_docs") - col("pe_raw"))
+            .as("kappa_den"))
     }
   )
 
@@ -3061,7 +3151,55 @@ object TextQueries {
          |SELECT doc_id, band, h % $CURR_SHARDS AS shard,
          |  CAST(row_number() OVER (PARTITION BY band, h % $CURR_SHARDS
          |    ORDER BY h ASC, doc_id ASC) AS INT) AS pos
-         |FROM h""".stripMargin
+         |FROM h""".stripMargin,
+
+    "q_simpson_diversity" ->
+      s"""WITH $toksCte,
+         |stf AS (SELECT doc_id, tok, count(*) AS c
+         |  FROM toks, unnest(t) AS u(tok) GROUP BY 1, 2),
+         |sd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(sum(c * (c - 1)) AS BIGINT) AS rep_pairs
+         |  FROM stf GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  CAST(rep_pairs * 1000000 // (n_tokens * (n_tokens - 1))
+         |    AS BIGINT) AS simpson_ppm
+         |FROM sd WHERE n_tokens >= 2""".stripMargin,
+
+    "q_readability" ->
+      s"""WITH rm AS (SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |      AS n_words,
+         |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll,
+         |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(n_syll AS BIGINT) AS n_syll,
+         |  CAST(n_syll * 1000000 // n_words AS BIGINT) AS spw_ppm,
+         |  CAST(n_alpha * 100 // n_words AS BIGINT) AS lpw_centi
+         |FROM rm WHERE n_words >= 1""".stripMargin,
+
+    "q_labeler_kappa" ->
+      s"""WITH $langScoredCtes,
+         |lp AS ($langPredSelect),
+         |kcm AS (SELECT d.lang, lp.lang_pred, count(*) AS n
+         |  FROM documents d JOIN lp ON lp.doc_id = d.doc_id
+         |  GROUP BY 1, 2),
+         |krow AS (SELECT lang, CAST(sum(n) AS BIGINT) AS row_n
+         |  FROM kcm GROUP BY 1),
+         |kcol AS (SELECT lang_pred, CAST(sum(n) AS BIGINT) AS col_n
+         |  FROM kcm GROUP BY 1),
+         |kpe AS (SELECT coalesce(CAST(sum(row_n * col_n) AS BIGINT), 0)
+         |    AS pe_raw
+         |  FROM krow JOIN kcol ON krow.lang = kcol.lang_pred),
+         |ktot AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END)
+         |      AS BIGINT) AS agree_n
+         |  FROM kcm)
+         |SELECT n_docs, agree_n,
+         |  CAST(n_docs * agree_n - pe_raw AS BIGINT) AS kappa_num,
+         |  CAST(n_docs * n_docs - pe_raw AS BIGINT) AS kappa_den
+         |FROM ktot, kpe""".stripMargin
   )
 
   /** q_label_propagation oracle: LPA_ITERS synchronous rounds unrolled

@@ -314,6 +314,9 @@ object VectorQueries {
 
   private[graft] val PQ_M = 32 // product-quantization subspaces
   private[graft] val PQ_K = 16 // codewords per subspace
+  private[graft] val RERANK_C = 4 * TOP_K // coarse candidates per query (re-rank)
+  private[graft] val ELBOW_KS = Seq(2, 4, 8, 16) // q_kmeans_elbow k ladder
+  private[graft] val OUT_K = 10 // q_label_outliers: suspects per label
 
   /** Product-quantization ANN top-k via asymmetric-distance computation
     * (ADC) — the memory-bound scale path beside IVF and SRP-LSH: each
@@ -472,14 +475,14 @@ object VectorQueries {
     * (adist < 2⁴⁸ ≪ 2⁵³); bounded_topk orders (score asc, id asc) —
     * adist is already "smaller is closer", no negation.
     */
-  private def adcTopk(cands: DataFrame): DataFrame =
+  private def adcTopk(cands: DataFrame, k: Int = TOP_K): DataFrame =
     cands
       .withColumn("adist", expr(
         s"aggregate(sequence(0, $PQ_M - 1), CAST(0 AS BIGINT), " +
           "(acc, m) -> acc + dtab[m][codes[m]])"))
       .groupBy(col("query_id"))
       .agg(expr(
-        s"bounded_topk(CAST(adist AS DOUBLE), neighbor_id, $TOP_K)")
+        s"bounded_topk(CAST(adist AS DOUBLE), neighbor_id, $k)")
         .as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .toDF("query_id", "pos", "t")
@@ -495,6 +498,41 @@ object VectorQueries {
       .select(col("neighbor_id"), col("codes"))
     adcTopk(coded.join(broadcast(pqDtabs(emb, cbRow)),
       col("query_id") =!= col("neighbor_id")))
+  }
+
+  /** Two-stage PQ retrieval: ADC scores the CODED corpus down to
+    * RERANK_C coarse candidates per query (the cheap, compressed-domain
+    * pass), then ONLY those Q·C rows are re-scored with exact cosine
+    * over the raw vectors and cut to TOP_K. This is the standard
+    * refine-after-ADC architecture (FAISS `IndexRefineFlat`): PQ's
+    * quantization error costs recall exactly at the ranking margin, and
+    * re-ranking 4k candidates with the true metric buys most of that
+    * loss back while touching 4k/N of the raw vectors
+    * (q_ann_rerank_recall vs q_ann_pq_recall measures the gain).
+    *
+    * 100 TB posture: the coarse pass is the PQ scan (bandwidth-bound on
+    * ~12 % of the bytes, k-capped partials); the refine pass joins the
+    * BROADCAST Q·C candidate set against the vector table — one
+    * hash-keyed semi-join-shaped probe, never a second full scan's
+    * worth of compute — and the final top-k shuffles ≤ k rows per task.
+    */
+  private[graft] def pqRerankTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = loadEmb(s, dir)
+    val cbRow = pqCodebook(emb)
+    val coded = withPqCodes(
+      emb.select(col("vec_id").as("neighbor_id"),
+        expr(pqQuant("embedding")).as("vq")), cbRow)
+      .select(col("neighbor_id"), col("codes"))
+    val coarse = adcTopk(coded.join(broadcast(pqDtabs(emb, cbRow)),
+        col("query_id") =!= col("neighbor_id")), RERANK_C)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = emb
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cvec"))
+      .join(broadcast(coarse), Seq("neighbor_id"))
+      .join(broadcast(queryVectors(emb)), Seq("query_id"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    topkByQuery(scored)
   }
 
   /** One quantized-Lloyd iteration per SUBSPACE: the PQ codebook fit.
@@ -1436,6 +1474,103 @@ object VectorQueries {
           expr(s"num * $dims * 10000 div " +
             s"(CAST(${den.toLong} AS DECIMAL(38,0)) * trace)")
             .as("anisotropy_bp"))
+    },
+
+    // ── two-stage PQ + exact re-rank (see pqRerankTopk) ────────────────
+    "q_ann_pq_rerank" -> { (s, dir) => pqRerankTopk(s, dir) },
+
+    // ── re-rank recall vs brute truth — read against q_ann_pq_recall:
+    // the delta is what RERANK_C exact refinements buy back from PQ's
+    // quantization loss (AnnSpec pins rerank ≥ plain PQ per query)
+    "q_ann_rerank_recall" -> { (s, dir) =>
+      recallOf(bruteTopk(s, dir), pqRerankTopk(s, dir))
+    },
+
+    // ── k-means elbow: inertia ladder over a k sweep ───────────────────
+    // The model-selection diagnostic for every centroid consumer (IVF
+    // cells, SemDeDup, label centroids): total within-cluster L2² at
+    // k ∈ ELBOW_KS, each k assigning to the first-k seed centroids on
+    // the shared 2⁻¹⁰ integer grid (the MMR kernel's grid — coords ≤
+    // 2¹¹ keep Σ over 10⁹ vectors ≪ 2⁶³, and integer L2² is
+    // engine-exact, so the ladder sits behind the hash gate). Inertia
+    // is monotone non-increasing in k by construction (supersets of
+    // centroids); the USEFUL read is where the drop flattens — the
+    // elbow — which prices whether more IVF cells are still buying
+    // variance. Seeds, not Lloyd-fitted: the ladder compares INDEX
+    // CAPACITY at equal construction cost; KMeans.refineQuantized is
+    // the upgrade path per k when the chosen k graduates to an index.
+    //
+    // 100 TB posture: the centroid panel is ONE broadcast row; all
+    // ELBOW_KS assignments happen in a single corpus pass (the k sweep
+    // is an in-row transform over slices of one centroid array — k
+    // never multiplies scans), and the only exchange is the |ks|-row
+    // final aggregate.
+    "q_kmeans_elbow" -> { (s, dir) =>
+      val qv = loadEmb(s, dir).select(col("vec_id"), expr(
+        "transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))")
+        .as("vq"))
+      val centArr = qv.filter(col("vec_id") < ELBOW_KS.max)
+        .select(struct(col("vec_id").cast("int").as("cell"),
+          col("vq").as("cq")).as("e"))
+        .agg(sort_array(collect_list(col("e"))).as("cents"))
+      qv.crossJoin(broadcast(centArr))
+        .select(explode(expr(
+          s"""transform(array(${ELBOW_KS.mkString(", ")}), kk ->
+             |  struct(kk AS k,
+             |    array_min(transform(slice(cents, 1, kk), c ->
+             |      aggregate(sequence(0, size(vq) - 1),
+             |        CAST(0 AS BIGINT), (acc, d) -> acc +
+             |          (vq[d] - c.cq[d]) * (vq[d] - c.cq[d])))) AS d2))"""
+            .stripMargin)).as("e"))
+        .groupBy(col("e.k").as("k"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("e.d2")).as("inertia"))
+    },
+
+    // ── label-outlier screen (mislabeled-data candidates) ──────────────
+    // The label-error detector every supervised corpus needs (Confident
+    // Learning's geometric core): per label, the OUT_K vectors farthest
+    // from their OWN label's centroid — a point deep inside another
+    // class's region is the classic annotation slip. Coordinates ride
+    // the 2⁻¹⁰ grid OFFSET to non-negative (+1024) so the centroid's
+    // per-dim integer mean (sum div n) has non-negative operands —
+    // truncate ≡ floor, engine-exact — and distances are exact integer
+    // L2² (≤ 64·2¹²·4 ≪ 2⁵³, so the bounded_topk double score is
+    // exact). Ranking is within-label only (d2 is comparable at equal
+    // centroid resolution); ties break (d2 DESC, vec_id ASC).
+    //
+    // 100 TB posture: centroids are one |labels|×dim aggregate
+    // collapsed to a broadcast row-set; the screen is a single corpus
+    // pass with a label-keyed k-capped bounded_topk — no windows over
+    // corpus-sized tables, no pairwise anything.
+    "q_label_outliers" -> { (s, dir) =>
+      val q = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), expr(
+          "transform(embedding, x -> " +
+            "CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)" +
+            " + 1024)").as("vq"))
+      val cents = q
+        .select(col("label"), posexplode(col("vq"))).toDF("label", "pos", "v")
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("cv", expr("sv div n"))
+        .groupBy(col("label"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("cv"))))
+          .as("pm"))
+        .select(col("label"), expr("transform(pm, x -> x.cv)").as("cvq"))
+      q.join(broadcast(cents), "label")
+        .withColumn("d2", expr(
+          "aggregate(sequence(0, size(vq) - 1), CAST(0 AS BIGINT), " +
+            "(acc, d) -> acc + (vq[d] - cvq[d]) * (vq[d] - cvq[d]))"))
+        .groupBy(col("label"))
+        .agg(expr(s"bounded_topk(CAST(-d2 AS DOUBLE), vec_id, $OUT_K)")
+          .as("top"))
+        .select(col("label"), posexplode(col("top")))
+        .toDF("label", "pos", "t")
+        .select(col("label"), col("t.n").as("vec_id"),
+          (col("pos") + 1).as("rank"),
+          (-col("t.s")).cast("long").as("d2"))
     }
   )
 
@@ -2340,7 +2475,103 @@ object VectorQueries {
          |  CAST(vs.dims AS BIGINT) AS dims,
          |  CAST(a.num * vs.dims * 10000 // (vs.den * t.trace) AS BIGINT)
          |    AS anisotropy_bp
-         |FROM a, t, vs""".stripMargin
+         |FROM a, t, vs""".stripMargin,
+
+    // ADC coarse top-RERANK_C (the q_ann_pq_topk pipeline with the
+    // wider cut), then exact cosine re-rank of only those candidates
+    "q_ann_pq_rerank" ->
+      s"""WITH $pqCtes,
+         |ad AS (SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    sum(qd.dist) AS adist
+         |  FROM codes c JOIN pd qd ON qd.m = c.m AND qd.k = c.k
+         |  WHERE qd.vec_id < $N_QUERIES AND qd.vec_id <> c.vec_id
+         |  GROUP BY 1, 2),
+         |rcand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist ASC, neighbor_id ASC) AS rank
+         |  FROM ad) WHERE rank <= $RERANK_C),
+         |rr AS (SELECT rc.query_id, rc.neighbor_id,
+         |    row_number() OVER (PARTITION BY rc.query_id
+         |      ORDER BY list_cosine_similarity(q.embedding, n.embedding)
+         |        DESC, rc.neighbor_id ASC) AS rank
+         |  FROM rcand rc
+         |  JOIN embeddings q ON q.vec_id = rc.query_id
+         |  JOIN embeddings n ON n.vec_id = rc.neighbor_id)
+         |SELECT query_id, neighbor_id, rank FROM rr
+         |WHERE rank <= $TOP_K""".stripMargin,
+
+    "q_ann_rerank_recall" ->
+      s"""WITH $bruteCtes,
+         |$pqCtes,
+         |ad AS (SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    sum(qd.dist) AS adist
+         |  FROM codes c JOIN pd qd ON qd.m = c.m AND qd.k = c.k
+         |  WHERE qd.vec_id < $N_QUERIES AND qd.vec_id <> c.vec_id
+         |  GROUP BY 1, 2),
+         |rcand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist ASC, neighbor_id ASC) AS rank
+         |  FROM ad) WHERE rank <= $RERANK_C),
+         |rrk AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT rc.query_id, rc.neighbor_id,
+         |    row_number() OVER (PARTITION BY rc.query_id
+         |      ORDER BY list_cosine_similarity(q.embedding, n.embedding)
+         |        DESC, rc.neighbor_id ASC) AS rank
+         |  FROM rcand rc
+         |  JOIN embeddings q ON q.vec_id = rc.query_id
+         |  JOIN embeddings n ON n.vec_id = rc.neighbor_id)
+         |  WHERE rank <= $TOP_K)
+         |SELECT b.query_id,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100 // $TOP_K AS BIGINT) AS recall_pct
+         |FROM brute b LEFT JOIN rrk i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id""".stripMargin,
+
+    // integer-grid assignment replay: first-k centroid panels via
+    // cell < k, exact integer L2² per (vector, centroid) pair
+    "q_kmeans_elbow" ->
+      s"""WITH eqv AS (SELECT vec_id, pos - 1 AS d,
+         |    CAST(floor(CAST(v AS DOUBLE) * 1024.0 + 0.5) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |               unnest(embedding) AS v FROM embeddings)),
+         |ed AS (SELECT v.vec_id, c.vec_id AS cell,
+         |    CAST(sum((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS d2
+         |  FROM eqv v JOIN eqv c ON v.d = c.d
+         |    AND c.vec_id < ${ELBOW_KS.max}
+         |  GROUP BY 1, 2),
+         |ek AS (SELECT kk FROM unnest([${ELBOW_KS.mkString(", ")}]) AS t(kk)),
+         |em AS (SELECT d.vec_id, k.kk AS k, min(d2) AS d2
+         |  FROM ed d JOIN ek k ON d.cell < k.kk
+         |  GROUP BY 1, 2)
+         |SELECT k, count(*) AS n_vectors,
+         |  CAST(sum(d2) AS BIGINT) AS inertia
+         |FROM em GROUP BY 1""".stripMargin,
+
+    // offset-grid centroid replay: sum/count per (label, dim) with the
+    // +1024 shift keeping the integer mean floor-division exact
+    "q_label_outliers" ->
+      s"""WITH loq AS (SELECT vec_id, label, pos - 1 AS d,
+         |    CAST(floor(CAST(v AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)
+         |      + 1024 AS q
+         |  FROM (SELECT vec_id, label,
+         |               generate_subscripts(embedding, 1) AS pos,
+         |               unnest(embedding) AS v FROM embeddings)),
+         |loc AS (SELECT label, d,
+         |    CAST(sum(q) AS BIGINT) // count(*) AS cv
+         |  FROM loq GROUP BY 1, 2),
+         |lod AS (SELECT q.vec_id, q.label,
+         |    CAST(sum((q.q - c.cv) * (q.q - c.cv)) AS BIGINT) AS d2
+         |  FROM loq q JOIN loc c ON q.label = c.label AND q.d = c.d
+         |  GROUP BY 1, 2),
+         |lor AS (SELECT label, vec_id, d2,
+         |    row_number() OVER (PARTITION BY label
+         |      ORDER BY d2 DESC, vec_id ASC) AS rank
+         |  FROM lod)
+         |SELECT label, vec_id, rank, d2 FROM lor
+         |WHERE rank <= $OUT_K""".stripMargin
   )
 
   /** q_top_eigvec oracle: EIG_ITERS integer power iterations unrolled

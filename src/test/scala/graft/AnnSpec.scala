@@ -292,4 +292,38 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
         r.getAs[Long]("cluster_sz") - 1)
     }
   }
+
+  test("exact re-rank recovers recall: rerank ≥ plain PQ-ADC mean") {
+    // the refine pass re-scores RERANK_C coarse candidates with true
+    // cosine — it can only fix ranking errors INSIDE the candidate
+    // set, so it must never score below the plain ADC cut it refines
+    def mean(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = df.collect().map(_.getAs[Long]("recall_pct"))
+      r.sum.toDouble / r.length
+    }
+    val brute = VectorQueries.bruteTopk(spark, sf)
+    val plain = mean(VectorQueries.recallOf(brute,
+      VectorQueries.queries("q_ann_pq_topk")(spark, sf)))
+    val rerank = mean(VectorQueries.recallOf(brute,
+      VectorQueries.queries("q_ann_pq_rerank")(spark, sf)))
+    assert(rerank >= plain,
+      s"re-rank recall $rerank fell below plain ADC $plain")
+  }
+
+  test("q_kmeans_elbow: inertia is monotone non-increasing in k") {
+    // first-k panels are nested supersets, so each vector's min-d2 can
+    // only shrink as k grows; a violation means the assignment or the
+    // slice indexing broke
+    val rows = VectorQueries.queries("q_kmeans_elbow")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Long]("n_vectors"),
+        r.getAs[Long]("inertia")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === VectorQueries.ELBOW_KS)
+    assert(rows.map(_._2).distinct.length === 1,
+      s"vector count varied across k: ${rows.toSeq}")
+    val inertias = rows.map(_._3)
+    assert(inertias.zip(inertias.tail).forall { case (a, b) => a >= b },
+      s"inertia increased along the k ladder: ${inertias.toSeq}")
+  }
 }

@@ -400,6 +400,53 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"$hashExchanges hash exchanges in filtered search:\n$plan")
   }
 
+  test("q_readability: pure projection — no keyed exchange, no join") {
+    // Tables.load's single-split RoundRobin fan-out (a local-testdata
+    // artifact, no-op on a real cluster) is the ONLY exchange allowed
+    val plan = planOf(
+      operators.TextQueries.queries("q_readability")(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"readability profile must not shuffle on a key:\n$plan")
+    assert(!plan.contains("Join"), s"plan:\n$plan")
+  }
+
+  test("q_simpson_diversity / q_ols_trend / q_dow_hour_profile: " +
+    "aggregation-only plans, no join or window") {
+    Seq(
+      operators.TextQueries.queries("q_simpson_diversity")(spark, sf),
+      RelationalQueries.queries("q_ols_trend")(spark, sf),
+      operators.EventQueries.queries("q_dow_hour_profile")(spark, sf))
+      .foreach { df =>
+        val plan = planOf(df)
+        assert(!plan.contains("Join"), s"plan:\n$plan")
+        assert(!plan.contains("Window"), s"plan:\n$plan")
+      }
+  }
+
+  test("q_ann_pq_rerank: refine pass rides broadcast joins, " +
+    "never a corpus-side sort-merge") {
+    // the Q·C candidate set and the Q-row query panel must both
+    // broadcast against the vector table — an SMJ would shuffle the
+    // corpus for a constant-sized side
+    val plan = planOf(
+      VectorQueries.queries("q_ann_pq_rerank")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"refine joins are not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
+  }
+
+  test("q_kmeans_elbow: one corpus pass — the k sweep adds no scans") {
+    // the centroid panel attaches as a single broadcast row and all
+    // ELBOW_KS assignments happen in-row: exactly one parquet scan of
+    // embeddings (plus the panel build's own), one keyed exchange (the
+    // |ks|-row aggregate)
+    val plan = planOf(
+      VectorQueries.queries("q_kmeans_elbow")(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size <= 2,
+      s"k sweep multiplied corpus scans:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
+  }
+
   private def assertNoCross(plan: String, q: String): Unit =
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),

@@ -315,4 +315,45 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     // Spark would surface as NULL) is the only way ppm could be null
     assert(out.forall(r => !r.isNullAt(r.fieldIndex("corr2_ppm"))))
   }
+
+  test("property: q_token_budget is a valid max-min fair allocation") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = operators.Curation.queries("q_token_budget")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("alloc_tokens"),
+        r.getAs[Boolean]("capped")))
+    assert(rows.nonEmpty)
+    // feasibility: nobody exceeds demand; capped ⟺ clipped
+    rows.foreach { case (n, a, capped) =>
+      assert(a <= n && a >= 0)
+      assert(capped === (a < n))
+    }
+    // max-min fairness: every capped source sits at ONE common level,
+    // and no uncapped source demands more than that level
+    val levels = rows.filter(_._3).map(_._2).distinct
+    assert(levels.length <= 1, s"multiple water levels: ${levels.toSeq}")
+    levels.headOption.foreach { l =>
+      assert(rows.filterNot(_._3).forall(_._1 <= l),
+        "an uncapped source demanded more than the water level")
+    }
+    // budget respected: Σ alloc ≤ total div 2, and if anyone was capped
+    // the integer level leaves less than one per-source quantum unspent
+    val total = rows.map(_._1).sum
+    val spent = rows.map(_._2).sum
+    assert(spent <= total / 2)
+    if (levels.nonEmpty)
+      assert(total / 2 - spent < rows.length,
+        s"water level left ${total / 2 - spent} tokens on the table")
+  }
+
+  test("property: q_labeler_kappa stays in [-1, 1] as an exact rational") {
+    val r = operators.TextQueries.queries("q_labeler_kappa")(
+      spark, "/root/testdata/sf0.01").collect().head
+    val (n, agree) = (r.getAs[Long]("n_docs"), r.getAs[Long]("agree_n"))
+    val (num, den) = (r.getAs[Long]("kappa_num"), r.getAs[Long]("kappa_den"))
+    assert(n > 0 && agree >= 0 && agree <= n)
+    assert(den > 0, "chance agreement hit N² — degenerate one-class matrix")
+    assert(num <= den, s"kappa > 1: $num/$den")
+    assert(num >= -den, s"kappa < -1: $num/$den")
+  }
 }
