@@ -1037,6 +1037,53 @@ object EventQueries {
             .as("jaccard_bp"))
     },
 
+    // ── association lift between event types within sessions ───────────
+    // q_audience_overlap asks "do the same USERS do both (ever)";
+    // this asks the basket question — "do both types happen in the
+    // same VISIT", which is what cross-sell/next-action models feed
+    // on. Sessions come from the shared 30-min gap rule (composite
+    // surrogate, the q_session_funnel convention); per canonical type
+    // pair: co-session count and the lift n_both·S / (n_a·n_b) in bp
+    // (monotone with PMI, integer-exact — products ride DECIMAL(38,0)
+    // / HUGEINT so no width cliff at any scale). Lift > 10⁴ = the
+    // pair co-occurs beyond independence.
+    //
+    // 100 TB posture: the sessionize window is user-keyed; the
+    // pair-generation self-join is session-keyed with fan-out bounded
+    // by |types-per-session|² (the audience-overlap shape, never
+    // |sessions|²); margins and the total are broadcast-scale.
+    "q_session_lift" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms").asc, col("event_id").asc)
+      val st = loadEvents(s, dir)
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull ||
+            col("ms") - col("prev_ms") > GAP_MS, 1).otherwise(0))
+        .withColumn("session_idx",
+          sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select((col("user_id") * 1000000 + col("session_idx"))
+          .as("sess"), col("event_type"))
+        .distinct()
+      val tot = st.select(col("sess")).distinct()
+        .agg(count(lit(1)).as("n_sessions"))
+      val per = st.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val pair = st.toDF("sess", "type_a")
+        .join(st.toDF("sess", "type_b"), "sess")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pair
+        .join(broadcast(per.toDF("type_a", "n_a")), "type_a")
+        .join(broadcast(per.toDF("type_b", "n_b")), "type_b")
+        .crossJoin(broadcast(tot))
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          col("n_a"), col("n_b"), col("n_sessions"),
+          expr("CAST(n_both AS DECIMAL(38,0)) * n_sessions * 10000" +
+            " div (CAST(n_a AS DECIMAL(38,0)) * n_b)").as("lift_bp"))
+    },
+
     // ── day-of-week × hour traffic profile (seasonality heatmap) ───────
     // The time-OF-DAY shape q_arrival_histogram's inter-event gaps
     // can't see and q_seasonal_anomaly consumes only implicitly: event
@@ -1840,6 +1887,36 @@ object EventQueries {
         |    user_id FROM events)
         |SELECT dow, hour, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users
-        |FROM dh GROUP BY 1, 2""".stripMargin
+        |FROM dh GROUP BY 1, 2""".stripMargin,
+
+    "q_session_lift" ->
+      s"""WITH sle AS (SELECT user_id, event_id, event_type,
+         |    epoch_ms(ts) AS ms FROM events),
+         |slf AS (SELECT *,
+         |  CASE WHEN lag(ms) OVER w IS NULL
+         |         OR ms - lag(ms) OVER w > $GAP_MS THEN 1 ELSE 0 END
+         |    AS new_sess
+         |  FROM sle WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY ms ASC, event_id ASC)),
+         |sls AS (SELECT DISTINCT
+         |    user_id * 1000000 + CAST(sum(new_sess) OVER (
+         |      PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess,
+         |    event_type
+         |  FROM slf),
+         |slt AS (SELECT count(DISTINCT sess) AS n_sessions FROM sls),
+         |slp AS (SELECT event_type, count(*) AS n FROM sls GROUP BY 1),
+         |slb AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    count(*) AS n_both
+         |  FROM sls a JOIN sls b ON a.sess = b.sess
+         |    AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT type_a, type_b, n_both, pa.n AS n_a, pb.n AS n_b,
+         |  n_sessions,
+         |  CAST(CAST(n_both AS HUGEINT) * n_sessions * 10000
+         |    // (CAST(pa.n AS HUGEINT) * pb.n) AS BIGINT) AS lift_bp
+         |FROM slb JOIN slp pa ON pa.event_type = slb.type_a
+         |JOIN slp pb ON pb.event_type = slb.type_b
+         |CROSS JOIN slt""".stripMargin
   )
 }

@@ -791,6 +791,33 @@ object RelationalQueries {
             .as("slope_num"),
           (col("n_days") * col("sdd") - col("sd") * col("sd"))
             .as("slope_den"))
+    },
+
+    // ── shipping-calendar continuity audit (gap detection) ─────────────
+    // The time-series completeness check every ingest monitor needs:
+    // per supplier, how continuous is the shipping calendar — active
+    // days vs span, missing days, and the LONGEST dark streak (the
+    // number an alert thresholds on; totals can't see whether 30
+    // missing days are scattered or one outage). One distinct
+    // (supplier, day) projection, a supplier-keyed lag window over each
+    // supplier's OWN active days (bounded per partition by its
+    // calendar, never corpus-wide), one supplier-keyed rollup — all
+    // integer epoch-day arithmetic.
+    "q_date_gaps" -> { (s, dir) =>
+      val days = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("day").asc)
+      days
+        .withColumn("gap", col("day") - lag(col("day"), 1).over(w) - 1)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_active_days"),
+          (max(col("day")) - min(col("day")) + 1).as("span_days"),
+          coalesce(max(col("gap")), lit(0L)).as("max_gap_days"))
+        .withColumn("n_missing_days",
+          expr("span_days - n_active_days"))
     }
   )
 
@@ -1196,6 +1223,21 @@ object RelationalQueries {
         |SELECT CAST(n_days AS BIGINT) AS n_days,
         |  CAST(n_days * sdc - sd * sc AS BIGINT) AS slope_num,
         |  CAST(n_days * sdd - sd * sd AS BIGINT) AS slope_den
-        |FROM osm""".stripMargin
+        |FROM osm""".stripMargin,
+
+    "q_date_gaps" ->
+      """WITH gd AS (SELECT DISTINCT l_suppkey,
+        |    date_diff('day', DATE '1970-01-01', l_shipdate) AS day
+        |  FROM lineitem),
+        |gg AS (SELECT l_suppkey, day,
+        |    day - lag(day) OVER (PARTITION BY l_suppkey
+        |      ORDER BY day ASC) - 1 AS gap
+        |  FROM gd)
+        |SELECT l_suppkey, count(*) AS n_active_days,
+        |  CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days,
+        |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_days,
+        |  CAST(max(day) - min(day) + 1 - count(*) AS BIGINT)
+        |    AS n_missing_days
+        |FROM gg GROUP BY 1""".stripMargin
   )
 }

@@ -42,6 +42,8 @@ object TextQueries {
   private val GROWTH_BUCKETS = 10 // q_vocab_growth arrival-order deciles
   private val ZIPF_TOP = 64    // q_zipf_slope head width (fit window)
   private val WEDGE_CAP = 16   // q_link_prediction center-degree cap
+  private val AFF_MIN_SUPPORT = 5 // q_source_term_affinity tf floor
+  private val AFF_TOP = 5      // q_source_term_affinity terms per source
   private val BM25_K1_C = 120  // q_bm25_topk k1 = 1.2 in centiunits
   private val BM25_B_C = 75    // q_bm25_topk b = 0.75 in centiunits
   private val BM25_TOP = 20    // q_bm25_topk result size
@@ -1702,6 +1704,49 @@ object TextQueries {
             .as("kappa_num"),
           (col("n_docs") * col("n_docs") - col("pe_raw"))
             .as("kappa_den"))
+    },
+
+    // ── distinctive terms per source (association lift top-5) ──────────
+    // "What makes this crawl different" — the source-profiling readout
+    // behind mixture decisions: per source, the AFF_TOP terms most
+    // over-represented vs the corpus, by lift c_st·N / (c_s·c_t) in bp
+    // (monotone with PMI; DECIMAL(38,0)/HUGEINT products so no width
+    // cliff), support-floored at AFF_MIN_SUPPORT so rare-term noise
+    // can't top the list. The per-source cut is a k-capped
+    // bounded_topk — NO window over the (source, term) table, which is
+    // vocab-sized at 100 TB; the topk payload is the term's 60-bit
+    // hash (ties break (lift DESC, hash ASC) in both engines) and the
+    // term string joins back hash-keyed afterward.
+    "q_source_term_affinity" -> { (s, dir) =>
+      val st = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("c_st"))
+      val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("c_s"))
+      val termTot = st.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
+      val tot = srcTot.agg(sum(col("c_s")).as("n_total"))
+      val scored = graft.CacheRegistry.register(
+        st.filter(col("c_st") >= AFF_MIN_SUPPORT)
+          .join(broadcast(srcTot), "source")
+          .join(termTot, "term")
+          .crossJoin(broadcast(tot))
+          .withColumn("h", Dedup.shingleHash(col("term")))
+          .withColumn("lift_bp", expr(
+            "CAST(c_st AS DECIMAL(38,0)) * n_total * 10000" +
+              " div (CAST(c_s AS DECIMAL(38,0)) * c_t)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val top = scored
+        .groupBy(col("source"))
+        .agg(expr(
+          s"bounded_topk(CAST(-lift_bp AS DOUBLE), h, $AFF_TOP)").as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .toDF("source", "pos", "t")
+        .select(col("source"), col("t.n").as("h"),
+          (col("pos") + 1).as("rank"))
+      scored.join(broadcast(top), Seq("source", "h"))
+        .select(col("source"), col("term"), col("c_st"),
+          col("lift_bp"), col("rank"))
     }
   )
 
@@ -3199,7 +3244,32 @@ object TextQueries {
          |SELECT n_docs, agree_n,
          |  CAST(n_docs * agree_n - pe_raw AS BIGINT) AS kappa_num,
          |  CAST(n_docs * n_docs - pe_raw AS BIGINT) AS kappa_den
-         |FROM ktot, kpe""".stripMargin
+         |FROM ktot, kpe""".stripMargin,
+
+    "q_source_term_affinity" ->
+      s"""WITH $toksCte,
+         |atf AS (SELECT d.source, tok AS term, count(*) AS c_st
+         |  FROM toks t JOIN documents d ON d.doc_id = t.doc_id,
+         |       unnest(t.t) AS u(tok)
+         |  GROUP BY 1, 2),
+         |asrc AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS c_s
+         |  FROM atf GROUP BY 1),
+         |aterm AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t
+         |  FROM atf GROUP BY 1),
+         |atot AS (SELECT CAST(sum(c_s) AS BIGINT) AS n_total FROM asrc),
+         |ascored AS (SELECT a.source, a.term, a.c_st,
+         |    ${Dedup.shingleHashSql("a.term")} AS h,
+         |    CAST(CAST(a.c_st AS HUGEINT) * n_total * 10000
+         |      // (CAST(c_s AS HUGEINT) * c_t) AS BIGINT) AS lift_bp
+         |  FROM atf a JOIN asrc USING (source) JOIN aterm USING (term)
+         |  CROSS JOIN atot
+         |  WHERE a.c_st >= $AFF_MIN_SUPPORT),
+         |ar AS (SELECT source, term, c_st, lift_bp,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY lift_bp DESC, h ASC) AS rank
+         |  FROM ascored)
+         |SELECT source, term, c_st, lift_bp, rank FROM ar
+         |WHERE rank <= $AFF_TOP""".stripMargin
   )
 
   /** q_label_propagation oracle: LPA_ITERS synchronous rounds unrolled

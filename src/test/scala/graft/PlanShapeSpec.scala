@@ -447,6 +447,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
   }
 
+  test("q_date_gaps: supplier-keyed window + rollup, no join") {
+    val plan = planOf(RelationalQueries.queries("q_date_gaps")(spark, sf))
+    assert(!plan.contains("Join"), s"plan:\n$plan")
+    assert(plan.contains("Window"), s"lag window missing:\n$plan")
+  }
+
+  test("q_source_term_affinity: per-source cut is bounded_topk, " +
+    "no window over the vocab-sized table") {
+    val plan = planOf(
+      operators.TextQueries.queries("q_source_term_affinity")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"affinity cut fell back to a rank window:\n$plan")
+    assert(plan.contains("BoundedTopK") || plan.contains("bounded_topk"),
+      s"bounded_topk missing:\n$plan")
+  }
+
+  test("q_session_lift: margins/total ride broadcast; " +
+    "pair join stays session-keyed equi") {
+    val plan = planOf(
+      operators.EventQueries.queries("q_session_lift")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"margin joins are not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
   private def assertNoCross(plan: String, q: String): Unit =
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
