@@ -1037,6 +1037,35 @@ object EventQueries {
             .as("jaccard_bp"))
     },
 
+    // ── mergeable moment sketches (algebraic day states) ───────────────
+    // Completes the mergeable-state family (HLL distinct / MinHash
+    // Jaccard / histogram quantiles / Misra–Gries top-k) with the
+    // MOMENTS sketch: per (type, day) the algebraic state (n, Σc, Σc²)
+    // in half-cent-rounded integer cents. States merge by plain
+    // addition, so daily jobs maintain them incrementally and any time
+    // range's exact mean/variance is a sum of states — never a rescan.
+    // This query drives the two-level path (day states THEN merge);
+    // the oracle computes straight from rows, so the hash match IS the
+    // mergeability proof. Variance stays division-free until the final
+    // (n·Σc² − (Σc)²) div n², every product on DECIMAL(38,0)/HUGEINT.
+    "q_mergeable_moments" -> { (s, dir) =>
+      val state = loadEvents(s, dir)
+        .select(col("event_type"), expr("ms div 86400000").as("day"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+      state.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"),
+          sum(col("s1")).as("sum_c"), sum(col("s2")).as("s2"))
+        .select(col("event_type"), col("n_days"), col("n_events"),
+          col("sum_c"), expr("sum_c div n_events").as("mean_c"),
+          expr("(CAST(n_events AS DECIMAL(38,0)) * s2 -" +
+            " CAST(sum_c AS DECIMAL(38,0)) * sum_c)" +
+            " div (CAST(n_events AS DECIMAL(38,0)) * n_events)")
+            .as("var_cc"))
+    },
+
     // ── association lift between event types within sessions ───────────
     // q_audience_overlap asks "do the same USERS do both (ever)";
     // this asks the basket question — "do both types happen in the
@@ -1055,17 +1084,22 @@ object EventQueries {
     "q_session_lift" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ms").asc, col("event_id").asc)
-      val st = loadEvents(s, dir)
-        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
-        .withColumn("new_sess",
-          when(col("prev_ms").isNull ||
-            col("ms") - col("prev_ms") > GAP_MS, 1).otherwise(0))
-        .withColumn("session_idx",
-          sum(col("new_sess")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select((col("user_id") * 1000000 + col("session_idx"))
-          .as("sess"), col("event_type"))
-        .distinct()
+      // the distinct (session, type) table feeds four consumers (total,
+      // margins, both pair-join sides) — persist it or each one re-runs
+      // the corpus-wide sessionize window
+      val st = graft.CacheRegistry.register(
+        loadEvents(s, dir)
+          .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ms").isNull ||
+              col("ms") - col("prev_ms") > GAP_MS, 1).otherwise(0))
+          .withColumn("session_idx",
+            sum(col("new_sess")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select((col("user_id") * 1000000 + col("session_idx"))
+            .as("sess"), col("event_type"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val tot = st.select(col("sess")).distinct()
         .agg(count(lit(1)).as("n_sessions"))
       val per = st.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
@@ -1917,6 +1951,23 @@ object EventQueries {
          |    // (CAST(pa.n AS HUGEINT) * pb.n) AS BIGINT) AS lift_bp
          |FROM slb JOIN slp pa ON pa.event_type = slb.type_a
          |JOIN slp pb ON pb.event_type = slb.type_b
-         |CROSS JOIN slt""".stripMargin
+         |CROSS JOIN slt""".stripMargin,
+
+    "q_mergeable_moments" ->
+      """WITH mm AS (SELECT event_type,
+        |    count(DISTINCT epoch_ms(ts) // 86400000) AS n_days,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sum_c,
+        |    sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)
+        |      * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s2
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n_days, n_events, sum_c,
+        |  CAST(sum_c // n_events AS BIGINT) AS mean_c,
+        |  CAST((CAST(n_events AS HUGEINT) * s2
+        |      - CAST(sum_c AS HUGEINT) * sum_c)
+        |    // (CAST(n_events AS HUGEINT) * n_events) AS BIGINT)
+        |    AS var_cc
+        |FROM mm""".stripMargin
   )
 }

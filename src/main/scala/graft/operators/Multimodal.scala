@@ -249,23 +249,31 @@ object Multimodal {
     * sample / mean evaluate exactly once per row; CollapseProject leaves
     * non-cheap expressions used more than once alone.
     */
-  def aHashed(media: DataFrame): DataFrame = {
-    // integer division via floor: operands stay far below 2^53, so the
-    // double detour is exact and matches DuckDB's `//`
-    def idiv(a: Column, b: Long): Column = floor(a / lit(b)).cast("long")
+  // integer division via floor: operands stay far below 2^53, so the
+  // double detour is exact and matches DuckDB's `//`
+  private def idiv(a: Column, b: Long): Column =
+    floor(a / lit(b)).cast("long")
+
+  /** The shared sampling stage: AHASH_BITS stride-sampled payload bytes
+    * as columns s0..s59 — the input both perceptual hashes bit-fold.
+    */
+  private def sampledBytes(media: DataFrame): DataFrame = {
     val base = media
       .filter(length(col("bytes")) > 0)
       .select(col("media_id"), hex(col("bytes")).as("hx"),
         length(col("bytes")).cast("long").as("n"))
       .withColumn("stride",
         greatest(lit(1L), idiv(col("n"), AHASH_BITS.toLong)))
-    val sampled = base.select(col("media_id") +:
+    base.select(col("media_id") +:
       (0 until AHASH_BITS).map { i =>
         val p = least(lit(1L) + lit(i.toLong) * col("stride"), col("n"))
         conv(col("hx").substr(((p - lit(1L)) * 2 + 1).cast("int"), lit(2)),
           16, 10).cast("long").as(s"s$i")
       }: _*)
-    val withMean = sampled.withColumn("m",
+  }
+
+  def aHashed(media: DataFrame): DataFrame = {
+    val withMean = sampledBytes(media).withColumn("m",
       idiv((0 until AHASH_BITS).map(i => col(s"s$i")).reduce(_ + _),
         AHASH_BITS.toLong))
     withMean.select(col("media_id"),
@@ -273,6 +281,25 @@ object Multimodal {
         when(col(s"s$i") > col("m"), lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _).as("ahash"))
   }
+
+  /** Perceptual difference-hash over the same sampled bytes: bit_i =
+    * sample_i > sample_{(i+1) mod 60} — gradient SIGNS instead of
+    * deviation from a global mean.
+    * aHash thresholds on the payload's own mean, so a uniform level
+    * shift (re-encode, brightness in a real pixel pipeline) can flip
+    * many bits at once; dHash compares ADJACENT samples, which such
+    * shifts leave invariant — the standard second detector an image
+    * dedup stack runs beside aHash (agreement between the two is the
+    * q_detector_agreement idea applied to media). Same integer/oracle
+    * contract and the same banding compatibility as [[aHashed]]; the
+    * cyclic final pair keeps the fold at exactly AHASH_BITS samples.
+    */
+  def dHashed(media: DataFrame): DataFrame =
+    sampledBytes(media).select(col("media_id"),
+      (0 until AHASH_BITS).map { i =>
+        when(col(s"s$i") > col(s"s${(i + 1) % AHASH_BITS}"),
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _).as("dhash"))
 
   // ── declared queries + oracle ────────────────────────────────────────
 
@@ -323,6 +350,10 @@ object Multimodal {
     // perceptual average-hash fingerprints (near-dup retrieval banding
     // compatible with the SimHash machinery)
     "q_media_ahash" -> { (s, dir) => aHashed(mediaOf(s, dir)) },
+
+    // difference-hash fingerprints (see dHashed — the level-shift-
+    // invariant second detector beside aHash)
+    "q_media_dhash" -> { (s, dir) => dHashed(mediaOf(s, dir)) },
 
     // perceptual near-dup retrieval: the generic banded-hamming
     // machinery ([[Dedup.bandedHammingPairs]]) applied to media aHashes —
@@ -382,6 +413,24 @@ object Multimodal {
        |  FROM withmean)""".stripMargin
   }
 
+  /** SQL twin of [[dHashed]]: the same sampled-byte expressions folded
+    * as cyclic adjacent-pair comparisons.
+    */
+  private val dHashCtes: String = {
+    def sampleSql(i: Int) =
+      s"CAST(('0x' || substr(hx, CAST(((least(1 + $i * stride, n) - 1) * 2 + 1) AS INT), 2)) AS BIGINT)"
+    val bits = (0 until AHASH_BITS).map { i =>
+      s"(CASE WHEN ${sampleSql(i)} > ${sampleSql((i + 1) % AHASH_BITS)} " +
+        s"THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""dm2 AS (SELECT media_id, hex(bytes) AS hx,
+       |    CAST(octet_length(bytes) AS BIGINT) AS n,
+       |    greatest(1, CAST(octet_length(bytes) AS BIGINT) // $AHASH_BITS) AS stride
+       |  FROM media WHERE octet_length(bytes) > 0),
+       |dh AS (SELECT media_id, CAST($bits AS BIGINT) AS dhash
+       |  FROM dm2)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_media_catalog" ->
       s"""WITH $mediaCte
@@ -431,6 +480,11 @@ object Multimodal {
       s"""WITH $mediaCte,
          |$aHashCtes
          |SELECT media_id, ahash FROM ah""".stripMargin,
+
+    "q_media_dhash" ->
+      s"""WITH $mediaCte,
+         |$dHashCtes
+         |SELECT media_id, dhash FROM dh""".stripMargin,
 
     "q_media_neardup" -> {
       val width = AHASH_BITS / 4

@@ -1683,12 +1683,18 @@ object TextQueries {
     // 100 TB posture: one corpus-keyed confusion aggregate (|langs|²
     // rows), then every margin/total is a broadcast-scale fold.
     "q_labeler_kappa" -> { (s, dir) =>
-      val cm = Tables.load(s, dir, "documents")
-        .filter(length(trim(col("text"))) > 0)
-        .select(col("lang"),
-          TextFunctions.langId(col("text")).as("lang_pred"))
-        .groupBy(col("lang"), col("lang_pred"))
-        .agg(count(lit(1)).as("n"))
+      // the |langs|²-row confusion table feeds FOUR aggregates (row
+      // margins, col margins, total, agree) — persist it or each one
+      // re-derives the corpus scan + marker scoring (measured ~3× the
+      // q_lang_confusion cost unpersisted)
+      val cm = graft.CacheRegistry.register(
+        Tables.load(s, dir, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("lang"),
+            TextFunctions.langId(col("text")).as("lang_pred"))
+          .groupBy(col("lang"), col("lang_pred"))
+          .agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val rows = cm.groupBy(col("lang")).agg(sum(col("n")).as("row_n"))
       val cols = cm.groupBy(col("lang_pred"))
         .agg(sum(col("n")).as("col_n"))
@@ -1718,11 +1724,15 @@ object TextQueries {
     // hash (ties break (lift DESC, hash ASC) in both engines) and the
     // term string joins back hash-keyed afterward.
     "q_source_term_affinity" -> { (s, dir) =>
-      val st = Tables.load(s, dir, "documents")
-        .select(col("source"),
-          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
-        .groupBy(col("source"), col("term"))
-        .agg(count(lit(1)).as("c_st"))
+      // the (source, term) tf table feeds three consumers (margins ×2 +
+      // the scored join) — persist it or each re-runs the tokenize
+      val st = graft.CacheRegistry.register(
+        Tables.load(s, dir, "documents")
+          .select(col("source"),
+            explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("c_st"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("c_s"))
       val termTot = st.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
       val tot = srcTot.agg(sum(col("c_s")).as("n_total"))
