@@ -25,17 +25,54 @@ object PipelineRunner {
       .map(_.toString).toSeq
   }
 
-  /** Run the three stages for each date in order. Days are independent
-    * (separate bronze files, dynamic silver partitions, keyed gold
-    * merges), so a failed day can be re-run alone and re-running a
-    * completed day is idempotent.
+  /** Per-task retry policy, mirroring the reference DAG's
+    * `default_args` (`retries: 1`, `retry_delay: timedelta(minutes=5)`
+    * — reference: airflow/dags/nasa_asteroid_dag.py:12-16). Flat delay,
+    * not exponential — that is what the reference schedules. `sleeper`
+    * is injectable so specs assert the retry schedule without sleeping.
+    */
+  final case class RetryPolicy(retries: Int = 1,
+                               delayMs: Long = 5L * 60 * 1000,
+                               sleeper: Long => Unit = Thread.sleep)
+
+  /** Run `body`, retrying up to `policy.retries` times on non-fatal
+    * failure with `policy.delayMs` between attempts. The stage is the
+    * retry unit (the Airflow task granularity): a transient bronze
+    * fetch failure never re-runs a completed silver write, and the
+    * stages themselves are idempotent per day so a retry after a
+    * partial failure is safe. The last failure propagates unchanged
+    * once attempts are exhausted.
+    */
+  def withRetries[A](policy: RetryPolicy, label: String)(body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case scala.util.control.NonFatal(e) if attempt < policy.retries =>
+          attempt += 1
+          System.err.println(s"[pipeline] $label attempt $attempt failed" +
+            s" (${e.getMessage}); retrying in ${policy.delayMs} ms")
+          policy.sleeper(policy.delayMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Run the three stages for each date in order, each stage under the
+    * retry policy. Days are independent (separate bronze files, dynamic
+    * silver partitions, keyed gold merges), so a failed day can be
+    * re-run alone and re-running a completed day is idempotent.
     */
   def runRange(spark: SparkSession, layout: Layout, dates: Seq[String],
-               fetcher: FeedFetcher): Unit =
+               fetcher: FeedFetcher,
+               policy: RetryPolicy = RetryPolicy()): Unit =
     dates.foreach { date =>
-      BronzeIngest.ingest(spark, layout, date, fetcher)
-      BronzeToSilver.run(spark, layout, date)
-      SilverToGold.run(spark, layout, date)
+      withRetries(policy, s"bronze_ingest($date)")(
+        BronzeIngest.ingest(spark, layout, date, fetcher))
+      withRetries(policy, s"bronze_to_silver($date)")(
+        BronzeToSilver.run(spark, layout, date))
+      withRetries(policy, s"silver_to_gold($date)")(
+        SilverToGold.run(spark, layout, date))
     }
 
   /** CLI: <base-dir> <start-date> [end-date]. API key from

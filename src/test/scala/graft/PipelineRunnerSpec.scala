@@ -54,4 +54,54 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(layout.gold("fact_asteroid_approach"))
       .count() === 7)
   }
+
+  test("withRetries: retries with the reference's flat delay, then " +
+    "propagates the last failure") {
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val policy = PipelineRunner.RetryPolicy(
+      retries = 2, delayMs = 300000L, sleeper = slept += _)
+
+    // fails twice, succeeds on the third (= last allowed) attempt
+    var calls = 0
+    val out = PipelineRunner.withRetries(policy, "flaky") {
+      calls += 1
+      if (calls < 3) sys.error(s"transient $calls") else "ok"
+    }
+    assert(out === "ok")
+    assert(calls === 3)
+    assert(slept.toSeq === Seq(300000L, 300000L))
+
+    // attempts exhausted: the LAST failure propagates, with exactly
+    // `retries` sleeps taken
+    slept.clear()
+    var always = 0
+    val e = intercept[RuntimeException] {
+      PipelineRunner.withRetries(policy, "down") {
+        always += 1; sys.error(s"boom $always")
+      }
+    }
+    assert(e.getMessage === "boom 3")
+    assert(always === 3)
+    assert(slept.toSeq === Seq(300000L, 300000L))
+  }
+
+  test("runRange: a transiently failing fetch is retried at STAGE " +
+    "granularity and the day still completes") {
+    val layout = Layout(Files.createTempDirectory("graft-retry").toString)
+    var fetches = 0
+    val flaky = new FeedFetcher {
+      def fetch(start: String, end: String): String = {
+        fetches += 1
+        if (fetches == 1) sys.error("HTTP 503")
+        NeoFixture.day1
+      }
+    }
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    PipelineRunner.runRange(spark, layout, Seq(NeoFixture.day1Date),
+      flaky, PipelineRunner.RetryPolicy(sleeper = slept += _))
+    assert(fetches === 2)
+    assert(slept.toSeq === Seq(300000L)) // the reference's 5-minute delay
+    assert(spark.read.parquet(layout.gold("fact_asteroid_approach"))
+      .count() > 0)
+  }
 }
