@@ -37,6 +37,7 @@ object Curation {
   private val PACK_SHARDS = 8          // parallel packing streams
   private val DECON_K = 5              // decontamination shingle width
   private val MAX_EPOCHS_MILLI = 4000  // mixture cap: ≤4 epochs per source
+  private val QUOTA_N = 100            // q_quota_apportionment target size
   private val MANIFEST_SHARDS = 10     // q_shard_manifest: 100 % 10 = 0 ⇒
                                        // uniform over the 0..99 hash bucket
   private val PAD_CTX = 48             // q_padding_waste fixed context length
@@ -701,6 +702,36 @@ object Curation {
           expr("sum_q * 100 div group_sz").as("mean_q_c"))
     },
 
+    // ── largest-remainder quota apportionment (Hamilton method) ────────
+    // "Build an N-doc eval set proportional to the source mix" needs
+    // integer quotas that sum EXACTLY to N — floors alone undershoot,
+    // independent rounding can overshoot. Hamilton's method: base =
+    // N·w div W per source, then the N − Σbase leftover seats go to
+    // the largest remainders (N·w mod W), ties by source asc — the
+    // classic apportionment rule (and its known Alabama-paradox
+    // trade-off is fine for a sampling quota). All divisions
+    // non-negative; PropertySpec pins Σquota = N and |error| < 1 seat.
+    //
+    // 100 TB posture: one corpus-sized source count; everything after
+    // is windows/folds over the |sources|-row table.
+    "q_quota_apportionment" -> { (s, dir) =>
+      val per = docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = per.agg(sum(col("n_docs")).as("w_total"))
+      val based = per.crossJoin(broadcast(tot))
+        .withColumn("base_q", expr(s"$QUOTA_N * n_docs div w_total"))
+        .withColumn("rem", expr(s"$QUOTA_N * n_docs % w_total"))
+      val leftover = based
+        .agg((lit(QUOTA_N.toLong) - sum(col("base_q"))).as("extra"))
+      val w = Window.orderBy(col("rem").desc, col("source").asc)
+      based.crossJoin(broadcast(leftover))
+        .withColumn("rr", row_number().over(w).cast("long"))
+        .select(col("source"), col("n_docs"), col("base_q"), col("rem"),
+          (col("base_q") +
+            when(col("rr") <= col("extra"), 1L).otherwise(0L))
+            .as("quota"))
+    },
+
     // ── max-min fair token budget (water-filling allocation) ───────────
     // The allocator q_mixture_weights' equal-share-with-cap is an
     // approximation OF: given a token budget (half the corpus), give
@@ -1220,6 +1251,24 @@ object Curation {
          |  CAST(sum_q * 100 // group_sz AS BIGINT) AS mean_q_c
          |FROM ag JOIN pk ON pk.group_id = ag.group_id AND pk.rn = 1"""
         .stripMargin,
+
+    "q_quota_apportionment" ->
+      s"""WITH qp AS (SELECT source, count(*) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |qt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS w_total FROM qp),
+         |qb AS (SELECT source, n_docs,
+         |    CAST($QUOTA_N * n_docs // w_total AS BIGINT) AS base_q,
+         |    CAST($QUOTA_N * n_docs % w_total AS BIGINT) AS rem
+         |  FROM qp CROSS JOIN qt),
+         |ql AS (SELECT $QUOTA_N - CAST(sum(base_q) AS BIGINT) AS extra
+         |  FROM qb),
+         |qr AS (SELECT *, CAST(row_number() OVER (
+         |    ORDER BY rem DESC, source ASC) AS BIGINT) AS rr
+         |  FROM qb)
+         |SELECT source, n_docs, base_q, rem,
+         |  CAST(base_q + CASE WHEN rr <= extra THEN 1 ELSE 0 END
+         |    AS BIGINT) AS quota
+         |FROM qr CROSS JOIN ql""".stripMargin,
 
     "q_token_budget" ->
       s"""WITH tb AS (SELECT source,

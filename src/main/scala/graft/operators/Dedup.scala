@@ -515,6 +515,46 @@ object Dedup {
     lshPairsFromDs(ds, sigs, numHashes, bands, thresholdPct)
   }
 
+  /** Hard-negative mining: LSH candidates whose exact verified Jaccard
+    * lands in [loPct, hiPct) — the boundary band a dedup run LOOKED at
+    * and rejected. These near-miss pairs are what a review queue
+    * samples to audit the threshold and what contrastive retrieval
+    * training mines as hard negatives (easy negatives never reach the
+    * candidate stage, so the banding has already done the mining).
+    * Scope is candidates-only BY DESIGN: at the default banding
+    * (16 hashes, 4×4) a j = 0.5 pair surfaces with P ≈ 23 % — this is
+    * the band's view of the boundary, not an exhaustive sweep
+    * (q_jaccard_threshold_sweep prices the full curve); the oracle
+    * replays the identical banding, so the set is engine-exact.
+    * Same cost shape as [[lshVerifiedPairs]]: band-bounded candidates,
+    * verify joins only candidate pairs.
+    */
+  def lshBandPairs(docs: DataFrame, id: String, text: String,
+                   k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                   loPct: Int = 40, hiPct: Int = 60): DataFrame = {
+    val ds = CacheRegistry.register(
+      hashedShingles(docs, id, text, k)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val sigs = CacheRegistry.register(
+      minhashSignatures(docs, id, text, k, numHashes)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = candidatesFromSigs(sigs, numHashes, bands)
+      .join(ds.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(ds.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val union = col("sz_a") + col("sz_b") - col("n_common")
+    withSizes(common, sizes)
+      .filter(col("n_common") * 100 >= lit(loPct) * union &&
+        col("n_common") * 100 < lit(hiPct) * union)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("sz_a"), col("sz_b"),
+        expr("n_common * 10000 div (sz_a + sz_b - n_common)")
+          .as("jaccard_bp"))
+  }
+
   /** LSH-then-verify over PREcomputed cached shingle/signature tables —
     * lets composite queries ([[lshRecall]]) share one scan with the
     * prefix-filter truth side instead of re-deriving both caches.

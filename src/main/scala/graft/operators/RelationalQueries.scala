@@ -818,6 +818,39 @@ object RelationalQueries {
           coalesce(max(col("gap")), lit(0L)).as("max_gap_days"))
         .withColumn("n_missing_days",
           expr("span_days - n_active_days"))
+    },
+
+    // ── CUSUM change-point of daily order volume ───────────────────────
+    // WHEN did the level shift — the question q_ols_trend's single
+    // slope and q_dist_drift's aggregate distance can't answer. The
+    // classic CUSUM estimator: cumulative deviation from the global
+    // mean peaks AT the change point. Kept exact by scaling instead of
+    // dividing — cusum_d = Σ_{i≤d} (c_i·n − total) is the mean-centered
+    // prefix sum times n, same argmax — so there is no float and no
+    // floor anywhere; the peak picks (|cusum| DESC, day ASC) via one
+    // struct-min fold, never a sort of the full series.
+    //
+    // 100 TB posture: one map-combined day aggregate; the prefix-sum
+    // window runs over the |days|-row table (bounded: ≤ a few thousand
+    // rows at any corpus size), then a single-row fold.
+    "q_cusum_changepoint" -> { (s, dir) =>
+      val daily = Tables.load(s, dir, "orders")
+        .select(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      val tot = daily.agg(sum(col("c")).as("total"),
+        count(lit(1)).as("n_days"))
+      val w = Window.orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(tot))
+        .withColumn("cusum",
+          sum(col("c") * col("n_days") - col("total")).over(w))
+        .agg(max(col("n_days")).as("n_days"),
+          max(col("total")).as("total_orders"),
+          min(struct((-abs(col("cusum"))).as("na"), col("day"),
+            col("cusum"))).as("m"))
+        .select(col("n_days"), col("total_orders"),
+          col("m.day").as("cp_day"), col("m.cusum").as("cusum_peak"))
     }
   )
 
@@ -1238,6 +1271,22 @@ object RelationalQueries {
         |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_days,
         |  CAST(max(day) - min(day) + 1 - count(*) AS BIGINT)
         |    AS n_missing_days
-        |FROM gg GROUP BY 1""".stripMargin
+        |FROM gg GROUP BY 1""".stripMargin,
+
+    "q_cusum_changepoint" ->
+      """WITH ccd AS (SELECT date_diff('day', DATE '1970-01-01',
+        |    o_orderdate) AS day FROM orders),
+        |ccc AS (SELECT day, count(*) AS c FROM ccd GROUP BY 1),
+        |cct AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+        |    count(*) AS n_days FROM ccc),
+        |ccs AS (SELECT day, CAST(sum(c * n_days - total) OVER (
+        |    ORDER BY day ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cusum
+        |  FROM ccc CROSS JOIN cct),
+        |ccp AS (SELECT day, cusum, row_number() OVER (
+        |    ORDER BY abs(cusum) DESC, day ASC) AS rn FROM ccs)
+        |SELECT n_days, total AS total_orders, day AS cp_day,
+        |  cusum AS cusum_peak
+        |FROM ccp CROSS JOIN cct WHERE rn = 1""".stripMargin
   )
 }

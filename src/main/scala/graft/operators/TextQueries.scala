@@ -23,6 +23,13 @@ object TextQueries {
   private val MAX_DF = 100     // shingle document-frequency cut (jaccard)
   private val THRESH = 60      // jaccard threshold, percent
   private val MAX_HAMMING = 3  // simhash near-dup hamming radius
+  // q_hard_negatives floor, pct. 0 = "any nonzero shingle overlap" (the
+  // verify join already drops pure signature-collision pairs): on this
+  // corpus planted near-dups are high-similarity copies, so the whole
+  // rejected-candidate tail sits under ~3 % Jaccard — a textbook
+  // [40, 60) band would be empty. Production corpora with a real
+  // similarity continuum raise this to taste.
+  private val HN_LO = 0
   private val CONTAIN_T = 90   // containment threshold, percent
   private val ABLATION_THRESHOLDS = Seq(50, 60, 70, 80, 90) // dedup ablation ladder
   private val TUNING_BANDS = Seq(1, 2, 4, 8, 16) // q_lsh_tuning band splits
@@ -164,6 +171,15 @@ object TextQueries {
     "q_lsh_verified_dups" -> { (s, dir) =>
       Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
         "doc_id", "text", K, NUM_HASHES, BANDS, THRESH)
+    },
+
+    // ── hard negatives: the rejected-candidate band ────────────────────
+    // (see Dedup.lshBandPairs — candidates the dedup run looked at and
+    // rejected below THRESH, floored at any nonzero overlap: the
+    // review-queue sample and the contrastive hard-negative mine)
+    "q_hard_negatives" -> { (s, dir) =>
+      Dedup.lshBandPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", K, NUM_HASHES, BANDS, HN_LO, THRESH)
     },
 
     // ── prefix-filtering similarity join (All-Pairs/PPJoin, EXACT) ──────
@@ -1868,7 +1884,11 @@ object TextQueries {
     * LSH-then-verify near-dup pairs (twin of [[Dedup.lshVerifiedPairs]]),
     * shared by q_lsh_verified_dups and the cluster queries built on it.
     */
-  private val lshVerifiedCtes =
+  /** CTE chain through `common(doc_a, doc_b, n_common)` + `sizes` —
+    * the PRE-threshold LSH-verified counts, shared by the vp chain and
+    * the q_hard_negatives boundary band.
+    */
+  private val lshCountedCtes =
     s"""$sigCte,
        |shh AS (SELECT doc_id, ${Dedup.shingleHashSql("shingle")} AS shingle
        |  FROM sh),
@@ -1881,7 +1901,10 @@ object TextQueries {
        |  FROM cand c
        |  JOIN shh a ON a.doc_id = c.doc_a
        |  JOIN shh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private val lshVerifiedCtes =
+    s"""$lshCountedCtes,
        |vp AS (SELECT doc_a, doc_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b
        |  FROM common
        |  JOIN sizes sa ON doc_a = sa.doc_id
@@ -3255,6 +3278,20 @@ object TextQueries {
          |  CAST(n_docs * agree_n - pe_raw AS BIGINT) AS kappa_num,
          |  CAST(n_docs * n_docs - pe_raw AS BIGINT) AS kappa_den
          |FROM ktot, kpe""".stripMargin,
+
+    "q_hard_negatives" ->
+      s"""WITH $lshCountedCtes,
+         |hn AS (SELECT doc_a, doc_b, n_common,
+         |    sa.sz AS sz_a, sb.sz AS sz_b
+         |  FROM common
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE n_common * 100 >= $HN_LO * (sa.sz + sb.sz - n_common)
+         |    AND n_common * 100 < $THRESH * (sa.sz + sb.sz - n_common))
+         |SELECT doc_a, doc_b, n_common, sz_a, sz_b,
+         |  CAST(n_common * 10000 // (sz_a + sz_b - n_common) AS BIGINT)
+         |    AS jaccard_bp
+         |FROM hn""".stripMargin,
 
     "q_source_term_affinity" ->
       s"""WITH $toksCte,

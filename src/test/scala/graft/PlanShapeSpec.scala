@@ -463,6 +463,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"bounded_topk missing:\n$plan")
   }
 
+  test("q_cusum_changepoint / q_quota_apportionment: the only windows " +
+    "run over bounded tables (days / sources), no corpus join") {
+    Seq(
+      RelationalQueries.queries("q_cusum_changepoint")(spark, sf),
+      operators.Curation.queries("q_quota_apportionment")(spark, sf))
+      .foreach { df =>
+        val plan = planOf(df)
+        assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
+        // the broadcast one-row total attach is the only join allowed
+        assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+      }
+  }
+
   test("q_session_lift: margins/total ride broadcast; " +
     "pair join stays session-keyed equi") {
     val plan = planOf(

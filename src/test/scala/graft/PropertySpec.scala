@@ -346,6 +346,24 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
         s"water level left ${total / 2 - spent} tokens on the table")
   }
 
+  test("property: q_quota_apportionment sums exactly to N, error < 1 seat") {
+    val rows = operators.Curation.queries("q_quota_apportionment")(
+      spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("quota")))
+    assert(rows.nonEmpty)
+    val n = 100L // QUOTA_N
+    assert(rows.map(_._2).sum === n,
+      s"Hamilton quotas must sum exactly to $n: ${rows.toSeq}")
+    // each quota within 1 of the exact proportional share (the
+    // largest-remainder guarantee)
+    val w = rows.map(_._1).sum
+    rows.foreach { case (nd, q) =>
+      val exactLo = n * nd / w // floor
+      assert(q === exactLo || q === exactLo + 1,
+        s"quota $q strayed from proportional share $exactLo for weight $nd")
+    }
+  }
+
   test("property: q_labeler_kappa stays in [-1, 1] as an exact rational") {
     val r = operators.TextQueries.queries("q_labeler_kappa")(
       spark, "/root/testdata/sf0.01").collect().head
