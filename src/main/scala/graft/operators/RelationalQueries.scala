@@ -820,6 +820,34 @@ object RelationalQueries {
           expr("span_days - n_active_days"))
     },
 
+    // ── per-segment OLS trend (slope per supplier, exact rationals) ────
+    // The segment-level form of q_ols_trend — "which suppliers are
+    // ramping, which are fading" — and the shape that actually scales:
+    // per-key (n, Σd, Σc, Σdc, Σd²) sums are map-side combinable, so
+    // the whole query is ONE supplier-keyed aggregate; no windows, no
+    // joins, and the slope stays the integer rational num/den (signs
+    // preserved, no engine division). Suppliers with < 2 active days
+    // are dropped (slope undefined: den = 0).
+    "q_trend_by_segment" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .groupBy(col("l_suppkey"), col("day"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("day")).as("sd"), sum(col("c")).as("sc"),
+          sum(col("day") * col("c")).as("sdc"),
+          sum(col("day") * col("day")).as("sdd"))
+        .filter(col("n_days") >= 2)
+        .select(col("l_suppkey"), col("n_days"), col("sc").as("n_items"),
+          (col("n_days") * col("sdc") - col("sd") * col("sc"))
+            .as("slope_num"),
+          (col("n_days") * col("sdd") - col("sd") * col("sd"))
+            .as("slope_den"))
+    },
+
     // ── CUSUM change-point of daily order volume ───────────────────────
     // WHEN did the level shift — the question q_ols_trend's single
     // slope and q_dist_drift's aggregate distance can't answer. The
@@ -1272,6 +1300,23 @@ object RelationalQueries {
         |  CAST(max(day) - min(day) + 1 - count(*) AS BIGINT)
         |    AS n_missing_days
         |FROM gg GROUP BY 1""".stripMargin,
+
+    "q_trend_by_segment" ->
+      """WITH tsd AS (SELECT l_suppkey,
+        |    date_diff('day', DATE '1970-01-01', l_shipdate) AS day
+        |  FROM lineitem),
+        |tsc AS (SELECT l_suppkey, day, count(*) AS c
+        |  FROM tsd GROUP BY 1, 2),
+        |tss AS (SELECT l_suppkey, count(*) AS n_days,
+        |    CAST(sum(day) AS BIGINT) AS sd,
+        |    CAST(sum(c) AS BIGINT) AS sc,
+        |    CAST(sum(day * c) AS BIGINT) AS sdc,
+        |    CAST(sum(day * day) AS BIGINT) AS sdd
+        |  FROM tsc GROUP BY 1)
+        |SELECT l_suppkey, n_days, sc AS n_items,
+        |  CAST(n_days * sdc - sd * sc AS BIGINT) AS slope_num,
+        |  CAST(n_days * sdd - sd * sd AS BIGINT) AS slope_den
+        |FROM tss WHERE n_days >= 2""".stripMargin,
 
     "q_cusum_changepoint" ->
       """WITH ccd AS (SELECT date_diff('day', DATE '1970-01-01',
