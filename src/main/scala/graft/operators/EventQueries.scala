@@ -1037,6 +1037,39 @@ object EventQueries {
             .as("jaccard_bp"))
     },
 
+    // ── Markov next-event prediction accuracy (baseline eval) ──────────
+    // q_event_transitions gives the matrix and q_markov_stationary its
+    // long-run mix; this is the EVAL — if you predict each user's next
+    // event as the argmax transition from their current one (the
+    // Markov-1 baseline every sequence model must beat), how often are
+    // you right, per state? In-sample by design: this prices the
+    // baseline's ceiling on the data itself (a held-out eval composes
+    // with q_train_test_split's hash gate). Argmax via one struct-min
+    // fold (count DESC, type ASC tie-break), model broadcast; the only
+    // corpus-sized work is the user-keyed lead window + one aggregate.
+    "q_markov_accuracy" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms").asc, col("event_id").asc)
+      val pairs = graft.CacheRegistry.register(
+        loadEvents(s, dir)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .select(col("event_type"), col("next_type"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val model = pairs
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(min(struct((-col("c")).as("nc"), col("next_type"))).as("m"))
+        .select(col("event_type"), col("m.next_type").as("predicted_next"))
+      pairs.join(broadcast(model), "event_type")
+        .groupBy(col("event_type"), col("predicted_next"))
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(when(col("next_type") === col("predicted_next"), 1L)
+            .otherwise(0L)).as("n_hits"))
+        .withColumn("acc_bp", expr("n_hits * 10000 div n_transitions"))
+    },
+
     // ── mergeable moment sketches (algebraic day states) ───────────────
     // Completes the mergeable-state family (HLL distinct / MinHash
     // Jaccard / histogram quantiles / Misra–Gries top-k) with the
@@ -1952,6 +1985,29 @@ object EventQueries {
          |FROM slb JOIN slp pa ON pa.event_type = slb.type_a
          |JOIN slp pb ON pb.event_type = slb.type_b
          |CROSS JOIN slt""".stripMargin,
+
+    "q_markov_accuracy" ->
+      """WITH mae AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ms FROM events),
+        |mal AS (SELECT event_type, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ms ASC, event_id ASC)
+        |    AS next_type FROM mae),
+        |map2 AS (SELECT event_type, next_type FROM mal
+        |  WHERE next_type IS NOT NULL),
+        |mac AS (SELECT event_type, next_type, count(*) AS c
+        |  FROM map2 GROUP BY 1, 2),
+        |mam AS (SELECT event_type, next_type AS predicted_next FROM (
+        |  SELECT event_type, next_type, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY c DESC, next_type ASC)
+        |    AS rn FROM mac) WHERE rn = 1)
+        |SELECT p.event_type, m.predicted_next,
+        |  count(*) AS n_transitions,
+        |  CAST(sum(CASE WHEN p.next_type = m.predicted_next
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN p.next_type = m.predicted_next
+        |    THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS acc_bp
+        |FROM map2 p JOIN mam m USING (event_type)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_mergeable_moments" ->
       """WITH mm AS (SELECT event_type,

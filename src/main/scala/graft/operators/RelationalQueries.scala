@@ -820,6 +820,37 @@ object RelationalQueries {
           expr("span_days - n_active_days"))
     },
 
+    // ── window frame boundary functions (first/last/nth parity) ────────
+    // Completes the window family (rank/lag/ntile/rows/range frames)
+    // with the frame-boundary readers: per supplier, the FIRST, SECOND
+    // and LAST shipped quantities under a fully-keyed deterministic
+    // order (day, orderkey, linenumber) over the unbounded frame —
+    // "how did this segment start vs where is it now" without a
+    // self-join to the extremes. One supplier-keyed window, one row
+    // kept per partition; all integers.
+    "q_window_firstlast" -> { (s, dir) =>
+      val base = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+            .cast("long").as("day"),
+          col("l_orderkey"), col("l_linenumber"),
+          expr("CAST(l_quantity AS BIGINT)").as("qty"))
+      val ord = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("day").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      val frame = ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      base
+        .withColumn("first_qty", first(col("qty")).over(frame))
+        .withColumn("second_qty",
+          nth_value(col("qty"), 2).over(frame))
+        .withColumn("last_qty", last(col("qty")).over(frame))
+        .withColumn("rn", row_number().over(ord))
+        .filter(col("rn") === 1)
+        .select(col("l_suppkey"), col("first_qty"), col("second_qty"),
+          col("last_qty"))
+    },
+
     // ── per-segment OLS trend (slope per supplier, exact rationals) ────
     // The segment-level form of q_ols_trend — "which suppliers are
     // ramping, which are fading" — and the shape that actually scales:
@@ -1300,6 +1331,24 @@ object RelationalQueries {
         |  CAST(max(day) - min(day) + 1 - count(*) AS BIGINT)
         |    AS n_missing_days
         |FROM gg GROUP BY 1""".stripMargin,
+
+    "q_window_firstlast" ->
+      """WITH wfb AS (SELECT l_suppkey,
+        |    date_diff('day', DATE '1970-01-01', l_shipdate) AS day,
+        |    l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |wfw AS (SELECT l_suppkey,
+        |    first_value(qty) OVER w AS first_qty,
+        |    nth_value(qty, 2) OVER w AS second_qty,
+        |    last_value(qty) OVER w AS last_qty,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY day ASC, l_orderkey ASC, l_linenumber ASC) AS rn
+        |  FROM wfb WINDOW w AS (PARTITION BY l_suppkey
+        |    ORDER BY day ASC, l_orderkey ASC, l_linenumber ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT l_suppkey, first_qty, second_qty, last_qty
+        |FROM wfw WHERE rn = 1""".stripMargin,
 
     "q_trend_by_segment" ->
       """WITH tsd AS (SELECT l_suppkey,

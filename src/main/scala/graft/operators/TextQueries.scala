@@ -23,6 +23,23 @@ object TextQueries {
   private val MAX_DF = 100     // shingle document-frequency cut (jaccard)
   private val THRESH = 60      // jaccard threshold, percent
   private val MAX_HAMMING = 3  // simhash near-dup hamming radius
+  /** Porter-lite suffix stripper over a token column named `tok` —
+    * shared VERBATIM by the Spark expr and the DuckDB oracle (LIKE +
+    * substr only; no regex, no lookbehind). Minimum-stem guards keep
+    * short tokens intact; '%ss' is exempt from the plural rule
+    * ("class" stays "class").
+    */
+  private val STEM_CASE =
+    """CASE
+      | WHEN length(tok) >= 6 AND tok LIKE '%ing'
+      |   THEN substr(tok, 1, length(tok) - 3)
+      | WHEN length(tok) >= 5 AND (tok LIKE '%ed' OR tok LIKE '%es'
+      |     OR tok LIKE '%ly')
+      |   THEN substr(tok, 1, length(tok) - 2)
+      | WHEN length(tok) >= 4 AND tok LIKE '%s' AND tok NOT LIKE '%ss'
+      |   THEN substr(tok, 1, length(tok) - 1)
+      | ELSE tok END""".stripMargin
+
   // q_hard_negatives floor, pct. 0 = "any nonzero shingle overlap" (the
   // verify join already drops pure signature-collision pairs): on this
   // corpus planted near-dups are high-similarity copies, so the whole
@@ -1630,6 +1647,27 @@ object TextQueries {
           count(lit(1)).as("n_terms_hit"))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(BM25_TOP)
+    },
+
+    // ── stemming vocabulary collapse (suffix-stripper) ─────────────────
+    // The light deterministic stemmer every lexical pipeline runs
+    // before indexing (a Porter-lite: ing/ed/es/ly/s with minimum-stem
+    // guards), measured by what it actually buys — per language, the
+    // distinct-type count before vs after and the collapse in bp. The
+    // stemmer is ONE shared CASE chain (LIKE + substr — identical
+    // semantics in both engines, no regex lookbehind), so the oracle
+    // runs the very same rule text. One tokenize + one lang-keyed
+    // two-distinct aggregate.
+    "q_stemmed_vocab" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .withColumn("stem", expr(STEM_CASE))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("tok")).as("n_types"),
+          countDistinct(col("stem")).as("n_stem_types"))
+        .withColumn("collapse_bp",
+          expr("(n_types - n_stem_types) * 10000 div n_types"))
     },
 
     // ── Simpson token-concentration index (repeated-token mass) ────────
@@ -3278,6 +3316,17 @@ object TextQueries {
          |  CAST(n_docs * agree_n - pe_raw AS BIGINT) AS kappa_num,
          |  CAST(n_docs * n_docs - pe_raw AS BIGINT) AS kappa_den
          |FROM ktot, kpe""".stripMargin,
+
+    "q_stemmed_vocab" ->
+      s"""WITH $toksCte,
+         |svt AS (SELECT doc_id, tok FROM toks, unnest(t) AS u(tok)),
+         |svd AS (SELECT d.lang, svt.tok, $STEM_CASE AS stem
+         |  FROM svt JOIN documents d ON d.doc_id = svt.doc_id)
+         |SELECT lang, count(DISTINCT tok) AS n_types,
+         |  count(DISTINCT stem) AS n_stem_types,
+         |  CAST((count(DISTINCT tok) - count(DISTINCT stem)) * 10000
+         |    // count(DISTINCT tok) AS BIGINT) AS collapse_bp
+         |FROM svd GROUP BY 1""".stripMargin,
 
     "q_hard_negatives" ->
       s"""WITH $lshCountedCtes,
