@@ -253,6 +253,43 @@ object Dedup {
         expr(s"n_agree * 100 div $numHashes"))
   }
 
+  /** b-bit MinHash estimate beside the full-slot one (b = 1, Li &
+    * König WWW'10): keep only each signature slot's LOWEST bit — 1/32
+    * of the slot storage — and estimate Jaccard from bit agreement:
+    * unrelated slots agree by chance ½, so ĵ = 2A − 1 clamped at 0
+    * (the clamp also swallows the one negative division, where
+    * truncate-vs-floor could differ — both engines clamp to the same
+    * 0). Emitting both estimators per candidate pair makes the query
+    * ITSELF the accuracy comparison the compression trade is priced
+    * by. Same cost shape as [[estimatedJaccardPairs]].
+    */
+  def bbitEstimatedPairs(docs: DataFrame, id: String, text: String,
+                         k: Int = 3, numHashes: Int = 16,
+                         bands: Int = 4): DataFrame = {
+    val sigs = CacheRegistry.register(
+      minhashSignatures(docs, id, text, k, numHashes)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val cand = candidatesFromSigs(sigs, numHashes, bands)
+    def side(as: String): DataFrame =
+      sigs.select(col("doc_id").as(s"doc_$as") +:
+        (0 until numHashes).map(i => col(s"mh$i").as(s"$as$i")): _*)
+    val bitAgree = (0 until numHashes)
+      .map(i => when(col(s"a$i") % 2 === col(s"b$i") % 2, 1).otherwise(0))
+      .reduce(_ + _)
+    val slotAgree = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(side("a"), "doc_a").join(side("b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bitAgree.cast("long").as("n_bit_agree"),
+        slotAgree.cast("long").as("n_agree"))
+      .withColumn("est_bbit_bp", expr(
+        s"greatest(CAST(0 AS BIGINT), " +
+          s"(2 * n_bit_agree - $numHashes) * 10000 div $numHashes)"))
+      .withColumn("est_full_bp",
+        expr(s"n_agree * 10000 div $numHashes"))
+  }
+
   /** MinHash estimator calibration: |estimated − exact| Jaccard error
     * distribution over LSH candidate pairs, in 10-point buckets — the
     * measured accuracy of the signature-only triage tier

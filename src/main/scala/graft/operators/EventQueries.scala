@@ -21,6 +21,7 @@ object EventQueries {
   private val GAP_MS = 30L * 60 * 1000 // 30-minute session gap
   private val ATTR_WINDOW_MS = 7L * 24 * 3600 * 1000 // attribution window
   private val MARKOV_ITERS = 4 // q_markov_stationary power iterations
+  private val AB_SEED = 97     // q_ab_conversion arm-assignment hash seed
 
   /** events.parquet has shipped `ts` as both TIMESTAMP(NANOS) (int64 via
     * the sessions' `nanosAsLong=true`) and TIMESTAMP(MICROS) (a real
@@ -1037,6 +1038,51 @@ object EventQueries {
             .as("jaccard_bp"))
     },
 
+    // ── A/B conversion readout (two-proportion z², exact integers) ─────
+    // The experiment-analysis primitive: split users into two arms by a
+    // seeded hash (the same determinism contract as q_train_test_split),
+    // measure purchase conversion per arm, and report the two-proportion
+    // z² statistic in milli-units — z² ≥ 3841 ⟺ |z| ≥ 1.96, the 95 %
+    // line. Rates are bp-QUANTIZED by contract before the test (both
+    // engines floor the same integers), which keeps every product
+    // inside DECIMAL(38,0)/HUGEINT up to ~10⁹ users per arm:
+    // z² = d_bp²·n_a·n_b / (p_bp·(10⁴−p_bp)·N) with d the rate gap and
+    // p the pooled rate. Degenerate pools (0 % / 100 %) emit NULL.
+    //
+    // 100 TB posture: one user-keyed conversion aggregate, a 2-row arm
+    // rollup, then single-row integer algebra.
+    "q_ab_conversion" -> { (s, dir) =>
+      val arms = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("converted"))
+        .withColumn("arm",
+          Dedup.hash32(AB_SEED, col("user_id").cast("string")) % 2)
+      arms.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 0, col("converted")).otherwise(0L))
+            .as("conv_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === 1, col("converted")).otherwise(0L))
+            .as("conv_b"))
+        .withColumn("rate_a_bp", expr("conv_a * 10000 div n_a"))
+        .withColumn("rate_b_bp", expr("conv_b * 10000 div n_b"))
+        .withColumn("pooled_bp",
+          expr("(conv_a + conv_b) * 10000 div (n_a + n_b)"))
+        .withColumn("z2_milli", expr(
+          """CASE WHEN pooled_bp = 0 OR pooled_bp = 10000
+            |  THEN CAST(NULL AS BIGINT)
+            |ELSE CAST(
+            |  CAST((rate_a_bp - rate_b_bp) AS DECIMAL(38,0))
+            |    * (rate_a_bp - rate_b_bp) * n_a * n_b * 1000
+            |  div (CAST(pooled_bp AS DECIMAL(38,0))
+            |    * (10000 - pooled_bp) * (n_a + n_b)) AS BIGINT)
+            |END""".stripMargin))
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          col("rate_a_bp"), col("rate_b_bp"), col("pooled_bp"),
+          col("z2_milli"))
+    },
+
     // ── Markov next-event prediction accuracy (baseline eval) ──────────
     // q_event_transitions gives the matrix and q_markov_stationary its
     // long-run mix; this is the EVAL — if you predict each user's next
@@ -1985,6 +2031,41 @@ object EventQueries {
          |FROM slb JOIN slp pa ON pa.event_type = slb.type_a
          |JOIN slp pb ON pb.event_type = slb.type_b
          |CROSS JOIN slt""".stripMargin,
+
+    "q_ab_conversion" ->
+      s"""WITH abu AS (SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS converted
+         |  FROM events GROUP BY 1),
+         |aba AS (SELECT
+         |    ${graft.operators.Dedup.hash32Sql(97, "CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         |    converted FROM abu),
+         |abp AS (SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+         |      AS BIGINT) AS conv_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+         |      AS BIGINT) AS conv_b
+         |  FROM aba),
+         |abr AS (SELECT *,
+         |    CAST(conv_a * 10000 // n_a AS BIGINT) AS rate_a_bp,
+         |    CAST(conv_b * 10000 // n_b AS BIGINT) AS rate_b_bp,
+         |    CAST((conv_a + conv_b) * 10000 // (n_a + n_b) AS BIGINT)
+         |      AS pooled_bp
+         |  FROM abp)
+         |SELECT n_a, conv_a, n_b, conv_b, rate_a_bp, rate_b_bp,
+         |  pooled_bp,
+         |  CASE WHEN pooled_bp = 0 OR pooled_bp = 10000 THEN NULL
+         |  ELSE CAST(
+         |    CAST((rate_a_bp - rate_b_bp) AS HUGEINT)
+         |      * (rate_a_bp - rate_b_bp) * n_a * n_b * 1000
+         |    // (CAST(pooled_bp AS HUGEINT)
+         |      * (10000 - pooled_bp) * (n_a + n_b)) AS BIGINT)
+         |  END AS z2_milli
+         |FROM abr""".stripMargin,
 
     "q_markov_accuracy" ->
       """WITH mae AS (SELECT user_id, event_id, event_type,

@@ -257,6 +257,12 @@ object TextQueries {
         "doc_id", "text", K, NUM_HASHES, BANDS)
     },
 
+    // ── b-bit MinHash vs full-slot estimate (see Dedup.bbitEstimatedPairs)
+    "q_bbit_minhash" -> { (s, dir) =>
+      Dedup.bbitEstimatedPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", K, NUM_HASHES, BANDS)
+    },
+
     // ── edit-distance near-dup pairs (blocked levenshtein) ──────────────
     // The classic record-linkage shape: never all-pairs — block on
     // (lang, length div 64) so candidate volume is Σ blockᵢ², then run
@@ -2640,6 +2646,31 @@ object TextQueries {
          |SELECT doc_a, doc_b,
          |  CAST($agree AS BIGINT) AS n_agree,
          |  CAST(($agree) * 100 // $NUM_HASHES AS BIGINT) AS est_jaccard_pct
+         |FROM cand
+         |JOIN sig sa ON sa.doc_id = cand.doc_a
+         |JOIN sig sb ON sb.doc_id = cand.doc_b""".stripMargin
+    },
+
+    "q_bbit_minhash" -> {
+      val bitAgree = (0 until NUM_HASHES)
+        .map(i => s"(CASE WHEN sa.mh$i % 2 = sb.mh$i % 2 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val slotAgree = (0 until NUM_HASHES)
+        .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $sigCte,
+         |bands AS (${(0 until BANDS).map(bandSelect).mkString("\n UNION ALL\n ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST($bitAgree AS BIGINT) AS n_bit_agree,
+         |  CAST($slotAgree AS BIGINT) AS n_agree,
+         |  greatest(CAST(0 AS BIGINT),
+         |    CAST((2 * ($bitAgree) - $NUM_HASHES) * 10000
+         |      // $NUM_HASHES AS BIGINT)) AS est_bbit_bp,
+         |  CAST(($slotAgree) * 10000 // $NUM_HASHES AS BIGINT)
+         |    AS est_full_bp
          |FROM cand
          |JOIN sig sa ON sa.doc_id = cand.doc_a
          |JOIN sig sb ON sb.doc_id = cand.doc_b""".stripMargin
