@@ -1038,6 +1038,60 @@ object EventQueries {
             .as("jaccard_bp"))
     },
 
+    // ── new vs returning users per day (acquisition decomposition) ─────
+    // The growth-accounting readout DAU alone hides: of each day's
+    // active users, how many are seen for the FIRST time (acquisition)
+    // vs returning (retention). First-seen day per user is one
+    // user-keyed min; the daily rollup joins it back user-keyed —
+    // no windows, all integer epoch days.
+    "q_new_vs_returning" -> { (s, dir) =>
+      val ev = loadEvents(s, dir)
+        .select(col("user_id"), expr("ms div 86400000").as("day"))
+      val firstDay = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      ev.distinct()
+        .join(firstDay, "user_id")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("n_new"))
+        .select(col("day"), col("n_active"), col("n_new"),
+          (col("n_active") - col("n_new")).as("n_returning"),
+          expr("n_new * 10000 div n_active").as("new_share_bp"))
+    },
+
+    // ── CUPED covariate statistics (pre-period adjustment inputs) ──────
+    // The variance-reduction companion to q_ab_conversion: CUPED
+    // adjusts a post-period metric by θ·(x − x̄) with θ = cov(x,y)/var(x)
+    // over a PRE-period covariate. Emitted as the six ALGEBRAIC SUMS
+    // the adjustment is formed from — (n, Σx, Σy, Σxy, Σx², Σy²) — and
+    // nothing divided or cross-multiplied engine-side: θ is signed (a
+    // div would hit the truncate/floor split) and n·Σy² − (Σy)²
+    // overflows int64 at this very SF, so the consumer forms the
+    // rationals in whatever width it owns. The sums are the same
+    // mergeable moment state as q_mergeable_moments — two experiment
+    // snapshots merge by addition. Covariate = pre-cutoff event count,
+    // metric = post-cutoff value cents; Σy² rides a DECIMAL partial and
+    // is CAST back to long, so an overflow THROWS instead of splitting
+    // engines (bound ≈ 10⁸ users at these value scales).
+    "q_cuped_theta" -> { (s, dir) =>
+      loadEvents(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ms") < DIFF_T1_MS, 1L).otherwise(0L)).as("x"),
+          sum(when(col("ms") >= DIFF_T1_MS,
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .otherwise(0L)).as("y"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS BIGINT)")
+            .as("sxy"),
+          expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS BIGINT)")
+            .as("sxx"),
+          expr("CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS BIGINT)")
+            .as("syy"))
+    },
+
     // ── A/B conversion readout (two-proportion z², exact integers) ─────
     // The experiment-analysis primitive: split users into two arms by a
     // seeded hash (the same determinism contract as q_train_test_split),
@@ -2031,6 +2085,36 @@ object EventQueries {
          |FROM slb JOIN slp pa ON pa.event_type = slb.type_a
          |JOIN slp pb ON pb.event_type = slb.type_b
          |CROSS JOIN slt""".stripMargin,
+
+    "q_new_vs_returning" ->
+      """WITH nre AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 AS day FROM events),
+        |nrf AS (SELECT user_id, min(day) AS first_day
+        |  FROM nre GROUP BY 1),
+        |nrd AS (SELECT day, count(*) AS n_active,
+        |    CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new
+        |  FROM nre JOIN nrf USING (user_id) GROUP BY 1)
+        |SELECT day, n_active, n_new,
+        |  CAST(n_active - n_new AS BIGINT) AS n_returning,
+        |  CAST(n_new * 10000 // n_active AS BIGINT) AS new_share_bp
+        |FROM nrd""".stripMargin,
+
+    "q_cuped_theta" ->
+      s"""WITH cpu AS (SELECT user_id,
+         |    CAST(sum(CASE WHEN epoch_ms(ts) < $DIFF_T1_MS
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN epoch_ms(ts) >= $DIFF_T1_MS
+         |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS y
+         |  FROM events GROUP BY 1)
+         |SELECT count(*) AS n_users,
+         |  CAST(sum(x) AS BIGINT) AS sx,
+         |  CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
+         |  CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+         |  CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy
+         |FROM cpu""".stripMargin,
 
     "q_ab_conversion" ->
       s"""WITH abu AS (SELECT user_id,
