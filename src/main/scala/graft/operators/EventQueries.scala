@@ -1038,6 +1038,33 @@ object EventQueries {
             .as("jaccard_bp"))
     },
 
+    // ── seasonal-naïve forecast error (WAPE backtest) ───────────────────
+    // The baseline every traffic forecast must beat: predict each
+    // hour's event count as the SAME HOUR LAST WEEK (lag 168 h), score
+    // by weighted absolute percentage error in bp — Σ|c−ĉ|·10⁴ / Σc per
+    // type. The lag is an hour-keyed EQUI-join (hour − 168), never a
+    // window over the corpus: sparse hours simply find no partner and
+    // drop out (n_hours_scored says how many scored). All integer —
+    // counts, absolute differences, one floor division at the end.
+    "q_seasonal_naive_error" -> { (s, dir) =>
+      val hourly = graft.CacheRegistry.register(
+        loadEvents(s, dir)
+          .groupBy(col("event_type"),
+            expr("ms div 3600000").as("hour_idx"))
+          .agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      hourly
+        .join(hourly.select(col("event_type"),
+            (col("hour_idx") + 168).as("hour_idx"),
+            col("c").as("pred")),
+          Seq("event_type", "hour_idx"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours_scored"),
+          sum(abs(col("c") - col("pred"))).as("abs_err"),
+          sum(col("c")).as("actual"))
+        .withColumn("wape_bp", expr("abs_err * 10000 div actual"))
+    },
+
     // ── new vs returning users per day (acquisition decomposition) ─────
     // The growth-accounting readout DAU alone hides: of each day's
     // active users, how many are seen for the FIRST time (acquisition)
@@ -2085,6 +2112,20 @@ object EventQueries {
          |FROM slb JOIN slp pa ON pa.event_type = slb.type_a
          |JOIN slp pb ON pb.event_type = slb.type_b
          |CROSS JOIN slt""".stripMargin,
+
+    "q_seasonal_naive_error" ->
+      """WITH snh AS (SELECT event_type,
+        |    epoch_ms(ts) // 3600000 AS hour_idx, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, count(*) AS n_hours_scored,
+        |  CAST(sum(abs(a.c - p.c)) AS BIGINT) AS abs_err,
+        |  CAST(sum(a.c) AS BIGINT) AS actual,
+        |  CAST(sum(abs(a.c - p.c)) * 10000 // sum(a.c) AS BIGINT)
+        |    AS wape_bp
+        |FROM snh a JOIN snh p
+        |  ON p.event_type = a.event_type
+        |  AND p.hour_idx + 168 = a.hour_idx
+        |GROUP BY 1""".stripMargin,
 
     "q_new_vs_returning" ->
       """WITH nre AS (SELECT DISTINCT user_id,
