@@ -125,6 +125,15 @@ final case class AttrState(frontMs: Long, tMs: Seq[Long],
 final case class AttrCredit(user_id: Long, p_id: Long, t_id: Long,
                             touch_type: String, credit: Long)
 
+/** First-seen state for [[StreamingEvents.newVsReturningStream]]: the
+  * user's first-seen epoch day plus the last emitted day (the per-user
+  * frontier). Top-level and public for the state encoder.
+  */
+final case class FirstSeenState(firstDay: Long, lastDay: Long)
+
+/** One per-(user, day) activity fact with its acquisition verdict. */
+final case class DayActivity(user_id: Long, day: Long, is_new: Boolean)
+
 /** Event-stream operators: watermarked tumbling-window aggregation,
   * gap-based session windows, and custom per-key state via
   * `flatMapGroupsWithState` — the streaming counterparts of
@@ -530,6 +539,46 @@ object StreamingEvents {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming twin of batch q_new_vs_returning's per-user core:
+    * identity resolution with the MINIMAL keyed state every growth
+    * pipeline keeps — the user's first-seen day plus the last emitted
+    * day (two longs, constant regardless of history). Each micro-batch
+    * emits the user's not-yet-seen activity days tagged new (first
+    * ever) or returning; the batch daily rollup (n_active/n_new per
+    * day) is a plain groupBy over this stream's output, which is how
+    * the spec pins equivalence against the batch query on the real
+    * events parquet. Days at-or-behind the emitted frontier are
+    * DROPPED — the same in-order-per-user contract as
+    * [[transitionsStream]] (a late earlier-day arrival cannot retract
+    * an already-emitted "new" verdict in append mode).
+    */
+  def newVsReturningStream(events: Dataset[Event])
+      : Dataset[DayActivity] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FirstSeenState, DayActivity](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event],
+         state: GroupState[FirstSeenState]) =>
+          val days = rows.map(e => e.ts.getTime / 86400000L)
+            .toSeq.distinct.sorted
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[DayActivity]
+          days.foreach { d =>
+            if (st == null) {
+              out += DayActivity(uid, d, is_new = true)
+              st = FirstSeenState(d, d)
+            } else if (d > st.lastDay) {
+              out += DayActivity(uid, d, is_new = false)
+              st = st.copy(lastDay = d)
+            }
+            // else: at/behind the frontier — dropped, see scaladoc
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
 
   /** Stream-static enrichment: each streaming event picks up its
     * dimension row (segment, tier, account metadata) by equi-joining

@@ -259,6 +259,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got === expected)
   }
 
+  test("newVsReturningStream over the REAL events parquet ≡ " +
+    "batch q_new_vs_returning daily rollup") {
+    val sf = "/root/testdata/sf0.001"
+    val src = s"$sf/events.parquet"
+    val expected = operators.EventQueries
+      .queries("q_new_vs_returning")(spark, sf)
+      .select(col("day"), col("n_active"), col("n_new"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+
+    val streamDir = Files.createTempDirectory("graft_nvrstream_")
+    Files.copy(java.nio.file.Paths.get(src),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(src).schema
+    val evS = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val q = StreamingEvents.newVsReturningStream(evS)
+      .writeStream.format("memory").queryName("real_nvr")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q.awaitTermination(180000)
+    val got = spark.table("real_nvr")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
   test("funnelStream: ordered advancement across batches with late-gate refinement") {
     val in = MemoryStream[Event](spark)
     val q = StreamingEvents.funnelStream(in.toDS(),
