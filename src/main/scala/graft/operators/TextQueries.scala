@@ -1772,6 +1772,49 @@ object TextQueries {
             .as("kappa_den"))
     },
 
+    // ── per-class precision/recall/F1 of the lang-ID heuristic ─────────
+    // Completes the labeler-eval trio (q_lang_confusion's matrix,
+    // q_labeler_kappa's one-number chance correction) with the
+    // per-CLASS readout: tp/fp/fn per language and the three rates in
+    // bp — F1 computed as the exact single division 2·tp·10⁴ div
+    // (2·tp + fp + fn), never the bp-rounded P/R composition. Classes
+    // are the UNION of true and predicted labels (a class never
+    // predicted still reports recall; a hallucinated class reports
+    // precision 0). All counts from one confusion aggregate; margins
+    // are |langs|-row folds joined full-outer then zero-filled.
+    "q_labeler_prf" -> { (s, dir) =>
+      val cm = graft.CacheRegistry.register(
+        Tables.load(s, dir, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("lang"),
+            TextFunctions.langId(col("text")).as("lang_pred"))
+          .groupBy(col("lang"), col("lang_pred"))
+          .agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val tp = cm.filter(col("lang") === col("lang_pred"))
+        .select(col("lang").as("cls"), col("n").as("tp"))
+      val actual = cm.groupBy(col("lang").as("cls"))
+        .agg(sum(col("n")).as("n_actual"))
+      val predicted = cm.groupBy(col("lang_pred").as("cls"))
+        .agg(sum(col("n")).as("n_predicted"))
+      actual.join(predicted, Seq("cls"), "full_outer")
+        .join(tp, Seq("cls"), "left_outer")
+        .na.fill(0L, Seq("n_actual", "n_predicted", "tp"))
+        .select(col("cls"), col("n_actual"), col("n_predicted"),
+          col("tp"),
+          (col("n_predicted") - col("tp")).as("fp"),
+          (col("n_actual") - col("tp")).as("fn"))
+        .withColumn("precision_bp", expr(
+          "CASE WHEN n_predicted = 0 THEN CAST(NULL AS BIGINT)" +
+            " ELSE tp * 10000 div n_predicted END"))
+        .withColumn("recall_bp", expr(
+          "CASE WHEN n_actual = 0 THEN CAST(NULL AS BIGINT)" +
+            " ELSE tp * 10000 div n_actual END"))
+        .withColumn("f1_bp", expr(
+          "CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(NULL AS BIGINT)" +
+            " ELSE 2 * tp * 10000 div (2 * tp + fp + fn) END"))
+    },
+
     // ── distinctive terms per source (association lift top-5) ──────────
     // "What makes this crawl different" — the source-profiling readout
     // behind mixture decisions: per source, the AFF_TOP terms most
@@ -3372,6 +3415,40 @@ object TextQueries {
          |  CAST(n_common * 10000 // (sz_a + sz_b - n_common) AS BIGINT)
          |    AS jaccard_bp
          |FROM hn""".stripMargin,
+
+    "q_labeler_prf" ->
+      s"""WITH $langScoredCtes,
+         |plp AS ($langPredSelect),
+         |pcm AS (SELECT d.lang, plp.lang_pred, count(*) AS n
+         |  FROM documents d JOIN plp ON plp.doc_id = d.doc_id
+         |  GROUP BY 1, 2),
+         |ptp AS (SELECT lang AS cls, CAST(n AS BIGINT) AS tp
+         |  FROM pcm WHERE lang = lang_pred),
+         |pac AS (SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS n_actual
+         |  FROM pcm GROUP BY 1),
+         |ppr AS (SELECT lang_pred AS cls,
+         |    CAST(sum(n) AS BIGINT) AS n_predicted
+         |  FROM pcm GROUP BY 1),
+         |pj AS (SELECT coalesce(pac.cls, ppr.cls) AS cls,
+         |    coalesce(n_actual, 0) AS n_actual,
+         |    coalesce(n_predicted, 0) AS n_predicted
+         |  FROM pac FULL OUTER JOIN ppr ON pac.cls = ppr.cls),
+         |pz AS (SELECT pj.cls, n_actual, n_predicted,
+         |    coalesce(tp, 0) AS tp,
+         |    n_predicted - coalesce(tp, 0) AS fp,
+         |    n_actual - coalesce(tp, 0) AS fn
+         |  FROM pj LEFT JOIN ptp ON ptp.cls = pj.cls)
+         |SELECT cls, n_actual, n_predicted, tp,
+         |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+         |  CASE WHEN n_predicted = 0 THEN NULL
+         |    ELSE CAST(tp * 10000 // n_predicted AS BIGINT) END
+         |    AS precision_bp,
+         |  CASE WHEN n_actual = 0 THEN NULL
+         |    ELSE CAST(tp * 10000 // n_actual AS BIGINT) END AS recall_bp,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+         |    ELSE CAST(2 * tp * 10000 // (2 * tp + fp + fn) AS BIGINT)
+         |  END AS f1_bp
+         |FROM pz""".stripMargin,
 
     "q_source_term_affinity" ->
       s"""WITH $toksCte,
