@@ -96,7 +96,18 @@ object Bench {
       else errors.toSeq.sorted
         .map { case (k, v) => s"\"$k\":\"$v\"" }
         .mkString(""","errors":{""", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"rep_totals":$rt$errJson}""")
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"rep_totals":$rt$errJson}"""
+    println(record)
+    // the driver keeps only a ~2 KB tail of stdout — enough for the
+    // headline but it decapitates the per-query map (and r06 lost its
+    // error map this way). Persist the FULL record to a file so every
+    // per-query median and every structured error survives the round.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")),
+      record + "\n")
+    catch { case e: Throwable =>
+      Console.err.println(s"[bench] full-record write failed: $e") }
     if (errors.nonEmpty) {
       Console.err.println(s"[bench] ${errors.size} queries FAILED: " +
         errors.keys.toSeq.sorted.mkString(", "))

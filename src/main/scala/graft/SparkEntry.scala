@@ -33,7 +33,8 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.Curation.queries ++
       operators.Winnow.queries ++
-      operators.Chunking.queries
+      operators.Chunking.queries ++
+      operators.NeoQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
@@ -46,5 +47,6 @@ object SparkEntry {
       operators.Multimodal.oracle ++
       operators.Curation.oracle ++
       operators.Winnow.oracle ++
-      operators.Chunking.oracle
+      operators.Chunking.oracle ++
+      operators.NeoQueries.oracle
 }

@@ -1098,9 +1098,13 @@ object EventQueries {
     // rationals in whatever width it owns. The sums are the same
     // mergeable moment state as q_mergeable_moments — two experiment
     // snapshots merge by addition. Covariate = pre-cutoff event count,
-    // metric = post-cutoff value cents; Σy² rides a DECIMAL partial and
-    // is CAST back to long, so an overflow THROWS instead of splitting
-    // engines (bound ≈ 10⁸ users at these value scales).
+    // metric = post-cutoff value cents; Σy² rides a DECIMAL partial
+    // (HUGEINT on the oracle side) and comes back to long via
+    // TRY-semantics casts on BOTH sides, so past the int64 width
+    // (≈ 10⁸ users at these value scales) the column reads NULL in
+    // both engines — Spark's ANSI-off CAST already NULLs on decimal
+    // overflow and the oracle's TRY_CAST mirrors it; a plain DuckDB
+    // CAST would throw and split the engines on the same input.
     "q_cuped_theta" -> { (s, dir) =>
       loadEvents(s, dir)
         .groupBy(col("user_id"))
@@ -1146,12 +1150,21 @@ object EventQueries {
           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
           sum(when(col("arm") === 1, col("converted")).otherwise(0L))
             .as("conv_b"))
-        .withColumn("rate_a_bp", expr("conv_a * 10000 div n_a"))
-        .withColumn("rate_b_bp", expr("conv_b * 10000 div n_b"))
-        .withColumn("pooled_bp",
-          expr("(conv_a + conv_b) * 10000 div (n_a + n_b)"))
+        // empty-arm guard: Spark `x div 0` NULLs under ANSI-off while
+        // DuckDB `// 0` throws — a degenerate split must read NULL in
+        // BOTH engines, not split them
+        .withColumn("rate_a_bp", expr(
+          "CASE WHEN n_a = 0 THEN CAST(NULL AS BIGINT)" +
+            " ELSE conv_a * 10000 div n_a END"))
+        .withColumn("rate_b_bp", expr(
+          "CASE WHEN n_b = 0 THEN CAST(NULL AS BIGINT)" +
+            " ELSE conv_b * 10000 div n_b END"))
+        .withColumn("pooled_bp", expr(
+          "CASE WHEN n_a + n_b = 0 THEN CAST(NULL AS BIGINT)" +
+            " ELSE (conv_a + conv_b) * 10000 div (n_a + n_b) END"))
         .withColumn("z2_milli", expr(
-          """CASE WHEN pooled_bp = 0 OR pooled_bp = 10000
+          """CASE WHEN n_a = 0 OR n_b = 0
+            |  OR pooled_bp = 0 OR pooled_bp = 10000
             |  THEN CAST(NULL AS BIGINT)
             |ELSE CAST(
             |  CAST((rate_a_bp - rate_b_bp) AS DECIMAL(38,0))
@@ -2152,9 +2165,9 @@ object EventQueries {
          |SELECT count(*) AS n_users,
          |  CAST(sum(x) AS BIGINT) AS sx,
          |  CAST(sum(y) AS BIGINT) AS sy,
-         |  CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
-         |  CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
-         |  CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy
+         |  TRY_CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
+         |  TRY_CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+         |  TRY_CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy
          |FROM cpu""".stripMargin,
 
     "q_ab_conversion" ->
@@ -2176,14 +2189,20 @@ object EventQueries {
          |      AS BIGINT) AS conv_b
          |  FROM aba),
          |abr AS (SELECT *,
-         |    CAST(conv_a * 10000 // n_a AS BIGINT) AS rate_a_bp,
-         |    CAST(conv_b * 10000 // n_b AS BIGINT) AS rate_b_bp,
-         |    CAST((conv_a + conv_b) * 10000 // (n_a + n_b) AS BIGINT)
-         |      AS pooled_bp
+         |    CASE WHEN n_a = 0 THEN NULL
+         |      ELSE CAST(conv_a * 10000 // n_a AS BIGINT) END
+         |      AS rate_a_bp,
+         |    CASE WHEN n_b = 0 THEN NULL
+         |      ELSE CAST(conv_b * 10000 // n_b AS BIGINT) END
+         |      AS rate_b_bp,
+         |    CASE WHEN n_a + n_b = 0 THEN NULL
+         |      ELSE CAST((conv_a + conv_b) * 10000 // (n_a + n_b)
+         |        AS BIGINT) END AS pooled_bp
          |  FROM abp)
          |SELECT n_a, conv_a, n_b, conv_b, rate_a_bp, rate_b_bp,
          |  pooled_bp,
-         |  CASE WHEN pooled_bp = 0 OR pooled_bp = 10000 THEN NULL
+         |  CASE WHEN n_a = 0 OR n_b = 0
+         |    OR pooled_bp = 0 OR pooled_bp = 10000 THEN NULL
          |  ELSE CAST(
          |    CAST((rate_a_bp - rate_b_bp) AS HUGEINT)
          |      * (rate_a_bp - rate_b_bp) * n_a * n_b * 1000

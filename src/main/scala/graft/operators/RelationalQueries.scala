@@ -725,12 +725,23 @@ object RelationalQueries {
 
     // ── revenue concentration (top-decile customer share) ──────────────
     // The 80/20 readout: what share of total order value sits with the
-    // customers at or above the p90 total-spend cutoff. Cutoff via the
-    // discrete-quantile rule on the VALUE-grouped customer-total table
-    // (the q_quantiles shape: the only window runs over distinct spend
-    // totals, never per customer) — "≥ cutoff" is the whole-tie-group
-    // contract, so no partial-group arithmetic and both engines pick
-    // the same set. Money sums ride half-cent-rounded integer cents.
+    // customers at or above the p90 total-spend cutoff. "≥ cutoff" is
+    // the whole-tie-group contract, so no partial-group arithmetic and
+    // both engines pick the same set. Money sums ride half-cent-rounded
+    // integer cents.
+    //
+    // The cutoff needs a GLOBAL cumulative count over distinct spend
+    // totals walking DESC — and distinct totals ≈ #customers at scale,
+    // so `Window.orderBy(tot.desc)` (a single-partition sort) is the
+    // one shape this query must never take. Instead: the distributed
+    // prefix-sum. repartitionByRange(tot DESC) range-partitions the
+    // value-grouped table (sampling-based, scales like any sort), each
+    // partition cumulates LOCALLY under a pid-partitioned window (fully
+    // parallel), and the per-partition subtotal table (≤ shuffle-
+    // partitions rows) self-joins into prefix offsets that broadcast
+    // back. local_cum + offset(pid) = the exact global cumulative count
+    // — no window anywhere in the plan sees more than one partition's
+    // rows (PlanShapeSpec pins the shape).
     "q_revenue_concentration" -> { (s, dir) =>
       val per = Tables.load(s, dir, "orders")
         .select(col("o_custkey"),
@@ -738,11 +749,29 @@ object RelationalQueries {
             .as("cents"))
         .groupBy(col("o_custkey"))
         .agg(sum(col("cents")).as("tot"))
+      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val byVal = per.groupBy(col("tot")).agg(count(lit(1)).as("c"))
-      val wCum = Window.orderBy(col("tot").desc)
+        .repartitionByRange(nParts, col("tot").desc)
+        .withColumn("pid", spark_partition_id())
+      // per-partition subtotals: ≤ nParts rows by construction; the
+      // triangular self-join (b.pid < a.pid) replaces even the tiny
+      // ordered window so the WHOLE plan is window-free below bounded
+      // inputs — offset(pid) = Σ counts of all strictly-higher-value
+      // partitions (range partitions are ordered tot DESC ⇒ lower pid
+      // = larger totals)
+      val pidTotals = byVal.groupBy(col("pid"))
+        .agg(sum(col("c")).as("pc"))
+      val offsets = pidTotals.as("a")
+        .join(pidTotals.as("b"), col("b.pid") < col("a.pid"), "left")
+        .groupBy(col("a.pid").as("pid"))
+        .agg(coalesce(sum(col("b.pc")), lit(0L)).as("offset"))
+      val wLocal = Window.partitionBy(col("pid"))
+        .orderBy(col("tot").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cut = byVal
-        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("local_cum", sum(col("c")).over(wLocal))
+        .join(broadcast(offsets), Seq("pid"))
+        .withColumn("cum", col("local_cum") + col("offset"))
         .crossJoin(broadcast(per.agg(count(lit(1)).as("n"))))
         .agg(max(col("n")).as("n_customers"),
           // first crossing walking DESC = the LARGEST total whose

@@ -68,6 +68,7 @@ object TextQueries {
   private val WEDGE_CAP = 16   // q_link_prediction center-degree cap
   private val AFF_MIN_SUPPORT = 5 // q_source_term_affinity tf floor
   private val AFF_TOP = 5      // q_source_term_affinity terms per source
+  private val AFF_TOP_HEADROOM = 3 // extra heap slots absorb h collisions
   private val BM25_K1_C = 120  // q_bm25_topk k1 = 1.2 in centiunits
   private val BM25_B_C = 75    // q_bm25_topk b = 0.75 in centiunits
   private val BM25_TOP = 20    // q_bm25_topk result size
@@ -1735,10 +1736,18 @@ object TextQueries {
     // The one-number chance-corrected summary of q_lang_confusion's
     // matrix — raw agreement flatters any labeler when one class
     // dominates; kappa subtracts the agreement two independent labelers
-    // with these MARGINS would reach by luck. Emitted as the exact
-    // integer rational (N·agree − Σ_k row_k·col_k) / (N² − Σ row·col)
-    // — kappa can be NEGATIVE (worse than chance), so no division
-    // happens engine-side (the q_ols_trend truncate-vs-floor dodge).
+    // with these MARGINS would reach by luck. Emitted as
+    // kappa_ppm = (N·agree − Σ row·col)·10⁶ div (N² − Σ row·col):
+    // every product runs in DECIMAL(38,0) (HUGEINT on the oracle side)
+    // because N² and Σ row_k·col_k pass int64 at ~3.04e9 docs — plain
+    // bigint would WRAP silently under ANSI-off while DuckDB throws —
+    // and only the final ppm (|kappa_ppm| ≤ 10⁶, always int64-safe) is
+    // cast back down. Truncating division toward zero is identical in
+    // Spark `div` and DuckDB `//`, so the negative-kappa case (worse
+    // than chance) divides the same in both engines. Exact up to
+    // N < 10¹⁶ (then N²·10⁶ hits the DECIMAL(38) ceiling). A one-class
+    // degenerate corpus makes the denominator 0 — guarded to NULL on
+    // both sides (Spark would NULL, DuckDB would throw).
     //
     // 100 TB posture: one corpus-keyed confusion aggregate (|langs|²
     // rows), then every margin/total is a broadcast-scale fold.
@@ -1759,17 +1768,21 @@ object TextQueries {
       val cols = cm.groupBy(col("lang_pred"))
         .agg(sum(col("n")).as("col_n"))
       val pe = rows.join(cols, rows("lang") === cols("lang_pred"))
-        .agg(coalesce(sum(col("row_n") * col("col_n")), lit(0L))
-          .as("pe_raw"))
+        .agg(coalesce(
+          sum(expr("CAST(row_n AS DECIMAL(38,0)) * col_n")),
+          lit(0).cast("decimal(38,0)")).as("pe_raw"))
       cm.agg(sum(col("n")).as("n_docs"),
           sum(when(col("lang") === col("lang_pred"), col("n"))
             .otherwise(0L)).as("agree_n"))
         .crossJoin(broadcast(pe))
         .select(col("n_docs"), col("agree_n"),
-          (col("n_docs") * col("agree_n") - col("pe_raw"))
-            .as("kappa_num"),
-          (col("n_docs") * col("n_docs") - col("pe_raw"))
-            .as("kappa_den"))
+          expr("""CASE
+            WHEN CAST(n_docs AS DECIMAL(38,0)) * n_docs - pe_raw = 0
+            THEN NULL
+            ELSE (CAST(n_docs AS DECIMAL(38,0)) * agree_n - pe_raw)
+                   * 1000000
+                 div (CAST(n_docs AS DECIMAL(38,0)) * n_docs - pe_raw)
+            END""").as("kappa_ppm"))
     },
 
     // ── per-class precision/recall/F1 of the lang-ID heuristic ─────────
@@ -1823,9 +1836,24 @@ object TextQueries {
     // cliff), support-floored at AFF_MIN_SUPPORT so rare-term noise
     // can't top the list. The per-source cut is a k-capped
     // bounded_topk — NO window over the (source, term) table, which is
-    // vocab-sized at 100 TB; the topk payload is the term's 60-bit
-    // hash (ties break (lift DESC, hash ASC) in both engines) and the
-    // term string joins back hash-keyed afterward.
+    // vocab-sized at 100 TB. Ranking contract (both engines): order by
+    // (least(lift_bp, 2⁵³) DESC, h ASC, term ASC). The saturation
+    // matters because bounded_topk scores in double: every integer
+    // ≤ 2⁵³ is exact in double, so the Spark heap and the oracle's
+    // BIGINT sort agree bit-for-bit; above 2⁵³ (reachable at corpus
+    // scale: lift_bp ≈ N·10⁴·c_st/(c_s·c_t) passes 9·10¹⁵ once
+    // N ≳ 10¹² with floor-support terms) both engines saturate and
+    // fall to the hash/term tie-break instead of silently diverging on
+    // double rounding. The topk payload is the term's 60-bit hash;
+    // AFF_TOP_HEADROOM extra candidates absorb in-source hash
+    // collisions, and the join-back re-ranks the ≤ (k+headroom)-row
+    // candidate set per source with the FULL (lift, h, term) order —
+    // a bounded window — so a collision can neither fan a rank out to
+    // two terms nor push a true top-5 term below the cut. (Residual
+    // epsilon: two distinct terms in one source agreeing on BOTH the
+    // saturated lift and all 60 hash bits could under-fill the heap;
+    // that needs an exact (lift, h) double collision inside one
+    // source.)
     "q_source_term_affinity" -> { (s, dir) =>
       // the (source, term) tf table feeds three consumers (margins ×2 +
       // the scored join) — persist it or each re-runs the tokenize
@@ -1848,16 +1876,25 @@ object TextQueries {
           .withColumn("lift_bp", expr(
             "CAST(c_st AS DECIMAL(38,0)) * n_total * 10000" +
               " div (CAST(c_s AS DECIMAL(38,0)) * c_t)"))
+          // saturate at 2^53 BEFORE the double cast: exact in double,
+          // same constant the oracle least()s against
+          .withColumn("lift_sat", least(col("lift_bp"),
+            lit(9007199254740992L)))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val top = scored
+      val cand = scored
         .groupBy(col("source"))
-        .agg(expr(
-          s"bounded_topk(CAST(-lift_bp AS DOUBLE), h, $AFF_TOP)").as("top"))
-        .select(col("source"), posexplode(col("top")))
-        .toDF("source", "pos", "t")
-        .select(col("source"), col("t.n").as("h"),
-          (col("pos") + 1).as("rank"))
-      scored.join(broadcast(top), Seq("source", "h"))
+        .agg(expr("bounded_topk(CAST(-lift_sat AS DOUBLE), h, " +
+          s"${AFF_TOP + AFF_TOP_HEADROOM})").as("top"))
+        .select(col("source"), explode(col("top.n")).as("h"))
+      // candidate set is ≤ (AFF_TOP + headroom + collisions) rows per
+      // source — the re-rank window is bounded by construction, and
+      // ranking on (lift_sat, h, term) makes a collision pair land on
+      // distinct ranks exactly like the oracle's row_number
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("lift_sat").desc, col("h").asc, col("term").asc)
+      scored.join(broadcast(cand), Seq("source", "h"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= AFF_TOP)
         .select(col("source"), col("term"), col("c_st"),
           col("lift_bp"), col("rank"))
     }
@@ -3379,16 +3416,20 @@ object TextQueries {
          |  FROM kcm GROUP BY 1),
          |kcol AS (SELECT lang_pred, CAST(sum(n) AS BIGINT) AS col_n
          |  FROM kcm GROUP BY 1),
-         |kpe AS (SELECT coalesce(CAST(sum(row_n * col_n) AS BIGINT), 0)
-         |    AS pe_raw
+         |kpe AS (SELECT coalesce(sum(CAST(row_n AS HUGEINT) * col_n),
+         |      CAST(0 AS HUGEINT)) AS pe_raw
          |  FROM krow JOIN kcol ON krow.lang = kcol.lang_pred),
          |ktot AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
          |    CAST(sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END)
          |      AS BIGINT) AS agree_n
          |  FROM kcm)
          |SELECT n_docs, agree_n,
-         |  CAST(n_docs * agree_n - pe_raw AS BIGINT) AS kappa_num,
-         |  CAST(n_docs * n_docs - pe_raw AS BIGINT) AS kappa_den
+         |  CASE WHEN CAST(n_docs AS HUGEINT) * n_docs - pe_raw = 0
+         |    THEN NULL
+         |    ELSE CAST((CAST(n_docs AS HUGEINT) * agree_n - pe_raw)
+         |        * 1000000
+         |      // (CAST(n_docs AS HUGEINT) * n_docs - pe_raw) AS BIGINT)
+         |    END AS kappa_ppm
          |FROM ktot, kpe""".stripMargin,
 
     "q_stemmed_vocab" ->
@@ -3470,7 +3511,8 @@ object TextQueries {
          |  WHERE a.c_st >= $AFF_MIN_SUPPORT),
          |ar AS (SELECT source, term, c_st, lift_bp,
          |    row_number() OVER (PARTITION BY source
-         |      ORDER BY lift_bp DESC, h ASC) AS rank
+         |      ORDER BY least(lift_bp, 9007199254740992) DESC,
+         |        h ASC, term ASC) AS rank
          |  FROM ascored)
          |SELECT source, term, c_st, lift_bp, rank FROM ar
          |WHERE rank <= $AFF_TOP""".stripMargin

@@ -35,7 +35,8 @@ class ContractSpec extends AnyFunSuite {
       "multimodal" -> Multimodal.queries.keySet,
       "curation" -> Curation.queries.keySet,
       "winnow" -> Winnow.queries.keySet,
-      "chunking" -> Chunking.queries.keySet)
+      "chunking" -> Chunking.queries.keySet,
+      "neo" -> NeoQueries.queries.keySet)
     val perModule = modules.map(_._2.size).sum
     assert(SparkEntry.queries.size === perModule,
       s"merged ${SparkEntry.queries.size} != sum $perModule — a key collision dropped a query")

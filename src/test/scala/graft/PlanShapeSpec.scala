@@ -453,14 +453,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("Window"), s"lag window missing:\n$plan")
   }
 
-  test("q_source_term_affinity: per-source cut is bounded_topk, " +
-    "no window over the vocab-sized table") {
+  test("q_source_term_affinity: per-source cut is bounded_topk; the " +
+    "only window re-ranks the broadcast-joined candidate set") {
     val plan = planOf(
       operators.TextQueries.queries("q_source_term_affinity")(spark, sf))
-    assert(!plan.contains("Window"),
-      s"affinity cut fell back to a rank window:\n$plan")
     assert(plan.contains("BoundedTopK") || plan.contains("bounded_topk"),
       s"bounded_topk missing:\n$plan")
+    // the collision-absorbing re-rank window is allowed ONLY above the
+    // broadcast join that bounds its input to ≤ (k+headroom) rows per
+    // source — a window whose subtree has no broadcast join would be
+    // the vocab-sized rank funnel this pin exists to forbid
+    val winIdx = plan.indexOf("Window ")
+    assert(winIdx >= 0, s"expected the candidate re-rank window:\n$plan")
+    assert(plan.indexOf("BroadcastHashJoin", winIdx) > winIdx,
+      s"re-rank window is not above the candidate broadcast join:\n$plan")
+    assert(!plan.substring(0, winIdx).contains("Window "),
+      s"a second window above the re-rank:\n$plan")
   }
 
   test("q_cusum_changepoint / q_quota_apportionment: the only windows " +
@@ -483,6 +491,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
       s"margin joins are not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
+  test("q_revenue_concentration: distributed prefix-sum — range " +
+    "repartition + pid-local windows only, no unpartitioned window") {
+    val plan = planOf(
+      RelationalQueries.queries("q_revenue_concentration")(spark, sf))
+    // the global cumulative order arrives via a scalable range
+    // exchange, not a single-partition sort
+    assert(plan.contains("rangepartitioning(tot"),
+      s"expected a range repartition on tot:\n$plan")
+    // every window in the plan must be pid-partitioned (parallel local
+    // cumsum); an unpartitioned window = the single-partition funnel
+    // this query was rebuilt to kill
+    val winLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(winLines.nonEmpty, s"expected the pid-local window:\n$plan")
+    winLines.foreach { l =>
+      assert(l.contains("windowspecdefinition(pid"),
+        s"unpartitioned window (single-partition global sort):\n$l")
+    }
   }
 
   private def assertNoCross(plan: String, q: String): Unit =

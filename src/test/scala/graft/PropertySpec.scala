@@ -364,14 +364,15 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("property: q_labeler_kappa stays in [-1, 1] as an exact rational") {
+  test("property: q_labeler_kappa stays in [-1, 1] (ppm scale)") {
     val r = operators.TextQueries.queries("q_labeler_kappa")(
       spark, "/root/testdata/sf0.01").collect().head
     val (n, agree) = (r.getAs[Long]("n_docs"), r.getAs[Long]("agree_n"))
-    val (num, den) = (r.getAs[Long]("kappa_num"), r.getAs[Long]("kappa_den"))
     assert(n > 0 && agree >= 0 && agree <= n)
-    assert(den > 0, "chance agreement hit N² — degenerate one-class matrix")
-    assert(num <= den, s"kappa > 1: $num/$den")
-    assert(num >= -den, s"kappa < -1: $num/$den")
+    assert(!r.isNullAt(r.fieldIndex("kappa_ppm")),
+      "kappa NULL — degenerate one-class matrix on real testdata")
+    val ppm = r.getAs[Long]("kappa_ppm")
+    assert(ppm <= 1000000L, s"kappa > 1: $ppm ppm")
+    assert(ppm >= -1000000L, s"kappa < -1: $ppm ppm")
   }
 }

@@ -251,7 +251,11 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .writeStream.format("memory").queryName("real_sess")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .outputMode("append").start()
-    q.awaitTermination(180000)
+    // AvailableNow terminates on its own — but ASSERT it did: on a slow
+    // box a timed-out wait would silently compare a PARTIAL table
+    try assert(q.awaitTermination(180000),
+      "statefulSessionize query did not drain within 180 s")
+    finally q.stop()
     val got = spark.table("real_sess")
       .select(col("user_id"), col("session_start_ms"),
         col("session_end_ms"), col("n_events"))
@@ -281,7 +285,11 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .writeStream.format("memory").queryName("real_nvr")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .outputMode("append").start()
-    q.awaitTermination(180000)
+    // see statefulSessionize above: a timed-out wait must FAIL, not
+    // compare whatever partial table exists at 180 s
+    try assert(q.awaitTermination(180000),
+      "newVsReturning query did not drain within 180 s")
+    finally q.stop()
     val got = spark.table("real_nvr")
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_active"),
