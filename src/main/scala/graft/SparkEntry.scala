@@ -34,7 +34,8 @@ object SparkEntry {
       operators.Curation.queries ++
       operators.Winnow.queries ++
       operators.Chunking.queries ++
-      operators.NeoQueries.queries
+      operators.NeoQueries.queries ++
+      streaming.StreamGateQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
@@ -48,5 +49,6 @@ object SparkEntry {
       operators.Curation.oracle ++
       operators.Winnow.oracle ++
       operators.Chunking.oracle ++
-      operators.NeoQueries.oracle
+      operators.NeoQueries.oracle ++
+      streaming.StreamGateQueries.oracle
 }

@@ -36,7 +36,8 @@ class ContractSpec extends AnyFunSuite {
       "curation" -> Curation.queries.keySet,
       "winnow" -> Winnow.queries.keySet,
       "chunking" -> Chunking.queries.keySet,
-      "neo" -> NeoQueries.queries.keySet)
+      "neo" -> NeoQueries.queries.keySet,
+      "stream_gate" -> graft.streaming.StreamGateQueries.queries.keySet)
     val perModule = modules.map(_._2.size).sum
     assert(SparkEntry.queries.size === perModule,
       s"merged ${SparkEntry.queries.size} != sum $perModule — a key collision dropped a query")
