@@ -38,7 +38,7 @@ object NeoQueries {
     */
   private val BASE = "/root/repo/target/neo_oracle"
 
-  private val layout = Layout(BASE)
+  private[graft] val layout = Layout(BASE)
 
   /** The injectable feed source (S1): deterministic fixture documents
     * keyed by request date, exactly how the unit tests stub the HTTP
@@ -58,7 +58,7 @@ object NeoQueries {
     * ingest path — fetch → byte-preserving raw write
     * (reference: src/etl/bronze_ingest.py:18-37).
     */
-  private def materializeBronze(s: SparkSession): Unit = synchronized {
+  private[graft] def materializeBronze(s: SparkSession): Unit = synchronized {
     BronzeIngest.ingest(s, layout, NeoFixture.day1Date, fixtureFetcher)
     BronzeIngest.ingest(s, layout, NeoFixture.day2Date, fixtureFetcher)
   }

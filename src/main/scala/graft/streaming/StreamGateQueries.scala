@@ -166,8 +166,162 @@ object StreamGateQueries {
       out.groupBy(col("day"))
         .agg(count(lit(1)).as("n_active"),
           sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+    },
+
+    // ── incremental Markov transitions → the batch matrix ──────────────
+    // transitionsStream emits one (prev → next) fact per consecutive
+    // pair; the rollup (+ margins + ppm rates) must equal
+    // q_event_transitions' batch matrix exactly — the in-order
+    // single-batch case where the no-replay convention never fires.
+    "q_stream_transitions" -> { (s, dir) =>
+      import s.implicits._
+      // localCheckpoint: the memory-sink MemoryPlan cannot deduplicate
+      // attribute refs in a self-join (margins join matrix below) —
+      // checkpointing rebases both consumers on a LogicalRDD, which
+      // can. Bounded: one row per consecutive event pair.
+      val tr = runToTable(s, StreamingEvents.transitionsStream(
+        eventsStream(s, dir).as[StreamingEvents.Event]).toDF())
+        .localCheckpoint()
+      val tot = tr.groupBy(col("prev_type"))
+        .agg(count(lit(1)).as("n_from"))
+      tr.groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_trans"))
+        .join(broadcast(tot), "prev_type")
+        .withColumn("prob_ppm", expr("n_trans * 1000000 div n_from"))
+    },
+
+    // ── incremental ordered funnel → per-step user counts ──────────────
+    // funnelStream's gate-refinement state machine, counted per step;
+    // equals the batch min-time cascade (view → click → purchase) on
+    // an in-order stream.
+    "q_stream_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val adv = runToTable(s, StreamingEvents.funnelStream(
+        eventsStream(s, dir).as[StreamingEvents.Event],
+        Seq("view", "click", "purchase")).toDF())
+      adv.groupBy(col("step"), col("step_name"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+
+    // ── stream-stream INNER attribution join ───────────────────────────
+    // click triggers ⋈ purchase actions within 30 min, both sides
+    // watermarked — the canonical conversion-attribution join. Inner
+    // matches emit as found (no watermark hold), so the single-batch
+    // emitted set equals the batch time-bound join. Timestamps are
+    // ms-truncated BEFORE the join so the bound arithmetic is exact in
+    // the same unit the oracle computes.
+    "q_stream_attribution" -> { (s, dir) =>
+      val ev = eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("timestamp_millis(unix_millis(ts))").as("ts"))
+      runToTable(s, StreamingEvents.attributionJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase")))
+        .select(col("user_id"), col("trigger_id"), col("action_id"),
+          unix_millis(col("trigger_ts")).as("trigger_ms"),
+          unix_millis(col("action_ts")).as("action_ms"))
+    },
+
+    // ── stream-stream LEFT OUTER attribution join ──────────────────────
+    // The deferred-null semantics under the gate: a non-converting
+    // trigger null-pads only once the final watermark PROVES no action
+    // can still arrive — trigger_ms + bound < min(max_click_ms,
+    // max_purchase_ms) − 2 h (global watermark = min over both
+    // inputs). Triggers still inside their match window at end of
+    // stream are PENDING and must not appear; the oracle re-derives
+    // all three classes (matched / proven-unmatched / pending).
+    "q_stream_attribution_outer" -> { (s, dir) =>
+      val ev = eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("timestamp_millis(unix_millis(ts))").as("ts"))
+      runToTable(s, StreamingEvents.attributionJoinLeftOuter(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase")))
+        .select(col("user_id"), col("trigger_id"), col("action_id"),
+          unix_millis(col("trigger_ts")).as("trigger_ms"),
+          unix_millis(col("action_ts")).as("action_ms"))
+    },
+
+    // ── sharded Misra–Gries heavy hitters, exact regime ────────────────
+    // The shard axis is a JVM-hash routing detail (projected out);
+    // with |distinct types| ≤ capacity the merged counters are EXACT,
+    // so the gate is the plain per-type count — what "replaying the
+    // stream reproduces the batch sketch" means when nothing evicts.
+    "q_stream_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      val hh = runToTable(s, StreamingEvents.heavyHittersStream(
+        eventsStream(s, dir).as[StreamingEvents.Event]).toDF())
+      hh.groupBy(col("t").as("event_type"))
+        .agg(sum(col("c")).as("n"))
+    },
+
+    // ── incremental fixed-bin quantile histograms ──────────────────────
+    // Per-type bin counts (value div 5 — the batch q_mergeable_quantiles
+    // bins); a single-batch replay must reproduce the batch histogram
+    // bit-for-bit. rev is projected out (it counts micro-batches, a
+    // harness detail, not data).
+    "q_stream_quantile_bins" -> { (s, dir) =>
+      import s.implicits._
+      val qr = runToTable(s, StreamingEvents.quantileStream(
+        eventsStream(s, dir).as[StreamingEvents.Event]).toDF())
+      qr.select(col("event_type"), col("bin"), col("c").as("n"))
+    },
+
+    // ── the NEO medallion, INCREMENTALLY: bronze file stream → silver
+    // keyed-merge partitions → gold merge-upserts, then the on-disk
+    // SILVER read back under the same hash gate as the batch
+    // q_neo_silver. The pipeline replays idempotently (fresh
+    // checkpoint each invocation; every write is a keyed merge), so
+    // re-runs CONVERGE to the same table — which is exactly what the
+    // hash gate proves. Both fixture files fit one micro-batch
+    // (maxFilesPerTrigger=10), so the deterministic-survivor contract
+    // is batch-order-free.
+    "q_neo_stream_silver" -> { (s, _) =>
+      runNeoPipeline(s)
+      s.read.parquet(graft.operators.NeoQueries.layout.silverAsteroids)
+        .select(col("id"), col("neo_reference_id"), col("name"),
+          col("absolute_magnitude_h"), col("is_hazardous"),
+          col("is_sentry"), col("nasa_jpl_url"), col("link_self"),
+          col("diam_min_km"), col("diam_max_km"), col("diam_min_m"),
+          col("diam_max_m"), col("diam_min_mi"), col("diam_max_mi"),
+          col("diam_min_feet"), col("diam_max_feet"),
+          col("approach_date").cast("string").as("approach_date"),
+          col("approach_date_full"), col("approach_epoch"),
+          col("velocity_km_s"), col("velocity_km_h"),
+          col("velocity_mi_h"), col("miss_au"), col("miss_lunar"),
+          col("miss_km"), col("miss_mi"), col("orbiting_body"))
+    },
+
+    // ── the incrementally-merged GOLD dim_asteroid ─────────────────────
+    // Same pipeline run; the gold table on disk after the stream
+    // drains must equal the batch deterministic-survivor dim over both
+    // days (the identical oracle SQL as q_neo_dim_asteroid).
+    "q_neo_stream_gold" -> { (s, _) =>
+      runNeoPipeline(s)
+      s.read.parquet(
+        graft.operators.NeoQueries.layout.gold("dim_asteroid"))
+        .select(col("sk_asteroid"), col("id"), col("neo_reference_id"),
+          col("name"), col("absolute_magnitude_h"),
+          col("diam_min_km"), col("diam_max_km"), col("diam_min_m"),
+          col("diam_max_m"), col("diam_min_mi"), col("diam_max_mi"),
+          col("diam_min_feet"), col("diam_max_feet"),
+          col("is_hazardous"), col("is_sentry"),
+          col("nasa_jpl_url"), col("link_self"))
     }
   )
+
+  /** Materialize the fixture bronze, then drain the full streaming
+    * medallion (bronze → silver → gold) with a fresh checkpoint.
+    */
+  private def runNeoPipeline(s: SparkSession): Unit = synchronized {
+    graft.operators.NeoQueries.materializeBronze(s)
+    val ckpt = Files.createTempDirectory("graft_neo_stream_ckpt_")
+    val q = StreamingPipeline.start(s,
+      graft.operators.NeoQueries.layout, ckpt.toString)
+    try require(q.awaitTermination(300000),
+      "neo streaming pipeline did not drain within 300 s")
+    finally q.stop()
+  }
 
   // ────────────────────────────────────────────────────────────────────
   // DuckDB oracle twins — batch SQL + the exact emission rule
@@ -218,6 +372,91 @@ object StreamGateQueries {
         |SELECT d.day, count(*) AS n_active,
         |  CAST(sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_new
-        |FROM d JOIN f ON d.user_id = f.user_id GROUP BY 1""".stripMargin
+        |FROM d JOIN f ON d.user_id = f.user_id GROUP BY 1""".stripMargin,
+
+    "q_stream_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ms FROM events),
+        |tr AS (SELECT event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ms ASC, event_id ASC) AS prev_type
+        |  FROM e),
+        |t2 AS (SELECT prev_type, next_type FROM tr
+        |  WHERE prev_type IS NOT NULL),
+        |tot AS (SELECT prev_type, count(*) AS n_from FROM t2 GROUP BY 1),
+        |tx AS (SELECT prev_type, next_type, count(*) AS n_trans
+        |  FROM t2 GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_trans, n_from,
+        |  CAST(n_trans * 1000000 // n_from AS BIGINT) AS prob_ppm
+        |FROM tx JOIN tot USING (prev_type)""".stripMargin,
+
+    "q_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |t1 AS (SELECT user_id, min(ms) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ms) AS t2 FROM e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ms >= t1.t1
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ms) AS t3 FROM e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ms >= t2.t2
+        |       GROUP BY e.user_id)
+        |SELECT 1 AS step, 'view' AS step_name,
+        |       (SELECT count(*) FROM t1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)""".stripMargin,
+
+    "q_stream_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ms(ts) AS ms FROM events),
+        |t AS (SELECT user_id, event_id AS trigger_id, ms AS trigger_ms
+        |  FROM e WHERE event_type = 'click'),
+        |a AS (SELECT user_id, event_id AS action_id, ms AS action_ms
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT t.user_id, t.trigger_id, a.action_id,
+        |  t.trigger_ms, a.action_ms
+        |FROM t JOIN a ON t.user_id = a.user_id
+        |  AND a.action_ms >= t.trigger_ms
+        |  AND a.action_ms <= t.trigger_ms + 1800000""".stripMargin,
+
+    "q_stream_attribution_outer" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ms(ts) AS ms FROM events),
+        |t AS (SELECT user_id, event_id AS trigger_id, ms AS trigger_ms
+        |  FROM e WHERE event_type = 'click'),
+        |a AS (SELECT user_id, event_id AS action_id, ms AS action_ms
+        |  FROM e WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(trigger_ms) FROM t),
+        |    (SELECT max(action_ms) FROM a)) - 7200000 AS w),
+        |m AS (SELECT t.user_id, t.trigger_id, a.action_id,
+        |    t.trigger_ms, a.action_ms
+        |  FROM t JOIN a ON t.user_id = a.user_id
+        |    AND a.action_ms >= t.trigger_ms
+        |    AND a.action_ms <= t.trigger_ms + 1800000)
+        |SELECT * FROM m
+        |UNION ALL
+        |SELECT t.user_id, t.trigger_id, NULL AS action_id,
+        |  t.trigger_ms, NULL AS action_ms
+        |FROM t, wm
+        |WHERE t.trigger_ms + 1800000 < wm.w
+        |  AND NOT EXISTS (SELECT 1 FROM m
+        |    WHERE m.trigger_id = t.trigger_id)""".stripMargin,
+
+    "q_stream_heavy_hitters" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_stream_quantile_bins" ->
+      """SELECT event_type, CAST(floor(value) AS BIGINT) // 5 AS bin,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the incremental medallion must land on EXACTLY the batch answer —
+    // same oracle SQL, different (streaming) derivation path
+    "q_neo_stream_silver" ->
+      graft.operators.NeoQueries.oracle("q_neo_silver"),
+    "q_neo_stream_gold" ->
+      graft.operators.NeoQueries.oracle("q_neo_dim_asteroid")
   )
 }
