@@ -58,15 +58,17 @@ object StreamGateQueries {
     * parquet into a directory the file source can list. `copies = 2`
     * is the dedup fixture: every event arrives exactly twice.
     */
-  private def stage(sfDir: String, copies: Int): String = synchronized {
-    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_x$copies"
+  private def stage(sfDir: String, copies: Int,
+                    table: String = "events"): String = synchronized {
+    val key =
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_${table}_x$copies"
     val dir = Paths.get(s"$STAGE_BASE/$key")
     if (!Files.exists(dir.resolve("_STAGED"))) {
       Files.createDirectories(dir)
       (1 to copies).foreach { i =>
-        val dst = dir.resolve(s"events_$i.parquet")
+        val dst = dir.resolve(s"${table}_$i.parquet")
         if (!Files.exists(dst))
-          Files.copy(Paths.get(s"$sfDir/events.parquet"), dst)
+          Files.copy(Paths.get(s"$sfDir/$table.parquet"), dst)
       }
       Files.writeString(dir.resolve("_STAGED"), "ok")
     }
@@ -267,6 +269,33 @@ object StreamGateQueries {
       qr.select(col("event_type"), col("bin"), col("c").as("n"))
     },
 
+    // ── incremental Pareto skyline over a DOCUMENT stream ──────────────
+    // The curation trade-off surface maintained as monotone keyed
+    // state: quality/token signals derive on the stream with the SAME
+    // TextFunctions expressions the batch query binds to, the frontier
+    // folds per language, and the max-revision emission (compacted-
+    // changelog convention) must equal the batch NOT-EXISTS skyline —
+    // the oracle IS the batch q_skyline oracle, point columns only.
+    "q_stream_skyline" -> { (s, dir) =>
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val pts = s.readStream.schema(schema)
+        .parquet(stage(dir, 1, table = "documents"))
+        .select(col("lang").as("group"),
+          graft.functions.TextFunctions.qualityScore(col("text"))
+            .cast("long").as("x"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("y"))
+        .as[SkyPoint]
+      val out = runToTable(s,
+        StreamingEvents.skylineStream(pts).toDF()).localCheckpoint()
+      val maxRev = out.groupBy(col("group")).agg(max(col("rev")).as("mrev"))
+      out.join(broadcast(maxRev), Seq("group"))
+        .filter(col("rev") === col("mrev"))
+        .select(col("group").as("lang"), col("x").as("quality"),
+          col("y").as("n_tokens"))
+    },
+
     // ── the NEO medallion, INCREMENTALLY: bronze file stream → silver
     // keyed-merge partitions → gold merge-upserts, then the on-disk
     // SILVER read back under the same hash gate as the batch
@@ -451,6 +480,12 @@ object StreamGateQueries {
       """SELECT event_type, CAST(floor(value) AS BIGINT) // 5 AS bin,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the streaming frontier must land on EXACTLY the batch skyline —
+    // the batch oracle, restricted to its point columns
+    "q_stream_skyline" ->
+      ("SELECT lang, quality, n_tokens FROM (" +
+        graft.operators.TextQueries.oracle("q_skyline") + ") sky"),
 
     // the incremental medallion must land on EXACTLY the batch answer —
     // same oracle SQL, different (streaming) derivation path
