@@ -35,6 +35,13 @@ object SparkEntry {
       operators.Winnow.queries ++
       operators.Chunking.queries ++
       operators.NeoQueries.queries ++
+      operators.Hierarchy.queries ++
+      operators.Association.queries ++
+      operators.Experiments.queries ++
+      operators.TextRank.queries ++
+      operators.Search.queries ++
+      operators.Lifecycle.queries ++
+      operators.SqlSurface.queries ++
       streaming.StreamGateQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -50,5 +57,12 @@ object SparkEntry {
       operators.Winnow.oracle ++
       operators.Chunking.oracle ++
       operators.NeoQueries.oracle ++
+      operators.Hierarchy.oracle ++
+      operators.Association.oracle ++
+      operators.Experiments.oracle ++
+      operators.TextRank.oracle ++
+      operators.Search.oracle ++
+      operators.Lifecycle.oracle ++
+      operators.SqlSurface.oracle ++
       streaming.StreamGateQueries.oracle
 }

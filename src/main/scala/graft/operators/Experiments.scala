@@ -1,0 +1,298 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Experiment-health and series-quality diagnostics: the checks run
+  * BEFORE trusting an A/B readout or a metric series.
+  *
+  *   - q_ab_srm — sample-ratio mismatch: the assignment-health
+  *     chi-square (Fabijan et al., "Diagnosing Sample Ratio Mismatch in
+  *     Online Controlled Experiments", KDD'19). An experiment whose
+  *     50/50 split drifts fails this BEFORE any metric is read;
+  *     complements q_ab_conversion (the effect readout on the same
+  *     hash-arm contract).
+  *   - q_ewma_daily — exponentially-weighted smoothing of per-type daily
+  *     event counts, the anomaly-baseline twin of q_seasonal_anomaly's
+  *     same-slot z-score and q_cusum_changepoint's drift detector.
+  *   - q_benford — first-significant-digit distribution of order totals
+  *     vs Benford's law, the classic fabricated-/corrupted-feed audit
+  *     (complements q_dq_checks' schema rules with a DISTRIBUTIONAL
+  *     rule).
+  *   - q_contingency_chi2 — χ² independence between two categorical
+  *     dimensions (segment × priority) via the Σ O²·N/(row·col) − N
+  *     identity (one floor-division per cell).
+  *   - q_power_sample_size — required users per arm across an MDE grid,
+  *     the design-phase twin of the SRM/conversion readouts.
+  *
+  * Determinism contract (hash gate): all statistics are integer /
+  * DECIMAL(38,0) with divisions on non-negative operands only, so
+  * Spark's `div` and DuckDB's `//` agree bit-for-bit at any scale.
+  *
+  * 100 TB posture: q_ab_srm is one user-keyed aggregate folded to a
+  * single row; q_ewma_daily windows over the (type, day) AGGREGATE
+  * (bounded by types × days, not events) with a 10-term lag comb;
+  * q_benford is one 9-group aggregate against a broadcast constant
+  * table.
+  */
+object Experiments {
+
+  /** Arm-assignment hash seed (its own stream; independent of
+    * q_ab_conversion's AB_SEED so the two health checks don't share a
+    * split).
+    */
+  private val SRM_SEED = 29
+
+  /** χ²(df=1) milli-threshold at p=0.05. */
+  private val CHI2_MILLI_95 = 3841L
+
+  /** EWMA comb length (present-day ROWS window) and halving weights:
+    * weight of the k-th most recent present day is 2^(COMB-1-k).
+    */
+  private val COMB = 10
+
+  /** q_power_sample_size MDE grid (bp) and the two-proportion power
+    * constant (z₀.₀₂₅ + z₀.₈)² = (1.96 + 0.84)² = 7.84, carried as
+    * 784/100 so the whole formula stays integral.
+    */
+  private val MDE_BP = Seq(50L, 100L, 200L, 400L)
+  private val POWER_K_CENTI = 784L
+
+  /** Benford expected first-digit shares, ppm: ⌊10⁶·log10(1+1/d)⌋.
+    * Shared literal constants in BOTH engines — never recomputed in
+    * floating point at query time.
+    */
+  private val BENFORD_PPM: Seq[(String, Long)] = Seq(
+    "1" -> 301029L, "2" -> 176091L, "3" -> 124938L, "4" -> 96910L,
+    "5" -> 79181L, "6" -> 66946L, "7" -> 57991L, "8" -> 51152L,
+    "9" -> 45757L)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── sample-ratio mismatch χ² on the hash-assigned 50/50 split ──────
+    // χ² for a two-cell uniform expectation collapses to (n_a−n_b)²/N;
+    // milli-units keep it integral. The square runs in DECIMAL(38,0):
+    // the gap is N-bounded, so int64 would wrap past ~3·10⁹ users.
+    "q_ab_srm" -> { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("user_id")).distinct()
+        .withColumn("arm",
+          Dedup.hash32(SRM_SEED, col("user_id").cast("string")) % 2)
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+        .withColumn("chi2_milli", expr(
+          "CASE WHEN n_a + n_b = 0 THEN CAST(NULL AS BIGINT)" +
+            " ELSE CAST(CAST(n_a - n_b AS DECIMAL(38,0)) * (n_a - n_b)" +
+            " * 1000 div (n_a + n_b) AS BIGINT) END"))
+        .withColumn("srm_detected", col("chi2_milli") >= CHI2_MILLI_95)
+    },
+
+    // ── EWMA of daily event counts per type (halving weights) ──────────
+    // The series is the (type, day) count aggregate; smoothing is a
+    // 10-term lag comb over PRESENT days: num = Σ 2^(9−k)·n_{t−k},
+    // den = Σ 2^(9−k) over available lags (ramp-up days renormalize
+    // instead of reading a zero-filled cold start). den ≥ 2^9 always
+    // (the k=0 term is the row itself), so the division never sees 0.
+    "q_ewma_daily" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      val daily = e.select(col("event_type"),
+          Tables.epochMs(e).as("ms"))
+        .selectExpr("event_type", "ms div 86400000 AS day_idx")
+        .groupBy(col("event_type"), col("day_idx"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+      val num = (0 until COMB).map { k =>
+        coalesce(lag(col("n"), k).over(w), lit(0L)) *
+          lit(1L << (COMB - 1 - k))
+      }.reduce(_ + _)
+      val den = (0 until COMB).map { k =>
+        when(lag(col("n"), k).over(w).isNotNull,
+          lit(1L << (COMB - 1 - k))).otherwise(lit(0L))
+      }.reduce(_ + _)
+      daily.withColumn("num", num).withColumn("den", den)
+        .selectExpr("event_type", "day_idx", "n",
+          "num * 1000 div den AS ewma_milli")
+    },
+
+    // ── χ² independence: market segment × order priority ───────────────
+    // The categorical-association audit (are two labeling dimensions
+    // independent?) via the identity Σ(O−E)²/E = Σ O²·N/(row·col) − N,
+    // which needs ONE floor-division per cell: chi2_milli =
+    // Σ ⌊O²·N·10³/(row_n·col_n)⌋ − 10³·N, exact in DECIMAL(38,0) /
+    // HUGEINT while N³·10³ < 10³⁸ (N ≲ 4·10¹¹ joined rows — beyond
+    // that, pre-aggregate or sample upstream; the gate would surface
+    // the overflow as a NULL split, not silent drift).
+    "q_contingency_chi2" -> { (s, dir) =>
+      val j = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("pri"))
+      val cells = j.groupBy(col("seg"), col("pri"))
+        .agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy(col("seg")).agg(sum(col("o")).as("row_n"))
+      val cols = cells.groupBy(col("pri")).agg(sum(col("o")).as("col_n"))
+      val dims = cells.agg(countDistinct(col("seg")).as("r"),
+        countDistinct(col("pri")).as("c"), sum(col("o")).as("n"))
+      cells.join(rows, Seq("seg")).join(cols, Seq("pri"))
+        .crossJoin(broadcast(dims))
+        .agg(max(col("n")).as("n"), max(col("r")).as("r"),
+          max(col("c")).as("c"),
+          sum(expr("CAST(CAST(o AS DECIMAL(38,0)) * o * n * 1000" +
+            " div (CAST(row_n AS DECIMAL(38,0)) * col_n)" +
+            " AS DECIMAL(38,0))")).as("terms"))
+        .selectExpr("n", "(r - 1) * (c - 1) AS dof",
+          "CAST(terms - CAST(n AS DECIMAL(38,0)) * 1000 AS BIGINT)" +
+            " AS chi2_milli")
+    },
+
+    // ── required sample size per arm across an MDE grid ────────────────
+    // Experiment DESIGN twin of q_ab_srm/q_ab_conversion: from the
+    // observed base conversion p (bp), the classic two-proportion
+    // approximation n = 2(z_{α/2}+z_β)²·p(1−p)/δ² on an MDE grid —
+    // all integer: n = ⌊2·784·p_bp·(10⁴−p_bp) / (100·mde_bp²)⌋.
+    "q_power_sample_size" -> { (s, dir) =>
+      import s.implicits._
+      val conv = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("converted"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("converted")).as("n_conv"))
+        .selectExpr("CASE WHEN n_users = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE n_conv * 10000 div n_users END AS p_bp")
+      broadcast(MDE_BP.toDF("mde_bp")).crossJoin(broadcast(conv))
+        .selectExpr("mde_bp", "p_bp",
+          "CASE WHEN p_bp IS NULL THEN CAST(NULL AS BIGINT)" +
+            s" ELSE CAST(2 * $POWER_K_CENTI" +
+            " * CAST(p_bp AS DECIMAL(38,0)) * (10000 - p_bp)" +
+            " div (100 * mde_bp * mde_bp) AS BIGINT) END AS n_per_arm")
+    },
+
+    // ── Benford first-digit audit of order totals ──────────────────────
+    // All 9 digits always report (expected side drives; zero-fill), so
+    // a feed that never produces a digit is visible, not absent.
+    "q_benford" -> { (s, dir) =>
+      import s.implicits._
+      val expected = BENFORD_PPM.toDF("digit", "exp_ppm")
+      val obs = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") >= 1)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val tot = obs.agg(sum(col("n_obs")).as("n_total"))
+      broadcast(expected).join(obs, Seq("digit"), "left")
+        .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .selectExpr("digit", "n_obs",
+          "CASE WHEN n_total = 0 THEN CAST(NULL AS BIGINT)" +
+            " ELSE CAST(CAST(n_obs AS DECIMAL(38,0)) * 1000000" +
+            " div n_total AS BIGINT) END AS obs_ppm",
+          "exp_ppm")
+        .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+    })
+
+  val oracle: Map[String, String] = Map(
+
+    "q_ab_srm" -> {
+      val arm = graft.operators.Dedup
+        .hash32Sql(SRM_SEED, "CAST(user_id AS VARCHAR)")
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |arms AS (SELECT ($arm) % 2 AS arm FROM u),
+         |c AS (SELECT
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b
+         |  FROM arms)
+         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CASE WHEN n_a + n_b = 0 THEN CAST(NULL AS BIGINT)
+         |    ELSE CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000
+         |      // (n_a + n_b) AS BIGINT) END AS chi2_milli,
+         |  CASE WHEN n_a + n_b = 0 THEN NULL
+         |    ELSE CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000
+         |      // (n_a + n_b) AS BIGINT) >= $CHI2_MILLI_95
+         |  END AS srm_detected
+         |FROM c""".stripMargin
+    },
+
+    "q_ewma_daily" -> {
+      val numTerms = (0 until COMB).map { k =>
+        s"coalesce(lag(n, $k) OVER w, 0) * ${1L << (COMB - 1 - k)}"
+      }.mkString(" + ")
+      val denTerms = (0 until COMB).map { k =>
+        s"CASE WHEN lag(n, $k) OVER w IS NOT NULL" +
+          s" THEN ${1L << (COMB - 1 - k)} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |sm AS (SELECT event_type, day_idx, n,
+         |    $numTerms AS num,
+         |    $denTerms AS den
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx ASC))
+         |SELECT event_type, day_idx, n,
+         |  CAST(num * 1000 // den AS BIGINT) AS ewma_milli
+         |FROM sm""".stripMargin
+    },
+
+    "q_contingency_chi2" ->
+      """WITH j AS (SELECT c_mktsegment AS seg, o_orderpriority AS pri
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT seg, pri, count(*) AS o FROM j GROUP BY 1, 2),
+        |rw AS (SELECT seg, sum(o) AS row_n FROM cells GROUP BY 1),
+        |cl AS (SELECT pri, sum(o) AS col_n FROM cells GROUP BY 1),
+        |dims AS (SELECT count(DISTINCT seg) AS r,
+        |    count(DISTINCT pri) AS c, sum(o) AS n FROM cells)
+        |SELECT CAST(d.n AS BIGINT) AS n,
+        |  CAST((d.r - 1) * (d.c - 1) AS BIGINT) AS dof,
+        |  CAST(sum(CAST(o AS HUGEINT) * o * d.n * 1000
+        |      // (CAST(row_n AS HUGEINT) * col_n))
+        |    - CAST(d.n AS HUGEINT) * 1000 AS BIGINT) AS chi2_milli
+        |FROM cells JOIN rw USING (seg) JOIN cl USING (pri), dims d
+        |GROUP BY d.n, d.r, d.c""".stripMargin,
+
+    "q_power_sample_size" -> {
+      val vals = MDE_BP.map(m => s"(CAST($m AS BIGINT))").mkString(", ")
+      s"""WITH conv AS (SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS converted
+         |  FROM events GROUP BY 1),
+         |p AS (SELECT CASE WHEN count(*) = 0 THEN CAST(NULL AS BIGINT)
+         |    ELSE CAST(sum(converted) * 10000 // count(*) AS BIGINT)
+         |  END AS p_bp FROM conv),
+         |mde(mde_bp) AS (VALUES $vals)
+         |SELECT mde_bp, p_bp,
+         |  CASE WHEN p_bp IS NULL THEN CAST(NULL AS BIGINT)
+         |    ELSE CAST(2 * $POWER_K_CENTI * CAST(p_bp AS HUGEINT)
+         |      * (10000 - p_bp) // (100 * mde_bp * mde_bp) AS BIGINT)
+         |  END AS n_per_arm
+         |FROM mde, p""".stripMargin
+    },
+
+    "q_benford" -> {
+      val vals = BENFORD_PPM
+        .map { case (d, p) => s"('$d', CAST($p AS BIGINT))" }
+        .mkString(", ")
+      s"""WITH expected(digit, exp_ppm) AS (VALUES $vals),
+         |obs AS (SELECT
+         |    substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+         |      1, 1) AS digit,
+         |    count(*) AS n_obs
+         |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+         |tot AS (SELECT sum(n_obs) AS n_total FROM obs)
+         |SELECT e.digit, CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+         |  CASE WHEN t.n_total = 0 THEN CAST(NULL AS BIGINT)
+         |    ELSE CAST(CAST(coalesce(o.n_obs, 0) AS HUGEINT) * 1000000
+         |      // t.n_total AS BIGINT) END AS obs_ppm,
+         |  e.exp_ppm,
+         |  CASE WHEN t.n_total = 0 THEN CAST(NULL AS BIGINT)
+         |    ELSE CAST(CAST(coalesce(o.n_obs, 0) AS HUGEINT) * 1000000
+         |      // t.n_total AS BIGINT) END - e.exp_ppm AS dev_ppm
+         |FROM expected e LEFT JOIN obs o ON e.digit = o.digit, tot t"""
+        .stripMargin
+    })
+}

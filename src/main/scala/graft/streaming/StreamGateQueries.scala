@@ -269,6 +269,34 @@ object StreamGateQueries {
       qr.select(col("event_type"), col("bin"), col("c").as("n"))
     },
 
+    // ── EWMA smoothing over the FINALIZED hourly series ────────────────
+    // The streaming twin of q_ewma_daily's comb, on the watermark-
+    // finalized per-(type, hour) counts the stream emits: smoothing is
+    // a deterministic function OF the finalized series, so it runs as
+    // a bounded batch window over the drained sink (|types|·|hours|
+    // rows — the same post-aggregation pattern as
+    // q_stream_heavy_hitters), never as a second stateful stage racing
+    // the first one's emissions. 10-term halving weights over PRESENT
+    // hours, renormalizing on ramp-up; all integer.
+    "q_stream_ewma" -> { (s, dir) =>
+      val res = runToTable(s,
+        StreamingEvents.hourlyCounts(eventsStream(s, dir)))
+        .select(unix_millis(col("window_start")).as("hour_ms"),
+          col("event_type"), col("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("hour_ms"))
+      val num = (0 until 10).map { k =>
+        coalesce(lag(col("n"), k).over(w), lit(0L)) * lit(1L << (9 - k))
+      }.reduce(_ + _)
+      val den = (0 until 10).map { k =>
+        when(lag(col("n"), k).over(w).isNotNull, lit(1L << (9 - k)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      res.withColumn("num", num).withColumn("den", den)
+        .selectExpr("event_type", "hour_ms", "n",
+          "num * 1000 div den AS ewma_milli")
+    },
+
     // ── incremental Pareto skyline over a DOCUMENT stream ──────────────
     // The curation trade-off surface maintained as monotone keyed
     // state: quality/token signals derive on the stream with the SAME
@@ -480,6 +508,31 @@ object StreamGateQueries {
       """SELECT event_type, CAST(floor(value) AS BIGINT) // 5 AS bin,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_ewma" -> {
+      val numTerms = (0 until 10).map { k =>
+        s"coalesce(lag(n, $k) OVER w, 0) * ${1L << (9 - k)}"
+      }.mkString(" + ")
+      val denTerms = (0 until 10).map { k =>
+        s"CASE WHEN lag(n, $k) OVER w IS NOT NULL" +
+          s" THEN ${1L << (9 - k)} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT epoch_ms(ts) AS ms, event_type FROM events),
+         |mx AS (SELECT max(ms) AS max_ms FROM e),
+         |hw AS (SELECT (ms // 3600000) * 3600000 AS hour_ms,
+         |    event_type, count(*) AS n
+         |  FROM e GROUP BY 1, 2),
+         |fin AS (SELECT hw.hour_ms, hw.event_type, hw.n FROM hw, mx
+         |  WHERE hw.hour_ms + 3600000 <= mx.max_ms - 7200000),
+         |sm AS (SELECT event_type, hour_ms, n,
+         |    $numTerms AS num,
+         |    $denTerms AS den
+         |  FROM fin
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ms ASC))
+         |SELECT event_type, hour_ms, n,
+         |  CAST(num * 1000 // den AS BIGINT) AS ewma_milli
+         |FROM sm""".stripMargin
+    },
 
     // the streaming frontier must land on EXACTLY the batch skyline —
     // the batch oracle, restricted to its point columns

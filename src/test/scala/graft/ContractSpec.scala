@@ -37,6 +37,13 @@ class ContractSpec extends AnyFunSuite {
       "winnow" -> Winnow.queries.keySet,
       "chunking" -> Chunking.queries.keySet,
       "neo" -> NeoQueries.queries.keySet,
+      "hierarchy" -> Hierarchy.queries.keySet,
+      "association" -> Association.queries.keySet,
+      "experiments" -> Experiments.queries.keySet,
+      "textrank" -> TextRank.queries.keySet,
+      "search" -> Search.queries.keySet,
+      "lifecycle" -> Lifecycle.queries.keySet,
+      "sql_surface" -> SqlSurface.queries.keySet,
       "stream_gate" -> graft.streaming.StreamGateQueries.queries.keySet)
     val perModule = modules.map(_._2.size).sum
     assert(SparkEntry.queries.size === perModule,
