@@ -42,6 +42,7 @@ object SparkEntry {
       operators.Search.queries ++
       operators.Lifecycle.queries ++
       operators.SqlSurface.queries ++
+      operators.Privacy.queries ++
       streaming.StreamGateQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -64,5 +65,6 @@ object SparkEntry {
       operators.Search.oracle ++
       operators.Lifecycle.oracle ++
       operators.SqlSurface.oracle ++
+      operators.Privacy.oracle ++
       streaming.StreamGateQueries.oracle
 }

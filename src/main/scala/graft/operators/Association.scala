@@ -40,6 +40,12 @@ object Association {
   /** Co-items kept per antecedent part. */
   private val TOP_ALSO = 3
 
+  /** BFS rounds for q_sssp_hops: nodes beyond this hop radius are
+    * absent from the result (documented horizon, not silent truncation
+    * — the radius is the operator's contract).
+    */
+  private val BFS_ROUNDS = 4
+
   /** Distinct (basket, item) pairs. */
   private def items(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
@@ -95,6 +101,31 @@ object Association {
         .filter(col("rank") <= TOP_ALSO)
         .select(col("ant").as("pkey"), col("cons").as("also_pkey"),
           col("n_pair"), col("rank").cast("long").as("rank"))
+    },
+
+    // ── BFS hop distance from the min-key part over the co-purchase
+    // graph. Each round is frontier ∪ (frontier ⋈ edges)+1 followed by
+    // a min-per-node AGGREGATE — the aggregation caps every round at
+    // |reachable nodes| rows, so hub fan-out can never explode into
+    // path enumeration (the blowup a naive depth-limited recursion
+    // hits; the DuckDB oracle unrolls the same aggregated rounds).
+    // Fixed [[BFS_ROUNDS]] keeps the plan deterministic; min-dist is
+    // stable under extra rounds for already-settled nodes.
+    "q_sssp_hops" -> { (s, dir) =>
+      val p = pairs(items(s, dir))
+      val e = graft.CacheRegistry.register(
+        p.select(col("ant").as("src"), col("cons").as("dst"))
+          .union(p.select(col("cons").as("src"), col("ant").as("dst")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      var d = p.agg(min(col("ant")).as("node"))
+        .select(col("node"), lit(0L).as("dist"))
+      for (_ <- 1 to BFS_ROUNDS) {
+        val step = d.join(e, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        d = d.union(step).groupBy(col("node"))
+          .agg(min(col("dist")).as("dist"))
+      }
+      d.select(col("node").as("pkey"), col("dist"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -136,5 +167,29 @@ object Association {
          |    ORDER BY n_pair DESC, cons ASC) AS rn FROM sym)
          |SELECT ant AS pkey, cons AS also_pkey, n_pair,
          |  CAST(rn AS BIGINT) AS rank
-         |FROM ranked WHERE rn <= $TOP_ALSO""".stripMargin)
+         |FROM ranked WHERE rn <= $TOP_ALSO""".stripMargin,
+
+    "q_sssp_hops" -> {
+      val rounds = (1 to BFS_ROUNDS).map { i =>
+        s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, p.dist + 1 AS dist
+           |    FROM d${i - 1} p JOIN e ON p.node = e.src) u
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS okey,
+         |    l_partkey AS pkey FROM lineitem),
+         |pairs AS (SELECT a.pkey AS ant, b.pkey AS cons,
+         |    count(*) AS n_pair
+         |  FROM items a JOIN items b
+         |    ON a.okey = b.okey AND a.pkey < b.pkey
+         |  GROUP BY 1, 2 HAVING count(*) >= $MIN_SUPPORT),
+         |e AS (SELECT ant AS src, cons AS dst FROM pairs
+         |  UNION ALL SELECT cons, ant FROM pairs),
+         |d0 AS (SELECT min(ant) AS node, CAST(0 AS BIGINT) AS dist
+         |  FROM pairs),
+         |$rounds
+         |SELECT node AS pkey, dist FROM d$BFS_ROUNDS""".stripMargin
+    })
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Association, Experiments, Hierarchy, Lifecycle, Search, SqlSurface, TextRank}
+import graft.operators.{Association, Experiments, Hierarchy, Lifecycle, Privacy, Search, SqlSurface, TextRank}
 
 /** Driver-side re-derivations of the hierarchy / association /
   * experiment-health / TextRank operators against the sf0.001 tables:
@@ -294,6 +294,65 @@ class AnalyticsOpsSpec extends AnyFunSuite with SparkSpec {
     // plan shapes (cartesian/BNLJ against the outer side)
     val phys = df.queryExecution.executedPlan.toString
     assert(!phys.contains("CartesianProduct"), "lateral did not decorrelate")
+  }
+
+  test("q_k_anonymity / q_l_diversity: cohort algebra recomputes") {
+    val ka = Privacy.queries("q_k_anonymity")(spark, sf).collect()
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        col("c_acctbal")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val cohorts = cust.groupBy(c => (c._1, c._2)).view
+      .mapValues(_.length.toLong).toMap
+    val k = cohorts.values.min
+    val riskyRows = cohorts.values.filter(_ < 5L).sum
+    assert(ka.length === cohorts.size)
+    ka.foreach { r =>
+      val key = (r.getLong(0), r.getString(1))
+      assert(r.getLong(2) === cohorts(key))
+      assert(r.getLong(3) === k)
+      assert(r.getBoolean(4) === (cohorts(key) < 5L))
+      assert(r.getLong(5) === riskyRows * 10000L / cust.length)
+    }
+    val ld = Privacy.queries("q_l_diversity")(spark, sf).collect()
+    ld.foreach { r =>
+      val key = (r.getLong(0), r.getString(1))
+      val bands = cust.filter(c => (c._1, c._2) == key).map(c =>
+        if (c._3 < 0) "neg" else if (c._3 < 5000) "small" else "large")
+      val byBand = bands.groupBy(identity).view.mapValues(_.length.toLong)
+      assert(r.getLong(2) === byBand.size.toLong)
+      assert(r.getLong(3) === bands.length.toLong)
+      assert(r.getLong(4) === byBand.values.max)
+      assert(r.getLong(5) === byBand.values.max * 10000L / bands.length)
+    }
+  }
+
+  test("q_sssp_hops: distances match a driver-side BFS; radius respected") {
+    val got = Association.queries("q_sssp_hops")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild the support-≥2 co-purchase graph driver-side
+    val items = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairN = scala.collection.mutable.Map[(Long, Long), Long]()
+    items.groupBy(_._1).values.foreach { b =>
+      val v = b.map(_._2).toSeq.sorted
+      for (i <- v.indices; j <- i + 1 until v.length)
+        pairN((v(i), v(j))) = pairN.getOrElse((v(i), v(j)), 0L) + 1
+    }
+    val edges = pairN.filter(_._2 >= 2).keys.toSeq
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet)
+    val srcNode = edges.map(_._1).min
+    val dist = scala.collection.mutable.Map(srcNode -> 0L)
+    var frontier = Set(srcNode)
+    for (d <- 1L to 4L) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = d)
+    }
+    assert(got === dist.toMap)
+    assert(got.values.max <= 4L)
   }
 
   test("q_textrank_keywords: damping floor holds and reruns are stable") {

@@ -44,6 +44,7 @@ class ContractSpec extends AnyFunSuite {
       "search" -> Search.queries.keySet,
       "lifecycle" -> Lifecycle.queries.keySet,
       "sql_surface" -> SqlSurface.queries.keySet,
+      "privacy" -> Privacy.queries.keySet,
       "stream_gate" -> graft.streaming.StreamGateQueries.queries.keySet)
     val perModule = modules.map(_._2.size).sum
     assert(SparkEntry.queries.size === perModule,

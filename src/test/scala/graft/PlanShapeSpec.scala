@@ -512,6 +512,56 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q_hierarchy_closure / q_sssp_hops: every iterative round is an " +
+    "equi-join, never a nested loop") {
+    val closure = planOf(
+      operators.Hierarchy.queries("q_hierarchy_closure")(spark, sf))
+    assertNoCross(closure, "q_hierarchy_closure")
+    val sssp = planOf(
+      operators.Association.queries("q_sssp_hops")(spark, sf))
+    assertNoCross(sssp, "q_sssp_hops")
+  }
+
+  test("q_basket_rules: pair generation is a basket-keyed equi-join; " +
+    "only the 1-row total attaches nested-loop") {
+    val plan = planOf(
+      operators.Association.queries("q_basket_rules")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    // the okey self-join must be hash/sort-merge; the single BNLJ
+    // allowed is the broadcast one-row n_baskets attach
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"data-sized nested loop in:\n$plan")
+  }
+
+  test("q_boolean_search: query-term filter prunes the postings scan") {
+    val plan = planOf(
+      operators.Search.queries("q_boolean_search")(spark, sf))
+    // the term IN (...) predicate must sit above the scan as a codegen'd
+    // filter on the exploded postings (it cannot reach parquet — terms
+    // are post-explode), and no cross-style join anywhere
+    assertNoCross(plan, "q_boolean_search")
+    assert(plan.contains("tok#") && plan.contains("Filter"),
+      s"expected a token filter in:\n$plan")
+  }
+
+  test("q_ewma_daily / q_nelson_aalen: windows run over bounded " +
+    "aggregates, not raw events") {
+    // both plans must aggregate BEFORE any window: the Window node's
+    // child chain contains the hash aggregate, so the window input is
+    // the (type, day) / lifetime-histogram table
+    for ((nm, df) <- Seq(
+        "q_ewma_daily" ->
+          operators.Experiments.queries("q_ewma_daily")(spark, sf),
+        "q_nelson_aalen" ->
+          operators.Lifecycle.queries("q_nelson_aalen")(spark, sf))) {
+      val plan = planOf(df)
+      val winIdx = plan.indexOf("Window ")
+      val aggIdx = plan.lastIndexOf("HashAggregate")
+      assert(winIdx >= 0 && aggIdx > winIdx,
+        s"$nm: expected an aggregate BELOW the window:\n$plan")
+    }
+  }
+
   private def assertNoCross(plan: String, q: String): Unit =
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
