@@ -172,6 +172,21 @@ object Experiments {
             " div (100 * mde_bp * mde_bp) AS BIGINT) END AS n_per_arm")
     },
 
+    // ── per-type feed freshness lag vs the corpus head ─────────────────
+    // The staleness monitor a multi-feed ingest needs: how far behind
+    // the freshest feed is each type's latest event, with a 24 h stale
+    // flag. One 5-row aggregate + a broadcast 1-row max attach.
+    "q_freshness_lag" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      val perType = e.select(col("event_type"), Tables.epochMs(e).as("ms"))
+        .groupBy(col("event_type")).agg(max(col("ms")).as("last_ms"))
+      val head = perType.agg(max(col("last_ms")).as("head_ms"))
+      perType.crossJoin(broadcast(head))
+        .select(col("event_type"), col("last_ms"),
+          (col("head_ms") - col("last_ms")).as("lag_ms"),
+          (col("head_ms") - col("last_ms") > 86400000L).as("is_stale"))
+    },
+
     // ── Benford first-digit audit of order totals ──────────────────────
     // All 9 digits always report (expected side drives; zero-fill), so
     // a feed that never produces a digit is visible, not absent.
@@ -272,6 +287,15 @@ object Experiments {
          |  END AS n_per_arm
          |FROM mde, p""".stripMargin
     },
+
+    "q_freshness_lag" ->
+      """WITH pt AS (SELECT event_type, max(epoch_ms(ts)) AS last_ms
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT max(last_ms) AS head_ms FROM pt)
+        |SELECT pt.event_type, pt.last_ms,
+        |  h.head_ms - pt.last_ms AS lag_ms,
+        |  h.head_ms - pt.last_ms > 86400000 AS is_stale
+        |FROM pt, h""".stripMargin,
 
     "q_benford" -> {
       val vals = BENFORD_PPM

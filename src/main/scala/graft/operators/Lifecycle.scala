@@ -23,14 +23,29 @@ import graft.Tables
   *     usually require recency too). Same min-time gating construction,
   *     all shuffles user-keyed.
   *
-  * 100 TB posture: both are user-keyed aggregates; the only windows run
-  * over the lifetime histogram (≤ observation-span rows at any corpus
-  * size).
+  *   - q_funnel_by_arm — the order-gated funnel split by the hash
+  *     experiment arm (arm derives from user_id, so it rides the
+  *     user-keyed aggregates for free).
+  *   - q_open_intervals — sweep-line concurrency counting: O(rows)
+  *     ±1 deltas + one bounded-|days| prefix sum, instead of the
+  *     O(rows·span) per-day interval explode.
+  *
+  * 100 TB posture: all user-keyed aggregates; the only windows run
+  * over bounded day-grain tables (lifetime histogram, delta changelog —
+  * ≤ observation-span rows at any corpus size).
   */
 object Lifecycle {
 
   /** Strict funnel: each step within 1 h of the previous one. */
   private val STEP_GAP_MS = 3600000L
+
+  /** q_funnel_by_arm hash seed (distinct stream from the SRM and
+    * conversion splits).
+    */
+  private val FUNNEL_AB_SEED = 31
+
+  /** q_open_intervals: each order stays open 7 days. */
+  private val OPEN_SPAN_DAYS = 7
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -80,6 +95,56 @@ object Lifecycle {
       val c3 = t3.agg(count(lit(1)).as("n_users"))
         .selectExpr("3L AS step", "'purchase' AS step_name", "n_users")
       c1.unionByName(c2).unionByName(c3)
+    },
+
+    // ── ordered funnel split by experiment arm ─────────────────────────
+    // The per-arm conversion readout a feature experiment actually
+    // reads: the q_event_funnel order-gating, grouped by the hash arm.
+    // Arm derives from user_id, so it rides every user-keyed aggregate
+    // for free — no extra shuffle vs the ungrouped funnel.
+    "q_funnel_by_arm" -> { (s, dir) =>
+      val e0 = Tables.load(s, dir, "events")
+      val e = e0.select(col("user_id"), col("event_type"),
+          Tables.epochMs(e0).as("ms"))
+        .withColumn("arm",
+          Dedup.hash32(FUNNEL_AB_SEED, col("user_id").cast("string")) % 2)
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("arm")).agg(min(col("ms")).as("t1"))
+      val t2 = e.filter(col("event_type") === "click")
+        .join(t1.select(col("user_id"), col("t1")), Seq("user_id"))
+        .filter(col("ms") >= col("t1"))
+        .groupBy(col("user_id"), col("arm")).agg(min(col("ms")).as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase")
+        .join(t2.select(col("user_id"), col("t2")), Seq("user_id"))
+        .filter(col("ms") >= col("t2"))
+        .groupBy(col("user_id"), col("arm")).agg(min(col("ms")).as("t3"))
+      def cnt(df: DataFrame, step: Long, nm: String) =
+        df.groupBy(col("arm")).agg(count(lit(1)).as("n_users"))
+          .select(col("arm"), lit(step).as("step"), lit(nm).as("step_name"),
+            col("n_users"))
+      cnt(t1, 1L, "view").unionByName(cnt(t2, 2L, "click"))
+        .unionByName(cnt(t3, 3L, "purchase"))
+    },
+
+    // ── sweep-line open-interval counting ──────────────────────────────
+    // How many orders are OPEN each day ([orderdate, +7d) windows):
+    // the concurrency question interval explode answers in O(rows·span)
+    // — this is the O(rows) sweep: +1 at open, −1 at close, day-keyed
+    // delta aggregate, then one prefix sum over the bounded |days|
+    // table. Only days where the count CHANGES appear (the changelog
+    // convention — consumers step-interpolate).
+    "q_open_intervals" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+      val deltas = o.select(col("day"), lit(1L).as("delta"))
+        .union(o.select((col("day") + OPEN_SPAN_DAYS).as("day"),
+          lit(-1L).as("delta")))
+        .groupBy(col("day")).agg(sum(col("delta")).as("delta"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      deltas.withColumn("n_open", sum(col("delta")).over(w))
+        .select(col("day"), col("delta"), col("n_open"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -120,5 +185,43 @@ object Lifecycle {
          |  (SELECT count(*) FROM t1) AS n_users
          |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
          |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)"""
-        .stripMargin)
+        .stripMargin,
+
+    "q_funnel_by_arm" -> {
+      val arm = graft.operators.Dedup
+        .hash32Sql(FUNNEL_AB_SEED, "CAST(user_id AS VARCHAR)")
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms,
+         |    ($arm) % 2 AS arm
+         |  FROM events),
+         |t1 AS (SELECT user_id, arm, min(ms) AS t1 FROM e
+         |  WHERE event_type = 'view' GROUP BY 1, 2),
+         |t2 AS (SELECT e.user_id, e.arm, min(e.ms) AS t2 FROM e
+         |  JOIN t1 ON e.user_id = t1.user_id
+         |  WHERE e.event_type = 'click' AND e.ms >= t1.t1
+         |  GROUP BY 1, 2),
+         |t3 AS (SELECT e.user_id, e.arm, min(e.ms) AS t3 FROM e
+         |  JOIN t2 ON e.user_id = t2.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ms >= t2.t2
+         |  GROUP BY 1, 2)
+         |SELECT arm, CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+         |  count(*) AS n_users FROM t1 GROUP BY 1
+         |UNION ALL SELECT arm, 2, 'click', count(*) FROM t2 GROUP BY 1
+         |UNION ALL SELECT arm, 3, 'purchase', count(*) FROM t3
+         |GROUP BY 1""".stripMargin
+    },
+
+    "q_open_intervals" ->
+      s"""WITH o AS (SELECT datediff('day', DATE '1970-01-01',
+         |    CAST(o_orderdate AS DATE)) AS day FROM orders),
+         |deltas AS (SELECT day, sum(delta) AS delta FROM (
+         |    SELECT day, 1 AS delta FROM o
+         |    UNION ALL
+         |    SELECT day + $OPEN_SPAN_DAYS, -1 FROM o) d
+         |  GROUP BY 1)
+         |SELECT CAST(day AS BIGINT) AS day,
+         |  CAST(delta AS BIGINT) AS delta,
+         |  CAST(sum(delta) OVER (ORDER BY day ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS n_open
+         |FROM deltas""".stripMargin)
 }
