@@ -43,7 +43,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     warmup(spark, sfDir)
 
+    // dev-only single-query iteration: SPARK_GRAFT_ONLY=q_a,q_b
+    // (the driver never sets it, so the recorded suite is always full)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names0 = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val names = if (reverse) names0.reverse else names0
     val samples =
       scala.collection.mutable.Map.empty[String, List[Double]]

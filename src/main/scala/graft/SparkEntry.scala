@@ -43,6 +43,7 @@ object SparkEntry {
       operators.Lifecycle.queries ++
       operators.SqlSurface.queries ++
       operators.Privacy.queries ++
+      operators.Sketches.queries ++
       streaming.StreamGateQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -66,5 +67,6 @@ object SparkEntry {
       operators.Lifecycle.oracle ++
       operators.SqlSurface.oracle ++
       operators.Privacy.oracle ++
+      operators.Sketches.oracle ++
       streaming.StreamGateQueries.oracle
 }

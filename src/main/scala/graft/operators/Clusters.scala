@@ -234,6 +234,78 @@ object Clusters {
     ranks
   }
 
+  /** Integer HITS (Kleinberg, JACM'99) over a BIPARTITE edge list
+    * (src = hub side, dst = authority side): each iteration is
+    * auth(p) = Σ hub(c) over in-edges then hub(c) = Σ auth(p) over
+    * out-edges, L∞-normalized to ppm of the round maximum. The L∞
+    * norm (not the classical L2) keeps every step in exact integer
+    * arithmetic — one DECIMAL(38,0) product per normalization, BIGINT
+    * floor division on positives — so the DuckDB twin unrolling the
+    * same rounds agrees bit-for-bit.
+    *
+    * Execution contract mirrors [[pageRank]]: the deduped edge list is
+    * persisted once; each half-step is ONE edges ⋈ scores join plus a
+    * node-keyed sum and a broadcast one-row max attach; the hub table
+    * parquet-round-trips per round (bounded lineage). Σ-headroom:
+    * score ≤ 10⁶, so a raw sum stays in int64 up to degree ~9·10¹²
+    * before the DECIMAL cast even matters; the ppm product runs in
+    * DECIMAL(38,0) regardless.
+    *
+    * Returns (side ∈ {hub, auth}, id, score_ppm) after `iters` rounds.
+    */
+  def hits(pairs: DataFrame, src: String, dst: String,
+           iters: Int = 2,
+           scratchDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val scratch = new Path(scratchDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_hits_").toString))
+    val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val edges = graft.CacheRegistry.register(
+      pairs.select(col(src).cast("long").as("c"),
+          col(dst).cast("long").as("p"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    // parquet schema resolution is BY NAME: the read schema must carry
+    // this function's own column names, not rankSchema's
+    val scoreSchema = StructType(Seq(
+      StructField("id", LongType), StructField("score", LongType)))
+    var lastDir: Option[Path] = None
+    def roundTrip(df: DataFrame, iter: Int): DataFrame = {
+      val dir = new Path(scratch, s"hits_$iter")
+      df.write.mode("overwrite").parquet(dir.toString)
+      lastDir.foreach(fs.delete(_, true))
+      lastDir = Some(dir)
+      spark.read.schema(scoreSchema).parquet(dir.toString)
+    }
+
+    def normalized(raw: DataFrame, key: String): DataFrame = {
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col(key).as("id"),
+          expr("CAST(CAST(raw AS DECIMAL(38,0)) * 1000000 div mx" +
+            " AS BIGINT)").as("score"))
+    }
+
+    var hubs = edges.select(col("c").as("id")).distinct()
+      .select(col("id"), lit(1000000L).as("score"))
+    var auths: DataFrame = null
+    for (i <- 1 to iters) {
+      auths = normalized(
+        edges.join(hubs, edges("c") === hubs("id"))
+          .groupBy(col("p")).agg(sum(col("score")).as("raw")), "p")
+      val nextHubs = normalized(
+        edges.join(auths, edges("p") === auths("id"))
+          .groupBy(col("c")).agg(sum(col("score")).as("raw")), "c")
+      hubs = if (i < iters) roundTrip(nextHubs, i) else nextHubs
+    }
+    hubs.select(lit("hub").as("side"), col("id"),
+        col("score").as("score_ppm"))
+      .unionByName(auths.select(lit("auth").as("side"), col("id"),
+        col("score").as("score_ppm")))
+  }
+
   /** Deterministic synchronous label propagation (community detection)
     * over an undirected pair list: every node starts labeled with its
     * own id; each round it adopts the most frequent label among its

@@ -49,6 +49,11 @@ object Experiments {
   /** χ²(df=1) milli-threshold at p=0.05. */
   private val CHI2_MILLI_95 = 3841L
 
+  /** q_autocorr: largest lag (days) in the ACF readout — covers the
+    * weekly cycle with one spare.
+    */
+  private val ACF_MAX_LAG = 7
+
   /** EWMA comb length (present-day ROWS window) and halving weights:
     * weight of the k-th most recent present day is 2^(COMB-1-k).
     */
@@ -172,6 +177,59 @@ object Experiments {
             " div (100 * mde_bp * mde_bp) AS BIGINT) END AS n_per_arm")
     },
 
+    // ── lag-1..7 autocorrelation of the daily order series ─────────────
+    // The seasonality detector behind q_seasonal_anomaly's fixed weekly
+    // slot assumption: ACF at lag 7 ≫ other lags confirms the week
+    // cycle from the data instead of assuming it. Exact-integer Pearson
+    // per lag over day pairs (both days observed), reported as the
+    // q_correlation convention: sign + r² in ppm (no sqrt). Counts are
+    // first quantized to ≤ 3 digits (x = c div scale, scale from the
+    // series max) — ACF is scale-invariant, and the quantization BOUNDS
+    // the DECIMAL(38,0)/HUGEINT headroom by construction (X ≤ 10³,
+    // days ≤ 10⁴ ⇒ num²·10⁶ ≤ 10³⁴ < 10³⁸) with no sample cap at any
+    // corpus size.
+    //
+    // 100 TB posture: one map-combined day aggregate; everything after
+    // runs on the |days|-row table (7 broadcast-joined lag copies).
+    "q_autocorr" -> { (s, dir) =>
+      val daily = Tables.load(s, dir, "orders")
+        .select(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      val sc = daily.agg(expr("(max(c) + 999) div 1000").as("scale"))
+      val x = daily.crossJoin(broadcast(sc))
+        .select(col("day"), expr("c div scale").as("x"))
+      val ks = s.range(1, ACF_MAX_LAG + 1).select(col("id").as("k"))
+      val pairs = x.crossJoin(broadcast(ks))
+        .select(col("k"), (col("day") + col("k")).as("jday"), col("x"))
+        .join(x.select(col("day").as("jday"), col("x").as("y")),
+          Seq("jday"))
+      pairs.groupBy(col("k")).agg(count(lit(1)).as("cnt"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("x*y")).as("sxy"), sum(expr("x*x")).as("sxx"),
+          sum(expr("y*y")).as("syy"))
+        .selectExpr("k", "cnt AS n_pairs",
+          """CASE WHEN CAST(cnt AS DECIMAL(38,0))*sxy
+            |       - CAST(sx AS DECIMAL(38,0))*sy > 0 THEN CAST(1 AS BIGINT)
+            |     WHEN CAST(cnt AS DECIMAL(38,0))*sxy
+            |       - CAST(sx AS DECIMAL(38,0))*sy < 0 THEN CAST(-1 AS BIGINT)
+            |     ELSE CAST(0 AS BIGINT) END AS r_sign""".stripMargin,
+          """CASE WHEN (CAST(cnt AS DECIMAL(38,0))*sxx
+            |           - CAST(sx AS DECIMAL(38,0))*sx)
+            |         * (CAST(cnt AS DECIMAL(38,0))*syy
+            |           - CAST(sy AS DECIMAL(38,0))*sy) = 0
+            |  THEN CAST(NULL AS BIGINT)
+            |  ELSE CAST((CAST(cnt AS DECIMAL(38,0))*sxy
+            |         - CAST(sx AS DECIMAL(38,0))*sy)
+            |       * (CAST(cnt AS DECIMAL(38,0))*sxy
+            |         - CAST(sx AS DECIMAL(38,0))*sy) * 1000000
+            |    div ((CAST(cnt AS DECIMAL(38,0))*sxx
+            |           - CAST(sx AS DECIMAL(38,0))*sx)
+            |         * (CAST(cnt AS DECIMAL(38,0))*syy
+            |           - CAST(sy AS DECIMAL(38,0))*sy)) AS BIGINT)
+            |  END AS r2_ppm""".stripMargin)
+    },
+
     // ── per-type feed freshness lag vs the corpus head ─────────────────
     // The staleness monitor a multi-feed ingest needs: how far behind
     // the freshest feed is each type's latest event, with a 24 h stale
@@ -287,6 +345,34 @@ object Experiments {
          |  END AS n_per_arm
          |FROM mde, p""".stripMargin
     },
+
+    "q_autocorr" ->
+      s"""WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+         |      o_orderdate) AS day, count(*) AS c
+         |    FROM orders GROUP BY 1),
+         |sc AS (SELECT (max(c) + 999) // 1000 AS scale FROM daily),
+         |x AS (SELECT CAST(day AS BIGINT) AS day, c // scale AS x
+         |  FROM daily, sc),
+         |ks AS (SELECT unnest(range(1, ${ACF_MAX_LAG + 1})) AS k),
+         |p AS (SELECT ks.k, a.x AS x, b.x AS y
+         |  FROM x a CROSS JOIN ks JOIN x b ON b.day = a.day + ks.k),
+         |sums AS (SELECT k, count(*) AS cnt,
+         |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+         |    sum(x*x) AS sxx, sum(y*y) AS syy
+         |  FROM p GROUP BY 1),
+         |d AS (SELECT k, cnt, sx, sy,
+         |    CAST(cnt AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS num,
+         |    CAST(cnt AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS dxx,
+         |    CAST(cnt AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS dyy
+         |  FROM sums)
+         |SELECT k, CAST(cnt AS BIGINT) AS n_pairs,
+         |  CASE WHEN num > 0 THEN CAST(1 AS BIGINT)
+         |       WHEN num < 0 THEN CAST(-1 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS r_sign,
+         |  CASE WHEN dxx * dyy = 0 THEN CAST(NULL AS BIGINT)
+         |       ELSE CAST(num * num * 1000000 // (dxx * dyy) AS BIGINT)
+         |  END AS r2_ppm
+         |FROM d""".stripMargin,
 
     "q_freshness_lag" ->
       """WITH pt AS (SELECT event_type, max(epoch_ms(ts)) AS last_ms

@@ -27,6 +27,11 @@ object Privacy {
   /** k-anonymity risk threshold: cohorts smaller than this are risky. */
   private val K_THRESHOLD = 5L
 
+  /** t-closeness threshold (t = 0.2 in bp): cohorts whose sensitive
+    * distribution sits ≥ this TVD from the global one are flagged.
+    */
+  private val T_CLOSE_BP = 2000L
+
   /** Sensitive attribute banding: acctbal sign (neg / small / large). */
   private val SENSITIVE_BAND =
     "CASE WHEN c_acctbal < 0 THEN 'neg'" +
@@ -71,6 +76,43 @@ object Privacy {
           max(col("bn")).as("dominant_n"))
         .withColumn("dominant_bp",
           expr("dominant_n * 10000 div cohort_n"))
+    },
+
+    // ── t-closeness: cohort vs global sensitive distribution ───────────
+    // Li et al., "t-Closeness" (ICDE'07): a cohort can be k-anonymous
+    // and l-diverse yet still leak if its sensitive distribution sits
+    // far from the table's. Categorical distance = total variation
+    // TVD = ½·Σ_v |p_cohort(v) − p_global(v)|, computed as ONE exact
+    // integer division per cohort: Σ|bn·N − gn·C|·10⁴ div (2·C·N) in
+    // DECIMAL(38,0) (HUGEINT on the oracle) — bn·N crosses int64 past
+    // ~3·10⁹ rows, same headroom rule as q_labeler_kappa. Bands absent
+    // from a cohort still contribute (cohort×band grid via a broadcast
+    // |bands|-row dim), so a cohort missing a whole band reads as FAR,
+    // not as matching.
+    "q_t_closeness" -> { (s, dir) =>
+      val rows = Tables.load(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_mktsegment").as("mktsegment"),
+          expr(SENSITIVE_BAND).as("band"))
+      val bn = rows
+        .groupBy(col("nationkey"), col("mktsegment"), col("band"))
+        .agg(count(lit(1)).as("bn"))
+      val cohorts = bn.groupBy(col("nationkey"), col("mktsegment"))
+        .agg(sum(col("bn")).as("cohort_n"))
+      val g = rows.groupBy(col("band")).agg(count(lit(1)).as("gn"))
+      val tot = g.agg(sum(col("gn")).as("n_rows"))
+      cohorts.crossJoin(broadcast(g))
+        .join(bn, Seq("nationkey", "mktsegment", "band"), "left")
+        .na.fill(0L, Seq("bn"))
+        .crossJoin(broadcast(tot))
+        .withColumn("term", expr("abs(CAST(bn AS DECIMAL(38,0)) * n_rows" +
+          " - CAST(gn AS DECIMAL(38,0)) * cohort_n)"))
+        .groupBy(col("nationkey"), col("mktsegment"))
+        .agg(max(col("cohort_n")).as("cohort_n"),
+          expr("CAST(sum(term) * 10000 div" +
+            " (2 * CAST(max(cohort_n) AS DECIMAL(38,0)) * max(n_rows))" +
+            " AS BIGINT)").as("tvd_bp"))
+        .withColumn("is_far", col("tvd_bp") >= T_CLOSE_BP)
     })
 
   val oracle: Map[String, String] = Map(
@@ -102,5 +144,33 @@ object Privacy {
          |SELECT nationkey, mktsegment, count(*) AS l_distinct,
          |  CAST(sum(bn) AS BIGINT) AS cohort_n, max(bn) AS dominant_n,
          |  CAST(max(bn) * 10000 // sum(bn) AS BIGINT) AS dominant_bp
-         |FROM bc GROUP BY 1, 2""".stripMargin)
+         |FROM bc GROUP BY 1, 2""".stripMargin,
+
+    "q_t_closeness" ->
+      s"""WITH rows0 AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         |    c_mktsegment AS mktsegment,
+         |    $SENSITIVE_BAND AS band
+         |  FROM customer),
+         |bn AS (SELECT nationkey, mktsegment, band, count(*) AS bn
+         |  FROM rows0 GROUP BY 1, 2, 3),
+         |cohorts AS (SELECT nationkey, mktsegment,
+         |    CAST(sum(bn) AS BIGINT) AS cohort_n
+         |  FROM bn GROUP BY 1, 2),
+         |g AS (SELECT band, count(*) AS gn FROM rows0 GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_rows FROM rows0),
+         |grid AS (SELECT c.nationkey, c.mktsegment, c.cohort_n,
+         |    gl.band, gl.gn, coalesce(b.bn, 0) AS bn
+         |  FROM cohorts c CROSS JOIN g gl
+         |  LEFT JOIN bn b ON b.nationkey = c.nationkey
+         |    AND b.mktsegment = c.mktsegment AND b.band = gl.band),
+         |agg AS (SELECT nationkey, mktsegment,
+         |    max(cohort_n) AS cohort_n,
+         |    CAST(sum(abs(CAST(bn AS HUGEINT) * t.n_rows
+         |        - CAST(gn AS HUGEINT) * cohort_n)) * 10000
+         |      // (2 * CAST(max(cohort_n) AS HUGEINT) * max(t.n_rows))
+         |      AS BIGINT) AS tvd_bp
+         |  FROM grid, tot t GROUP BY 1, 2)
+         |SELECT nationkey, mktsegment, cohort_n, tvd_bp,
+         |  tvd_bp >= $T_CLOSE_BP AS is_far
+         |FROM agg""".stripMargin)
 }

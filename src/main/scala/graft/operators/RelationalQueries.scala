@@ -25,6 +25,9 @@ object RelationalQueries {
   /** q_correlation: sample-selection hash seed. */
   private val CORR_SEED = 13
 
+  /** q_hits_scores: HITS rounds (each = auth update + hub update). */
+  private val HITS_ITERS = 2
+
   /** q_correlation: hard sample-size cap — the DECIMAL(38,0) headroom
     * proof (see the query comment) holds for n ≤ 20 000, so the sample
     * is BOUNDED by construction: deterministic bottom-k on a second
@@ -939,6 +942,29 @@ object RelationalQueries {
             col("cusum"))).as("m"))
         .select(col("n_days"), col("total_orders"),
           col("m.day").as("cp_day"), col("m.cusum").as("cusum_peak"))
+    },
+
+    // ── HITS hubs/authorities on the customer↔part purchase graph ──────
+    // [[Clusters.hits]] over the bipartite who-bought-what edge list
+    // (orders ⋈ lineitem, deduped): authorities = parts endorsed by
+    // broad buyers, hubs = customers whose baskets concentrate on
+    // endorsed parts — the mutual-reinforcement readout PageRank's
+    // single score conflates. Integer L∞-normalized rounds; the oracle
+    // unrolls the identical iterations as chained CTEs.
+    //
+    // 100 TB posture: edge dedup + per-round node-keyed sums are the
+    // only corpus-scale shuffles; normalization attaches a broadcast
+    // one-row max; hub state parquet-round-trips per round (bounded
+    // lineage, [[Clusters.pageRank]] contract).
+    "q_hits_scores" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      Clusters.hits(
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")),
+        "c", "p", HITS_ITERS)
     }
   )
 
@@ -1410,6 +1436,36 @@ object RelationalQueries {
         |    ORDER BY abs(cusum) DESC, day ASC) AS rn FROM ccs)
         |SELECT n_days, total AS total_orders, day AS cp_day,
         |  cusum AS cusum_peak
-        |FROM ccp CROSS JOIN cct WHERE rn = 1""".stripMargin
+        |FROM ccp CROSS JOIN cct WHERE rn = 1""".stripMargin,
+
+    "q_hits_scores" -> hitsSql
   )
+
+  /** DuckDB twin of q_hits_scores: the same integer HITS rounds as
+    * chained CTEs (sum() returns HUGEINT, so the ppm product is exact;
+    * `//` on HUGEINT is exact floor division — positives, so it equals
+    * Spark's DECIMAL(38,0) truncating `div`).
+    */
+  private def hitsSql: String = {
+    val iters = (1 to HITS_ITERS).map { i =>
+      s"""a${i}r AS (SELECT e.p, sum(h.score) AS raw
+         |  FROM e JOIN h${i - 1} h ON h.id = e.c GROUP BY 1),
+         |a$i AS (SELECT p AS id, CAST(CAST(raw AS HUGEINT) * 1000000
+         |    // (SELECT max(raw) FROM a${i}r) AS BIGINT) AS score
+         |  FROM a${i}r),
+         |h${i}r AS (SELECT e.c, sum(a.score) AS raw
+         |  FROM e JOIN a$i a ON a.id = e.p GROUP BY 1),
+         |h$i AS (SELECT c AS id, CAST(CAST(raw AS HUGEINT) * 1000000
+         |    // (SELECT max(raw) FROM h${i}r) AS BIGINT) AS score
+         |  FROM h${i}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |h0 AS (SELECT DISTINCT c AS id, CAST(1000000 AS BIGINT) AS score
+       |  FROM e),
+       |$iters
+       |SELECT 'hub' AS side, id, score AS score_ppm FROM h$HITS_ITERS
+       |UNION ALL
+       |SELECT 'auth', id, score FROM a$HITS_ITERS""".stripMargin
+  }
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Tables
 
 /** Mergeable distinct-count sketch tables over Spark's built-in
   * DataSketches HLL functions (`hll_sketch_agg` / `hll_union_agg` /
@@ -87,4 +89,104 @@ object Sketches {
       .filter(col("c") - col("d") > 0)
       .select(col("t"), (col("c") - col("d")).as("c"))
   }
+
+  /** KMV sketch size: k minimum hash values kept per unit. Relative
+    * standard error ≈ 1/√(k−2) ≈ 6.3 %.
+    */
+  private val KMV_K = 256
+
+  /** 2⁵² — the KMV hash range (13 md5 hex digits). 52 bits so the hash
+    * is EXACT as a double inside `bounded_topk`'s score slot, and
+    * (k−1)·2⁵² stays far under int64.
+    */
+  private val KMV_RANGE = 4503599627370496L
+
+  /** Oracle-gated twin of the HLL tier: the KMV (k-minimum-values)
+    * distinct sketch (Bar-Yossef et al., RANDOM'02) is built from a
+    * deterministic md5-derived hash, so — unlike HLL register bytes —
+    * the SAME sketch falls out of any engine and the whole estimator
+    * runs under the driver's hash gate. Estimate = (k−1)·2⁵² div h_(k)
+    * (exact integer division; < k distinct values ⇒ the sketch IS the
+    * exact answer).
+    *
+    * Scale shape: distinct-pair aggregate (map-side combine) →
+    * `bounded_topk` k-capped partials per unit — merging any number of
+    * unit sketches is re-running bounded_topk over ≤ |units|·k rows,
+    * never a raw rescan; the `__all__` row is EXACTLY that merge (its
+    * correctness vs the global exact count is the merge-exactness
+    * proof HLL can only pin in a spec).
+    */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_distinct" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      // distinct (unit, 52-bit hash): duplicates never advance a KMV
+      val dh = e.select(col("event_type"),
+        conv(substring(md5(concat(lit("kmv:"),
+          col("user_id").cast("string"))), 1, 13), 16, 10)
+          .cast("long").as("h"))
+        .distinct()
+      // get() (null past-the-end), not [..]: ANSI throws on the short
+      // array even under a false CASE branch (subexpression hoisting)
+      def estCols(df: DataFrame): DataFrame = df.select(
+        col("event_type"), col("n_distinct"),
+        when(col("n_distinct") >= KMV_K,
+          expr(s"get(top, ${KMV_K - 1}).n")).as("kth_h"),
+        when(col("n_distinct") >= KMV_K,
+          expr(s"${(KMV_K - 1).toLong} * $KMV_RANGE" +
+            s" div get(top, ${KMV_K - 1}).n"))
+          .otherwise(col("n_distinct")).as("est_distinct"))
+        .withColumn("within_15pct",
+          (abs(col("est_distinct") - col("n_distinct")) * 100 <=
+            col("n_distinct") * 15).cast("int"))
+      val perType = estCols(dh.groupBy(col("event_type"))
+        .agg(expr(s"bounded_topk(cast(h as double), h, $KMV_K)").as("top"),
+          count(lit(1)).as("n_distinct")))
+      // merged sketch: k smallest of the UNION of per-type sketch
+      // contents == the global k smallest (each global survivor is in
+      // its own type's sketch) — accuracy vs the exact global count is
+      // checked against a separate one-column distinct aggregate
+      val exact = dh.select(col("h")).distinct()
+        .agg(count(lit(1)).as("n_distinct"))
+      val merged = estCols(dh.groupBy(col("event_type"))
+        .agg(expr(s"bounded_topk(cast(h as double), h, $KMV_K)").as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.n").as("h")).distinct()
+        .agg(expr(s"bounded_topk(cast(h as double), h, $KMV_K)").as("top"))
+        .crossJoin(broadcast(exact))
+        .select(lit("__all__").as("event_type"), col("n_distinct"),
+          col("top")))
+      perType.unionByName(merged)
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_kmv_distinct" ->
+      s"""WITH dh AS (SELECT DISTINCT event_type,
+         |    CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+         |      1, 13)) AS BIGINT) AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n_distinct
+         |  FROM dh),
+         |per AS (SELECT event_type,
+         |    CAST(max(n_distinct) AS BIGINT) AS n_distinct,
+         |    max(CASE WHEN rn = $KMV_K THEN h END) AS kth_h
+         |  FROM r GROUP BY 1),
+         |u AS (SELECT DISTINCT h FROM r WHERE rn <= $KMV_K),
+         |ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM u),
+         |gx AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+         |  FROM dh),
+         |allrow AS (SELECT '__all__' AS event_type, gx.n_distinct,
+         |    (SELECT max(CASE WHEN rn = $KMV_K THEN h END) FROM ur) AS kth_h
+         |  FROM gx),
+         |rows0 AS (SELECT * FROM per UNION ALL SELECT * FROM allrow),
+         |est AS (SELECT event_type, n_distinct, kth_h,
+         |    CASE WHEN n_distinct >= $KMV_K
+         |      THEN ${(KMV_K - 1).toLong} * $KMV_RANGE // kth_h
+         |      ELSE n_distinct END AS est_distinct
+         |  FROM rows0)
+         |SELECT event_type, n_distinct, kth_h, est_distinct,
+         |  CAST(abs(est_distinct - n_distinct) * 100
+         |    <= n_distinct * 15 AS INT) AS within_15pct
+         |FROM est""".stripMargin)
 }

@@ -106,6 +106,24 @@ object StreamGateQueries {
     s.table(nm)
   }
 
+  /** [[runToTable]] in COMPLETE output mode — for unwatermarked
+    * aggregations whose full (bounded-cardinality) result is rewritten
+    * each micro-batch; after drain the sink holds the final state.
+    */
+  private def runToTableComplete(s: SparkSession,
+                                 out: DataFrame): DataFrame = {
+    val nm = s"graft_stream_gate_${runCounter.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt_")
+    val q = out.writeStream.format("memory").queryName(nm)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("complete").start()
+    try require(q.awaitTermination(300000),
+      s"stream gate $nm did not drain within 300 s")
+    finally q.stop()
+    s.table(nm)
+  }
+
   private def eventsStream(s: SparkSession, dir: String,
                            copies: Int = 1): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -297,6 +315,25 @@ object StreamGateQueries {
           "num * 1000 div den AS ewma_milli")
     },
 
+    // ── complete-mode per-type freshness (max event time) state ────────
+    // The streaming twin of q_freshness_lag and the one COMPLETE-mode
+    // gate: an unwatermarked per-type max is the canonical
+    // always-current staleness monitor (state = one long per type —
+    // bounded by the type domain, never history). The sink table after
+    // drain must equal the batch per-type max exactly; the head/lag
+    // readout derives from the |types|-row result.
+    "q_stream_freshness" -> { (s, dir) =>
+      val perType = runToTableComplete(s,
+        eventsStream(s, dir)
+          .select(col("event_type"), unix_millis(col("ts")).as("ms"))
+          .groupBy(col("event_type")).agg(max(col("ms")).as("last_ms")))
+      val head = perType.agg(max(col("last_ms")).as("head_ms"))
+      perType.crossJoin(broadcast(head))
+        .select(col("event_type"), col("last_ms"),
+          (col("head_ms") - col("last_ms")).as("lag_ms"),
+          (col("head_ms") - col("last_ms") > 86400000L).as("is_stale"))
+    },
+
     // ── incremental Pareto skyline over a DOCUMENT stream ──────────────
     // The curation trade-off surface maintained as monotone keyed
     // state: quality/token signals derive on the stream with the SAME
@@ -394,6 +431,15 @@ object StreamGateQueries {
         |  FROM e GROUP BY 1, 2)
         |SELECT w.window_start_ms, w.event_type, w.n FROM w, mx
         |WHERE w.window_start_ms + 3600000 <= mx.max_ms - 7200000""".stripMargin,
+
+    "q_stream_freshness" ->
+      """WITH pt AS (SELECT event_type, max(epoch_ms(ts)) AS last_ms
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT max(last_ms) AS head_ms FROM pt)
+        |SELECT pt.event_type, pt.last_ms,
+        |  h.head_ms - pt.last_ms AS lag_ms,
+        |  h.head_ms - pt.last_ms > 86400000 AS is_stale
+        |FROM pt, h""".stripMargin,
 
     "q_stream_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),

@@ -45,6 +45,7 @@ class ContractSpec extends AnyFunSuite {
       "lifecycle" -> Lifecycle.queries.keySet,
       "sql_surface" -> SqlSurface.queries.keySet,
       "privacy" -> Privacy.queries.keySet,
+      "sketches" -> Sketches.queries.keySet,
       "stream_gate" -> graft.streaming.StreamGateQueries.queries.keySet)
     val perModule = modules.map(_._2.size).sum
     assert(SparkEntry.queries.size === perModule,
