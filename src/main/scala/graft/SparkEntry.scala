@@ -44,6 +44,8 @@ object SparkEntry {
       operators.SqlSurface.queries ++
       operators.Privacy.queries ++
       operators.Sketches.queries ++
+      operators.Features.queries ++
+      operators.OpsGate.queries ++
       streaming.StreamGateQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -68,5 +70,7 @@ object SparkEntry {
       operators.SqlSurface.oracle ++
       operators.Privacy.oracle ++
       operators.Sketches.oracle ++
+      operators.Features.oracle ++
+      operators.OpsGate.oracle ++
       streaming.StreamGateQueries.oracle
 }

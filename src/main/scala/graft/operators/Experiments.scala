@@ -54,6 +54,28 @@ object Experiments {
     */
   private val ACF_MAX_LAG = 7
 
+  /** q_ols_multi: sample seed + the hard cap the DECIMAL(38,0)
+    * headroom proof assumes (see the query comment).
+    */
+  private val OLS_SEED = 59
+  private val OLS_MAX_N = 10000
+
+  /** Cramer determinants over the q_ols_multi sum names — shared
+    * verbatim by the Spark selectExpr (DECIMAL(38,0) sums) and the
+    * DuckDB oracle (HUGEINT sums): (det M, det M₀, det M₁, det M₂)
+    * for M·β = r, M = [[n,Σx₁,Σx₂],[Σx₁,Σx₁²,Σx₁x₂],[Σx₂,Σx₁x₂,Σx₂²]],
+    * r = [Σy, Σx₁y, Σx₂y].
+    */
+  private def olsDets: (String, String, String, String) = (
+    "(cnt*(sx11*sx22 - sx12*sx12) - sx1*(sx1*sx22 - sx12*sx2)" +
+      " + sx2*(sx1*sx12 - sx11*sx2))",
+    "(sy*(sx11*sx22 - sx12*sx12) - sx1*(sx1y*sx22 - sx12*sx2y)" +
+      " + sx2*(sx1y*sx12 - sx11*sx2y))",
+    "(cnt*(sx1y*sx22 - sx12*sx2y) - sy*(sx1*sx22 - sx12*sx2)" +
+      " + sx2*(sx1*sx2y - sx1y*sx2))",
+    "(cnt*(sx11*sx2y - sx1y*sx12) - sx1*(sx1*sx2y - sx1y*sx2)" +
+      " + sy*(sx1*sx12 - sx11*sx2))")
+
   /** EWMA comb length (present-day ROWS window) and halving weights:
     * weight of the k-th most recent present day is 2^(COMB-1-k).
     */
@@ -175,6 +197,63 @@ object Experiments {
             s" ELSE CAST(2 * $POWER_K_CENTI" +
             " * CAST(p_bp AS DECIMAL(38,0)) * (10000 - p_bp)" +
             " div (100 * mde_bp * mde_bp) AS BIGINT) END AS n_per_arm")
+    },
+
+    // ── two-feature OLS via exact-integer normal equations ─────────────
+    // Multiple regression extending q_ols_trend's single slope:
+    // extendedprice cents ~ b0 + b1·quantity + b2·retail_cents, solved
+    // in closed form by Cramer's rule on the 3×3 normal matrix — every
+    // determinant is an exact DECIMAL(38,0)/HUGEINT polynomial of the
+    // nine sample sums, so both engines agree bit-for-bit (betas in
+    // milli; sign handled by branch, never by negative floor division).
+    // Sample is hash-bottom-k BOUNDED at OLS_MAX_N like q_correlation:
+    // with n ≤ 10⁴, qty ≤ 10², cents ≤ 10⁷ every determinant·10³ stays
+    // ≤ ~10³⁵ < 10³⁸ (guard raises past the proven cap).
+    //
+    // 100 TB posture: deterministic bottom-k sample (TakeOrdered, no
+    // global sort materialization) + broadcast part-dim join + one
+    // 9-sum aggregate folded to a single row.
+    "q_ols_multi" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(Dedup.hash32(OLS_SEED,
+          concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+          % 100 === 0)
+        .withColumn("hk", Dedup.hash32(OLS_SEED + 1,
+          concat_ws("|", col("l_orderkey"), col("l_linenumber"))))
+        .orderBy(col("hk").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(OLS_MAX_N)
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey"),
+          expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)")
+            .as("x2"))
+      val rows = li.join(broadcast(p),
+          li("l_partkey") === p("p_partkey"))
+        .select(expr("CAST(floor(l_quantity) AS BIGINT)").as("x1"),
+          col("x2"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            .as("y"))
+      val sums = rows.agg(count(lit(1)).as("cnt"),
+        sum("x1").as("sx1"), sum("x2").as("sx2"), sum("y").as("sy"),
+        sum(expr("x1*x1")).as("sx11"), sum(expr("x1*x2")).as("sx12"),
+        sum(expr("x2*x2")).as("sx22"),
+        sum(expr("x1*y")).as("sx1y"), sum(expr("x2*y")).as("sx2y"))
+        .selectExpr(Seq(
+          s"""CASE WHEN cnt <= $OLS_MAX_N THEN cnt ELSE raise_error(
+             |  'q_ols_multi: sample exceeds the proven DECIMAL(38,0)
+             | headroom bound ($OLS_MAX_N rows) - lower the sample
+             | fraction') END AS cnt""".stripMargin) ++
+          Seq("sx1", "sx2", "sy", "sx11", "sx12", "sx22", "sx1y",
+            "sx2y").map(c => s"CAST($c AS DECIMAL(38,0)) AS $c"): _*)
+      val (det, d0, d1, d2) = olsDets
+      def beta(dj: String, nm: String) =
+        s"""CASE WHEN $det = 0 THEN CAST(NULL AS BIGINT)
+           |  WHEN ($dj >= 0) = ($det >= 0)
+           |    THEN CAST(abs($dj) * 1000 div abs($det) AS BIGINT)
+           |  ELSE -CAST(abs($dj) * 1000 div abs($det) AS BIGINT)
+           |END AS $nm""".stripMargin
+      sums.selectExpr("CAST(cnt AS BIGINT) AS n",
+        beta(d0, "b0_milli"), beta(d1, "b1_milli"), beta(d2, "b2_milli"))
     },
 
     // ── lag-1..7 autocorrelation of the daily order series ─────────────
@@ -344,6 +423,44 @@ object Experiments {
          |      * (10000 - p_bp) // (100 * mde_bp * mde_bp) AS BIGINT)
          |  END AS n_per_arm
          |FROM mde, p""".stripMargin
+    },
+
+    "q_ols_multi" -> {
+      val (det, d0, d1, d2) = olsDets
+      def beta(dj: String, nm: String) =
+        s"""CASE WHEN $det = 0 THEN CAST(NULL AS BIGINT)
+           |  WHEN ($dj >= 0) = ($det >= 0)
+           |    THEN CAST(abs($dj) * 1000 // abs($det) AS BIGINT)
+           |  ELSE -CAST(abs($dj) * 1000 // abs($det) AS BIGINT)
+           |END AS $nm""".stripMargin
+      s"""WITH li0 AS (SELECT l_partkey, l_quantity, l_extendedprice,
+         |    ${Dedup.hash32Sql(OLS_SEED + 1,
+               "concat_ws('|', l_orderkey, l_linenumber)")} AS hk,
+         |    l_orderkey, l_linenumber
+         |  FROM lineitem
+         |  WHERE ${Dedup.hash32Sql(OLS_SEED,
+               "concat_ws('|', l_orderkey, l_linenumber)")} % 100 = 0),
+         |samp AS (SELECT l_partkey, l_quantity, l_extendedprice FROM li0
+         |  ORDER BY hk, l_orderkey, l_linenumber LIMIT $OLS_MAX_N),
+         |rows0 AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x1,
+         |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS x2,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+         |  FROM samp JOIN part ON samp.l_partkey = part.p_partkey),
+         |s0 AS (SELECT count(*) AS cnt, sum(x1) AS sx1, sum(x2) AS sx2,
+         |    sum(y) AS sy, sum(x1*x1) AS sx11, sum(x1*x2) AS sx12,
+         |    sum(x2*x2) AS sx22, sum(x1*y) AS sx1y, sum(x2*y) AS sx2y
+         |  FROM rows0),
+         |s AS (SELECT CAST(cnt AS HUGEINT) AS cnt,
+         |    CAST(sx1 AS HUGEINT) AS sx1, CAST(sx2 AS HUGEINT) AS sx2,
+         |    CAST(sy AS HUGEINT) AS sy, CAST(sx11 AS HUGEINT) AS sx11,
+         |    CAST(sx12 AS HUGEINT) AS sx12, CAST(sx22 AS HUGEINT) AS sx22,
+         |    CAST(sx1y AS HUGEINT) AS sx1y, CAST(sx2y AS HUGEINT) AS sx2y
+         |  FROM s0)
+         |SELECT CAST(cnt AS BIGINT) AS n,
+         |  ${beta(d0, "b0_milli")},
+         |  ${beta(d1, "b1_milli")},
+         |  ${beta(d2, "b2_milli")}
+         |FROM s""".stripMargin
     },
 
     "q_autocorr" ->

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Table-operations surface under the ORACLE gate: the
+  * [[VersionedTable]] Delta-flavored lifecycle (overwrite → MERGE →
+  * DELETE, then time-travel reads of every version) exercised as a
+  * real on-disk table inside a `queries()` entry, so the transaction
+  * slice's OUTPUT faces the same rows+schema+hash gate as every
+  * relational operator — not only OpsSpec's conformance pins.
+  *
+  * Harness (the NeoQueries staging convention): each invocation
+  * REBUILDS the staged table from scratch — delete, then three
+  * committed versions derived deterministically from the orders
+  * parquet — so Verify and every Bench rep gate the identical
+  * lifecycle end-to-end (idempotent by construction: the rebuild IS
+  * the operator under test).
+  *
+  *   v1 = overwrite(orderkey % 3 ∈ {0,1})              — CREATE
+  *   v2 = merge(orderkey % 3 ∈ {1,2}, cents+1, by key) — MERGE INTO
+  *   v3 = delete(orderkey % 5 = 0)                     — DELETE WHERE
+  *
+  * The gate reads ALL THREE versions back via time travel and reduces
+  * each to (version, n_rows, n_keys, sum_cents); the DuckDB twin
+  * re-derives the same three snapshots relationally (merge = incoming
+  * ∪ existing-not-matched). History timestamps/bytes are
+  * machine-dependent and stay out of the projection (OpsSpec covers
+  * them).
+  *
+  * 100 TB posture: mutations are [[MergeUpsert]] key-shuffled merges +
+  * O(1) directory renames; the gate aggregates are one pass per
+  * version. The staged fixture is sf-sized, but nothing in the code
+  * path is sized by history beyond the `retain` window.
+  */
+object OpsGate {
+
+  private val STAGE_BASE = "/root/repo/target/ops_gate"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_time_travel" -> { (s, dir) =>
+      val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"$STAGE_BASE/$key/orders_v"
+      val p = new Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // rebuild from scratch: the lifecycle is the operator under test
+      if (fs.exists(p.getParent)) fs.delete(p.getParent, true)
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+      val t = VersionedTable(s, path, retain = 3)
+      t.overwrite(base.filter(col("k") % 3 < 2))
+      t.merge(base.filter(col("k") % 3 > 0)
+        .select(col("k"), (col("cents") + 1).as("cents")), Seq("k"))
+      t.delete(col("k") % 5 === 0)
+      def snap(v: Long): DataFrame =
+        t.readAt(v).agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("k")).as("n_keys"),
+            sum(col("cents")).as("sum_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("n_keys"),
+            col("sum_cents"))
+      snap(1).unionByName(snap(2)).unionByName(snap(3))
+    })
+
+  val oracle: Map[String, String] = Map(
+
+    "q_time_travel" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |v1 AS (SELECT * FROM base WHERE k % 3 < 2),
+        |inc AS (SELECT k, cents + 1 AS cents FROM base WHERE k % 3 > 0),
+        |v2 AS (SELECT * FROM inc
+        |  UNION ALL SELECT * FROM v1
+        |  WHERE k NOT IN (SELECT k FROM inc)),
+        |v3 AS (SELECT * FROM v2 WHERE NOT (k % 5 = 0))
+        |SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+        |  count(DISTINCT k) AS n_keys,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents FROM v1
+        |UNION ALL SELECT 2, count(*), count(DISTINCT k),
+        |  CAST(sum(cents) AS BIGINT) FROM v2
+        |UNION ALL SELECT 3, count(*), count(DISTINCT k),
+        |  CAST(sum(cents) AS BIGINT) FROM v3""".stripMargin)
+}

@@ -46,6 +46,8 @@ class ContractSpec extends AnyFunSuite {
       "sql_surface" -> SqlSurface.queries.keySet,
       "privacy" -> Privacy.queries.keySet,
       "sketches" -> Sketches.queries.keySet,
+      "features" -> Features.queries.keySet,
+      "ops_gate" -> OpsGate.queries.keySet,
       "stream_gate" -> graft.streaming.StreamGateQueries.queries.keySet)
     val perModule = modules.map(_._2.size).sum
     assert(SparkEntry.queries.size === perModule,
