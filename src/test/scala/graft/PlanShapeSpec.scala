@@ -562,6 +562,50 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q_autocorr / q_open_intervals: windows and lag joins run over " +
+    "the bounded day aggregate, never raw rows") {
+    for ((nm, df) <- Seq(
+        "q_autocorr" ->
+          operators.Experiments.queries("q_autocorr")(spark, sf),
+        "q_open_intervals" ->
+          operators.Lifecycle.queries("q_open_intervals")(spark, sf))) {
+      val plan = planOf(df)
+      val aggIdx = plan.lastIndexOf("HashAggregate")
+      val winIdx = plan.indexOf("Window ")
+      // the day aggregate sits below any window in the chain
+      if (winIdx >= 0)
+        assert(aggIdx > winIdx,
+          s"$nm: expected the day aggregate BELOW the window:\n$plan")
+      assert(aggIdx >= 0, s"$nm: no aggregate in:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$nm plan:\n$plan")
+    }
+  }
+
+  test("q_feature_hashing: term-keyed partial aggregation (map-side " +
+    "combine), no join, no window") {
+    val plan = planOf(
+      operators.Features.queries("q_feature_hashing")(spark, sf))
+    assert(!plan.contains("Window ") && !plan.contains("SortMergeJoin"),
+      s"plan:\n$plan")
+    assert(plan.contains("HashAggregate"), s"plan:\n$plan")
+  }
+
+  test("q_bloom_fpr: bit table and probe membership ride broadcast " +
+    "joins — no shuffle join anywhere") {
+    val plan = planOf(operators.Features.queries("q_bloom_fpr")(spark, sf))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"expected broadcast-only joins in:\n$plan")
+  }
+
+  test("q_kmv_distinct: sketches build through bounded_topk partials " +
+    "(map-side k-cap), never a per-type sort") {
+    val plan = planOf(
+      operators.Sketches.queries("q_kmv_distinct")(spark, sf))
+    assert(plan.contains("partial_bounded_topk"), s"plan:\n$plan")
+    assert(!plan.contains("Window "), s"plan:\n$plan")
+  }
+
   private def assertNoCross(plan: String, q: String): Unit =
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
