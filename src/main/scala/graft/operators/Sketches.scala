@@ -93,13 +93,13 @@ object Sketches {
   /** KMV sketch size: k minimum hash values kept per unit. Relative
     * standard error ≈ 1/√(k−2) ≈ 6.3 %.
     */
-  private val KMV_K = 256
+  private[graft] val KMV_K = 256
 
   /** 2⁵² — the KMV hash range (13 md5 hex digits). 52 bits so the hash
     * is EXACT as a double inside `bounded_topk`'s score slot, and
     * (k−1)·2⁵² stays far under int64.
     */
-  private val KMV_RANGE = 4503599627370496L
+  private[graft] val KMV_RANGE = 4503599627370496L
 
   /** Oracle-gated twin of the HLL tier: the KMV (k-minimum-values)
     * distinct sketch (Bar-Yossef et al., RANDOM'02) is built from a

@@ -63,6 +63,59 @@ object SqlSurface {
           WHERE c_nationkey = n.n_nationkey
           ORDER BY price_cents DESC, o_orderkey ASC
           LIMIT 3) t""")
+    },
+
+    // ── array aggregation surface (collect_set → sorted → joined) ──────
+    // The LISTAGG/string_agg parity row: per order priority, the sorted
+    // distinct status set both as a joined string and as cardinality.
+    // Sorting before joining is what makes a set aggregate
+    // deterministic — the gate would catch any engine emitting
+    // arrival order. Output stays scalar (strings), so the hash
+    // compare never depends on array formatting.
+    "q_collect_sorted" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(concat_ws(",",
+            sort_array(collect_set(col("o_orderstatus"))))
+            .as("statuses"),
+          countDistinct(col("o_orderstatus")).as("n_statuses"),
+          count(lit(1)).as("n_orders"))
+    },
+
+    // ── approx_percentile under the TOLERANCE gate ─────────────────────
+    // The q_profile_approx trick for quantiles: sketch internals can
+    // never hash-match across engines, so each engine checks its OWN
+    // approximate p50/p95 against its OWN exact discrete quantile and
+    // emits the engine-independent verdict (within the value band
+    // spanned by ±2 % of rank). Exact side uses the value-grouped
+    // cumulative rule (q_quantiles' shape), never a raw-row sort.
+    "q_quantile_approx" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(floor(value) AS BIGINT)").as("v"))
+      val byVal = e.groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      // exact discrete quantile BANDS at rank ±2 %: [lo_p, hi_p]
+      val bands = byVal.withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          min(when(expr("cum * 100 >= n * 48"), col("v"))).as("p50_lo"),
+          min(when(expr("cum * 100 >= n * 52"), col("v"))).as("p50_hi"),
+          min(when(expr("cum * 100 >= n * 93"), col("v"))).as("p95_lo"),
+          min(when(expr("cum * 100 >= n * 97"), col("v"))).as("p95_hi"))
+      val approx = e.groupBy(col("event_type"))
+        .agg(expr("approx_percentile(v, 0.5)").as("a50"),
+          expr("approx_percentile(v, 0.95)").as("a95"))
+      bands.join(approx, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          (col("a50") >= col("p50_lo") && col("a50") <= col("p50_hi"))
+            .cast("int").as("p50_within_band"),
+          (col("a95") >= col("p95_lo") && col("a95") <= col("p95_hi"))
+            .cast("int").as("p95_within_band"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -91,5 +144,40 @@ object SqlSurface {
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  WHERE c_nationkey = n.n_nationkey
         |  ORDER BY price_cents DESC, o_orderkey ASC
-        |  LIMIT 3) t""".stripMargin)
+        |  LIMIT 3) t""".stripMargin,
+
+    "q_collect_sorted" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ','
+        |    ORDER BY o_orderstatus) AS statuses,
+        |  count(DISTINCT o_orderstatus) AS n_statuses,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_quantile_approx" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value) AS BIGINT) AS v FROM events),
+        |bv AS (SELECT event_type, v, count(*) AS c
+        |  FROM e GROUP BY 1, 2),
+        |cm AS (SELECT event_type, v,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM bv),
+        |bands AS (SELECT event_type, max(n) AS n,
+        |    min(CASE WHEN cum * 100 >= n * 48 THEN v END) AS p50_lo,
+        |    min(CASE WHEN cum * 100 >= n * 52 THEN v END) AS p50_hi,
+        |    min(CASE WHEN cum * 100 >= n * 93 THEN v END) AS p95_lo,
+        |    min(CASE WHEN cum * 100 >= n * 97 THEN v END) AS p95_hi
+        |  FROM cm GROUP BY 1),
+        |ap AS (SELECT event_type,
+        |    approx_quantile(v, 0.5) AS a50,
+        |    approx_quantile(v, 0.95) AS a95
+        |  FROM e GROUP BY 1)
+        |SELECT b.event_type, CAST(b.n AS BIGINT) AS n,
+        |  CAST(a.a50 >= b.p50_lo AND a.a50 <= b.p50_hi AS INT)
+        |    AS p50_within_band,
+        |  CAST(a.a95 >= b.p95_lo AND a.a95 <= b.p95_hi AS INT)
+        |    AS p95_within_band
+        |FROM bands b JOIN ap a ON a.event_type = b.event_type""".stripMargin)
 }

@@ -78,6 +78,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "freq_sketch(key, capacity) takes 2 arguments")
         FreqSketch(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "kmv_sketch(hash, k) takes 2 arguments")
+        KmvSketch(children(0), children(1))
+      }))
     // Spark's OWN runtime-filter machinery, exposed as named functions
     // (they back InjectRuntimeFilter but have no public SQL surface):
     // bloom_agg builds the sketch, bloom_contains probes it. Used by

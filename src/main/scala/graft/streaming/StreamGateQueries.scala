@@ -334,6 +334,35 @@ object StreamGateQueries {
           (col("head_ms") - col("last_ms") > 86400000L).as("is_stale"))
     },
 
+    // ── KMV distinct sketch as STREAMING state (complete mode) ─────────
+    // graft's `kmv_sketch` TypedImperativeAggregate run as real stream
+    // state: k smallest DISTINCT hashes per type (state = ≤ k longs per
+    // type — duplicate arrivals are no-ops by construction, which is
+    // why bounded_topk can't play this role), estimator read off the
+    // drained sink. The oracle re-derives h₍ₖ₎ from the same md5 hash
+    // stream, so the STREAMING sketch faces the batch hash gate —
+    // q_kmv_distinct's merge-exactness story, now incremental.
+    "q_stream_kmv" -> { (s, dir) =>
+      import graft.operators.Sketches.{KMV_K, KMV_RANGE}
+      val perType = runToTableComplete(s,
+        eventsStream(s, dir)
+          .select(col("event_type"),
+            conv(substring(md5(concat(lit("kmv:"),
+              col("user_id").cast("string"))), 1, 13), 16, 10)
+              .cast("long").as("h"))
+          .groupBy(col("event_type"))
+          .agg(expr(s"kmv_sketch(h, $KMV_K)").as("sketch")))
+      perType.select(col("event_type"),
+        size(col("sketch")).cast("long").as("sketch_size"),
+        when(size(col("sketch")) === KMV_K,
+          expr(s"get(sketch, ${KMV_K - 1})")).as("kth_h"),
+        when(size(col("sketch")) === KMV_K,
+          expr(s"${(KMV_K - 1).toLong} * $KMV_RANGE" +
+            s" div get(sketch, ${KMV_K - 1})"))
+          .otherwise(size(col("sketch")).cast("long"))
+          .as("est_distinct"))
+    },
+
     // ── incremental Pareto skyline over a DOCUMENT stream ──────────────
     // The curation trade-off surface maintained as monotone keyed
     // state: quality/token signals derive on the stream with the SAME
@@ -440,6 +469,26 @@ object StreamGateQueries {
         |  h.head_ms - pt.last_ms AS lag_ms,
         |  h.head_ms - pt.last_ms > 86400000 AS is_stale
         |FROM pt, h""".stripMargin,
+
+    "q_stream_kmv" -> {
+      import graft.operators.Sketches.{KMV_K, KMV_RANGE}
+      s"""WITH dh AS (SELECT DISTINCT event_type,
+         |    CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+         |      1, 13)) AS BIGINT) AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n_distinct
+         |  FROM dh)
+         |SELECT event_type,
+         |  CAST(least(max(n_distinct), $KMV_K) AS BIGINT) AS sketch_size,
+         |  max(CASE WHEN rn = $KMV_K THEN h END) AS kth_h,
+         |  CASE WHEN max(n_distinct) >= $KMV_K
+         |    THEN ${(KMV_K - 1).toLong} * $KMV_RANGE
+         |      // max(CASE WHEN rn = $KMV_K THEN h END)
+         |    ELSE CAST(max(n_distinct) AS BIGINT) END AS est_distinct
+         |FROM r GROUP BY 1""".stripMargin
+    },
 
     "q_stream_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
