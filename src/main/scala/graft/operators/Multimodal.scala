@@ -254,22 +254,87 @@ object Multimodal {
   private def idiv(a: Column, b: Long): Column =
     floor(a / lit(b)).cast("long")
 
-  /** The shared sampling stage: AHASH_BITS stride-sampled payload bytes
-    * as columns s0..s59 — the input both perceptual hashes bit-fold.
+  /** The shared sampling stage: `bits` stride-sampled payload bytes as
+    * columns s0..s{bits−1} — the input every perceptual hash folds
+    * (aHash/dHash at AHASH_BITS, pHash at its 8×8 = 64 grid).
     */
-  private def sampledBytes(media: DataFrame): DataFrame = {
+  private def sampledBytes(media: DataFrame,
+                           bits: Int = AHASH_BITS): DataFrame = {
     val base = media
       .filter(length(col("bytes")) > 0)
       .select(col("media_id"), hex(col("bytes")).as("hx"),
         length(col("bytes")).cast("long").as("n"))
       .withColumn("stride",
-        greatest(lit(1L), idiv(col("n"), AHASH_BITS.toLong)))
+        greatest(lit(1L), idiv(col("n"), bits.toLong)))
     base.select(col("media_id") +:
-      (0 until AHASH_BITS).map { i =>
+      (0 until bits).map { i =>
         val p = least(lit(1L) + lit(i.toLong) * col("stride"), col("n"))
         conv(col("hx").substr(((p - lit(1L)) * 2 + 1).cast("int"), lit(2)),
           16, 10).cast("long").as(s"s$i")
       }: _*)
+  }
+
+  /** pHash geometry: 8×8 sample grid → separable integer DCT-II →
+    * signs of the 60 lowest-frequency AC coefficients (zig-zag order).
+    */
+  private val PHASH_DIM = 8
+  private val PHASH_N = PHASH_DIM * PHASH_DIM
+  private val PHASH_SCALE = 1024L
+  private[operators] val PHASH_BITS = 60
+
+  /** Integer-scaled orthonormal DCT-II basis: T(u,i) = round(1024 ·
+    * α(u) · cos((2i+1)uπ/16)). Float cos runs once at BUILD time —
+    * the same literal table lands in both engines' expressions, so
+    * engine-exactness never depends on runtime trig.
+    */
+  private lazy val DCT8: Array[Array[Long]] =
+    Array.tabulate(PHASH_DIM, PHASH_DIM) { (u, i) =>
+      val a = if (u == 0) math.sqrt(1.0 / PHASH_DIM) else 0.5
+      math.round(PHASH_SCALE * a *
+        math.cos((2 * i + 1) * u * math.Pi / (2 * PHASH_DIM)))
+    }
+
+  /** JPEG zig-zag traversal of the 8×8 grid, DC dropped, first 60 —
+    * lowest spatial frequencies first, matching classic pHash's
+    * low-frequency crop.
+    */
+  private lazy val PHASH_COEFFS: Seq[(Int, Int)] = {
+    val zig = for {
+      s <- 0 until 2 * PHASH_DIM - 1
+      d <- 0 to s
+      u = if (s % 2 == 0) math.min(s, PHASH_DIM - 1) - d
+          else math.max(0, s - (PHASH_DIM - 1)) + d
+      v = s - u
+      if u >= 0 && u < PHASH_DIM && v >= 0 && v < PHASH_DIM
+    } yield (u, v)
+    zig.drop(1).take(PHASH_BITS)
+  }
+
+  /** Perceptual DCT hash (classic pHash shape, integer-exact): 8×8
+    * stride-sampled grid → separable scaled-integer DCT (two 8-term
+    * matrix-multiply stages, never the fused 64-term quadruple sum) →
+    * sign bits of the 60 lowest AC coefficients. Signs of an integer
+    * linear form are engine-exact, so the whole hash runs under the
+    * DuckDB gate; 60 bits drop straight into the shared
+    * banded-hamming retrieval machinery. aHash sees level shifts,
+    * dHash sees local gradients — pHash thresholds the GLOBAL
+    * frequency structure, the detector that survives high-frequency
+    * noise both of them flag. |C| ≤ 8²·255·1024² ≈ 1.7·10¹⁰ — int64
+    * headroom by construction.
+    */
+  def pHashed(media: DataFrame): DataFrame = {
+    val base = sampledBytes(media, PHASH_N)
+    val withR = base.select(col("media_id") +:
+      (for (u <- 0 until PHASH_DIM; j <- 0 until PHASH_DIM) yield
+        (0 until PHASH_DIM)
+          .map(i => col(s"s${i * PHASH_DIM + j}") * lit(DCT8(u)(i)))
+          .reduce(_ + _).as(s"r${u}_$j")): _*)
+    withR.select(col("media_id"),
+      PHASH_COEFFS.zipWithIndex.map { case ((u, v), b) =>
+        val c = (0 until PHASH_DIM)
+          .map(j => col(s"r${u}_$j") * lit(DCT8(v)(j))).reduce(_ + _)
+        when(c > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _).as("phash"))
   }
 
   def aHashed(media: DataFrame): DataFrame = {
@@ -351,6 +416,8 @@ object Multimodal {
     // compatible with the SimHash machinery)
     "q_media_ahash" -> { (s, dir) => aHashed(mediaOf(s, dir)) },
 
+    "q_media_phash" -> { (s, dir) => pHashed(mediaOf(s, dir)) },
+
     // difference-hash fingerprints (see dHashed — the level-shift-
     // invariant second detector beside aHash)
     "q_media_dhash" -> { (s, dir) => dHashed(mediaOf(s, dir)) },
@@ -411,6 +478,38 @@ object Multimodal {
        |  FROM m2),
        |ah AS (SELECT media_id, CAST($bits AS BIGINT) AS ahash
        |  FROM withmean)""".stripMargin
+  }
+
+  /** SQL twin of [[pHashed]]: the identical DCT8 literal table and the
+    * same two-stage separable structure as chained CTEs (64 samples →
+    * 64 row-transform sums → 60 sign bits).
+    */
+  private lazy val pHashCtes: String = {
+    def sampleSql(i: Int) =
+      s"CAST(('0x' || substr(hx, CAST(((least(1 + $i * stride, n) - 1) * 2 + 1) AS INT), 2)) AS BIGINT) AS s$i"
+    val samples = (0 until PHASH_N).map(sampleSql).mkString(",\n    ")
+    val rCols = (for (u <- 0 until PHASH_DIM; j <- 0 until PHASH_DIM) yield {
+      val terms = (0 until PHASH_DIM)
+        .map(i => s"s${i * PHASH_DIM + j} * ${DCT8(u)(i)}").mkString(" + ")
+      s"($terms) AS r${u}_$j"
+    }).mkString(",\n    ")
+    val bits = PHASH_COEFFS.zipWithIndex.map { case ((u, v), b) =>
+      val c = (0 until PHASH_DIM)
+        .map(j => s"r${u}_$j * ${DCT8(v)(j)}").mkString(" + ")
+      s"(CASE WHEN ($c) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""pm AS (SELECT media_id, hex(bytes) AS hx,
+       |    CAST(octet_length(bytes) AS BIGINT) AS n,
+       |    greatest(1, CAST(octet_length(bytes) AS BIGINT) // $PHASH_N) AS stride
+       |  FROM media WHERE octet_length(bytes) > 0),
+       |psm AS (SELECT media_id,
+       |    $samples
+       |  FROM pm),
+       |ppr AS (SELECT media_id,
+       |    $rCols
+       |  FROM psm),
+       |ph AS (SELECT media_id, CAST($bits AS BIGINT) AS phash
+       |  FROM ppr)""".stripMargin
   }
 
   /** SQL twin of [[dHashed]]: the same sampled-byte expressions folded
@@ -485,6 +584,11 @@ object Multimodal {
       s"""WITH $mediaCte,
          |$dHashCtes
          |SELECT media_id, dhash FROM dh""".stripMargin,
+
+    "q_media_phash" ->
+      s"""WITH $mediaCte,
+         |$pHashCtes
+         |SELECT media_id, phash FROM ph""".stripMargin,
 
     "q_media_neardup" -> {
       val width = AHASH_BITS / 4
