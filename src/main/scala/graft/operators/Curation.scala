@@ -182,6 +182,87 @@ object Curation {
         "split")
     },
 
+    // ── Kolmogorov–Smirnov drift per split (sup-norm on the CDF) ───────
+    // The location-sensitive twin of q_split_drift's binned TV
+    // distance: D = max_v |F_split(v) − F_corpus(v)| over the UNBINNED
+    // length values — a mean shift TV-on-coarse-bins underreports shows
+    // up here at full strength. Exact integers: the gap at v is
+    // |cumS·nA − cumA·nS|·10⁶ div (nS·nA) in DECIMAL(38,0)/HUGEINT
+    // (cum·n crosses int64 past ~3·10⁹ rows); argmax value by
+    // struct-min with the smallest-v tiebreak. Every value appears in
+    // the corpus grid, so per-split cums carry over absent values by
+    // summing only ≤-v counts — windows run over the |splits|×|distinct
+    // values| grid, never raw rows.
+    "q_ks_drift" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .select(splitLabel(col("doc_id")).as("split"),
+          col("n_chars").as("v"))
+      val perSplit = d.groupBy(col("split"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val grid = perSplit.select(col("v")).distinct()
+        .crossJoin(perSplit.select(col("split")).distinct())
+      val wS = Window.partitionBy(col("split")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cums = grid.join(perSplit, Seq("split", "v"), "left")
+        .na.fill(0L, Seq("c"))
+        .withColumn("cum_s", sum(col("c")).over(wS))
+      val wA = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = d.groupBy(col("v")).agg(count(lit(1)).as("ca"))
+        .withColumn("cum_a", sum(col("ca")).over(wA))
+      val nS = perSplit.groupBy(col("split")).agg(sum(col("c")).as("n_s"))
+      val nA = d.agg(count(lit(1)).as("n_a"))
+      cums.join(all.select(col("v"), col("cum_a")), Seq("v"))
+        .join(broadcast(nS), Seq("split"))
+        .crossJoin(broadcast(nA))
+        .withColumn("gap_ppm", expr(
+          "CAST(abs(CAST(cum_s AS DECIMAL(38,0)) * n_a" +
+            " - CAST(cum_a AS DECIMAL(38,0)) * n_s) * 1000000" +
+            " div (CAST(n_s AS DECIMAL(38,0)) * n_a) AS BIGINT)"))
+        .groupBy(col("split"))
+        .agg(max(col("n_s")).as("n_split"),
+          min(struct((-col("gap_ppm")).as("ng"), col("v"),
+            col("gap_ppm"))).as("m"))
+        .select(col("split"), col("n_split"),
+          col("m.gap_ppm").as("d_ppm"), col("m.v").as("at_value"))
+    },
+
+    // ── rank-sum AUC: does the quality score separate dup docs? ────────
+    // The threshold-free twin of q_quality_vs_dup's band correlation:
+    // AUC = P(score_dup > score_clean) + ½P(tie) by the Mann–Whitney
+    // identity, computed EXACTLY from the score histogram — 2U =
+    // Σ_s n_pos(s)·(2·cum_neg(<s) + n_neg(s)), auc_ppm = U·10⁶ div
+    // (n_pos·n_neg) in DECIMAL(38,0)/HUGEINT. Positives = members of
+    // an exact-dup fingerprint group (same normalized-md5 rule as
+    // q_dedup_exact_text). Windows over the |distinct scores| table
+    // (≤ 1001 rows at any corpus size).
+    "q_quality_auc" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.qualityScore(col("text")).as("score"))
+      val dupFp = d.groupBy(col("fp")).agg(count(lit(1)).as("fn"))
+        .filter(col("fn") >= 2).select(col("fp"))
+      val labeled = d.join(broadcast(dupFp), Seq("fp"), "left_semi")
+        .select(col("score"), lit(1L).as("pos"))
+        .unionByName(d.join(broadcast(dupFp), Seq("fp"), "left_anti")
+          .select(col("score"), lit(0L).as("pos")))
+      val hist = labeled.groupBy(col("score"))
+        .agg(sum(col("pos")).as("np"),
+          sum(lit(1L) - col("pos")).as("nn"))
+      val w = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist.withColumn("cnb", coalesce(sum(col("nn")).over(w), lit(0L)))
+        .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+          sum(expr("CAST(np AS DECIMAL(38,0)) * (2 * cnb + nn)"))
+            .as("u2"))
+        .selectExpr("CAST(n_pos AS BIGINT) AS n_pos",
+          "CAST(n_neg AS BIGINT) AS n_neg",
+          """CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS BIGINT)
+            |  ELSE CAST(u2 * 1000000
+            |    div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)
+            |END AS auc_ppm""".stripMargin)
+    },
+
     // ── 80/10/10 train/valid/test split, audited per language ───────────
     // The split LABEL is what a pipeline persists; the per-(lang, split)
     // counts are the auditable output (and catch stratification skew).
@@ -956,6 +1037,65 @@ object Curation {
          |FROM (SELECT $bucketSql AS bkt, n_chars FROM documents)"""
         .stripMargin,
       "split"),
+
+    "q_ks_drift" ->
+      s"""WITH d AS (SELECT CASE WHEN bkt < 80 THEN 'train'
+         |      WHEN bkt < 90 THEN 'valid' ELSE 'test' END AS split,
+         |    n_chars AS v
+         |  FROM (SELECT $bucketSql AS bkt, n_chars FROM documents)),
+         |ps AS (SELECT split, v, count(*) AS c FROM d GROUP BY 1, 2),
+         |grid AS (SELECT vv.v, ss.split
+         |  FROM (SELECT DISTINCT v FROM ps) vv
+         |  CROSS JOIN (SELECT DISTINCT split FROM ps) ss),
+         |cums AS (SELECT g.split, g.v,
+         |    sum(coalesce(p.c, 0)) OVER (PARTITION BY g.split
+         |      ORDER BY g.v ROWS UNBOUNDED PRECEDING) AS cum_s
+         |  FROM grid g LEFT JOIN ps p
+         |    ON p.split = g.split AND p.v = g.v),
+         |ag AS (SELECT v, count(*) AS ca FROM d GROUP BY 1),
+         |agc AS (SELECT v, sum(ca) OVER (ORDER BY v
+         |    ROWS UNBOUNDED PRECEDING) AS cum_a FROM ag),
+         |ns AS (SELECT split, count(*) AS n_s FROM d GROUP BY 1),
+         |na AS (SELECT count(*) AS n_a FROM d),
+         |gaps AS (SELECT c.split, c.v, ns.n_s,
+         |    CAST(abs(CAST(cum_s AS HUGEINT) * n_a
+         |        - CAST(cum_a AS HUGEINT) * n_s) * 1000000
+         |      // (CAST(n_s AS HUGEINT) * n_a) AS BIGINT) AS gap_ppm
+         |  FROM cums c JOIN agc ON agc.v = c.v
+         |  JOIN ns ON ns.split = c.split CROSS JOIN na),
+         |r AS (SELECT split, n_s, v, gap_ppm, row_number() OVER (
+         |    PARTITION BY split ORDER BY gap_ppm DESC, v ASC) AS rn
+         |  FROM gaps)
+         |SELECT split, CAST(n_s AS BIGINT) AS n_split,
+         |  gap_ppm AS d_ppm, CAST(v AS BIGINT) AS at_value
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_quality_auc" ->
+      s"""WITH ${TextQueries.qualityCtes},
+         |fpt AS (SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |dupfp AS (SELECT fp FROM fpt GROUP BY fp HAVING count(*) >= 2),
+         |lab AS (SELECT qv.quality AS score,
+         |    CASE WHEN f.fp IN (SELECT fp FROM dupfp) THEN 1 ELSE 0 END
+         |      AS pos
+         |  FROM qv JOIN fpt f ON f.doc_id = qv.doc_id),
+         |hist AS (SELECT score, sum(pos) AS np,
+         |    sum(1 - pos) AS nn FROM lab GROUP BY 1),
+         |cum AS (SELECT score, np, nn,
+         |    coalesce(sum(nn) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cnb
+         |  FROM hist),
+         |s AS (SELECT sum(np) AS n_pos, sum(nn) AS n_neg,
+         |    sum(CAST(np AS HUGEINT) * (2 * cnb + nn)) AS u2 FROM cum)
+         |SELECT CAST(n_pos AS BIGINT) AS n_pos,
+         |  CAST(n_neg AS BIGINT) AS n_neg,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS BIGINT)
+         |    ELSE CAST(u2 * 1000000
+         |      // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+         |  END AS auc_ppm
+         |FROM s""".stripMargin,
 
     "q_train_test_split" ->
       s"""WITH b AS (SELECT lang, $bucketSql AS bkt FROM documents)

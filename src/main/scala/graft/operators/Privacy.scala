@@ -113,6 +113,30 @@ object Privacy {
             " (2 * CAST(max(cohort_n) AS DECIMAL(38,0)) * max(n_rows))" +
             " AS BIGINT)").as("tvd_bp"))
         .withColumn("is_far", col("tvd_bp") >= T_CLOSE_BP)
+    },
+
+    // ── binomial-mechanism noisy count release ─────────────────────────
+    // The released-statistics twin of the cohort audits: per-cohort
+    // counts with additive centered-binomial noise (the binomial
+    // mechanism, Dwork et al. CCS'06 — Binomial(60, ½) − 30, σ ≈ 3.9),
+    // noise drawn by popcount of the cohort's 60-bit md5 hash so the
+    // whole mechanism is integer bit arithmetic both engines share.
+    // Contract honesty: a SEEDED draw is reproducible plumbing, not
+    // privacy — production swaps the hash for real entropy (the
+    // MediaDecoder-style injectable step); the gate proves the
+    // mechanism arithmetic (sensitivity-1 counts, symmetric noise,
+    // non-negative clamp), which is the part an engine can prove.
+    // n_true stays in the projection because this IS the verification
+    // harness — the release view drops it.
+    "q_dp_noisy_counts" -> { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n_true"))
+        .withColumn("noise",
+          bit_count(Dedup.shingleHash(
+            concat(lit("dp:"), col("mktsegment")))).cast("long") - 30L)
+        .withColumn("n_released",
+          greatest(lit(0L), col("n_true") + col("noise")))
     })
 
   val oracle: Map[String, String] = Map(
@@ -172,5 +196,18 @@ object Privacy {
          |  FROM grid, tot t GROUP BY 1, 2)
          |SELECT nationkey, mktsegment, cohort_n, tvd_bp,
          |  tvd_bp >= $T_CLOSE_BP AS is_far
-         |FROM agg""".stripMargin)
+         |FROM agg""".stripMargin,
+
+    "q_dp_noisy_counts" -> {
+      val h = Dedup.shingleHashSql("'dp:' || mktsegment")
+      s"""WITH c AS (SELECT c_mktsegment AS mktsegment,
+         |    count(*) AS n_true
+         |  FROM customer GROUP BY 1),
+         |n AS (SELECT mktsegment, CAST(n_true AS BIGINT) AS n_true,
+         |    CAST(bit_count($h) AS BIGINT) - 30 AS noise
+         |  FROM c)
+         |SELECT mktsegment, n_true, noise,
+         |  greatest(CAST(0 AS BIGINT), n_true + noise) AS n_released
+         |FROM n""".stripMargin
+    })
 }

@@ -3,6 +3,8 @@ package graft.streaming
 import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicInteger
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -74,6 +76,37 @@ object StreamGateQueries {
     }
     dir.toString
   }
+
+  /** Stage the events table as TWO disjoint parquet files (user_id
+    * parity split) with strictly ordered mtimes, so a
+    * `maxFilesPerTrigger = 1` stream processes them as two
+    * deterministic micro-batches — the fixture update-mode emission
+    * semantics need (batch 1: even-user counts; batch 2: cumulative).
+    */
+  private def stageHalves(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_halves"
+      val dir = Paths.get(s"$STAGE_BASE/$key")
+      if (!Files.exists(dir.resolve("_STAGED"))) {
+        Files.createDirectories(dir)
+        val ev = s.read.parquet(s"$sfDir/events.parquet")
+        Seq(0, 1).foreach { half =>
+          val tmp = Files.createTempDirectory("graft_half_")
+          ev.filter(pmod(col("user_id"), lit(2)) === half)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          val dst = dir.resolve(s"half_$half.parquet")
+          Files.copy(part, dst)
+          // strictly ordered mtimes pin the batch order
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              1000000000000L + half * 600000L))
+        }
+        Files.writeString(dir.resolve("_STAGED"), "ok")
+      }
+      dir.toString
+    }
 
   /** Event-time column, type-adaptive exactly like [[graft.Tables.epochMs]]
     * (the testdata generator has changed the parquet physical type
@@ -334,6 +367,35 @@ object StreamGateQueries {
           (col("head_ms") - col("last_ms") > 86400000L).as("is_stale"))
     },
 
+    // ── UPDATE-mode emission semantics over two real micro-batches ─────
+    // The third output mode under the gate (append: windowed tiers;
+    // complete: freshness/KMV): an unwatermarked per-type count with
+    // maxFilesPerTrigger = 1 over the two-half staged fixture emits
+    // only the CHANGED keys per batch — batch 1 the even-user counts,
+    // batch 2 the cumulative totals for types the odd half touched.
+    // The sink (an emission LOG, not a snapshot) is reduced per type to
+    // (n_emissions, n_first, n_final); the oracle re-derives all three
+    // from the parity split — the emission rule is the thing proven.
+    "q_stream_update_counts" -> { (s, dir) =>
+      val staged = stageHalves(s, dir)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val nm = s"graft_stream_gate_${runCounter.incrementAndGet()}"
+      val ckpt = Files.createTempDirectory("graft_stream_ckpt_")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(nm)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("update").start()
+      try require(q.awaitTermination(300000),
+        s"stream gate $nm did not drain within 300 s")
+      finally q.stop()
+      s.table(nm).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_emissions"),
+          min(col("n")).as("n_first"), max(col("n")).as("n_final"))
+    },
+
     // ── KMV distinct sketch as STREAMING state (complete mode) ─────────
     // graft's `kmv_sketch` TypedImperativeAggregate run as real stream
     // state: k smallest DISTINCT hashes per type (state = ≤ k longs per
@@ -469,6 +531,20 @@ object StreamGateQueries {
         |  h.head_ms - pt.last_ms AS lag_ms,
         |  h.head_ms - pt.last_ms > 86400000 AS is_stale
         |FROM pt, h""".stripMargin,
+
+    "q_stream_update_counts" ->
+      """WITH h AS (SELECT event_type,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS h0,
+        |    count(*) AS tot
+        |  FROM events GROUP BY 1)
+        |SELECT event_type,
+        |  CAST((CASE WHEN h0 > 0 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN tot - h0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_emissions,
+        |  CAST(CASE WHEN h0 > 0 THEN h0 ELSE tot END AS BIGINT)
+        |    AS n_first,
+        |  CAST(tot AS BIGINT) AS n_final
+        |FROM h""".stripMargin,
 
     "q_stream_kmv" -> {
       import graft.operators.Sketches.{KMV_K, KMV_RANGE}
