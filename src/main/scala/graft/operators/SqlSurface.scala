@@ -82,6 +82,71 @@ object SqlSurface {
           count(lit(1)).as("n_orders"))
     },
 
+    // ── VARIANT semi-structured surface (Spark 4 parse_json) ───────────
+    // The open-schema path beside q_json_extract's from_json(MapType):
+    // parse once into VariantType, extract typed paths with
+    // variant_get — the shredding-friendly representation a lakehouse
+    // keeps for evolving payloads (typed extraction without declaring
+    // the full schema up front). Reduced per type so the gate compares
+    // VALUES, not variant internals.
+    "q_variant_extract" -> { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"),
+          sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+          sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_over_50"))
+    },
+
+    // ── percentile_cont surface parity (WITHIN GROUP ordered-set agg) ──
+    // The interpolating-quantile API row: continuous median of order
+    // value per priority. At 0.5 the interpolation is the exact
+    // midpoint of the two middle order statistics — integer cents make
+    // that a .0/.5 double both engines hit bit-exactly. SURFACE parity
+    // only: the ordered-set aggregate buffers each group's values, so
+    // the 100 TB path remains q_quantiles' value-grouped discrete rule;
+    // this row exists because a migrating user's ad-hoc SQL says
+    // percentile_cont, not because the engine should.
+    "q_percentile_cont" -> { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n,
+          percentile_cont(0.5) WITHIN GROUP (ORDER BY
+            CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS median_cents
+        FROM orders GROUP BY o_orderpriority""")
+    },
+
+    // ── higher-order-function surface over array columns ───────────────
+    // transform / filter / aggregate / zip_with / exists / forall on the
+    // embedding vectors, quantized first so every fold is integer-exact
+    // (the HOF parity row — graft's hot vector kernels use native
+    // codegen'd expressions instead because HOFs are CodegenFallback;
+    // this pins the SEMANTICS a reference user writing ad-hoc lambda
+    // pipelines relies on). rev_dot (zip_with against the reversed
+    // vector) is the order-sensitive case a wrong fold direction fails.
+    "q_hof_ops" -> { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding," +
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))")
+          .as("t"))
+        .select(col("vec_id"),
+          size(col("t")).cast("long").as("n_dims"),
+          expr("CAST(size(filter(t, v -> v > 0)) AS BIGINT)").as("n_pos"),
+          expr("aggregate(t, CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+            .as("sum_q"),
+          expr("aggregate(t, CAST(0 AS BIGINT)," +
+            " (acc, v) -> acc + abs(v))").as("l1_q"),
+          expr("aggregate(zip_with(t, reverse(t), (a, b) -> a * b)," +
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("rev_dot_q"),
+          expr("CAST(exists(t, v -> v < -1024) AS INT)").as("has_lt_neg1"),
+          expr("CAST(forall(t, v -> abs(v) <= 4096) AS INT)")
+            .as("all_small"))
+    },
+
     // ── approx_percentile under the TOLERANCE gate ─────────────────────
     // The q_profile_approx trick for quantiles: sketch internals can
     // never hash-match across engines, so each engine checks its OWN
@@ -153,6 +218,43 @@ object SqlSurface {
         |  count(DISTINCT o_orderstatus) AS n_statuses,
         |  count(*) AS n_orders
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_variant_extract" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_missing,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
+        |  CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_over_50
+        |FROM v GROUP BY 1""".stripMargin,
+
+    "q_percentile_cont" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  quantile_cont(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+        |    0.5) AS median_cents
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_hof_ops" ->
+      """WITH t0 AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS t
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(t) AS BIGINT) AS n_dims,
+        |  CAST(len(list_filter(t, v -> v > 0)) AS BIGINT) AS n_pos,
+        |  CAST(list_sum(t) AS BIGINT) AS sum_q,
+        |  CAST(list_sum(list_transform(t, v -> abs(v))) AS BIGINT) AS l1_q,
+        |  CAST(list_sum(list_transform(range(1, len(t) + 1),
+        |    i -> t[i] * t[len(t) - CAST(i AS INT) + 1])) AS BIGINT)
+        |    AS rev_dot_q,
+        |  CAST(len(list_filter(t, v -> v < -1024)) > 0 AS INT)
+        |    AS has_lt_neg1,
+        |  CAST(len(list_filter(t, v -> abs(v) > 4096)) = 0 AS INT)
+        |    AS all_small
+        |FROM t0""".stripMargin,
 
     "q_quantile_approx" ->
       """WITH e AS (SELECT event_type,

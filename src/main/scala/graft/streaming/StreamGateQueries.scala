@@ -367,6 +367,26 @@ object StreamGateQueries {
           (col("head_ms") - col("last_ms") > 86400000L).as("is_stale"))
     },
 
+    // ── native session_window aggregation as a STREAM ──────────────────
+    // Spark's built-in session windows (merging interval state) beside
+    // statefulSessionize's hand-rolled state machine: same gap rule,
+    // engine-managed merge. Append mode emits sessions whose END the
+    // final watermark passed (inclusive, same empirical rule as the
+    // tumbling tier); the oracle derives the identical session set from
+    // the batch gap rule + the emission cut.
+    "q_stream_session_window" -> { (s, dir) =>
+      val res = runToTable(s,
+        eventsStream(s, dir)
+          .withWatermark("ts", "2 hours")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events")))
+      res.select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("n_events"))
+    },
+
     // ── UPDATE-mode emission semantics over two real micro-batches ─────
     // The third output mode under the gate (append: windowed tiers;
     // complete: freshness/KMV): an unwatermarked per-type count with
@@ -531,6 +551,27 @@ object StreamGateQueries {
         |  h.head_ms - pt.last_ms AS lag_ms,
         |  h.head_ms - pt.last_ms > 86400000 AS is_stale
         |FROM pt, h""".stripMargin,
+
+    "q_stream_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |mx AS (SELECT max(ms) AS max_ms FROM e),
+        |flagged AS (SELECT *,
+        |  CASE WHEN lag(ms) OVER w IS NULL
+        |         OR ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END
+        |    AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ms ASC, event_id ASC)),
+        |sessions AS (SELECT *,
+        |  sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ms ASC, event_id ASC ROWS UNBOUNDED PRECEDING)
+        |    AS session_idx
+        |  FROM flagged),
+        |agg AS (SELECT user_id, min(ms) AS start_ms,
+        |    max(ms) + 1800000 AS end_ms, count(*) AS n_events
+        |  FROM sessions GROUP BY user_id, session_idx)
+        |SELECT a.user_id, a.start_ms, a.end_ms, a.n_events
+        |FROM agg a, mx
+        |WHERE a.end_ms <= mx.max_ms - 7200000""".stripMargin,
 
     "q_stream_update_counts" ->
       """WITH h AS (SELECT event_type,
