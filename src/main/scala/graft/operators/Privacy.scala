@@ -101,8 +101,11 @@ object Privacy {
         .agg(sum(col("bn")).as("cohort_n"))
       val g = rows.groupBy(col("band")).agg(count(lit(1)).as("gn"))
       val tot = g.agg(sum(col("gn")).as("n_rows"))
+      // bn is |QI domain|·|bands| rows — bounded by construction, so
+      // the grid attach broadcasts at any corpus size
       cohorts.crossJoin(broadcast(g))
-        .join(bn, Seq("nationkey", "mktsegment", "band"), "left")
+        .join(broadcast(bn), Seq("nationkey", "mktsegment", "band"),
+          "left")
         .na.fill(0L, Seq("bn"))
         .crossJoin(broadcast(tot))
         .withColumn("term", expr("abs(CAST(bn AS DECIMAL(38,0)) * n_rows" +
