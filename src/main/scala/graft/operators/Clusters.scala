@@ -295,6 +295,10 @@ object Clusters {
       auths = normalized(
         edges.join(hubs, edges("c") === hubs("id"))
           .groupBy(col("p")).agg(sum(col("score")).as("raw")), "p")
+      // the final auth table is consumed TWICE (last hub update + the
+      // output union) — persist it so the whole auth chain is paid once
+      if (i == iters) auths = graft.CacheRegistry.register(
+        auths.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val nextHubs = normalized(
         edges.join(auths, edges("p") === auths("id"))
           .groupBy(col("c")).agg(sum(col("score")).as("raw")), "c")

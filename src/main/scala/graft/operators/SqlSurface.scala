@@ -82,6 +82,50 @@ object SqlSurface {
           count(lit(1)).as("n_orders"))
     },
 
+    // ── cume_dist / percent_rank over bounded month partitions ─────────
+    // The distribution-window parity row q_window_ntile doesn't cover:
+    // each day's order volume ranked within its MONTH (partitions ≤ 31
+    // rows by construction — the bounded-window discipline). Both
+    // functions emit single IEEE divisions of the same small integers,
+    // so the doubles match bit-for-bit across engines.
+    "q_window_cume" -> { (s, dir) =>
+      val daily = Tables.load(s, dir, "orders")
+        .select(date_trunc("month", to_date(col("o_orderdate")))
+            .cast("date").cast("string").as("month"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .groupBy(col("month"), col("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("month"))
+        .orderBy(col("c").asc, col("day").asc)
+      daily.select(col("month"), col("day"), col("c"),
+        cume_dist().over(w).as("cume"),
+        percent_rank().over(w).as("pct_rank"))
+    },
+
+    // ── regexp function surface (extract / count / replace / rlike) ────
+    // The pattern-matching parity row beside q_pii_scrub's redaction
+    // rules: per event type, rows matching a digit-run, total match
+    // count, extracted-first-number sum, and replaced-length delta —
+    // RE2-safe patterns only (both engines), all reduced to integers.
+    "q_regexp_ops" -> { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          col("props").rlike("[0-9]{2}").cast("long").as("hit"),
+          expr("size(regexp_extract_all(props, '[0-9]+', 0))")
+            .cast("long").as("m"),
+          expr("CAST(coalesce(nullif(regexp_extract(props," +
+            " '([0-9]+)', 1), ''), '0') AS BIGINT)").as("first_num"),
+          (length(col("props")) -
+            length(regexp_replace(col("props"), "[0-9]", "")))
+            .cast("long").as("digit_chars"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("hit")).as("n_hit"),
+          sum(col("m")).as("n_matches"),
+          sum(col("first_num")).as("sum_first"),
+          sum(col("digit_chars")).as("n_digit_chars"))
+    },
+
     // ── VARIANT semi-structured surface (Spark 4 parse_json) ───────────
     // The open-schema path beside q_json_extract's from_json(MapType):
     // parse once into VariantType, extract typed paths with
@@ -218,6 +262,36 @@ object SqlSurface {
         |  count(DISTINCT o_orderstatus) AS n_statuses,
         |  count(*) AS n_orders
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_window_cume" ->
+      """WITH daily AS (SELECT
+        |    CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+        |      AS VARCHAR) AS month,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) AS day,
+        |    count(*) AS c
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT month, CAST(day AS BIGINT) AS day, c,
+        |  cume_dist() OVER w AS cume,
+        |  percent_rank() OVER w AS pct_rank
+        |FROM daily
+        |WINDOW w AS (PARTITION BY month ORDER BY c ASC, day ASC)"""
+        .stripMargin,
+
+    "q_regexp_ops" ->
+      """WITH r AS (SELECT event_type,
+        |    CAST(regexp_matches(props, '[0-9]{2}') AS INT) AS hit,
+        |    len(regexp_extract_all(props, '[0-9]+')) AS m,
+        |    CAST(coalesce(nullif(regexp_extract(props, '([0-9]+)', 1),
+        |      ''), '0') AS BIGINT) AS first_num,
+        |    length(props) - length(regexp_replace(props, '[0-9]', '',
+        |      'g')) AS digit_chars
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(hit) AS BIGINT) AS n_hit,
+        |  CAST(sum(m) AS BIGINT) AS n_matches,
+        |  CAST(sum(first_num) AS BIGINT) AS sum_first,
+        |  CAST(sum(digit_chars) AS BIGINT) AS n_digit_chars
+        |FROM r GROUP BY 1""".stripMargin,
 
     "q_variant_extract" ->
       """WITH v AS (SELECT event_type,

@@ -108,6 +108,45 @@ object StreamGateQueries {
       dir.toString
     }
 
+  /** Stage the events table split by EVENT TIME into three ordered
+    * files: slice 0 = the newest 3 h (sets the watermark), slice 1 =
+    * the 3–6 h band (burns the batch the late-event watermark lags
+    * behind — SPARK-40925 splits the filter watermark from the
+    * eviction watermark, and the FILTER one takes effect a batch
+    * later), slice 2 = everything older, arriving when the filter
+    * watermark is finally live — the rows the stream must DROP. The
+    * q_stream_late_drop fixture.
+    */
+  private val LATE_SPLIT_MS = 3 * 3600000L
+  private def stageLate(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_late3"
+      val dir = Paths.get(s"$STAGE_BASE/$key")
+      if (!Files.exists(dir.resolve("_STAGED"))) {
+        Files.createDirectories(dir)
+        val ev = s.read.parquet(s"$sfDir/events.parquet")
+        val schema = ev.schema
+        val ms = unix_millis(tsCol(schema))
+        val mx = ev.agg(max(ms)).head().getLong(0)
+        val (c1, c2) = (mx - LATE_SPLIT_MS, mx - 2 * LATE_SPLIT_MS)
+        Seq((0, ms > c1), (1, ms <= c1 && ms > c2), (2, ms <= c2))
+          .foreach { case (i, pred) =>
+            val tmp = Files.createTempDirectory("graft_late_")
+            ev.filter(pred).coalesce(1)
+              .write.mode("overwrite").parquet(tmp.toString)
+            val part = Files.list(tmp).iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet")).get
+            val dst = dir.resolve(s"slice_$i.parquet")
+            Files.copy(part, dst)
+            Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(
+                1000000000000L + i * 600000L))
+          }
+        Files.writeString(dir.resolve("_STAGED"), "ok")
+      }
+      dir.toString
+    }
+
   /** Event-time column, type-adaptive exactly like [[graft.Tables.epochMs]]
     * (the testdata generator has changed the parquet physical type
     * before): int64 nanos floor to ms; NTZ relabels under the pinned
@@ -367,6 +406,29 @@ object StreamGateQueries {
           (col("head_ms") - col("last_ms") > 86400000L).as("is_stale"))
     },
 
+    // ── watermark LATE-DATA DROP over three real micro-batches ─────────
+    // The semantics every watermark claim rests on, proven POSITIVELY:
+    // batch 1 (newest 3 h) sets the watermark to max − 2 h; batch 2
+    // (the 3–6 h band) burns the one-batch lag SPARK-40925 gives the
+    // late-event FILTER watermark (its rows are accepted and finalized
+    // — the probe-measured behavior, eviction wm ≠ filter wm); batch 3
+    // delivers everything older, now genuinely filtered as late
+    // (numRowsDroppedByWatermark > 0). The drained counts must equal
+    // the slices-0∪1-only aggregation: one slice-2 row counted
+    // anywhere fails the hash. The oracle computes the newest-6 h
+    // counts with the same emission cut.
+    "q_stream_late_drop" -> { (s, dir) =>
+      val staged = stageLate(s, dir)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val st = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .select(tsCol(schema).as("ts"), col("event_type"), col("value"))
+      val res = runToTable(s,
+        StreamingEvents.hourlyCounts(st))
+      res.select(unix_millis(col("window_start")).as("window_start_ms"),
+        col("event_type"), col("n"))
+    },
+
     // ── native session_window aggregation as a STREAM ──────────────────
     // Spark's built-in session windows (merging interval state) beside
     // statefulSessionize's hand-rolled state machine: same gap rule,
@@ -551,6 +613,18 @@ object StreamGateQueries {
         |  h.head_ms - pt.last_ms AS lag_ms,
         |  h.head_ms - pt.last_ms > 86400000 AS is_stale
         |FROM pt, h""".stripMargin,
+
+    "q_stream_late_drop" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ms, event_type FROM events),
+        |mx AS (SELECT max(ms) AS max_ms FROM e),
+        |head AS (SELECT ms, event_type FROM e, mx
+        |  WHERE ms > max_ms - 21600000),
+        |w AS (SELECT (ms // 3600000) * 3600000 AS window_start_ms,
+        |    event_type, count(*) AS n
+        |  FROM head GROUP BY 1, 2)
+        |SELECT w.window_start_ms, w.event_type, w.n FROM w, mx
+        |WHERE w.window_start_ms + 3600000 <= mx.max_ms - 7200000"""
+        .stripMargin,
 
     "q_stream_session_window" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
