@@ -60,6 +60,16 @@ object Experiments {
   private val OLS_SEED = 59
   private val OLS_MAX_N = 10000
 
+  /** q_bootstrap_ci: replicate count, hash seed, and the Poisson(1)
+    * inverse-CDF (cumulative ppm; tail clamped at 5 — P(X≥5) ≈ 0.37 %).
+    */
+  private val BOOT_B = 32
+  private val BOOT_SEED = 61
+  private val POISSON_W_SQL =
+    """CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+      |     WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+      |     WHEN u < 996339 THEN 4 ELSE 5 END""".stripMargin
+
   /** Cramer determinants over the q_ols_multi sum names — shared
     * verbatim by the Spark selectExpr (DECIMAL(38,0) sums) and the
     * DuckDB oracle (HUGEINT sums): (det M, det M₀, det M₁, det M₂)
@@ -197,6 +207,46 @@ object Experiments {
             s" ELSE CAST(2 * $POWER_K_CENTI" +
             " * CAST(p_bp AS DECIMAL(38,0)) * (10000 - p_bp)" +
             " div (100 * mde_bp * mde_bp) AS BIGINT) END AS n_per_arm")
+    },
+
+    // ── Poisson-bootstrap confidence interval, hash-deterministic ──────
+    // The uncertainty readout the point estimates lack: B = 32
+    // bootstrap replicates of mean order value, each row's multiplicity
+    // in replicate b drawn Poisson(1) — by inverse-CDF over a LITERAL
+    // integer table (CDF in ppm: P(0)=.3679, …, tail clamped at 5) on
+    // the (row, b) hash, so the whole resample is a pure function of
+    // the data (engine-identical, no RNG; Poisson bootstrap is the
+    // streaming-friendly bootstrap — Chamandy et al., "Estimating
+    // Uncertainty for Massive Data Streams", Google TR'12). Replicate
+    // means in integer cents (truncating div); the CI bounds are the
+    // 2nd and 31st order statistics of the 32 means — a bounded fold,
+    // no quantile machinery.
+    //
+    // 100 TB posture: one row-keyed projection fans each row to its
+    // ≤ B nonzero-weight replicates (expected B rows out per row in),
+    // then a 32-group aggregate; the order-statistic pick runs on a
+    // 32-row table.
+    "q_bootstrap_ci" -> { (s, dir) =>
+      val reps = s.range(0, BOOT_B).select(col("id").as("b"))
+      val rows = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+        .crossJoin(broadcast(reps))
+        .withColumn("u", Dedup.hash32(BOOT_SEED,
+          concat_ws("|", col("b"), col("o_orderkey"))) % 1000000)
+        .withColumn("w", expr(POISSON_W_SQL))
+        .filter(col("w") > 0)
+      val means = rows.groupBy(col("b"))
+        .agg(expr("CAST(sum(CAST(w AS DECIMAL(38,0)) * cents)" +
+          " div sum(w) AS BIGINT)").as("mean_cents"))
+      means.agg(count(lit(1)).as("n_replicates"),
+          min(col("mean_cents")).as("mn"), max(col("mean_cents")).as("mx"),
+          sort_array(collect_list(col("mean_cents"))).as("ms"))
+        .select(col("n_replicates"),
+          expr(s"get(ms, 1)").as("ci_lo_cents"),
+          expr(s"get(ms, ${BOOT_B - 2})").as("ci_hi_cents"),
+          col("mn").as("min_cents"), col("mx").as("max_cents"))
     },
 
     // ── two-feature OLS via exact-integer normal equations ─────────────
@@ -423,6 +473,29 @@ object Experiments {
          |      * (10000 - p_bp) // (100 * mde_bp * mde_bp) AS BIGINT)
          |  END AS n_per_arm
          |FROM mde, p""".stripMargin
+    },
+
+    "q_bootstrap_ci" -> {
+      val u = Dedup.hash32Sql(BOOT_SEED, "concat_ws('|', b, o_orderkey)")
+      s"""WITH reps AS (SELECT unnest(range(0, $BOOT_B)) AS b),
+         |base AS (SELECT o_orderkey,
+         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM orders),
+         |fan AS (SELECT b, cents, ($u) % 1000000 AS u
+         |  FROM base CROSS JOIN reps),
+         |wtd AS (SELECT b, cents, $POISSON_W_SQL AS w FROM fan),
+         |means AS (SELECT b,
+         |    CAST(sum(CAST(w AS HUGEINT) * cents) // sum(w) AS BIGINT)
+         |      AS mean_cents
+         |  FROM wtd WHERE w > 0 GROUP BY 1),
+         |s AS (SELECT count(*) AS n_replicates,
+         |    min(mean_cents) AS mn, max(mean_cents) AS mx,
+         |    list_sort(list(mean_cents)) AS ms
+         |  FROM means)
+         |SELECT CAST(n_replicates AS BIGINT) AS n_replicates,
+         |  ms[2] AS ci_lo_cents, ms[${BOOT_B - 1}] AS ci_hi_cents,
+         |  mn AS min_cents, mx AS max_cents
+         |FROM s""".stripMargin
     },
 
     "q_ols_multi" -> {

@@ -429,6 +429,47 @@ object StreamGateQueries {
         col("event_type"), col("n"))
     },
 
+    // ── exactly-once RESUME from checkpoint (two query incarnations) ───
+    // The recovery contract a production stream lives on, as a gate:
+    // incarnation 1 drains HALF the events into a parquet sink and
+    // stops; the second half lands in the source dir; incarnation 2
+    // starts with the SAME checkpoint + sink and must process ONLY the
+    // new file — the file-sink manifest plus the source offset log make
+    // the pair exactly-once. The sink is then batch-read and reduced
+    // per type; a re-processed first half doubles counts, a skipped
+    // second half undercounts, either fails the hash against the plain
+    // whole-table oracle. Fresh dirs per invocation (Verify and every
+    // Bench rep replay the full two-incarnation lifecycle).
+    "q_stream_resume" -> { (s, dir) =>
+      val halves = stageHalves(s, dir)
+      val src = Files.createTempDirectory("graft_resume_src_")
+      val sink = Files.createTempDirectory("graft_resume_sink_")
+      val ckpt = Files.createTempDirectory("graft_resume_ckpt_")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def incarnation(): Unit = {
+        val q = s.readStream.schema(schema).parquet(src.toString)
+          .select(col("event_id"), col("event_type"))
+          .writeStream.format("parquet")
+          .option("path", sink.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .outputMode("append").start()
+        try require(q.awaitTermination(300000),
+          "resume gate incarnation did not drain within 300 s")
+        finally q.stop()
+      }
+      Files.copy(Paths.get(s"$halves/half_0.parquet"),
+        src.resolve("half_0.parquet"))
+      incarnation()
+      Files.copy(Paths.get(s"$halves/half_1.parquet"),
+        src.resolve("half_1.parquet"))
+      incarnation()
+      s.read.parquet(sink.toString)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("event_id")).as("n_ids"))
+    },
+
     // ── native session_window aggregation as a STREAM ──────────────────
     // Spark's built-in session windows (merging interval state) beside
     // statefulSessionize's hand-rolled state machine: same gap rule,
@@ -625,6 +666,11 @@ object StreamGateQueries {
         |SELECT w.window_start_ms, w.event_type, w.n FROM w, mx
         |WHERE w.window_start_ms + 3600000 <= mx.max_ms - 7200000"""
         .stripMargin,
+
+    "q_stream_resume" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  count(DISTINCT event_id) AS n_ids
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_stream_session_window" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
