@@ -227,6 +227,34 @@ object Curation {
           col("m.gap_ppm").as("d_ppm"), col("m.v").as("at_value"))
     },
 
+    // ── leave-one-out source influence (jackknife readout) ─────────────
+    // Which source MOVES the corpus statistic: for each source, the
+    // mean length with that source removed, and its influence (LOO −
+    // full mean, in milli-chars — negative = the source inflates the
+    // corpus mean). The robustness check mixture decisions read before
+    // trusting a corpus-level average; one source-keyed aggregate plus
+    // a broadcast one-row total, everything after on the |sources|-row
+    // table. All divisions truncating on DECIMAL(38,0) (sum·10³ crosses
+    // int64 at ~10¹³ chars); influence is a difference of two
+    // already-truncated BIGINTs, so sign needs no floor/truncate split.
+    "q_source_influence" -> { (s, dir) =>
+      val per = docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_s"), sum(col("n_chars")).as("sum_s"))
+      val tot = per.agg(sum(col("n_s")).as("n"),
+        sum(col("sum_s")).as("sum_all"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_s"),
+          expr("""CASE WHEN n - n_s = 0 THEN CAST(NULL AS BIGINT)
+            |  ELSE CAST((CAST(sum_all AS DECIMAL(38,0)) - sum_s) * 1000
+            |    div (n - n_s) AS BIGINT) END""".stripMargin)
+            .as("loo_mean_milli"),
+          expr("""CASE WHEN n - n_s = 0 THEN CAST(NULL AS BIGINT)
+            |  ELSE CAST((CAST(sum_all AS DECIMAL(38,0)) - sum_s) * 1000
+            |      div (n - n_s)
+            |    - CAST(sum_all AS DECIMAL(38,0)) * 1000 div n
+            |    AS BIGINT) END""".stripMargin).as("influence_milli"))
+    },
+
     // ── rank-sum AUC: does the quality score separate dup docs? ────────
     // The threshold-free twin of q_quality_vs_dup's band correlation:
     // AUC = P(score_dup > score_clean) + ½P(tie) by the Mann–Whitney
@@ -1037,6 +1065,21 @@ object Curation {
          |FROM (SELECT $bucketSql AS bkt, n_chars FROM documents)"""
         .stripMargin,
       "split"),
+
+    "q_source_influence" ->
+      """WITH per AS (SELECT source, count(*) AS n_s,
+        |    sum(n_chars) AS sum_s FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n_s) AS n, sum(sum_s) AS sum_all FROM per)
+        |SELECT source, CAST(n_s AS BIGINT) AS n_s,
+        |  CASE WHEN n - n_s = 0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST((CAST(sum_all AS HUGEINT) - sum_s) * 1000
+        |      // (n - n_s) AS BIGINT) END AS loo_mean_milli,
+        |  CASE WHEN n - n_s = 0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST((CAST(sum_all AS HUGEINT) - sum_s) * 1000
+        |        // (n - n_s)
+        |      - CAST(sum_all AS HUGEINT) * 1000 // n AS BIGINT)
+        |  END AS influence_milli
+        |FROM per, tot""".stripMargin,
 
     "q_ks_drift" ->
       s"""WITH d AS (SELECT CASE WHEN bkt < 80 THEN 'train'

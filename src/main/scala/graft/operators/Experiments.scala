@@ -60,6 +60,12 @@ object Experiments {
   private val OLS_SEED = 59
   private val OLS_MAX_N = 10000
 
+  /** q_permutation_test: permutation count and hash seed (own stream;
+    * b = 0 is the observed split, 1..B the null).
+    */
+  private val PERM_B = 32
+  private val PERM_SEED = 67
+
   /** q_bootstrap_ci: replicate count, hash seed, and the Poisson(1)
     * inverse-CDF (cumulative ppm; tail clamped at 5 — P(X≥5) ≈ 0.37 %).
     */
@@ -247,6 +253,46 @@ object Experiments {
           expr(s"get(ms, 1)").as("ci_lo_cents"),
           expr(s"get(ms, ${BOOT_B - 2})").as("ci_hi_cents"),
           col("mn").as("min_cents"), col("mx").as("max_cents"))
+    },
+
+    // ── hash-deterministic permutation test (A/A readout) ──────────────
+    // The significance machinery beside q_bootstrap_ci's CI: user-level
+    // ACTIVITY (events per user — the fixture's conversion flag is
+    // degenerate: every synthetic user purchases) split into two arms
+    // B+1 independent ways by the (b, user) hash; b = 0 is the
+    // "observed" split, b = 1..B the permutation null. p_milli =
+    // (1 + #{b ≥ 1 : |diff_b| ≥ |diff_0|}) ·10³ div (B+1) — the
+    // standard permutation p with the +1 guard.
+    // Every split is a hash re-labeling of the SAME users, so this is
+    // an A/A test: a small p here means the arm-assignment machinery
+    // itself is broken (the q_ab_srm complement at the outcome level).
+    // All arithmetic integer ppm (truncating div on non-negatives).
+    //
+    // 100 TB posture: one user-keyed conversion aggregate, then a
+    // (B+1)-way broadcast fan-out map-side combined onto 2(B+1)
+    // groups; the decision runs on a (B+1)-row table.
+    "q_permutation_test" -> { (s, dir) =>
+      val users = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("conv"))
+      val reps = s.range(0, PERM_B + 1).select(col("id").as("b"))
+      val arms = users.crossJoin(broadcast(reps))
+        .withColumn("arm", Dedup.hash32(PERM_SEED,
+          concat_ws("|", col("b"), col("user_id"))) % 2)
+        .groupBy(col("b"), col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+      val diffs = arms.groupBy(col("b"))
+        .agg(expr("abs(max(CASE WHEN arm = 0 THEN k * 1000000 div n END)" +
+          " - max(CASE WHEN arm = 1 THEN k * 1000000 div n END))")
+          .as("diff_ppm"))
+      val obs = diffs.filter(col("b") === 0)
+        .select(col("diff_ppm").as("obs_ppm"))
+      diffs.filter(col("b") > 0).crossJoin(broadcast(obs))
+        .agg(max(col("obs_ppm")).as("observed_diff_ppm"),
+          sum(when(col("diff_ppm") >= col("obs_ppm"), 1L).otherwise(0L))
+            .as("n_ge"))
+        .select(col("observed_diff_ppm"), col("n_ge"),
+          expr(s"(1 + n_ge) * 1000 div ${PERM_B + 1}").as("p_milli"))
     },
 
     // ── two-feature OLS via exact-integer normal equations ─────────────
@@ -473,6 +519,29 @@ object Experiments {
          |      * (10000 - p_bp) // (100 * mde_bp * mde_bp) AS BIGINT)
          |  END AS n_per_arm
          |FROM mde, p""".stripMargin
+    },
+
+    "q_permutation_test" -> {
+      val arm = Dedup.hash32Sql(PERM_SEED, "concat_ws('|', b, user_id)")
+      s"""WITH users AS (SELECT user_id,
+         |    count(*) AS conv
+         |  FROM events GROUP BY 1),
+         |reps AS (SELECT unnest(range(0, ${PERM_B + 1})) AS b),
+         |arms AS (SELECT b, ($arm) % 2 AS arm, count(*) AS n,
+         |    sum(conv) AS k
+         |  FROM users CROSS JOIN reps GROUP BY 1, 2),
+         |diffs AS (SELECT b,
+         |    abs(max(CASE WHEN arm = 0 THEN k * 1000000 // n END)
+         |      - max(CASE WHEN arm = 1 THEN k * 1000000 // n END))
+         |      AS diff_ppm
+         |  FROM arms GROUP BY 1),
+         |obs AS (SELECT diff_ppm AS obs_ppm FROM diffs WHERE b = 0)
+         |SELECT CAST(max(obs_ppm) AS BIGINT) AS observed_diff_ppm,
+         |  CAST(sum(CASE WHEN diff_ppm >= obs_ppm THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_ge,
+         |  CAST((1 + sum(CASE WHEN diff_ppm >= obs_ppm THEN 1 ELSE 0 END))
+         |    * 1000 // ${PERM_B + 1} AS BIGINT) AS p_milli
+         |FROM diffs, obs WHERE b > 0""".stripMargin
     },
 
     "q_bootstrap_ci" -> {
