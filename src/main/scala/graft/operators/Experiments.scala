@@ -234,13 +234,24 @@ object Experiments {
     // 32-row table.
     "q_bootstrap_ci" -> { (s, dir) =>
       val reps = s.range(0, BOOT_B).select(col("id").as("b"))
+      // ONE md5 per row, then B affine sub-streams mod P (the MinHash
+      // one-base-hash trick) — hashing 33× per row was the measured
+      // 10 s hot spot; per-b coefficients ride broadcast array literals
+      val aArr = array((0 until BOOT_B).map(i =>
+        lit(Dedup.affineA(i))): _*)
+      val bArr = array((0 until BOOT_B).map(i =>
+        lit(Dedup.affineB(i))): _*)
       val rows = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"),
           expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
             .as("cents"))
+        .withColumn("h", Dedup.hash32(BOOT_SEED,
+          col("o_orderkey").cast("string")) % Dedup.P)
         .crossJoin(broadcast(reps))
-        .withColumn("u", Dedup.hash32(BOOT_SEED,
-          concat_ws("|", col("b"), col("o_orderkey"))) % 1000000)
+        .withColumn("u",
+          (element_at(aArr, (col("b") + 1).cast("int")) * col("h") +
+            element_at(bArr, (col("b") + 1).cast("int")))
+            % Dedup.P % 1000000)
         .withColumn("w", expr(POISSON_W_SQL))
         .filter(col("w") > 0)
       val means = rows.groupBy(col("b"))
@@ -545,12 +556,18 @@ object Experiments {
     },
 
     "q_bootstrap_ci" -> {
-      val u = Dedup.hash32Sql(BOOT_SEED, "concat_ws('|', b, o_orderkey)")
+      val h = Dedup.hash32Sql(BOOT_SEED, "CAST(o_orderkey AS VARCHAR)")
+      val as = (0 until BOOT_B).map(Dedup.affineA).mkString(", ")
+      val bs = (0 until BOOT_B).map(Dedup.affineB).mkString(", ")
       s"""WITH reps AS (SELECT unnest(range(0, $BOOT_B)) AS b),
-         |base AS (SELECT o_orderkey,
-         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         |base AS (SELECT
+         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         |    ($h) % ${Dedup.P} AS h
          |  FROM orders),
-         |fan AS (SELECT b, cents, ($u) % 1000000 AS u
+         |fan AS (SELECT b, cents,
+         |    (([$as])[CAST(b + 1 AS INT)] * h
+         |      + ([$bs])[CAST(b + 1 AS INT)])
+         |      % ${Dedup.P} % 1000000 AS u
          |  FROM base CROSS JOIN reps),
          |wtd AS (SELECT b, cents, $POISSON_W_SQL AS w FROM fan),
          |means AS (SELECT b,
