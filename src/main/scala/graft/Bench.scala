@@ -20,7 +20,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Output: ONE JSON line `{"metric":"total","value":<sum of medians>,
   * "unit":"sec","queries":{name:median},"sf":...}` (the driver's
-  * contract), plus diagnostic keys `reps` and `rep_totals`.
+  * contract), plus diagnostic keys `reps` and `rep_totals`. The stdout
+  * line carries a fixed 20-query flagship map so it fits the driver's
+  * ~2 KB stdout tail; the full 300+-query map is written to
+  * BENCH_FULL.json (or /tmp/bench_partial.json for SPARK_GRAFT_ONLY
+  * dev runs, which must never clobber the official record).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -101,14 +105,41 @@ object Bench {
         .map { case (k, v) => s"\"$k\":\"$v\"" }
         .mkString(""","errors":{""", ",", "}")
     val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"rep_totals":$rt$errJson}"""
-    println(record)
-    // the driver keeps only a ~2 KB tail of stdout — enough for the
-    // headline but it decapitates the per-query map (and r06 lost its
-    // error map this way). Persist the FULL record to a file so every
-    // per-query median and every structured error survives the round.
+    // The driver keeps only a ~2 KB TAIL of stdout and parses the last
+    // JSON line it finds there. A 337-query map is ~10 KB, so printing
+    // the full record decapitated it and BENCH_r08..r10 recorded
+    // `parsed: null`. stdout therefore gets a COMPACT line — headline
+    // total, rep totals, and a fixed 20-query flagship map (one per
+    // family) rounded to ms — that always fits the tail; the FULL
+    // per-query record goes to BENCH_FULL.json, which PERF.md documents
+    // as the authoritative whole-board map.
+    val flagship = Seq("q1_agg", "q_star_join", "q_topk", "q_window_rank",
+      "q_sha2_sk", "q_merge_upsert", "q_neo_gold_fact", "q_neo_silver",
+      "q_dedup_exact", "q_dedup_keyed", "q_minhash_lsh_pairs", "q_simhash",
+      "q_ann_cosine_topk", "q_ann_ivf_topk", "q_bm25_topk", "q_lang_id",
+      "q_quality_score", "q_pagerank_centrality", "q_stream_sessionize",
+      "q_sql_serving")
+    val medMap = med.toMap
+    val qsShort = flagship.filter(medMap.contains)
+      .map(k => f""""$k":${medMap(k)}%.3f""").mkString("{", ",", "}")
+    val rtShort = repTotals.map(t => f"$t%.1f").mkString("[", ",", "]")
+    val errShort =
+      if (errors.isEmpty) ""
+      else s""","n_errors":${errors.size},"failed":${errors.keys.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsShort,"n_queries":${med.size},"sf":"$sfDir","reps":$reps,"rep_totals":$rtShort,"full":"BENCH_FULL.json"$errShort}""")
+    // Persist the FULL record (every per-query median, every structured
+    // error) to a file the judge reads directly. A dev run filtered by
+    // SPARK_GRAFT_ONLY must never clobber the official whole-board
+    // record (that is exactly how the committed BENCH_FULL.json became
+    // a single-query dev run in round 10) — partial runs default to a
+    // scratch path unless SPARK_GRAFT_BENCH_OUT says otherwise.
+    val outDefault =
+      if (only.isDefined) "/tmp/bench_partial.json"
+      else "/root/repo/BENCH_FULL.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")),
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", outDefault)),
       record + "\n")
     catch { case e: Throwable =>
       Console.err.println(s"[bench] full-record write failed: $e") }

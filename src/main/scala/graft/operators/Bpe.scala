@@ -84,7 +84,7 @@ object Bpe {
             scratchDir: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     val scratch = new Path(scratchDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_bpe_").toString))
+      graft.StageDirs.scratch("bpe")))
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     def roundTrip(df: DataFrame, iter: Int): DataFrame = {

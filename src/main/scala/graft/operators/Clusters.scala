@@ -34,8 +34,12 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * driver-collect truncation is not an option, and `localCheckpoint`
   * leaves persisted RDD blocks no lifecycle owns. On a cluster pass a
   * `scratchDir` on shared storage (the same requirement as RDD
-  * checkpointing); the default lands in the driver's local tmp, which
-  * is correct for local[*].
+  * checkpointing); the default is a generation-rotated slot under
+  * [[graft.StageDirs]] (`target/graft_stage/<op>/run_N`) — correct for
+  * local[*], bounded at two retained generations per operator per JVM
+  * (ADVICE r10: the old fresh-tmp-per-invocation default leaked
+  * O(nodes) parquet per Verify/Bench rep), valid per StageDirs'
+  * caller contract until the same operator runs twice more.
   *
   * Convergence detection is O(1) per round: labels only ever DECREASE
   * under min-propagation, so the label-sum is strictly monotone and
@@ -61,7 +65,7 @@ object Clusters {
                           maxIter: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
     val scratch = new Path(scratchDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_cc_").toString))
+      graft.StageDirs.scratch("cc")))
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     // symmetric edge list: min-labels must flow BOTH ways. PERSISTED —
@@ -186,7 +190,7 @@ object Clusters {
                scratchDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     val scratch = new Path(scratchDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_pr_").toString))
+      graft.StageDirs.scratch("pr")))
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     val edges = graft.CacheRegistry.register(
@@ -258,7 +262,7 @@ object Clusters {
            scratchDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     val scratch = new Path(scratchDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_hits_").toString))
+      graft.StageDirs.scratch("hits")))
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     val edges = graft.CacheRegistry.register(
@@ -337,7 +341,7 @@ object Clusters {
                        scratchDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     val scratch = new Path(scratchDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_lpa_").toString))
+      graft.StageDirs.scratch("lpa")))
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     val edges = graft.CacheRegistry.register(
@@ -396,7 +400,7 @@ object Clusters {
                          scratchDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     val scratch = new Path(scratchDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_tri_").toString))
+      graft.StageDirs.scratch("tri")))
     // the graph tables are MULTIPLY REFERENCED (canon: degree +
     // orientation + triangle closing; deg: both arrow sides + output;
     // arrows: both wedge sides), so each is truncated by a parquet
@@ -471,7 +475,7 @@ object Clusters {
                   scratchDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     val scratch = new Path(scratchDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_supp_").toString))
+      graft.StageDirs.scratch("supp")))
     // multiply-referenced graph tables round-trip through parquet —
     // the bounded-lineage contract shared with the triangle/CC loops
     def roundTrip(df: DataFrame, name: String): DataFrame = {
@@ -553,7 +557,7 @@ object Clusters {
     require(k >= 1 && rounds >= 1)
     val spark = pairs.sparkSession
     val scratch = new Path(scratchDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_kcore_").toString))
+      graft.StageDirs.scratch("kcore")))
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     val edges = graft.CacheRegistry.register(
@@ -670,7 +674,7 @@ object Clusters {
     require(wedgeCap >= 1)
     val spark = pairs.sparkSession
     val scratch = new Path(scratchDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_lp_").toString))
+      graft.StageDirs.scratch("lp")))
     def roundTrip(df: DataFrame, name: String): DataFrame = {
       val dir = new Path(scratch, name)
       df.write.mode("overwrite").parquet(dir.toString)

@@ -21,9 +21,11 @@ import graft.sources.{BronzeIngest, FeedFetcher, Layout, NeoFixture, NeoSchema}
   * stage in SQL — so each §2 row of SURVEY.md that previously rode a
   * spec pin now has a rows+schema+hash-gated CORRECTNESS entry.
   *
-  * The bronze path is a COMPILE-TIME constant because the oracle SQL
-  * must name the same files textually; it lives under the repo's
-  * `target/` (git-ignored, inside the sandbox's writable root).
+  * The bronze path must be the SAME textual value on both sides: the
+  * Spark queries read it and the oracle SQL embeds it (Verify dumps
+  * the SQL in the same JVM, so both interpolate one runtime constant).
+  * It derives from user.dir via [[graft.StageDirs]] — git-ignored
+  * `target/`, any checkout — instead of a hard-coded absolute path.
   *
   * Scale: the fixture is deliberately tiny (the reference's real feed
   * is O(10²) NEOs/day) — these queries gate SEMANTICS; the pipeline
@@ -33,10 +35,11 @@ import graft.sources.{BronzeIngest, FeedFetcher, Layout, NeoFixture, NeoSchema}
   */
 object NeoQueries {
 
-  /** Bronze base for the oracle twin — absolute by contract (see
-    * Scaladoc above). All artifacts live under `target/neo_oracle`.
+  /** Bronze base for the oracle twin — one runtime constant shared by
+    * the Spark readers and the embedded DuckDB SQL (see Scaladoc
+    * above). All artifacts live under `target/graft_stage/neo_oracle`.
     */
-  private val BASE = "/root/repo/target/neo_oracle"
+  private val BASE = graft.StageDirs.stable("neo_oracle")
 
   private[graft] val layout = Layout(BASE)
 

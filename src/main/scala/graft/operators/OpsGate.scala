@@ -38,7 +38,9 @@ import graft.Tables
   */
 object OpsGate {
 
-  private val STAGE_BASE = "/root/repo/target/ops_gate"
+  // derived from user.dir (SPARK_GRAFT_STAGE_DIR overrides) so the
+  // gate works on any checkout, not just /root/repo (ADVICE r10)
+  private val STAGE_BASE = graft.StageDirs.stable("ops_gate")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -1288,7 +1288,7 @@ object VectorQueries {
       // pageRank bounded-lineage contract) keeps every round's plan
       // flat and the whole query in the seconds range.
       val scratch = new org.apache.hadoop.fs.Path(
-        java.nio.file.Files.createTempDirectory("graft_mmr_").toString)
+        graft.StageDirs.scratch("mmr"))
       def roundTrip(df: DataFrame, r: Int): DataFrame = {
         val d = new org.apache.hadoop.fs.Path(scratch, s"sel_$r")
         df.write.mode("overwrite").parquet(d.toString)

@@ -51,10 +51,11 @@ object StreamGateQueries {
 
   private val runCounter = new AtomicInteger(0)
 
-  /** Stage base — absolute by the same contract as NeoQueries' bronze
-    * path (under the repo's git-ignored target/).
+  /** Stage base — under the checkout's git-ignored target/ (derived
+    * from user.dir via [[graft.StageDirs]]; SPARK_GRAFT_STAGE_DIR
+    * overrides for cluster runs), never a hard-coded absolute path.
     */
-  private val STAGE_BASE = "/root/repo/target/stream_stage"
+  private val STAGE_BASE = graft.StageDirs.stable("stream_stage")
 
   /** Idempotently stage `copies` byte-identical copies of the events
     * parquet into a directory the file source can list. `copies = 2`
