@@ -46,6 +46,9 @@ object SparkEntry {
       operators.Sketches.queries ++
       operators.Features.queries ++
       operators.OpsGate.queries ++
+      operators.CountMin.queries ++
+      operators.Calibration.queries ++
+      operators.ZOrder.queries ++
       streaming.StreamGateQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -72,5 +75,8 @@ object SparkEntry {
       operators.Sketches.oracle ++
       operators.Features.oracle ++
       operators.OpsGate.oracle ++
+      operators.CountMin.oracle ++
+      operators.Calibration.oracle ++
+      operators.ZOrder.oracle ++
       streaming.StreamGateQueries.oracle
 }

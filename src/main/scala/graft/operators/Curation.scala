@@ -59,6 +59,8 @@ object Curation {
   private val N_FOLDS = 5              // q_crossfold k-fold count
   private val LF_LO_PCT = 5            // q_length_filter lower cutoff percentile
   private val LF_HI_PCT = 95           // q_length_filter upper cutoff percentile
+  private val DUPSAMP_SEED = 41        // q_dup_aware_sample acceptance hash
+  private val DUPSAMP_MOD = 1000000    // q_dup_aware_sample hash range (ppm)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -299,6 +301,40 @@ object Curation {
         .withColumn("split", splitLabel(col("doc_id")))
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n"))
+    },
+
+    // ── duplication-aware sampling: expected one survivor per cluster ──
+    // Uniform sampling OVER-represents duplicated content in exact
+    // proportion to its copy count — the classic pretraining-mix bug.
+    // Cluster-uniform correction: keep doc iff h_ppm · |cluster| < 10⁶
+    // with h_ppm a per-doc acceptance hash, i.e. P(keep) ≈ 1/|cluster|
+    // — every exact-dup cluster contributes ~1 expected survivor no
+    // matter how many copies exist, WITHOUT electing a canonical member
+    // (no per-cluster argmin, no window). The per-source readout is the
+    // audit: n_kept tracking n_clusters (not n_docs) is the success
+    // signature.
+    //
+    // Scale: one fingerprint census + one fp-keyed fact-fact join (the
+    // cluster-size attach CANNOT broadcast — the fingerprint table is
+    // corpus-sized) + one source-keyed aggregate. The distinct-fp count
+    // per source rides the same aggregate via count(distinct) over the
+    // already fp-keyed rows.
+    "q_dup_aware_sample" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      val sz = d.groupBy(col("fp")).agg(count(lit(1)).as("fsz"))
+      d.join(sz, Seq("fp"))
+        .withColumn("h",
+          Dedup.hash32(DUPSAMP_SEED, col("doc_id").cast("string"))
+            % DUPSAMP_MOD)
+        .withColumn("keep",
+          when(col("h") * col("fsz") < lit(DUPSAMP_MOD.toLong), 1L)
+            .otherwise(0L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_clusters"),
+          sum(col("keep")).as("n_kept"))
     },
 
     // ── stratified sample: K docs per language, hash-ranked ─────────────
@@ -1024,6 +1060,21 @@ object Curation {
        |FROM a""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dup_aware_sample" ->
+      s"""WITH fpt AS (SELECT doc_id, source,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |sz AS (SELECT fp, count(*) AS fsz FROM fpt GROUP BY 1),
+         |k AS (SELECT f.source, f.fp,
+         |    CASE WHEN (${Dedup.hash32Sql(DUPSAMP_SEED,
+             "CAST(f.doc_id AS VARCHAR)")} % $DUPSAMP_MOD)
+         |      * sz.fsz < $DUPSAMP_MOD THEN 1 ELSE 0 END AS keep
+         |  FROM fpt f JOIN sz ON sz.fp = f.fp)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_clusters,
+         |  CAST(sum(keep) AS BIGINT) AS n_kept
+         |FROM k GROUP BY 1""".stripMargin,
+
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE $bucketSql < $SAMPLE_PCT""".stripMargin,

@@ -48,6 +48,9 @@ class ContractSpec extends AnyFunSuite {
       "sketches" -> Sketches.queries.keySet,
       "features" -> Features.queries.keySet,
       "ops_gate" -> OpsGate.queries.keySet,
+      "countmin" -> CountMin.queries.keySet,
+      "calibration" -> Calibration.queries.keySet,
+      "zorder" -> ZOrder.queries.keySet,
       "stream_gate" -> graft.streaming.StreamGateQueries.queries.keySet)
     val perModule = modules.map(_._2.size).sum
     assert(SparkEntry.queries.size === perModule,

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Calibration, CountMin, Curation, ZOrder}
+
+/** Semantic invariants of the round-11 sketch/evaluation tier —
+  * the guarantees the operators CLAIM, asserted on real testdata
+  * (the hash gate proves engine agreement; these prove the math).
+  */
+class SketchEvalSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("q_cms_estimate: CMS point estimates are one-sided (est ≥ exact)") {
+    val rows = CountMin.queries("q_cms_estimate")(spark, sf).collect()
+    assert(rows.length === CountMin.PROBE_K)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_count")
+      val est = r.getAs[Long]("est_count")
+      assert(est >= exact, s"CMS undercount at ${r.getAs[String]("token")}")
+      assert(r.getAs[Long]("overcount") === est - exact)
+    }
+  }
+
+  test("q_cms_join_size: inner-product estimate is one-sided and close") {
+    val r = CountMin.queries("q_cms_join_size")(spark, sf).collect()(0)
+    val exact = r.getAs[Long]("exact_pairs")
+    val est = r.getAs[Long]("est_pairs")
+    assert(est >= exact, "CMS join-size undercount")
+    // width 1024 over ~1e4 users: collisions stay a bounded fraction
+    assert(r.getAs[Long]("over_ppm") < 500000L,
+      s"join-size overcount above 50 %: ${r.getAs[Long]("over_ppm")} ppm")
+  }
+
+  test("q_calibration_ece: bins partition the corpus; ECE is the " +
+    "n-weighted mean gap") {
+    val rows = Calibration.queries("q_calibration_ece")(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum === nDocs)
+    val ece = rows.head.getAs[Long]("ece_pm")
+    assert(rows.forall(_.getAs[Long]("ece_pm") === ece))
+    // recompute from per-bin untruncated components: Σ n·gap within
+    // one truncation of ece·N (per-bin gap_pm is itself truncated)
+    val approx = rows.map(r => r.getAs[Long]("n") * r.getAs[Long]("gap_pm"))
+      .sum
+    assert(approx <= ece * nDocs + nDocs &&
+      approx >= (ece - 1) * nDocs - nDocs)
+  }
+
+  test("q_conformal_coverage: held-out coverage honors the 1−α target") {
+    val r = Calibration.queries("q_conformal_coverage")(spark, sf)
+      .collect()(0)
+    assert(r.getAs[Long]("n_cal") > 0 && r.getAs[Long]("n_test") > 0)
+    // marginal guarantee is ≥ 900000 in expectation; the realized
+    // coverage on this fixed split sits above 850000 with margin
+    assert(r.getAs[Long]("coverage_ppm") >= 850000L,
+      s"coverage ${r.getAs[Long]("coverage_ppm")} ppm below target band")
+  }
+
+  test("q_dup_aware_sample: singleton clusters always survive; kept " +
+    "never exceeds docs") {
+    val rows = Curation.queries("q_dup_aware_sample")(spark, sf).collect()
+    rows.foreach { r =>
+      val (docs, clusters, kept) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_clusters"), r.getAs[Long]("n_kept"))
+      assert(kept <= docs)
+      if (clusters === docs) assert(kept === docs,
+        s"dropped a singleton in ${r.getAs[String]("source")}")
+    }
+  }
+
+  test("q_zone_pruning: the z-layout prunes strictly better than " +
+    "insertion order") {
+    val rows = ZOrder.queries("q_zone_pruning")(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") ->
+        r.getAs[Long]("scanned_share_bp")).toMap
+    assert(rows("zorder") < rows("linear"),
+      s"z-order share ${rows("zorder")} !< linear ${rows("linear")}")
+    // the point of the layout: an order-of-magnitude, not a shave
+    assert(rows("zorder") * 10 <= rows("linear"))
+  }
+
+  test("q_cms_estimate: probes ride TakeOrdered, sketch plan is " +
+    "window-free") {
+    val plan = CountMin.queries("q_cms_estimate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+  }
+}
