@@ -125,6 +125,54 @@ object Calibration {
             .as("n_covered"))
         .withColumn("coverage_ppm",
           expr("n_covered * 1000000 div n_test"))
+    },
+
+    // ── Mondrian (group-conditional) conformal, per language ───────────
+    // Marginal coverage can hide a language whose scores are
+    // systematically worse — the guarantee a multilingual corpus owner
+    // actually wants is PER-GROUP. Mondrian conformal runs the same
+    // finite-sample quantile rule inside each language: per-lang
+    // threshold from the lang's own calibration histogram (windows over
+    // |langs| × |distinct scores| rows — bounded), per-lang coverage on
+    // the test split. Small languages hit the rank > n_cal ⇒ +∞
+    // convention naturally; the q_conformal_coverage CASE carries over
+    // per group.
+    //
+    // Scale: one corpus-sized pass per split; thresholds are a
+    // |langs|-row broadcast.
+    "q_conformal_group" -> { (s, dir) =>
+      val scored = docs(s, dir).select(col("lang"),
+        Curation.splitLabel(col("doc_id")).as("split"),
+        (lit(1000L) - TextFunctions.qualityScore(col("text"))
+          .cast("long") * 10L).as("nc"))
+      val calHist = scored.filter(col("split") === "valid")
+        .groupBy(col("lang"), col("nc")).agg(count(lit(1)).as("c"))
+      val nCal = calHist.groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_cal"))
+      val wCum = Window.partitionBy(col("lang")).orderBy(col("nc"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val thr = calHist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .join(broadcast(nCal), Seq("lang"))
+        .withColumn("rank", expr(
+          s"((n_cal + 1) * ${ALPHA_INV - 1} + ${ALPHA_INV - 1})" +
+            s" div $ALPHA_INV"))
+        .groupBy(col("lang"))
+        .agg(max(col("n_cal")).as("n_cal"), max(col("rank")).as("rank"),
+          min(when(col("cum") >= col("rank"), col("nc")))
+            .as("threshold"))
+      scored.filter(col("split") === "test")
+        .join(broadcast(thr), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(max(col("n_cal")).as("n_cal"),
+          max(when(col("rank") <= col("n_cal"), col("threshold")))
+            .as("threshold"),
+          count(lit(1)).as("n_test"),
+          sum(when(col("rank") > col("n_cal"), 1L)
+            .when(col("nc") <= col("threshold"), 1L).otherwise(0L))
+            .as("n_covered"))
+        .withColumn("coverage_ppm",
+          expr("n_covered * 1000000 div n_test"))
     })
 
   private def fpCte =
@@ -184,5 +232,40 @@ object Calibration {
          |           WHEN sc.nc <= t.threshold THEN 1 ELSE 0 END)
          |    * 1000000 // count(*) AS BIGINT) AS coverage_ppm
          |FROM sc, t WHERE sc.split = 'test'
-         |GROUP BY t.n_cal, t.rank, t.threshold""".stripMargin)
+         |GROUP BY t.n_cal, t.rank, t.threshold""".stripMargin,
+
+    "q_conformal_group" ->
+      s"""WITH ${TextQueries.qualityCtes},
+         |sc AS (SELECT d.lang, CASE
+         |      WHEN ${Curation.bucketSqlFor("d.doc_id")} < 80 THEN 'train'
+         |      WHEN ${Curation.bucketSqlFor("d.doc_id")} < 90 THEN 'valid'
+         |      ELSE 'test' END AS split,
+         |    1000 - CAST(qv.quality AS BIGINT) * 10 AS nc
+         |  FROM documents d JOIN qv ON qv.doc_id = d.doc_id),
+         |hist AS (SELECT lang, nc, count(*) AS c FROM sc
+         |  WHERE split = 'valid' GROUP BY 1, 2),
+         |n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_cal
+         |  FROM hist GROUP BY 1),
+         |cum AS (SELECT lang, nc, sum(c) OVER (PARTITION BY lang
+         |    ORDER BY nc ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    CURRENT ROW) AS cum
+         |  FROM hist),
+         |t AS (SELECT n.lang, n.n_cal,
+         |    ((n.n_cal + 1) * ${ALPHA_INV - 1} + ${ALPHA_INV - 1})
+         |      // $ALPHA_INV AS rank,
+         |    min(CASE WHEN cum.cum >= ((n.n_cal + 1)
+         |        * ${ALPHA_INV - 1} + ${ALPHA_INV - 1}) // $ALPHA_INV
+         |      THEN cum.nc END) AS threshold
+         |  FROM n JOIN cum ON cum.lang = n.lang GROUP BY 1, 2, 3)
+         |SELECT sc.lang, t.n_cal,
+         |  CASE WHEN t.rank <= t.n_cal THEN t.threshold END AS threshold,
+         |  count(*) AS n_test,
+         |  CAST(sum(CASE WHEN t.rank > t.n_cal THEN 1
+         |           WHEN sc.nc <= t.threshold THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_covered,
+         |  CAST(sum(CASE WHEN t.rank > t.n_cal THEN 1
+         |           WHEN sc.nc <= t.threshold THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*) AS BIGINT) AS coverage_ppm
+         |FROM sc JOIN t ON t.lang = sc.lang WHERE sc.split = 'test'
+         |GROUP BY sc.lang, t.n_cal, t.rank, t.threshold""".stripMargin)
 }

@@ -59,8 +59,10 @@ object CountMin {
 
   /** (d, cell) pairs of `key` across all DEPTH rows, as an exploded
     * struct column — static unroll so the whole projection codegens.
+    * `private[graft]`: the streaming twin (q_stream_cms) binds to THE
+    * same cell family so the incremental sketch is byte-identical.
     */
-  private def cellsExploded(key: Column, w: Int): Column =
+  private[graft] def cellsExploded(key: Column, w: Int): Column =
     explode(array((0 until DEPTH).map { d =>
       struct(lit(d).as("d"), cell(d, key, w).as("cell"))
     }: _*))

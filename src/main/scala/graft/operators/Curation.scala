@@ -337,6 +337,40 @@ object Curation {
           sum(col("keep")).as("n_kept"))
     },
 
+    // ── Horvitz–Thompson reweighting audit of the dup-aware sample ─────
+    // The sample q_dup_aware_sample keeps is only USABLE for corpus
+    // statistics if inverse-inclusion-probability weights recover them:
+    // the exact inclusion probability of a doc in a size-fsz cluster is
+    // p = ⌈10⁶/fsz⌉/10⁶ (the acceptance-hash rule made exact), so the
+    // HT estimate of total chars is Σ_kept n_chars·10⁶ div ⌈10⁶/fsz⌉ —
+    // all integer, truncating on non-negative operands. err_bp is the
+    // realized estimator error; on an all-singleton corpus p = 1 and
+    // the estimate is EXACT (pinned by spec).
+    //
+    // Scale: same shape as q_dup_aware_sample (fp census + fp-keyed
+    // size attach + one fold) — the audit costs what the sample costs.
+    "q_ht_estimate" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      val sz = d.groupBy(col("fp")).agg(count(lit(1)).as("fsz"))
+      d.join(sz, Seq("fp"))
+        .withColumn("h",
+          Dedup.hash32(DUPSAMP_SEED, col("doc_id").cast("string"))
+            % DUPSAMP_MOD)
+        .withColumn("kept",
+          col("h") * col("fsz") < lit(DUPSAMP_MOD.toLong))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_chars")).as("exact_chars"),
+          sum(when(col("kept"),
+            expr(s"n_chars * ${DUPSAMP_MOD.toLong}" +
+              s" div (($DUPSAMP_MOD + fsz - 1) div fsz)"))
+            .otherwise(0L)).as("est_chars"))
+        .withColumn("err_bp", expr(
+          "abs(est_chars - exact_chars) * 10000 div exact_chars"))
+    },
+
     // ── stratified sample: K docs per language, hash-ranked ─────────────
     // bounded_topk per stratum, NOT a window: a window partitioned by
     // the handful of languages would funnel every row into a few tasks,
@@ -1074,6 +1108,28 @@ object Curation {
          |  CAST(count(DISTINCT fp) AS BIGINT) AS n_clusters,
          |  CAST(sum(keep) AS BIGINT) AS n_kept
          |FROM k GROUP BY 1""".stripMargin,
+
+    "q_ht_estimate" ->
+      s"""WITH fpt AS (SELECT doc_id, n_chars,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |sz AS (SELECT fp, count(*) AS fsz FROM fpt GROUP BY 1),
+         |k AS (SELECT f.n_chars, sz.fsz,
+         |    CASE WHEN (${Dedup.hash32Sql(DUPSAMP_SEED,
+             "CAST(f.doc_id AS VARCHAR)")} % $DUPSAMP_MOD)
+         |      * sz.fsz < $DUPSAMP_MOD THEN 1 ELSE 0 END AS kept
+         |  FROM fpt f JOIN sz ON sz.fp = f.fp),
+         |a AS (SELECT count(*) AS n_docs,
+         |    CAST(sum(kept) AS BIGINT) AS n_kept,
+         |    CAST(sum(n_chars) AS BIGINT) AS exact_chars,
+         |    CAST(sum(CASE WHEN kept = 1 THEN n_chars * $DUPSAMP_MOD
+         |      // (($DUPSAMP_MOD + fsz - 1) // fsz) ELSE 0 END)
+         |      AS BIGINT) AS est_chars
+         |  FROM k)
+         |SELECT n_docs, n_kept, exact_chars, est_chars,
+         |  CAST(abs(est_chars - exact_chars) * 10000 // exact_chars
+         |    AS BIGINT) AS err_bp
+         |FROM a""".stripMargin,
 
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, n_chars FROM documents

@@ -549,6 +549,31 @@ object StreamGateQueries {
           .as("est_distinct"))
     },
 
+    // ── Count-Min sketch as STREAMING state (complete mode) ────────────
+    // The CMS cells are plain counts, so the incremental sketch is a
+    // streaming groupBy over the SAME md5 cell family q_cms_join_size
+    // builds batch-side (each event adds 1 to its user's DEPTH cells —
+    // identical to weighting users by their event counts, so the
+    // drained cell table IS the batch sketch). Emitted reduced per
+    // depth: cell census, total mass (= event count, every depth), and
+    // the self-join inner-product estimate read off streaming state —
+    // the q_cms_join_size estimator maintained incrementally. State is
+    // ≤ DEPTH·JOIN_WIDTH rows forever, whatever the stream length.
+    "q_stream_cms" -> { (s, dir) =>
+      import graft.operators.CountMin
+      val cells = runToTableComplete(s,
+        eventsStream(s, dir)
+          .select(CountMin.cellsExploded(
+            col("user_id").cast("string"), CountMin.JOIN_WIDTH).as("dc"))
+          .groupBy(col("dc.d").as("d"), col("dc.cell").as("cell"))
+          .agg(count(lit(1)).as("c")))
+      cells.groupBy(col("d").cast("long").as("d"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("c")).as("n_events"),
+          expr("CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT)")
+            .as("ip_est"))
+    },
+
     // ── incremental Pareto skyline over a DOCUMENT stream ──────────────
     // The curation trade-off surface maintained as monotone keyed
     // state: quality/token signals derive on the stream with the SAME
@@ -726,6 +751,19 @@ object StreamGateQueries {
          |      // max(CASE WHEN rn = $KMV_K THEN h END)
          |    ELSE CAST(max(n_distinct) AS BIGINT) END AS est_distinct
          |FROM r GROUP BY 1""".stripMargin
+    },
+
+    "q_stream_cms" -> {
+      import graft.operators.CountMin
+      s"""WITH cells AS (SELECT d,
+         |    ${CountMin.cellSql("d", "CAST(user_id AS VARCHAR)",
+               CountMin.JOIN_WIDTH)} AS cell
+         |  FROM events, unnest(range(0, ${CountMin.DEPTH})) AS dd(d)),
+         |sk AS (SELECT d, cell, count(*) AS c FROM cells GROUP BY 1, 2)
+         |SELECT d, count(*) AS n_cells,
+         |  CAST(sum(c) AS BIGINT) AS n_events,
+         |  CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS ip_est
+         |FROM sk GROUP BY 1""".stripMargin
     },
 
     "q_stream_sessionize" ->

@@ -81,6 +81,43 @@ class SketchEvalSpec extends AnyFunSuite with SparkSpec {
     assert(rows("zorder") * 10 <= rows("linear"))
   }
 
+  test("q_ht_estimate: HT reweighting is EXACT on an all-singleton " +
+    "corpus") {
+    val r = Curation.queries("q_ht_estimate")(spark, sf).collect()(0)
+    // sf0.01 has no exact dups (all inclusion probs = 1): the
+    // Horvitz–Thompson estimate must equal the corpus total exactly
+    if (r.getAs[Long]("n_kept") === r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("err_bp") === 0L,
+        s"HT err ${r.getAs[Long]("err_bp")} bp on a fully-kept corpus")
+    assert(r.getAs[Long]("est_chars") >= 0L)
+  }
+
+  test("q_conformal_group: +∞-threshold groups are fully covered; " +
+    "quantile groups honor the band") {
+    val rows = Calibration.queries("q_conformal_group")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (r.isNullAt(r.fieldIndex("threshold")))
+        assert(r.getAs[Long]("coverage_ppm") === 1000000L,
+          s"${r.getAs[String]("lang")}: +∞ threshold must cover all")
+      else
+        assert(r.getAs[Long]("coverage_ppm") >= 800000L,
+          s"${r.getAs[String]("lang")}: group coverage below band")
+    }
+  }
+
+  test("q_stream_cms: the incremental sketch's inner-product estimate " +
+    "equals the batch q_cms_join_size estimate") {
+    import graft.streaming.StreamGateQueries
+    val streamIp = StreamGateQueries.queries("q_stream_cms")(spark, sf)
+      .collect().map(_.getAs[Long]("ip_est")).min
+    val batchEst = CountMin.queries("q_cms_join_size")(spark, sf)
+      .collect()(0).getAs[Long]("est_pairs")
+    assert(streamIp === batchEst,
+      s"incremental CMS $streamIp != batch $batchEst")
+  }
+
   test("q_cms_estimate: probes ride TakeOrdered, sketch plan is " +
     "window-free") {
     val plan = CountMin.queries("q_cms_estimate")(spark, sf)
