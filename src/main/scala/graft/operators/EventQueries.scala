@@ -152,6 +152,44 @@ object EventQueries {
     },
 
     // ── as-of join: each event matched to the user's most recent order
+    // ── temporal train/test split with embargo (leakage audit) ─────────
+    // Time-based evaluation needs events split at a cutoff WITH an
+    // embargo band (De Prado's purged split): train = first 70 % of the
+    // observed time span, test = after cutoff + 5 % embargo, the band
+    // between is DROPPED so boundary-straddling behavior can't leak
+    // label information across the split. The leakage readout is the
+    // user overlap: users active on BOTH sides are where temporal
+    // generalization claims break (their test rows are near-future
+    // continuations of their train rows) — leak_ppm is the number an
+    // eval-set owner reads before claiming out-of-time performance.
+    //
+    // Scale: one min/max fold (broadcast back), one user-keyed
+    // conditional aggregate, one final fold. Span-relative cutoffs make
+    // the query SF-free; everything integer ms.
+    "q_embargo_split" -> { (s, dir) =>
+      val e = loadEvents(s, dir).select(col("user_id"), col("ms"))
+      val mm = e.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+      val per = e.crossJoin(broadcast(mm))
+        .withColumn("t_cut", expr("lo + (hi - lo) * 7 div 10"))
+        .withColumn("t_test", expr("lo + (hi - lo) * 15 div 20"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ms") < col("t_cut"), 1L).otherwise(0L))
+          .as("n_tr"),
+          sum(when(col("ms") >= col("t_test"), 1L).otherwise(0L))
+            .as("n_te"),
+          count(lit(1)).as("n"))
+      per.agg(count(lit(1)).as("n_users"),
+        sum(col("n_tr")).as("n_train_events"),
+        sum(col("n") - col("n_tr") - col("n_te")).as("n_embargo_events"),
+        sum(col("n_te")).as("n_test_events"),
+        sum(when(col("n_tr") > 0, 1L).otherwise(0L)).as("n_train_users"),
+        sum(when(col("n_te") > 0, 1L).otherwise(0L)).as("n_test_users"),
+        sum(when(col("n_tr") > 0 && col("n_te") > 0, 1L).otherwise(0L))
+          .as("n_leaky_users"))
+        .withColumn("leak_ppm",
+          expr("n_leaky_users * 1000000 div n_users"))
+    },
+
     // at-or-before the event timestamp. Spark has no native ASOF JOIN;
     // the scalable shape is the UNION-AND-CARRY trick: tag both tables,
     // sort once per user (orders before events at equal ts, orderkey
@@ -1427,6 +1465,31 @@ object EventQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_embargo_split" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |mm AS (SELECT min(ms) AS lo, max(ms) AS hi FROM e),
+        |per AS (SELECT user_id,
+        |    sum(CASE WHEN ms < lo + (hi - lo) * 7 // 10
+        |      THEN 1 ELSE 0 END) AS n_tr,
+        |    sum(CASE WHEN ms >= lo + (hi - lo) * 15 // 20
+        |      THEN 1 ELSE 0 END) AS n_te,
+        |    count(*) AS n
+        |  FROM e, mm GROUP BY 1),
+        |a AS (SELECT count(*) AS n_users,
+        |    CAST(sum(n_tr) AS BIGINT) AS n_train_events,
+        |    CAST(sum(n - n_tr - n_te) AS BIGINT) AS n_embargo_events,
+        |    CAST(sum(n_te) AS BIGINT) AS n_test_events,
+        |    CAST(sum(CASE WHEN n_tr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_train_users,
+        |    CAST(sum(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_test_users,
+        |    CAST(sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_leaky_users
+        |  FROM per)
+        |SELECT *, CAST(n_leaky_users * 1000000 // n_users AS BIGINT)
+        |  AS leak_ppm
+        |FROM a""".stripMargin,
+
     "q_profile_approx" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -549,6 +549,30 @@ object StreamGateQueries {
           .as("est_distinct"))
     },
 
+    // ── zone maps maintained as streaming ingest state ─────────────────
+    // The file-footer stats q_zone_pruning consults don't have to be
+    // recomputed by a layout pass — at ingest time they are a
+    // complete-mode streaming aggregate: per z-bucket row count and
+    // min/max of both dimensions, maintained incrementally as files
+    // land (min/max/count are all merge-monotone, so state is exactly
+    // |buckets| rows forever). The drained table must hash-match the
+    // batch q_zorder_layout derivation — the zone-map twin of
+    // q_stream_cms's "incremental ≡ batch" claim.
+    "q_stream_zone_maps" -> { (s, dir) =>
+      import graft.operators.ZOrder
+      val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+      runToTableComplete(s,
+        s.readStream.schema(schema)
+          .parquet(stage(dir, 1, table = "lineitem"))
+          .select(col("l_partkey").as("x"), col("l_suppkey").as("y"),
+            shiftright(ZOrder.zValue(col("l_partkey"), col("l_suppkey")),
+              ZOrder.LAYOUT_SHIFT).as("zbucket"))
+          .groupBy(col("zbucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+            min(col("y")).as("y_min"), max(col("y")).as("y_max")))
+    },
+
     // ── Count-Min sketch as STREAMING state (complete mode) ────────────
     // The CMS cells are plain counts, so the incremental sketch is a
     // streaming groupBy over the SAME md5 cell family q_cms_join_size
@@ -751,6 +775,18 @@ object StreamGateQueries {
          |      // max(CASE WHEN rn = $KMV_K THEN h END)
          |    ELSE CAST(max(n_distinct) AS BIGINT) END AS est_distinct
          |FROM r GROUP BY 1""".stripMargin
+    },
+
+    "q_stream_zone_maps" -> {
+      import graft.operators.ZOrder
+      s"""WITH z AS (SELECT l_partkey AS x, l_suppkey AS y,
+         |    ${ZOrder.zValueSql("l_partkey", "l_suppkey")}
+         |    >> ${ZOrder.LAYOUT_SHIFT} AS zbucket
+         |  FROM lineitem)
+         |SELECT zbucket, count(*) AS n_rows,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max
+         |FROM z GROUP BY zbucket""".stripMargin
     },
 
     "q_stream_cms" -> {

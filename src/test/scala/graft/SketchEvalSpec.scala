@@ -118,6 +118,31 @@ class SketchEvalSpec extends AnyFunSuite with SparkSpec {
       s"incremental CMS $streamIp != batch $batchEst")
   }
 
+  test("q_embargo_split: the three bands partition the event log; " +
+    "leaky users bound by both sides") {
+    import graft.operators.EventQueries
+    val r = EventQueries.queries("q_embargo_split")(spark, sf).collect()(0)
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(r.getAs[Long]("n_train_events") +
+      r.getAs[Long]("n_embargo_events") +
+      r.getAs[Long]("n_test_events") === total)
+    assert(r.getAs[Long]("n_leaky_users") <=
+      math.min(r.getAs[Long]("n_train_users"),
+        r.getAs[Long]("n_test_users")))
+  }
+
+  test("q_stream_zone_maps: incremental ingest state equals the batch " +
+    "zone-map derivation") {
+    import graft.operators.RelationalQueries
+    import graft.streaming.StreamGateQueries
+    val streamed = StreamGateQueries.queries("q_stream_zone_maps")(
+      spark, sf)
+    val batch = RelationalQueries.queries("q_zorder_layout")(spark, sf)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streaming zone maps diverge from the batch layout stats")
+  }
+
   test("q_cms_estimate: probes ride TakeOrdered, sketch plan is " +
     "window-free") {
     val plan = CountMin.queries("q_cms_estimate")(spark, sf)
