@@ -171,6 +171,59 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec, backed by the JDK's own `javax.imageio` (PNG /
+    * JPEG / GIF / BMP readers ship with Java SE — no external library
+    * needed after all). A payload that a registered ImageIO reader can
+    * actually decode gets its mime from the reader's format name and
+    * its dimensions from the DECODED RASTER — not from header offsets —
+    * so a lying header cannot spoof dims past this decoder. Anything
+    * ImageIO rejects (including the synthetic-header fixtures and all
+    * non-image payloads) falls back to [[StubDecoder]]'s deterministic
+    * sniff, so the conformance contract holds unchanged and the two
+    * decoders agree wherever the stub's convention applies.
+    *
+    * `maxBytes` is 512 MB: a real decoder materializes a frame buffer
+    * (w·h·4 bytes) on top of the payload, so accepting a full 2 GB
+    * array is an OOM, not a capability.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    override def maxBytes: Long = 512L * 1024 * 1024
+
+    // ImageIO's default stream cache writes temp FILES per decode —
+    // per-row disk I/O inside a task. Memory-cached streams instead.
+    javax.imageio.ImageIO.setUseCache(false)
+
+    private def tryReal(b: Array[Byte]): Option[(String, Long, Long)] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val img = r.read(0)
+              Some(("image/" + r.getFormatName.toLowerCase,
+                img.getWidth.toLong, img.getHeight.toLong))
+            } finally r.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    def decode(m: MediaRow): DecodedMedia =
+      tryReal(m.bytes) match {
+        case Some((mime, w, h)) =>
+          val b = m.bytes
+          val mean =
+            if (b.isEmpty) 0.0
+            else b.map(_ & 0xff).sum.toDouble / b.length
+          DecodedMedia(m.media_id, mime, b.length, w, h, mean)
+        case None => StubDecoder.decode(m)
+      }
+  }
+
   /** Distributed decode: one decoder call per row, batched per
     * partition. mapPartitions is deliberate here — decode is genuinely
     * imperative per-payload work (the one case the build brief reserves

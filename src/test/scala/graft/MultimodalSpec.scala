@@ -188,6 +188,51 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
   }
 
   conformance("StubDecoder", StubDecoder)
+  conformance("ImageIoDecoder", Multimodal.ImageIoDecoder)
+
+  // ── the REAL-codec proof ─────────────────────────────────────────────
+  // Encode genuine images with the JDK's own ImageIO writers and decode
+  // them back: dimensions must come from the decoded raster, NOT the
+  // synthetic header convention (a real 5×3 PNG's bytes 8–15 are the
+  // IHDR length+type words — the stub's offset parse would report
+  // 13 × 1229472850, so getting 5×3 proves the raster decode ran).
+  private def encodeImage(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out),
+      s"no ImageIO writer for $fmt")
+    out.toByteArray
+  }
+
+  test("ImageIoDecoder: real PNG and JPEG bytes decode to raster dims") {
+    for ((fmt, mime) <- Seq("png" -> "image/png", "jpg" -> "image/jpeg")) {
+      val bytes = encodeImage(5, 3, fmt)
+      val d = Multimodal.ImageIoDecoder.decode(MediaRow(1L, bytes))
+      assert(d.mime === mime, s"$fmt mime")
+      assert(d.width === 5L && d.height === 3L,
+        s"$fmt dims from raster, got ${d.width}x${d.height}")
+      // and the stub CANNOT have produced these on a real file
+      val s = StubDecoder.decode(MediaRow(1L, bytes))
+      if (fmt == "png") assert(s.width !== 5L,
+        "fixture degenerate: stub header parse matched raster dims")
+    }
+  }
+
+  test("ImageIoDecoder: distributed decodeAll over a mixed real/synthetic " +
+    "batch") {
+    val rows = Seq(
+      MediaRow(1L, encodeImage(8, 2, "png")),   // real codec path
+      MediaRow(2L, png(640L, 480L, Array[Byte](1))), // synthetic fallback
+      MediaRow(3L, "RIFF1234WAVE".getBytes("UTF-8")))
+    val got = Multimodal.decodeAll(rows.toDS().repartition(2),
+      Multimodal.ImageIoDecoder).collect().map(x => x.media_id -> x).toMap
+    assert(got(1L).width === 8L && got(1L).height === 2L)
+    assert(got(2L).width === 640L && got(2L).height === 480L)
+    assert(got(3L).mime === "audio/x-riff")
+  }
 
   test("byteStats: uniform, varied, and empty payloads") {
     // raw-wrapped docs (id % 3 == 2): payload is exactly the text bytes
