@@ -375,4 +375,49 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(ppm <= 1000000L, s"kappa > 1: $ppm ppm")
     assert(ppm >= -1000000L, s"kappa < -1: $ppm ppm")
   }
+
+  test("property: CMS is one-sided on random token multisets") {
+    // random skewed multisets: sketch estimate ≥ exact for EVERY key
+    // (collisions only ever add — the Count-Min guarantee)
+    val tok: Gen[String] = Gen.frequency(
+      3 -> Gen.const("hot"), 2 -> Gen.oneOf("a", "b", "c"),
+      1 -> Gen.alphaLowerStr.map(_.take(6)))
+    val df = samples(tok, 3000, seed = 31).toDF("tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val sketch = df
+      .select(col("cnt"), operators.CountMin.cellsExploded(
+        col("tok"), operators.CountMin.TOKEN_WIDTH).as("dc"))
+      .groupBy(col("dc.d").as("d"), col("dc.cell").as("cell"))
+      .agg(sum(col("cnt")).as("c"))
+    val est = df
+      .select(col("tok"), col("cnt"), operators.CountMin.cellsExploded(
+        col("tok"), operators.CountMin.TOKEN_WIDTH).as("dc"))
+      .join(sketch, col("dc.d") === sketch("d") &&
+        col("dc.cell") === sketch("cell"))
+      .groupBy(col("tok"))
+      .agg(max(col("cnt")).as("exact"), min(col("c")).as("est"))
+    assert(est.filter(col("est") < col("exact")).count() === 0,
+      "CMS undercounted a key")
+  }
+
+  test("property: zone maps never falsely prune a present key pair") {
+    // the pruning rule's no-false-negative guarantee: every (x, y)
+    // that EXISTS in a bucket lies inside that bucket's min/max spans,
+    // so a point probe for it always scans its own bucket
+    val pair: Gen[(Long, Long)] = for {
+      x <- Gen.chooseNum(0L, 4000L); y <- Gen.chooseNum(0L, 200L)
+    } yield (x, y)
+    val df = samples(pair, 2000, seed = 37).toDF("x", "y")
+      .withColumn("b", shiftright(
+        operators.ZOrder.zValue(col("x"), col("y")),
+        operators.ZOrder.LAYOUT_SHIFT))
+    val maps = df.groupBy(col("b"))
+      .agg(min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+    val falselyPruned = df.join(maps, Seq("b"))
+      .filter(!(col("x").between(col("x_min"), col("x_max")) &&
+        col("y").between(col("y_min"), col("y_max"))))
+      .count()
+    assert(falselyPruned === 0)
+  }
 }
