@@ -70,6 +70,45 @@ object CountMin {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  // ── dyadic range-count machinery (q_cms_range) ───────────────────────
+
+  /** Dyadic levels kept for the range sketch: level l summarizes
+    * aligned intervals of 2^l minutes; 16 levels cover any range up to
+    * 65 536 minutes (~45 days) with ≤ 2·16 sketch probes.
+    */
+  val RANGE_LEVELS = 16
+
+  /** q_cms_range width per level row. */
+  val RANGE_WIDTH = 256
+
+  /** Probe range, minutes since epoch (2024-01-08T00:00 through
+    * 2024-01-21T23:59 UTC inclusive — a two-week slice of the fixture's
+    * January 2024 event log; constants so oracle and engine agree).
+    */
+  val RANGE_LO_MIN = 19730L * 1440
+  val RANGE_HI_MIN = 19743L * 1440 + 1439
+
+  /** Canonical dyadic cover of the inclusive integer range [a, b]:
+    * the unique minimal set of aligned (level, index) intervals, each
+    * [j·2^l, (j+1)·2^l), greedily taking the largest aligned block that
+    * fits. Pure integer function of constants — the Spark plan and the
+    * DuckDB oracle embed the SAME literal cover.
+    */
+  def dyadicCover(a: Long, b: Long): Seq[(Int, Long)] = {
+    require(a >= 0 && b >= a, s"bad range [$a, $b]")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var lo = a
+    val end = b + 1
+    while (lo < end) {
+      var l = 0
+      while (l + 1 < RANGE_LEVELS && lo % (1L << (l + 1)) == 0 &&
+        lo + (1L << (l + 1)) <= end) l += 1
+      buf += ((l, lo >> l))
+      lo += 1L << l
+    }
+    buf.toSeq
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── CMS point estimates vs exact, on the token stream ──────────────
@@ -139,6 +178,78 @@ object CountMin {
         .withColumn("over_ppm", expr(
           "CAST((CAST(est_pairs AS DECIMAL(38,0)) - exact_pairs)" +
             " * 1000000 div exact_pairs AS BIGINT)"))
+    },
+
+    // ── dyadic CMS: range counts answered from sketch state alone ──────
+    // "How many events in [Jan 8, Jan 21]?" WITHOUT rescanning: keep
+    // one CMS per dyadic level of the minute index (level l summarizes
+    // aligned 2^l-minute blocks), and any range decomposes into ≤ 2·L
+    // aligned blocks (Cormode–Muthukrishnan's range extension), each a
+    // single point probe. est = Σ over the canonical cover of the
+    // min-over-depths cell — one-sided like every CMS read.
+    //
+    // Scale: the corpus-sized pass is ONE minute-grain census
+    // (value-grouped: bounded by the time domain — ~5·10⁵ rows/year at
+    // ANY corpus size); levels × depths explode off the census, never
+    // off raw events, into ≤ LEVELS·DEPTH·WIDTH sketch rows of
+    // persisted profile state. The cover is a pure function of the
+    // range constants, embedded as the same literal table in both
+    // engines. The fixture ranges over minutes; the machinery is
+    // dimension-agnostic (any non-negative integer grain).
+    "q_cms_range" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val census = ev
+        .select(graft.Tables.epochMs(ev).as("ms"))
+        .selectExpr("ms div 60000 AS m")
+        .groupBy(col("m")).agg(count(lit(1)).as("cnt"))
+      val levelCells = explode(array((0 until RANGE_LEVELS).flatMap {
+        l =>
+          (0 until DEPTH).map { d =>
+            struct(lit(l).as("l"), lit(d).as("d"),
+              cell(d, concat(lit(s"$l:"),
+                shiftright(col("m"), l).cast("string")), RANGE_WIDTH)
+                .as("cell"))
+          }
+      }: _*))
+      val sketch = census
+        .select(col("cnt"), levelCells.as("lc"))
+        .groupBy(col("lc.l").as("l"), col("lc.d").as("d"),
+          col("lc.cell").as("cell"))
+        .agg(sum(col("cnt")).as("c"))
+      val cover = dyadicCover(RANGE_LO_MIN, RANGE_HI_MIN)
+      val coverDf = s.createDataFrame(
+        s.sparkContext.parallelize(cover.map { case (l, j) =>
+          org.apache.spark.sql.Row(l, j)
+        }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("l",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("j",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      val probes = coverDf.select(col("l"), col("j"),
+        explode(array((0 until DEPTH).map { d =>
+          struct(lit(d).as("d"),
+            cell(d, concat(col("l").cast("string"), lit(":"),
+              col("j").cast("string")), RANGE_WIDTH).as("cell"))
+        }: _*)).as("dc"))
+      val est = probes
+        .join(broadcast(sketch),
+          probes("l") === sketch("l") &&
+            col("dc.d") === sketch("d") &&
+            col("dc.cell") === sketch("cell"), "left")
+        .groupBy(probes("l"), col("j"))
+        .agg(min(coalesce(col("c"), lit(0L))).as("blk"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("blk")).as("est_range"))
+      val exact = census
+        .filter(col("m").between(RANGE_LO_MIN, RANGE_HI_MIN))
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("exact_range"))
+      exact.crossJoin(broadcast(est))
+        .select(col("n_intervals"), col("exact_range"), col("est_range"))
+        .withColumn("over_ppm", expr(
+          """CASE WHEN exact_range = 0 THEN CAST(NULL AS BIGINT)
+            |  ELSE (est_range - exact_range) * 1000000 div exact_range
+            |END""".stripMargin))
     })
 
   val oracle: Map[String, String] = Map(
@@ -161,6 +272,41 @@ object CountMin {
          |  CAST(min(sk.c) - max(pc.cnt) AS BIGINT) AS overcount
          |FROM pc JOIN sk ON sk.d = pc.d AND sk.cell = pc.cell
          |GROUP BY 1""".stripMargin,
+
+    "q_cms_range" -> {
+      val coverVals = dyadicCover(RANGE_LO_MIN, RANGE_HI_MIN)
+        .map { case (l, j) => s"($l, $j)" }.mkString(", ")
+      s"""WITH ev AS (SELECT epoch_ms(ts) // 60000 AS m FROM events),
+         |census AS (SELECT m, count(*) AS cnt FROM ev GROUP BY 1),
+         |cells AS (SELECT cnt, l, d,
+         |    CAST(('0x' || substr(md5(($SEED_BASE + d) || ':' ||
+         |      (l || ':' || CAST((m >> l) AS VARCHAR))), 1, 8))
+         |      AS BIGINT) % $RANGE_WIDTH AS cell
+         |  FROM census, unnest(range(0, $RANGE_LEVELS)) AS ll(l),
+         |    unnest(range(0, $DEPTH)) AS dd(d)),
+         |sk AS (SELECT l, d, cell, sum(cnt) AS c
+         |  FROM cells GROUP BY 1, 2, 3),
+         |cover(l, j) AS (VALUES $coverVals),
+         |pc AS (SELECT cover.l, cover.j, d,
+         |    CAST(('0x' || substr(md5(($SEED_BASE + d) || ':' ||
+         |      (cover.l || ':' || CAST(cover.j AS VARCHAR))), 1, 8))
+         |      AS BIGINT) % $RANGE_WIDTH AS cell
+         |  FROM cover, unnest(range(0, $DEPTH)) AS dd(d)),
+         |blk AS (SELECT pc.l, pc.j, min(coalesce(sk.c, 0)) AS blk
+         |  FROM pc LEFT JOIN sk ON sk.l = pc.l AND sk.d = pc.d
+         |    AND sk.cell = pc.cell
+         |  GROUP BY 1, 2),
+         |es AS (SELECT count(*) AS n_intervals,
+         |    CAST(sum(blk) AS BIGINT) AS est_range FROM blk),
+         |ex AS (SELECT coalesce(CAST(sum(cnt) AS BIGINT), 0)
+         |    AS exact_range
+         |  FROM census WHERE m BETWEEN $RANGE_LO_MIN AND $RANGE_HI_MIN)
+         |SELECT n_intervals, exact_range, est_range,
+         |  CASE WHEN exact_range = 0 THEN CAST(NULL AS BIGINT)
+         |    ELSE CAST((est_range - exact_range) * 1000000
+         |      // exact_range AS BIGINT) END AS over_ppm
+         |FROM ex, es""".stripMargin
+    },
 
     "q_cms_join_size" ->
       s"""WITH per AS (SELECT user_id, count(*) AS n

@@ -118,6 +118,33 @@ class SketchEvalSpec extends AnyFunSuite with SparkSpec {
       s"incremental CMS $streamIp != batch $batchEst")
   }
 
+  test("dyadicCover: disjoint aligned blocks that tile exactly [a, b]") {
+    for ((a, b) <- Seq((0L, 0L), (5L, 5L), (3L, 17L), (8L, 15L),
+      (CountMin.RANGE_LO_MIN, CountMin.RANGE_HI_MIN))) {
+      val cover = CountMin.dyadicCover(a, b)
+      cover.foreach { case (l, j) =>
+        assert(l >= 0 && l < CountMin.RANGE_LEVELS)
+        assert(j << l >= a && ((j + 1L) << l) - 1 <= b,
+          s"block ($l,$j) escapes [$a,$b]")
+      }
+      // blocks tile the range exactly: sizes sum and no overlaps
+      val points = cover.flatMap { case (l, j) =>
+        (j << l) until ((j + 1L) << l) }
+      assert(points.distinct.size === points.size, "overlapping blocks")
+      assert(points.size === (b - a + 1), s"cover of [$a,$b] mis-sized")
+    }
+  }
+
+  test("q_cms_range: dyadic estimate is one-sided and interval count " +
+    "matches the canonical cover") {
+    val r = CountMin.queries("q_cms_range")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_intervals") ===
+      CountMin.dyadicCover(CountMin.RANGE_LO_MIN,
+        CountMin.RANGE_HI_MIN).size.toLong)
+    assert(r.getAs[Long]("est_range") >= r.getAs[Long]("exact_range"),
+      "dyadic CMS undercount")
+  }
+
   test("q_embargo_split: the three bands partition the event log; " +
     "leaky users bound by both sides") {
     import graft.operators.EventQueries
