@@ -216,16 +216,10 @@ object CountMin {
         .groupBy(col("lc.l").as("l"), col("lc.d").as("d"),
           col("lc.cell").as("cell"))
         .agg(sum(col("cnt")).as("c"))
-      val cover = dyadicCover(RANGE_LO_MIN, RANGE_HI_MIN)
-      val coverDf = s.createDataFrame(
-        s.sparkContext.parallelize(cover.map { case (l, j) =>
-          org.apache.spark.sql.Row(l, j)
-        }, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("l",
-            org.apache.spark.sql.types.IntegerType, nullable = false),
-          org.apache.spark.sql.types.StructField("j",
-            org.apache.spark.sql.types.LongType, nullable = false))))
+      val coverDf = {
+        import s.implicits._
+        dyadicCover(RANGE_LO_MIN, RANGE_HI_MIN).toDF("l", "j")
+      }
       val probes = coverDf.select(col("l"), col("j"),
         explode(array((0 until DEPTH).map { d =>
           struct(lit(d).as("d"),

@@ -117,6 +117,64 @@ object Sketches {
     * proof HLL can only pin in a spec).
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── range-DISTINCT from dyadic KMV profile state ────────────────────
+    // q_cms_range's companion: "how many DISTINCT users in [Jan 8,
+    // Jan 21]?" from persisted per-block sketches. One KMV per dyadic
+    // block of the minute index; a range query unions the ≤ 2·L cover
+    // blocks' sketches and reads the estimator off the merged k-minimum
+    // set. Merge correctness is exact, not approximate: the k smallest
+    // of a union equal the k smallest of the union of per-set k-smallest
+    // (any global survivor is among its own block's k smallest), so the
+    // merged sketch IS the sketch of the range — which is why the oracle
+    // can re-derive it from the raw rows and the hash gate applies.
+    //
+    // Scale: the corpus-sized work is one distinct (minute, hash) pass +
+    // one level fan-out into k-capped bounded_topk partials (map-side
+    // combined; state = |blocks|·k longs); the query itself touches
+    // |cover|·k rows. When the range's true distinct count is below k
+    // the merged sketch is the exact answer by the same argument.
+    "q_kmv_range" -> { (s, dir) =>
+      import CountMin.{RANGE_LEVELS, RANGE_LO_MIN, RANGE_HI_MIN}
+      val ev = Tables.load(s, dir, "events")
+      val mh = ev.select(Tables.epochMs(ev).as("ms"),
+          conv(substring(md5(concat(lit("kmv:"),
+            col("user_id").cast("string"))), 1, 13), 16, 10)
+            .cast("long").as("h"))
+        .selectExpr("ms div 60000 AS m", "h").distinct()
+      val lj = mh.select(col("h"), explode(array(
+          (0 until RANGE_LEVELS).map { l =>
+            struct(lit(l).as("l"), shiftright(col("m"), l).as("j"))
+          }: _*)).as("b"))
+        .select(col("b.l").as("l"), col("b.j").as("j"), col("h"))
+        .distinct()
+      val sk = lj.groupBy(col("l"), col("j"))
+        .agg(expr(s"bounded_topk(cast(h as double), h, $KMV_K)")
+          .as("top"))
+      val coverDf = {
+        import s.implicits._
+        CountMin.dyadicCover(RANGE_LO_MIN, RANGE_HI_MIN).toDF("l", "j")
+      }
+      val merged = sk.join(broadcast(coverDf), Seq("l", "j"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.n").as("h")).distinct()
+        .agg(expr(s"bounded_topk(cast(h as double), h, $KMV_K)").as("top"))
+      val exact = mh
+        .filter(col("m").between(RANGE_LO_MIN, RANGE_HI_MIN))
+        .select(col("h")).distinct()
+        .agg(count(lit(1)).as("exact_distinct"))
+      exact.crossJoin(broadcast(merged))
+        .select(col("exact_distinct"),
+          when(size(col("top")) === KMV_K,
+            expr(s"${(KMV_K - 1).toLong} * $KMV_RANGE" +
+              s" div get(top, ${KMV_K - 1}).n"))
+            .otherwise(size(col("top")).cast("long"))
+            .as("est_distinct"))
+        .withColumn("within_15pct",
+          (abs(col("est_distinct") - col("exact_distinct")) * 100 <=
+            col("exact_distinct") * 15).cast("int"))
+    },
+
     "q_kmv_distinct" -> { (s, dir) =>
       val e = Tables.load(s, dir, "events")
       // distinct (unit, 52-bit hash): duplicates never advance a KMV
@@ -159,6 +217,28 @@ object Sketches {
     })
 
   val oracle: Map[String, String] = Map(
+    "q_kmv_range" -> {
+      import CountMin.{RANGE_LO_MIN, RANGE_HI_MIN}
+      s"""WITH ev AS (SELECT epoch_ms(ts) // 60000 AS m,
+         |    CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+         |      1, 13)) AS BIGINT) AS h
+         |  FROM events),
+         |r AS (SELECT DISTINCT h FROM ev
+         |  WHERE m BETWEEN $RANGE_LO_MIN AND $RANGE_HI_MIN),
+         |rk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM r),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct,
+         |    max(CASE WHEN rn = $KMV_K THEN h END) AS kth FROM rk),
+         |e AS (SELECT exact_distinct,
+         |    CASE WHEN exact_distinct >= $KMV_K
+         |      THEN ${(KMV_K - 1).toLong} * $KMV_RANGE // kth
+         |      ELSE exact_distinct END AS est_distinct
+         |  FROM a)
+         |SELECT exact_distinct, est_distinct,
+         |  CAST(abs(est_distinct - exact_distinct) * 100
+         |    <= exact_distinct * 15 AS INT) AS within_15pct
+         |FROM e""".stripMargin
+    },
+
     "q_kmv_distinct" ->
       s"""WITH dh AS (SELECT DISTINCT event_type,
          |    CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),

@@ -145,6 +145,17 @@ class SketchEvalSpec extends AnyFunSuite with SparkSpec {
       "dyadic CMS undercount")
   }
 
+  test("q_kmv_range: merged cover sketch is EXACT below k and within " +
+    "the k=256 band above it") {
+    import graft.operators.Sketches
+    val r = Sketches.queries("q_kmv_range")(spark, sf).collect()(0)
+    val (exact, est) = (r.getAs[Long]("exact_distinct"),
+      r.getAs[Long]("est_distinct"))
+    if (exact < 256) assert(est === exact,
+      "below-k merged sketch must be the exact answer")
+    assert(r.getAs[Int]("within_15pct") === 1)
+  }
+
   test("q_embargo_split: the three bands partition the event log; " +
     "leaky users bound by both sides") {
     import graft.operators.EventQueries
