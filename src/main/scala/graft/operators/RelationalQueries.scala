@@ -794,6 +794,50 @@ object RelationalQueries {
           expr("top_cents * 10000 div total_cents"))
     },
 
+    // ── EXACT percentiles over an UNBOUNDED value domain ────────────────
+    // q_quantiles' bounded-window rule needs the distinct-value table to
+    // be small; order totals break it (distinct cents ≈ |orders| at any
+    // scale). Same cure as q_revenue_concentration: range-partition the
+    // value census ASC, cumulate locally under pid-partitioned windows,
+    // lift to the global cumulative count with broadcast per-partition
+    // offsets — the distributed prefix-sum — then read each percentile
+    // as the smallest value whose global cum crosses ⌈p·n/100⌉ (integer
+    // cross-multiplication: 100·cum ≥ p·n). Exact quantile_disc
+    // semantics with NO single-partition sort at ANY value cardinality;
+    // PlanShapeSpec pins the window shape.
+    "q_quantiles_unbounded" -> { (s, dir) =>
+      val per = Tables.load(s, dir, "orders")
+        .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val byVal = per.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+        .repartitionByRange(nParts, col("cents").asc)
+        .withColumn("pid", spark_partition_id())
+      val pidTotals = byVal.groupBy(col("pid"))
+        .agg(sum(col("c")).as("pc"))
+      val offsets = pidTotals.as("a")
+        .join(pidTotals.as("b"), col("b.pid") < col("a.pid"), "left")
+        .groupBy(col("a.pid").as("pid"))
+        .agg(coalesce(sum(col("b.pc")), lit(0L)).as("offset"))
+      val wLocal = Window.partitionBy(col("pid"))
+        .orderBy(col("cents").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nRow = per.agg(count(lit(1)).as("n"))
+      byVal
+        .withColumn("local_cum", sum(col("c")).over(wLocal))
+        .join(broadcast(offsets), Seq("pid"))
+        .withColumn("cum", col("local_cum") + col("offset"))
+        .crossJoin(broadcast(nRow))
+        .agg(max(col("n")).as("n_orders"),
+          min(when(col("cum") * 100 >= col("n") * 50, col("cents")))
+            .as("p50_cents"),
+          min(when(col("cum") * 100 >= col("n") * 95, col("cents")))
+            .as("p95_cents"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("cents")))
+            .as("p99_cents"),
+          max(col("cents")).as("max_cents"))
+    },
+
     // ── OLS trend of daily order volume (slope as exact rational) ──────
     // The trend-detection primitive q_correlation's corr² can't give
     // (corr² is sign-blind): the least-squares slope of count-per-day
@@ -1331,6 +1375,23 @@ object RelationalQueries {
          |FROM z GROUP BY zbucket""".stripMargin,
 
     "q_dq_checks" -> DataQuality.checksSql,
+
+    "q_quantiles_unbounded" ->
+      """WITH per AS (SELECT CAST(floor(o_totalprice * 100 + 0.5)
+        |    AS BIGINT) AS cents FROM orders),
+        |bv AS (SELECT cents, count(*) AS c FROM per GROUP BY 1),
+        |cm AS (SELECT cents, CAST(sum(c) OVER (ORDER BY cents
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM bv),
+        |n AS (SELECT count(*) AS n FROM per)
+        |SELECT CAST(max(n.n) AS BIGINT) AS n_orders,
+        |  min(CASE WHEN cum * 100 >= n.n * 50 THEN cents END)
+        |    AS p50_cents,
+        |  min(CASE WHEN cum * 100 >= n.n * 95 THEN cents END)
+        |    AS p95_cents,
+        |  min(CASE WHEN cum * 100 >= n.n * 99 THEN cents END)
+        |    AS p99_cents,
+        |  max(cents) AS max_cents
+        |FROM cm, n""".stripMargin,
 
     "q_revenue_concentration" ->
       """WITH per AS (SELECT o_custkey,

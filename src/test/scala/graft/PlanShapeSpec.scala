@@ -512,6 +512,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q_quantiles_unbounded: distributed prefix-sum — range " +
+    "repartition + pid-local windows only, no unpartitioned window") {
+    val plan = planOf(
+      RelationalQueries.queries("q_quantiles_unbounded")(spark, sf))
+    assert(plan.contains("rangepartitioning(cents"),
+      s"expected a range repartition on cents:\n$plan")
+    val winLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(winLines.nonEmpty, s"expected the pid-local window:\n$plan")
+    winLines.foreach { l =>
+      assert(l.contains("windowspecdefinition(pid"),
+        s"unpartitioned window (single-partition global sort):\n$l")
+    }
+  }
+
   test("q_hierarchy_closure / q_sssp_hops: every iterative round is an " +
     "equi-join, never a nested loop") {
     val closure = planOf(
