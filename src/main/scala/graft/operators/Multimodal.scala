@@ -144,6 +144,14 @@ object Multimodal {
           "(or is negative); filter or split upstream")
   }
 
+  /** Mean payload byte, accumulated in a Long: an Int sum overflows at
+    * ~8.4 MB of 0xff bytes, well inside the 512 MB payloads
+    * [[ImageIoDecoder]] accepts.
+    */
+  private def meanByte(b: Array[Byte]): Double =
+    if (b.isEmpty) 0.0
+    else b.foldLeft(0L)((a, x) => a + (x & 0xff)).toDouble / b.length
+
   /** Deterministic stand-in decoder: sniffs the magic, parses the PNG
     * header dims, and computes the mean payload byte as the "feature".
     */
@@ -164,10 +172,7 @@ object Multimodal {
         else if (isRiff) "audio/x-riff"
         else "application/octet-stream"
       val (w, h) = if (isPng) (beU32At(b, 8), beU32At(b, 12)) else (0L, 0L)
-      val mean =
-        if (b.isEmpty) 0.0
-        else b.map(_ & 0xff).sum.toDouble / b.length
-      DecodedMedia(m.media_id, mime, b.length, w, h, mean)
+      DecodedMedia(m.media_id, mime, b.length, w, h, meanByte(b))
     }
   }
 
@@ -189,6 +194,16 @@ object Multimodal {
   object ImageIoDecoder extends MediaDecoder {
     override def maxBytes: Long = 512L * 1024 * 1024
 
+    /** Decoded-frame pixel budget. The byte cap alone does not bound the
+      * frame buffer: a few-KB PNG/GIF can DECLARE huge dimensions
+      * (decompression bomb) and `read(0)` would allocate w·h·4 bytes
+      * sized by the header, not the payload. getWidth/getHeight(0) read
+      * only the header, so the check costs no decode work. 2^28 px
+      * (≈16k×16k) is a 1 GiB ARGB frame — the most one local decode
+      * slot should ever pin.
+      */
+    val maxPixels: Long = 1L << 28
+
     // ImageIO's default stream cache writes temp FILES per decode —
     // per-row disk I/O inside a task. Memory-cached streams instead.
     javax.imageio.ImageIO.setUseCache(false)
@@ -204,9 +219,13 @@ object Multimodal {
             val r = readers.next()
             try {
               r.setInput(iis)
-              val img = r.read(0)
-              Some(("image/" + r.getFormatName.toLowerCase,
-                img.getWidth.toLong, img.getHeight.toLong))
+              val declared = r.getWidth(0).toLong * r.getHeight(0).toLong
+              if (declared > maxPixels) None // bomb: fall back, don't decode
+              else {
+                val img = r.read(0)
+                Some(("image/" + r.getFormatName.toLowerCase,
+                  img.getWidth.toLong, img.getHeight.toLong))
+              }
             } finally r.dispose()
           }
         } finally if (iis != null) iis.close()
@@ -215,11 +234,8 @@ object Multimodal {
     def decode(m: MediaRow): DecodedMedia =
       tryReal(m.bytes) match {
         case Some((mime, w, h)) =>
-          val b = m.bytes
-          val mean =
-            if (b.isEmpty) 0.0
-            else b.map(_ & 0xff).sum.toDouble / b.length
-          DecodedMedia(m.media_id, mime, b.length, w, h, mean)
+          DecodedMedia(m.media_id, mime, m.bytes.length, w, h,
+            meanByte(m.bytes))
         case None => StubDecoder.decode(m)
       }
   }

@@ -234,6 +234,40 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L).mime === "audio/x-riff")
   }
 
+  test("ImageIoDecoder: decompression bomb (tiny payload, huge declared " +
+    "dims) falls back without decoding") {
+    // A real 5×3 PNG whose IHDR width/height are patched to 65536×65536
+    // (2^32 px ≫ maxPixels) with the chunk CRC re-computed: ImageIO's
+    // header parse reports the declared dims, and an unguarded read(0)
+    // would size its frame buffer from them — the classic bomb. The
+    // guard must reject on the header alone and fall back to the stub.
+    val bytes = encodeImage(5, 3, "png")
+    def putBE(off: Int, v: Long): Unit = {
+      bytes(off) = ((v >>> 24) & 0xff).toByte
+      bytes(off + 1) = ((v >>> 16) & 0xff).toByte
+      bytes(off + 2) = ((v >>> 8) & 0xff).toByte
+      bytes(off + 3) = (v & 0xff).toByte
+    }
+    putBE(16, 65536L) // IHDR width
+    putBE(20, 65536L) // IHDR height
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes, 12, 4 + 13) // chunk type + IHDR data
+    putBE(12 + 4 + 13, crc.getValue)
+    assert(65536L * 65536L > Multimodal.ImageIoDecoder.maxPixels)
+    val d = Multimodal.ImageIoDecoder.decode(MediaRow(9L, bytes))
+    assert(d === StubDecoder.decode(MediaRow(9L, bytes)),
+      "bomb must take the stub fallback, not a raster decode")
+  }
+
+  test("decoder mean_byte stays exact past the Int-sum overflow point") {
+    // 16 MB of 0xff sums to 4.08e9 > Int.MaxValue: an Int accumulator
+    // wraps negative; the Long path must return exactly 255.0.
+    val big = Array.fill[Byte](16 * 1024 * 1024)(0xff.toByte)
+    assert(StubDecoder.decode(MediaRow(7L, big)).mean_byte === 255.0)
+    assert(Multimodal.ImageIoDecoder.decode(MediaRow(7L, big))
+      .mean_byte === 255.0)
+  }
+
   test("byteStats: uniform, varied, and empty payloads") {
     // raw-wrapped docs (id % 3 == 2): payload is exactly the text bytes
     val corpus = Seq(
