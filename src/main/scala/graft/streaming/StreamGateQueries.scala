@@ -625,6 +625,43 @@ object StreamGateQueries {
           col("y").as("n_tokens"))
     },
 
+    // ── incremental hourly rate-anomaly detection ──────────────────────
+    // rateAnomalyStream's prefix test under the hash gate: per type,
+    // each hour closes (next hour arrives in-batch, or the final
+    // watermark strictly passes its end via event-time timeout) and is
+    // tested against the PRIOR closed hours' (n, s, q) moments with the
+    // division-free z² > 4 rule, arming after 5 baseline hours. The
+    // oracle re-derives exactly that prefix emission: cumulative
+    // 1-PRECEDING window sums per type, plus the close rule — every
+    // hour but the key's last closes in-batch; the last closes iff
+    // hour_end < max_ms − 2 h (strict, the timeout rule).
+    "q_stream_rate_anomaly" -> { (s, dir) =>
+      import s.implicits._
+      runToTable(s, StreamingEvents.rateAnomalyStream(
+        eventsStream(s, dir).as[StreamingEvents.Event]).toDF())
+    },
+
+    // ── stateful LINEAR multi-touch attribution ────────────────────────
+    // attributionStream's per-user touch-window state machine under the
+    // hash gate: each purchase emits its half-cent-rounded value split
+    // integer-equally across the user's click/view touches inside the
+    // trailing 7-day window, remainder to the earliest (t_ms, t_id)
+    // touch. On the gate's in-order stream the emitted credit facts
+    // aggregate to the batch q_attribution_linear totals EXCEPT for the
+    // stream's processing-order convention on ties: a touch at the
+    // purchase's exact ms counts only if its event_id sorts BEFORE the
+    // purchase's — which the oracle encodes as a lexicographic
+    // (t_ms, t_id) < (p_ms, p_id) pair bound.
+    "q_stream_attr_linear" -> { (s, dir) =>
+      import s.implicits._
+      val credits = runToTable(s, StreamingEvents.attributionStream(
+        eventsStream(s, dir).as[StreamingEvents.Event]).toDF())
+      credits.groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_credits"),
+          countDistinct(col("p_id")).as("n_purchases"),
+          sum(col("credit")).as("credit_cents"))
+    },
+
     // ── the NEO medallion, INCREMENTALLY: bronze file stream → silver
     // keyed-merge partitions → gold merge-upserts, then the on-disk
     // SILVER read back under the same hash gate as the batch
@@ -716,6 +753,62 @@ object StreamGateQueries {
         |SELECT w.window_start_ms, w.event_type, w.n FROM w, mx
         |WHERE w.window_start_ms + 3600000 <= mx.max_ms - 7200000"""
         .stripMargin,
+
+    "q_stream_rate_anomaly" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ms, event_type FROM events),
+        |mx AS (SELECT max(ms) AS max_ms FROM e),
+        |h AS (SELECT event_type,
+        |    (ms // 3600000) * 3600000 AS hour_start_ms, count(*) AS c
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT event_type, hour_start_ms, c,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY hour_start_ms) - 1 AS BIGINT) AS n,
+        |    CAST(coalesce(sum(c) OVER (PARTITION BY event_type
+        |      ORDER BY hour_start_ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS s,
+        |    CAST(coalesce(sum(c * c) OVER (PARTITION BY event_type
+        |      ORDER BY hour_start_ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS q,
+        |    max(hour_start_ms) OVER (PARTITION BY event_type)
+        |      AS last_hour
+        |  FROM h)
+        |SELECT event_type, hour_start_ms, c, n AS n_baseline
+        |FROM r, mx
+        |WHERE n >= 5
+        |  AND (c * n - s) * (c * n - s) > 4 * (n * q - s * s)
+        |  AND (hour_start_ms < last_hour
+        |       OR hour_start_ms + 3600000 < max_ms - 7200000)"""
+        .stripMargin,
+
+    "q_stream_attr_linear" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_ms(ts) AS p_ms,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id AS t_id, user_id, epoch_ms(ts) AS t_ms,
+        |    event_type AS touch_type
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |pr AS (SELECT p.p_id, p.cents, p.p_ms, t.t_id, t.t_ms, t.touch_type
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |  WHERE (t.t_ms < p.p_ms OR (t.t_ms = p.p_ms AND t.t_id < p.p_id))
+        |    AND p.p_ms - t.t_ms <= 604800000),
+        |per AS (SELECT p_id, CAST(count(*) AS BIGINT) AS nt,
+        |    min(t_ms) AS m_ms
+        |  FROM pr GROUP BY 1),
+        |firstid AS (SELECT pr.p_id, min(pr.t_id) AS f_id
+        |  FROM pr JOIN per ON pr.p_id = per.p_id AND pr.t_ms = per.m_ms
+        |  GROUP BY 1),
+        |credited AS (SELECT pr.touch_type, pr.p_id,
+        |    pr.cents // per.nt +
+        |      CASE WHEN pr.t_ms = per.m_ms AND pr.t_id = firstid.f_id
+        |        THEN pr.cents % per.nt ELSE 0 END AS credit
+        |  FROM pr JOIN per ON pr.p_id = per.p_id
+        |  JOIN firstid ON pr.p_id = firstid.p_id)
+        |SELECT touch_type, count(*) AS n_credits,
+        |  CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+        |  CAST(sum(credit) AS BIGINT) AS credit_cents
+        |FROM credited GROUP BY 1""".stripMargin,
 
     "q_stream_resume" ->
       """SELECT event_type, count(*) AS n_rows,
