@@ -63,7 +63,19 @@ object SilverToGold {
     * deterministic survivor (latest approach_date, then full column
     * order) instead of the reference's arbitrary dropDuplicates("id").
     */
-  def dimAsteroid(silver: DataFrame): DataFrame = {
+  def dimAsteroid(silver: DataFrame): DataFrame =
+    dimAsteroidAsOf(silver).drop("approach_date", "approach_date_full")
+
+  /** [[dimAsteroid]] with the survivor's recency columns RETAINED
+    * (`approach_date`, `approach_date_full`) — the shape an out-of-order
+    * incremental backfill needs: a later merge can re-run the SAME
+    * survivor ordering against the stored winner, so folding daily
+    * increments in any arrival order converges to the batch rebuild
+    * (the lexicographic (approach_date DESC, approach_date_full ASC)
+    * preference is total and associative). Batch [[dimAsteroid]] is the
+    * projection of this to the dim columns.
+    */
+  def dimAsteroidAsOf(silver: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("id"))
       .orderBy(col("approach_date").desc, col("approach_date_full").asc_nulls_last)
     silver
@@ -78,7 +90,8 @@ object SilverToGold {
         col("diam_min_mi"), col("diam_max_mi"),
         col("diam_min_feet"), col("diam_max_feet"),
         col("is_hazardous"), col("is_sentry"),
-        col("nasa_jpl_url"), col("link_self"))
+        col("nasa_jpl_url"), col("link_self"),
+        col("approach_date"), col("approach_date_full"))
   }
 
   /** fact_asteroid_approach (reference: silver_to_gold.py:127-148).

@@ -84,7 +84,8 @@ object MergeUpsert {
     */
   def saveOrUpdate(spark: SparkSession, incoming: DataFrame, path: String,
                    keys: Seq[String],
-                   lockStaleMs: Long = 10L * 60 * 1000): Unit = {
+                   lockStaleMs: Long = 10L * 60 * 1000,
+                   tiebreak: Seq[Column] = Nil): Unit = {
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     DirSwap.acquireLock(fs, fsPath, lockStaleMs)
@@ -92,7 +93,8 @@ object MergeUpsert {
       recover(spark, path) // finish/roll back any interrupted prior swap
       val v0 = DirSwap.readVersion(fs, fsPath)
       val result =
-        if (fs.exists(fsPath)) merge(spark.read.parquet(path), incoming, keys)
+        if (fs.exists(fsPath))
+          merge(spark.read.parquet(path), incoming, keys, tiebreak)
         else incoming
       val tmp = tmpOf(path)
       val old = oldOf(path)

@@ -82,6 +82,33 @@ object NeoQueries {
   private def silverDay(s: SparkSession, date: String): DataFrame =
     silver(s).filter(col("approach_date") === date)
 
+  // ── multi-day out-of-order backfill (q_neo_backfill) ─────────────────
+
+  /** Separate stage base so the five-day backfill never perturbs the
+    * two-day medallion the other q_neo_* gates hash.
+    */
+  private val BACKFILL_BASE = graft.StageDirs.stable("neo_backfill")
+  private val backfillLayout = Layout(BACKFILL_BASE)
+  private def backfillBronzeDir = s"$BACKFILL_BASE/bronze/JSON"
+
+  private val backfillFetcher: FeedFetcher = new FeedFetcher {
+    def fetch(startDate: String, endDate: String): String =
+      NeoFixture.backfillDays.getOrElse(startDate,
+        throw new IllegalArgumentException(
+          s"fixture has no feed for $startDate"))
+  }
+
+  /** One day's dim-asteroid INCREMENT: that day's bronze document alone
+    * through the same flatten, surviving per the same window, with the
+    * recency columns retained so a later out-of-order merge can re-run
+    * the survivor ordering against the stored winner.
+    */
+  private def dimIncrement(s: SparkSession, date: String): DataFrame =
+    graft.etl.SilverToGold.dimAsteroidAsOf(
+      BronzeToSilver.flatten(
+        s.read.schema(NeoSchema.feed).option("multiLine", "true")
+          .json(backfillLayout.bronzeFile(date))))
+
   // ────────────────────────────────────────────────────────────────────
   // Queries
   // ────────────────────────────────────────────────────────────────────
@@ -189,6 +216,41 @@ object NeoQueries {
           col("miss_km"), col("orbiting_body"))
     },
 
+    // ── S6 at backfill realism: FIVE daily feeds arriving OUT OF ORDER
+    // (3, 1, 5, 2, 4) plus a replayed day 3, each applied as a
+    // crash-safe saveOrUpdate increment with the survivor-ordering
+    // tiebreak (latest approach_date wins, not latest ARRIVAL — the fix
+    // that makes the fold arrival-order-free). The gate: the merged
+    // on-disk gold equals the batch rebuild over all five days, which
+    // the oracle re-derives from the same five bronze documents in one
+    // window. Re-runs of the gate re-fold into the existing table and
+    // must CONVERGE — idempotent replay is part of what the hash pins.
+    "q_neo_backfill" -> { (s, _) =>
+      NeoFixture.backfillDays.keys.toSeq.sorted.foreach(d =>
+        BronzeIngest.ingest(s, backfillLayout, d, backfillFetcher))
+      val table = backfillLayout.gold("dim_asteroid_backfill")
+      val arrivals = Seq(
+        NeoFixture.day3Date, NeoFixture.day1Date, NeoFixture.day5Date,
+        NeoFixture.day2Date, NeoFixture.day4Date,
+        NeoFixture.day3Date) // late replay of an already-applied day
+      arrivals.foreach { d =>
+        MergeUpsert.saveOrUpdate(s, dimIncrement(s, d), table,
+          keys = Seq("id"),
+          tiebreak = Seq(col("approach_date").desc,
+            col("approach_date_full").asc_nulls_last))
+      }
+      s.read.parquet(table)
+        .select(col("sk_asteroid"), col("id"), col("neo_reference_id"),
+          col("name"), col("absolute_magnitude_h"),
+          col("diam_min_km"), col("diam_max_km"),
+          col("diam_min_m"), col("diam_max_m"),
+          col("diam_min_mi"), col("diam_max_mi"),
+          col("diam_min_feet"), col("diam_max_feet"),
+          col("is_hazardous"), col("is_sentry"),
+          col("nasa_jpl_url"), col("link_self"),
+          col("approach_date").cast("string").as("as_of_date"))
+    },
+
     // ── S7+§2.4: SQL serving over the gold star — register the gold
     // tables as temp views and run plain spark.sql consumption: fact ⋈
     // dims on the sha2 SKs (reference: src/streamlit_app.py:35-53).
@@ -258,10 +320,12 @@ object NeoQueries {
 
   /** Shared CTE chain: bronze JSON → per-day → per-NEO → per-approach →
     * the 27-column silver (plus the feed_date helper for day slicing).
+    * Parameterized by the bronze directory so the two-day medallion and
+    * the five-day backfill each get their own twin.
     */
-  private val silverCtes =
+  private def silverCtesFor(dir: String) =
     s"""nfeed AS (
-       |  SELECT * FROM read_json('$bronzeJsonDir/*.json',
+       |  SELECT * FROM read_json('$dir/*.json',
        |    columns = {element_count: 'BIGINT',
        |               near_earth_objects: 'MAP(VARCHAR, $NEO_TYPE[])'},
        |    format = 'unstructured')),
@@ -315,6 +379,8 @@ object NeoQueries {
        |  ${norm("approach.orbiting_body")} AS orbiting_body
        |FROM napp)""".stripMargin
 
+  private val silverCtes = silverCtesFor(bronzeJsonDir)
+
   /** The silver column list (27 — everything but the feed_date helper). */
   private val SILVER_COLS = Seq(
     "id", "neo_reference_id", "name", "absolute_magnitude_h",
@@ -359,6 +425,22 @@ object NeoQueries {
 
     "q_neo_dim_asteroid" ->
       s"WITH $silverCtes\n${dimAsteroidSql("nsilver")}",
+
+    // The batch rebuild over ALL FIVE backfill documents — one survivor
+    // window, same ordering the incremental fold re-runs per merge. The
+    // silver CTEs point at the backfill's own bronze directory.
+    "q_neo_backfill" ->
+      s"""WITH ${silverCtesFor(backfillBronzeDir)}
+         |SELECT sha256(CAST(id AS VARCHAR)) AS sk_asteroid,
+         |  id, neo_reference_id, name, absolute_magnitude_h,
+         |  diam_min_km, diam_max_km, diam_min_m, diam_max_m,
+         |  diam_min_mi, diam_max_mi, diam_min_feet, diam_max_feet,
+         |  is_hazardous, is_sentry, nasa_jpl_url, link_self,
+         |  approach_date AS as_of_date
+         |FROM (SELECT *, row_number() OVER (PARTITION BY id
+         |    ORDER BY approach_date DESC NULLS LAST,
+         |      approach_date_full ASC NULLS LAST) AS rn
+         |  FROM nsilver) WHERE rn = 1""".stripMargin,
 
     "q_neo_dim_date" ->
       s"""WITH $silverCtes,

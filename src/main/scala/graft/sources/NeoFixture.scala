@@ -143,4 +143,49 @@ object NeoFixture {
           body = Some("Venus")),
         approach(day2Date, "23:59", 1786319940000L, 5.27, 2.61e7,
           body = Some("Null")))))))
+
+  // ── backfill extension (days 3–5) ────────────────────────────────────
+  // Three more daily documents for the out-of-order backfill gate
+  // (q_neo_backfill): each re-observes an earlier NEO with CHANGED
+  // attributes (so the deterministic latest-approach-date survivor is
+  // load-bearing, not cosmetic) and day 4 carries an empty-approaches
+  // NEO that must contribute zero silver rows on every replay.
+
+  val day3Date = "2026-08-14"
+  def day3: String = feedJson(Seq(day3Date -> Seq(
+    // 2010 PK9 re-observed: refined magnitude + diameter band
+    Neo("3542519", "(2010 PK9)", 21.91, hazardous = true, sentry = false,
+      0.13, 0.28, Seq(
+        approach(day3Date, "09:15", 1786353300000L, 13.61, 1.771e7))),
+    Neo("3840869", "(2019 GT3)", 23.4, hazardous = false, sentry = false,
+      0.08, 0.18, Seq(
+        approach(day3Date, "18:30", 1786386600000L, 9.05, 1.2e7))))))
+
+  val day4Date = "2026-08-15"
+  def day4: String = feedJson(Seq(day4Date -> Seq(
+    // Apophis re-observed a THIRD time: this row must win the survivor
+    // window over the day-1 and day-2 observations
+    Neo("2099942", "99942 Apophis (2004 MN4)", 19.6, hazardous = true,
+      sentry = false, 0.32, 0.70, Seq(
+        approach(day4Date, "11:05", 1786446300000L, 7.46, 3.95e7))),
+    // empty close_approach_data: zero silver rows, absent from the dim
+    Neo("54339874", "(2023 DW)", 26.0, hazardous = false, sentry = true,
+      0.02, 0.05, Nil))))
+
+  val day5Date = "2026-08-16"
+  def day5: String = feedJson(Seq(day5Date -> Seq(
+    // Eros re-observed: day-5 row outranks both day-2 approaches
+    Neo("2000433", "433 Eros (A898 PA)", 10.33, hazardous = false,
+      sentry = false, 16.9, 37.7, Seq(
+        approach(day5Date, "02:40", 1786502400000L, 5.29, 2.63e7))),
+    Neo("2001036", "1036 Ganymed (A924 UB)", 9.2, hazardous = false,
+      sentry = false, 31.7, 70.9, Seq(
+        approach(day5Date, "16:55", 1786553700000L, 8.11, 5.6e7))))))
+
+  /** All five backfill days, keyed by date — the multi-day fetcher's
+    * feed table.
+    */
+  def backfillDays: Map[String, String] = Map(
+    day1Date -> day1, day2Date -> day2, day3Date -> day3,
+    day4Date -> day4, day5Date -> day5)
 }

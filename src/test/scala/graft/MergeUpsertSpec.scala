@@ -158,6 +158,37 @@ class MergeUpsertSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("lost update"))
   }
 
+  test("saveOrUpdate with recency tiebreak: fold is arrival-order-free " +
+    "and replay-safe (the q_neo_backfill contract)") {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.DirSwap
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // daily increments: (key, as_of day, payload); later day must win
+    // regardless of arrival order
+    val days = Map(
+      1 -> Seq((10, 1, "d1-a"), (20, 1, "d1-b")),
+      2 -> Seq((10, 2, "d2-a"), (30, 2, "d2-c")),
+      3 -> Seq((20, 3, "d3-b")))
+    val tiebreak = Seq(col("as_of").desc, col("v").asc)
+    def fold(arrivals: Seq[Int]): (Seq[(Int, Int, String)], Long) = {
+      val p = Files.createTempDirectory("graft-bf").toString + "/t"
+      arrivals.foreach(d => MergeUpsert.saveOrUpdate(spark,
+        days(d).toDF("k", "as_of", "v"), p, Seq("k"), tiebreak = tiebreak))
+      (spark.read.parquet(p).orderBy("k")
+        .as[(Int, Int, String)].collect().toSeq,
+        DirSwap.readVersion(fs, new Path(p)))
+    }
+    val expected = Seq((10, 2, "d2-a"), (20, 3, "d3-b"), (30, 2, "d2-c"))
+    val (inOrder, v1) = fold(Seq(1, 2, 3))
+    val (outOfOrder, v2) = fold(Seq(3, 1, 2))
+    val (replayed, v3) = fold(Seq(2, 3, 1, 3)) // day 3 applied twice
+    assert(inOrder === expected)
+    assert(outOfOrder === expected)
+    assert(replayed === expected)
+    // version is arrival-count monotonic, not content-dependent
+    assert(v1 === 3L && v2 === 3L && v3 === 4L)
+  }
+
   test("property: merge is idempotent and row-order insensitive") {
     val rnd = new scala.util.Random(42)
     def rows() = List.fill(30)((rnd.nextInt(10), rnd.nextInt(101)))
