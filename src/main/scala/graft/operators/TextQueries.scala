@@ -547,6 +547,46 @@ object TextQueries {
           col("n_near_removed"), col("n_final"), col("tokens_final"))
     },
 
+    // ── the SHARED dedup plan, priced as ONE query ──────────────────────
+    // q_dup_clusters / q_cluster_survivors / q_golden_record /
+    // q_dedup_pipeline each re-derive the LSH→verify→CC pipeline because
+    // the gate prices every query standalone. Production does not: it
+    // builds [[DedupPlan]] once and answers all four questions from the
+    // persisted pair/member tables. This query IS that composition —
+    // one plan, four consumer sections union'd into a tall
+    // (section, c1..c6) board — so the bench records the production
+    // economics of the shared path next to the standalone prices, and
+    // the hash gate pins that sharing changes NO answer. Sections use
+    // the plan's exact-survivor-restricted clustering (the documented
+    // ordering contract), which the oracle replays once in SQL.
+    "q_dedup_plan_board" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val plan = DedupPlan(d, "doc_id", "text",
+        K, NUM_HASHES, BANDS, THRESH)
+      val quality = d.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val attrs = d.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        col("n_chars"), col("lang"))
+      def pad(df: DataFrame, section: String,
+              cols: Seq[String]): DataFrame = {
+        val cs = cols.map(c => col(c).cast("long")) ++
+          Seq.fill(6 - cols.size)(lit(null).cast("long"))
+        df.select(lit(section).as("section") +:
+          cs.zipWithIndex.map { case (c, i) => c.as(s"c${i + 1}") }: _*)
+      }
+      pad(plan.members, "member",
+          Seq("doc_id", "cluster_id", "cluster_sz"))
+        .unionByName(pad(plan.survivors(quality), "survivor",
+          Seq("cluster_id", "keep_id", "keep_quality", "n_members")))
+        .unionByName(pad(plan.goldenRecords(attrs), "golden",
+          Seq("cluster_id", "survivor_id", "n_members", "max_quality",
+            "max_chars", "n_langs")))
+        .unionByName(pad(plan.summary, "summary",
+          Seq("n_docs", "n_exact_removed", "n_near_removed", "n_final",
+            "tokens_final")))
+    },
+
     // ── one survivor per cluster by (quality desc, id asc) ──────────────
     // The keep/drop decision a curation pipeline executes: struct-min
     // argmax per cluster (map-side combinable), quality from the same
@@ -2924,6 +2964,70 @@ object TextQueries {
          |  (SELECT count(*) FROM fin) AS n_final,
          |  (SELECT CAST(coalesce(sum(t), 0) AS BIGINT)
          |   FROM fin JOIN tok USING (doc_id)) AS tokens_final""".stripMargin,
+
+    "q_dedup_plan_board" ->
+      s"""WITH RECURSIVE $lshVerifiedCtes,
+         |fpg AS (SELECT
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f,
+         |    min(doc_id) AS keep_id
+         |  FROM documents GROUP BY 1),
+         |surv AS (SELECT keep_id AS doc_id FROM fpg),
+         |vps AS (SELECT doc_a, doc_b FROM vp
+         |  WHERE doc_a IN (SELECT doc_id FROM surv)
+         |    AND doc_b IN (SELECT doc_id FROM surv)),
+         |se AS (SELECT doc_a AS src, doc_b AS dst FROM vps
+         |       UNION SELECT doc_b, doc_a FROM vps),
+         |sreach AS (SELECT src AS id, src AS r FROM se
+         |           UNION
+         |           SELECT sreach.id, se.dst FROM sreach
+         |           JOIN se ON se.src = sreach.r),
+         |scc AS (SELECT id, min(r) AS cluster_id FROM sreach GROUP BY id),
+         |csz AS (SELECT cluster_id, count(*) AS cluster_sz
+         |  FROM scc GROUP BY 1),
+         |$qualityCtes,
+         |mem AS (SELECT scc.id, scc.cluster_id, qv.quality, d.n_chars,
+         |    d.lang
+         |  FROM scc JOIN qv ON qv.doc_id = scc.id
+         |  JOIN documents d ON d.doc_id = scc.id),
+         |sv AS (SELECT cluster_id, id, quality,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM mem),
+         |ga AS (SELECT cluster_id, count(*) AS n_members,
+         |    max(quality) AS max_quality, max(n_chars) AS max_chars,
+         |    count(DISTINCT lang) AS n_langs
+         |  FROM mem GROUP BY 1),
+         |rem AS (SELECT id AS doc_id FROM scc WHERE id != cluster_id),
+         |fin AS (SELECT doc_id FROM surv
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM rem)),
+         |tok AS (SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |      AS BIGINT) AS t
+         |  FROM documents)
+         |SELECT 'member' AS section, scc.id AS c1, scc.cluster_id AS c2,
+         |  CAST(csz.cluster_sz AS BIGINT) AS c3, CAST(NULL AS BIGINT) AS c4,
+         |  CAST(NULL AS BIGINT) AS c5, CAST(NULL AS BIGINT) AS c6
+         |FROM scc JOIN csz USING (cluster_id)
+         |UNION ALL
+         |SELECT 'survivor', cluster_id, id, CAST(quality AS BIGINT),
+         |  CAST(n_members AS BIGINT), NULL, NULL
+         |FROM sv WHERE rn = 1
+         |UNION ALL
+         |SELECT 'golden', ga.cluster_id, sv.id,
+         |  CAST(ga.n_members AS BIGINT), CAST(ga.max_quality AS BIGINT),
+         |  CAST(ga.max_chars AS BIGINT), CAST(ga.n_langs AS BIGINT)
+         |FROM ga JOIN sv ON sv.cluster_id = ga.cluster_id AND sv.rn = 1
+         |UNION ALL
+         |SELECT 'summary',
+         |  (SELECT count(*) FROM documents),
+         |  (SELECT count(*) FROM documents) - (SELECT count(*) FROM fpg),
+         |  (SELECT count(*) FROM rem),
+         |  (SELECT count(*) FROM fin),
+         |  (SELECT CAST(coalesce(sum(t), 0) AS BIGINT)
+         |   FROM fin JOIN tok USING (doc_id)),
+         |  NULL""".stripMargin,
 
     "q_cluster_survivors" ->
       s"""WITH RECURSIVE $ccCtes,
