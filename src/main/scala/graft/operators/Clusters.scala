@@ -51,6 +51,29 @@ object Clusters {
   private val labelSchema = StructType(Seq(
     StructField("id", LongType), StructField("lbl", LongType)))
 
+  /** Materialize a fixpoint's edge table to `scratch/edges` and read it
+    * back with an explicit schema, THEN persist that. Persisting alone
+    * caches data but leaves the pair-source subtree (typically the
+    * whole LSH pipeline; a wide replicated union at rehearsal scale) in
+    * every round's logical plan, where per-job analysis re-walks it —
+    * GraphScaleProbe (round 12) measured 316 s of pure driver plan work
+    * for the CC fixpoint on a 240-PAIR graph at ×100 replication before
+    * this truncation, vs ~3 s after. One pair-bounded write; every
+    * round's edge side is a flat parquet scan afterwards.
+    */
+  private def materializeEdges(df: DataFrame, scratch: Path,
+                               schema: StructType): DataFrame = {
+    val spark = df.sparkSession
+    val dir = new Path(scratch, "edges")
+    df.write.mode("overwrite").parquet(dir.toString)
+    graft.CacheRegistry.register(
+      spark.read.schema(schema).parquet(dir.toString)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  private val edgeSchema = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType)))
+
   /** Connected components of an undirected pair list.
     *
     * @param pairs one row per undirected edge
@@ -72,12 +95,12 @@ object Clusters {
     // every propagation round joins against it, and the pair source is
     // typically the whole LSH pipeline (recomputing THAT per round
     // multiplied the clustering cost by the iteration count)
-    val edges = graft.CacheRegistry.register(
+    val edges = materializeEdges(
       pairs.select(col(src).cast("long").as("src"),
           col(dst).cast("long").as("dst"))
         .union(pairs.select(col(dst).cast("long").as("src"),
-          col(src).cast("long").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          col(src).cast("long").as("dst"))),
+      scratch, edgeSchema)
 
     def roundTrip(df: DataFrame, iter: Int): DataFrame = {
       val dir = new Path(scratch, s"labels_$iter")
@@ -193,12 +216,12 @@ object Clusters {
       graft.StageDirs.scratch("pr")))
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    val edges = graft.CacheRegistry.register(
+    val edges = materializeEdges(
       pairs.select(col(src).cast("long").as("src"),
           col(dst).cast("long").as("dst"))
         .union(pairs.select(col(dst).cast("long").as("src"),
-          col(src).cast("long").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          col(src).cast("long").as("dst"))),
+      scratch, edgeSchema)
     // (src, dst, d): out-degree attached ONCE — every iteration's
     // contribution term divides by it, so pre-joining keeps the loop
     // body to a single join + aggregate
@@ -265,11 +288,12 @@ object Clusters {
       graft.StageDirs.scratch("hits")))
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    val edges = graft.CacheRegistry.register(
+    val edges = materializeEdges(
       pairs.select(col(src).cast("long").as("c"),
           col(dst).cast("long").as("p"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .distinct(),
+      scratch, StructType(Seq(
+        StructField("c", LongType), StructField("p", LongType))))
 
     // parquet schema resolution is BY NAME: the read schema must carry
     // this function's own column names, not rankSchema's
@@ -344,12 +368,12 @@ object Clusters {
       graft.StageDirs.scratch("lpa")))
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    val edges = graft.CacheRegistry.register(
+    val edges = materializeEdges(
       pairs.select(col(src).cast("long").as("src"),
           col(dst).cast("long").as("dst"))
         .union(pairs.select(col(dst).cast("long").as("src"),
-          col(src).cast("long").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          col(src).cast("long").as("dst"))),
+      scratch, edgeSchema)
 
     var lastDir: Option[Path] = None
     def roundTrip(df: DataFrame, iter: Int): DataFrame = {
@@ -560,12 +584,12 @@ object Clusters {
       graft.StageDirs.scratch("kcore")))
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    val edges = graft.CacheRegistry.register(
+    val edges = materializeEdges(
       pairs.select(col(src).cast("long").as("src"),
           col(dst).cast("long").as("dst"))
         .union(pairs.select(col(dst).cast("long").as("src"),
-          col(src).cast("long").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          col(src).cast("long").as("dst"))),
+      scratch, edgeSchema)
 
     var lastDir: Option[Path] = None
     def roundTrip(df: DataFrame, iter: Int): DataFrame = {

@@ -46,17 +46,54 @@ final class DedupPlan private (docs: DataFrame, id: String, text: String,
   lazy val exactSurvivors: DataFrame =
     exactGroups.select(col("keep_id").as(id))
 
-  /** LSH-verified near-dup pairs RESTRICTED to exact survivors — the
-    * table every downstream consumer shares. Persisted: this is the
-    * expensive tier (shingles → signatures → bands → verify), and it
-    * is paid exactly once per plan.
+  /** The corpus restricted to exact survivors — survivor-bounded
+    * (≤ one row per distinct content) and LINEAGE-TRUNCATED through a
+    * parquet round-trip: the LSH chain references this table from ~6
+    * plan positions (two signature sides, two verify sides, sizes), so
+    * a mere persist would cache the data but let every downstream job
+    * re-analyze the corpus subtree that many times — the dominant
+    * DRIVER cost at rehearsal ×100. After the round-trip the whole
+    * dedup plan hangs off one flat scan.
     */
-  lazy val pairs: DataFrame = CacheRegistry.register(
-    Dedup.lshVerifiedPairs(docs, id, text, k, numHashes, bands,
-        thresholdPct)
-      .join(exactSurvivors.select(col(id).as("doc_a")), "doc_a")
-      .join(exactSurvivors.select(col(id).as("doc_b")), "doc_b")
-      .persist(StorageLevel.MEMORY_AND_DISK))
+  private lazy val survivorDocs: DataFrame = {
+    val dir = graft.StageDirs.scratch("dedup_plan_survivors")
+    docs.join(exactSurvivors, Seq(id), "left_semi")
+      .write.mode("overwrite").parquet(dir)
+    CacheRegistry.register(
+      docs.sparkSession.read.parquet(dir)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** LSH-verified near-dup pairs over exact survivors ONLY — the table
+    * every downstream consumer shares. The restriction is applied to
+    * the INPUT docs (semi-join before shingling), not to the output
+    * pairs: band candidates are per-pair collisions and the verify is
+    * per-pair exact Jaccard, so removing non-survivor docs changes no
+    * surviving pair — but it removes their postings from every band
+    * bucket, which is the whole point of the exact-first ordering
+    * contract. The round-12 GraphScaleProbe measured the difference at
+    * worst-case duplication: filtering pairs AFTER banding cost 575 s
+    * at ×100 replication (every bucket held 100× postings → ×10⁴
+    * candidates); shingling survivors keeps the LSH tier priced at the
+    * deduplicated corpus.
+    *
+    * The result is LINEAGE-TRUNCATED through a pair-bounded parquet
+    * round-trip, not merely persisted: a persist caches data, but each
+    * downstream job would still re-ANALYZE the pair plan, which embeds
+    * the corpus subtree ~6× (two signature sides, two verify sides,
+    * the semi-join) — measured as ~60 s of pure driver plan work per
+    * consumer at rehearsal ×100. After the round-trip every consumer
+    * starts from a flat scan.
+    */
+  lazy val pairs: DataFrame = {
+    val raw = Dedup.lshVerifiedPairs(survivorDocs,
+      id, text, k, numHashes, bands, thresholdPct)
+    val dir = graft.StageDirs.scratch("dedup_plan_pairs")
+    raw.write.mode("overwrite").parquet(dir)
+    CacheRegistry.register(
+      raw.sparkSession.read.parquet(dir)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** (doc_id, cluster_id, cluster_sz) — near-dup pairs closed into
     * connected components, persisted. The one CC fixpoint in the plan.

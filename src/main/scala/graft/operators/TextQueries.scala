@@ -525,10 +525,13 @@ object TextQueries {
       val d = Tables.load(s, dir, "documents")
       val fp = Dedup.exactGroups(d, "doc_id", "text")
       val surv = fp.select(col("keep_id").as("doc_id"))
-      val pairs = Dedup.lshVerifiedPairs(d, "doc_id", "text",
+      // restrict the INPUT docs, not the output pairs — band candidates
+      // and per-pair verify are unaffected by removing non-survivors,
+      // but their postings leaving the buckets is what keeps the LSH
+      // tier priced at the deduplicated corpus (see DedupPlan.pairs)
+      val pairs = Dedup.lshVerifiedPairs(
+          d.join(surv, Seq("doc_id"), "left_semi"), "doc_id", "text",
           K, NUM_HASHES, BANDS, THRESH)
-        .join(surv.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(surv.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .select("doc_a", "doc_b")
       val cc = Clusters.connectedComponents(pairs, "doc_a", "doc_b")
       val removedNear = cc.filter(col("id") =!= col("cluster_id"))

@@ -37,6 +37,8 @@ object GraphScaleProbe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,10,100")
       .split(",").map(_.trim.toInt).toSeq
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTS", "1,2,3")
+      .split(",").map(_.trim.toInt).toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -74,7 +76,7 @@ object GraphScaleProbe {
         .reduce(_ unionAll _).repartition(32)
     }
 
-    for (m <- mults) {
+    if (parts(1)) for (m <- mults) {
       time(s"cc x$m")(
         Clusters.connectedComponents(edgesX(m), "doc_a", "doc_b").count())
       time(s"pagerank x$m")(
@@ -85,15 +87,19 @@ object GraphScaleProbe {
     }
 
     // ── 2. synthetic edge ramp: fixed-vs-data cost separation ──────────
-    // Deterministic pseudo-random graph: node space |E|/8, so average
-    // degree ~16 after symmetrization — dense enough that each
-    // fixpoint round is real shuffle work, not scheduling noise.
+    // Deterministic pseudo-random graph via xxhash64 mixing (a linear-
+    // congruential map here builds a near-path graph whose diameter
+    // blows past the CC round cap — real mixing keeps the random-graph
+    // diameter at ~log n). Node space |E|/8 → average degree ~16 after
+    // symmetrization, dense enough that each fixpoint round is real
+    // shuffle work, not scheduling noise.
     def synth(nEdges: Long): DataFrame =
       spark.range(nEdges).select(
-        pmod(col("id") * 2654435761L, lit(nEdges / 8)).as("doc_a"),
-        pmod((col("id") + 7919L) * 2246822519L, lit(nEdges / 8)).as("doc_b"))
+        pmod(xxhash64(col("id")), lit(nEdges / 8)).as("doc_a"),
+        pmod(xxhash64(col("id") + 1_000_000_007L), lit(nEdges / 8))
+          .as("doc_b"))
         .filter(col("doc_a") =!= col("doc_b"))
-    for (e <- Seq(100_000L, 1_000_000L, 10_000_000L)) {
+    if (parts(2)) for (e <- Seq(100_000L, 1_000_000L, 10_000_000L)) {
       time(s"synth cc |E|=$e")(
         Clusters.connectedComponents(synth(e), "doc_a", "doc_b").count())
       time(s"synth pagerank |E|=$e")(
@@ -109,7 +115,7 @@ object GraphScaleProbe {
           col("text")))
         .reduce(_ unionAll _).repartition(32)
     }
-    for (m <- mults) {
+    if (parts(3)) for (m <- mults) {
       time(s"dedup_plan summary x$m") {
         val plan = DedupPlan(docsX(m))
         val row = plan.summary.collect()(0)
@@ -118,6 +124,29 @@ object GraphScaleProbe {
             .map { case (k, v) => s"$k=$v" }.mkString(", "))
         row.getLong(0)
       }
+    }
+
+    // ── 3b. per-stage split of the plan at one multiplier ──────────────
+    // (SPARK_GRAFT_PROBE_PARTS=4, SPARK_GRAFT_SCALE_MULTS=<m>): where
+    // does the ×m wall go — exact tier, survivor semi-join, LSH fill,
+    // CC, or the summary's extra corpus passes?
+    if (parts(4)) for (m <- mults) {
+      graft.CacheRegistry.releaseAll(); spark.catalog.clearCache()
+      System.gc()
+      val plan = DedupPlan(docsX(m))
+      def stage(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[graphscale] stage x$m $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      }
+      stage("docs count")(docsX(m).count())
+      stage("exactGroups")(plan.exactGroups.count())
+      stage("survivor semi-join")(
+        docsX(m).join(plan.exactSurvivors, Seq("doc_id"), "left_semi")
+          .count())
+      stage("pairs (LSH fill)")(plan.pairs.count())
+      stage("members (CC)")(plan.members.count())
+      stage("summary")(plan.summary.collect()(0).getLong(0))
     }
     spark.stop()
   }
