@@ -113,6 +113,11 @@ object Association {
     // stable under extra rounds for already-settled nodes.
     "q_sssp_hops" -> { (s, dir) =>
       val p = pairs(items(s, dir))
+      // persist (not parquet-round-trip) is the right call HERE: the
+      // query's cost is the basket self-join that GENERATES the pair
+      // table, not per-round plan analysis (only 4 fixed rounds), and a
+      // round-trip would add a full write of the support-filtered pair
+      // table for nothing — measured +0.9 s when tried in round 12
       val e = graft.CacheRegistry.register(
         p.select(col("ant").as("src"), col("cons").as("dst"))
           .union(p.select(col("cons").as("src"), col("ant").as("dst")))

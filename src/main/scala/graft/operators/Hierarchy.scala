@@ -72,15 +72,29 @@ object Hierarchy {
       val domain = ids
         .union(edges.select(col("par").as("id")))
         .distinct()
-      var cur = domain.join(edges, Seq("id"), "left")
-        .select(col("id"), coalesce(col("par"), col("id")).as("anc"),
-          when(col("par").isNotNull, 1L).otherwise(0L).as("d"))
-      for (_ <- 1 to DOUBLE_ROUNDS) {
+      // the jump table parquet-round-trips EVERY round: the doubling
+      // join composes cur with itself, so a chained plan holds 2^round
+      // copies of the base subtree — exponential ANALYSIS cost for a
+      // log-round algorithm (the Clusters.materializeEdges lesson,
+      // round 12). One node-bounded write per round keeps each round's
+      // plan one flat self-join.
+      val scratch = graft.StageDirs.scratch("hier_closure")
+      def roundTrip(df: DataFrame, i: Int): DataFrame = {
+        val p = s"$scratch/jump_$i"
+        df.write.mode("overwrite").parquet(p)
+        s.read.parquet(p)
+      }
+      var cur = roundTrip(
+        domain.join(edges, Seq("id"), "left")
+          .select(col("id"), coalesce(col("par"), col("id")).as("anc"),
+            when(col("par").isNotNull, 1L).otherwise(0L).as("d")), 0)
+      for (i <- 1 to DOUBLE_ROUNDS) {
         val jump = cur.select(col("id").as("j_id"), col("anc").as("j_anc"),
           col("d").as("j_d"))
-        cur = cur.join(jump, col("anc") === col("j_id"))
-          .select(col("id"), col("j_anc").as("anc"),
-            (col("d") + col("j_d")).as("d"))
+        cur = roundTrip(
+          cur.join(jump, col("anc") === col("j_id"))
+            .select(col("id"), col("j_anc").as("anc"),
+              (col("d") + col("j_d")).as("d")), i)
       }
       cur.join(ids, Seq("id"), "left_semi") // report customer rows only
         .select(col("id").as("c_custkey"), col("anc").as("root_key"),
@@ -95,16 +109,27 @@ object Hierarchy {
     // in a forest the pair determines d, so no survivor ambiguity.
     "q_subtree_rollup" -> { (s, dir) =>
       val (_, edges) = forest(s, dir)
-      var cl = edges.select(col("id").as("node"), col("par").as("anc"),
-        lit(1L).as("d"))
-      for (_ <- 1 to CLOSURE_ROUNDS) {
+      // same per-round round-trip as q_hierarchy_closure: the doubling
+      // union references cl three times per round, so a chained plan
+      // grows 3^round subtrees
+      val scratch = graft.StageDirs.scratch("hier_rollup")
+      def roundTrip(df: DataFrame, i: Int): DataFrame = {
+        val p = s"$scratch/cl_$i"
+        df.write.mode("overwrite").parquet(p)
+        s.read.parquet(p)
+      }
+      var cl = roundTrip(
+        edges.select(col("id").as("node"), col("par").as("anc"),
+          lit(1L).as("d")), 0)
+      for (i <- 1 to CLOSURE_ROUNDS) {
         val up = cl.select(col("node").as("u_node"), col("anc").as("u_anc"),
           col("d").as("u_d"))
-        cl = cl.union(
-            cl.join(up, col("anc") === col("u_node"))
-              .select(col("node"), col("u_anc").as("anc"),
-                (col("d") + col("u_d")).as("d")))
-          .dropDuplicates("node", "anc")
+        cl = roundTrip(
+          cl.union(
+              cl.join(up, col("anc") === col("u_node"))
+                .select(col("node"), col("u_anc").as("anc"),
+                  (col("d") + col("u_d")).as("d")))
+            .dropDuplicates("node", "anc"), i)
       }
       cl.join(
           Tables.load(s, dir, "customer")

@@ -1393,8 +1393,15 @@ object TextQueries {
     // (Σd² ≤ |E|·dmax with arboricity-bounded dmax), far inside the
     // DECIMAL(38) headroom q_correlation proves at 20k rows.
     "q_assortativity" -> { (s, dir) =>
-      val vp = Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
-        "doc_id", "text", K, NUM_HASHES, BANDS, THRESH)
+      // the pair table feeds three plan positions (the edge scan and
+      // both degree joins); round-trip it through scratch parquet so
+      // the LSH chain is analyzed and EXECUTED once, not per position
+      val vpDir = graft.StageDirs.scratch("assort_pairs")
+      Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", K, NUM_HASHES, BANDS, THRESH)
+        .select("doc_a", "doc_b")
+        .write.mode("overwrite").parquet(vpDir)
+      val vp = s.read.parquet(vpDir)
       val sym = vp.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(vp.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
