@@ -67,6 +67,40 @@ object OpsGate {
           .select(lit(v).as("version"), col("n_rows"), col("n_keys"),
             col("sum_cents"))
       snap(1).unionByName(snap(2)).unionByName(snap(3))
+    },
+
+    // ── small-files compaction under the hash gate ─────────────────────
+    // The ops surface that was spec-only through round 11: stage the
+    // events table as 64 deliberate small files, run the crash-safe
+    // compaction swap (same lock/version/recover protocol as the
+    // merge), and gate that (a) CONTENT survives byte-exactly — the
+    // per-type rollup equals the oracle's over the source parquet —
+    // and (b) the file counts are the deterministic 64 → 1 (targetBytes
+    // sized so the planner picks one file; parquet byte sizes never
+    // enter the projection). Crash windows/locks stay spec-pinned
+    // (CompactionSpec + CrashRecoveryScaleSpec cover them).
+    "q_compaction" -> { (s, dir) =>
+      val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"$STAGE_BASE/$key/events_small"
+      val p = new Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true) // rebuild: the lifecycle IS the test
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .repartition(64).write.parquet(path)
+      def parts(): Long = fs.listStatus(p)
+        .count(_.getPath.getName.endsWith(".parquet")).toLong
+      val before = parts()
+      Compaction.compact(s, path, targetBytes = Long.MaxValue / 4)
+      val after = parts()
+      s.read.parquet(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("event_id")).as("n_ids"),
+          sum(col("cents")).as("sum_cents"))
+        .withColumn("n_files_before", lit(before))
+        .withColumn("n_files_after", lit(after))
     })
 
   val oracle: Map[String, String] = Map(
@@ -87,5 +121,14 @@ object OpsGate {
         |UNION ALL SELECT 2, count(*), count(DISTINCT k),
         |  CAST(sum(cents) AS BIGINT) FROM v2
         |UNION ALL SELECT 3, count(*), count(DISTINCT k),
-        |  CAST(sum(cents) AS BIGINT) FROM v3""".stripMargin)
+        |  CAST(sum(cents) AS BIGINT) FROM v3""".stripMargin,
+
+    "q_compaction" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  count(DISTINCT event_id) AS n_ids,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(64 AS BIGINT) AS n_files_before,
+        |  CAST(1 AS BIGINT) AS n_files_after
+        |FROM events GROUP BY 1""".stripMargin)
 }
