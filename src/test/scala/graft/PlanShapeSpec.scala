@@ -624,4 +624,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
       s"$q fell back to a cross-style join:\n$plan")
+
+  test("DedupPlan.pairs and .members are lineage-truncated flat scans " +
+    "(the round-12 x100 fix: no LSH/union subtree survives into " +
+    "consumer plans)") {
+    // a persist alone caches data but leaves the corpus subtree in the
+    // logical plan, where every consumer job re-analyzes it (316 s of
+    // driver time on a 240-pair graph at x100 — GraphScaleProbe);
+    // these two tables must be parquet-scan-rooted
+    val plan = operators.DedupPlan(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val pairsLogical = plan.pairs.queryExecution.analyzed.toString
+    assert(!pairsLogical.contains("Join") && !pairsLogical.contains("Union"),
+      s"DedupPlan.pairs logical plan is not a flat scan:\n$pairsLogical")
+    // members legitimately joins labels with the (bounded) size table,
+    // but no corpus-derived subtree — shingle explode (Generate) or the
+    // doc semi-join — may survive into it
+    val membersLogical = plan.members.queryExecution.analyzed.toString
+    assert(!membersLogical.contains("Generate") &&
+      !membersLogical.contains("LeftSemi"),
+      s"DedupPlan.members drags a corpus subtree:\n$membersLogical")
+    graft.CacheRegistry.releaseAll()
+  }
 }
