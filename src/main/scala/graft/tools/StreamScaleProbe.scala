@@ -1,0 +1,97 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.streaming.StreamingEvents
+
+/** Dev-only ×1/×10 scale rehearsal for the STREAMING state paths — the
+  * stateful operators the gates run at fixture scale, drained here
+  * over a replicated corpus to measure how drain wall tracks input
+  * volume. Copies offset user_id AND event_id, so keyed state
+  * (sessionize: 3 longs/user; rate anomaly: 5 longs/type×1 — types
+  * shared; attribution: window touches/user) grows with the
+  * replication exactly as a bigger tenant population would.
+  *
+  * The claim under test: drain time is ~linear in events (micro-batch
+  * scan + keyed shuffle), never super-linear in STATE — watermark
+  * bounds every store, nothing is sized by history.
+  */
+object StreamScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base0 = spark.read.parquet(s"$dir/events.parquet")
+    val clean = base0.select(col("event_id"),
+      timestamp_millis(Tables.epochMs(base0)).as("ts"), col("user_id"),
+      col("event_type"), col("value"))
+
+    def stage(m: Int): String = {
+      val out = graft.StageDirs.stable(s"stream_scale_x$m")
+      val marker = java.nio.file.Paths.get(s"$out/_STAGED")
+      if (!Files.exists(marker)) {
+        (0 until m).foreach { i =>
+          clean.select(
+              (col("event_id") + lit(i.toLong * 1_000_000_000L))
+                .as("event_id"),
+              col("ts"),
+              (col("user_id") + lit(i.toLong * 1_000_000_000L))
+                .as("user_id"),
+              col("event_type"), col("value"))
+            .coalesce(2).write.mode(if (i == 0) "overwrite" else "append")
+            .parquet(out)
+        }
+        Files.createDirectories(marker.getParent)
+        Files.writeString(marker, "ok")
+      }
+      out
+    }
+
+    var n = 0
+    def drain(name: String, out: DataFrame): Unit = {
+      n += 1
+      val ckpt = Files.createTempDirectory("graft_sscale_ckpt_")
+      val t0 = System.nanoTime()
+      val q = out.writeStream.format("memory")
+        .queryName(s"sscale_$n")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      require(q.awaitTermination(600000), s"$name did not drain")
+      q.stop()
+      val rows = spark.table(s"sscale_$n").count()
+      println(f"[streamscale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  out_rows=$rows")
+    }
+
+    for (m <- mults) {
+      val staged = stage(m)
+      def src: DataFrame =
+        spark.readStream.schema(clean.schema).parquet(staged)
+      def srcE = src.as[StreamingEvents.Event]
+      println(s"[streamscale] ── x$m (${spark.read.parquet(staged).count()} events) ──")
+      drain(s"hourly_counts x$m", StreamingEvents.hourlyCounts(src))
+      drain(s"sessionize x$m",
+        StreamingEvents.statefulSessionize(srcE).toDF())
+      drain(s"dedup x$m", StreamingEvents.dedupStream(src))
+      drain(s"rate_anomaly x$m",
+        StreamingEvents.rateAnomalyStream(srcE).toDF())
+      drain(s"attribution x$m",
+        StreamingEvents.attributionStream(srcE).toDF())
+    }
+    spark.stop()
+  }
+}
