@@ -52,7 +52,18 @@ object Association {
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
       .distinct()
 
-  /** Support-filtered pair counts (ant < cons). */
+  /** Support-filtered pair counts (ant < cons).
+    *
+    * Deliberately NOT a-priori-pruned: semi-joining items to the
+    * frequent set before the self-join (downward closure, Agrawal &
+    * Srikant VLDB'94) is result-identical but MEASURED SLOWER here —
+    * q_sssp_hops 6.7 → 11.4 s at sf0.1 when tried in round 12, because
+    * at MIN_SUPPORT = 2 on this catalog essentially every item is
+    * frequent, so the prune adds an item-count shuffle + semi-join and
+    * removes nothing. The prune belongs in a deployment with a
+    * long-tail catalog and a real support floor; at that point it is a
+    * three-line change here.
+    */
   private def pairs(it: DataFrame): DataFrame = {
     val a = it.select(col("okey"), col("pkey").as("ant"))
     val b = it.select(col("okey"), col("pkey").as("cons"))
