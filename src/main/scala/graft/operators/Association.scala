@@ -133,6 +133,14 @@ object Association {
         p.select(col("ant").as("src"), col("cons").as("dst"))
           .union(p.select(col("cons").as("src"), col("ant").as("dst")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // the frontier chains WITHOUT a per-round round-trip, measured
+      // deliberate: although d appears twice per round (union + join
+      // side), ReuseExchange already dedups the identical subtrees at
+      // 4 fixed rounds — a tried per-round parquet round-trip of the
+      // frontier measured +0.6 s at sf0.1 (round 12), all write
+      // overhead. The round-trip pattern pays for DEEP or data-heavy
+      // fixpoints (Clusters.materializeEdges), not a fixed 4-round
+      // chain over a persisted edge list.
       var d = p.agg(min(col("ant")).as("node"))
         .select(col("node"), lit(0L).as("dist"))
       for (_ <- 1 to BFS_ROUNDS) {
