@@ -37,10 +37,27 @@ object CacheRegistry {
     ds
   }
 
-  /** Unpersist every registered Dataset and clear the registry. */
+  // scratch directories whose lifetime is "until releaseCaches": used by
+  // per-instance slots (e.g. DedupPlan's lineage-truncation parquet) that
+  // cannot ride StageDirs' two-generation rotation because an older
+  // instance may still be live while newer ones are constructed
+  private val scratchDirs = mutable.LinkedHashSet.empty[String]
+
+  /** Record a scratch dir for deletion at [[releaseAll]]; returns it. */
+  def registerScratch(dir: String): String = synchronized {
+    scratchDirs += dir
+    dir
+  }
+
+  /** Unpersist every registered Dataset, delete every registered scratch
+    * dir, and clear the registry.
+    */
   def releaseAll(): Unit = synchronized {
     handles.values.foreach(_.unpersist(blocking = false))
     handles.clear()
+    scratchDirs.foreach(d =>
+      StageDirs.deleteRecursively(java.nio.file.Paths.get(d)))
+    scratchDirs.clear()
   }
 
   /** Number of currently registered handles (for specs/diagnostics). */

@@ -61,7 +61,7 @@ object StageDirs {
     dir.toString
   }
 
-  private def deleteRecursively(p: Path): Unit =
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       try Files.walk(p)
         .sorted(Comparator.reverseOrder[Path]())

@@ -36,6 +36,18 @@ final class DedupPlan private (docs: DataFrame, id: String, text: String,
                                k: Int, numHashes: Int, bands: Int,
                                thresholdPct: Int) {
 
+  /** Per-INSTANCE scratch tag: a shared rotating tag would let
+    * StageDirs' two-generation rotation delete the parquet behind a
+    * still-live older plan once two newer plans were constructed (three
+    * plans in one session is realistic — cf. GraphScaleProbe's
+    * ×1/×10/×100 loop). Each plan instead owns a unique stable slot,
+    * registered with [[graft.CacheRegistry]] so
+    * [[graft.Graft.releaseCaches]] deletes it together with the
+    * persisted intermediates it backs — one lifetime, one hook.
+    */
+  private val scratchTag =
+    s"dedup_plan_${DedupPlan.instanceCounter.incrementAndGet()}"
+
   /** Content-hash groups: (fp, keep_id, n_dups) — exact tier. */
   lazy val exactGroups: DataFrame =
     CacheRegistry.register(
@@ -56,7 +68,8 @@ final class DedupPlan private (docs: DataFrame, id: String, text: String,
     * dedup plan hangs off one flat scan.
     */
   private lazy val survivorDocs: DataFrame = {
-    val dir = graft.StageDirs.scratch("dedup_plan_survivors")
+    val dir = graft.CacheRegistry.registerScratch(
+      graft.StageDirs.stable(s"$scratchTag/survivors"))
     docs.join(exactSurvivors, Seq(id), "left_semi")
       .write.mode("overwrite").parquet(dir)
     CacheRegistry.register(
@@ -88,7 +101,8 @@ final class DedupPlan private (docs: DataFrame, id: String, text: String,
   lazy val pairs: DataFrame = {
     val raw = Dedup.lshVerifiedPairs(survivorDocs,
       id, text, k, numHashes, bands, thresholdPct)
-    val dir = graft.StageDirs.scratch("dedup_plan_pairs")
+    val dir = graft.CacheRegistry.registerScratch(
+      graft.StageDirs.stable(s"$scratchTag/pairs"))
     raw.write.mode("overwrite").parquet(dir)
     CacheRegistry.register(
       raw.sparkSession.read.parquet(dir)
@@ -157,8 +171,14 @@ final class DedupPlan private (docs: DataFrame, id: String, text: String,
 }
 
 object DedupPlan {
+
+  private val instanceCounter =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Build the shared plan over `docs(id, text)` with the same knobs as
-    * the standalone operators (defaults = the gate constants).
+    * the standalone operators (defaults = the gate constants). Each plan
+    * owns a unique scratch slot, deleted by [[graft.Graft.releaseCaches]]
+    * (the same lifetime as the persisted intermediates).
     */
   def apply(docs: DataFrame, id: String = "doc_id",
             text: String = "text", k: Int = 3, numHashes: Int = 16,

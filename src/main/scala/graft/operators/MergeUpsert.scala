@@ -28,25 +28,40 @@ object MergeUpsert {
   /** Union `existing` and `incoming` by name, keep one row per `keys`.
     * `tiebreak` orders candidate survivors (first row wins). If empty,
     * incoming rows win via an internal priority column.
+    *
+    * The incoming-wins priority is ALWAYS appended after any user-supplied
+    * `tiebreak`, and a full-row hash after that, so the ordering is total
+    * up to byte-identical rows (which are interchangeable survivors): two
+    * rows with the same key and tied tiebreak values (a re-observation
+    * with identical ordering columns but changed attributes) would
+    * otherwise get an arbitrary row_number winner, breaking the
+    * reproducibility contract and q_neo_backfill's arrival-order-free
+    * convergence.
     */
   def merge(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
             tiebreak: Seq[Column] = Nil): DataFrame = {
     val prio = "__merge_priority"
-    val (unioned, order) =
-      if (tiebreak.nonEmpty)
-        (existing.unionByName(incoming, allowMissingColumns = true), tiebreak)
-      else {
-        val u = incoming.withColumn(prio, lit(1))
-          .unionByName(existing.withColumn(prio, lit(2)),
-            allowMissingColumns = true)
-        (u, Seq(col(prio).asc))
-      }
+    val unioned = incoming.withColumn(prio, lit(1))
+      .unionByName(existing.withColumn(prio, lit(2)),
+        allowMissingColumns = true)
+    // xxhash64 rejects MapType (Spark 4 default); maps rarely carry the
+    // distinguishing attribute and excluding them keeps the term legal.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val hashCols = unioned.schema.fields
+      .filter(f => f.name != prio && hashable(f.dataType))
+      .map(f => col(f.name)).toIndexedSeq
+    val rowHash = if (hashCols.nonEmpty) xxhash64(hashCols: _*) else lit(0L)
+    val order = tiebreak ++ Seq(col(prio).asc, rowHash.asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val rn = "__merge_rn"
-    val deduped = unioned.withColumn(rn, row_number().over(w))
+    unioned.withColumn(rn, row_number().over(w))
       .filter(col(rn) === 1)
-      .drop(rn)
-    if (tiebreak.nonEmpty) deduped else deduped.drop(prio)
+      .drop(rn, prio)
   }
 
   private val TMP_SUFFIX = "__tmp_swap"

@@ -32,6 +32,13 @@ import graft.Tables
 object Multimodal {
 
   private val PNG_MAGIC_HEX = "89504E470D0A1A0A" // \x89PNG\r\n\x1a\n
+  // IHDR chunk prefix: length=13 then the ASCII tag — the synthetic
+  // header carries it so width/height sit at the REAL PNG offsets
+  // (bytes 17–20 / 21–24, 1-based). Round-12's bomb guard made the stub
+  // parse the user-visible output for oversized real images; with the
+  // real layout one offset pair serves fixtures and genuine PNGs alike
+  // (ADVICE r12).
+  private val PNG_IHDR_HEX = "0000000D49484452"
   private val RIFF_MAGIC_HEX = "52494646"        // RIFF
 
   /** Deterministic synthetic media table from `documents`:
@@ -40,7 +47,7 @@ object Multimodal {
   def fakeMedia(docs: DataFrame): DataFrame = {
     val w = lit(16) + col("doc_id") % 1024
     val h = lit(16) + (col("doc_id") * 7) % 1024
-    val pngHeader = concat(lit(PNG_MAGIC_HEX),
+    val pngHeader = concat(lit(PNG_MAGIC_HEX + PNG_IHDR_HEX),
       lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"))
     val payload = encode(col("text"), "UTF-8")
     val bytes = when(col("doc_id") % 3 === 0,
@@ -99,11 +106,13 @@ object Multimodal {
     conv(substring(hex(bytes), (byteOffset - 1) * 2 + 1, 8), 16, 10)
       .cast("long")
 
-  /** PNG-style header width (bytes 9–12, big-endian). */
-  def pngWidth(bytes: Column): Column = beU32(bytes, 9)
+  /** PNG header width: IHDR data bytes 17–20 (big-endian), the real
+    * PNG offset — valid for genuine files, not only the fixtures.
+    */
+  def pngWidth(bytes: Column): Column = beU32(bytes, 17)
 
-  /** PNG-style header height (bytes 13–16, big-endian). */
-  def pngHeight(bytes: Column): Column = beU32(bytes, 13)
+  /** PNG header height: IHDR data bytes 21–24 (big-endian). */
+  def pngHeight(bytes: Column): Column = beU32(bytes, 21)
 
   // ── decode plumbing ──────────────────────────────────────────────────
 
@@ -162,7 +171,13 @@ object Multimodal {
 
     def decode(m: MediaRow): DecodedMedia = {
       val b = m.bytes
-      val isPng = b.length >= 16 &&
+      // full-header requirement: magic + IHDR length/tag + both dim
+      // words (24 bytes). Width/height live at offsets 16/20 — the REAL
+      // PNG IHDR layout (offsets 8/12 are the chunk length and tag), so
+      // the stub reports a genuine PNG's declared dims correctly; this
+      // matters because the bomb guard makes this parse the visible
+      // output for oversized real images (ADVICE r12).
+      val isPng = b.length >= 24 &&
         b.take(8).sameElements(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
           0x1a, 0x0a).map(_.toByte))
       val isRiff = !isPng && b.length >= 4 &&
@@ -171,7 +186,7 @@ object Multimodal {
         if (isPng) "image/png"
         else if (isRiff) "audio/x-riff"
         else "application/octet-stream"
-      val (w, h) = if (isPng) (beU32At(b, 8), beU32At(b, 12)) else (0L, 0L)
+      val (w, h) = if (isPng) (beU32At(b, 16), beU32At(b, 20)) else (0L, 0L)
       DecodedMedia(m.media_id, mime, b.length, w, h, meanByte(b))
     }
   }
@@ -519,7 +534,7 @@ object Multimodal {
   private val mediaCte =
     s"""media AS (SELECT doc_id AS media_id,
        |  CASE WHEN doc_id % 3 = 0 THEN
-       |         unhex('$PNG_MAGIC_HEX' ||
+       |         unhex('$PNG_MAGIC_HEX$PNG_IHDR_HEX' ||
        |           lpad(hex(16 + doc_id % 1024), 8, '0') ||
        |           lpad(hex(16 + (doc_id * 7) % 1024), 8, '0')) ||
        |         encode(text)
@@ -612,10 +627,10 @@ object Multimodal {
     "q_media_dimensions" ->
       s"""WITH $mediaCte
          |SELECT media_id,
-         |  CAST(('0x' || substr(hex(bytes), 17, 8)) AS BIGINT) AS width,
-         |  CAST(('0x' || substr(hex(bytes), 25, 8)) AS BIGINT) AS height,
-         |  CAST(('0x' || substr(hex(bytes), 17, 8)) AS BIGINT)
-         |    * CAST(('0x' || substr(hex(bytes), 25, 8)) AS BIGINT) AS n_pixels
+         |  CAST(('0x' || substr(hex(bytes), 33, 8)) AS BIGINT) AS width,
+         |  CAST(('0x' || substr(hex(bytes), 41, 8)) AS BIGINT) AS height,
+         |  CAST(('0x' || substr(hex(bytes), 33, 8)) AS BIGINT)
+         |    * CAST(('0x' || substr(hex(bytes), 41, 8)) AS BIGINT) AS n_pixels
          |FROM media
          |WHERE substr(hex(bytes), 1, 16) = '$PNG_MAGIC_HEX'""".stripMargin,
 

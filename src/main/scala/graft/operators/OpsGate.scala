@@ -75,10 +75,13 @@ object OpsGate {
     // compaction swap (same lock/version/recover protocol as the
     // merge), and gate that (a) CONTENT survives byte-exactly — the
     // per-type rollup equals the oracle's over the source parquet —
-    // and (b) the file counts are the deterministic 64 → 1 (targetBytes
-    // sized so the planner picks one file; parquet byte sizes never
-    // enter the projection). Crash windows/locks stay spec-pinned
-    // (CompactionSpec + CrashRecoveryScaleSpec cover them).
+    // and (b) the file counts are the deterministic least(64, n_rows) →
+    // 1 (round-robin repartition writes no file for an empty partition,
+    // so the oracle derives the before-count from the row count instead
+    // of pinning a literal 64 that a sub-64-row fixture would break;
+    // targetBytes is sized so the planner picks one file, and parquet
+    // byte sizes never enter the projection). Crash windows/locks stay
+    // spec-pinned (CompactionSpec + CrashRecoveryScaleSpec cover them).
     "q_compaction" -> { (s, dir) =>
       val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val path = s"$STAGE_BASE/$key/events_small"
@@ -128,7 +131,8 @@ object OpsGate {
         |  count(DISTINCT event_id) AS n_ids,
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |    AS sum_cents,
-        |  CAST(64 AS BIGINT) AS n_files_before,
+        |  CAST(least(64, (SELECT count(*) FROM events)) AS BIGINT)
+        |    AS n_files_before,
         |  CAST(1 AS BIGINT) AS n_files_after
         |FROM events GROUP BY 1""".stripMargin)
 }

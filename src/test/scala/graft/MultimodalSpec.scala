@@ -23,8 +23,10 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
   test("fakeMedia: header + payload byte layout") {
     val row = media.filter(col("media_id") === 0)
       .select(col("bytes")).as[Array[Byte]].collect().head
-    assert(row.length === 16 + "alpha beta".length)
+    // real PNG IHDR layout: magic(8) + len(4) + 'IHDR'(4) + w(4) + h(4)
+    assert(row.length === 24 + "alpha beta".length)
     assert((row(0) & 0xff) === 0x89 && row(1) === 'P'.toByte)
+    assert(row.slice(12, 16) === "IHDR".getBytes("US-ASCII"))
     val raw = media.filter(col("media_id") === 2)
       .select(col("bytes")).as[Array[Byte]].collect().head
     assert(raw === "delta".getBytes("UTF-8"))
@@ -55,12 +57,12 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
 
   test("sampleFrames + resizeStub: deterministic shapes") {
     val ds = media.select(col("media_id"), col("bytes")).as[MediaRow]
-    // media 0: 16-byte header + 10-byte payload = 26 bytes;
-    // frameSize 8 → frames of 8,8,8,2; stride 2 keeps idx 0 and 2
+    // media 0: 24-byte header + 10-byte payload = 34 bytes;
+    // frameSize 8 → frames of 8,8,8,8,2; stride 2 keeps idx 0, 2, 4
     val frames = Multimodal.sampleFrames(ds, frameSize = 8, stride = 2)
       .filter(col("media_id") === 0).collect().sortBy(_.frame_idx)
-    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2))
-    assert(frames.map(_.frame_bytes.length).toSeq === Seq(8, 8))
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    assert(frames.map(_.frame_bytes.length).toSeq === Seq(8, 8, 2))
     // resize by 2 halves the byte count (rounding up)
     val resized = Multimodal.resizeStub(ds, factor = 2).collect()
       .map(m => m.media_id -> m.bytes.length).toMap
@@ -121,8 +123,10 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     0x1a, 0x0a).map(_.toByte)
   private def be32(v: Long): Array[Byte] =
     Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  // real PNG IHDR layout: magic, chunk length 13, tag, width, height
   private def png(w: Long, h: Long, payload: Array[Byte]): Array[Byte] =
-    pngMagic ++ be32(w) ++ be32(h) ++ payload
+    pngMagic ++ be32(13L) ++ "IHDR".getBytes("US-ASCII") ++
+      be32(w) ++ be32(h) ++ payload
 
   private def conformance(name: String,
                           d: Multimodal.MediaDecoder): Unit = {
@@ -143,7 +147,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       // inside the dimension words — decode must return, and must not
       // report dimensions it could not have parsed
       val full = png(640L, 480L, Array[Byte](9, 9, 9))
-      for (cut <- 0 until 16) {
+      for (cut <- 0 until 24) {
         val out = d.decode(MediaRow(10L + cut, full.take(cut)))
         assert(out.n_bytes === cut)
         assert(out.width === 0L && out.height === 0L,
@@ -192,10 +196,11 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
 
   // ── the REAL-codec proof ─────────────────────────────────────────────
   // Encode genuine images with the JDK's own ImageIO writers and decode
-  // them back: dimensions must come from the decoded raster, NOT the
-  // synthetic header convention (a real 5×3 PNG's bytes 8–15 are the
-  // IHDR length+type words — the stub's offset parse would report
-  // 13 × 1229472850, so getting 5×3 proves the raster decode ran).
+  // them back. The raster-decode proof rides the JPEG case: a JPEG has
+  // no PNG magic, so the stub reports 0×0 and only a real raster decode
+  // can produce 5×3. For PNG the stub's IHDR parse (offsets 16/20 —
+  // the real layout, ADVICE r12) must now AGREE with the raster, which
+  // is exactly what makes the bomb fallback report declared dims.
   private def encodeImage(w: Int, h: Int, fmt: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -214,10 +219,16 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(d.mime === mime, s"$fmt mime")
       assert(d.width === 5L && d.height === 3L,
         s"$fmt dims from raster, got ${d.width}x${d.height}")
-      // and the stub CANNOT have produced these on a real file
       val s = StubDecoder.decode(MediaRow(1L, bytes))
-      if (fmt == "png") assert(s.width !== 5L,
-        "fixture degenerate: stub header parse matched raster dims")
+      if (fmt == "png")
+        // the stub's IHDR parse reads a REAL file's declared dims —
+        // the guarantee the bomb fallback depends on
+        assert(s.width === 5L && s.height === 3L,
+          s"stub IHDR parse on a real PNG, got ${s.width}x${s.height}")
+      else
+        // …while the JPEG result can only have come from the raster
+        assert(s.width === 0L && s.height === 0L,
+          "stub parsed dims from a JPEG — raster proof degenerate")
     }
   }
 
@@ -257,6 +268,9 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val d = Multimodal.ImageIoDecoder.decode(MediaRow(9L, bytes))
     assert(d === StubDecoder.decode(MediaRow(9L, bytes)),
       "bomb must take the stub fallback, not a raster decode")
+    // and the fallback reports the DECLARED dims (the bomb's own lie),
+    // not IHDR framing words — ADVICE r12
+    assert(d.width === 65536L && d.height === 65536L)
   }
 
   test("decoder mean_byte stays exact past the Int-sum overflow point") {
