@@ -51,12 +51,31 @@ object CacheRegistry {
 
   /** Unpersist every registered Dataset, delete every registered scratch
     * dir, and clear the registry.
+    *
+    * Deletion goes through the Hadoop FileSystem resolved from each
+    * path — NOT java.nio — because `SPARK_GRAFT_STAGE_DIR` may point at
+    * shared/cluster storage (the documented cluster use) where the
+    * parquet was written through Hadoop FS and a local-FS delete would
+    * silently no-op and leak (ADVICE r13). Empty per-plan parent dirs
+    * (e.g. `dedup_plan_N/` after its `survivors`/`pairs` slots go) are
+    * swept too.
     */
   def releaseAll(): Unit = synchronized {
     handles.values.foreach(_.unpersist(blocking = false))
     handles.clear()
-    scratchDirs.foreach(d =>
-      StageDirs.deleteRecursively(java.nio.file.Paths.get(d)))
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    scratchDirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+      val parent = p.getParent
+      if (parent != null && fs.exists(parent) &&
+          fs.listStatus(parent).isEmpty)
+        fs.delete(parent, false)
+    }
     scratchDirs.clear()
   }
 

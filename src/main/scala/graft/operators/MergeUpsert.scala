@@ -31,34 +31,51 @@ object MergeUpsert {
     *
     * The incoming-wins priority is ALWAYS appended after any user-supplied
     * `tiebreak`, and a full-row hash after that, so the ordering is total
-    * up to byte-identical rows (which are interchangeable survivors): two
-    * rows with the same key and tied tiebreak values (a re-observation
-    * with identical ordering columns but changed attributes) would
-    * otherwise get an arbitrary row_number winner, breaking the
-    * reproducibility contract and q_neo_backfill's arrival-order-free
-    * convergence.
+    * up to 64-bit hash collisions and byte-identical rows (which are
+    * interchangeable survivors): two rows with the same key and tied
+    * tiebreak values (a re-observation with identical ordering columns
+    * but changed attributes) would otherwise get an arbitrary row_number
+    * winner, breaking the reproducibility contract and q_neo_backfill's
+    * arrival-order-free convergence. Each column is hashed to a non-null
+    * term first (nulls map to a fixed sentinel, map-bearing columns go
+    * through to_json) so null placement and map contents both
+    * participate — xxhash64's raw form skips null arguments and rejects
+    * MapType, which would leave distinguishable rows tied (ADVICE r13).
     */
   def merge(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
             tiebreak: Seq[Column] = Nil): DataFrame = {
-    val prio = "__merge_priority"
-    val unioned = incoming.withColumn(prio, lit(1))
-      .unionByName(existing.withColumn(prio, lit(2)),
+    // internal column names must not shadow user columns (a user column
+    // literally named __merge_priority would be overwritten then dropped)
+    def fresh(base: String, taken: Set[String]): String =
+      Iterator.from(0)
+        .map(i => if (i == 0) base else s"${base}_$i")
+        .find(!taken.contains(_)).get
+    val taken = (existing.columns ++ incoming.columns).toSet
+    val prio = fresh("__merge_priority", taken)
+    // existing stays the LEFT operand so the merged column order follows
+    // the on-disk table (incoming-only columns append last)
+    val unioned = existing.withColumn(prio, lit(2))
+      .unionByName(incoming.withColumn(prio, lit(1)),
         allowMissingColumns = true)
-    // xxhash64 rejects MapType (Spark 4 default); maps rarely carry the
-    // distinguishing attribute and excluding them keeps the term legal.
-    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case _: org.apache.spark.sql.types.MapType => false
-      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
-      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
-      case _ => true
+    def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+      case _ => false
     }
-    val hashCols = unioned.schema.fields
-      .filter(f => f.name != prio && hashable(f.dataType))
-      .map(f => col(f.name)).toIndexedSeq
-    val rowHash = if (hashCols.nonEmpty) xxhash64(hashCols: _*) else lit(0L)
+    val NULL_SENTINEL = 0x9e3779b97f4a7c15L // any fixed odd constant
+    val hashTerms = unioned.schema.fields
+      .filter(_.name != prio)
+      .map { f =>
+        val c = if (containsMap(f.dataType)) to_json(col(f.name))
+                else col(f.name)
+        coalesce(xxhash64(c), lit(NULL_SENTINEL))
+      }.toIndexedSeq
+    val rowHash =
+      if (hashTerms.nonEmpty) xxhash64(hashTerms: _*) else lit(0L)
     val order = tiebreak ++ Seq(col(prio).asc, rowHash.asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    val rn = "__merge_rn"
+    val rn = fresh("__merge_rn", taken)
     unioned.withColumn(rn, row_number().over(w))
       .filter(col(rn) === 1)
       .drop(rn, prio)

@@ -171,13 +171,15 @@ object Multimodal {
 
     def decode(m: MediaRow): DecodedMedia = {
       val b = m.bytes
-      // full-header requirement: magic + IHDR length/tag + both dim
-      // words (24 bytes). Width/height live at offsets 16/20 — the REAL
-      // PNG IHDR layout (offsets 8/12 are the chunk length and tag), so
-      // the stub reports a genuine PNG's declared dims correctly; this
-      // matters because the bomb guard makes this parse the visible
-      // output for oversized real images (ADVICE r12).
-      val isPng = b.length >= 24 &&
+      // mime sniffs on the 8-byte magic ALONE — the same rule as
+      // magicMime/q_media_catalog, so the two mime surfaces can never
+      // diverge on a short PNG-magic payload (ADVICE r13). Width/height
+      // live at offsets 16/20 — the REAL PNG IHDR layout (offsets 8/12
+      // are the chunk length and tag), so the stub reports a genuine
+      // PNG's declared dims correctly (the visible output for oversized
+      // real images under the bomb guard, ADVICE r12); the dim parse —
+      // not the mime — is gated on the 24 bytes it needs.
+      val isPng = b.length >= 8 &&
         b.take(8).sameElements(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
           0x1a, 0x0a).map(_.toByte))
       val isRiff = !isPng && b.length >= 4 &&
@@ -186,7 +188,9 @@ object Multimodal {
         if (isPng) "image/png"
         else if (isRiff) "audio/x-riff"
         else "application/octet-stream"
-      val (w, h) = if (isPng) (beU32At(b, 16), beU32At(b, 20)) else (0L, 0L)
+      val (w, h) =
+        if (isPng && b.length >= 24) (beU32At(b, 16), beU32At(b, 20))
+        else (0L, 0L)
       DecodedMedia(m.media_id, mime, b.length, w, h, meanByte(b))
     }
   }

@@ -91,7 +91,12 @@ object OpsGate {
       Tables.load(s, dir, "events")
         .select(col("event_id"), col("event_type"),
           expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
-        .repartition(64).write.parquet(path)
+        // coalesce(1) first: round-robin starts each INPUT partition at
+        // its own offset, so a multi-partition sub-64-row input could
+        // collide partitions and write fewer than least(64, n) files,
+        // breaking the oracle's derived before-count (ADVICE r13); from
+        // one input partition the fill is strictly sequential
+        .coalesce(1).repartition(64).write.parquet(path)
       def parts(): Long = fs.listStatus(p)
         .count(_.getPath.getName.endsWith(".parquet")).toLong
       val before = parts()

@@ -248,6 +248,27 @@ object StreamGateQueries {
           countDistinct(col("event_id")).as("n_ids"))
     },
 
+    // ── stream-static broadcast enrichment, null-padded misses ─────────
+    // enrichStream's LEFT-join contract under the hash gate: every
+    // event flows through exactly once; events whose user has a
+    // customer row pick up c_mktsegment, the rest surface as the NULL
+    // segment group instead of silently dropping (the inner-join
+    // enrichment bug this operator exists to avoid). Stateless — the
+    // dim is re-planned and broadcast per micro-batch, so the gate is
+    // the plain batch left join.
+    "q_stream_enrich" -> { (s, dir) =>
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      val enriched = runToTable(s, StreamingEvents.enrichStream(
+        eventsStream(s, dir), dim, "user_id"))
+      enriched.groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .as("sum_cents"))
+    },
+
     // ── first-seen identity state (new vs returning), daily rollup ─────
     // NoTimeout keyed state: each user's first-seen day decides
     // new/returning; the daily rollup over the emitted stream must
@@ -921,6 +942,14 @@ object StreamGateQueries {
       """SELECT event_type, count(*) AS n_rows,
         |  count(DISTINCT event_id) AS n_ids
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_stream_enrich" ->
+      """SELECT c.c_mktsegment AS segment, count(*) AS n_rows,
+        |  count(DISTINCT e.user_id) AS n_users,
+        |  CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin,
 
     "q_stream_new_vs_returning" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),

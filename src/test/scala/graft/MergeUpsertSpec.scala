@@ -189,6 +189,53 @@ class MergeUpsertSpec extends AnyFunSuite with SparkSpec {
     assert(v1 === 3L && v2 === 3L && v3 === 4L)
   }
 
+  test("tied tiebreak: survivor is deterministic when rows differ only " +
+    "in a map column or only by null placement (ADVICE r13)") {
+    // Both tied rows arrive on the SAME side (same priority), with a
+    // constant user tiebreak — only the row hash can order them. The
+    // contract: the winner is a function of row CONTENT, not of input
+    // row order.
+    // map-only difference: xxhash64 rejects MapType, so without the
+    // to_json canonicalization these rows would tie → arbitrary winner
+    val mapRows = Seq((1, Map("a" -> 1)), (1, Map("a" -> 2)))
+    val emptyMap = mapRows.toDF("k", "m").limit(0)
+    def surviveMap(rows: Seq[(Int, Map[String, Int])]) =
+      MergeUpsert.merge(emptyMap, rows.toDF("k", "m"), Seq("k"),
+          tiebreak = Seq(lit(0)))
+        .select(element_at(col("m"), "a")).as[Int].head()
+    assert(surviveMap(mapRows) === surviveMap(mapRows.reverse))
+    // null-placement difference: raw xxhash64 skips null args, so
+    // (x, null) and (null, x) would hash identically without the
+    // per-column sentinel terms
+    val nullRows = Seq((1, Option("x"), Option.empty[String]),
+      (1, Option.empty[String], Option("x")))
+    val emptyNull = nullRows.toDF("k", "u", "v").limit(0)
+    def surviveNull(rows: Seq[(Int, Option[String], Option[String])]) =
+      MergeUpsert.merge(emptyNull, rows.toDF("k", "u", "v"), Seq("k"),
+          tiebreak = Seq(lit(0)))
+        .select(col("u")).as[Option[String]].head()
+    assert(surviveNull(nullRows) === surviveNull(nullRows.reverse))
+  }
+
+  test("internal column names do not clobber user columns named " +
+    "__merge_priority / __merge_rn (ADVICE r13)") {
+    val existing = Seq((1, "e", 7)).toDF("k", "v", "__merge_priority")
+    val incoming = Seq((1, "i", 9)).toDF("k", "v", "__merge_priority")
+    val out = MergeUpsert.merge(existing, incoming, Seq("k"))
+    // user column survives with the incoming row's value (incoming wins)
+    assert(out.columns.toSeq === Seq("k", "v", "__merge_priority"))
+    assert(out.select("v", "__merge_priority").as[(String, Int)].head()
+      === (("i", 9)))
+  }
+
+  test("merged column order follows existing (left operand), " +
+    "incoming-only columns append last (ADVICE r13)") {
+    val existing = Seq((1, "e")).toDF("k", "v")
+    val incoming = Seq((2, "i", 3.0)).toDF("k", "v", "extra")
+    val out = MergeUpsert.merge(existing, incoming, Seq("k"))
+    assert(out.columns.toSeq === Seq("k", "v", "extra"))
+  }
+
   test("property: merge is idempotent and row-order insensitive") {
     val rnd = new scala.util.Random(42)
     def rows() = List.fill(30)((rnd.nextInt(10), rnd.nextInt(101)))

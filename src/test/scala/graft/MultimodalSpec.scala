@@ -273,6 +273,22 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(d.width === 65536L && d.height === 65536L)
   }
 
+  test("StubDecoder: mime sniffs on the 8-byte magic alone — a short " +
+    "PNG-magic payload agrees with magicMime (ADVICE r13)") {
+    // 10-byte payload: PNG magic + 2 trailing bytes — too short for the
+    // IHDR dim parse, but BOTH mime surfaces must still say image/png
+    val short = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0x00, 0x01).map(_.toByte)
+    val d = StubDecoder.decode(MediaRow(5L, short))
+    assert(d.mime === "image/png", "stub mime must match the magic sniff")
+    assert(d.width === 0L && d.height === 0L,
+      "dims unparseable below 24 bytes → 0x0")
+    val viaCatalog = Seq((5L, short)).toDF("media_id", "bytes")
+      .select(Multimodal.magicMime(col("bytes")).as("mime"))
+      .as[String].head()
+    assert(viaCatalog === d.mime, "the two mime surfaces must agree")
+  }
+
   test("decoder mean_byte stays exact past the Int-sum overflow point") {
     // 16 MB of 0xff sums to 4.08e9 > Int.MaxValue: an Int accumulator
     // wraps negative; the Long path must return exactly 255.0.
