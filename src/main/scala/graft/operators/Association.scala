@@ -129,25 +129,37 @@ object Association {
       // table, not per-round plan analysis (only 4 fixed rounds), and a
       // round-trip would add a full write of the support-filtered pair
       // table for nothing — measured +0.9 s when tried in round 12
-      val e = graft.CacheRegistry.register(
-        p.select(col("ant").as("src"), col("cons").as("dst"))
-          .union(p.select(col("cons").as("src"), col("ant").as("dst")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      // the frontier chains WITHOUT a per-round round-trip, measured
-      // deliberate: although d appears twice per round (union + join
-      // side), ReuseExchange already dedups the identical subtrees at
-      // 4 fixed rounds — a tried per-round parquet round-trip of the
-      // frontier measured +0.6 s at sf0.1 (round 12), all write
-      // overhead. The round-trip pattern pays for DEEP or data-heavy
-      // fixpoints (Clusters.materializeEdges), not a fixed 4-round
-      // chain over a persisted edge list.
-      var d = p.agg(min(col("ant")).as("node"))
+      // Edge table: PRE-PARTITIONED by src, then LINEAGE-TRUNCATED via
+      // localCheckpoint (round 14, replacing persist+chain):
+      //   - HashPartitioning(src) survives the checkpoint, so each BFS
+      //     round's join shuffles ONLY the frontier (bounded by
+      //     |reachable nodes|) — never the edge table. At 100 TB the
+      //     edge side is the corpus-scale operand; per-round edge
+      //     shuffles are the difference between O(rounds·|E|) and
+      //     O(|E| + rounds·|frontier|) network.
+      //   - the flat LogicalRDD leaf keeps the unrolled plan small: the
+      //     frontier is referenced twice per round (union + join side),
+      //     so whatever subtree it hangs off appears ~2^rounds times in
+      //     the final plan — rooted at the basket self-join that is
+      //     ~2^rounds re-analyses of the expensive subtree (the ×100
+      //     rehearsal measured this as the dominant driver cost; a
+      //     parquet round-trip buys the same truncation for +0.9 s of
+      //     write wall at sf0.1, all overhead at this size).
+      val e = p.select(col("ant").as("src"), col("cons").as("dst"))
+        .union(p.select(col("cons").as("src"), col("ant").as("dst")))
+        .repartition(col("src"))
+        .localCheckpoint()
+      // frontier also truncates per round: d is tiny (≤ |reachable|),
+      // so the eager materialization is noise while the plan stays
+      // O(1)-deep instead of doubling every round
+      var d = e.agg(min(col("src")).as("node"))
         .select(col("node"), lit(0L).as("dist"))
       for (_ <- 1 to BFS_ROUNDS) {
         val step = d.join(e, col("node") === col("src"))
           .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
         d = d.union(step).groupBy(col("node"))
           .agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
       }
       d.select(col("node").as("pkey"), col("dist"))
     })

@@ -84,6 +84,8 @@ object GraphScaleProbe {
       time(s"hits x$m")(
         Clusters.hits(edgesX(m), "doc_a", "doc_b").count())
       time(s"bfs5 x$m")(bfsHops(edgesX(m), rounds = 5).count())
+      time(s"bfs5 legacy x$m")(
+        bfsHops(edgesX(m), rounds = 5, legacy = true).count())
     }
 
     // ── 2. synthetic edge ramp: fixed-vs-data cost separation ──────────
@@ -153,19 +155,32 @@ object GraphScaleProbe {
 
   /** The q_sssp_hops aggregated-frontier BFS, parameterized over an
     * arbitrary symmetric pair table (source = min node id).
+    *
+    * `legacy = true` reproduces the pre-round-14 shape (seed aggregated
+    * from the RAW pair table, edge cache unpartitioned) for before/after
+    * comparison; the default matches the fixed operator: edges
+    * pre-partitioned by src (rounds shuffle only the frontier) and the
+    * seed rooted at the edge cache (the duplicated-subtree fix).
     */
-  private def bfsHops(pairs: DataFrame, rounds: Int): DataFrame = {
-    val e = graft.CacheRegistry.register(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    var d = pairs.agg(min(col("doc_a")).as("node"))
-      .select(col("node"), lit(0L).as("dist"))
+  private def bfsHops(pairs: DataFrame, rounds: Int,
+                      legacy: Boolean = false): DataFrame = {
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val e =
+      if (legacy) graft.CacheRegistry.register(
+        sym.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else sym.repartition(col("src")).localCheckpoint()
+    var d =
+      if (legacy) pairs.agg(min(col("doc_a")).as("node"))
+        .select(col("node"), lit(0L).as("dist"))
+      else e.agg(min(col("src")).as("node"))
+        .select(col("node"), lit(0L).as("dist"))
     for (_ <- 1 to rounds) {
       val step = d.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
       d = d.union(step).groupBy(col("node"))
         .agg(min(col("dist")).as("dist"))
+      if (!legacy) d = d.localCheckpoint()
     }
     d
   }

@@ -1,10 +1,25 @@
 package graft.tools
 
-/** Scale-growth check for the round-5 text/LM/pair additions: wall
-  * time at sf0.01 vs sf0.1 (10× rows). Sub-linear-to-linear ratios
-  * confirm the vocab-bounded-model / df-capped-posting claims; a
-  * super-linear ratio would mean a pair build or model table is
-  * growing with the corpus after all.
+/** Scale-growth checks for the text/search tier.
+  *
+  * Part 1 (round 5): wall time at sf0.01 vs sf0.1 (10× rows) for the
+  * text/LM/pair additions. Sub-linear-to-linear ratios confirm the
+  * vocab-bounded-model / df-capped-posting claims; a super-linear
+  * ratio would mean a pair build or model table is growing with the
+  * corpus after all.
+  *
+  * Part 2 (round 14, the GraphScaleProbe recipe): the sf0.1 documents
+  * table replicated ×1/×10/×100 as disjoint copies (doc_ids offset per
+  * copy) and STAGED to parquet, so the REAL gated queries run
+  * unchanged against each multiplier — BM25, TF-IDF top-terms,
+  * TextRank, the BPE pair table — plus a direct [[graft.operators.Bpe]]
+  * trainer run (spec-only surface, driver-side per-round argmax whose
+  * LOOP count is vocab-bounded but whose per-round aggregate scans the
+  * corpus). Expected shape: token-explode-dominated queries grow
+  * ~linearly; model/vocab tables (pair vocab, query-panel df) stay
+  * constant-size, so nothing should grow faster than the explode.
+  * Select with SPARK_GRAFT_PROBE_PARTS (default "2") and
+  * SPARK_GRAFT_SCALE_MULTS (default "1,10,100").
   */
 object TextScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -35,7 +50,10 @@ object TextScaleProbe {
     val names =
       if (args.nonEmpty) args(0).split(",").toSeq.filter(_.nonEmpty)
       else defaults
-    for (name <- names) {
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTS", "2")
+      .split(",").map(_.trim.toInt).toSet
+
+    if (parts(1)) for (name <- names) {
       val ts = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").map { sf =>
         val warm = (1 to 2).map { _ =>
           graft.CacheRegistry.releaseAll()
@@ -47,6 +65,49 @@ object TextScaleProbe {
         warm.min
       }
       println(f"TEXTSCALE $name sf0.01=${ts(0)}%.2f sf0.1=${ts(1)}%.2f ratio=${ts(1) / ts(0)}%.1f")
+    }
+
+    // ── part 2: ×1/×10/×100 replication of the sf0.1 corpus ────────────
+    if (parts(2)) {
+      import org.apache.spark.sql.functions._
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+        "/root/testdata/sf0.1")
+      val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,10,100")
+        .split(",").map(_.trim.toInt).toSeq
+      // stage each multiplier ONCE: every measured run reads identical
+      // bytes from disk, exactly like a real corpus would arrive
+      def stageX(m: Int): String = {
+        val out = graft.StageDirs.stable(s"textscale/x$m")
+        val marker = new java.io.File(s"$out/_STAGED")
+        if (!marker.exists()) {
+          val b = spark.read.parquet(s"$dir/documents.parquet")
+          (0 until m).map(i => b.withColumn("doc_id",
+              col("doc_id") + lit(i.toLong * 100_000_000L)))
+            .reduce(_ unionAll _)
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$out/documents.parquet")
+          java.nio.file.Files.writeString(marker.toPath, "ok")
+        }
+        out
+      }
+      val gated = Seq("q_bm25_topk", "q_top_terms", "q_textrank_keywords",
+        "q_bpe_pairs", "q_boolean_search", "q_phrase_search")
+      def time(label: String)(f: => Long): Unit = {
+        graft.CacheRegistry.releaseAll(); spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[textscale] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      }
+      for (m <- mults) {
+        val sd = stageX(m)
+        for (q <- gated) time(s"$q x$m")(
+          graft.SparkEntry.queries(q)(spark, sd).count())
+        time(s"bpe_train(8) x$m")(
+          graft.operators.Bpe.train(
+            spark.read.parquet(s"$sd/documents.parquet"),
+            "doc_id", "text", nMerges = 8).count())
+      }
     }
     spark.stop()
   }
