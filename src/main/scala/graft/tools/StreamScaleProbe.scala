@@ -61,21 +61,37 @@ object StreamScaleProbe {
       out
     }
 
+    // sink selection: the memory sink (default, the gate harness shape)
+    // accumulates every output row DRIVER-side — at ×100 that is 10M+
+    // rows of driver heap and GC, a cost a production parquet/Kafka
+    // sink never pays. SPARK_GRAFT_STREAM_SINK=noop measures the
+    // TRANSFORM alone (executor-side discard), separating state-store
+    // growth from sink accumulation when a multiplier looks
+    // super-linear.
+    val sinkKind = sys.env.getOrElse("SPARK_GRAFT_STREAM_SINK", "memory")
     var n = 0
     def drain(name: String, out: DataFrame): Unit = {
       n += 1
       val ckpt = Files.createTempDirectory("graft_sscale_ckpt_")
       val t0 = System.nanoTime()
-      val q = out.writeStream.format("memory")
-        .queryName(s"sscale_$n")
+      val base = out.writeStream
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt.toString)
-        .outputMode("append").start()
+        .outputMode("append")
+      val q = (if (sinkKind == "noop") base.format("noop")
+               else base.format("memory").queryName(s"sscale_$n")).start()
       require(q.awaitTermination(600000), s"$name did not drain")
       q.stop()
-      val rows = spark.table(s"sscale_$n").count()
+      val rows =
+        if (sinkKind == "noop") -1L else spark.table(s"sscale_$n").count()
       println(f"[streamscale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  out_rows=$rows")
     }
+
+    // optional stream filter (comma-separated names) to re-probe one
+    // path without re-draining the whole family
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    def want(s: String): Boolean = only.forall(_.contains(s))
 
     for (m <- mults) {
       val staged = stage(m)
@@ -83,14 +99,19 @@ object StreamScaleProbe {
         spark.readStream.schema(clean.schema).parquet(staged)
       def srcE = src.as[StreamingEvents.Event]
       println(s"[streamscale] ── x$m (${spark.read.parquet(staged).count()} events) ──")
-      drain(s"hourly_counts x$m", StreamingEvents.hourlyCounts(src))
-      drain(s"sessionize x$m",
-        StreamingEvents.statefulSessionize(srcE).toDF())
-      drain(s"dedup x$m", StreamingEvents.dedupStream(src))
-      drain(s"rate_anomaly x$m",
-        StreamingEvents.rateAnomalyStream(srcE).toDF())
-      drain(s"attribution x$m",
-        StreamingEvents.attributionStream(srcE).toDF())
+      if (want("hourly_counts"))
+        drain(s"hourly_counts x$m", StreamingEvents.hourlyCounts(src))
+      if (want("sessionize"))
+        drain(s"sessionize x$m",
+          StreamingEvents.statefulSessionize(srcE).toDF())
+      if (want("dedup"))
+        drain(s"dedup x$m", StreamingEvents.dedupStream(src))
+      if (want("rate_anomaly"))
+        drain(s"rate_anomaly x$m",
+          StreamingEvents.rateAnomalyStream(srcE).toDF())
+      if (want("attribution"))
+        drain(s"attribution x$m",
+          StreamingEvents.attributionStream(srcE).toDF())
     }
     spark.stop()
   }
