@@ -90,8 +90,11 @@ object TextScaleProbe {
         }
         out
       }
-      val gated = Seq("q_bm25_topk", "q_top_terms", "q_textrank_keywords",
-        "q_bpe_pairs", "q_boolean_search", "q_phrase_search")
+      // args narrow part 2 as well (part 1 and 2 share the override)
+      val gated =
+        if (args.nonEmpty) names
+        else Seq("q_bm25_topk", "q_top_terms", "q_textrank_keywords",
+          "q_bpe_pairs", "q_boolean_search", "q_phrase_search")
       def time(label: String)(f: => Long): Unit = {
         graft.CacheRegistry.releaseAll(); spark.catalog.clearCache()
         System.gc()
