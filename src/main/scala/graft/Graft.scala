@@ -43,6 +43,15 @@ object Graft {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // cached plans EXPOSE their output partitioning (Spark 4 defaults
+      // this to true = AQE may re-partition cached plans, which makes
+      // every consumer of a repartition(col).persist() cache re-shuffle
+      // it): the iterative operators (BFS frontier joins, fixpoints)
+      // rely on persist-with-partitioning for co-located rounds —
+      // PlanShapeSpec pins the one-exchange-per-round shape
+      .config(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "false")
     localWorkerThreads(master) match {
       case Some(cores) =>
         b.config("spark.sql.shuffle.partitions", cores.toString)

@@ -124,31 +124,31 @@ object Association {
     // stable under extra rounds for already-settled nodes.
     "q_sssp_hops" -> { (s, dir) =>
       val p = pairs(items(s, dir))
-      // persist (not parquet-round-trip) is the right call HERE: the
-      // query's cost is the basket self-join that GENERATES the pair
-      // table, not per-round plan analysis (only 4 fixed rounds), and a
-      // round-trip would add a full write of the support-filtered pair
-      // table for nothing — measured +0.9 s when tried in round 12
-      // Edge table: PRE-PARTITIONED by src, then LINEAGE-TRUNCATED via
-      // localCheckpoint (round 14, replacing persist+chain):
-      //   - HashPartitioning(src) survives the checkpoint, so each BFS
-      //     round's join shuffles ONLY the frontier (bounded by
-      //     |reachable nodes|) — never the edge table. At 100 TB the
-      //     edge side is the corpus-scale operand; per-round edge
-      //     shuffles are the difference between O(rounds·|E|) and
-      //     O(|E| + rounds·|frontier|) network.
-      //   - the flat LogicalRDD leaf keeps the unrolled plan small: the
-      //     frontier is referenced twice per round (union + join side),
-      //     so whatever subtree it hangs off appears ~2^rounds times in
-      //     the final plan — rooted at the basket self-join that is
-      //     ~2^rounds re-analyses of the expensive subtree (the ×100
-      //     rehearsal measured this as the dominant driver cost; a
-      //     parquet round-trip buys the same truncation for +0.9 s of
-      //     write wall at sf0.1, all overhead at this size).
-      val e = p.select(col("ant").as("src"), col("cons").as("dst"))
-        .union(p.select(col("cons").as("src"), col("ant").as("dst")))
-        .repartition(col("src"))
-        .localCheckpoint()
+      // Edge table: LINEAGE-TRUNCATED, then CO-PARTITIONED (round 14,
+      // replacing the r12 persist+chain; a parquet round-trip buys the
+      // same truncation for +0.9 s of write wall at sf0.1):
+      //   - localCheckpoint FIRST: the flat LogicalRDD leaf keeps the
+      //     unrolled plan small — the frontier is referenced twice per
+      //     round (union + join side), so whatever subtree it hangs off
+      //     appears ~2^rounds times in the final plan, and here that
+      //     was the basket self-join (~2^rounds re-analyses; the ×100
+      //     rehearsal measured this as the dominant driver cost).
+      //   - THEN repartition + persist: a checkpoint alone reports
+      //     UnknownPartitioning under AQE (measured — the LogicalRDD
+      //     captures before the final plan settles), but an
+      //     InMemoryRelation DOES expose its cached plan's
+      //     HashPartitioning(src), so each BFS round's join shuffles
+      //     ONLY the frontier (bounded by |reachable nodes|) — never
+      //     the edge table. At 100 TB the edge side is the corpus-scale
+      //     operand; per-round edge shuffles are the difference between
+      //     O(rounds·|E|) and O(|E| + rounds·|frontier|) network.
+      //     PlanShapeSpec pins the one-exchange-per-round shape.
+      val e = graft.CacheRegistry.register(
+        p.select(col("ant").as("src"), col("cons").as("dst"))
+          .union(p.select(col("cons").as("src"), col("ant").as("dst")))
+          .localCheckpoint()
+          .repartition(col("src"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // frontier also truncates per round: d is tiny (≤ |reachable|),
       // so the eager materialization is noise while the plan stays
       // O(1)-deep instead of doubling every round

@@ -44,6 +44,8 @@ object GraphScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -169,7 +171,9 @@ object GraphScaleProbe {
     val e =
       if (legacy) graft.CacheRegistry.register(
         sym.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      else sym.repartition(col("src")).localCheckpoint()
+      else graft.CacheRegistry.register(
+        sym.localCheckpoint().repartition(col("src"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var d =
       if (legacy) pairs.agg(min(col("doc_a")).as("node"))
         .select(col("node"), lit(0L).as("dist"))

@@ -646,4 +646,59 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"DedupPlan.members drags a corpus subtree:\n$membersLogical")
     graft.CacheRegistry.releaseAll()
   }
+
+  test("checkpoint→repartition→persist exposes HashPartitioning: " +
+    "BFS-round join re-shuffles only the frontier (q_sssp_hops shape)") {
+    // The round-14 BFS fix depends on TWO measured Spark behaviors:
+    //  (a) repartition(col).localCheckpoint() alone reports
+    //      UnknownPartitioning under AQE (the LogicalRDD captures
+    //      before the final plan settles), so a checkpoint is NOT
+    //      enough for co-location — asserted below so a Spark upgrade
+    //      that starts preserving it prompts simplifying the operator;
+    //  (b) an InMemoryRelation over repartition(col) DOES expose
+    //      HashPartitioning, so the hybrid checkpoint→repartition→
+    //      persist plans no Exchange above the edge side. If (b) ever
+    //      breaks, every BFS round silently re-shuffles the full edge
+    //      table — this pin fails first.
+    import org.apache.spark.sql.functions._
+    // force a shuffle-based join: with broadcast allowed the tiny
+    // frontier broadcasts and NEITHER side exchanges, which would pass
+    // the assertion without exercising the contract
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ckptOnly = spark.range(1000)
+        .select(pmod(col("id"), lit(97)).as("src"),
+          pmod(col("id") + 13, lit(97)).as("dst"))
+        .repartition(col("src"))
+        .localCheckpoint()
+      assert(ckptOnly.queryExecution.executedPlan.outputPartitioning
+          .toString.contains("UnknownPartitioning"),
+        "localCheckpoint now PRESERVES partitioning - the operator's " +
+          "repartition-after-checkpoint hybrid can be simplified")
+      val e = ckptOnly.repartition(col("src")).persist()
+      // the cached AQE plan exposes HashPartitioning only once it
+      // FINALIZES — i.e. after the cache fills. In the operator, round
+      // 1's job fills it (one edge shuffle, the documented setup cost);
+      // every later round plans against the finalized cache.
+      e.count()
+      val frontier = spark.range(5)
+        .select(col("id").as("node"), lit(0L).as("dist"))
+      val joined = frontier.join(e, col("node") === col("src"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // exactly ONE requirement-driven exchange: the frontier side. A
+      // second would mean the cached edge table lost its partitioning.
+      // (The cached-plan dump prints its own REPARTITION_BY_COL
+      // exchange — that one is the single cache fill, not a per-round
+      // cost — so count only ENSURE_REQUIREMENTS exchanges.)
+      val nExchanges = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+      assert(nExchanges === 1,
+        s"expected only the frontier exchange, got $nExchanges:\n$plan")
+      // and the result is still correct: residues 0..4 of id % 97 each
+      // occur 11 times in 0..999 (1000 = 97*10 + 30), so 5 * 11 matches
+      assert(joined.count() === 55L)
+      e.unpersist()
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
