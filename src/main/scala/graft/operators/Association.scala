@@ -143,11 +143,19 @@ object Association {
       //     operand; per-round edge shuffles are the difference between
       //     O(rounds·|E|) and O(|E| + rounds·|frontier|) network.
       //     PlanShapeSpec pins the one-exchange-per-round shape.
+      //   - the partition COUNT is pinned to the session's shuffle
+      //     partitions: a keyed repartition without a count is an AQE
+      //     hint, and AQE coalesces the one-time fill to advisory-sized
+      //     partitions — freezing every later round's parallelism at
+      //     that count (GraphScaleProbe measured 78 s vs 21 s on the CC
+      //     fixpoint at 10⁷ edges before Clusters pinned it; same
+      //     contract here).
       val e = graft.CacheRegistry.register(
         p.select(col("ant").as("src"), col("cons").as("dst"))
           .union(p.select(col("cons").as("src"), col("ant").as("dst")))
           .localCheckpoint()
-          .repartition(col("src"))
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            col("src"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // frontier also truncates per round: d is tiny (≤ |reachable|),
       // so the eager materialization is noise while the plan stays

@@ -52,24 +52,75 @@ object Clusters {
     StructField("id", LongType), StructField("lbl", LongType)))
 
   /** Materialize a fixpoint's edge table to `scratch/edges` and read it
-    * back with an explicit schema, THEN persist that. Persisting alone
-    * caches data but leaves the pair-source subtree (typically the
-    * whole LSH pipeline; a wide replicated union at rehearsal scale) in
-    * every round's logical plan, where per-job analysis re-walks it —
-    * GraphScaleProbe (round 12) measured 316 s of pure driver plan work
-    * for the CC fixpoint on a 240-PAIR graph at ×100 replication before
-    * this truncation, vs ~3 s after. One pair-bounded write; every
-    * round's edge side is a flat parquet scan afterwards.
+    * back with an explicit schema (lineage truncation). Persisting the
+    * source plan alone caches data but leaves the pair-source subtree
+    * (typically the whole LSH pipeline; a wide replicated union at
+    * rehearsal scale) in every round's logical plan, where per-job
+    * analysis re-walks it — GraphScaleProbe (round 12) measured 316 s
+    * of pure driver plan work for the CC fixpoint on a 240-PAIR graph
+    * at ×100 replication before this truncation, vs ~3 s after. One
+    * pair-bounded write; every round's edge side is a flat parquet
+    * scan afterwards.
     */
-  private def materializeEdges(df: DataFrame, scratch: Path,
-                               schema: StructType): DataFrame = {
+  private def truncateEdges(df: DataFrame, scratch: Path,
+                            schema: StructType): DataFrame = {
     val spark = df.sparkSession
     val dir = new Path(scratch, "edges")
     df.write.mode("overwrite").parquet(dir.toString)
-    graft.CacheRegistry.register(
-      spark.read.schema(schema).parquet(dir.toString)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    spark.read.schema(schema).parquet(dir.toString)
   }
+
+  /** [[truncateEdges]], then CO-LOCATE the cache on the per-round join
+    * key (the q_sssp_hops round-14 contract, PlanShapeSpec-pinned):
+    * `repartition(key)` before persist makes the InMemoryRelation
+    * expose HashPartitioning(key) — under
+    * `canChangeCachedPlanOutputPartitioning=false` (set in every engine
+    * session) each fixpoint round's edges ⋈ state join then shuffles
+    * ONLY the node-bounded state table, never the edge table. At 100 TB
+    * the edge side is the corpus-scale operand; this is the difference
+    * between O(rounds·|E|) and O(|E| + rounds·|V|) network. The
+    * repartition is deliberately explicit rather than inherited from an
+    * upstream join/agg: a broadcast-eligible small side (common at test
+    * scale) would otherwise leave the cached plan UnknownPartitioning
+    * and silently restore the per-round edge shuffle.
+    *
+    * The partition COUNT is explicit too ([[fixpointPartitions]]): a
+    * keyed repartition without a count is an AQE optimizable hint, and
+    * AQE coalesces the fill to the advisory-size partition count — at
+    * 10⁷ synthetic edges that froze the cache at a handful of
+    * partitions and every later round's sort/join ran at that
+    * parallelism (GraphScaleProbe measured 78 s vs 21 s for the CC
+    * fixpoint before the count was pinned).
+    */
+  private def materializeEdges(df: DataFrame, scratch: Path,
+                               schema: StructType,
+                               key: String): DataFrame =
+    graft.CacheRegistry.register(
+      colocated(truncateEdges(df, scratch, schema), key)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The pinned partition count for a fixpoint's co-located cache: the
+    * session's shuffle partitions — the same count every state-table
+    * shuffle targets, so the per-round join is exchange-free on the
+    * cached side AND runs at full configured parallelism.
+    */
+  private def fixpointPartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Apply the co-location repartition — unless the measurement-only
+    * escape hatch `-Dgraft.fixpoint.colocate=off` is set, which reverts
+    * to the round-12 unpartitioned cache so [[graft.tools
+    * .GraphScaleProbe]] can A/B the two shapes inside one JVM. Not a
+    * user knob: correctness is identical either way; only the
+    * shuffle-per-round accounting differs.
+    */
+  private[graft] def colocateFixpointCaches: Boolean =
+    !sys.props.get("graft.fixpoint.colocate").contains("off")
+
+  private def colocated(df: DataFrame, key: String): DataFrame =
+    if (colocateFixpointCaches)
+      df.repartition(fixpointPartitions(df), col(key))
+    else df
 
   private val edgeSchema = StructType(Seq(
     StructField("src", LongType), StructField("dst", LongType)))
@@ -100,7 +151,7 @@ object Clusters {
           col(dst).cast("long").as("dst"))
         .union(pairs.select(col(dst).cast("long").as("src"),
           col(src).cast("long").as("dst"))),
-      scratch, edgeSchema)
+      scratch, edgeSchema, key = "src")
 
     def roundTrip(df: DataFrame, iter: Int): DataFrame = {
       val dir = new Path(scratch, s"labels_$iter")
@@ -216,7 +267,7 @@ object Clusters {
       graft.StageDirs.scratch("pr")))
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    val edges = materializeEdges(
+    val eScan = truncateEdges(
       pairs.select(col(src).cast("long").as("src"),
           col(dst).cast("long").as("dst"))
         .union(pairs.select(col(dst).cast("long").as("src"),
@@ -224,13 +275,19 @@ object Clusters {
       scratch, edgeSchema)
     // (src, dst, d): out-degree attached ONCE — every iteration's
     // contribution term divides by it, so pre-joining keeps the loop
-    // body to a single join + aggregate
+    // body to a single join + aggregate. This is the loop's ONLY
+    // corpus-scale operand, so IT is the co-located cache (repartition
+    // by src; see [[materializeEdges]] — the raw edge table is no
+    // longer cached separately, it feeds ed/nodes exactly once each)
     val ed = graft.CacheRegistry.register(
-      edges.join(edges.groupBy(col("src"))
-          .agg(count(lit(1)).as("d")), "src")
+      colocated(eScan.join(eScan.groupBy(col("src"))
+          .agg(count(lit(1)).as("d")), "src"), "src")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // nodes co-locate on id: each round's rank update left-joins the
+    // dst-keyed contribution sums, and the initial rank table inherits
+    // this partitioning, so round 1's join is exchange-free too
     val nodes = graft.CacheRegistry.register(
-      edges.select(col("src").as("id")).distinct()
+      colocated(eScan.select(col("src").as("id")).distinct(), "id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     var lastDir: Option[Path] = None
@@ -270,8 +327,10 @@ object Clusters {
     * floor division on positives — so the DuckDB twin unrolling the
     * same rounds agrees bit-for-bit.
     *
-    * Execution contract mirrors [[pageRank]]: the deduped edge list is
-    * persisted once; each half-step is ONE edges ⋈ scores join plus a
+    * Execution contract mirrors [[pageRank]], except the deduped edge
+    * list is cached TWICE — co-located by c and by p, because the
+    * half-steps alternate join keys; each half-step is ONE edges ⋈
+    * scores join (edge side exchange-free against its cache) plus a
     * node-keyed sum and a broadcast one-row max attach; the hub table
     * parquet-round-trips per round (bounded lineage). Σ-headroom:
     * score ≤ 10⁶, so a raw sum stays in int64 up to degree ~9·10¹²
@@ -288,12 +347,26 @@ object Clusters {
       graft.StageDirs.scratch("hits")))
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    val edges = materializeEdges(
+    // The HITS half-steps alternate join keys — auth joins on the hub
+    // side (c), hub joins on the authority side (p) — so ONE co-located
+    // cache can't serve both. Two caches over the same parquet bytes
+    // (2× memory, spill-tolerant, each filled by one edge shuffle) buy
+    // exchange-free edge sides for BOTH half-steps; the alternative is
+    // re-shuffling the corpus-scale edge table 2·iters times.
+    val eScan = truncateEdges(
       pairs.select(col(src).cast("long").as("c"),
           col(dst).cast("long").as("p"))
         .distinct(),
       scratch, StructType(Seq(
         StructField("c", LongType), StructField("p", LongType))))
+    val edgesByC = graft.CacheRegistry.register(
+      colocated(eScan, "c")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val edgesByP =
+      if (colocateFixpointCaches) graft.CacheRegistry.register(
+        colocated(eScan, "p")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else edgesByC // measurement mode: one shared unpartitioned cache
 
     // parquet schema resolution is BY NAME: the read schema must carry
     // this function's own column names, not rankSchema's
@@ -316,19 +389,19 @@ object Clusters {
             " AS BIGINT)").as("score"))
     }
 
-    var hubs = edges.select(col("c").as("id")).distinct()
+    var hubs = edgesByC.select(col("c").as("id")).distinct()
       .select(col("id"), lit(1000000L).as("score"))
     var auths: DataFrame = null
     for (i <- 1 to iters) {
       auths = normalized(
-        edges.join(hubs, edges("c") === hubs("id"))
+        edgesByC.join(hubs, edgesByC("c") === hubs("id"))
           .groupBy(col("p")).agg(sum(col("score")).as("raw")), "p")
       // the final auth table is consumed TWICE (last hub update + the
       // output union) — persist it so the whole auth chain is paid once
       if (i == iters) auths = graft.CacheRegistry.register(
         auths.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val nextHubs = normalized(
-        edges.join(auths, edges("p") === auths("id"))
+        edgesByP.join(auths, edgesByP("p") === auths("id"))
           .groupBy(col("c")).agg(sum(col("score")).as("raw")), "c")
       hubs = if (i < iters) roundTrip(nextHubs, i) else nextHubs
     }
@@ -373,7 +446,7 @@ object Clusters {
           col(dst).cast("long").as("dst"))
         .union(pairs.select(col(dst).cast("long").as("src"),
           col(src).cast("long").as("dst"))),
-      scratch, edgeSchema)
+      scratch, edgeSchema, key = "src")
 
     var lastDir: Option[Path] = None
     def roundTrip(df: DataFrame, iter: Int): DataFrame = {
@@ -584,12 +657,15 @@ object Clusters {
       graft.StageDirs.scratch("kcore")))
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // co-located on src: the src-side semi-join is then exchange-free;
+    // the dst-side filter + count still shuffle the SURVIVING subgraph
+    // (which shrinks per round) — two keys per round, one cache
     val edges = materializeEdges(
       pairs.select(col(src).cast("long").as("src"),
           col(dst).cast("long").as("dst"))
         .union(pairs.select(col(dst).cast("long").as("src"),
           col(src).cast("long").as("dst"))),
-      scratch, edgeSchema)
+      scratch, edgeSchema, key = "src")
 
     var lastDir: Option[Path] = None
     def roundTrip(df: DataFrame, iter: Int): DataFrame = {

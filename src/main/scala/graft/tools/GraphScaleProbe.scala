@@ -85,6 +85,10 @@ object GraphScaleProbe {
         Clusters.pageRank(edgesX(m), "doc_a", "doc_b").count())
       time(s"hits x$m")(
         Clusters.hits(edgesX(m), "doc_a", "doc_b").count())
+      time(s"lpa x$m")(
+        Clusters.labelPropagation(edgesX(m), "doc_a", "doc_b").count())
+      time(s"kcore x$m")(
+        Clusters.kCore(edgesX(m), "doc_a", "doc_b", k = 2).count())
       time(s"bfs5 x$m")(bfsHops(edgesX(m), rounds = 5).count())
       time(s"bfs5 legacy x$m")(
         bfsHops(edgesX(m), rounds = 5, legacy = true).count())
@@ -108,6 +112,33 @@ object GraphScaleProbe {
         Clusters.connectedComponents(synth(e), "doc_a", "doc_b").count())
       time(s"synth pagerank |E|=$e")(
         Clusters.pageRank(synth(e), "doc_a", "doc_b").count())
+    }
+
+    // ── 2b. co-location A/B at data scale (part 5) ──────────────────────
+    // The round-14 co-located caches cost ~1–2 s of fixed fill work per
+    // fixpoint, visible at sf0.1 where graphs are tiny; this is the
+    // measurement that adjudicates the trade where the DATA term rules:
+    // each fixpoint at 10⁶/10⁷ synthetic edges, co-location on vs off
+    // (-Dgraft.fixpoint.colocate, same JVM, interleaved per size so
+    // session drift can't masquerade as a shape effect).
+    val abSizes = sys.env.getOrElse("SPARK_GRAFT_AB_SIZES",
+        "1000000,10000000")
+      .split(",").map(_.trim.toLong).toSeq
+    val abOrder = sys.env.getOrElse("SPARK_GRAFT_AB_ORDER", "on,off")
+      .split(",").map(_.trim).toSeq
+    if (parts(5)) for (e <- abSizes) {
+      for (mode <- abOrder) {
+        System.setProperty("graft.fixpoint.colocate", mode)
+        time(s"ab[$mode] cc |E|=$e")(
+          Clusters.connectedComponents(synth(e), "doc_a", "doc_b").count())
+        time(s"ab[$mode] pagerank |E|=$e")(
+          Clusters.pageRank(synth(e), "doc_a", "doc_b").count())
+        time(s"ab[$mode] hits |E|=$e")(
+          Clusters.hits(synth(e), "doc_a", "doc_b").count())
+        time(s"ab[$mode] lpa |E|=$e")(
+          Clusters.labelPropagation(synth(e), "doc_a", "doc_b").count())
+      }
+      System.clearProperty("graft.fixpoint.colocate")
     }
 
     // ── 3. DedupPlan under worst-case exact duplication ────────────────
@@ -172,7 +203,10 @@ object GraphScaleProbe {
       if (legacy) graft.CacheRegistry.register(
         sym.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else graft.CacheRegistry.register(
-        sym.localCheckpoint().repartition(col("src"))
+        sym.localCheckpoint()
+          .repartition(
+            pairs.sparkSession.sessionState.conf.numShufflePartitions,
+            col("src"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var d =
       if (legacy) pairs.agg(min(col("doc_a")).as("node"))

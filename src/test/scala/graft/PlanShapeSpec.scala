@@ -676,7 +676,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
           .toString.contains("UnknownPartitioning"),
         "localCheckpoint now PRESERVES partitioning - the operator's " +
           "repartition-after-checkpoint hybrid can be simplified")
-      val e = ckptOnly.repartition(col("src")).persist()
+      // explicit partition COUNT, mirroring the shipped operators: a
+      // keyed repartition without one is an AQE hint that coalesces the
+      // fill to advisory-sized partitions, freezing every later round's
+      // parallelism at that count (78 s vs 21 s on the 10⁷-edge CC
+      // fixpoint, GraphScaleProbe r14)
+      val e = ckptOnly.repartition(
+        spark.sessionState.conf.numShufflePartitions, col("src")).persist()
       // the cached AQE plan exposes HashPartitioning only once it
       // FINALIZES — i.e. after the cache fills. In the operator, round
       // 1's job fills it (one edge shuffle, the documented setup cost);
@@ -700,5 +706,45 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       e.unpersist()
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("parquet-scan→repartition→persist exposes HashPartitioning: " +
+    "fixpoint rounds re-shuffle only the state table (Clusters shape)") {
+    // The round-14 Clusters co-location (CC / PageRank / HITS / LPA /
+    // kCore) composes the cache from a PARQUET SCAN (the lineage-
+    // truncated edge table), not a localCheckpoint — pin that this
+    // composition also exposes its partitioning to consumers, or every
+    // fixpoint round silently re-shuffles the corpus-scale edge side.
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val dir = graft.StageDirs.scratch("planshape_scan_colo")
+    try {
+      spark.range(1000)
+        .select(pmod(col("id"), lit(97)).as("src"),
+          pmod(col("id") + 13, lit(97)).as("dst"))
+        .write.mode("overwrite").parquet(dir)
+      val e = spark.read.parquet(dir)
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("src"))
+        .persist()
+      e.count() // finalize the cached AQE plan (the one edge shuffle)
+      // the cache must hold the PINNED count — an AQE-coalesced fill
+      // would freeze every fixpoint round at advisory-size parallelism
+      assert(e.rdd.getNumPartitions ===
+        spark.sessionState.conf.numShufflePartitions,
+        s"cache coalesced to ${e.rdd.getNumPartitions} partitions")
+      val labels = spark.range(5)
+        .select(col("id").as("node"), col("id").as("lbl"))
+      val plan = labels.join(e, col("node") === col("src"))
+        .queryExecution.executedPlan.toString
+      val nExchanges = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+      assert(nExchanges === 1,
+        s"expected only the state-table exchange, got $nExchanges:\n$plan")
+      e.unpersist()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.StageDirs.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
   }
 }
