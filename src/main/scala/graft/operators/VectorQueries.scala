@@ -312,6 +312,41 @@ object VectorQueries {
     ivfTopkFrom(emb, KMeans.refineQuantized(emb, seedCentroids(emb), KM_ITERS))
   }
 
+  private[graft] val FIT_SAMPLE_SEED = 53 // q_ann_ivf_sampled trainer slice
+  private[graft] val FIT_SAMPLE_PCT = 25  // ~25 % of the corpus trains
+
+  /** The hash-sampled TRAINING slice for [[ivfTopkSampled]]: the same
+    * md5-bucket arithmetic as every Curation sampler (engine- and
+    * partitioning-independent), so the slice — and therefore the fitted
+    * centroids — is a pure function of the ids and the DuckDB twin
+    * replays it exactly.
+    */
+  private[graft] def fitSample(emb: DataFrame): DataFrame =
+    emb.filter(
+      Curation.hashBucket(col("vec_id"), FIT_SAMPLE_SEED) < FIT_SAMPLE_PCT)
+
+  /** IVF top-k whose Lloyd fit runs on a hash-sampled slice of the
+    * corpus — the PRODUCTION trainer shape (FAISS trains IVF/PQ
+    * codebooks on 10⁵–10⁶ sampled vectors regardless of corpus size):
+    * [[ivfTopkFitted]]'s update pass re-scans the FULL corpus per Lloyd
+    * round, a term that grows with the data and is pure training
+    * machinery; sampling caps it at slice size while assignment,
+    * probing, and scoring still run over everything. At 100 TB the
+    * sample percentage becomes an absolute row cap chosen by codebook
+    * size; the gate pins the mechanism (sampled fit ⊂ corpus, index
+    * over corpus, engine-exact), not the knob. Recall parity with the
+    * full fit needs slice ≫ C·dim (the regime a production sample is
+    * sized into — FAISS wants ≥39 training vectors per centroid); at
+    * sf0.01 the slice is ~50 vectors for 16 cells and recall reads
+    * 70 vs the full fit's 92 — AnnSpec pins "working index", and
+    * q_ann_sampled_recall keeps the number honest per run.
+    */
+  private[graft] def ivfTopkSampled(s: SparkSession, dir: String): DataFrame = {
+    val emb = loadEmb(s, dir)
+    ivfTopkFrom(emb,
+      KMeans.refineQuantized(fitSample(emb), seedCentroids(emb), KM_ITERS))
+  }
+
   private[graft] val PQ_M = 32 // product-quantization subspaces
   private[graft] val PQ_K = 16 // codewords per subspace
   private[graft] val RERANK_C = 4 * TOP_K // coarse candidates per query (re-rank)
@@ -776,6 +811,14 @@ object VectorQueries {
     // the same DuckDB hash gate as everything else: the oracle replays
     // the iterations unrolled in SQL.
     "q_ann_ivf_kmeans" -> { (s, dir) => ivfTopkFitted(s, dir) },
+
+    "q_ann_ivf_sampled" -> { (s, dir) => ivfTopkSampled(s, dir) },
+
+    // recall of the SAMPLED-fit index vs brute-force truth — the gate
+    // that makes "train on a slice" an accountable claim, not a hope
+    "q_ann_sampled_recall" -> { (s, dir) =>
+      recallOf(bruteTopk(s, dir), ivfTopkSampled(s, dir))
+    },
 
     // ── SRP-LSH bucketed ANN top-k (see srpTopk) ────────────────────────
     "q_ann_srp_topk" -> { (s, dir) => srpTopk(s, dir) },
@@ -1845,6 +1888,63 @@ object VectorQueries {
       .mkString(",\n")
   }
 
+  /** [[kmeansCtes]] with the Lloyd update computed over the hash-sampled
+    * training slice (q_ann_ivf_sampled): seeds still come from the full
+    * corpus (deterministic first-N), only the assignment + mean inside
+    * each iteration see `ksmp`. CTE names carry an `s` prefix so both
+    * chains can coexist in one query (the recall gate).
+    */
+  private def kmeansSampledCtes: String = {
+    def iteration(n: Int, prev: String): String =
+      s"""skasg$n AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_distance(e.embedding, c.centroid) ASC, c.cell ASC) AS rn
+         |  FROM ksmp e, $prev c) WHERE rn = 1),
+         |skq$n AS (SELECT cell, pos,
+         |    sum(CAST(floor(CAST(v AS DOUBLE) * ${KMeans.QUANT}) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM (SELECT cell, generate_subscripts(embedding, 1) AS pos,
+         |               unnest(embedding) AS v FROM skasg$n)
+         |  GROUP BY cell, pos),
+         |scent$n AS (SELECT cell,
+         |    list(CAST((CAST(s AS DOUBLE) / n) / ${KMeans.QUANT} AS FLOAT) ORDER BY pos) AS centroid
+         |  FROM skq$n GROUP BY cell)"""
+    (Seq(
+      s"""ksmp AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE ${Dedup.hash32Sql(FIT_SAMPLE_SEED,
+              "CAST(vec_id AS VARCHAR)")} % 100 < $FIT_SAMPLE_PCT)""",
+      s"""scent0 AS (SELECT vec_id AS cell, embedding AS centroid
+         |           FROM embeddings WHERE vec_id < $N_CELLS)""") ++
+      (1 to KM_ITERS).map(n => iteration(n, s"scent${n - 1}")))
+      .mkString(",\n")
+  }
+
+  /** The sampled-fit IVF pipeline as CTEs ending in `sivf` — shared by
+    * q_ann_ivf_sampled and q_ann_sampled_recall.
+    */
+  private def sampledIvfCtes: String =
+    s"""$kmeansSampledCtes,
+       |saq AS (SELECT vec_id AS query_id, embedding AS qvec
+       |        FROM embeddings WHERE vec_id < $N_QUERIES),
+       |sassigned AS (SELECT vec_id AS neighbor_id, cvec, cell FROM (
+       |  SELECT e.vec_id, e.embedding AS cvec, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_distance(e.embedding, c.centroid) ASC, c.cell ASC) AS arn
+       |  FROM embeddings e, scent$KM_ITERS c) WHERE arn = 1),
+       |sprobes AS (SELECT query_id, qvec, cell FROM (
+       |  SELECT saq.query_id, saq.qvec, c.cell,
+       |    row_number() OVER (PARTITION BY saq.query_id
+       |      ORDER BY list_distance(saq.qvec, c.centroid) ASC, c.cell ASC) AS prn
+       |  FROM saq, scent$KM_ITERS c) WHERE prn <= $N_PROBE),
+       |sivf AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT p.query_id, a.neighbor_id,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY list_cosine_similarity(p.qvec, a.cvec) DESC, a.neighbor_id ASC) AS rank
+       |  FROM sprobes p JOIN sassigned a ON p.cell = a.cell
+       |  WHERE p.query_id <> a.neighbor_id)
+       |  WHERE rank <= $TOP_K)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_ann_cosine_topk" ->
       s"""WITH $bruteCtes
@@ -1985,6 +2085,20 @@ object VectorQueries {
     "q_ann_ivf_topk" ->
       s"""WITH $ivfCtes
          |SELECT query_id, neighbor_id, rank FROM ivf""".stripMargin,
+
+    "q_ann_ivf_sampled" ->
+      s"""WITH $sampledIvfCtes
+         |SELECT query_id, neighbor_id, rank FROM sivf""".stripMargin,
+
+    "q_ann_sampled_recall" ->
+      s"""WITH $bruteCtes,
+         |$sampledIvfCtes
+         |SELECT b.query_id,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100 // $TOP_K AS BIGINT) AS recall_pct
+         |FROM brute b LEFT JOIN sivf i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id""".stripMargin,
 
     // SQL replay of the srp_sig LCG: same quantize (floor(x·2²⁰)), same
     // ±1 from ((1103515245·(j·dim+d)+12345) >> 16) & 1 (operand is

@@ -24,6 +24,36 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(mean >= 80.0, s"mean recall $mean < 80; per-query: ${recalls.toSeq}")
   }
 
+  test("sampled-fit IVF recall@k: the trainer slice keeps a working " +
+    "index at sf0.01; parity with the full fit needs slice ≫ C·dim") {
+    // the production-trainer mechanism behind q_ann_ivf_sampled.
+    // MEASURED at sf0.01: full fit 92, sampled fit 70 — the 25 % slice
+    // here is ~50 vectors fitting 16 cells, far below the slice ≫
+    // codebook regime a real trainer samples into (FAISS trains on
+    // 39–256 vectors PER centroid; at 10⁵+ sampled vectors the fits
+    // converge). So the pin asserts the index stays WORKING (recall
+    // well above the nprobe/C = 25 % random-probe floor), not parity —
+    // parity at toy scale would be pinning noise the operator never
+    // promised. Both arms computed against the same brute truth so the
+    // numbers move together under testdata regeneration.
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val r = VectorQueries.recallOf(
+          VectorQueries.queries("q_ann_cosine_topk")(spark, sf), approx)
+        .collect().map(_.getAs[Long]("recall_pct"))
+      assert(r.nonEmpty)
+      r.sum.toDouble / r.length
+    }
+    val full = meanRecall(
+      VectorQueries.queries("q_ann_ivf_kmeans")(spark, sf))
+    val sampled = meanRecall(
+      VectorQueries.queries("q_ann_ivf_sampled")(spark, sf))
+    assert(sampled >= 55.0,
+      s"sampled-fit recall $sampled degenerated (full fit: $full)")
+    assert(full >= sampled - 5.0,
+      s"full fit $full below sampled $sampled - a fit regression, " +
+        "not a sampling effect")
+  }
+
   test("SQ-int8 recall@k: mean ≥ 85 % at sf0.01 (measured 96 %)") {
     // scalar quantization keeps every dimension (unlike PQ's subspace
     // codebooks), so on iid embeddings it should sit near brute force;
