@@ -183,15 +183,23 @@ object Dedup {
     * slice — a single posexplode projection over the signature table.
     */
   private[operators] def bandRows(sigs: DataFrame, numHashes: Int,
-                                  bands: Int): DataFrame = {
+                                  bands: Int): DataFrame =
+    sigs.select(col("doc_id"), posexplode(bandKeys(numHashes, bands)))
+      .toDF("doc_id", "band", "bkey")
+
+  /** The band-key array over mh0..mh{n-1} columns — THE banding
+    * arithmetic (md5 over the dash-joined signature slice), shared by
+    * the batch [[bandRows]] and the streaming near-dup index
+    * ([[graft.streaming.StreamingNearDup]]) so the two can never
+    * drift; the oracle twin is TextQueries.bandSelect.
+    */
+  private[graft] def bandKeys(numHashes: Int, bands: Int): Column = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val keys = array((0 until bands).map { b =>
+    array((0 until bands).map { b =>
       md5(concat_ws("-",
         (0 until r).map(j => col(s"mh${b * r + j}").cast("string")): _*))
     }: _*)
-    sigs.select(col("doc_id"), posexplode(keys))
-      .toDF("doc_id", "band", "bkey")
   }
 
   /** Distinct candidate pairs (doc_a < doc_b) from banded signatures. */

@@ -205,6 +205,16 @@ object StreamGateQueries {
         col("event_type"), col("value"))
   }
 
+  /** The documents table replayed as a file-source stream — the
+    * ingestion fixture for the stream-vs-static near-dup gate.
+    */
+  private def docsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    s.readStream.schema(schema)
+      .parquet(stage(dir, copies = 1, table = "documents"))
+      .select(col("doc_id"), col("text"))
+  }
+
   // ────────────────────────────────────────────────────────────────────
   // Queries
   // ────────────────────────────────────────────────────────────────────
@@ -267,6 +277,25 @@ object StreamGateQueries {
           countDistinct(col("user_id")).as("n_users"),
           sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
             .as("sum_cents"))
+    },
+
+    // ── streaming near-dup vs the static corpus (ingestion dedup) ──────
+    // Each incoming doc's MinHash bands probe the batch-built corpus
+    // index; candidates are exact-Jaccard-verified IN-ROW (shingle-set
+    // intersect — stateless, no second corpus pass). The fixture
+    // replays the documents table itself, so the verified matches are
+    // exactly the SYMMETRIC closure of the batch LSH-verified pairs;
+    // the rollup below (per incoming doc: how many corpus matches, how
+    // close, over how many band collisions) is what an ingestion
+    // pipeline actually routes on.
+    "q_stream_neardup" -> { (s, dir) =>
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+      val out = runToTable(s, StreamingNearDup.neardupStream(
+        docsStream(s, dir), StreamingNearDup.corpusIndex(corpus)))
+      out.groupBy(col("doc_id"))
+        .agg(countDistinct(col("match_id")).as("n_matches"),
+          max(col("jaccard_bp")).as("best_jaccard_bp"),
+          count(lit(1)).as("n_band_hits"))
     },
 
     // ── first-seen identity state (new vs returning), daily rollup ─────
@@ -950,6 +979,60 @@ object StreamGateQueries {
         |    AS BIGINT) AS sum_cents
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1""".stripMargin,
+
+    // The symmetric-closure replay of the batch LSH family's banding +
+    // exact verify (same md5/affine arithmetic via the Dedup SQL
+    // helpers), aggregated per incoming doc. Set semantics throughout
+    // (DISTINCT hashed shingles) — the twin of the stream's in-row
+    // array_intersect over distinct shingle sets.
+    "q_stream_neardup" -> {
+      import graft.operators.Dedup
+      import StreamingNearDup.{BANDS, K, NUM_HASHES, THRESH}
+      val minhashSelect = (0 until NUM_HASHES)
+        .map(i => s"min(${Dedup.affineSql(i, "hm")}) AS mh$i")
+        .mkString(", ")
+      val r = NUM_HASHES / BANDS
+      val bandSelects = (0 until BANDS).map { b =>
+        val key = (0 until r).map(j => s"CAST(mh${b * r + j} AS VARCHAR)")
+          .mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws('-', $key)) AS bkey FROM sig"
+      }.mkString("\n UNION ALL\n ")
+      s"""WITH toks AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |sh AS (SELECT DISTINCT doc_id,
+         |    array_to_string(t[CAST(i AS INT):CAST(i + ${K - 1} AS INT)], ' ') AS shingle
+         |  FROM toks, unnest(range(1, len(t) - ${K - 2})) AS u(i)
+         |  WHERE len(t) >= $K),
+         |shh AS (SELECT doc_id, ${Dedup.shingleHashSql("shingle")} AS shingle
+         |  FROM sh),
+         |hm AS (SELECT doc_id, ${Dedup.hash32Sql(0, "shingle")} % ${Dedup.P} AS hm FROM sh),
+         |sig AS (SELECT doc_id, $minhashSelect FROM hm GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |scand AS (SELECT a.doc_id AS doc_id, b.doc_id AS match_id,
+         |    count(*) AS n_band_hits
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(DISTINCT shingle) AS sz
+         |  FROM shh GROUP BY doc_id),
+         |common AS (SELECT c.doc_id, c.match_id, c.n_band_hits,
+         |    count(DISTINCT a.shingle) AS n_common
+         |  FROM scand c JOIN shh a ON a.doc_id = c.doc_id
+         |  JOIN shh b ON b.doc_id = c.match_id AND b.shingle = a.shingle
+         |  GROUP BY 1, 2, 3),
+         |ver AS (SELECT cm.doc_id, cm.match_id, cm.n_band_hits,
+         |    CAST(cm.n_common * 10000
+         |      // (si.sz + sm.sz - cm.n_common) AS BIGINT) AS jaccard_bp
+         |  FROM common cm
+         |  JOIN sizes si ON si.doc_id = cm.doc_id
+         |  JOIN sizes sm ON sm.doc_id = cm.match_id
+         |  WHERE cm.n_common * 100 >= $THRESH * (si.sz + sm.sz - cm.n_common))
+         |SELECT doc_id, count(*) AS n_matches,
+         |  CAST(max(jaccard_bp) AS BIGINT) AS best_jaccard_bp,
+         |  CAST(sum(n_band_hits) AS BIGINT) AS n_band_hits
+         |FROM ver GROUP BY doc_id""".stripMargin
+    },
 
     "q_stream_new_vs_returning" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),

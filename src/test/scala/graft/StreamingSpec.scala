@@ -19,6 +19,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
 
   private def ts(minute: Int) = new Timestamp(minute * 60000L)
 
+  test("neardupStream invariants: symmetric closure, band-bounded " +
+    "multiplicity, near-dups found") {
+    // The gate (q_stream_neardup) hash-checks the exact rollup; this
+    // pin asserts the STRUCTURAL contracts on it: the fixture streams
+    // the corpus against itself, so (a) matches exist, (b) every match
+    // is mutual (Jaccard is symmetric, banding is shared), so the
+    // match-count total is even, and (c) band hits per pair are capped
+    // by the band count — more would mean duplicate emission beyond
+    // the documented multiplicity.
+    val out = graft.streaming.StreamGateQueries
+      .queries("q_stream_neardup")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty, "no near-dups surfaced from the fixture")
+    val totalMatches = out.map(_.getAs[Long]("n_matches")).sum
+    assert(totalMatches % 2 == 0,
+      s"asymmetric match closure: total $totalMatches is odd")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_band_hits") <=
+        r.getAs[Long]("n_matches") *
+          graft.streaming.StreamingNearDup.BANDS,
+        s"band multiplicity exceeded the cap: $r")
+    }
+  }
+
   test("streaming pipeline: bronze files -> silver + gold, incremental") {
     val layout = Layout(Files.createTempDirectory("graft-stream").toString)
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
