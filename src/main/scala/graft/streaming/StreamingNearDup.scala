@@ -56,32 +56,37 @@ object StreamingNearDup {
     * Works identically on a batch or streaming DataFrame — that is the
     * point: the index and the stream run the same arithmetic.
     */
-  private def prepared(docs: DataFrame): DataFrame =
+  private def prepared(docs: DataFrame,
+                       carry: Seq[String] = Nil): DataFrame = {
+    val c = carry.map(col)
     docs
-      .select(col("doc_id"),
-        TextFunctions.tokens(lower(col("text"))).as("toks"))
+      .select(Seq(col("doc_id"),
+        TextFunctions.tokens(lower(col("text"))).as("toks")) ++ c: _*)
       .filter(size(col("toks")) >= K)
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id"),
         array_distinct(TextFunctions.shinglesFromTokens(col("toks"), K))
-          .as("shstr"))
-      .select(col("doc_id"),
+          .as("shstr")) ++ c: _*)
+      .select(Seq(col("doc_id"),
         array_distinct(transform(col("shstr"),
           s => Dedup.shingleHash(s))).as("shset"),
         transform(col("shstr"),
-          s => Dedup.hash32(0, s) % Dedup.P).as("hm"))
-      .select(col("doc_id"), col("shset"),
+          s => Dedup.hash32(0, s) % Dedup.P).as("hm")) ++ c: _*)
+      .select(Seq(col("doc_id"), col("shset"),
         size(col("shset")).as("sz"),
         call_function("minhash_affine", col("hm"), lit(NUM_HASHES))
-          .as("sig"))
+          .as("sig")) ++ c: _*)
       .select(Seq(col("doc_id"), col("shset"), col("sz")) ++
         (0 until NUM_HASHES).map(i =>
-          element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+          element_at(col("sig"), i + 1).as(s"mh$i")) ++ c: _*)
+  }
 
   /** One (id-renamed) banded row per (doc, band). */
-  private def banded(p: DataFrame, idAs: String): DataFrame =
-    p.select(col("doc_id").as(idAs),
-        col("shset").as(s"${idAs}_shset"), col("sz").as(s"${idAs}_sz"),
-        posexplode(Dedup.bandKeys(NUM_HASHES, BANDS)))
+  private def banded(p: DataFrame, idAs: String,
+                     carry: Seq[String] = Nil): DataFrame =
+    p.select(Seq(col("doc_id").as(idAs),
+        col("shset").as(s"${idAs}_shset"), col("sz").as(s"${idAs}_sz")) ++
+        carry.map(col) :+
+        posexplode(Dedup.bandKeys(NUM_HASHES, BANDS)): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bkey")
 
@@ -101,8 +106,36 @@ object StreamingNearDup {
     * [[THRESH]] %. Output columns: (doc_id, match_id, band, n_common,
     * sz_in, sz_match, jaccard_bp) — one row per verified (pair, band).
     */
-  def neardupStream(docsStream: DataFrame, index: DataFrame): DataFrame = {
-    val in = banded(prepared(docsStream), "doc_id")
+  def neardupStream(docsStream: DataFrame, index: DataFrame): DataFrame =
+    verified(banded(prepared(docsStream), "doc_id"), index)
+
+  /** [[neardupStream]] with the PRODUCTION exactly-once-per-pair
+    * emission: the incoming stream carries an arrival-time column
+    * (`tsColName`), and verified candidates are deduplicated with
+    * `dropDuplicatesWithinWatermark` on (doc_id, match_id) — a pair
+    * colliding in several bands emits ONCE, with state bounded by the
+    * watermark horizon instead of all history (the contract plain
+    * `dropDuplicates` can't give an unbounded stream). The base
+    * variant stays the gate surface because its band multiplicity is
+    * deterministic and hash-checkable; this one is the shape a real
+    * deployment wires, pinned by StreamingSpec.
+    */
+  def neardupStreamExactlyOnce(docsStream: DataFrame, index: DataFrame,
+                               tsColName: String,
+                               delay: String): DataFrame =
+    verified(
+        banded(prepared(docsStream, carry = Seq(tsColName)), "doc_id",
+          carry = Seq(tsColName)),
+        index, carry = Seq(tsColName))
+      .withWatermark(tsColName, delay)
+      .dropDuplicatesWithinWatermark("doc_id", "match_id")
+      // band identifies WHICH duplicate survived — arbitrary under the
+      // dedup, so it is not part of this variant's output contract
+      .drop(tsColName, "band")
+
+  /** Shared band-join + in-row exact-Jaccard verify stage. */
+  private def verified(in: DataFrame, index: DataFrame,
+                       carry: Seq[String] = Nil): DataFrame = {
     val union: Column =
       col("doc_id_sz") + col("match_id_sz") - col("n_common")
     in.join(index, Seq("band", "bkey"))
@@ -110,10 +143,10 @@ object StreamingNearDup {
       .withColumn("n_common",
         size(array_intersect(col("doc_id_shset"), col("match_id_shset"))))
       .filter(col("n_common") * 100 >= lit(THRESH) * union)
-      .select(col("doc_id"), col("match_id"), col("band"),
+      .select(Seq(col("doc_id"), col("match_id"), col("band"),
         col("n_common"),
         col("doc_id_sz").as("sz_in"), col("match_id_sz").as("sz_match"),
         expr("n_common * 10000 div (doc_id_sz + match_id_sz - n_common)")
-          .as("jaccard_bp"))
+          .as("jaccard_bp")) ++ carry.map(col): _*)
   }
 }

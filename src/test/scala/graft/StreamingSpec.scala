@@ -43,6 +43,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("neardupStreamExactlyOnce: a multi-band collision emits one row " +
+    "per pair under the watermarked dedup") {
+    import graft.streaming.StreamingNearDup
+    // corpus doc 100 and incoming doc 1 are byte-identical ⇒ all 4
+    // bands collide. The base transform emits one row PER BAND (the
+    // gate's documented multiplicity); the production variant must
+    // collapse them to exactly one (doc_id, match_id) row.
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq((100L, text)).toDF("doc_id", "text")
+    val index = StreamingNearDup.corpusIndex(corpus)
+    val in = MemoryStream[(Long, Timestamp, String)](spark)
+    val q = StreamingNearDup.neardupStreamExactlyOnce(
+        in.toDF().toDF("doc_id", "ingest_ts", "text"), index,
+        "ingest_ts", "10 minutes")
+      .writeStream.format("memory").queryName("nd_once")
+      .outputMode("append").start()
+    in.addData((1L, ts(1000), text))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("nd_once")
+      .select(col("doc_id"), col("match_id"), col("jaccard_bp"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 100L, 10000L)),
+      s"expected exactly one full-jaccard match row, got: $out")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("streaming pipeline: bronze files -> silver + gold, incremental") {
     val layout = Layout(Files.createTempDirectory("graft-stream").toString)
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
