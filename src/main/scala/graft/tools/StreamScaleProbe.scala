@@ -113,6 +113,46 @@ object StreamScaleProbe {
         drain(s"attribution x$m",
           StreamingEvents.attributionStream(srcE).toDF())
     }
+
+    // ── neardup: arrival batch FIXED, corpus grows ×m ──────────────────
+    // The production shape of q_stream_neardup: a bounded ingest batch
+    // (the base sf documents, ~5k) probes a corpus that is 10×/100×
+    // bigger. Replication makes every incoming doc an m-plicate of its
+    // corpus twins, so output grows ~m·4 bands per doc — the measured
+    // question is whether the DRAIN grows with the corpus beyond the
+    // index build (it must not: the stream side's shuffle is its own
+    // band rows; the index side is the one-time batch build).
+    if (want("neardup")) {
+      val docsBase = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      def stageDocs(m: Int): String = {
+        val out = graft.StageDirs.stable(s"stream_scale_docs_x$m")
+        val marker = java.nio.file.Paths.get(s"$out/_STAGED")
+        if (!Files.exists(marker)) {
+          (0 until m).foreach { i =>
+            docsBase.select(
+                (col("doc_id") + lit(i.toLong * 100_000_000L))
+                  .as("doc_id"), col("text"))
+              .coalesce(2)
+              .write.mode(if (i == 0) "overwrite" else "append")
+              .parquet(out)
+          }
+          Files.createDirectories(marker.getParent)
+          Files.writeString(marker, "ok")
+        }
+        out
+      }
+      val arrivalDir = stageDocs(1)
+      for (m <- mults) {
+        graft.CacheRegistry.releaseAll(); spark.catalog.clearCache()
+        val corpus = spark.read.parquet(stageDocs(m))
+        val idx = graft.streaming.StreamingNearDup.corpusIndex(corpus)
+        val arrivals = spark.readStream.schema(docsBase.schema)
+          .parquet(arrivalDir)
+        drain(s"neardup corpus x$m",
+          graft.streaming.StreamingNearDup.neardupStream(arrivals, idx))
+      }
+    }
     spark.stop()
   }
 }
