@@ -21,6 +21,15 @@ import org.apache.spark.sql.Dataset
   *     call with identical inputs (Spark's CacheManager dedups by plan),
   *     but distinct inputs accumulate — hence the explicit hook.
   *
+  * DOCUMENTED EXCEPTION: `localCheckpoint()` blocks (the BFS/TextRank
+  * lineage truncations, round 14) live on a SECOND lifecycle this
+  * registry does not own — Spark's ContextCleaner unpersists them when
+  * the checkpointed RDD becomes unreachable (per-invocation locals, so
+  * after each query's DataFrame is dropped). They are invisible to
+  * [[releaseAll]] by design: there is no public handle to free them
+  * earlier, and holding the Dataset here would only DELAY the GC that
+  * releases them.
+  *
   * Thread-safe; unpersist is non-blocking (async block cleanup).
   */
 object CacheRegistry {
@@ -68,13 +77,23 @@ object CacheRegistry {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
     scratchDirs.foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) fs.delete(p, true)
-      val parent = p.getParent
-      if (parent != null && fs.exists(parent) &&
-          fs.listStatus(parent).isEmpty)
-        fs.delete(parent, false)
+      // best-effort per dir: a transient FS error (outage, permission,
+      // concurrent delete between exists and listStatus) must not
+      // abort the sweep or crash the caller mid-Verify/Bench — the
+      // contract the pre-r14 java.nio path had (review, round 14)
+      try {
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+        val parent = p.getParent
+        if (parent != null && fs.exists(parent) &&
+            fs.listStatus(parent).isEmpty)
+          fs.delete(parent, false)
+      } catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[cache-registry] scratch sweep of $d " +
+            s"failed (left behind): ${e.getMessage}")
+      }
     }
     scratchDirs.clear()
   }

@@ -150,6 +150,15 @@ object Association {
       //     that count (GraphScaleProbe measured 78 s vs 21 s on the CC
       //     fixpoint at 10⁷ edges before Clusters pinned it; same
       //     contract here).
+      //   - DOCUMENTED TRADE: localCheckpoint blocks are executor-local
+      //     and non-recomputable — an executor loss mid-query fails the
+      //     job (Spark cannot rebuild a truncated-lineage leaf). This
+      //     query re-runs cheaply; a deployment that must survive
+      //     executor loss uses the Clusters-style parquet round-trip
+      //     (durable scratch on shared storage) at the cost of the
+      //     file write. Block lifecycle: ContextCleaner frees them when
+      //     the per-invocation DataFrames are GC'd (see CacheRegistry's
+      //     documented exception).
       val e = graft.CacheRegistry.register(
         p.select(col("ant").as("src"), col("cons").as("dst"))
           .union(p.select(col("cons").as("src"), col("ant").as("dst")))

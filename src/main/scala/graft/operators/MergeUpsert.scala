@@ -36,11 +36,13 @@ object MergeUpsert {
     * tiebreak values (a re-observation with identical ordering columns
     * but changed attributes) would otherwise get an arbitrary row_number
     * winner, breaking the reproducibility contract and q_neo_backfill's
-    * arrival-order-free convergence. Each column is hashed to a non-null
-    * term first (nulls map to a fixed sentinel, map-bearing columns go
-    * through to_json) so null placement and map contents both
-    * participate — xxhash64's raw form skips null arguments and rejects
-    * MapType, which would leave distinguishable rows tied (ADVICE r13).
+    * arrival-order-free convergence. Each column is hashed to its own
+    * non-null term first (a null input leaves xxhash64 at its seed —
+    * a stable per-column value; map-bearing columns go through
+    * to_json) so null placement and map contents both participate —
+    * a single flat xxhash64 over all columns skips null arguments and
+    * rejects MapType, which would leave distinguishable rows tied
+    * (ADVICE r13).
     */
   def merge(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
             tiebreak: Seq[Column] = Nil): DataFrame = {
@@ -63,13 +65,17 @@ object MergeUpsert {
       case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
       case _ => false
     }
-    val NULL_SENTINEL = 0x9e3779b97f4a7c15L // any fixed odd constant
+    // per-column terms keep null placement distinguishing: xxhash64 is
+    // non-nullable — a null input is SKIPPED and the term is the fixed
+    // seed (42), so a null column still contributes a stable,
+    // position-preserved value to the outer hash (no coalesce needed;
+    // an earlier sentinel wrapper here was unreachable — review r14)
     val hashTerms = unioned.schema.fields
       .filter(_.name != prio)
       .map { f =>
         val c = if (containsMap(f.dataType)) to_json(col(f.name))
                 else col(f.name)
-        coalesce(xxhash64(c), lit(NULL_SENTINEL))
+        xxhash64(c)
       }.toIndexedSeq
     val rowHash =
       if (hashTerms.nonEmpty) xxhash64(hashTerms: _*) else lit(0L)

@@ -38,6 +38,26 @@ import graft.Tables
   */
 object OpsGate {
 
+  /** Stage `df` as exactly `least(64, n_rows)` NON-EMPTY small parquet
+    * files — the q_compaction fixture whose before-count the oracle
+    * derives.
+    *
+    * Round-robin starts each INPUT partition at its own offset, so a
+    * multi-partition sub-64-row input could collide partitions and
+    * write fewer than least(64, n) files (ADVICE r13); from ONE input
+    * partition the fill is strictly sequential. A bare
+    * `coalesce(1).repartition(64)` does NOT guarantee that:
+    * CollapseRepartition rewrites shuffle-over-noshuffle to drop the
+    * coalesce entirely (found by review, round 14). The localCheckpoint
+    * between them materializes the single partition as a LogicalRDD
+    * leaf no optimizer rule sees through — OpsSpec pins the non-empty
+    * file count on an adversarial multi-partition sub-64-row input.
+    * (The writer may additionally emit one 0-row partition-0 file as
+    * the schema carrier; counters must count non-empty files.)
+    */
+  private[graft] def stageSmallFiles(df: DataFrame, path: String): Unit =
+    df.coalesce(1).localCheckpoint().repartition(64).write.parquet(path)
+
   // derived from user.dir (SPARK_GRAFT_STAGE_DIR overrides) so the
   // gate works on any checkout, not just /root/repo (ADVICE r10)
   private val STAGE_BASE = graft.StageDirs.stable("ops_gate")
@@ -88,17 +108,17 @@ object OpsGate {
       val p = new Path(path)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true) // rebuild: the lifecycle IS the test
-      Tables.load(s, dir, "events")
-        .select(col("event_id"), col("event_type"),
-          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
-        // coalesce(1) first: round-robin starts each INPUT partition at
-        // its own offset, so a multi-partition sub-64-row input could
-        // collide partitions and write fewer than least(64, n) files,
-        // breaking the oracle's derived before-count (ADVICE r13); from
-        // one input partition the fill is strictly sequential
-        .coalesce(1).repartition(64).write.parquet(path)
-      def parts(): Long = fs.listStatus(p)
-        .count(_.getPath.getName.endsWith(".parquet")).toLong
+      stageSmallFiles(
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents")),
+        path)
+      // count NON-EMPTY files (via input_file_name over the data):
+      // FileFormatWriter always materializes partition 0 — even empty —
+      // as the schema carrier, so a sub-64-row staging write leaves one
+      // 0-row file the least(64, n) contract must not count
+      def parts(): Long = s.read.parquet(path)
+        .select(input_file_name().as("f")).distinct().count()
       val before = parts()
       Compaction.compact(s, path, targetBytes = Long.MaxValue / 4)
       val after = parts()

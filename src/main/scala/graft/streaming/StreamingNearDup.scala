@@ -71,8 +71,12 @@ object StreamingNearDup {
           s => Dedup.shingleHash(s))).as("shset"),
         transform(col("shstr"),
           s => Dedup.hash32(0, s) % Dedup.P).as("hm")) ++ c: _*)
+      // sizes as LONG: the verify arithmetic multiplies counts by 10⁴,
+      // and size() returns Int — a ≥215k-shingle document would wrap
+      // 32-bit under non-ANSI arithmetic while the BIGINT oracle
+      // doesn't (review, round 14)
       .select(Seq(col("doc_id"), col("shset"),
-        size(col("shset")).as("sz"),
+        size(col("shset")).cast("long").as("sz"),
         call_function("minhash_affine", col("hm"), lit(NUM_HASHES))
           .as("sig")) ++ c: _*)
       .select(Seq(col("doc_id"), col("shset"), col("sz")) ++
@@ -141,7 +145,8 @@ object StreamingNearDup {
     in.join(index, Seq("band", "bkey"))
       .filter(col("doc_id") =!= col("match_id"))
       .withColumn("n_common",
-        size(array_intersect(col("doc_id_shset"), col("match_id_shset"))))
+        size(array_intersect(col("doc_id_shset"), col("match_id_shset")))
+          .cast("long"))
       .filter(col("n_common") * 100 >= lit(THRESH) * union)
       .select(Seq(col("doc_id"), col("match_id"), col("band"),
         col("n_common"),

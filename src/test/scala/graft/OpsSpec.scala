@@ -17,6 +17,26 @@ import graft.sources.{BronzeIngest, Layout, NeoSchema}
 class OpsSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  test("stageSmallFiles: a multi-partition sub-64-row input still " +
+    "writes exactly least(64, n) files") {
+    // The q_compaction before-count contract. A bare
+    // coalesce(1).repartition(64) is rewritten by CollapseRepartition
+    // to drop the coalesce, letting each input partition round-robin
+    // from its own offset — collisions write FEWER than n files on
+    // sub-64-row inputs. The localCheckpoint barrier in stageSmallFiles
+    // is what this pin protects.
+    val dir = Files.createTempDirectory("graft-stage64").toString + "/t"
+    graft.operators.OpsGate.stageSmallFiles(
+      spark.range(10).selectExpr("id", "id * 3 AS v").repartition(4), dir)
+    // non-empty files (the writer always materializes partition 0 as a
+    // 0-row schema carrier — q_compaction's counter excludes it the
+    // same way)
+    val files = spark.read.parquet(dir)
+      .select(input_file_name().as("f")).distinct().count()
+    assert(files === 10L,
+      s"expected least(64, 10) = 10 non-empty staged files, got $files")
+  }
+
   test("compaction: many small files → ceil(bytes/target), same rows") {
     val dir = Files.createTempDirectory("graft-compact").toString + "/t"
     spark.range(10000).selectExpr("id", "id * 2 AS v")
