@@ -580,13 +580,25 @@ object VectorQueries {
     * iteration (the q_ann_ivf_kmeans convention): recall ≥ seeds at
     * equal work, lowest fit cost. Returns (m, cell, centroid[sub]).
     */
-  private[graft] def pqFitSubspaces(emb: DataFrame): DataFrame = {
-    val sv = emb.select(col("vec_id"), explode(expr(
-      s"""transform(sequence(0, $PQ_M - 1), m -> struct(m AS m,
-         | slice(embedding, m * (size(embedding) div $PQ_M) + 1,
-         |   size(embedding) div $PQ_M) AS svec))""".stripMargin)).as("s"))
-      .select(col("vec_id"), col("s.m").as("m"), col("s.svec").as("svec"))
-    val seedsArr = sv.filter(col("vec_id") < PQ_K)
+  private[graft] def pqFitSubspaces(emb: DataFrame): DataFrame =
+    pqFitSubspaces(emb, emb)
+
+  /** [[pqFitSubspaces]] with the Lloyd update computed over `train`
+    * (a subset of `emb` — the sampled-trainer path, q_ann_pq_sampled):
+    * seed codewords still come from the FULL corpus's first PQ_K
+    * vectors (deterministic regardless of which ids the sample kept),
+    * only the assignment + quantized mean see the slice.
+    */
+  private[graft] def pqFitSubspaces(emb: DataFrame,
+                                    train: DataFrame): DataFrame = {
+    def slices(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, $PQ_M - 1), m -> struct(m AS m,
+           | slice(embedding, m * (size(embedding) div $PQ_M) + 1,
+           |   size(embedding) div $PQ_M) AS svec))""".stripMargin)).as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.svec").as("svec"))
+    val sv = slices(train)
+    val seedsArr = slices(emb).filter(col("vec_id") < PQ_K)
       .select(col("m"), struct(col("vec_id").cast("int").as("cell"),
         col("svec").as("centroid")).as("cc"))
       .groupBy(col("m")).agg(sort_array(collect_list(col("cc"))).as("cents"))
@@ -642,9 +654,23 @@ object VectorQueries {
     * argmin encode, broadcast query tables, BNLJ ADC scan,
     * bounded_topk.
     */
-  private[graft] def pqKmeansTopk(s: SparkSession, dir: String): DataFrame = {
-    val emb = loadEmb(s, dir)
-    val cbm = pqFittedCbRow(pqFitSubspaces(emb))
+  private[graft] def pqKmeansTopk(s: SparkSession, dir: String): DataFrame =
+    pqKmeansTopkFrom(loadEmb(s, dir), sampledFit = false)
+
+  /** [[pqKmeansTopk]] with the codebook fitted on the hash-sampled
+    * training slice — the PQ half of the sampled-trainer story
+    * (q_ann_ivf_sampled's rationale applies verbatim: the codebook fit
+    * is the corpus-linear training pass a production index replaces
+    * with a bounded sample; encode + ADC still cover everything).
+    */
+  private[graft] def pqKmeansTopkSampled(s: SparkSession,
+                                         dir: String): DataFrame =
+    pqKmeansTopkFrom(loadEmb(s, dir), sampledFit = true)
+
+  private def pqKmeansTopkFrom(emb: DataFrame,
+                               sampledFit: Boolean): DataFrame = {
+    val cbm = pqFittedCbRow(pqFitSubspaces(emb,
+      if (sampledFit) fitSample(emb) else emb))
     val q = emb.select(col("vec_id"), expr(pqQuant("embedding")).as("vq"))
     val coded = q.crossJoin(broadcast(cbm))
       .withColumn("codes", expr(
@@ -889,6 +915,8 @@ object VectorQueries {
 
     // ── PQ-ADC over a KMeans-fitted codebook (see pqKmeansTopk) ─────────
     "q_ann_pq_kmeans" -> { (s, dir) => pqKmeansTopk(s, dir) },
+
+    "q_ann_pq_sampled" -> { (s, dir) => pqKmeansTopkSampled(s, dir) },
 
     // ── kNN label vote: the classify/label-propagation read of ANN ─────
     // Predict each query vector's label by majority vote over its
@@ -1945,6 +1973,69 @@ object VectorQueries {
        |  WHERE p.query_id <> a.neighbor_id)
        |  WHERE rank <= $TOP_K)""".stripMargin
 
+  /** Fitted-codebook PQ ADC pipeline SQL (q_ann_pq_kmeans /
+    * q_ann_pq_sampled): slice per subspace, one quantized-Lloyd
+    * iteration per (m), quantize the fitted codewords, then the same
+    * pd/codes/ADC ranking. `sampled = true` computes the Lloyd update
+    * over the hash-sampled slice (seeds stay the full corpus's first
+    * PQ_K vectors) — one builder so the two twins can never drift.
+    */
+  private def pqKmeansSql(sampled: Boolean): String = {
+    val sliceCte =
+      if (sampled)
+        s""",
+           |ssv AS (SELECT vec_id, m, svec FROM sv
+           |  WHERE ${Dedup.hash32Sql(FIT_SAMPLE_SEED,
+                "CAST(vec_id AS VARCHAR)")} % 100 < $FIT_SAMPLE_PCT)"""
+      else ""
+    val fitSrc = if (sampled) "ssv" else "sv"
+    s"""WITH $pqCtes,
+       |sv AS (SELECT vec_id, t.m,
+       |    embedding[CAST(t.m * (len(embedding) // $PQ_M) + 1 AS INT):
+       |              CAST((t.m + 1) * (len(embedding) // $PQ_M) AS INT)]
+       |      AS svec
+       |  FROM embeddings, range(0, $PQ_M) t(m))$sliceCte,
+       |scent0 AS (SELECT m, vec_id AS cell, svec AS centroid
+       |  FROM sv WHERE vec_id < $PQ_K),
+       |kasg AS (SELECT m, cell, svec FROM (
+       |  SELECT s.m, c.cell, s.svec,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY list_distance(s.svec, c.centroid) ASC,
+       |        c.cell ASC) AS rn
+       |  FROM $fitSrc s JOIN scent0 c ON s.m = c.m) WHERE rn = 1),
+       |kq AS (SELECT m, cell, pos,
+       |    sum(CAST(floor(CAST(v AS DOUBLE) * ${KMeans.QUANT})
+       |      AS BIGINT)) AS s,
+       |    count(*) AS n
+       |  FROM (SELECT m, cell, generate_subscripts(svec, 1) AS pos,
+       |               unnest(svec) AS v FROM kasg)
+       |  GROUP BY 1, 2, 3),
+       |cqt AS (SELECT m, cell AS k, pos - 1 AS pd,
+       |    CAST(floor(CAST(CAST((CAST(s AS DOUBLE) / n) / ${KMeans.QUANT}
+       |      AS FLOAT) AS DOUBLE) * 1048576) AS BIGINT) AS qc
+       |  FROM kq),
+       |psv AS (SELECT vec_id, d // (dim // $PQ_M) AS m,
+       |    d % (dim // $PQ_M) AS pd, q FROM pqv),
+       |pd2 AS (SELECT v.vec_id, c.k, v.m,
+       |    CAST(sum((v.q - c.qc) * (v.q - c.qc)) AS BIGINT) AS dist
+       |  FROM psv v JOIN cqt c ON v.m = c.m AND v.pd = c.pd
+       |  GROUP BY 1, 2, 3),
+       |codes2 AS (SELECT vec_id, m, k FROM (
+       |  SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m
+       |    ORDER BY dist ASC, k ASC) AS rn FROM pd2) WHERE rn = 1),
+       |ad2 AS (SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    sum(qd.dist) AS adist
+       |  FROM codes2 c JOIN pd2 qd ON qd.m = c.m AND qd.k = c.k
+       |  WHERE qd.vec_id < $N_QUERIES AND qd.vec_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |r2 AS (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist ASC, neighbor_id ASC) AS rank
+       |  FROM ad2)
+       |SELECT query_id, neighbor_id, rank FROM r2
+       |WHERE rank <= $TOP_K""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_ann_cosine_topk" ->
       s"""WITH $bruteCtes
@@ -2223,52 +2314,12 @@ object VectorQueries {
     // quantized-Lloyd iteration per (m) — the kmeansCtes shape with m
     // added to every key — then quantize the fitted codewords and run
     // the same pd/codes/ADC pipeline against them.
-    "q_ann_pq_kmeans" ->
-      s"""WITH $pqCtes,
-         |sv AS (SELECT vec_id, t.m,
-         |    embedding[CAST(t.m * (len(embedding) // $PQ_M) + 1 AS INT):
-         |              CAST((t.m + 1) * (len(embedding) // $PQ_M) AS INT)]
-         |      AS svec
-         |  FROM embeddings, range(0, $PQ_M) t(m)),
-         |scent0 AS (SELECT m, vec_id AS cell, svec AS centroid
-         |  FROM sv WHERE vec_id < $PQ_K),
-         |kasg AS (SELECT m, cell, svec FROM (
-         |  SELECT s.m, c.cell, s.svec,
-         |    row_number() OVER (PARTITION BY s.vec_id, s.m
-         |      ORDER BY list_distance(s.svec, c.centroid) ASC,
-         |        c.cell ASC) AS rn
-         |  FROM sv s JOIN scent0 c ON s.m = c.m) WHERE rn = 1),
-         |kq AS (SELECT m, cell, pos,
-         |    sum(CAST(floor(CAST(v AS DOUBLE) * ${KMeans.QUANT})
-         |      AS BIGINT)) AS s,
-         |    count(*) AS n
-         |  FROM (SELECT m, cell, generate_subscripts(svec, 1) AS pos,
-         |               unnest(svec) AS v FROM kasg)
-         |  GROUP BY 1, 2, 3),
-         |cqt AS (SELECT m, cell AS k, pos - 1 AS pd,
-         |    CAST(floor(CAST(CAST((CAST(s AS DOUBLE) / n) / ${KMeans.QUANT}
-         |      AS FLOAT) AS DOUBLE) * 1048576) AS BIGINT) AS qc
-         |  FROM kq),
-         |psv AS (SELECT vec_id, d // (dim // $PQ_M) AS m,
-         |    d % (dim // $PQ_M) AS pd, q FROM pqv),
-         |pd2 AS (SELECT v.vec_id, c.k, v.m,
-         |    CAST(sum((v.q - c.qc) * (v.q - c.qc)) AS BIGINT) AS dist
-         |  FROM psv v JOIN cqt c ON v.m = c.m AND v.pd = c.pd
-         |  GROUP BY 1, 2, 3),
-         |codes2 AS (SELECT vec_id, m, k FROM (
-         |  SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m
-         |    ORDER BY dist ASC, k ASC) AS rn FROM pd2) WHERE rn = 1),
-         |ad2 AS (SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    sum(qd.dist) AS adist
-         |  FROM codes2 c JOIN pd2 qd ON qd.m = c.m AND qd.k = c.k
-         |  WHERE qd.vec_id < $N_QUERIES AND qd.vec_id <> c.vec_id
-         |  GROUP BY 1, 2),
-         |r2 AS (SELECT query_id, neighbor_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY adist ASC, neighbor_id ASC) AS rank
-         |  FROM ad2)
-         |SELECT query_id, neighbor_id, rank FROM r2
-         |WHERE rank <= $TOP_K""".stripMargin,
+    "q_ann_pq_kmeans" -> pqKmeansSql(sampled = false),
+
+    // the same pipeline with the Lloyd update over the hash-sampled
+    // training slice (seeds stay the full corpus's first PQ_K vectors —
+    // the q_ann_ivf_sampled convention)
+    "q_ann_pq_sampled" -> pqKmeansSql(sampled = true),
 
     // SQL replay of rp_project: same quantize grid and LCG as the
     // srp_sig oracle above, minus the sign threshold — the summed
