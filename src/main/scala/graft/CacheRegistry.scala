@@ -90,7 +90,12 @@ object CacheRegistry {
             fs.listStatus(parent).isEmpty)
           fs.delete(parent, false)
       } catch {
-        case e: java.io.IOException =>
+        // NonFatal, not just IOException: Path() throws
+        // IllegalArgumentException on a malformed dir string and FS
+        // impls surface unchecked RuntimeExceptions — any per-dir
+        // failure must leave the sweep (and scratchDirs.clear()) intact
+        // (ADVICE r14)
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[cache-registry] scratch sweep of $d " +
             s"failed (left behind): ${e.getMessage}")
       }

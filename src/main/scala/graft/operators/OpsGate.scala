@@ -113,12 +113,22 @@ object OpsGate {
           .select(col("event_id"), col("event_type"),
             expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents")),
         path)
-      // count NON-EMPTY files (via input_file_name over the data):
-      // FileFormatWriter always materializes partition 0 — even empty —
-      // as the schema carrier, so a sub-64-row staging write leaves one
-      // 0-row file the least(64, n) contract must not count
-      def parts(): Long = s.read.parquet(path)
-        .select(input_file_name().as("f")).distinct().count()
+      // count NON-EMPTY files from parquet FOOTER row counts — a
+      // metadata read (one footer per file), not a data scan; the
+      // pre-r15 input_file_name().distinct() form re-read the whole
+      // table twice per gate run (ADVICE r14). FileFormatWriter always
+      // materializes partition 0 — even empty — as the schema carrier,
+      // so a sub-64-row staging write leaves one 0-row file the
+      // least(64, n) contract must not count.
+      def parts(): Long =
+        fs.listStatus(p).count { st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet") && {
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+                st, s.sparkContext.hadoopConfiguration))
+            try r.getRecordCount > 0 finally r.close()
+          }
+        }.toLong
       val before = parts()
       Compaction.compact(s, path, targetBytes = Long.MaxValue / 4)
       val after = parts()

@@ -126,7 +126,10 @@ object GraphScaleProbe {
       .split(",").map(_.trim.toLong).toSeq
     val abOrder = sys.env.getOrElse("SPARK_GRAFT_AB_ORDER", "on,off")
       .split(",").map(_.trim).toSeq
-    if (parts(5)) for (e <- abSizes) {
+    // try/finally: a throwing fixpoint must not leave the global
+    // property set (it would silently change every later fixpoint's
+    // cache shape in this JVM — ADVICE r14)
+    if (parts(5)) for (e <- abSizes) try {
       for (mode <- abOrder) {
         System.setProperty("graft.fixpoint.colocate", mode)
         time(s"ab[$mode] cc |E|=$e")(
@@ -138,8 +141,7 @@ object GraphScaleProbe {
         time(s"ab[$mode] lpa |E|=$e")(
           Clusters.labelPropagation(synth(e), "doc_a", "doc_b").count())
       }
-      System.clearProperty("graft.fixpoint.colocate")
-    }
+    } finally System.clearProperty("graft.fixpoint.colocate")
 
     // ── 3. DedupPlan under worst-case exact duplication ────────────────
     def docsX(m: Int): DataFrame = {
