@@ -298,6 +298,24 @@ object StreamGateQueries {
           count(lit(1)).as("n_band_hits"))
     },
 
+    // ── PRODUCTION exactly-once near-dup emission ──────────────────────
+    // The same stream-static band join + in-row verify, but each
+    // verified (doc, match) pair emits EXACTLY ONE row: a synthetic
+    // arrival timestamp rides the stream and
+    // dropDuplicatesWithinWatermark collapses multi-band collisions
+    // with state bounded by the watermark horizon (the shape an
+    // unbounded ingestion pipeline ships — plain dropDuplicates would
+    // hold all history). Every emitted column is a pure function of
+    // the pair, so the row SET is hash-gated directly.
+    "q_stream_neardup_once" -> { (s, dir) =>
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+      val in = docsStream(s, dir).withColumn("ingest_ts",
+        timestamp_millis(lit(1700000000000L) + col("doc_id")))
+      runToTable(s, StreamingNearDup.neardupStreamExactlyOnce(
+        in, StreamingNearDup.corpusIndex(corpus),
+        "ingest_ts", "10 minutes"))
+    },
+
     // ── first-seen identity state (new vs returning), daily rollup ─────
     // NoTimeout keyed state: each user's first-seen day decides
     // new/returning; the daily rollup over the emitted stream must
@@ -772,6 +790,58 @@ object StreamGateQueries {
   // DuckDB oracle twins — batch SQL + the exact emission rule
   // ────────────────────────────────────────────────────────────────────
 
+  /** CTE chain ending in `ver(doc_id, match_id, n_band_hits, n_common,
+    * sz_in, sz_match, jaccard_bp)` — the DuckDB replay of the
+    * stream-vs-static near-dup verify (symmetric closure of the batch
+    * LSH family), shared by q_stream_neardup and q_stream_neardup_once
+    * so the two oracles can never drift.
+    */
+  private lazy val neardupVerCtes: String = {
+    import graft.operators.Dedup
+    import StreamingNearDup.{BANDS, K, NUM_HASHES, THRESH}
+    val minhashSelect = (0 until NUM_HASHES)
+      .map(i => s"min(${Dedup.affineSql(i, "hm")}) AS mh$i")
+      .mkString(", ")
+    val r = NUM_HASHES / BANDS
+    val bandSelects = (0 until BANDS).map { b =>
+      val key = (0 until r).map(j => s"CAST(mh${b * r + j} AS VARCHAR)")
+        .mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('-', $key)) AS bkey FROM sig"
+    }.mkString("\n UNION ALL\n ")
+    s"""toks AS (SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |sh AS (SELECT DISTINCT doc_id,
+       |    array_to_string(t[CAST(i AS INT):CAST(i + ${K - 1} AS INT)], ' ') AS shingle
+       |  FROM toks, unnest(range(1, len(t) - ${K - 2})) AS u(i)
+       |  WHERE len(t) >= $K),
+       |shh AS (SELECT doc_id, ${Dedup.shingleHashSql("shingle")} AS shingle
+       |  FROM sh),
+       |hm AS (SELECT doc_id, ${Dedup.hash32Sql(0, "shingle")} % ${Dedup.P} AS hm FROM sh),
+       |sig AS (SELECT doc_id, $minhashSelect FROM hm GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |scand AS (SELECT a.doc_id AS doc_id, b.doc_id AS match_id,
+       |    count(*) AS n_band_hits
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(DISTINCT shingle) AS sz
+       |  FROM shh GROUP BY doc_id),
+       |common AS (SELECT c.doc_id, c.match_id, c.n_band_hits,
+       |    count(DISTINCT a.shingle) AS n_common
+       |  FROM scand c JOIN shh a ON a.doc_id = c.doc_id
+       |  JOIN shh b ON b.doc_id = c.match_id AND b.shingle = a.shingle
+       |  GROUP BY 1, 2, 3),
+       |ver AS (SELECT cm.doc_id, cm.match_id, cm.n_band_hits,
+       |    cm.n_common, si.sz AS sz_in, sm.sz AS sz_match,
+       |    CAST(cm.n_common * 10000
+       |      // (si.sz + sm.sz - cm.n_common) AS BIGINT) AS jaccard_bp
+       |  FROM common cm
+       |  JOIN sizes si ON si.doc_id = cm.doc_id
+       |  JOIN sizes sm ON sm.doc_id = cm.match_id
+       |  WHERE cm.n_common * 100 >= $THRESH * (si.sz + sm.sz - cm.n_common))""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
 
     "q_stream_hourly_counts" ->
@@ -985,54 +1055,21 @@ object StreamGateQueries {
     // helpers), aggregated per incoming doc. Set semantics throughout
     // (DISTINCT hashed shingles) — the twin of the stream's in-row
     // array_intersect over distinct shingle sets.
-    "q_stream_neardup" -> {
-      import graft.operators.Dedup
-      import StreamingNearDup.{BANDS, K, NUM_HASHES, THRESH}
-      val minhashSelect = (0 until NUM_HASHES)
-        .map(i => s"min(${Dedup.affineSql(i, "hm")}) AS mh$i")
-        .mkString(", ")
-      val r = NUM_HASHES / BANDS
-      val bandSelects = (0 until BANDS).map { b =>
-        val key = (0 until r).map(j => s"CAST(mh${b * r + j} AS VARCHAR)")
-          .mkString(", ")
-        s"SELECT doc_id, $b AS band, md5(concat_ws('-', $key)) AS bkey FROM sig"
-      }.mkString("\n UNION ALL\n ")
-      s"""WITH toks AS (SELECT doc_id,
-         |    string_split_regex(trim(lower(text)), '\\s+') AS t
-         |  FROM documents WHERE length(trim(text)) > 0),
-         |sh AS (SELECT DISTINCT doc_id,
-         |    array_to_string(t[CAST(i AS INT):CAST(i + ${K - 1} AS INT)], ' ') AS shingle
-         |  FROM toks, unnest(range(1, len(t) - ${K - 2})) AS u(i)
-         |  WHERE len(t) >= $K),
-         |shh AS (SELECT doc_id, ${Dedup.shingleHashSql("shingle")} AS shingle
-         |  FROM sh),
-         |hm AS (SELECT doc_id, ${Dedup.hash32Sql(0, "shingle")} % ${Dedup.P} AS hm FROM sh),
-         |sig AS (SELECT doc_id, $minhashSelect FROM hm GROUP BY doc_id),
-         |bands AS ($bandSelects),
-         |scand AS (SELECT a.doc_id AS doc_id, b.doc_id AS match_id,
-         |    count(*) AS n_band_hits
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
-         |  GROUP BY 1, 2),
-         |sizes AS (SELECT doc_id, count(DISTINCT shingle) AS sz
-         |  FROM shh GROUP BY doc_id),
-         |common AS (SELECT c.doc_id, c.match_id, c.n_band_hits,
-         |    count(DISTINCT a.shingle) AS n_common
-         |  FROM scand c JOIN shh a ON a.doc_id = c.doc_id
-         |  JOIN shh b ON b.doc_id = c.match_id AND b.shingle = a.shingle
-         |  GROUP BY 1, 2, 3),
-         |ver AS (SELECT cm.doc_id, cm.match_id, cm.n_band_hits,
-         |    CAST(cm.n_common * 10000
-         |      // (si.sz + sm.sz - cm.n_common) AS BIGINT) AS jaccard_bp
-         |  FROM common cm
-         |  JOIN sizes si ON si.doc_id = cm.doc_id
-         |  JOIN sizes sm ON sm.doc_id = cm.match_id
-         |  WHERE cm.n_common * 100 >= $THRESH * (si.sz + sm.sz - cm.n_common))
+    "q_stream_neardup" ->
+      s"""WITH $neardupVerCtes
          |SELECT doc_id, count(*) AS n_matches,
          |  CAST(max(jaccard_bp) AS BIGINT) AS best_jaccard_bp,
          |  CAST(sum(n_band_hits) AS BIGINT) AS n_band_hits
-         |FROM ver GROUP BY doc_id""".stripMargin
-    },
+         |FROM ver GROUP BY doc_id""".stripMargin,
+
+    // The exactly-once variant emits the verified PAIR rows themselves
+    // (one per (doc, match), band multiplicity collapsed by the
+    // watermarked dedup) — every projected column is a pure function
+    // of the pair, so the row set is hash-comparable.
+    "q_stream_neardup_once" ->
+      s"""WITH $neardupVerCtes
+         |SELECT doc_id, match_id, n_common, sz_in, sz_match, jaccard_bp
+         |FROM ver""".stripMargin,
 
     "q_stream_new_vs_returning" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
