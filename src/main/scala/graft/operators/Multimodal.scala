@@ -280,6 +280,10 @@ object Multimodal {
   final case class Frame(media_id: Long, frame_idx: Int,
                          frame_bytes: Array[Byte])
 
+  /** q_media_frames fixture knobs: 64-byte windows, every 2nd one. */
+  val FRAME_BYTES = 64
+  val FRAME_STRIDE = 2
+
   /** Frame sampling: treat the payload as fixed-size frames and emit
     * every `stride`-th one — the one-to-many imperative stage a video
     * pipeline runs before per-frame featurization. The "frames" here are
@@ -519,6 +523,36 @@ object Multimodal {
         .toDF("media_a", "media_b", "hamming")
     },
 
+    // ── frame sampling + decode fan-out, per-media rollup ──────────────
+    // [[sampleFrames]] (every 2nd 64-byte window) fanned out through
+    // [[decodeAll]] with the REAL [[ImageIoDecoder]] — the
+    // video-pipeline shape (sample → per-frame decode/featurize →
+    // rollup) end-to-end under the hash gate. Frame counts are a known
+    // function of payload size (ceil(ceil(n/64)/2)); the PNG frame of
+    // an image payload surfaces its header dims through the decoder's
+    // deterministic fallback (a 64-byte window is never a decodable
+    // raster, so ImageIO rejects it and the stub parses the IHDR —
+    // the exact fallback contract MultimodalSpec pins). mapPartitions
+    // fan-out + typed flatMap; partitioning passes through, no shuffle
+    // until the final keyed rollup.
+    "q_media_frames" -> { (s, dir) =>
+      import s.implicits._
+      val frames = sampleFrames(mediaOf(s, dir).as[MediaRow],
+        FRAME_BYTES, FRAME_STRIDE)
+      val decoded = decodeAll(
+        frames.map(f => MediaRow(f.media_id, f.frame_bytes)),
+        ImageIoDecoder)
+      decoded.toDF().groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("n_bytes").cast("long")).as("n_frame_bytes"),
+          sum(when(col("mime") === "image/png", 1L).otherwise(0L))
+            .as("n_png_frames"),
+          sum(when(col("mime") === "audio/x-riff", 1L).otherwise(0L))
+            .as("n_riff_frames"),
+          max(col("width")).as("width"),
+          max(col("height")).as("height"))
+    },
+
     // ── perceptual near-dup CLUSTERS: the actionable media dedup form ──
     // Same pairs→components closure the text side uses ([[Clusters]]):
     // banded-hamming pairs over the aHash fingerprints, closed into
@@ -637,6 +671,49 @@ object Multimodal {
          |    * CAST(('0x' || substr(hex(bytes), 41, 8)) AS BIGINT) AS n_pixels
          |FROM media
          |WHERE substr(hex(bytes), 1, 16) = '$PNG_MAGIC_HEX'""".stripMargin,
+
+    // SQL twin of sampleFrames → decodeAll(ImageIoDecoder): frames are
+    // hex-string windows (2·FRAME_BYTES hex chars at stride 2·64);
+    // per-frame mime replays StubDecoder's magic sniff (the decoder's
+    // deterministic fallback — no 64-byte window is a decodable
+    // raster) with its ≥8/≥4-byte guards, dims replay the ≥24-byte
+    // IHDR parse at byte offsets 16/20.
+    "q_media_frames" -> {
+      val fs = FRAME_BYTES
+      s"""WITH $mediaCte,
+         |fr AS (SELECT media_id, hex(bytes) AS hx,
+         |    CAST(octet_length(bytes) AS BIGINT) AS n FROM media),
+         |idx AS (SELECT media_id, hx, n, CAST(i AS BIGINT) AS i
+         |  FROM fr, unnest(range(0, (n + ${fs - 1}) // $fs)) AS u(i)
+         |  WHERE i % $FRAME_STRIDE = 0),
+         |f AS (SELECT media_id, least($fs, n - i * $fs) AS fb,
+         |    substr(hx, CAST(i * ${2 * fs} + 1 AS INT), ${2 * fs}) AS fhx
+         |  FROM idx),
+         |d AS (SELECT media_id, fb,
+         |    CASE WHEN fb >= 8 AND substr(fhx, 1, 16) = '$PNG_MAGIC_HEX'
+         |           THEN 'image/png'
+         |         WHEN fb >= 4 AND substr(fhx, 1, 8) = '$RIFF_MAGIC_HEX'
+         |           THEN 'audio/x-riff'
+         |         ELSE 'application/octet-stream' END AS mime, fhx
+         |  FROM f),
+         |dd AS (SELECT media_id, fb, mime,
+         |    CASE WHEN mime = 'image/png' AND fb >= 24
+         |      THEN CAST(('0x' || substr(fhx, 33, 8)) AS BIGINT)
+         |      ELSE 0 END AS w,
+         |    CASE WHEN mime = 'image/png' AND fb >= 24
+         |      THEN CAST(('0x' || substr(fhx, 41, 8)) AS BIGINT)
+         |      ELSE 0 END AS h
+         |  FROM d)
+         |SELECT media_id, count(*) AS n_frames,
+         |  CAST(sum(fb) AS BIGINT) AS n_frame_bytes,
+         |  CAST(sum(CASE WHEN mime = 'image/png' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_png_frames,
+         |  CAST(sum(CASE WHEN mime = 'audio/x-riff' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_riff_frames,
+         |  CAST(max(w) AS BIGINT) AS width,
+         |  CAST(max(h) AS BIGINT) AS height
+         |FROM dd GROUP BY media_id""".stripMargin
+    },
 
     "q_media_dedup" ->
       s"""WITH $mediaCte

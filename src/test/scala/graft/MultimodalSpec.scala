@@ -314,4 +314,32 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(stats(5L) === ((16L, 16L, 16L, 0L)))  // varied not flagged
     assert(stats(8L) === ((0L, 0L, 0L, 0L)))     // empty: no sample
   }
+
+  test("q_media_frames gate: frame counts follow the closed form and " +
+    "PNG header dims survive the per-frame decode") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Multimodal
+      .queries("q_media_frames")(spark, dir)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    // n_frames = ceil(ceil(n_bytes / 64) / 2) per payload, exactly
+    val sizes = graft.operators.Multimodal.fakeMedia(
+        graft.Tables.load(spark, dir, "documents"))
+      .select(col("media_id"), length(col("bytes")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (id, n) =>
+      val expect = ((n + 63) / 64 + 1) / 2
+      if (n == 0) assert(!out.contains(id))
+      else assert(out(id).getAs[Long]("n_frames") === expect,
+        s"media $id: n=$n")
+    }
+    // PNG media (doc_id % 3 == 0, non-empty): exactly one PNG frame
+    // (frame 0) whose decoded dims are the synthetic header's
+    sizes.filter { case (id, n) => id % 3 == 0 && n > 0 }.keys
+      .foreach { id =>
+        val r = out(id)
+        assert(r.getAs[Long]("n_png_frames") === 1L)
+        assert(r.getAs[Long]("width") === 16 + id % 1024)
+        assert(r.getAs[Long]("height") === 16 + (id * 7) % 1024)
+      }
+  }
 }
