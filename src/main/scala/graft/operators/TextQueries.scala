@@ -54,6 +54,9 @@ object TextQueries {
   private val LPA_ITERS = 3    // q_label_propagation synchronous rounds
   private val PREFIX_K = 8     // q_prefix_dup shared-header token width
   private val CURR_SEED = 31   // q_curriculum_order within-band hash
+  private val BPE_SAMPLE_SEED = 71    // q_bpe_sampled trainer slice
+  private val BPE_SAMPLE_PCT = 25     // ~25 % of the corpus trains
+  private val BPE_SAMPLED_MERGES = 6  // merges the sampled gate learns
   private val CURR_SHARDS = 4  // q_curriculum_order shards per band
   private val MIN_RUN = 12     // dup-span floor: spans >= 14 tokens, past chance-collision runs
   private val VOCAB_V = 10     // vocab size for the OOV-coverage signal
@@ -671,6 +674,48 @@ object TextQueries {
             " i -> concat(t[i], ' ', t[i + 1]))")).as("pair"))
         .groupBy(col("pair"))
         .agg(count(lit(1)).as("n_occurrences"))
+    },
+
+    // ── SAMPLED-FIT BPE trainer: fit on a hash slice, apply corpus-wide ─
+    // The production tokenizer-training shape (the q_ann_ivf_sampled
+    // recipe applied to [[Bpe]]): the merge table is LEARNED on a
+    // deterministic md5-bucket slice of the corpus (tokenizer training
+    // saturates in the low-GB range — the full-corpus per-round pair
+    // count is the one corpus-linear term, pure training machinery),
+    // then [[Bpe.applyMerges]] re-tokenizes the FULL corpus with the
+    // learned table — nMerges nested in-row folds, zero shuffle. The
+    // gate pins both halves: (rank, merge_left, merge_right,
+    // n_occurrences) is the slice-trained merge table (argmax replay,
+    // deterministic under the count-desc/left/right tiebreak), and
+    // n_units_corpus counts each merged unit in the final FULL-corpus
+    // tokenization (0 when a later merge consumed it) — the corpus-wide
+    // apply under the same hash. At 100 TB the slice percentage becomes
+    // an absolute row cap (TextScaleProbe's fixed-size-slice row
+    // measures that posture); the gate pins the mechanism, not the knob.
+    "q_bpe_sampled" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      val slice = docs.filter(
+        Curation.hashBucket(col("doc_id"), BPE_SAMPLE_SEED)
+          < BPE_SAMPLE_PCT)
+      val mergesDf = Bpe.train(slice, "doc_id", "text", BPE_SAMPLED_MERGES)
+      // the merge table is driver-sized by construction (≤ nMerges
+      // rows) — collecting it is how applyMerges receives its folds
+      val merges = mergesDf.collect()
+        .sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+        .toSeq
+      val units = docs
+        .select(explode(Bpe.applyMerges(
+          TextFunctions.tokens(col("text")), merges)).as("unit"))
+        .groupBy(col("unit")).agg(count(lit(1)).as("n_units"))
+      mergesDf.toDF("rank", "merge_left", "merge_right", "n_occurrences")
+        .join(units,
+          concat_ws(" ", col("merge_left"), col("merge_right"))
+            === col("unit"), "left")
+        .select(col("rank"), col("merge_left"), col("merge_right"),
+          col("n_occurrences"),
+          coalesce(col("n_units"), lit(0L)).as("n_units_corpus"))
     },
 
     // ── percentile-rank normalization of quality scores ─────────────────
@@ -2022,6 +2067,66 @@ object TextQueries {
   // ─── DuckDB oracle twins ──────────────────────────────────────────────
 
   /** tokens CTE: lowercased whitespace tokens per doc. */
+  /** DuckDB replay of the sampled-fit BPE trainer (q_bpe_sampled) —
+    * the argmax-per-round loop UNROLLED into BPE_SAMPLED_MERGES CTE
+    * rounds. Token lists ride as SENTINEL STRINGS — each unit
+    * wrapped in chr(31) ("U" below) and abutted, `U tok U U tok U ...`
+    * — safe because the corpus holds no control chars and whitespace
+    * tokenization can never emit one. Applying a merge is then ONE
+    * left-to-right non-overlapping `replace` of `U l U U r U` with
+    * `U l-space-r U` (the merged unit joins with a space) — byte-for-byte
+    * the greedy first-wins fold [[Bpe.applyMerge]] runs (verified on
+    * the [a,a,a] overlap case). Each round: split back to a list,
+    * count adjacent pairs, deterministic argmax (count DESC, left,
+    * right; the n >= 2 floor is the trainer's early stop — an empty
+    * top CTE leaves the corpus untouched via the LEFT JOIN, exactly
+    * the exhausted-trainer fixpoint), apply to BOTH the training slice
+    * (st_k) and the full corpus (ft_k). The final SELECT joins the
+    * merge table to the full-corpus unit counts.
+    */
+  private lazy val bpeSampledSql: String = {
+    val U = "chr(31)"
+    val slicePred =
+      s"AND ${Dedup.hash32Sql(BPE_SAMPLE_SEED, "CAST(doc_id AS VARCHAR)")} % 100 < $BPE_SAMPLE_PCT"
+    def toksSrc(pred: String) =
+      s"""SELECT doc_id, $U || array_to_string(t, $U||$U) || $U AS s FROM (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents WHERE length(trim(text)) > 0 $pred)""".stripMargin
+    def applyCte(src: String, k: Int) =
+      s"""$src${k + 1} AS (SELECT doc_id, CASE WHEN t.l IS NOT NULL THEN
+         |    replace(s, $U||t.l||$U||$U||t.r||$U, $U||t.l||' '||t.r||$U)
+         |    ELSE s END AS s
+         |  FROM $src$k LEFT JOIN top$k t ON TRUE)""".stripMargin
+    val rounds = (0 until BPE_SAMPLED_MERGES).flatMap { k =>
+      Seq(
+        s"""tk$k AS (SELECT doc_id, string_split(trim(s, $U), $U||$U) AS t
+           |  FROM st$k)""".stripMargin,
+        s"""pairs$k AS (SELECT t[CAST(i AS INT)] AS l,
+           |    t[CAST(i + 1 AS INT)] AS r, count(*) AS n
+           |  FROM tk$k, unnest(range(1, len(t))) AS u(i)
+           |  WHERE len(t) >= 2 GROUP BY 1, 2)""".stripMargin,
+        s"""top$k AS (SELECT l, r, n FROM pairs$k WHERE n >= 2
+           |  ORDER BY n DESC, l ASC, r ASC LIMIT 1)""".stripMargin,
+        applyCte("st", k),
+        applyCte("ft", k))
+    }
+    val mergeUnion = (0 until BPE_SAMPLED_MERGES)
+      .map(k => s"SELECT ${k + 1} AS rank, l, r, n FROM top$k")
+      .mkString("\n  UNION ALL ")
+    val ctes =
+      Seq(s"st0 AS (${toksSrc(slicePred)})", s"ft0 AS (${toksSrc("")})") ++
+        rounds ++ Seq(
+        s"merges AS ($mergeUnion)",
+        s"""uc AS (SELECT unit, count(*) AS n_units FROM (
+           |    SELECT unnest(string_split(trim(s, $U), $U||$U)) AS unit
+           |    FROM ft$BPE_SAMPLED_MERGES) GROUP BY 1)""".stripMargin)
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT CAST(m.rank AS BIGINT) AS rank, m.l AS merge_left,
+       |  m.r AS merge_right, CAST(m.n AS BIGINT) AS n_occurrences,
+       |  COALESCE(uc.n_units, 0) AS n_units_corpus
+       |FROM merges m LEFT JOIN uc ON uc.unit = m.l || ' ' || m.r""".stripMargin
+  }
+
   private val toksCte =
     """toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
       |  FROM documents WHERE length(trim(text)) > 0)""".stripMargin
@@ -2268,6 +2373,8 @@ object TextQueries {
          |FROM toks, unnest(range(1, len(t))) AS u(i)
          |WHERE len(t) >= 2
          |GROUP BY pair""".stripMargin,
+
+    "q_bpe_sampled" -> bpeSampledSql,
 
     "q_quality_percentile" ->
       s"""WITH $qualityCtes,

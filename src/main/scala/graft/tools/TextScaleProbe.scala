@@ -112,6 +112,20 @@ object TextScaleProbe {
           graft.operators.Bpe.train(
             spark.read.parquet(s"$sd/documents.parquet"),
             "doc_id", "text", nMerges = 8).count())
+        // the 100 TB trainer posture: the slice percentage becomes an
+        // ABSOLUTE row budget (pct = 2500/m bp of the ×m corpus ⇒
+        // constant expected slice size), so the per-round pair count —
+        // the trainer's one corpus-linear term — stays flat while the
+        // corpus grows two decades. Finer-grained bucket (mod 10⁴)
+        // than Curation's mod-100 so ×100 still selects 0.25 %.
+        time(s"bpe_train_sampled(8) x$m")(
+          graft.operators.Bpe.train(
+            spark.read.parquet(s"$sd/documents.parquet")
+              .filter(graft.operators.Dedup.hash32(71,
+                  org.apache.spark.sql.functions.col("doc_id")
+                    .cast("string")) % 10000
+                < org.apache.spark.sql.functions.lit(2500L / m)),
+            "doc_id", "text", nMerges = 8).count())
       }
     }
     spark.stop()

@@ -99,4 +99,23 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
       .agg(sum(col("n"))).head().getLong(0)
     assert(total < raw) // every applied merge removed one slot
   }
+
+  test("q_bpe_sampled gate: slice-trained ranks are dense, counts " +
+    "non-increasing, corpus apply surfaces live merged units") {
+    val out = graft.operators.TextQueries
+      .queries("q_bpe_sampled")(spark, "/root/testdata/sf0.001")
+      .orderBy(col("rank")).collect()
+    assert(out.nonEmpty, "sampled trainer learned nothing on sf0.001")
+    assert(out.map(_.getAs[Long]("rank")).toSeq ===
+      (1L to out.length.toLong))
+    // each new pair instance contains an instance of the unit the
+    // previous round created, so per-round argmax counts can't grow
+    val ns = out.map(_.getAs[Long]("n_occurrences")).toSeq
+    assert(ns === ns.sorted.reverse, s"counts increased across ranks: $ns")
+    assert(ns.forall(_ >= 2))
+    // the corpus-wide apply must surface at least one merge as a live
+    // final unit (all-zero would mean applyMerges never fired)
+    assert(out.map(_.getAs[Long]("n_units_corpus")).exists(_ > 0))
+    graft.CacheRegistry.releaseAll()
+  }
 }
