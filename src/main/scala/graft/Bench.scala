@@ -20,7 +20,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Output: ONE JSON line `{"metric":"total","value":<sum of medians>,
   * "unit":"sec","queries":{name:median},"sf":...}` (the driver's
-  * contract), plus diagnostic keys `reps` and `rep_totals`. The stdout
+  * contract), plus diagnostic keys `reps`, `rep_totals`, and the
+  * rep-hygiene pair `calib`/`noisy_reps` (per-rep fixed-probe times;
+  * a rep whose calibration reads >1.5× the best one ran under
+  * external load — discount its rep_total when adjudicating
+  * round-over-round drift). The stdout
   * line carries a fixed 20-query flagship map so it fits the driver's
   * ~2 KB stdout tail; the full 300+-query map is written to
   * BENCH_FULL.json (or /tmp/bench_partial.json for SPARK_GRAFT_ONLY
@@ -59,7 +63,25 @@ object Bench {
       scala.collection.mutable.Map.empty[String, List[Double]]
         .withDefaultValue(Nil)
     val errors = scala.collection.mutable.Map.empty[String, String]
+    // Idle-load calibration (round-15 rep-hygiene protocol): before
+    // each rep, time a FIXED cpu-bound probe (pure compute, no IO, no
+    // plan novelty after warmup). Identical work every time, so its
+    // spread measures MACHINE state, not graft: a rep whose calibration
+    // reads >1.5× the best rep's was taken under external load and its
+    // rep_total should be discounted when adjudicating round-over-round
+    // drift (PERF.md §rep-hygiene). Recorded as `calib` + `noisy_reps`
+    // in both JSON records.
+    def calibrate(): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      spark.range(0L, 20_000_000L, 1L, 32)
+        .selectExpr("sum(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // codegen warm — the first probe pays compile cost
+    val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val repTotals = (1 to reps).map { _ =>
+      calibs += calibrate()
       names.map { name =>
         // every run starts cold-cache and post-GC: the timed body owns
         // its fills, and nobody pays a predecessor's garbage
@@ -106,7 +128,11 @@ object Bench {
       else errors.toSeq.sorted
         .map { case (k, v) => s"\"$k\":\"$v\"" }
         .mkString(""","errors":{""", ",", "}")
-    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"rep_totals":$rt$errJson}"""
+    val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val noisyReps =
+      if (calibs.isEmpty) 0
+      else calibs.count(_ > calibs.min * 1.5)
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"rep_totals":$rt,"calib":$calibJson,"noisy_reps":$noisyReps$errJson}"""
     // The driver keeps only a ~2 KB TAIL of stdout and parses the last
     // JSON line it finds there. A 337-query map is ~10 KB, so printing
     // the full record decapitated it and BENCH_r08..r10 recorded
@@ -129,7 +155,7 @@ object Bench {
       if (errors.isEmpty) ""
       else s""","n_errors":${errors.size},"failed":${errors.keys.toSeq.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsShort,"n_queries":${med.size},"sf":"$sfDir","reps":$reps,"rep_totals":$rtShort,"full":"BENCH_FULL.json"$errShort}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsShort,"n_queries":${med.size},"sf":"$sfDir","reps":$reps,"rep_totals":$rtShort,"calib":$calibJson,"noisy_reps":$noisyReps,"full":"BENCH_FULL.json"$errShort}""")
     // Persist the FULL record (every per-query median, every structured
     // error) to a file the judge reads directly. A dev run filtered by
     // SPARK_GRAFT_ONLY must never clobber the official whole-board
