@@ -66,7 +66,18 @@ object VectorQueries {
     * earlier: the descent saves distance evals whose cost scales with
     * dim while its dispatch overhead does not.
     */
-  private[graft] val TWO_LEVEL_MIN_CELLS = 300000
+  /** Flat-argmin → two-level-descent switch point for [[assignCells]].
+    * Re-pinned 3·10⁵ → 10⁴ in round 15: the old value came from a
+    * ladder whose `count()` let Catalyst prune the cell projection, so
+    * it timed only the broadcast build. The corrected record
+    * (IvfCrossoverProbe, forced evaluation, dim 64, per-batch build
+    * included) has the two-level TOTAL winning from C ≈ 10⁴, the flat
+    * form OOMing at C = 10⁶ (per-row C-struct temp array × concurrent
+    * tasks), and both in-row broadcast forms topping out between
+    * 3·10⁵ (two-level measured working) and 10⁶ — past that regime
+    * assignment takes a join, not a broadcast (PERF.md round 15).
+    */
+  private[graft] val TWO_LEVEL_MIN_CELLS = 10000
 
   private def loadEmb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -138,13 +149,15 @@ object VectorQueries {
     * assignment rather than assuming it. Still a pure projection: one
     * nested broadcast array, zero shuffle, corpus scanned once.
     *
-    * Measured honestly (ScaleProbe, 40k rows, dim 64): the flat argmin
-    * WINS locally up to at least C=2500 — the fused native l2_sq loop is
-    * so cheap at dim 64 that the descent's extra per-row HOF plumbing
-    * (group sort, child lookup) costs more than the distance evals it
-    * saves. The crossover needs the distance eval to dominate dispatch:
-    * production embedding dims (512–4096) and C in the tens of
-    * thousands. Use the flat [[withCell]] until C or dim gets there.
+    * Measured honestly (IvfCrossoverProbe, round 15 — forced
+    * evaluation; an earlier ladder's `count()` pruned the argmin and
+    * timed only broadcast builds): per-ROW assignment the descent wins
+    * from C ≈ 2.5·10³, on totals including its per-batch index build
+    * from C ≈ 10⁴ ([[TWO_LEVEL_MIN_CELLS]]); both in-row broadcast
+    * forms top out between 3·10⁵ (descent measured working) and 10⁶
+    * (both OOM — join-based assignment territory). Use the flat
+    * [[withCell]] below the pin; it stays the exact path for the
+    * hash-gated queries.
     */
   private[graft] def withCellTwoLevel(df: DataFrame, centroids: DataFrame,
                                       vec: Column, fanout: Int = 16,

@@ -13,14 +13,17 @@ import graft.operators.VectorQueries
   * xxhash64-mixed dim-64 float vectors), because no local corpus
   * yields 10⁶ distinct centroids; the assignment kernels under test
   * ([[VectorQueries.withCell]] / [[VectorQueries.withCellTwoLevel]])
-  * are the library paths byte-for-byte. Row count is fixed at 40k —
-  * the same n as PERF.md's C ≤ 40k table, so the two records splice.
+  * are the library paths byte-for-byte.
   *
-  * Cost model being tested: flat = n·C native l2_sq evals (plus a
-  * per-row temp array of C structs — the allocation term is part of
-  * the honest cost); descent = n·(C/fanout + probeGroups·fanout)
-  * evals plus HOF dispatch. fanout = ⌊√C⌋ minimizes the descent's
-  * eval term.
+  * MEASUREMENT CONTRACT (round 15): evaluation is forced through
+  * `agg(sum(cell))` — a bare `count()` lets Catalyst PRUNE the cell
+  * projection entirely, leaving only the broadcast build in the timing
+  * (which is what the pre-r15 ScaleProbe ladder actually recorded; its
+  * "flat argmin" growth with C was the centroid-array collect+
+  * broadcast, not distance evals). Each strategy is also timed at
+  * n = 32 rows, which isolates its INDEX-BUILD term (centroid collect/
+  * broadcast for flat; the rep assignment + nested children build for
+  * two-level) from the per-row assignment term.
   *
   * Env: SPARK_GRAFT_CELLS (csv ladder), SPARK_GRAFT_ROWS.
   */
@@ -29,7 +32,7 @@ object IvfCrossoverProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nRows = sys.env.getOrElse("SPARK_GRAFT_ROWS", "40000").toLong
     val ladder = sys.env.getOrElse("SPARK_GRAFT_CELLS",
-        "40000,100000,200000,300000,500000,1000000")
+        "10000,40000,100000,300000,1000000")
       .split(",").map(_.trim.toLong).toSeq
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,31 +47,61 @@ object IvfCrossoverProbe {
     def vecs(n: Long, idName: String) =
       spark.range(n).select(col("id").as(idName),
         transform(sequence(lit(1), lit(64)), j =>
-          (pmod(xxhash64(col("id") * 64 + j), lit(1000)).cast("float")
-            / lit(100.0f))).as("embedding"))
+          (pmod(xxhash64(col("id") * 64 + j), lit(1000))
+            / lit(100.0)).cast("float")).as("embedding"))
 
-    val rows = vecs(nRows, "vec_id").repartition(cpus.toInt)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rows.count()
+    def persisted(n: Long) = {
+      val df = vecs(n, "vec_id").repartition(cpus.toInt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+    val rows = persisted(nRows)
+    val tiny = persisted(32)
 
     def time(label: String)(f: => Long): Unit = {
-      spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
       val n = f
-      println(f"[ivfcross] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      println(f"[ivfcross] $label%-38s ${(System.nanoTime() - t0) / 1e9}%8.2f s  sum=$n")
     }
+    // sum(cell) forces the argmin per row — nothing prunable above it
+    def force(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("cell"))).head().getLong(0)
 
+    // warm codegen/JIT for both plan shapes so the first ladder row's
+    // build-only time is not the session's first-query cost
+    force(VectorQueries.withCell(tiny,
+      VectorQueries.centroidArray(vecs(1000, "cell")
+        .select(col("cell"), col("embedding").as("centroid"))),
+      col("embedding")))
+    force(VectorQueries.withCellTwoLevel(tiny,
+      vecs(1000, "cell")
+        .select(col("cell"), col("embedding").as("centroid")),
+      col("embedding"), fanout = 32, probeGroups = 2))
+
+    // SPARK_GRAFT_SKIP_FLAT=1 skips the flat arm — at C = 10⁶ it OOMs
+    // (per-row C-struct temp array × concurrent tasks), which aborts
+    // the run before the two-level arm can be measured
+    val skipFlat = sys.env.get("SPARK_GRAFT_SKIP_FLAT").contains("1")
     for (c <- ladder) {
       val cents = vecs(c, "cell")
         .select(col("cell"), col("embedding").as("centroid"))
       val fanout = math.max(8, math.sqrt(c.toDouble).toInt)
-      time(s"assign flat $c cells")(
-        VectorQueries.withCell(rows,
-          VectorQueries.centroidArray(cents), col("embedding")).count())
-      time(s"assign 2-level $c cells f=$fanout")(
-        VectorQueries.withCellTwoLevel(rows, cents, col("embedding"),
-          fanout = fanout, probeGroups = 2).count())
+      if (!skipFlat) {
+        time(s"flat $c cells build-only (n=32)")(
+          force(VectorQueries.withCell(tiny,
+            VectorQueries.centroidArray(cents), col("embedding"))))
+        time(s"flat $c cells n=$nRows")(
+          force(VectorQueries.withCell(rows,
+            VectorQueries.centroidArray(cents), col("embedding"))))
+      }
+      time(s"2-level $c cells build-only (n=32)")(
+        force(VectorQueries.withCellTwoLevel(tiny, cents, col("embedding"),
+          fanout = fanout, probeGroups = 2)))
+      time(s"2-level $c cells f=$fanout n=$nRows")(
+        force(VectorQueries.withCellTwoLevel(rows, cents, col("embedding"),
+          fanout = fanout, probeGroups = 2)))
     }
     spark.stop()
   }

@@ -112,8 +112,9 @@ object ScaleProbe {
         emb.filter(col("vec_id") < sqrtN)
           .select(col("vec_id").as("cell"), col("embedding").as("centroid")))
       time(s"emb x$m assign-only √n=$sqrtN")(
+        // sum forces the per-row argmin (count would prune it away)
         VectorQueries.withCell(aug, sqrtArr, col("embedding"))
-          .select(col("vec_id"), col("cell")).count())
+          .agg(sum(col("cell"))).head().getLong(0))
       time(s"emb x$m cands √n=$sqrtN cells")(candCount(sqrtN))
     }
 
@@ -137,12 +138,18 @@ object ScaleProbe {
       val cents = augBig.filter(col("vec_id") % 10_000_000L < perReplica)
         .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
       val fanout = math.max(8, math.sqrt(bigCells.toDouble).toInt)
+      // agg(sum(cell)), NOT count(): count lets Catalyst prune the
+      // cell projection, so a bare count times only the broadcast
+      // build — which is what the pre-r15 version of this ladder
+      // recorded (found building IvfCrossoverProbe, round 15)
       time(s"assign flat $bigCells cells")(
         VectorQueries.withCell(augBig,
-          VectorQueries.centroidArray(cents), col("embedding")).count())
+            VectorQueries.centroidArray(cents), col("embedding"))
+          .agg(sum(col("cell"))).head().getLong(0))
       time(s"assign 2-level $bigCells cells")(
         VectorQueries.withCellTwoLevel(augBig, cents, col("embedding"),
-          fanout = fanout, probeGroups = 2).count())
+            fanout = fanout, probeGroups = 2)
+          .agg(sum(col("cell"))).head().getLong(0))
     }
     spark.stop()
   }
