@@ -229,8 +229,9 @@ object Graft {
 
   /** Nearest-centroid cell per row — the blocking/IVF assignment
     * primitive. Selects the exact flat in-row argmin below the measured
-    * crossover and the two-level coarse-then-fine descent above it
-    * (APPROXIMATE there — same recall trade LSH banding makes; use
+    * crossover and the join-based coarse-then-fine assignment above it
+    * (APPROXIMATE there — same recall trade LSH banding makes, and the
+    * row set must be distinct; use
     * [[operators.VectorQueries.withCell]] semantics via a sub-crossover
     * centroid count when exactness is required).
     */

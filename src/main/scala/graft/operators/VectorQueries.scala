@@ -204,15 +204,81 @@ object VectorQueries {
       .drop("groups", "gsel", "cands")
   }
 
+  /** JOIN-based coarse-then-fine cell assignment — the scale path PAST
+    * the in-row broadcast ceiling. IvfCrossoverProbe (round 15)
+    * measured both broadcast forms topping out between C = 3·10⁵ and
+    * 10⁶ in a 24 GB JVM: the flat argmin allocates a C-struct temp
+    * array per row and the two-level descent carries one ~C-sized
+    * nested broadcast row into every task. This form never
+    * materializes C anywhere: only the ~C/fanout coarse REPS are
+    * broadcast (in-row, √C-sized at fanout = √C); each row explodes to
+    * its `probeGroups` nearest group ids; the fine centroid table —
+    * bucketed by gid, C rows but DISTRIBUTED — equi-joins those probes
+    * (per-row candidates ≈ probeGroups·fanout, group skew bounded by
+    * fanout); and the final argmin is a keyed min(struct(d2, cell))
+    * aggregate. Same shuffles at 100 TB: one explode-side shuffle of
+    * probeGroups·|rows| keys + one bounded aggregate; the centroid
+    * side is pre-bucketable.
+    *
+    * SEMANTICS ARE IDENTICAL to [[withCellTwoLevel]] by construction —
+    * same reps rule (cell % fanout == 0), same (d2, gid) group
+    * selection with struct-lexicographic tie-break, same (d2, cell)
+    * final argmin — so the result is deterministic and
+    * AnnSpec-pinnable against the broadcast form wherever both fit.
+    *
+    * @param keyCols the row-identity columns carried through the
+    *        explode/join/aggregate (everything else is dropped — the
+    *        output is keyCols :+ cell, join it back if more is needed).
+    */
+  private[graft] def withCellJoined(df: DataFrame, centroids: DataFrame,
+                                    vec: Column, keyCols: Seq[String],
+                                    fanout: Int = 16,
+                                    probeGroups: Int = 2): DataFrame = {
+    val reps = centroids.filter(col("cell") % fanout === 0)
+      .select(col("cell").as("gid"), col("centroid").as("crep"))
+    // fine cell → group (distributed: in-row argmin over the ~C/fanout
+    // reps only), the join's right side — bucket/persist by gid at scale
+    val fineWithGroup = withCell(
+      centroids.select(col("cell").as("fine_cell"),
+        col("centroid").as("fine_centroid")),
+      centroidArray(reps.select(col("gid").as("cell"),
+        col("crep").as("centroid"))),
+      col("fine_centroid"))
+      .select(col("fine_cell"), col("fine_centroid"), col("cell").as("gid"))
+    // per row: the probeGroups nearest group ids, exploded to join keys
+    val repArr = reps.agg(sort_array(collect_list(
+      struct(col("gid").as("cell"), col("crep").as("centroid"))))
+      .as("cents"))
+    val probed = df
+      .select(keyCols.map(col) :+ vec.as("__vec"): _*)
+      .crossJoin(broadcast(repArr))
+      .select(keyCols.map(col) ++ Seq(col("__vec"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct(l2Sq(col("__vec"), c.getField("centroid")).as("d2"),
+            c.getField("cell").as("gid")))), 1, probeGroups)
+          .getField("gid")).as("gid")): _*)
+    probed.join(fineWithGroup, "gid")
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(struct(l2Sq(col("__vec"), col("fine_centroid")).as("d2"),
+        col("fine_cell").as("cell"))).as("m"))
+      .select(keyCols.map(col) :+
+        coalesce(col("m").getField("cell"), lit(-1L)).as("cell"): _*)
+  }
+
   /** Strategy-selecting cell assignment: flat in-row argmin below the
-    * measured crossover, coarse-then-fine two-level descent above it.
-    * The centroid table is tiny by construction (≤ ~10⁵ even at 100 TB),
-    * so the driver-side `count()` that picks the strategy is a cheap
-    * bounded job. NOTE the two-level form is APPROXIMATE (the true
-    * nearest cell can hang under an unprobed coarse group) — the same
-    * recall trade LSH banding makes, acceptable for BLOCKING consumers
-    * (near-dup candidate generation), not for the oracle-exact IVF
-    * top-k queries, which keep [[withCell]] directly.
+    * measured crossover, JOIN-based coarse-then-fine assignment
+    * ([[withCellJoined]]) above it — the round-15 ladder has the
+    * joined form beating BOTH broadcast forms from C ≈ 10⁴ on and
+    * still running at C = 10⁶ where both of them OOM, so it is the
+    * scale path as well as the faster one. The driver-side `count()`
+    * that picks the strategy is a cheap bounded job. NOTE the
+    * coarse-then-fine forms are APPROXIMATE (the true nearest cell can
+    * hang under an unprobed coarse group) — the same recall trade LSH
+    * banding makes, acceptable for BLOCKING consumers (near-dup
+    * candidate generation), not for the oracle-exact IVF top-k
+    * queries, which keep [[withCell]] directly. Above the crossover
+    * the row set must be DISTINCT (the joined form re-keys rows by
+    * their full column tuple).
     */
   private[graft] def assignCells(df: DataFrame, centroids: DataFrame,
                                  vec: Column,
@@ -220,7 +286,7 @@ object VectorQueries {
       : DataFrame = {
     val c = centroids.count()
     if (c >= twoLevelMinCells)
-      withCellTwoLevel(df, centroids, vec,
+      withCellJoined(df, centroids, vec, df.columns.toSeq,
         fanout = math.max(2, math.sqrt(c.toDouble).toInt), probeGroups = 2)
     else withCell(df, centroidArray(centroids), vec)
   }

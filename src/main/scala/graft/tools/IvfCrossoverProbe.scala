@@ -80,15 +80,18 @@ object IvfCrossoverProbe {
         .select(col("cell"), col("embedding").as("centroid")),
       col("embedding"), fanout = 32, probeGroups = 2))
 
-    // SPARK_GRAFT_SKIP_FLAT=1 skips the flat arm — at C = 10⁶ it OOMs
-    // (per-row C-struct temp array × concurrent tasks), which aborts
-    // the run before the two-level arm can be measured
-    val skipFlat = sys.env.get("SPARK_GRAFT_SKIP_FLAT").contains("1")
+    // SPARK_GRAFT_ARMS picks strategies (csv of flat,twolevel,joined;
+    // default all three). The broadcast arms OOM at C = 10⁶ — flat
+    // from the per-row C-struct temp array, the descent from its
+    // ~C-sized nested broadcast row in the probing stage — so the
+    // big-C rungs run with ARMS=joined.
+    val arms = sys.env.getOrElse("SPARK_GRAFT_ARMS", "flat,twolevel,joined")
+      .split(",").map(_.trim).toSet
     for (c <- ladder) {
       val cents = vecs(c, "cell")
         .select(col("cell"), col("embedding").as("centroid"))
       val fanout = math.max(8, math.sqrt(c.toDouble).toInt)
-      if (!skipFlat) {
+      if (arms("flat")) {
         time(s"flat $c cells build-only (n=32)")(
           force(VectorQueries.withCell(tiny,
             VectorQueries.centroidArray(cents), col("embedding"))))
@@ -96,12 +99,22 @@ object IvfCrossoverProbe {
           force(VectorQueries.withCell(rows,
             VectorQueries.centroidArray(cents), col("embedding"))))
       }
-      time(s"2-level $c cells build-only (n=32)")(
-        force(VectorQueries.withCellTwoLevel(tiny, cents, col("embedding"),
-          fanout = fanout, probeGroups = 2)))
-      time(s"2-level $c cells f=$fanout n=$nRows")(
-        force(VectorQueries.withCellTwoLevel(rows, cents, col("embedding"),
-          fanout = fanout, probeGroups = 2)))
+      if (arms("twolevel")) {
+        time(s"2-level $c cells build-only (n=32)")(
+          force(VectorQueries.withCellTwoLevel(tiny, cents, col("embedding"),
+            fanout = fanout, probeGroups = 2)))
+        time(s"2-level $c cells f=$fanout n=$nRows")(
+          force(VectorQueries.withCellTwoLevel(rows, cents, col("embedding"),
+            fanout = fanout, probeGroups = 2)))
+      }
+      if (arms("joined")) {
+        time(s"joined $c cells build-only (n=32)")(
+          force(VectorQueries.withCellJoined(tiny, cents, col("embedding"),
+            Seq("vec_id"), fanout = fanout, probeGroups = 2)))
+        time(s"joined $c cells f=$fanout n=$nRows")(
+          force(VectorQueries.withCellJoined(rows, cents, col("embedding"),
+            Seq("vec_id"), fanout = fanout, probeGroups = 2)))
+      }
     }
     spark.stop()
   }

@@ -52,4 +52,21 @@ class TwoLevelIvfSpec extends AnyFunSuite with SparkSpec {
     // probing every coarse group degenerates to the exact flat argmin
     assert(agreement(8) === 1.0)
   }
+
+  test("join-based assignment is IDENTICAL to the broadcast descent " +
+    "(same reps, probing, and argmin tie-breaks) and partition-invariant") {
+    for (pg <- Seq(1, 2, 4)) {
+      val broadcastForm = twoLevelCells(pg)
+      val joined = VectorQueries.withCellJoined(emb, centroids,
+          col("embedding"), Seq("vec_id"), fanout = 8, probeGroups = pg)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(joined === broadcastForm, s"probeGroups=$pg diverged")
+    }
+    // the shuffle plan must not make the answer partitioning-dependent
+    val repart = VectorQueries.withCellJoined(emb.repartition(7),
+        centroids.repartition(5), col("embedding"), Seq("vec_id"),
+        fanout = 8, probeGroups = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repart === twoLevelCells(2))
+  }
 }
