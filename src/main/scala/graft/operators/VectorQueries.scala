@@ -1487,6 +1487,20 @@ object VectorQueries {
         .select(col("vec_id"), col("cell"))
     },
 
+    // ── the JOIN-based assignment under the same hash gate ──────────────
+    // [[withCellJoined]] (the scale path [[assignCells]] routes to
+    // above the crossover — reps broadcast in-row, fine centroids join
+    // DISTRIBUTED, keyed min-struct argmin) must reproduce the
+    // broadcast descent bit-for-bit, so it runs against the IDENTICAL
+    // DuckDB replay: same oracle SQL, two physical strategies, one
+    // hash — the strongest possible form of the equivalence claim.
+    "q_ann_joined_cells" -> { (s, dir) =>
+      val emb = loadEmb(s, dir)
+      withCellJoined(emb.select(col("vec_id"), col("embedding")),
+        seedCentroids(emb), col("embedding"), Seq("vec_id"),
+        fanout = 4, probeGroups = 2)
+    },
+
     // ── dimension-truncation recall ladder (Matryoshka-style) ───────────
     // The DIMS axis of the recall/cost trade, completing the calibration
     // family (q_ann_nprobe_sweep = probe depth, q_lsh_tuning = band
@@ -2115,6 +2129,37 @@ object VectorQueries {
        |WHERE rank <= $TOP_K""".stripMargin
   }
 
+  /** DuckDB replay of the coarse-then-fine assignment (fanout 4 over
+    * the 16 seed cells, probe 2 groups) — shared verbatim by
+    * q_ann_twolevel_cells (broadcast descent) and q_ann_joined_cells
+    * (join-based form): identical semantics, one oracle, two plans.
+    */
+  private lazy val coarseFineCellsSql: String =
+    s"""WITH cent AS (SELECT vec_id AS cell, embedding AS centroid
+       |  FROM embeddings WHERE vec_id < $N_CELLS),
+       |reps AS (SELECT cell AS gid, centroid AS crep FROM cent
+       |  WHERE cell % 4 = 0),
+       |f2g AS (SELECT fine_cell, centroid, gid FROM (
+       |  SELECT cent.cell AS fine_cell, cent.centroid, reps.gid,
+       |    row_number() OVER (PARTITION BY cent.cell
+       |      ORDER BY list_distance(cent.centroid, reps.crep) ASC,
+       |        reps.gid ASC) AS rn
+       |  FROM cent, reps) WHERE rn = 1),
+       |gsel AS (SELECT vec_id, gid FROM (
+       |  SELECT e.vec_id, reps.gid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_distance(e.embedding, reps.crep) ASC,
+       |        reps.gid ASC) AS grn
+       |  FROM embeddings e, reps) WHERE grn <= 2)
+       |SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, f.fine_cell AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_distance(e.embedding, f.centroid) ASC,
+       |        f.fine_cell ASC) AS arn
+       |  FROM embeddings e
+       |  JOIN gsel ON gsel.vec_id = e.vec_id
+       |  JOIN f2g f ON f.gid = gsel.gid) WHERE arn = 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_ann_cosine_topk" ->
       s"""WITH $bruteCtes
@@ -2631,31 +2676,11 @@ object VectorQueries {
          |FROM selu$MMR_K""".stripMargin
     },
 
-    "q_ann_twolevel_cells" ->
-      s"""WITH cent AS (SELECT vec_id AS cell, embedding AS centroid
-         |  FROM embeddings WHERE vec_id < $N_CELLS),
-         |reps AS (SELECT cell AS gid, centroid AS crep FROM cent
-         |  WHERE cell % 4 = 0),
-         |f2g AS (SELECT fine_cell, centroid, gid FROM (
-         |  SELECT cent.cell AS fine_cell, cent.centroid, reps.gid,
-         |    row_number() OVER (PARTITION BY cent.cell
-         |      ORDER BY list_distance(cent.centroid, reps.crep) ASC,
-         |        reps.gid ASC) AS rn
-         |  FROM cent, reps) WHERE rn = 1),
-         |gsel AS (SELECT vec_id, gid FROM (
-         |  SELECT e.vec_id, reps.gid,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_distance(e.embedding, reps.crep) ASC,
-         |        reps.gid ASC) AS grn
-         |  FROM embeddings e, reps) WHERE grn <= 2)
-         |SELECT vec_id, cell FROM (
-         |  SELECT e.vec_id, f.fine_cell AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_distance(e.embedding, f.centroid) ASC,
-         |        f.fine_cell ASC) AS arn
-         |  FROM embeddings e
-         |  JOIN gsel ON gsel.vec_id = e.vec_id
-         |  JOIN f2g f ON f.gid = gsel.gid) WHERE arn = 1""".stripMargin,
+    "q_ann_twolevel_cells" -> coarseFineCellsSql,
+
+    // the joined strategy must reproduce the descent bit-for-bit, so
+    // it faces the IDENTICAL replay — one oracle, two physical plans
+    "q_ann_joined_cells" -> coarseFineCellsSql,
 
     "q_ann_dim_ladder" -> {
       // prefix-sim rank per rung over the same bq×bc cross as brute;
