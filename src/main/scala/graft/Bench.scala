@@ -74,8 +74,10 @@ object Bench {
     def calibrate(): Double = {
       System.gc()
       val t0 = System.nanoTime()
+      // bit_xor, not sum: summing 20M full-range xxhash64 values
+      // overflows a long under ANSI arithmetic
       spark.range(0L, 20_000_000L, 1L, 32)
-        .selectExpr("sum(xxhash64(id))").collect()
+        .selectExpr("bit_xor(xxhash64(id))").collect()
       (System.nanoTime() - t0) / 1e9
     }
     calibrate() // codegen warm — the first probe pays compile cost
