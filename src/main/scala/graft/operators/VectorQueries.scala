@@ -54,6 +54,12 @@ object VectorQueries {
   private val DUP_COPIES = 50        // planted duplicates for near-dup
   private val DUP_OFFSET = 1000000L  // planted-copy id offset
   private val NEARDUP_THRESHOLD = 0.99
+  private val DBSCAN_EPS = 0.35     // q_dbscan ε: cosine-similarity floor
+                                    // (0.35 keeps all three roles at every
+                                    // SF while holding component diameters
+                                    // ~6 — CC rounds, the fixpoint cost)
+  private val DBSCAN_MIN_PTS = 3    // q_dbscan minPts (counts the point
+                                    // itself ⇒ core ⟺ degree ≥ 2)
 
   /** Flat-vs-two-level crossover (ScaleProbe, dim 64, 40k rows): the
     * fused flat argmin WINS at every directly measurable C — 2.5 s vs
@@ -1272,6 +1278,17 @@ object VectorQueries {
         .toDF("vec_id", "cluster_id", "cluster_sz")
     },
 
+    // ── blocked DBSCAN: density clustering with core/border/noise ──────
+    // The density-based complement to the CC closure above: at a much
+    // looser ε (cosine ≥ 0.35 vs the near-dup 0.99) the pair graph has
+    // real degree structure, and DBSCAN's minPts rule separates dense
+    // regions (cores + their borders) from sparse noise — the
+    // clustering a curation pipeline uses to find topical pockets
+    // rather than byte-near duplicates. Full semantics in
+    // [[dbscanRoles]]; output is one row per corpus point
+    // (vec_id, role ∈ {core,border,noise}, cluster_id | −1).
+    "q_dbscan" -> { (s, dir) => dbscanRoles(s, dir) },
+
     // ── SemDeDup survivor selection (centroid-sim argmin per cluster) ──
     // Semantic dedup's keep rule (Abbas et al. 2023): within each
     // embedding near-dup cluster keep the member with the LOWEST
@@ -1692,6 +1709,53 @@ object VectorQueries {
           sum(col("e.d2")).as("inertia"))
     },
 
+    // ── silhouette score of the IVF partition (clustering quality) ─────
+    // The cluster-separation number the elbow's inertia can't give:
+    // simplified silhouette per point s = (b − a) / b over SQUARED
+    // integer distances on the 2⁻¹⁰ grid, where a = d² to the OWN
+    // (nearest) centroid and b = d² to the best OTHER centroid — a ≤ b
+    // by construction of the argmin assignment, so s ∈ [0, 10⁶] ppm
+    // and every division has non-negative operands (truncate ≡ floor).
+    // Ties (two centroids equidistant) yield b = a ⇒ s = 0 in both
+    // engines (engine: struct-min picks the lower cell, the tie partner
+    // stays in b; oracle: rn 1/2 under the same (d2, cell) order).
+    // Output: per-cell member count, summed and mean silhouette ppm —
+    // the per-cell view that says WHICH IVF cells are well-separated
+    // and which bleed into a neighbor.
+    //
+    // 100 TB posture: one corpus scan against the broadcast centroid
+    // row (the IVF assignment plan), distances in-row over the K-struct
+    // array, then a K-row aggregate — no pairwise table, no windows,
+    // no shuffle beyond K rows per task.
+    "q_silhouette" -> { (s, dir) =>
+      val qv = loadEmb(s, dir).select(col("vec_id"), expr(
+        "transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))")
+        .as("vq"))
+      val centArr = qv.filter(col("vec_id") < N_CELLS)
+        .select(struct(col("vec_id").cast("int").as("cell"),
+          col("vq").as("cq")).as("e"))
+        .agg(sort_array(collect_list(col("e"))).as("cents"))
+      qv.crossJoin(broadcast(centArr))
+        .withColumn("ds", expr(
+          """transform(cents, c -> struct(
+            |  aggregate(sequence(0, size(vq) - 1), CAST(0 AS BIGINT),
+            |    (acc, d) -> acc +
+            |      (vq[d] - c.cq[d]) * (vq[d] - c.cq[d])) AS d2,
+            |  c.cell AS cell))""".stripMargin))
+        .withColumn("a", expr("array_min(ds)"))
+        .withColumn("b2", expr(
+          "array_min(transform(filter(ds, x -> x.cell != a.cell), " +
+            "x -> x.d2))"))
+        .select(col("a.cell").cast("long").as("cell"),
+          expr("CASE WHEN b2 = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE (b2 - a.d2) * 1000000 div b2 END").as("s_ppm"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("s_ppm")).as("sum_s_ppm"))
+        .withColumn("mean_s_ppm", expr("sum_s_ppm div n_members"))
+    },
+
     // ── label-outlier screen (mislabeled-data candidates) ──────────────
     // The label-error detector every supervised corpus needs (Confident
     // Learning's geometric core): per label, the OUT_K vectors farthest
@@ -1822,7 +1886,16 @@ object VectorQueries {
   }
 
   private def embeddingNearDupPairs(s: SparkSession,
-                                    dir: String): DataFrame = {
+                                    dir: String): DataFrame =
+    blockedCosinePairs(s, dir, NEARDUP_THRESHOLD)
+
+  /** Cell-blocked candidate pairs over the duplicate-augmented corpus
+    * with exact cosine ≥ `threshold` verification — the shared ε-graph
+    * builder for the near-dup family ([[embeddingNearDupPairs]],
+    * NEARDUP_THRESHOLD) and blocked DBSCAN (q_dbscan, DBSCAN_EPS).
+    */
+  private def blockedCosinePairs(s: SparkSession, dir: String,
+                                 threshold: Double): DataFrame = {
     val emb = loadEmb(s, dir).select(col("vec_id"), col("embedding"))
     val aug = augmentedEmb(s, dir)
     // exact augmented size for ANY corpus (no dense-id assumption —
@@ -1845,8 +1918,73 @@ object VectorQueries {
       col("embedding").as("eb"), col("cell"))
     a.join(b, Seq("cell"))
       .filter(col("vec_a") < col("vec_b") &&
-        cosine(col("ea"), col("eb")) >= NEARDUP_THRESHOLD)
+        cosine(col("ea"), col("eb")) >= threshold)
       .select(col("vec_a"), col("vec_b"))
+  }
+
+  /** Blocked DBSCAN over the embedding space (q_dbscan body): roles and
+    * cluster assignment for EVERY corpus point.
+    *
+    * The ε-neighborhood graph is the cell-blocked cosine-≥-ε pair table
+    * ([[blockedCosinePairs]]) — a blocked DBSCAN in the same sense the
+    * near-dup family is blocked: candidate pairs are restricted to one
+    * Voronoi cell, and the oracle replays the identical blocking.
+    * Standard DBSCAN semantics on that graph, all integer logic:
+    *
+    *  - core ⟺ |N_ε(p)| ≥ minPts counting p itself ⟺ degree ≥ minPts−1;
+    *  - clusters = connected components of the core–core subgraph
+    *    (cluster_id = min member id, the [[Clusters]] hash-min
+    *    fixpoint); a core with no core neighbor is its own singleton
+    *    cluster;
+    *  - border = non-core adjacent to ≥1 core, assigned the MIN
+    *    cluster_id among its core neighbors (the deterministic tie rule
+    *    for DBSCAN's order-dependent border attachment);
+    *  - everything else is noise (cluster_id = −1).
+    *
+    * 100 TB posture: edges come cell-blocked (Σ cell² work, never
+    * all-pairs); degree and border attachment are keyed aggregates;
+    * the CC fixpoint runs on the CORE-core subgraph only (≤ edge
+    * table, O(diameter) rounds, disk-round-tripped labels); role
+    * assembly is two vec_id-keyed left joins. No windows, no collects,
+    * no cartesian products.
+    */
+  private def dbscanRoles(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.CacheRegistry.register(
+      blockedCosinePairs(s, dir, DBSCAN_EPS)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionByName(
+        pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    val core = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= DBSCAN_MIN_PTS - 1)
+      .select(col("src").as("id"))
+    val coreEdges = edges
+      .join(core.select(col("id").as("src")), Seq("src"), "leftsemi")
+      .join(core.select(col("id").as("dst")), Seq("dst"), "leftsemi")
+    val cc = Clusters.connectedComponents(coreEdges, "src", "dst")
+    // singleton cores (no core neighbor) cluster with themselves
+    val coreClusters = core.join(cc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val borderClusters = edges
+      .join(coreClusters.select(col("id").as("dst"),
+        col("cluster_id").as("dst_cl")), Seq("dst"))
+      .join(core.select(col("id").as("src")), Seq("src"), "leftanti")
+      .groupBy(col("src"))
+      .agg(min(col("dst_cl")).as("cluster_id"))
+      .select(col("src").as("id"), col("cluster_id"))
+    augmentedEmb(s, dir).select(col("vec_id"))
+      .join(coreClusters.select(col("id").as("vec_id"),
+        col("cluster_id").as("core_cl")), Seq("vec_id"), "left")
+      .join(borderClusters.select(col("id").as("vec_id"),
+        col("cluster_id").as("border_cl")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("core_cl").isNotNull, lit("core"))
+          .when(col("border_cl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("core_cl"), col("border_cl"), lit(-1L))
+          .as("cluster_id"))
   }
 
   // ─── DuckDB oracle twins ──────────────────────────────────────────────
@@ -2538,6 +2676,39 @@ object VectorQueries {
          |SELECT cc.id AS vec_id, cc.cluster_id, csz.cluster_sz
          |FROM cc JOIN csz USING (cluster_id)""".stripMargin,
 
+    "q_dbscan" ->
+      s"""WITH RECURSIVE ${blockedPairCtes(DBSCAN_EPS)},
+         |ee AS (SELECT vec_a AS src, vec_b AS dst FROM evp
+         |       UNION SELECT vec_b, vec_a FROM evp),
+         |deg AS (SELECT src, count(*) AS d FROM ee GROUP BY src),
+         |core AS (SELECT src AS id FROM deg
+         |         WHERE d >= ${DBSCAN_MIN_PTS - 1}),
+         |cce AS (SELECT ee.src, ee.dst FROM ee
+         |  JOIN core c1 ON ee.src = c1.id
+         |  JOIN core c2 ON ee.dst = c2.id),
+         |reach AS (SELECT src AS id, src AS r FROM cce
+         |          UNION
+         |          SELECT reach.id, cce.dst FROM reach
+         |            JOIN cce ON cce.src = reach.r),
+         |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |corecl AS (SELECT core.id,
+         |    coalesce(cc.cluster_id, core.id) AS cluster_id
+         |  FROM core LEFT JOIN cc ON cc.id = core.id),
+         |bordercl AS (SELECT ee.src AS id,
+         |    min(corecl.cluster_id) AS cluster_id
+         |  FROM ee JOIN corecl ON ee.dst = corecl.id
+         |  WHERE ee.src NOT IN (SELECT id FROM core)
+         |  GROUP BY ee.src)
+         |SELECT e.vec_id,
+         |  CASE WHEN corecl.id IS NOT NULL THEN 'core'
+         |       WHEN bordercl.id IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  coalesce(corecl.cluster_id, bordercl.cluster_id,
+         |           CAST(-1 AS BIGINT)) AS cluster_id
+         |FROM e
+         |LEFT JOIN corecl ON corecl.id = e.vec_id
+         |LEFT JOIN bordercl ON bordercl.id = e.vec_id""".stripMargin,
+
     "q_cluster_purity" ->
       s"""WITH RECURSIVE $embNearDupCtes,
          |ee AS (SELECT vec_a AS src, vec_b AS dst FROM evp
@@ -2821,6 +2992,32 @@ object VectorQueries {
 
     // offset-grid centroid replay: sum/count per (label, dim) with the
     // +1024 shift keeping the integer mean floor-division exact
+    "q_silhouette" ->
+      s"""WITH sq AS (SELECT vec_id, pos - 1 AS d,
+         |    CAST(floor(CAST(v AS DOUBLE) * 1024.0 + 0.5) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |               unnest(embedding) AS v FROM embeddings)),
+         |sc AS (SELECT vec_id AS cell, d, q AS cq FROM sq
+         |       WHERE vec_id < $N_CELLS),
+         |sd AS (SELECT v.vec_id, c.cell,
+         |    CAST(sum((v.q - c.cq) * (v.q - c.cq)) AS BIGINT) AS d2
+         |  FROM sq v JOIN sc c ON v.d = c.d
+         |  GROUP BY 1, 2),
+         |sr AS (SELECT vec_id, cell, d2,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2 ASC, cell ASC) AS rn
+         |  FROM sd),
+         |sab AS (SELECT a.vec_id, a.cell, a.d2 AS a2, b.d2 AS b2
+         |  FROM sr a JOIN sr b ON a.vec_id = b.vec_id
+         |    AND a.rn = 1 AND b.rn = 2),
+         |ssc AS (SELECT cell,
+         |    CASE WHEN b2 = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE (b2 - a2) * 1000000 // b2 END AS s_ppm FROM sab)
+         |SELECT cell, count(*) AS n_members,
+         |  CAST(sum(s_ppm) AS BIGINT) AS sum_s_ppm,
+         |  CAST(sum(s_ppm) // count(*) AS BIGINT) AS mean_s_ppm
+         |FROM ssc GROUP BY cell""".stripMargin,
+
     "q_label_outliers" ->
       s"""WITH loq AS (SELECT vec_id, label, pos - 1 AS d,
          |    CAST(floor(CAST(v AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)
@@ -2883,7 +3080,14 @@ object VectorQueries {
     * cosine-verified near-dup pairs over the duplicate-augmented
     * corpus; shared by q_embedding_neardup and q_embedding_clusters.
     */
-  private def embNearDupCtes: String =
+  private def embNearDupCtes: String = blockedPairCtes(NEARDUP_THRESHOLD)
+
+  /** CTE chain ending in `evp(vec_a, vec_b)` — the cell-blocked,
+    * cosine-≥-threshold pairs over the duplicate-augmented corpus; the
+    * SQL twin of [[blockedCosinePairs]], shared by the near-dup family
+    * (NEARDUP_THRESHOLD) and q_dbscan (DBSCAN_EPS).
+    */
+  private def blockedPairCtes(threshold: Double): String =
     s"""e AS (SELECT vec_id, embedding FROM embeddings
        |           UNION ALL
        |           SELECT vec_id + $DUP_OFFSET, embedding FROM embeddings
@@ -2900,6 +3104,6 @@ object VectorQueries {
        |evp AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM assigned a JOIN assigned b
        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= $NEARDUP_THRESHOLD)"""
+       |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= $threshold)"""
       .stripMargin
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorQueries
+
+/** Invariants of the IVF-partition silhouette gate (q_silhouette). */
+class SilhouetteSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val rows =
+    VectorQueries.queries("q_silhouette")(spark, sf).collect()
+
+  test("every cell is populated and scores stay in [0, 10⁶] ppm") {
+    assert(rows.length == 16, s"expected 16 cells, got ${rows.length}")
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == n)
+    rows.foreach { r =>
+      val mean = r.getAs[Long]("mean_s_ppm")
+      val sum = r.getAs[Long]("sum_s_ppm")
+      val m = r.getAs[Long]("n_members")
+      // a ≤ b by argmin construction ⇒ s ∈ [0, 10⁶] per point
+      assert(mean >= 0L && mean <= 1000000L, s"cell mean $mean out of range")
+      assert(sum >= 0L && sum <= 1000000L * m, s"cell sum $sum out of range")
+    }
+  }
+
+  test("seed vectors are their own cells' anchors: every seed cell " +
+    "contains a zero-distance member, so no cell mean can be pinned " +
+    "at the tie floor unless the whole cell ties") {
+    // the seed vector of cell k has a = 0 against its own centroid —
+    // its silhouette is 10⁶ unless another centroid duplicates it.
+    // With distinct seeds, every cell's sum must therefore be ≥ 10⁶
+    // minus nothing — i.e. strictly positive.
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sum_s_ppm") >= 1000000L,
+        s"cell ${r.getAs[Long]("cell")} lost its seed anchor")
+    }
+  }
+}
