@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextQueries
+
+/** Invariants of the trained quality filter (q_logit_fit).
+  *
+  * The hash gate pins the exact descent against the oracle's unrolled
+  * CTE chain; this spec pins what the gate can't say directly — that
+  * the descent LEARNS (beats every constant predictor), stays inside
+  * its proven integer bounds, and is a pure function of the corpus.
+  */
+class LogitFitSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val fit =
+    TextQueries.queries("q_logit_fit")(spark, sf).collect()
+
+  test("one output row; n_total covers the corpus") {
+    assert(fit.length == 1)
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(fit.head.getAs[Long]("n_total") == n)
+  }
+
+  test("descent beats the best constant predictor (it actually learns)") {
+    val keeps = TextQueries.queries("q_quality_logit")(spark, sf)
+      .filter("verdict = 'keep'").count()
+    val n = fit.head.getAs[Long]("n_total")
+    val majority = math.max(keeps, n - keeps)
+    val correct = fit.head.getAs[Long]("n_correct")
+    assert(correct > majority,
+      s"trained accuracy $correct/$n does not beat the majority-class " +
+        s"baseline $majority/$n — the descent degenerated")
+  }
+
+  test("weights stay inside the ANSI overflow proof: |w| ≤ K · 2·10¹⁰") {
+    val bound = 16L * 20000000000L
+    (0 to 4).foreach { j =>
+      val w = fit.head.getAs[Long](s"w$j")
+      assert(math.abs(w) <= bound, s"w$j = $w escapes the proven bound")
+    }
+  }
+
+  test("the trainer is a pure function of the corpus (deterministic)") {
+    val again = TextQueries.queries("q_logit_fit")(spark, sf).collect()
+    assert(fit.toSeq == again.toSeq)
+  }
+
+  test("sampled fit: trains on a strict slice, still beats the " +
+    "majority baseline on the FULL corpus") {
+    val r = TextQueries.queries("q_logit_fit_sampled")(spark, sf)
+      .collect()
+    assert(r.length == 1)
+    val nFit = r.head.getAs[Long]("n_fit")
+    val nTotal = r.head.getAs[Long]("n_total")
+    assert(nFit > 0 && nFit < nTotal,
+      s"slice $nFit of $nTotal is not a strict sample")
+    assert(nTotal == fit.head.getAs[Long]("n_total"))
+    val keeps = TextQueries.queries("q_quality_logit")(spark, sf)
+      .filter("verdict = 'keep'").count()
+    val majority = math.max(keeps, nTotal - keeps)
+    val correct = r.head.getAs[Long]("n_correct")
+    assert(correct > majority,
+      s"sampled-fit accuracy $correct/$nTotal does not beat the " +
+        s"majority baseline $majority/$nTotal")
+  }
+}
