@@ -549,4 +549,52 @@ object Graft {
   def cdcChunks(docs: DataFrame, id: String = "doc_id",
                 text: String = "text"): DataFrame =
     operators.Chunking.decompose(docs, id, text)
+
+  /** DBSCAN roles (core/border/noise) + cluster ids over a PRECOMPUTED
+    * ε-neighborhood pair table — density clustering as the step after
+    * any blocked similarity join ([[nearDuplicates]],
+    * [[Graft.estimatedNearDuplicates]], an embedding cosine join);
+    * see [[operators.Clusters.dbscanRoles]] for the tie rules.
+    */
+  def dbscan(points: DataFrame, idCol: String, pairs: DataFrame,
+             srcCol: String = "doc_a", dstCol: String = "doc_b",
+             minPts: Int = 3): DataFrame =
+    operators.Clusters.dbscanRoles(points, idCol, pairs,
+      srcCol, dstCol, minPts)
+
+  /** Per-cell simplified silhouette (ppm) of a centroid partition —
+    * the cluster-separation gauge for an IVF index or k-means fit;
+    * see [[operators.VectorQueries.partitionSilhouette]].
+    */
+  def partitionSilhouette(emb: DataFrame, vecCol: String,
+                          centroids: DataFrame,
+                          cellCol: String = "cell",
+                          centroidCol: String = "centroid"): DataFrame =
+    operators.VectorQueries.partitionSilhouette(
+      emb, vecCol, centroids, cellCol, centroidCol)
+
+  /** k diverse seed points by Gonzalez maximin k-center seeding —
+    * greedy farthest-point selection over an embedding column, the
+    * coreset/diversity-sampling primitive (picks the outliers a random
+    * sample misses). Deterministic: integer L2² on the 2⁻¹⁰ grid,
+    * min-id start, min-id tie-breaks. K bounded corpus scans; see
+    * [[operators.VectorQueries.diversitySeeds]].
+    */
+  def diversitySeeds(emb: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     k: Int = 8): DataFrame =
+    operators.VectorQueries.diversitySeeds(emb, idCol, vecCol, k)
+
+  /** Train a linear quality filter by integer-exact full-batch
+    * logistic gradient descent: `xs` are integer feature columns,
+    * `yCol` a 0/1 long label, `inFitCol` a boolean gating the training
+    * slice (pass `lit(true)` as a column upstream to fit on
+    * everything). One output row: weights + full-corpus accuracy; see
+    * [[operators.TextQueries.fitLogisticGd]].
+    */
+  def trainQualityFilter(labeled: DataFrame, xs: Seq[String],
+                         yCol: String = "y",
+                         inFitCol: String = "in_fit",
+                         iters: Int = 16): DataFrame =
+    operators.TextQueries.fitLogisticGd(labeled, xs, yCol, inFitCol, iters)
 }

@@ -808,4 +808,70 @@ object Clusters {
         col("ra_ppm").cast("long").as("ra_ppm"),
         expr("cn * 10000 div (du + dv - cn)").as("jaccard_bp"))
   }
+
+  /** DBSCAN roles and cluster assignment over a PRECOMPUTED
+    * ε-neighborhood pair table — the density-clustering step after any
+    * blocked similarity join (embedding cosine, MinHash Jaccard, …).
+    * Standard DBSCAN semantics on that graph, deterministic tie rules:
+    *
+    *  - core ⟺ |N_ε(p)| ≥ `minPts` counting p itself, i.e. pair-table
+    *    degree ≥ minPts − 1;
+    *  - clusters = connected components of the core–core subgraph
+    *    ([[connectedComponents]] hash-min fixpoint; cluster_id = min
+    *    member id); a core with no core neighbor is its own singleton;
+    *  - border = non-core adjacent to ≥ 1 core, assigned the MIN
+    *    cluster_id among its core neighbors (the deterministic rule for
+    *    DBSCAN's order-dependent border attachment);
+    *  - everything else is noise (cluster_id = −1).
+    *
+    * 100 TB posture: degree and border attachment are keyed aggregates
+    * over the pair table; the CC fixpoint runs on the core–core
+    * subgraph only (≤ |pairs|, O(diameter) rounds, disk-round-tripped
+    * labels); role assembly is two id-keyed left joins. No windows,
+    * no collects, no cartesian products.
+    *
+    * @param points one row per corpus point (only `idCol` is read) —
+    *               points absent from `pairs` come back as noise
+    * @param pairs  one row per undirected ε-edge (srcCol < dstCol or
+    *               not — symmetrized internally)
+    * @param minPts DBSCAN minPts, counting the point itself
+    * @return (idCol, role ∈ {core,border,noise}, cluster_id)
+    */
+  def dbscanRoles(points: DataFrame, idCol: String,
+                  pairs: DataFrame, srcCol: String, dstCol: String,
+                  minPts: Int): DataFrame = {
+    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(
+        pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    val core = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= minPts - 1)
+      .select(col("src").as("id"))
+    val coreEdges = edges
+      .join(core.select(col("id").as("src")), Seq("src"), "leftsemi")
+      .join(core.select(col("id").as("dst")), Seq("dst"), "leftsemi")
+    val cc = connectedComponents(coreEdges, "src", "dst")
+    // singleton cores (no core neighbor) cluster with themselves
+    val coreClusters = core.join(cc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val borderClusters = edges
+      .join(coreClusters.select(col("id").as("dst"),
+        col("cluster_id").as("dst_cl")), Seq("dst"))
+      .join(core.select(col("id").as("src")), Seq("src"), "leftanti")
+      .groupBy(col("src"))
+      .agg(min(col("dst_cl")).as("cluster_id"))
+      .select(col("src").as("id"), col("cluster_id"))
+    points.select(col(idCol))
+      .join(coreClusters.select(col("id").as(idCol),
+        col("cluster_id").as("core_cl")), Seq(idCol), "left")
+      .join(borderClusters.select(col("id").as(idCol),
+        col("cluster_id").as("border_cl")), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("core_cl").isNotNull, lit("core"))
+          .when(col("border_cl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("core_cl"), col("border_cl"), lit(-1L))
+          .as("cluster_id"))
+  }
 }

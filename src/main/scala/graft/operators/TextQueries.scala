@@ -2456,7 +2456,6 @@ object TextQueries {
     */
   private def logitFit(s: SparkSession, dir: String,
                        sampled: Boolean): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val xs = Seq("len_bp", "stop_bp", "punct_bp", "uniq_bp")
     val lab = qualityBp(s, dir)
       .withColumn("in_sl",
@@ -2468,15 +2467,37 @@ object TextQueries {
         (xs ++ Seq("CASE WHEN greatest(0, 3 * len_bp + 4 * stop_bp - " +
           "2 * punct_bp + 2 * uniq_bp) div 10 >= 1750 " +
           "THEN 1L ELSE 0L END AS y", "in_sl")): _*)
+    fitLogisticGd(lab, xs, "y", "in_sl")
+  }
+
+  /** Generic fixed-point logistic trainer (the q_logit_fit core): given
+    * integer feature columns `xs`, a 0/1 long label `yCol`, and a
+    * boolean fit-slice gate `inFitCol`, runs `iters` steps of
+    * full-batch hard-sigmoid gradient descent over winsorized integer
+    * z-scores — every quantity integer-exact (see the q_logit_fit
+    * Scaladoc for the overflow proof and oracle contract). Returns ONE
+    * row: weights w0..wk (w0 = bias, nano-units), full-corpus
+    * n_correct, n_fit, n_total.
+    *
+    * 100 TB posture: `iters` + 3 jobs, each one scan of a cached
+    * projection ending in a ≤(k+1)-value global aggregate (map-side
+    * partials, no data-row shuffle); weights live on the driver —
+    * k+1 longs per step, the bounded-collect pattern.
+    */
+  def fitLogisticGd(labeled: DataFrame, xs: Seq[String],
+                    yCol: String, inFitCol: String,
+                    iters: Int = LOGIT_FIT_ITERS): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val k = xs.size
     val feats = graft.CacheRegistry.register(
-      lab.persist(StorageLevel.MEMORY_AND_DISK))
-    val fitRows = feats.filter(col("in_sl"))
+      labeled.persist(StorageLevel.MEMORY_AND_DISK))
+    val fitRows = feats.filter(col(inFitCol))
     // pass 1: n + feature sums (exact; decimal so 100 TB would not wrap)
     val sumAggs = count(lit(1)).as("n") +:
       xs.map(c => sum(col(c).cast("decimal(38,0)")).as(s"s_$c"))
     val st = fitRows.agg(sumAggs.head, sumAggs.tail: _*).head()
     val n = st.getLong(0)
-    require(n > 0, "q_logit_fit: empty training slice")
+    require(n > 0, "fitLogisticGd: empty training slice")
     val means = xs.indices.map(i =>
       (BigInt(st.getDecimal(i + 1).toBigInteger) / n).toLong)
     // pass 2: variances around the integer means → sd = max(1, ⌊√var⌋)
@@ -2496,33 +2517,33 @@ object TextQueries {
         ("CAST(1000 AS BIGINT) AS x0" +:
           xs.indices.map(i =>
             s"${zExpr(xs(i), means(i), sds(i))} AS x${i + 1}")) ++
-          Seq("y", "in_sl"): _*)
+          Seq(yCol, inFitCol): _*)
         .persist(StorageLevel.MEMORY_AND_DISK))
     // the descent: K jobs, weights on the driver, BigInt-exact updates;
     // gradients see only the training slice
-    val w = Array.fill(5)(BigInt(0))
+    val w = Array.fill(k + 1)(BigInt(0))
     def sExpr: String =
-      (0 to 4).map(j => s"${w(j)}L * x$j").mkString("(", " + ", ")")
-    for (_ <- 1 to LOGIT_FIT_ITERS) {
+      (0 to k).map(j => s"${w(j)}L * x$j").mkString("(", " + ", ")")
+    for (_ <- 1 to iters) {
       val pE = s"least(1000000L, greatest(0L, 500000L + " +
         s"(CASE WHEN $sExpr < 0 THEN -((-$sExpr) div ${LOGIT_FIT_SLOPE}L) " +
         s"ELSE $sExpr div ${LOGIT_FIT_SLOPE}L END)))"
-      val gAggs = (0 to 4).map(j =>
-        sum(expr(s"CAST(($pE - y * 1000000L) * x$j AS DECIMAL(38,0))"))
+      val gAggs = (0 to k).map(j =>
+        sum(expr(s"CAST(($pE - $yCol * 1000000L) * x$j AS DECIMAL(38,0))"))
           .as(s"g$j"))
-      val row = z.filter(col("in_sl")).agg(gAggs.head, gAggs.tail: _*).head()
-      for (j <- 0 to 4) {
+      val row = z.filter(col(inFitCol)).agg(gAggs.head, gAggs.tail: _*).head()
+      for (j <- 0 to k) {
         val g = BigInt(row.getDecimal(j).toBigInteger)
         w(j) -= (if (g < 0) -((-g) / n) else g / n)
       }
     }
     // full-corpus scoring with the slice-fitted model
     z.agg(
-        sum(when(expr(s"($sExpr > 0) = (y = 1)"), 1L).otherwise(0L))
+        sum(when(expr(s"($sExpr > 0) = ($yCol = 1)"), 1L).otherwise(0L))
           .as("n_correct"),
         count(lit(1)).as("n_total"))
       .select(
-        (0 to 4).map(j => lit(w(j).toLong).as(s"w$j")) ++
+        (0 to k).map(j => lit(w(j).toLong).as(s"w$j")) ++
           Seq(col("n_correct"), lit(n).as("n_fit"), col("n_total")): _*)
   }
 

@@ -299,4 +299,39 @@ class ClustersSpec extends AnyFunSuite with SparkSpec {
     assert(predict(star, cap = 3).keySet ===
       Set((20L, 30L), (20L, 40L), (30L, 40L)))
   }
+
+  test("dbscanRoles on a hand graph: roles, border min-tie, noise") {
+    // minPts=4 ⇒ core ⟺ pair-degree ≥ 3. Two K4 cliques (clusters 1
+    // and 10), a border node 8 touching a core in EACH (tie → min
+    // cluster id), a degree-1 pair (5,6) with no core neighbor →
+    // noise, and an isolated point 7 → noise.
+    val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val k4b = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val pairs = (k4a ++ k4b ++ Seq((8L, 1L), (8L, 10L), (5L, 6L)))
+      .toDF("a", "b")
+    val points = (Seq(5L, 6L, 7L, 8L) ++ (1L to 4L) ++ (10L to 13L))
+      .toDF("id")
+    val got = Graft.dbscan(points, "id", pairs, "a", "b", minPts = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    (1L to 4L).foreach(i => assert(got(i) === (("core", 1L)), s"node $i"))
+    (10L to 13L).foreach(i => assert(got(i) === (("core", 10L)), s"node $i"))
+    assert(got(8L) === (("border", 1L)), "border must take the MIN cluster")
+    Seq(5L, 6L, 7L).foreach(i =>
+      assert(got(i) === (("noise", -1L)), s"node $i"))
+    assert(got.size === 12)
+  }
+
+  test("dbscanRoles: a singleton core (no core neighbor) self-clusters") {
+    // node 1 has three degree-1 neighbors: 1 is core (deg 3 ≥ 3), the
+    // leaves are borders of 1's cluster; no core-core edge exists, so
+    // the core must fall back to its own id as cluster.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val points = (1L to 4L).toDF("id")
+    val got = Graft.dbscan(points, "id", pairs, "a", "b", minPts = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) === (("core", 1L)))
+    (2L to 4L).foreach(i => assert(got(i) === (("border", 1L)), s"node $i"))
+  }
 }

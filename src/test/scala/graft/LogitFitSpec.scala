@@ -66,4 +66,22 @@ class LogitFitSpec extends AnyFunSuite with SparkSpec {
       s"sampled-fit accuracy $correct/$nTotal does not beat the " +
         s"majority baseline $majority/$nTotal")
   }
+
+  test("generic facade: a separable synthetic feature trains to " +
+    "near-perfect accuracy") {
+    import spark.implicits._
+    val labeled = (0L until 1000L)
+      .map(f => (f, if (f >= 500L) 1L else 0L, true))
+      .toDF("f", "y", "in_fit")
+    val r = Graft.trainQualityFilter(labeled, Seq("f")).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_fit") === 1000L)
+    assert(row.getAs[Long]("n_total") === 1000L)
+    assert(row.getAs[Long]("w1") > 0L,
+      s"feature weight must be positive on an increasing label: $row")
+    val correct = row.getAs[Long]("n_correct")
+    assert(correct >= 950L,
+      s"separable fit only classifies $correct/1000")
+  }
 }

@@ -38,4 +38,20 @@ class SilhouetteSpec extends AnyFunSuite with SparkSpec {
         s"cell ${r.getAs[Long]("cell")} lost its seed anchor")
     }
   }
+
+  test("generic facade: exact anchors score 10⁶, equidistant ties 0") {
+    import spark.implicits._
+    val emb = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(0.5f, 0.5f))
+      .toDF("embedding")
+    val cents = Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f)))
+      .toDF("cell", "centroid")
+    val got = Graft.partitionSilhouette(emb, "embedding", cents)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_members"), r.getAs[Long]("sum_s_ppm"),
+          r.getAs[Long]("mean_s_ppm")))).toMap
+    // (1,0) anchors cell 0 at s=10⁶; the midpoint ties both centroids
+    // → struct-min assigns the LOWER cell with s=0
+    assert(got(0L) === ((2L, 1000000L, 500000L)), s"cell 0: $got")
+    assert(got(1L) === ((1L, 1000000L, 1000000L)), s"cell 1: $got")
+  }
 }
