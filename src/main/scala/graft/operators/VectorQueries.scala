@@ -53,6 +53,7 @@ object VectorQueries {
   private val MIN_CELLS = 16         // near-dup blocking: floor
   private val DUP_COPIES = 50        // planted duplicates for near-dup
   private val DUP_OFFSET = 1000000L  // planted-copy id offset
+  private val KCENTER_K = 8          // q_kcenter_seeds: maximin seeds
   private val NEARDUP_THRESHOLD = 0.99
   private val DBSCAN_EPS = 0.35     // q_dbscan ε: cosine-similarity floor
                                     // (0.35 keeps all three roles at every
@@ -1289,6 +1290,58 @@ object VectorQueries {
     // (vec_id, role ∈ {core,border,noise}, cluster_id | −1).
     "q_dbscan" -> { (s, dir) => dbscanRoles(s, dir) },
 
+    // ── k-center (Gonzalez maximin) diversity seeding ───────────────────
+    // The diversity-selection primitive: greedily pick the point
+    // FARTHEST from everything already picked — a 2-approximation of
+    // the k-center cover and the classic seed rule for diverse coreset
+    // selection (pick the outliers a random sample would miss).
+    // Deterministic and integer-exact: L2² on the 2⁻¹⁰ grid, seed 0 =
+    // min vec_id, every argmax ties to the lower vec_id. Output: one
+    // row per seed (rank, vec_id, sel_d2 = its maximin distance at
+    // selection — the monotone non-increasing radius sequence).
+    //
+    // 100 TB posture: K scans, each ONE global max-of-struct aggregate
+    // (map-side partials, no data-row shuffle); the chosen seed
+    // vectors ride the plan as literals (K·dim longs — the
+    // bounded-collect pattern the logit trainer uses). No pairwise
+    // table, no windows, no driver loop over data.
+    "q_kcenter_seeds" -> { (s, dir) =>
+      val qv = graft.CacheRegistry.register(
+        quantEmb(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val seeds = kcenterFit(qv)
+      import s.implicits._
+      seeds.map(k => (k.rank.toLong, k.id, k.selD2))
+        .toDF("rank", "vec_id", "sel_d2")
+    },
+
+    // ── k-center coverage: the cover the seeds actually achieve ────────
+    // Assign every corpus point to its nearest seed (ties → the
+    // earlier-chosen seed) and report per-seed member count, max d²
+    // (the cell's covering radius) and summed d² — the audit that says
+    // whether the K seeds cover the corpus evenly or one cell is a
+    // grab-bag. ONE corpus scan against the in-plan seed literals.
+    "q_kcenter_coverage" -> { (s, dir) =>
+      val qv = graft.CacheRegistry.register(
+        quantEmb(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val seeds = kcenterFit(qv)
+      val seedLit = seeds.map(k =>
+        s"struct(${k.rank} AS rank, ${k.vq.mkString("array(", "L,", "L)")} AS sv)")
+        .mkString("array(", ", ", ")")
+      qv.select(expr(
+        s"""array_min(transform($seedLit, e -> struct(
+           |  aggregate(sequence(0, size(vq) - 1), CAST(0 AS BIGINT),
+           |    (acc, d) -> acc + (vq[d] - e.sv[d]) * (vq[d] - e.sv[d]))
+           |    AS d2,
+           |  e.rank AS rank)))""".stripMargin).as("a"))
+        .select(col("a.rank").cast("long").as("seed_rank"), col("a.d2"))
+        .groupBy(col("seed_rank"))
+        .agg(count(lit(1)).as("n_members"),
+          max(col("d2")).as("max_d2"),
+          sum(col("d2")).as("sum_d2"))
+    },
+
     // ── SemDeDup survivor selection (centroid-sim argmin per cluster) ──
     // Semantic dedup's keep rule (Abbas et al. 2023): within each
     // embedding near-dup cluster keep the member with the LOWEST
@@ -1728,32 +1781,12 @@ object VectorQueries {
     // array, then a K-row aggregate — no pairwise table, no windows,
     // no shuffle beyond K rows per task.
     "q_silhouette" -> { (s, dir) =>
-      val qv = loadEmb(s, dir).select(col("vec_id"), expr(
-        "transform(embedding, x -> " +
-          "CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))")
-        .as("vq"))
-      val centArr = qv.filter(col("vec_id") < N_CELLS)
-        .select(struct(col("vec_id").cast("int").as("cell"),
-          col("vq").as("cq")).as("e"))
-        .agg(sort_array(collect_list(col("e"))).as("cents"))
-      qv.crossJoin(broadcast(centArr))
-        .withColumn("ds", expr(
-          """transform(cents, c -> struct(
-            |  aggregate(sequence(0, size(vq) - 1), CAST(0 AS BIGINT),
-            |    (acc, d) -> acc +
-            |      (vq[d] - c.cq[d]) * (vq[d] - c.cq[d])) AS d2,
-            |  c.cell AS cell))""".stripMargin))
-        .withColumn("a", expr("array_min(ds)"))
-        .withColumn("b2", expr(
-          "array_min(transform(filter(ds, x -> x.cell != a.cell), " +
-            "x -> x.d2))"))
-        .select(col("a.cell").cast("long").as("cell"),
-          expr("CASE WHEN b2 = 0 THEN CAST(0 AS BIGINT) " +
-            "ELSE (b2 - a.d2) * 1000000 div b2 END").as("s_ppm"))
-        .groupBy(col("cell"))
-        .agg(count(lit(1)).as("n_members"),
-          sum(col("s_ppm")).as("sum_s_ppm"))
-        .withColumn("mean_s_ppm", expr("sum_s_ppm div n_members"))
+      val emb = loadEmb(s, dir)
+      partitionSilhouette(emb, "embedding",
+        emb.filter(col("vec_id") < N_CELLS)
+          .select(col("vec_id").as("cell"),
+            col("embedding").as("centroid")),
+        "cell", "centroid")
     },
 
     // ── label-outlier screen (mislabeled-data candidates) ──────────────
@@ -1929,62 +1962,135 @@ object VectorQueries {
     * ([[blockedCosinePairs]]) — a blocked DBSCAN in the same sense the
     * near-dup family is blocked: candidate pairs are restricted to one
     * Voronoi cell, and the oracle replays the identical blocking.
-    * Standard DBSCAN semantics on that graph, all integer logic:
-    *
-    *  - core ⟺ |N_ε(p)| ≥ minPts counting p itself ⟺ degree ≥ minPts−1;
-    *  - clusters = connected components of the core–core subgraph
-    *    (cluster_id = min member id, the [[Clusters]] hash-min
-    *    fixpoint); a core with no core neighbor is its own singleton
-    *    cluster;
-    *  - border = non-core adjacent to ≥1 core, assigned the MIN
-    *    cluster_id among its core neighbors (the deterministic tie rule
-    *    for DBSCAN's order-dependent border attachment);
-    *  - everything else is noise (cluster_id = −1).
+    * Graph-role semantics (core/border/noise, deterministic ties) live
+    * in the generic [[Clusters.dbscanRoles]], which this delegates to.
     *
     * 100 TB posture: edges come cell-blocked (Σ cell² work, never
-    * all-pairs); degree and border attachment are keyed aggregates;
-    * the CC fixpoint runs on the CORE-core subgraph only (≤ edge
-    * table, O(diameter) rounds, disk-round-tripped labels); role
-    * assembly is two vec_id-keyed left joins. No windows, no collects,
-    * no cartesian products.
+    * all-pairs); the role pass is keyed aggregates + an O(diameter)
+    * CC fixpoint on the core–core subgraph (see Clusters.dbscanRoles).
     */
+  /** Simplified silhouette of a centroid partition (the q_silhouette
+    * body, generic): per point s = (b − a) / b over SQUARED integer
+    * distances on the 2⁻¹⁰ grid, a = d² to the own (nearest) centroid,
+    * b = d² to the best OTHER centroid — a ≤ b by construction of the
+    * argmin assignment, so s ∈ [0, 10⁶] ppm and every division has
+    * non-negative operands (truncate ≡ floor). Ties (two centroids
+    * equidistant) yield s = 0 deterministically (struct-min picks the
+    * lower cell; the tie partner stays in b).
+    *
+    * 100 TB posture: ONE corpus scan against the broadcast centroid
+    * row, distances in-row over the K-struct array, then a K-row
+    * aggregate — no pairwise table, no windows, no shuffle beyond K
+    * rows per task.
+    *
+    * @param emb         corpus vectors (float array column `vecCol`)
+    * @param centroids   K rows: (`cellCol` int-castable id,
+    *                    `centroidCol` float array)
+    * @return per-cell (cell, n_members, sum_s_ppm, mean_s_ppm)
+    */
+  def partitionSilhouette(emb: DataFrame, vecCol: String,
+                          centroids: DataFrame, cellCol: String,
+                          centroidCol: String): DataFrame = {
+    def quant(c: String) =
+      s"transform($c, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))"
+    val qv = emb.select(expr(quant(vecCol)).as("vq"))
+    val centArr = centroids
+      .select(struct(col(cellCol).cast("int").as("cell"),
+        expr(quant(centroidCol)).as("cq")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("cents"))
+    qv.crossJoin(broadcast(centArr))
+      .withColumn("ds", expr(
+        """transform(cents, c -> struct(
+          |  aggregate(sequence(0, size(vq) - 1), CAST(0 AS BIGINT),
+          |    (acc, d) -> acc +
+          |      (vq[d] - c.cq[d]) * (vq[d] - c.cq[d])) AS d2,
+          |  c.cell AS cell))""".stripMargin))
+      .withColumn("a", expr("array_min(ds)"))
+      .withColumn("b2", expr(
+        "array_min(transform(filter(ds, x -> x.cell != a.cell), " +
+          "x -> x.d2))"))
+      .select(col("a.cell").cast("long").as("cell"),
+        expr("CASE WHEN b2 = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (b2 - a.d2) * 1000000 div b2 END").as("s_ppm"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("s_ppm")).as("sum_s_ppm"))
+      .withColumn("mean_s_ppm", expr("sum_s_ppm div n_members"))
+  }
+
   private def dbscanRoles(s: SparkSession, dir: String): DataFrame = {
     val pairs = graft.CacheRegistry.register(
       blockedCosinePairs(s, dir, DBSCAN_EPS)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-      .unionByName(
-        pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-    val core = edges.groupBy(col("src"))
-      .agg(count(lit(1)).as("deg"))
-      .filter(col("deg") >= DBSCAN_MIN_PTS - 1)
-      .select(col("src").as("id"))
-    val coreEdges = edges
-      .join(core.select(col("id").as("src")), Seq("src"), "leftsemi")
-      .join(core.select(col("id").as("dst")), Seq("dst"), "leftsemi")
-    val cc = Clusters.connectedComponents(coreEdges, "src", "dst")
-    // singleton cores (no core neighbor) cluster with themselves
-    val coreClusters = core.join(cc, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
-    val borderClusters = edges
-      .join(coreClusters.select(col("id").as("dst"),
-        col("cluster_id").as("dst_cl")), Seq("dst"))
-      .join(core.select(col("id").as("src")), Seq("src"), "leftanti")
-      .groupBy(col("src"))
-      .agg(min(col("dst_cl")).as("cluster_id"))
-      .select(col("src").as("id"), col("cluster_id"))
-    augmentedEmb(s, dir).select(col("vec_id"))
-      .join(coreClusters.select(col("id").as("vec_id"),
-        col("cluster_id").as("core_cl")), Seq("vec_id"), "left")
-      .join(borderClusters.select(col("id").as("vec_id"),
-        col("cluster_id").as("border_cl")), Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        when(col("core_cl").isNotNull, lit("core"))
-          .when(col("border_cl").isNotNull, lit("border"))
-          .otherwise(lit("noise")).as("role"),
-        coalesce(col("core_cl"), col("border_cl"), lit(-1L))
-          .as("cluster_id"))
+    Clusters.dbscanRoles(augmentedEmb(s, dir), "vec_id",
+      pairs, "vec_a", "vec_b", DBSCAN_MIN_PTS)
+  }
+
+  /** (vec_id, vq): the corpus on the 2⁻¹⁰ integer grid — the shared
+    * input of the k-center pair of queries.
+    */
+  private def quantEmb(s: SparkSession, dir: String): DataFrame =
+    loadEmb(s, dir).select(col("vec_id"), expr(
+      "transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))")
+      .as("vq"))
+
+  private case class KcSeed(rank: Int, id: Long, selD2: Long,
+                            vq: Seq[Long])
+
+  /** Gonzalez maximin k-center fit over the quantized corpus: seed 0 =
+    * min vec_id; seed t = argmax over points of min-L2² to the chosen
+    * set, ties to the lower vec_id. Each round is ONE max-of-struct
+    * aggregate against the seed vectors embedded as plan literals
+    * (negating vec_id turns the struct max into the max-d2 /
+    * min-vec_id rule; the winning row's vq rides along in the struct
+    * so no second lookup scan is needed). Driver state: K·(dim+2)
+    * longs. The DuckDB twin unrolls the identical K−1 rounds as
+    * chained CTEs ([[kcenterCtes]]).
+    */
+  private def kcenterFit(qv: DataFrame,
+                         k: Int = KCENTER_K): Seq[KcSeed] = {
+    val f = qv.agg(min(struct(col("vec_id"), col("vq"))).as("s"))
+      .head().getStruct(0)
+    var seeds = Vector(KcSeed(0, f.getLong(0), 0L,
+      f.getSeq[Long](1)))
+    for (t <- 1 until k) {
+      val seedLit = seeds
+        .map(k => k.vq.mkString("array(", "L,", "L)"))
+        .mkString("array(", ", ", ")")
+      val r = qv.select(col("vec_id"), col("vq"), expr(
+        s"""array_min(transform($seedLit, sv ->
+           |  aggregate(sequence(0, size(vq) - 1), CAST(0 AS BIGINT),
+           |    (acc, d) -> acc + (vq[d] - sv[d]) * (vq[d] - sv[d]))))"""
+          .stripMargin).as("d2"))
+        .agg(max(struct(col("d2"), (lit(-1L) * col("vec_id")).as("nid"),
+          col("vq"))).as("m"))
+        .head().getStruct(0)
+      seeds :+= KcSeed(t, -r.getLong(1), r.getLong(0), r.getSeq[Long](2))
+    }
+    seeds
+  }
+
+  /** Library surface for the maximin seeding: k diverse seed rows
+    * (rank, `idCol`, sel_d2) from any float-vector corpus — the
+    * q_kcenter_seeds body over caller columns. The corpus projection
+    * is persisted for the K passes and released with
+    * [[graft.Graft.releaseCaches]].
+    */
+  def diversitySeeds(emb: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"diversitySeeds: k=$k")
+    val qv = graft.CacheRegistry.register(
+      emb.select(col(idCol).cast("long").as("vec_id"), expr(
+        s"transform($vecCol, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))")
+        .as("vq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val seeds = kcenterFit(qv, k)
+    import emb.sparkSession.implicits._
+    seeds.map(s => (s.rank.toLong, s.id, s.selD2))
+      .toDF("rank", idCol, "sel_d2")
   }
 
   // ─── DuckDB oracle twins ──────────────────────────────────────────────
@@ -2709,6 +2815,38 @@ object VectorQueries {
          |LEFT JOIN corecl ON corecl.id = e.vec_id
          |LEFT JOIN bordercl ON bordercl.id = e.vec_id""".stripMargin,
 
+    "q_kcenter_seeds" -> {
+      val rows = (1 until KCENTER_K).map(t =>
+        s"UNION ALL SELECT CAST($t AS BIGINT), (SELECT sid FROM ks$t), " +
+          s"(SELECT d2 FROM ks$t)").mkString("\n")
+      s"""WITH $kcenterCtes
+         |SELECT CAST(0 AS BIGINT) AS rank,
+         |  (SELECT sid FROM ks0) AS vec_id,
+         |  CAST(0 AS BIGINT) AS sel_d2
+         |$rows""".stripMargin
+    },
+
+    "q_kcenter_coverage" -> {
+      val all = (s"SELECT CAST(0 AS BIGINT) AS rank, sid FROM ks0" +:
+        (1 until KCENTER_K).map(t =>
+          s"SELECT CAST($t AS BIGINT), sid FROM ks$t"))
+        .mkString("\n  UNION ALL ")
+      s"""WITH $kcenterCtes,
+         |ka AS ($all),
+         |kdist AS (SELECT a.vec_id, s.rank,
+         |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+         |  FROM kq a, ka s, kq b
+         |  WHERE b.vec_id = s.sid AND a.d = b.d
+         |  GROUP BY 1, 2),
+         |kassign AS (SELECT vec_id, rank, d2,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2 ASC, rank ASC) AS rn
+         |  FROM kdist)
+         |SELECT rank AS seed_rank, count(*) AS n_members,
+         |  max(d2) AS max_d2, CAST(sum(d2) AS BIGINT) AS sum_d2
+         |FROM kassign WHERE rn = 1 GROUP BY 1""".stripMargin
+    },
+
     "q_cluster_purity" ->
       s"""WITH RECURSIVE $embNearDupCtes,
          |ee AS (SELECT vec_a AS src, vec_b AS dst FROM evp
@@ -3039,6 +3177,36 @@ object VectorQueries {
          |SELECT label, vec_id, rank, d2 FROM lor
          |WHERE rank <= $OUT_K""".stripMargin
   )
+
+  /** The k-center oracle chain: kq = the 2⁻¹⁰ quantized long-form
+    * corpus; ks0 = min vec_id; then per round t, kd_t = d² of every
+    * point to the newest seed, km_t = running min-d² to the seed set,
+    * ks_t = the maximin argmax (ORDER BY d2 DESC, vec_id ASC LIMIT 1)
+    * — the [[kcenterFit]] loop unrolled exactly.
+    */
+  private def kcenterCtes: String = {
+    val rounds = (1 until KCENTER_K).map { t =>
+      val minD2 = if (t == 1) "d.d2"
+        else "CASE WHEN d.d2 < m.d2 THEN d.d2 ELSE m.d2 END"
+      val joinPrev = if (t == 1) ""
+        else s" JOIN km${t - 1} m ON d.vec_id = m.vec_id"
+      s"""kd$t AS (SELECT a.vec_id,
+         |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+         |  FROM kq a JOIN kq b ON a.d = b.d
+         |    AND b.vec_id = (SELECT sid FROM ks${t - 1})
+         |  GROUP BY 1),
+         |km$t AS (SELECT d.vec_id, $minD2 AS d2
+         |  FROM kd$t d$joinPrev),
+         |ks$t AS (SELECT vec_id AS sid, d2 FROM km$t
+         |  ORDER BY d2 DESC, vec_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    s"""kq AS (SELECT vec_id, pos - 1 AS d,
+       |    CAST(floor(CAST(v AS DOUBLE) * 1024.0 + 0.5) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       |        unnest(embedding) AS v FROM embeddings)),
+       |ks0 AS (SELECT min(vec_id) AS sid FROM kq),
+       |$rounds""".stripMargin
+  }
 
   /** q_top_eigvec oracle: EIG_ITERS integer power iterations unrolled
     * as chained CTEs — HUGEINT raw sums, sign-split truncating division

@@ -71,7 +71,9 @@ object VectorScaleProbe {
     val defaults = Seq("q_ann_cosine_topk", "q_ann_ivf_topk",
       "q_ann_ivf_kmeans", "q_ann_ivf_sampled", "q_ann_pq_kmeans",
       "q_ann_pq_sampled", "q_ann_ivfpq_topk", "q_embedding_neardup",
-      "q_semdedup", "q_embedding_clusters", "q_kmeans_elbow")
+      "q_semdedup", "q_embedding_clusters", "q_kmeans_elbow",
+      "q_dbscan", "q_silhouette", "q_kcenter_seeds",
+      "q_kcenter_coverage")
     val names =
       if (args.nonEmpty) args(0).split(",").toSeq.filter(_.nonEmpty)
       else defaults
