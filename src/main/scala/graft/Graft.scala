@@ -573,6 +573,18 @@ object Graft {
     operators.VectorQueries.partitionSilhouette(
       emb, vecCol, centroids, cellCol, centroidCol)
 
+  /** Greedy max-coverage document selection — the submodular
+    * (facility-location) subset-selection primitive: the k documents
+    * that together cover the most of the corpus's top-v-df 3-word
+    * shingles, picked by marginal gain. Deterministic ties; k bounded
+    * corpus-restricted aggregate rounds; see
+    * [[operators.TextQueries.maxCoverage]].
+    */
+  def maxCoverage(docs: DataFrame, id: String = "doc_id",
+                  text: String = "text", k: Int = 8,
+                  vocabSize: Int = 100): DataFrame =
+    operators.TextQueries.maxCoverage(docs, id, text, k, vocabSize)
+
   /** k diverse seed points by Gonzalez maximin k-center seeding —
     * greedy farthest-point selection over an embedding column, the
     * coreset/diversity-sampling primitive (picks the outliers a random

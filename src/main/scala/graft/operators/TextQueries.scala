@@ -66,6 +66,8 @@ object TextQueries {
                                           // product provably in range)
   private val LOGIT_SAMPLE_SEED = 83      // q_logit_fit_sampled trainer slice
   private val LOGIT_SAMPLE_PCT = 25       // ~25 % of the corpus fits
+  private val MAXCOV_K = 8     // q_maxcover_docs: greedy picks
+  private val MAXCOV_V = 100   // q_maxcover_docs: coverage vocabulary
   private val MIN_RUN = 12     // dup-span floor: spans >= 14 tokens, past chance-collision runs
   private val VOCAB_V = 10     // vocab size for the OOV-coverage signal
   private val MIN_COOC = 5     // co-occurrence support floor (PMI table)
@@ -661,6 +663,34 @@ object TextQueries {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           col("score"), col("rank"))
+    },
+
+    // ── greedy max-coverage selection (submodular subset selection) ────
+    // The facility-location/coverage primitive of data-subset
+    // selection: greedily pick the K documents that together cover the
+    // most of the top-V-df 3-word shingles — each round takes the doc
+    // with the largest MARGINAL gain (new shingles only), the
+    // 1−1/e-approximate greedy rule. Shingles, not tokens: the fixture
+    // (and any natural corpus) has a stopword-dense token head a
+    // single doc trivially covers, while the shingle head is what
+    // actually distinguishes content. Deterministic: gain DESC,
+    // doc_id ASC ties; V and K bounded so the covered set is
+    // driver-held (≤ V strings). Output: one row per pick (rank,
+    // doc_id, gain = new shingles it added, n_covered = cumulative
+    // coverage); stops early if the vocabulary is exhausted. The
+    // DuckDB twin unrolls the identical greedy rounds as chained CTEs
+    // ([[maxcoverCtes]]).
+    //
+    // 100 TB posture: ONE shingle-explode pass (per-doc dedup IN-ROW
+    // via array_distinct — no corpus-wide distinct shuffle) builds the
+    // doc-shingle table restricted to the broadcast V-shingle
+    // vocabulary (map-side semi-join); each greedy round is one keyed
+    // aggregate over that V-bounded projection ending in a global
+    // max-of-struct — no windows over corpus tables, no data-scale
+    // collects (the argmax row carries its ≤V-shingle set).
+    "q_maxcover_docs" -> { (s, dir) =>
+      maxCoverage(Tables.load(s, dir, "documents"),
+        "doc_id", "text", MAXCOV_K, MAXCOV_V)
     },
 
     // ── BPE merge-step statistic: adjacent-pair frequency table ─────────
@@ -2147,6 +2177,84 @@ object TextQueries {
     """toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
       |  FROM documents WHERE length(trim(text)) > 0)""".stripMargin
 
+  /** Greedy max-coverage selection (the q_maxcover_docs body, generic):
+    * pick the k docs that together cover the most of the top-v-df
+    * 3-word shingles, each round taking the largest MARGINAL gain
+    * (gain DESC, id ASC ties). Returns one row per pick (rank, idCol,
+    * gain, n_covered); stops early when the vocabulary is exhausted.
+    * The covered set is driver-held (≤ v strings); each round is one
+    * keyed aggregate over the v-restricted doc-shingle projection
+    * ending in a global max-of-struct.
+    */
+  def maxCoverage(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int, v: Int): DataFrame = {
+    val dt0 = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(
+          TextFunctions.shingles(col(textCol), K))).as("tok"))
+    val vocab = dt0.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc).limit(v)
+    val dt = graft.CacheRegistry.register(
+      dt0.join(broadcast(vocab.select(col("tok"))), "tok")
+        .select(col("doc_id"), col("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var covered = Set.empty[String]
+    var out = Vector.empty[(Long, Long, Long, Long)]
+    var done = false
+    for (t <- 0 until k if !done) {
+      val cand = if (covered.isEmpty) dt
+        else dt.filter(!col("tok").isInCollection(covered))
+      val r = cand.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("gain"), collect_set(col("tok")).as("ts"))
+        .agg(max(struct(col("gain"),
+          (lit(-1L) * col("doc_id")).as("nid"), col("ts"))).as("m"))
+        .head().getStruct(0)
+      if (r == null) done = true
+      else {
+        covered ++= r.getSeq[String](2)
+        out :+= ((t.toLong, -r.getLong(1), r.getLong(0),
+          covered.size.toLong))
+      }
+    }
+    import docs.sparkSession.implicits._
+    out.toDF("rank", idCol, "gain", "n_covered")
+  }
+
+  /** The q_maxcover_docs oracle chain: mcd = distinct doc-shingle
+    * pairs, mcv = the top-V-df shingle vocabulary (df DESC, tok ASC),
+    * mdt = the restricted pair table; then per greedy round t, mg_t =
+    * marginal
+    * gain per doc against the covered set, mc_t = the argmax pick
+    * (gain DESC, doc_id ASC LIMIT 1), mcov_t = covered ∪ the pick's
+    * terms — the engine loop unrolled exactly. An exhausted round
+    * yields an empty mc_t and its final-select row vanishes, matching
+    * the engine's early stop.
+    */
+  private def maxcoverCtes: String = {
+    val rounds = (0 until MAXCOV_K).map { t =>
+      val notCovered = if (t == 0) ""
+        else s" WHERE tok NOT IN (SELECT tok FROM mcov${t - 1})"
+      val covPrev = if (t == 0) ""
+        else s"SELECT tok FROM mcov${t - 1} UNION "
+      s"""mg$t AS MATERIALIZED (SELECT doc_id, count(*) AS gain
+         |  FROM mdt$notCovered GROUP BY 1),
+         |mc$t AS MATERIALIZED (SELECT doc_id, gain FROM mg$t
+         |  ORDER BY gain DESC, doc_id ASC LIMIT 1),
+         |mcov$t AS MATERIALIZED (${covPrev}SELECT tok FROM mdt
+         |  WHERE doc_id = (SELECT doc_id FROM mc$t))""".stripMargin
+    }.mkString(",\n")
+    // MATERIALIZED throughout: each round references the previous
+    // covered set, so inlined CTEs would re-expand the whole prefix
+    // per round (the 2^rounds plan blow-up, DuckDB edition)
+    s"""$shinglesCte,
+       |mcd AS (SELECT doc_id, shingle AS tok FROM sh),
+       |mcv AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM mcd
+       |  GROUP BY 1 ORDER BY df DESC, tok ASC LIMIT $MAXCOV_V)),
+       |mdt AS MATERIALIZED (SELECT d.doc_id, d.tok
+       |  FROM mcd d JOIN mcv USING (tok)),
+       |$rounds""".stripMargin
+  }
+
   /** distinct (doc_id, shingle) CTE over k=3 word shingles. */
   private val shinglesCte =
     s"""$toksCte,
@@ -2935,6 +3043,15 @@ object TextQueries {
          |  FROM tf JOIN dfq USING (term))
          |SELECT doc_id, term, tf, df, score, rank
          |FROM scored WHERE rank <= 3""".stripMargin,
+
+    "q_maxcover_docs" -> {
+      val rows = (0 until MAXCOV_K).map(t =>
+        s"SELECT CAST($t AS BIGINT) AS rank, doc_id, gain," +
+          s" (SELECT count(*) FROM mcov$t) AS n_covered FROM mc$t")
+        .mkString("\nUNION ALL ")
+      s"""WITH $maxcoverCtes
+         |$rows""".stripMargin
+    },
 
     "q_jaccard_pairs" ->
       s"""WITH $jaccardCoreCtes

@@ -47,7 +47,7 @@ object TextScaleProbe {
     val defaults = Seq("q_dup_ngram_coverage", "q_bigram_lm_score",
       "q_tfidf_pairs", "q_rolling_active", "q_event_transitions",
       "q_prefix_filter_pairs", "q_dedup_ablation",
-      "q_logit_fit", "q_logit_fit_sampled")
+      "q_logit_fit", "q_logit_fit_sampled", "q_maxcover_docs")
     // args override the default list (comma-separated) so a round can
     // probe just its new queries without re-pricing the whole set
     val names =

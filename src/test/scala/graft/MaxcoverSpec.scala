@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextQueries
+
+/** Structural invariants of the greedy max-coverage gate
+  * (q_maxcover_docs).
+  *
+  * The hash gate pins the exact pick sequence against the DuckDB
+  * twin; this spec pins the greedy-submodular *semantics*: marginal
+  * gains are positive and non-increasing, coverage telescopes, and
+  * picks never repeat.
+  */
+class MaxcoverSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val picks =
+    TextQueries.queries("q_maxcover_docs")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("gain"), r.getAs[Long]("n_covered")))
+      .sortBy(_._1)
+
+  test("ranks dense, picks distinct, gains positive") {
+    assert(picks.nonEmpty)
+    assert(picks.map(_._1).toSeq === (0L until picks.length))
+    assert(picks.map(_._2).distinct.length === picks.length,
+      s"a document was picked twice: ${picks.mkString(", ")}")
+    assert(picks.forall(_._3 > 0L),
+      s"zero-gain pick survived: ${picks.mkString(", ")}")
+  }
+
+  test("greedy gains are non-increasing (submodularity of coverage)") {
+    picks.map(_._3).sliding(2).foreach { w =>
+      assert(w(1) <= w(0),
+        s"marginal gain grew: ${picks.map(_._3).mkString(", ")}")
+    }
+  }
+
+  test("coverage telescopes: n_covered is the running sum of gains") {
+    var run = 0L
+    picks.foreach { case (r, _, g, n) =>
+      run += g
+      assert(n === run, s"rank $r: n_covered $n != cumulative gain $run")
+    }
+  }
+
+  test("generic facade: a superset doc wins round 0 on a hand corpus") {
+    import spark.implicits._
+    // doc 5 contains both shingle runs of docs 7 and 9; doc 7 then
+    // adds nothing new, doc 9 adds its distinct tail
+    val docs = Seq(
+      (5L, "a b c d e x y z w v"),
+      (7L, "a b c d e"),
+      (9L, "p q r s")).toDF("id", "body")
+    val got = Graft.maxCoverage(docs, "id", "body", k = 3,
+      vocabSize = 100).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("id"),
+        r.getAs[Long]("gain"))).sortBy(_._1)
+    assert(got(0)._2 === 5L, s"superset doc must win: ${got.mkString(", ")}")
+    assert(got(1) === ((1L, 9L, 2L)), got.mkString(", "))
+    // doc 7 is fully covered by doc 5 → zero marginal gain → never
+    // picked; the greedy stops at 2 rows
+    assert(got.length === 2, got.mkString(", "))
+  }
+}
