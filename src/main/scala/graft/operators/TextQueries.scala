@@ -2422,6 +2422,40 @@ object TextQueries {
     * HUGEINT gradient sums, sign-split truncating divisions throughout.
     */
   private def logitFitSql(sampled: Boolean): String = {
+    val (ctes, sFin) = logitCtes(sampled)
+    val last = s"it$LOGIT_FIT_ITERS"
+    s"""WITH $ctes
+       |SELECT ${(0 to 4).map(j => s"$last.w$j").mkString(", ")},
+       |  (SELECT CAST(sum(CASE WHEN ($sFin > 0) = (z.y = 1)
+       |      THEN 1 ELSE 0 END) AS BIGINT)
+       |   FROM z, $last) AS n_correct,
+       |  st.n AS n_fit,
+       |  (SELECT count(*) FROM z) AS n_total
+       |FROM $last, st""".stripMargin
+  }
+
+  /** The q_stream_quality oracle: the full-corpus trainer chain
+    * ([[logitCtes]]) replayed to the final weights, then ONE per-doc
+    * scoring pass rolled up by verdict — the batch ground truth the
+    * streaming scorer must reproduce row-set-exactly.
+    */
+  private[graft] def streamQualitySql: String = {
+    val (ctes, sFin) = logitCtes(sampled = false)
+    val last = s"it$LOGIT_FIT_ITERS"
+    s"""WITH $ctes
+       |SELECT CASE WHEN $sFin > 0 THEN 'keep' ELSE 'drop' END AS verdict,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN $sFin < 0 THEN -((-($sFin)) // 1000000)
+       |    ELSE ($sFin) // 1000000 END) AS BIGINT) AS score_sum_m
+       |FROM z, $last
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** The trainer CTE chain (through `it{N}` weights, `z`, `st`) plus
+    * the final-weights score expression over z rows — shared by the
+    * fit oracle and the streaming-scorer oracle.
+    */
+  private def logitCtes(sampled: Boolean): (String, String) = {
     val xs = Seq("len_bp", "stop_bp", "punct_bp", "uniq_bp")
     val inSl =
       if (sampled)
@@ -2456,7 +2490,7 @@ object TextQueries {
     }.mkString(",\n")
     val last = s"it$LOGIT_FIT_ITERS"
     val sFin = sOf(last)
-    s"""WITH f AS (SELECT doc_id, length(text) AS n,
+    val ctes = s"""f AS (SELECT doc_id, length(text) AS n,
        |    CASE WHEN length(trim(text)) = 0 THEN 0
        |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
        |    CASE WHEN length(trim(text)) = 0 THEN 0
@@ -2501,14 +2535,8 @@ object TextQueries {
        |    lab.y, lab.in_sl FROM lab, st, vr),
        |it0 AS MATERIALIZED (SELECT ${(0 to 4).map(j =>
                 s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}),
-       |$iters
-       |SELECT ${(0 to 4).map(j => s"$last.w$j").mkString(", ")},
-       |  (SELECT CAST(sum(CASE WHEN ($sFin > 0) = (z.y = 1)
-       |      THEN 1 ELSE 0 END) AS BIGINT)
-       |   FROM z, $last) AS n_correct,
-       |  st.n AS n_fit,
-       |  (SELECT count(*) FROM z) AS n_total
-       |FROM $last, st""".stripMargin
+       |$iters""".stripMargin
+    (ctes, sFin)
   }
 
   /** The four basis-point quality features (doc_id, len_bp, stop_bp,
@@ -2516,7 +2544,14 @@ object TextQueries {
     * (q_quality_logit) and the trainer (q_logit_fit).
     */
   private def qualityBp(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    qualityBpOf(Tables.load(s, dir, "documents"))
+
+  /** [[qualityBp]] over any (doc_id, text) frame — a stateless
+    * projection, so it serves batch AND streaming inputs
+    * ([[graft.streaming.StreamingQuality]]).
+    */
+  private[graft] def qualityBpOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), length(col("text")).as("n"),
         TextFunctions.tokenCount(col("text")).as("toks"),
         TextFunctions.stopwordCount(col("text")).as("stops"),
@@ -2595,6 +2630,69 @@ object TextQueries {
   def fitLogisticGd(labeled: DataFrame, xs: Seq[String],
                     yCol: String, inFitCol: String,
                     iters: Int = LOGIT_FIT_ITERS): DataFrame = {
+    val k = xs.size
+    val (model, z, n) = fitLogitModel(labeled, xs, yCol, inFitCol, iters)
+    def sExpr: String =
+      (0 to k).map(j => s"${model.w(j)}L * x$j").mkString("(", " + ", ")")
+    // full-corpus scoring with the slice-fitted model
+    z.agg(
+        sum(when(expr(s"($sExpr > 0) = ($yCol = 1)"), 1L).otherwise(0L))
+          .as("n_correct"),
+        count(lit(1)).as("n_total"))
+      .select(
+        (0 to k).map(j => lit(model.w(j)).as(s"w$j")) ++
+          Seq(col("n_correct"), lit(n).as("n_fit"), col("n_total")): _*)
+  }
+
+  /** A fitted standardize-then-score linear model: per-feature integer
+    * means/sds (the winsorized-z parameters) and nano-unit weights
+    * (w(0) = bias over the constant x0 = 1000 feature). Everything a
+    * scorer needs to serve the model on data the trainer never saw —
+    * including a stream ([[graft.streaming.StreamingQuality]]).
+    */
+  case class LogitModel(means: Seq[Long], sds: Seq[Long], w: Seq[Long]) {
+    /** SQL-text score Σ wⱼ·zⱼ over raw feature columns `xs` — the
+      * identical winsorized-z + dot-product arithmetic the trainer's
+      * forward pass uses, with the model constants inlined as
+      * literals (broadcast-free, stateless, stream-safe).
+      */
+    def scoreExpr(xs: Seq[String]): String =
+      (s"${w(0)}L * 1000L" +: xs.indices.map(i =>
+        s"${w(i + 1)}L * (${zScoreExpr(xs(i), means(i), sds(i))})"))
+        .mkString("(", " + ", ")")
+  }
+
+  /** The winsorized integer z-score of raw feature `c` under (m, sd) —
+    * shared by the trainer's cached projection and [[LogitModel]]'s
+    * serving expression so the two can never drift.
+    */
+  private[graft] def zScoreExpr(c: String, m: Long, sd: Long): String =
+    s"least(${LOGIT_FIT_ZCLAMP}L, greatest(-${LOGIT_FIT_ZCLAMP}L, " +
+      s"CASE WHEN $c < ${m}L THEN -(((${m}L - $c) * 1000L) div ${sd}L) " +
+      s"ELSE (($c - ${m}L) * 1000L) div ${sd}L END))"
+
+  /** Fit the quality filter on a documents frame (full-corpus slice,
+    * hand-rule labels — the q_logit_fit configuration) and return the
+    * serving model.
+    */
+  def fitQualityModel(docs: DataFrame): LogitModel = {
+    val xs = Seq("len_bp", "stop_bp", "punct_bp", "uniq_bp")
+    val lab = qualityBpOf(docs)
+      .withColumn("in_sl", lit(true))
+      .selectExpr(
+        (xs ++ Seq("CASE WHEN greatest(0, 3 * len_bp + 4 * stop_bp - " +
+          "2 * punct_bp + 2 * uniq_bp) div 10 >= 1750 " +
+          "THEN 1L ELSE 0L END AS y", "in_sl")): _*)
+    fitLogitModel(lab, xs, "y", "in_sl", LOGIT_FIT_ITERS)._1
+  }
+
+  /** The trainer core behind [[fitLogisticGd]]: returns the fitted
+    * [[LogitModel]], the cached z projection (x0..xk, yCol, inFitCol),
+    * and the training-slice size.
+    */
+  private def fitLogitModel(labeled: DataFrame, xs: Seq[String],
+                            yCol: String, inFitCol: String,
+                            iters: Int): (LogitModel, DataFrame, Long) = {
     import org.apache.spark.storage.StorageLevel
     val k = xs.size
     val feats = graft.CacheRegistry.register(
@@ -2616,15 +2714,11 @@ object TextQueries {
     val sds = xs.indices.map { i =>
       val v = (BigInt(vr.getDecimal(i).toBigInteger) / n).toLong
       math.max(1L, math.floor(math.sqrt(v.toDouble)).toLong) }
-    def zExpr(c: String, m: Long, sd: Long): String =
-      s"least(${LOGIT_FIT_ZCLAMP}L, greatest(-${LOGIT_FIT_ZCLAMP}L, " +
-        s"CASE WHEN $c < ${m}L THEN -(((${m}L - $c) * 1000L) div ${sd}L) " +
-        s"ELSE (($c - ${m}L) * 1000L) div ${sd}L END))"
     val z = graft.CacheRegistry.register(
       feats.selectExpr(
         ("CAST(1000 AS BIGINT) AS x0" +:
           xs.indices.map(i =>
-            s"${zExpr(xs(i), means(i), sds(i))} AS x${i + 1}")) ++
+            s"${zScoreExpr(xs(i), means(i), sds(i))} AS x${i + 1}")) ++
           Seq(yCol, inFitCol): _*)
         .persist(StorageLevel.MEMORY_AND_DISK))
     // the descent: K jobs, weights on the driver, BigInt-exact updates;
@@ -2645,14 +2739,7 @@ object TextQueries {
         w(j) -= (if (g < 0) -((-g) / n) else g / n)
       }
     }
-    // full-corpus scoring with the slice-fitted model
-    z.agg(
-        sum(when(expr(s"($sExpr > 0) = ($yCol = 1)"), 1L).otherwise(0L))
-          .as("n_correct"),
-        count(lit(1)).as("n_total"))
-      .select(
-        (0 to k).map(j => lit(w(j).toLong).as(s"w$j")) ++
-          Seq(col("n_correct"), lit(n).as("n_fit"), col("n_total")): _*)
+    (LogitModel(means, sds, w.toSeq.map(_.toLong)), z, n)
   }
 
   /** toks + scored CTEs feeding [[langPredSelect]] (reused by the

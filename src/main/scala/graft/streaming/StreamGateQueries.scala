@@ -279,6 +279,24 @@ object StreamGateQueries {
             .as("sum_cents"))
     },
 
+    // ── train-offline / score-online quality filtering ─────────────────
+    // The logistic quality filter is FITTED on the static corpus (the
+    // q_logit_fit trainer, full slice), then every document arriving
+    // on the stream is scored in-row against the model constants —
+    // stateless, no broadcast, no state store (StreamingQuality). The
+    // rollup (docs and summed score per verdict) must equal the batch
+    // replay of fit + score exactly: the serving path and the training
+    // forward pass can never drift.
+    "q_stream_quality" -> { (s, dir) =>
+      val model = graft.operators.TextQueries.fitQualityModel(
+        s.read.parquet(s"$dir/documents.parquet"))
+      val out = runToTable(s, StreamingQuality.scoreStream(
+        docsStream(s, dir), model))
+      out.groupBy(col("verdict"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("score_m")).as("score_sum_m"))
+    },
+
     // ── streaming near-dup vs the static corpus (ingestion dedup) ──────
     // Each incoming doc's MinHash bands probe the batch-built corpus
     // index; candidates are exact-Jaccard-verified IN-ROW (shingle-set
@@ -1049,6 +1067,9 @@ object StreamGateQueries {
         |    AS BIGINT) AS sum_cents
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1""".stripMargin,
+
+    "q_stream_quality" ->
+      graft.operators.TextQueries.streamQualitySql,
 
     // The symmetric-closure replay of the batch LSH family's banding +
     // exact verify (same md5/affine arithmetic via the Dedup SQL

@@ -67,6 +67,25 @@ class LogitFitSpec extends AnyFunSuite with SparkSpec {
         s"majority baseline $majority/$nTotal")
   }
 
+  test("fitQualityModel reproduces the gated trainer's weights, and " +
+    "the streaming scorer's verdict matches the score sign per doc") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val m = TextQueries.fitQualityModel(docs)
+    val fitRow = fit.head
+    (0 to 4).foreach(j => assert(m.w(j) === fitRow.getAs[Long](s"w$j"),
+      s"serving model w$j drifted from the gated trainer"))
+    // scoreStream is a stateless projection — batch-applying it must
+    // yield one row per doc with verdict ⟺ sign(score)
+    val scored = graft.streaming.StreamingQuality.scoreStream(docs, m)
+      .collect()
+    assert(scored.length === docs.count())
+    scored.foreach { r =>
+      val (s_, v) = (r.getAs[Long]("score_m"), r.getAs[String]("verdict"))
+      if (v == "keep") assert(s_ >= 0L, s"keep with negative score: $r")
+      else assert(s_ <= 0L, s"drop with positive score: $r")
+    }
+  }
+
   test("generic facade: a separable synthetic feature trains to " +
     "near-perfect accuracy") {
     import spark.implicits._
