@@ -609,4 +609,21 @@ object Graft {
                          inFitCol: String = "in_fit",
                          iters: Int = 16): DataFrame =
     operators.TextQueries.fitLogisticGd(labeled, xs, yCol, inFitCol, iters)
+
+  /** Fit the quality filter on a (doc_id, text) corpus and return the
+    * serving model (means/sds/weights) — the offline half of
+    * train-offline / score-online; see [[qualityScoreStream]].
+    */
+  def fitQualityModel(docs: DataFrame): operators.TextQueries.LogitModel =
+    operators.TextQueries.fitQualityModel(docs)
+
+  /** Score a document stream (or batch — the projection is stateless)
+    * with a fitted quality model: (doc_id, score_m, verdict) per row,
+    * model constants inlined as literals so no broadcast, state store,
+    * or watermark is needed; see
+    * [[streaming.StreamingQuality.scoreStream]].
+    */
+  def qualityScoreStream(docs: DataFrame,
+                         model: operators.TextQueries.LogitModel): DataFrame =
+    streaming.StreamingQuality.scoreStream(docs, model)
 }

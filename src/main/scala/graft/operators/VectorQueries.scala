@@ -54,6 +54,8 @@ object VectorQueries {
   private val DUP_COPIES = 50        // planted duplicates for near-dup
   private val DUP_OFFSET = 1000000L  // planted-copy id offset
   private val KCENTER_K = 8          // q_kcenter_seeds: maximin seeds
+  private val KC_SAMPLE_SEED = 29    // q_kcenter_sampled trainer slice
+  private val KC_SAMPLE_PCT = 25     // ~25 % of the corpus fits seeds
   private val NEARDUP_THRESHOLD = 0.99
   private val DBSCAN_EPS = 0.35     // q_dbscan ε: cosine-similarity floor
                                     // (0.35 keeps all three roles at every
@@ -1325,21 +1327,27 @@ object VectorQueries {
       val qv = graft.CacheRegistry.register(
         quantEmb(s, dir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val seeds = kcenterFit(qv)
-      val seedLit = seeds.map(k =>
-        s"struct(${k.rank} AS rank, ${k.vq.mkString("array(", "L,", "L)")} AS sv)")
-        .mkString("array(", ", ", ")")
-      qv.select(expr(
-        s"""array_min(transform($seedLit, e -> struct(
-           |  aggregate(sequence(0, size(vq) - 1), CAST(0 AS BIGINT),
-           |    (acc, d) -> acc + (vq[d] - e.sv[d]) * (vq[d] - e.sv[d]))
-           |    AS d2,
-           |  e.rank AS rank)))""".stripMargin).as("a"))
-        .select(col("a.rank").cast("long").as("seed_rank"), col("a.d2"))
-        .groupBy(col("seed_rank"))
-        .agg(count(lit(1)).as("n_members"),
-          max(col("d2")).as("max_d2"),
-          sum(col("d2")).as("sum_d2"))
+      kcenterCoverage(qv, kcenterFit(qv))
+    },
+
+    // ── sampled-fit k-center: the 100 TB posture of the seeding ────────
+    // Seeds are fitted on the deterministic md5-bucket slice (the
+    // q_ann_ivf_sampled / q_bpe_sampled recipe — the K maximin scans
+    // touch a bounded sample, not the corpus), then EVERY corpus point
+    // is assigned to its nearest slice-fitted seed in one full pass.
+    // The DuckDB twin replays the identical slice from the same hash.
+    // Note the Gonzalez radius certificate is slice-relative here: an
+    // unsampled outlier can exceed the slice's final maximin — that is
+    // the accepted trade of sampling a coverage problem, and exactly
+    // what the coverage columns make visible.
+    "q_kcenter_sampled" -> { (s, dir) =>
+      val qv = graft.CacheRegistry.register(
+        quantEmb(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val slice = qv.filter(
+        Curation.hashBucket(col("vec_id"), KC_SAMPLE_SEED)
+          < KC_SAMPLE_PCT)
+      kcenterCoverage(qv, kcenterFit(slice))
     },
 
     // ── SemDeDup survivor selection (centroid-sim argmin per cluster) ──
@@ -2070,6 +2078,28 @@ object VectorQueries {
       seeds :+= KcSeed(t, -r.getLong(1), r.getLong(0), r.getSeq[Long](2))
     }
     seeds
+  }
+
+  /** One corpus scan assigning every point to its nearest seed (ties →
+    * the earlier-chosen seed rank) rolled up per seed — shared by
+    * q_kcenter_coverage (full fit) and q_kcenter_sampled (slice fit).
+    */
+  private def kcenterCoverage(qv: DataFrame,
+                              seeds: Seq[KcSeed]): DataFrame = {
+    val seedLit = seeds.map(k =>
+      s"struct(${k.rank} AS rank, ${k.vq.mkString("array(", "L,", "L)")} AS sv)")
+      .mkString("array(", ", ", ")")
+    qv.select(expr(
+      s"""array_min(transform($seedLit, e -> struct(
+         |  aggregate(sequence(0, size(vq) - 1), CAST(0 AS BIGINT),
+         |    (acc, d) -> acc + (vq[d] - e.sv[d]) * (vq[d] - e.sv[d]))
+         |    AS d2,
+         |  e.rank AS rank)))""".stripMargin).as("a"))
+      .select(col("a.rank").cast("long").as("seed_rank"), col("a.d2"))
+      .groupBy(col("seed_rank"))
+      .agg(count(lit(1)).as("n_members"),
+        max(col("d2")).as("max_d2"),
+        sum(col("d2")).as("sum_d2"))
   }
 
   /** Library surface for the maximin seeding: k diverse seed rows
@@ -2826,26 +2856,9 @@ object VectorQueries {
          |$rows""".stripMargin
     },
 
-    "q_kcenter_coverage" -> {
-      val all = (s"SELECT CAST(0 AS BIGINT) AS rank, sid FROM ks0" +:
-        (1 until KCENTER_K).map(t =>
-          s"SELECT CAST($t AS BIGINT), sid FROM ks$t"))
-        .mkString("\n  UNION ALL ")
-      s"""WITH $kcenterCtes,
-         |ka AS ($all),
-         |kdist AS (SELECT a.vec_id, s.rank,
-         |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
-         |  FROM kq a, ka s, kq b
-         |  WHERE b.vec_id = s.sid AND a.d = b.d
-         |  GROUP BY 1, 2),
-         |kassign AS (SELECT vec_id, rank, d2,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY d2 ASC, rank ASC) AS rn
-         |  FROM kdist)
-         |SELECT rank AS seed_rank, count(*) AS n_members,
-         |  max(d2) AS max_d2, CAST(sum(d2) AS BIGINT) AS sum_d2
-         |FROM kassign WHERE rn = 1 GROUP BY 1""".stripMargin
-    },
+    "q_kcenter_coverage" -> kcenterCoverageSql(kcenterCtes),
+
+    "q_kcenter_sampled" -> kcenterCoverageSql(kcenterSampledCtes),
 
     "q_cluster_purity" ->
       s"""WITH RECURSIVE $embNearDupCtes,
@@ -3184,7 +3197,45 @@ object VectorQueries {
     * ks_t = the maximin argmax (ORDER BY d2 DESC, vec_id ASC LIMIT 1)
     * — the [[kcenterFit]] loop unrolled exactly.
     */
-  private def kcenterCtes: String = {
+  /** The shared coverage rollup over whichever seed chain is supplied
+    * (full-fit or slice-fit): assign every kq point to its nearest
+    * seed (d2 ASC, rank ASC ties) and aggregate per seed.
+    */
+  private def kcenterCoverageSql(ctes: String): String = {
+    val all = (s"SELECT CAST(0 AS BIGINT) AS rank, sid FROM ks0" +:
+      (1 until KCENTER_K).map(t =>
+        s"SELECT CAST($t AS BIGINT), sid FROM ks$t"))
+      .mkString("\n  UNION ALL ")
+    s"""WITH $ctes,
+       |ka AS ($all),
+       |kdist AS (SELECT a.vec_id, s.rank,
+       |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+       |  FROM kq a, ka s, kq b
+       |  WHERE b.vec_id = s.sid AND a.d = b.d
+       |  GROUP BY 1, 2),
+       |kassign AS (SELECT vec_id, rank, d2,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d2 ASC, rank ASC) AS rn
+       |  FROM kdist)
+       |SELECT rank AS seed_rank, count(*) AS n_members,
+       |  max(d2) AS max_d2, CAST(sum(d2) AS BIGINT) AS sum_d2
+       |FROM kassign WHERE rn = 1 GROUP BY 1""".stripMargin
+  }
+
+  private def kcenterCtes: String = kcenterCtesOver("kq", "")
+
+  /** [[kcenterCtes]] with the FIT restricted to the deterministic
+    * md5-bucket slice (kqf) — the q_kcenter_sampled twin; coverage
+    * consumers still read the full kq.
+    */
+  private def kcenterSampledCtes: String =
+    kcenterCtesOver("kqf",
+      s"""kqf AS (SELECT * FROM kq
+         |  WHERE ${Dedup.hash32Sql(KC_SAMPLE_SEED,
+             "CAST(vec_id AS VARCHAR)")} % 100 < $KC_SAMPLE_PCT),"""
+        .stripMargin)
+
+  private def kcenterCtesOver(fit: String, extraCte: String): String = {
     val rounds = (1 until KCENTER_K).map { t =>
       val minD2 = if (t == 1) "d.d2"
         else "CASE WHEN d.d2 < m.d2 THEN d.d2 ELSE m.d2 END"
@@ -3192,7 +3243,7 @@ object VectorQueries {
         else s" JOIN km${t - 1} m ON d.vec_id = m.vec_id"
       s"""kd$t AS (SELECT a.vec_id,
          |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
-         |  FROM kq a JOIN kq b ON a.d = b.d
+         |  FROM $fit a JOIN kq b ON a.d = b.d
          |    AND b.vec_id = (SELECT sid FROM ks${t - 1})
          |  GROUP BY 1),
          |km$t AS (SELECT d.vec_id, $minD2 AS d2
@@ -3204,7 +3255,8 @@ object VectorQueries {
        |    CAST(floor(CAST(v AS DOUBLE) * 1024.0 + 0.5) AS BIGINT) AS q
        |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
        |        unnest(embedding) AS v FROM embeddings)),
-       |ks0 AS (SELECT min(vec_id) AS sid FROM kq),
+       |$extraCte
+       |ks0 AS (SELECT min(vec_id) AS sid FROM $fit),
        |$rounds""".stripMargin
   }
 

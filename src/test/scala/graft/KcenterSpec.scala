@@ -64,6 +64,18 @@ class KcenterSpec extends AnyFunSuite with SparkSpec {
       s"cover radius $worst exceeds the final maximin $lastRadius")
   }
 
+  test("sampled fit: coverage still partitions the FULL corpus into " +
+    "K cells (seeds fitted on the hash slice)") {
+    val cov = VectorQueries.queries("q_kcenter_sampled")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("seed_rank"),
+        r.getAs[Long]("n_members")))
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(cov.map(_._2).sum === n,
+      "sampled-fit cells must still partition the whole corpus")
+    assert(cov.map(_._1).sorted.toSeq === (0L until seeds.length),
+      s"missing seed ranks: ${cov.mkString(", ")}")
+  }
+
   test("generic facade: line of three points picks the two extremes") {
     import spark.implicits._
     val emb = Seq((1L, Seq(0.0f)), (2L, Seq(0.1f)), (3L, Seq(1.0f)))

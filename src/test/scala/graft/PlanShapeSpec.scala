@@ -14,8 +14,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    // earlier suites in the shared JVM may have left REGISTERED caches
+    // whose plan equals a subtree of the query under test (e.g. the
+    // k-center spec's quantized-embedding projection == the elbow's);
+    // Spark would substitute the InMemoryRelation and its stringified
+    // build plan would double-count "Scan parquet" in these pins —
+    // plan-shape tests must see the uncached shape
+    graft.CacheRegistry.releaseAll()
     df.queryExecution.executedPlan.toString
+  }
 
   test("q1_agg: shipdate filter pushes into the parquet scan") {
     val plan = planOf(RelationalQueries.queries("q1_agg")(spark, sf))
