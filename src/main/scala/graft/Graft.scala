@@ -585,6 +585,17 @@ object Graft {
                   vocabSize: Int = 100): DataFrame =
     operators.TextQueries.maxCoverage(docs, id, text, k, vocabSize)
 
+  /** [[maxCoverage]] under a per-source quota (partition matroid): at
+    * most `cap` picks per `src` value — the balanced-selection form;
+    * see [[operators.TextQueries.maxCoverageQuota]].
+    */
+  def maxCoverageQuota(docs: DataFrame, id: String = "doc_id",
+                       text: String = "text", src: String = "source",
+                       k: Int = 8, vocabSize: Int = 100,
+                       cap: Int = 1): DataFrame =
+    operators.TextQueries.maxCoverageQuota(docs, id, text, src,
+      k, vocabSize, cap)
+
   /** k diverse seed points by Gonzalez maximin k-center seeding —
     * greedy farthest-point selection over an embedding column, the
     * coreset/diversity-sampling primitive (picks the outliers a random

@@ -68,6 +68,7 @@ object TextQueries {
   private val LOGIT_SAMPLE_PCT = 25       // ~25 % of the corpus fits
   private val MAXCOV_K = 8     // q_maxcover_docs: greedy picks
   private val MAXCOV_V = 100   // q_maxcover_docs: coverage vocabulary
+  private val MAXCOV_CAP = 1   // q_maxcover_quota: max picks per source
   private val MIN_RUN = 12     // dup-span floor: spans >= 14 tokens, past chance-collision runs
   private val VOCAB_V = 10     // vocab size for the OOV-coverage signal
   private val MIN_COOC = 5     // co-occurrence support floor (PMI table)
@@ -691,6 +692,20 @@ object TextQueries {
     "q_maxcover_docs" -> { (s, dir) =>
       maxCoverage(Tables.load(s, dir, "documents"),
         "doc_id", "text", MAXCOV_K, MAXCOV_V)
+    },
+
+    // ── quota'd max-coverage (partition-matroid greedy) ─────────────────
+    // The balanced-selection variant a real curation run ships: the
+    // same greedy coverage objective, but a source may contribute at
+    // most CAP picks — the partition-matroid constraint under which
+    // greedy keeps a 1/2 approximation (Fisher-Nemhauser-Wolsey).
+    // Sources that hit their cap leave the candidate pool; everything
+    // else (marginal gains, ties, early stop) is q_maxcover_docs.
+    // Output adds the pick's source. Driver state: the covered set
+    // (≤ V strings) + per-source pick counts (≤ |sources| ints).
+    "q_maxcover_quota" -> { (s, dir) =>
+      maxCoverageQuota(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "source", MAXCOV_K, MAXCOV_V, MAXCOV_CAP)
     },
 
     // ── BPE merge-step statistic: adjacent-pair frequency table ─────────
@@ -2220,6 +2235,54 @@ object TextQueries {
     out.toDF("rank", idCol, "gain", "n_covered")
   }
 
+  /** [[maxCoverage]] under a partition-matroid constraint: at most
+    * `cap` picks per `srcCol` value (greedy keeps a 1/2 approximation
+    * under a matroid). Returns (rank, idCol, srcCol, gain, n_covered).
+    */
+  def maxCoverageQuota(docs: DataFrame, idCol: String, textCol: String,
+                       srcCol: String, k: Int, v: Int,
+                       cap: Int): DataFrame = {
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(srcCol).as("src"),
+        explode(array_distinct(
+          TextFunctions.shingles(col(textCol), K))).as("tok"))
+    val vocab = base.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc).limit(v)
+    val dt = graft.CacheRegistry.register(
+      base.join(broadcast(vocab.select(col("tok"))), "tok")
+        .select(col("doc_id"), col("src"), col("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var covered = Set.empty[String]
+    var srcCnt = Map.empty[String, Int]
+    var out = Vector.empty[(Long, Long, String, Long, Long)]
+    var done = false
+    for (t <- 0 until k if !done) {
+      val full = srcCnt.filter(_._2 >= cap).keys.toSeq
+      var cand = dt
+      if (covered.nonEmpty)
+        cand = cand.filter(!col("tok").isInCollection(covered))
+      if (full.nonEmpty)
+        cand = cand.filter(!col("src").isInCollection(full))
+      val r = cand.groupBy(col("doc_id"), col("src"))
+        .agg(count(lit(1)).as("gain"), collect_set(col("tok")).as("ts"))
+        .agg(max(struct(col("gain"),
+          (lit(-1L) * col("doc_id")).as("nid"), col("src"),
+          col("ts"))).as("m"))
+        .head().getStruct(0)
+      if (r == null) done = true
+      else {
+        val src = r.getString(2)
+        covered ++= r.getSeq[String](3)
+        srcCnt = srcCnt.updated(src, srcCnt.getOrElse(src, 0) + 1)
+        out :+= ((t.toLong, -r.getLong(1), src, r.getLong(0),
+          covered.size.toLong))
+      }
+    }
+    import docs.sparkSession.implicits._
+    out.toDF("rank", idCol, srcCol, "gain", "n_covered")
+  }
+
   /** The q_maxcover_docs oracle chain: mcd = distinct doc-shingle
     * pairs, mcv = the top-V-df shingle vocabulary (df DESC, tok ASC),
     * mdt = the restricted pair table; then per greedy round t, mg_t =
@@ -2246,12 +2309,55 @@ object TextQueries {
     // MATERIALIZED throughout: each round references the previous
     // covered set, so inlined CTEs would re-expand the whole prefix
     // per round (the 2^rounds plan blow-up, DuckDB edition)
+    s"""$maxcoverBaseCtes,
+       |$rounds""".stripMargin
+  }
+
+  /** The shared doc-shingle base of the max-coverage twins: mcd =
+    * distinct doc-shingle pairs, mcv = the top-V-df vocabulary,
+    * mdt = the V-restricted pair table.
+    */
+  private def maxcoverBaseCtes: String =
     s"""$shinglesCte,
        |mcd AS (SELECT doc_id, shingle AS tok FROM sh),
        |mcv AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM mcd
        |  GROUP BY 1 ORDER BY df DESC, tok ASC LIMIT $MAXCOV_V)),
        |mdt AS MATERIALIZED (SELECT d.doc_id, d.tok
-       |  FROM mcd d JOIN mcv USING (tok)),
+       |  FROM mcd d JOIN mcv USING (tok))""".stripMargin
+
+  /** The q_maxcover_quota oracle chain: the same greedy rounds under a
+    * partition-matroid constraint — a source whose picks reached CAP
+    * leaves the candidate pool (qex_t, recomputed from the picks so
+    * far), everything else identical to [[maxcoverCtes]].
+    */
+  private def maxcoverQuotaCtes: String = {
+    val rounds = (0 until MAXCOV_K).map { t =>
+      val notCovered = if (t == 0) ""
+        else s" AND m.tok NOT IN (SELECT tok FROM qcov${t - 1})"
+      val covPrev = if (t == 0) ""
+        else s"SELECT tok FROM qcov${t - 1} UNION "
+      val exCte = if (t == 0) ""
+        else {
+          val picks = (0 until t).map(i => s"SELECT doc_id FROM qc$i")
+            .mkString(" UNION ALL ")
+          s"""qex$t AS MATERIALIZED (SELECT d.source FROM ($picks) p
+             |  JOIN mqd d USING (doc_id)
+             |  GROUP BY 1 HAVING count(*) >= $MAXCOV_CAP),""".stripMargin
+        }
+      val exPred = if (t == 0) ""
+        else s" AND d.source NOT IN (SELECT source FROM qex$t)"
+      s"""${exCte}qg$t AS MATERIALIZED (SELECT m.doc_id, d.source,
+         |    count(*) AS gain
+         |  FROM mdt m JOIN mqd d USING (doc_id)
+         |  WHERE 1 = 1$notCovered$exPred
+         |  GROUP BY 1, 2),
+         |qc$t AS MATERIALIZED (SELECT doc_id, source, gain FROM qg$t
+         |  ORDER BY gain DESC, doc_id ASC LIMIT 1),
+         |qcov$t AS MATERIALIZED (${covPrev}SELECT tok FROM mdt
+         |  WHERE doc_id = (SELECT doc_id FROM qc$t))""".stripMargin
+    }.mkString(",\n")
+    s"""$maxcoverBaseCtes,
+       |mqd AS (SELECT doc_id, source FROM documents),
        |$rounds""".stripMargin
   }
 
@@ -3137,6 +3243,15 @@ object TextQueries {
           s" (SELECT count(*) FROM mcov$t) AS n_covered FROM mc$t")
         .mkString("\nUNION ALL ")
       s"""WITH $maxcoverCtes
+         |$rows""".stripMargin
+    },
+
+    "q_maxcover_quota" -> {
+      val rows = (0 until MAXCOV_K).map(t =>
+        s"SELECT CAST($t AS BIGINT) AS rank, doc_id, source, gain," +
+          s" (SELECT count(*) FROM qcov$t) AS n_covered FROM qc$t")
+        .mkString("\nUNION ALL ")
+      s"""WITH $maxcoverQuotaCtes
          |$rows""".stripMargin
     },
 

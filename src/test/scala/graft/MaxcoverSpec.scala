@@ -46,6 +46,37 @@ class MaxcoverSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("quota variant: never more than CAP picks per source; gains " +
+    "stay non-increasing; unconstrained prefix matches the plain greedy") {
+    val q = TextQueries.queries("q_maxcover_quota")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[Long]("gain")))
+      .sortBy(_._1)
+    assert(q.nonEmpty)
+    q.groupBy(_._3).foreach { case (src, ps) =>
+      assert(ps.length <= 1, s"source $src exceeded the cap: $ps")
+    }
+    q.map(_._4).sliding(2).foreach { w =>
+      assert(w(1) <= w(0), s"gain grew: ${q.map(_._4).mkString(", ")}")
+    }
+    // while no source is saturated the constrained greedy IS the plain
+    // greedy — the two must agree up to the first divergence-by-cap
+    val plain = picks.map(_._2)
+    val firstDiff = q.map(_._2).zip(plain).indexWhere { case (a, b) => a != b }
+    if (firstDiff >= 0) {
+      // the plain pick at the divergence must come from a source the
+      // quota run had already used (that is WHY they diverged)
+      val usedBefore = q.take(firstDiff).map(_._3).toSet
+      val divergedDoc = plain(firstDiff)
+      val divergedSrc = spark.read.parquet(s"$sf/documents.parquet")
+        .filter(org.apache.spark.sql.functions.col("doc_id") === divergedDoc)
+        .select("source").head().getString(0)
+      assert(usedBefore.contains(divergedSrc),
+        s"diverged at rank $firstDiff but plain pick $divergedDoc's " +
+          s"source $divergedSrc was not yet saturated")
+    }
+  }
+
   test("generic facade: a superset doc wins round 0 on a hand corpus") {
     import spark.implicits._
     // doc 5 contains both shingle runs of docs 7 and 9; doc 7 then
