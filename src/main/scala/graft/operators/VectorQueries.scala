@@ -2102,6 +2102,54 @@ object VectorQueries {
         sum(col("d2")).as("sum_d2"))
   }
 
+  /** Stateless novelty scoring against batch-fitted k-center seeds —
+    * the out-of-distribution admission check for an embedding STREAM:
+    * seeds are fitted ONCE on the curated corpus ([[kcenterFit]]) and
+    * each arriving vector is assigned in-row to its nearest seed
+    * (literals in the plan — no broadcast, no state). `band` places
+    * the arrival on the cover-radius scale: quartiles of r² (r = the
+    * final maximin distance), i.e. band = min(4, 4·d² div r²) — bands
+    * 0–3 are inside the Gonzalez certificate, band 4 is OUTSIDE the
+    * cover: no corpus point was ever this far from every seed, the
+    * unambiguous out-of-distribution signal. (A single d > r/2 flag is
+    * useless in high dimension — distance concentration puts ~all mass
+    * in the outer half; the quartile scale keeps the full shape.)
+    * Works on a streaming OR batch frame — the projection is
+    * stateless.
+    *
+    * @param incoming (vec_id, `vecCol` float array) — may be a stream
+    * @param corpus   the batch corpus the seeds are fitted on
+    * @return (vec_id, nearest_rank, d2, band 0–4)
+    */
+  def noveltyScore(incoming: DataFrame, corpus: DataFrame,
+                   vecCol: String = "embedding",
+                   k: Int = KCENTER_K): DataFrame = {
+    def quant(c: String) =
+      s"transform($c, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))"
+    val qv = graft.CacheRegistry.register(
+      corpus.select(col("vec_id"), expr(quant(vecCol)).as("vq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val seeds = kcenterFit(qv, k)
+    val r2 = seeds.last.selD2
+    val seedLit = seeds.map(s =>
+      s"struct(${s.rank} AS rank, ${s.vq.mkString("array(", "L,", "L)")} AS sv)")
+      .mkString("array(", ", ", ")")
+    incoming
+      .select(col("vec_id"), expr(quant(vecCol)).as("vq"))
+      .select(col("vec_id"), expr(
+        s"""array_min(transform($seedLit, e -> struct(
+           |  aggregate(sequence(0, size(vq) - 1), CAST(0 AS BIGINT),
+           |    (acc, d) -> acc + (vq[d] - e.sv[d]) * (vq[d] - e.sv[d]))
+           |    AS d2,
+           |  e.rank AS rank)))""".stripMargin).as("a"))
+      .select(col("vec_id"),
+        col("a.rank").cast("long").as("nearest_rank"),
+        col("a.d2").as("d2"),
+        expr(s"least(4L, (4 * a.d2) div ${math.max(r2, 1L)}L)")
+          .as("band"))
+  }
+
   /** Library surface for the maximin seeding: k diverse seed rows
     * (rank, `idCol`, sel_d2) from any float-vector corpus — the
     * q_kcenter_seeds body over caller columns. The corpus projection
@@ -3220,6 +3268,33 @@ object VectorQueries {
        |SELECT rank AS seed_rank, count(*) AS n_members,
        |  max(d2) AS max_d2, CAST(sum(d2) AS BIGINT) AS sum_d2
        |FROM kassign WHERE rn = 1 GROUP BY 1""".stripMargin
+  }
+
+  /** The q_stream_novelty oracle: the full-fit seed chain, every
+    * corpus point assigned to its nearest seed (d2 ASC, rank ASC),
+    * and the cover-radius quartile band against the final maximin r²
+    * — the batch ground truth the streaming scorer must reproduce.
+    */
+  private[graft] def streamNoveltySql: String = {
+    val all = (s"SELECT CAST(0 AS BIGINT) AS rank, sid FROM ks0" +:
+      (1 until KCENTER_K).map(t =>
+        s"SELECT CAST($t AS BIGINT), sid FROM ks$t"))
+      .mkString("\n  UNION ALL ")
+    s"""WITH $kcenterCtes,
+       |ka AS ($all),
+       |kdist AS (SELECT a.vec_id, s.rank,
+       |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+       |  FROM kq a, ka s, kq b
+       |  WHERE b.vec_id = s.sid AND a.d = b.d
+       |  GROUP BY 1, 2),
+       |kassign AS (SELECT vec_id, rank, d2,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d2 ASC, rank ASC) AS rn
+       |  FROM kdist)
+       |SELECT vec_id, rank AS nearest_rank, d2,
+       |  CAST(least(4, (4 * d2) // greatest(
+       |    (SELECT d2 FROM ks${KCENTER_K - 1}), 1)) AS BIGINT) AS band
+       |FROM kassign WHERE rn = 1""".stripMargin
   }
 
   private def kcenterCtes: String = kcenterCtesOver("kq", "")

@@ -297,6 +297,24 @@ object StreamGateQueries {
           sum(col("score_m")).as("score_sum_m"))
     },
 
+    // ── streaming novelty vs the batch-fitted k-center cover ───────────
+    // Out-of-distribution admission: the maximin seeds are fitted ONCE
+    // on the corpus, each arriving embedding is assigned in-row to its
+    // nearest seed (literals in the plan — stateless) and banded on
+    // the cover-radius quartile scale (band 4 = OUTSIDE the Gonzalez
+    // cover — farther from every seed than any corpus point ever was).
+    // The fixture replays the embeddings table itself, so every
+    // per-point (nearest seed, d², band) must equal the batch
+    // assignment.
+    "q_stream_novelty" -> { (s, dir) =>
+      val corpus = s.read.parquet(s"$dir/embeddings.parquet")
+      val schema = corpus.select(col("vec_id"), col("embedding")).schema
+      val in = s.readStream.schema(schema)
+        .parquet(stage(dir, copies = 1, table = "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      runToTable(s, graft.operators.VectorQueries.noveltyScore(in, corpus))
+    },
+
     // ── streaming near-dup vs the static corpus (ingestion dedup) ──────
     // Each incoming doc's MinHash bands probe the batch-built corpus
     // index; candidates are exact-Jaccard-verified IN-ROW (shingle-set
@@ -1070,6 +1088,9 @@ object StreamGateQueries {
 
     "q_stream_quality" ->
       graft.operators.TextQueries.streamQualitySql,
+
+    "q_stream_novelty" ->
+      graft.operators.VectorQueries.streamNoveltySql,
 
     // The symmetric-closure replay of the batch LSH family's banding +
     // exact verify (same md5/affine arithmetic via the Dedup SQL

@@ -122,9 +122,9 @@ object StreamScaleProbe {
     // question is whether the DRAIN grows with the corpus beyond the
     // index build (it must not: the stream side's shuffle is its own
     // band rows; the index side is the one-time batch build).
+    val docsBase = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
     if (want("neardup")) {
-      val docsBase = spark.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"))
       def stageDocs(m: Int): String = {
         val out = graft.StageDirs.stable(s"stream_scale_docs_x$m")
         val marker = java.nio.file.Paths.get(s"$out/_STAGED")
@@ -151,6 +151,45 @@ object StreamScaleProbe {
           .parquet(arrivalDir)
         drain(s"neardup corpus x$m",
           graft.streaming.StreamingNearDup.neardupStream(arrivals, idx))
+      }
+    }
+
+    // ── quality: arrival batch FIXED, the fitted model's corpus ×m ─────
+    // q_stream_quality's production shape: the model is fitted offline
+    // on an ×m corpus (that cost is TextScaleProbe's q_logit_fit row),
+    // and a bounded arrival batch is scored against its constants. The
+    // drain must be FLAT in m — the scorer is a stateless projection
+    // whose plan carries only the model literals, so corpus growth can
+    // only reach the stream through the offline fit.
+    if (want("quality")) {
+      def stageQ(m: Int): String = {
+        val out = graft.StageDirs.stable(s"stream_scale_qdocs_x$m")
+        val marker = java.nio.file.Paths.get(s"$out/_STAGED")
+        if (!Files.exists(marker)) {
+          (0 until m).foreach { i =>
+            docsBase.select(
+                (col("doc_id") + lit(i.toLong * 100_000_000L))
+                  .as("doc_id"), col("text"))
+              .coalesce(2)
+              .write.mode(if (i == 0) "overwrite" else "append")
+              .parquet(out)
+          }
+          Files.createDirectories(marker.getParent)
+          Files.writeString(marker, "ok")
+        }
+        out
+      }
+      val arrivalDir = stageQ(1)
+      for (m <- mults) {
+        graft.CacheRegistry.releaseAll(); spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val model = graft.operators.TextQueries.fitQualityModel(
+          spark.read.parquet(stageQ(m)))
+        println(f"[streamscale] quality fit x$m%-17s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        val arrivals = spark.readStream.schema(docsBase.schema)
+          .parquet(arrivalDir)
+        drain(s"quality score x$m",
+          graft.streaming.StreamingQuality.scoreStream(arrivals, model))
       }
     }
     spark.stop()

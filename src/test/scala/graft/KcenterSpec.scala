@@ -76,6 +76,27 @@ class KcenterSpec extends AnyFunSuite with SparkSpec {
       s"missing seed ranks: ${cov.mkString(", ")}")
   }
 
+  test("novelty banding: the replayed corpus never lands OUTSIDE its " +
+    "own cover (band ≤ 3 — the Gonzalez certificate), seeds at band 0") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val scored = graft.operators.VectorQueries
+      .noveltyScore(emb.select(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")), emb)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("d2"),
+        r.getAs[Long]("band")))
+    assert(scored.length === emb.count())
+    scored.foreach { case (id, d2, band) =>
+      assert(band >= 0L && band <= 3L,
+        s"corpus point $id outside its own cover: d2=$d2 band=$band")
+    }
+    val seedIds = seeds.map(_._2).toSet
+    scored.filter(p => seedIds.contains(p._1)).foreach { case (id, d2, b) =>
+      assert(d2 === 0L && b === 0L, s"seed $id not at distance 0: $d2/$b")
+    }
+  }
+
   test("generic facade: line of three points picks the two extremes") {
     import spark.implicits._
     val emb = Seq((1L, Seq(0.0f)), (2L, Seq(0.1f)), (3L, Seq(1.0f)))
