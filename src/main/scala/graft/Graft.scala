@@ -621,6 +621,15 @@ object Graft {
                          iters: Int = 16): DataFrame =
     operators.TextQueries.fitLogisticGd(labeled, xs, yCol, inFitCol, iters)
 
+  /** Band arriving embeddings on the corpus's k-center cover-radius
+    * scale (band 4 = outside the cover — the out-of-distribution
+    * signal); stateless, works on streams; see
+    * [[operators.VectorQueries.noveltyScore]].
+    */
+  def noveltyScore(incoming: DataFrame, corpus: DataFrame,
+                   vecCol: String = "embedding", k: Int = 8): DataFrame =
+    operators.VectorQueries.noveltyScore(incoming, corpus, vecCol, k)
+
   /** Fit the quality filter on a (doc_id, text) corpus and return the
     * serving model (means/sds/weights) — the offline half of
     * train-offline / score-online; see [[qualityScoreStream]].
