@@ -621,6 +621,26 @@ object Graft {
                          iters: Int = 16): DataFrame =
     operators.TextQueries.fitLogisticGd(labeled, xs, yCol, inFitCol, iters)
 
+  /** The K documents whose fitted-model score sits closest to the
+    * decision boundary — the margin-based active-learning labeling
+    * queue. Scores with `model` in-row, selects via TakeOrdered (never
+    * a full sort); returns (rank, doc_id, score_m).
+    */
+  def uncertaintySample(docs: DataFrame,
+                        model: operators.TextQueries.LogitModel,
+                        k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{abs, col, row_number}
+    val scored = streaming.StreamingQuality.scoreStream(docs, model)
+      .select(col("doc_id"), col("score_m"),
+        abs(col("score_m")).as("abs_m"))
+      .orderBy(col("abs_m").asc, col("doc_id").asc).limit(k)
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("abs_m").asc, col("doc_id").asc)))
+      .select(col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score_m"))
+  }
+
   /** Band arriving embeddings on the corpus's k-center cover-radius
     * scale (band 4 = outside the cover — the out-of-distribution
     * signal); stateless, works on streams; see

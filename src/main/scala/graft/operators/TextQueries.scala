@@ -69,6 +69,7 @@ object TextQueries {
   private val MAXCOV_K = 8     // q_maxcover_docs: greedy picks
   private val MAXCOV_V = 100   // q_maxcover_docs: coverage vocabulary
   private val MAXCOV_CAP = 1   // q_maxcover_quota: max picks per source
+  private val UNC_K = 16       // q_uncertainty_sample: labeling-queue size
   private val MIN_RUN = 12     // dup-span floor: spans >= 14 tokens, past chance-collision runs
   private val VOCAB_V = 10     // vocab size for the OOV-coverage signal
   private val MIN_COOC = 5     // co-occurrence support floor (PMI table)
@@ -1167,6 +1168,33 @@ object TextQueries {
     // Full mechanics in [[logitFit]]; the oracle unrolls the identical
     // 16 steps as chained CTEs.
     "q_logit_fit" -> { (s, dir) => logitFit(s, dir, sampled = false) },
+
+    // ── margin-based uncertainty sampling (active learning) ────────────
+    // The labeling queue the trained filter implies: the K documents
+    // whose model score sits CLOSEST to the decision boundary (|s|
+    // minimal — the margin rule) are the ones a human label improves
+    // the most. Fit = the q_logit_fit trainer; scoring = the model
+    // constants in-row (the q_stream_quality forward pass); selection
+    // = TakeOrderedAndProject on (|score| ASC, doc_id ASC) — k rows,
+    // never a full sort. Output (rank, doc_id, score_m).
+    "q_uncertainty_sample" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val model = fitQualityModel(docs)
+      val sE = model.scoreExpr(Seq("len_bp", "stop_bp", "punct_bp",
+        "uniq_bp"))
+      val scored = qualityBpOf(docs)
+        .withColumn("score_m", expr(
+          s"CASE WHEN $sE < 0 THEN -((-$sE) div 1000000L) " +
+            s"ELSE $sE div 1000000L END"))
+        .select(col("doc_id"), col("score_m"),
+          abs(col("score_m")).as("abs_m"))
+        .orderBy(col("abs_m").asc, col("doc_id").asc)
+        .limit(UNC_K)
+      scored.withColumn("rank", row_number().over(
+          Window.orderBy(col("abs_m").asc, col("doc_id").asc)))
+        .select(col("rank").cast("long").as("rank"),
+          col("doc_id"), col("score_m"))
+    },
 
     // ── sampled-fit trainer: the 100 TB posture of q_logit_fit ─────────
     // The same recipe the sampled IVF/PQ/BPE trainers follow: fit
@@ -2540,6 +2568,24 @@ object TextQueries {
        |FROM $last, st""".stripMargin
   }
 
+  /** The q_uncertainty_sample oracle: trainer chain to the final
+    * weights, per-doc margin |s| from the z rows, smallest-K by
+    * (|score_m| ASC, doc_id ASC).
+    */
+  private[graft] def uncertaintySampleSql: String = {
+    val (ctes, sFin) = logitCtes(sampled = false)
+    val last = s"it$LOGIT_FIT_ITERS"
+    s"""WITH $ctes,
+       |usc AS (SELECT z.doc_id,
+       |    CAST(CASE WHEN $sFin < 0 THEN -((-($sFin)) // 1000000)
+       |      ELSE ($sFin) // 1000000 END AS BIGINT) AS score_m
+       |  FROM z, $last)
+       |SELECT CAST(row_number() OVER (ORDER BY abs(score_m) ASC,
+       |    doc_id ASC) AS BIGINT) AS rank, doc_id, score_m
+       |FROM usc
+       |ORDER BY abs(score_m) ASC, doc_id ASC LIMIT $UNC_K""".stripMargin
+  }
+
   /** The q_stream_quality oracle: the full-corpus trainer chain
     * ([[logitCtes]]) replayed to the final weights, then ONE per-doc
     * scoring pass rolled up by verdict — the batch ground truth the
@@ -2636,7 +2682,8 @@ object TextQueries {
                   s" // st.n AS DOUBLE))) AS BIGINT)) AS sd${i + 1}" }
                 .mkString(", ")}
        |  FROM lab, st WHERE lab.in_sl = 1 GROUP BY st.n),
-       |z AS MATERIALIZED (SELECT CAST(1000 AS BIGINT) AS x0,
+       |z AS MATERIALIZED (SELECT lab.doc_id,
+       |    CAST(1000 AS BIGINT) AS x0,
        |    ${(0 to 3).map(i => s"${zSql(i)} AS x${i + 1}").mkString(", ")},
        |    lab.y, lab.in_sl FROM lab, st, vr),
        |it0 AS MATERIALIZED (SELECT ${(0 to 4).map(j =>
@@ -3784,6 +3831,8 @@ object TextQueries {
          |FROM bp""".stripMargin,
 
     "q_logit_fit" -> logitFitSql(sampled = false),
+
+    "q_uncertainty_sample" -> uncertaintySampleSql,
 
     "q_logit_fit_sampled" -> logitFitSql(sampled = true),
 

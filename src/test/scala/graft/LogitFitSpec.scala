@@ -86,6 +86,28 @@ class LogitFitSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("uncertainty sample: the queue holds exactly the smallest-margin " +
+    "docs the batch scorer would rank first") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val picks = TextQueries.queries("q_uncertainty_sample")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_m")))
+      .sortBy(_._1)
+    assert(picks.length === 16)
+    assert(picks.map(_._1).toSeq === (1L to 16L))
+    // recompute every doc's margin with the served model: the queue's
+    // worst margin must lower-bound everything outside the queue
+    val m = TextQueries.fitQualityModel(docs)
+    val all = graft.streaming.StreamingQuality.scoreStream(docs, m)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        math.abs(r.getAs[Long]("score_m"))))
+    val inQueue = picks.map(_._2).toSet
+    val worstIn = picks.map(p => math.abs(p._3)).max
+    val bestOut = all.filterNot(p => inQueue.contains(p._1)).map(_._2).min
+    assert(worstIn <= bestOut,
+      s"queue misses a smaller margin: in=$worstIn out=$bestOut")
+  }
+
   test("generic facade: a separable synthetic feature trains to " +
     "near-perfect accuracy") {
     import spark.implicits._
