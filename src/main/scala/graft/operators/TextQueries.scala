@@ -2231,15 +2231,15 @@ object TextQueries {
     */
   def maxCoverage(docs: DataFrame, idCol: String, textCol: String,
                   k: Int, v: Int): DataFrame = {
-    val dt0 = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        explode(array_distinct(
-          TextFunctions.shingles(col(textCol), K))).as("tok"))
-    val vocab = dt0.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("tok").asc).limit(v)
+    val vocab = maxcoverVocab(docs, textCol, v)
+    // second corpus pass: restrict IN-ROW against the ≤v-string vocab
+    // literal (typedlit — corpus text never reaches SQL-string land),
+    // so the explode emits only vocabulary hits and no join runs
     val dt = graft.CacheRegistry.register(
-      dt0.join(broadcast(vocab.select(col("tok"))), "tok")
-        .select(col("doc_id"), col("tok"))
+      docs.select(col(idCol).cast("long").as("doc_id"),
+          explode(array_intersect(
+            array_distinct(TextFunctions.shingles(col(textCol), K)),
+            typedlit(vocab))).as("tok"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var covered = Set.empty[String]
     var out = Vector.empty[(Long, Long, Long, Long)]
@@ -2263,6 +2263,18 @@ object TextQueries {
     out.toDF("rank", idCol, "gain", "n_covered")
   }
 
+  /** The top-v-df shingle vocabulary as a driver list (≤ v strings —
+    * the bounded collect the in-row restriction literal rides on);
+    * shared by [[maxCoverage]] and [[maxCoverageQuota]].
+    */
+  private def maxcoverVocab(docs: DataFrame, textCol: String,
+                            v: Int): Seq[String] =
+    docs.select(explode(array_distinct(
+        TextFunctions.shingles(col(textCol), K))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc).limit(v)
+      .collect().map(_.getString(0)).toSeq
+
   /** [[maxCoverage]] under a partition-matroid constraint: at most
     * `cap` picks per `srcCol` value (greedy keeps a 1/2 approximation
     * under a matroid). Returns (rank, idCol, srcCol, gain, n_covered).
@@ -2270,16 +2282,13 @@ object TextQueries {
   def maxCoverageQuota(docs: DataFrame, idCol: String, textCol: String,
                        srcCol: String, k: Int, v: Int,
                        cap: Int): DataFrame = {
-    val base = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        col(srcCol).as("src"),
-        explode(array_distinct(
-          TextFunctions.shingles(col(textCol), K))).as("tok"))
-    val vocab = base.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("tok").asc).limit(v)
+    val vocab = maxcoverVocab(docs, textCol, v)
     val dt = graft.CacheRegistry.register(
-      base.join(broadcast(vocab.select(col("tok"))), "tok")
-        .select(col("doc_id"), col("src"), col("tok"))
+      docs.select(col(idCol).cast("long").as("doc_id"),
+          col(srcCol).as("src"),
+          explode(array_intersect(
+            array_distinct(TextFunctions.shingles(col(textCol), K)),
+            typedlit(vocab))).as("tok"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var covered = Set.empty[String]
     var srcCnt = Map.empty[String, Int]
