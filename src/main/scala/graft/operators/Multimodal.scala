@@ -283,6 +283,7 @@ object Multimodal {
   /** q_media_frames fixture knobs: 64-byte windows, every 2nd one. */
   val FRAME_BYTES = 64
   val FRAME_STRIDE = 2
+  val RESIZE_FACTOR = 4  // q_media_resize: keep every 4th byte
 
   /** Frame sampling: treat the payload as fixed-size frames and emit
     * every `stride`-th one — the one-to-many imperative stage a video
@@ -553,6 +554,24 @@ object Multimodal {
           max(col("height")).as("height"))
     },
 
+    // ── stub-resize rollup: the scale stage of the media pipeline ──────
+    // resizeStub (every factor-th payload byte — the deterministic
+    // stand-in for a real scaler; MultimodalSpec pins the byte rule)
+    // gated end-to-end: per media, the resized size, the unsigned
+    // byte sum, and the first 8 resized bytes in hex — three
+    // independent witnesses of WHICH bytes survived, so a stride slip
+    // or an off-by-one cannot hash-match. The DuckDB twin replays the
+    // byte selection over hex pairs (blobs are not sliceable there).
+    "q_media_resize" -> { (s, dir) =>
+      import s.implicits._
+      resizeStub(mediaOf(s, dir).as[MediaRow], RESIZE_FACTOR)
+        .map { m =>
+          val sum = m.bytes.foldLeft(0L)((a, b) => a + (b & 0xFF))
+          val head = m.bytes.take(8).map(b => f"${b & 0xFF}%02X").mkString
+          (m.media_id, m.bytes.length.toLong, sum, head)
+        }.toDF("media_id", "n_resized", "byte_sum", "head8")
+    },
+
     // ── perceptual near-dup CLUSTERS: the actionable media dedup form ──
     // Same pairs→components closure the text side uses ([[Clusters]]):
     // banded-hamming pairs over the aHash fingerprints, closed into
@@ -714,6 +733,27 @@ object Multimodal {
          |  CAST(max(h) AS BIGINT) AS height
          |FROM dd GROUP BY media_id""".stripMargin
     },
+
+    // the stub resize replayed over hex pairs: position i survives iff
+    // i % factor = 0; three witnesses (count, unsigned sum, head-8 hex)
+    "q_media_resize" ->
+      s"""WITH $mediaCte,
+         |rr AS (SELECT media_id, hex(bytes) AS h,
+         |    CAST(octet_length(bytes) AS BIGINT) AS n FROM media),
+         |rb AS (SELECT media_id,
+         |    CAST(('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2))
+         |      AS BIGINT) AS bv,
+         |    substr(h, CAST(i * 2 + 1 AS INT), 2) AS pr,
+         |    CAST(i // $RESIZE_FACTOR AS BIGINT) AS ri
+         |  FROM rr, unnest(range(0, n, $RESIZE_FACTOR)) AS u(i))
+         |SELECT rr.media_id,
+         |  CAST((rr.n + ${RESIZE_FACTOR - 1}) // $RESIZE_FACTOR
+         |    AS BIGINT) AS n_resized,
+         |  CAST(coalesce(sum(rb.bv), 0) AS BIGINT) AS byte_sum,
+         |  coalesce(string_agg(CASE WHEN rb.ri < 8 THEN rb.pr END, ''
+         |    ORDER BY rb.ri), '') AS head8
+         |FROM rr LEFT JOIN rb USING (media_id)
+         |GROUP BY rr.media_id, rr.n""".stripMargin,
 
     "q_media_dedup" ->
       s"""WITH $mediaCte
