@@ -581,8 +581,9 @@ object Graft {
     * [[operators.TextQueries.maxCoverage]].
     */
   def maxCoverage(docs: DataFrame, id: String = "doc_id",
-                  text: String = "text", k: Int = 8,
-                  vocabSize: Int = 100): DataFrame =
+                  text: String = "text",
+                  k: Int = operators.TextQueries.MAXCOV_K,
+                  vocabSize: Int = operators.TextQueries.MAXCOV_V): DataFrame =
     operators.TextQueries.maxCoverage(docs, id, text, k, vocabSize)
 
   /** [[maxCoverage]] under a per-source quota (partition matroid): at
@@ -591,8 +592,9 @@ object Graft {
     */
   def maxCoverageQuota(docs: DataFrame, id: String = "doc_id",
                        text: String = "text", src: String = "source",
-                       k: Int = 8, vocabSize: Int = 100,
-                       cap: Int = 1): DataFrame =
+                       k: Int = operators.TextQueries.MAXCOV_K,
+                       vocabSize: Int = operators.TextQueries.MAXCOV_V,
+                       cap: Int = operators.TextQueries.MAXCOV_CAP): DataFrame =
     operators.TextQueries.maxCoverageQuota(docs, id, text, src,
       k, vocabSize, cap)
 
@@ -605,7 +607,7 @@ object Graft {
     */
   def diversitySeeds(emb: DataFrame, idCol: String = "vec_id",
                      vecCol: String = "embedding",
-                     k: Int = 8): DataFrame =
+                     k: Int = operators.VectorQueries.KCENTER_K): DataFrame =
     operators.VectorQueries.diversitySeeds(emb, idCol, vecCol, k)
 
   /** Train a linear quality filter by integer-exact full-batch
@@ -618,7 +620,7 @@ object Graft {
   def trainQualityFilter(labeled: DataFrame, xs: Seq[String],
                          yCol: String = "y",
                          inFitCol: String = "in_fit",
-                         iters: Int = 16): DataFrame =
+                         iters: Int = operators.TextQueries.LOGIT_FIT_ITERS): DataFrame =
     operators.TextQueries.fitLogisticGd(labeled, xs, yCol, inFitCol, iters)
 
   /** The K documents whose fitted-model score sits closest to the
@@ -628,18 +630,8 @@ object Graft {
     */
   def uncertaintySample(docs: DataFrame,
                         model: operators.TextQueries.LogitModel,
-                        k: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{abs, col, row_number}
-    val scored = streaming.StreamingQuality.scoreStream(docs, model)
-      .select(col("doc_id"), col("score_m"),
-        abs(col("score_m")).as("abs_m"))
-      .orderBy(col("abs_m").asc, col("doc_id").asc).limit(k)
-    scored.withColumn("rank", row_number().over(
-        Window.orderBy(col("abs_m").asc, col("doc_id").asc)))
-      .select(col("rank").cast("long").as("rank"),
-        col("doc_id"), col("score_m"))
-  }
+                        k: Int = operators.TextQueries.UNC_K): DataFrame =
+    operators.TextQueries.marginQueue(docs, model, k)
 
   /** Band arriving embeddings on the corpus's k-center cover-radius
     * scale (band 4 = outside the cover — the out-of-distribution
@@ -647,7 +639,8 @@ object Graft {
     * [[operators.VectorQueries.noveltyScore]].
     */
   def noveltyScore(incoming: DataFrame, corpus: DataFrame,
-                   vecCol: String = "embedding", k: Int = 8): DataFrame =
+                   vecCol: String = "embedding",
+                   k: Int = operators.VectorQueries.KCENTER_K): DataFrame =
     operators.VectorQueries.noveltyScore(incoming, corpus, vecCol, k)
 
   /** Fit the quality filter on a (doc_id, text) corpus and return the

@@ -58,7 +58,7 @@ object TextQueries {
   private val BPE_SAMPLE_PCT = 25     // ~25 % of the corpus trains
   private val BPE_SAMPLED_MERGES = 6  // merges the sampled gate learns
   private val CURR_SHARDS = 4  // q_curriculum_order shards per band
-  private val LOGIT_FIT_ITERS = 16        // q_logit_fit GD steps (oracle-unrolled)
+  val LOGIT_FIT_ITERS = 16        // q_logit_fit GD steps (oracle-unrolled)
   private val LOGIT_FIT_SLOPE = 1000000L  // q_logit_fit hard-sigmoid scale:
                                           // p_ppm = clamp(5e5 + s div SLOPE)
   private val LOGIT_FIT_ZCLAMP = 20000L   // q_logit_fit winsorized z bound
@@ -66,10 +66,10 @@ object TextQueries {
                                           // product provably in range)
   private val LOGIT_SAMPLE_SEED = 83      // q_logit_fit_sampled trainer slice
   private val LOGIT_SAMPLE_PCT = 25       // ~25 % of the corpus fits
-  private val MAXCOV_K = 8     // q_maxcover_docs: greedy picks
-  private val MAXCOV_V = 100   // q_maxcover_docs: coverage vocabulary
-  private val MAXCOV_CAP = 1   // q_maxcover_quota: max picks per source
-  private val UNC_K = 16       // q_uncertainty_sample: labeling-queue size
+  val MAXCOV_K = 8     // q_maxcover_docs: greedy picks
+  val MAXCOV_V = 100   // q_maxcover_docs: coverage vocabulary
+  val MAXCOV_CAP = 1   // q_maxcover_quota: max picks per source
+  val UNC_K = 16       // q_uncertainty_sample: labeling-queue size
   private val MIN_RUN = 12     // dup-span floor: spans >= 14 tokens, past chance-collision runs
   private val VOCAB_V = 10     // vocab size for the OOV-coverage signal
   private val MIN_COOC = 5     // co-occurrence support floor (PMI table)
@@ -1179,21 +1179,7 @@ object TextQueries {
     // never a full sort. Output (rank, doc_id, score_m).
     "q_uncertainty_sample" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val model = fitQualityModel(docs)
-      val sE = model.scoreExpr(Seq("len_bp", "stop_bp", "punct_bp",
-        "uniq_bp"))
-      val scored = qualityBpOf(docs)
-        .withColumn("score_m", expr(
-          s"CASE WHEN $sE < 0 THEN -((-$sE) div 1000000L) " +
-            s"ELSE $sE div 1000000L END"))
-        .select(col("doc_id"), col("score_m"),
-          abs(col("score_m")).as("abs_m"))
-        .orderBy(col("abs_m").asc, col("doc_id").asc)
-        .limit(UNC_K)
-      scored.withColumn("rank", row_number().over(
-          Window.orderBy(col("abs_m").asc, col("doc_id").asc)))
-        .select(col("rank").cast("long").as("rank"),
-          col("doc_id"), col("score_m"))
+      marginQueue(docs, fitQualityModel(docs), UNC_K)
     },
 
     // ── sampled-fit trainer: the 100 TB posture of q_logit_fit ─────────
@@ -2228,17 +2214,25 @@ object TextQueries {
     * The covered set is driver-held (≤ v strings); each round is one
     * keyed aggregate over the v-restricted doc-shingle projection
     * ending in a global max-of-struct.
+    *
+    * Precondition: ONE row per document — duplicate `idCol` rows would
+    * double-count that doc's shingles in both the vocabulary df and
+    * the per-round gains (dedupe upstream if the frame comes from a
+    * fan-out join).
     */
   def maxCoverage(docs: DataFrame, idCol: String, textCol: String,
                   k: Int, v: Int): DataFrame = {
     val vocab = maxcoverVocab(docs, textCol, v)
     // second corpus pass: restrict IN-ROW against the ≤v-string vocab
     // literal (typedlit — corpus text never reaches SQL-string land),
-    // so the explode emits only vocabulary hits and no join runs
+    // so the explode emits only vocabulary hits and no join runs;
+    // array_intersect's contract already de-duplicates, so no
+    // array_distinct is needed here (the vocab pass keeps its own —
+    // df counts distinct docs per shingle)
     val dt = graft.CacheRegistry.register(
       docs.select(col(idCol).cast("long").as("doc_id"),
           explode(array_intersect(
-            array_distinct(TextFunctions.shingles(col(textCol), K)),
+            TextFunctions.shingles(col(textCol), K),
             typedlit(vocab))).as("tok"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var covered = Set.empty[String]
@@ -2287,7 +2281,7 @@ object TextQueries {
       docs.select(col(idCol).cast("long").as("doc_id"),
           col(srcCol).as("src"),
           explode(array_intersect(
-            array_distinct(TextFunctions.shingles(col(textCol), K)),
+            TextFunctions.shingles(col(textCol), K),
             typedlit(vocab))).as("tok"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var covered = Set.empty[String]
@@ -2822,6 +2816,16 @@ object TextQueries {
       (s"${w(0)}L * 1000L" +: xs.indices.map(i =>
         s"${w(i + 1)}L * (${zScoreExpr(xs(i), means(i), sds(i))})"))
         .mkString("(", " + ", ")")
+
+    /** [[scoreExpr]] sign-split-truncated to millionths — the serving
+      * scale every consumer emits (the streaming scorer, the
+      * uncertainty queue); ONE definition so they can never drift.
+      */
+    def scoreMilliExpr(xs: Seq[String]): String = {
+      val s = scoreExpr(xs)
+      s"CASE WHEN $s < 0 THEN -((-$s) div 1000000L) " +
+        s"ELSE $s div 1000000L END"
+    }
   }
 
   /** The winsorized integer z-score of raw feature `c` under (m, sd) —
@@ -2832,6 +2836,29 @@ object TextQueries {
     s"least(${LOGIT_FIT_ZCLAMP}L, greatest(-${LOGIT_FIT_ZCLAMP}L, " +
       s"CASE WHEN $c < ${m}L THEN -(((${m}L - $c) * 1000L) div ${sd}L) " +
       s"ELSE (($c - ${m}L) * 1000L) div ${sd}L END))"
+
+  /** The margin-based labeling queue (the q_uncertainty_sample body,
+    * generic): the k docs whose model score is closest to the decision
+    * boundary — |score_m| ASC, doc_id ASC, NULLS LAST on both engines
+    * (Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST: a null-text
+    * doc must never jump the queue). TakeOrderedAndProject, never a
+    * full sort; the rank window runs over ≤ k rows.
+    */
+  def marginQueue(docs: DataFrame, model: LogitModel,
+                  k: Int): DataFrame = {
+    val sM = model.scoreMilliExpr(
+      Seq("len_bp", "stop_bp", "punct_bp", "uniq_bp"))
+    val scored = qualityBpOf(docs)
+      .withColumn("score_m", expr(sM))
+      .select(col("doc_id"), col("score_m"),
+        abs(col("score_m")).as("abs_m"))
+      .orderBy(col("abs_m").asc_nulls_last, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("abs_m").asc_nulls_last, col("doc_id").asc)))
+      .select(col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score_m"))
+  }
 
   /** Fit the quality filter on a documents frame (full-corpus slice,
     * hand-rule labels — the q_logit_fit configuration) and return the

@@ -53,7 +53,7 @@ object VectorQueries {
   private val MIN_CELLS = 16         // near-dup blocking: floor
   private val DUP_COPIES = 50        // planted duplicates for near-dup
   private val DUP_OFFSET = 1000000L  // planted-copy id offset
-  private val KCENTER_K = 8          // q_kcenter_seeds: maximin seeds
+  val KCENTER_K = 8          // q_kcenter_seeds: maximin seeds
   private val KC_SAMPLE_SEED = 29    // q_kcenter_sampled trainer slice
   private val KC_SAMPLE_PCT = 25     // ~25 % of the corpus fits seeds
   private val NEARDUP_THRESHOLD = 0.99
@@ -1999,13 +1999,10 @@ object VectorQueries {
   def partitionSilhouette(emb: DataFrame, vecCol: String,
                           centroids: DataFrame, cellCol: String,
                           centroidCol: String): DataFrame = {
-    def quant(c: String) =
-      s"transform($c, x -> " +
-        "CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))"
-    val qv = emb.select(expr(quant(vecCol)).as("vq"))
+    val qv = emb.select(expr(quantExpr(vecCol)).as("vq"))
     val centArr = centroids
       .select(struct(col(cellCol).cast("int").as("cell"),
-        expr(quant(centroidCol)).as("cq")).as("e"))
+        expr(quantExpr(centroidCol)).as("cq")).as("e"))
       .agg(sort_array(collect_list(col("e"))).as("cents"))
     qv.crossJoin(broadcast(centArr))
       .withColumn("ds", expr(
@@ -2038,11 +2035,26 @@ object VectorQueries {
   /** (vec_id, vq): the corpus on the 2⁻¹⁰ integer grid — the shared
     * input of the k-center pair of queries.
     */
+  /** SQL text quantizing a float-array column to the 2⁻¹⁰ integer grid
+    * — THE determinism contract with the oracle's kq/sq CTEs; every
+    * k-center / silhouette / novelty call site shares this one string.
+    */
+  private def quantExpr(c: String): String =
+    s"transform($c, x -> " +
+      "CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))"
+
+  /** The fitted seed set as an in-plan literal array of
+    * struct(rank, sv) — shared by coverage assignment and the novelty
+    * scorer so the two can never drift.
+    */
+  private def seedStructLit(seeds: Seq[KcSeed]): String =
+    seeds.map(k =>
+      s"struct(${k.rank} AS rank, ${k.vq.mkString("array(", "L,", "L)")} AS sv)")
+      .mkString("array(", ", ", ")")
+
   private def quantEmb(s: SparkSession, dir: String): DataFrame =
-    loadEmb(s, dir).select(col("vec_id"), expr(
-      "transform(embedding, x -> " +
-        "CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))")
-      .as("vq"))
+    loadEmb(s, dir).select(col("vec_id"),
+      expr(quantExpr("embedding")).as("vq"))
 
   private case class KcSeed(rank: Int, id: Long, selD2: Long,
                             vq: Seq[Long])
@@ -2061,6 +2073,8 @@ object VectorQueries {
                          k: Int = KCENTER_K): Seq[KcSeed] = {
     val f = qv.agg(min(struct(col("vec_id"), col("vq"))).as("s"))
       .head().getStruct(0)
+    require(f != null,
+      "kcenterFit: empty fit corpus (no vectors, or an empty sample slice)")
     var seeds = Vector(KcSeed(0, f.getLong(0), 0L,
       f.getSeq[Long](1)))
     for (t <- 1 until k) {
@@ -2086,9 +2100,7 @@ object VectorQueries {
     */
   private def kcenterCoverage(qv: DataFrame,
                               seeds: Seq[KcSeed]): DataFrame = {
-    val seedLit = seeds.map(k =>
-      s"struct(${k.rank} AS rank, ${k.vq.mkString("array(", "L,", "L)")} AS sv)")
-      .mkString("array(", ", ", ")")
+    val seedLit = seedStructLit(seeds)
     qv.select(expr(
       s"""array_min(transform($seedLit, e -> struct(
          |  aggregate(sequence(0, size(vq) - 1), CAST(0 AS BIGINT),
@@ -2108,10 +2120,11 @@ object VectorQueries {
     * each arriving vector is assigned in-row to its nearest seed
     * (literals in the plan — no broadcast, no state). `band` places
     * the arrival on the cover-radius scale: quartiles of r² (r = the
-    * final maximin distance), i.e. band = min(4, 4·d² div r²) — bands
-    * 0–3 are inside the Gonzalez certificate, band 4 is OUTSIDE the
-    * cover: no corpus point was ever this far from every seed, the
-    * unambiguous out-of-distribution signal. (A single d > r/2 flag is
+    * final maximin distance) capped at 3, with band 4 reserved for
+    * d² STRICTLY greater than r² — OUTSIDE the cover: no corpus point
+    * was ever this far from every seed, the unambiguous
+    * out-of-distribution signal (a point exactly at the radius is
+    * inside the certificate). (A single d > r/2 flag is
     * useless in high dimension — distance concentration puts ~all mass
     * in the outer half; the quartile scale keeps the full shape.)
     * Works on a streaming OR batch frame — the projection is
@@ -2124,19 +2137,14 @@ object VectorQueries {
   def noveltyScore(incoming: DataFrame, corpus: DataFrame,
                    vecCol: String = "embedding",
                    k: Int = KCENTER_K): DataFrame = {
-    def quant(c: String) =
-      s"transform($c, x -> " +
-        "CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))"
     val qv = graft.CacheRegistry.register(
-      corpus.select(col("vec_id"), expr(quant(vecCol)).as("vq"))
+      corpus.select(col("vec_id"), expr(quantExpr(vecCol)).as("vq"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val seeds = kcenterFit(qv, k)
     val r2 = seeds.last.selD2
-    val seedLit = seeds.map(s =>
-      s"struct(${s.rank} AS rank, ${s.vq.mkString("array(", "L,", "L)")} AS sv)")
-      .mkString("array(", ", ", ")")
+    val seedLit = seedStructLit(seeds)
     incoming
-      .select(col("vec_id"), expr(quant(vecCol)).as("vq"))
+      .select(col("vec_id"), expr(quantExpr(vecCol)).as("vq"))
       .select(col("vec_id"), expr(
         s"""array_min(transform($seedLit, e -> struct(
            |  aggregate(sequence(0, size(vq) - 1), CAST(0 AS BIGINT),
@@ -2146,7 +2154,11 @@ object VectorQueries {
       .select(col("vec_id"),
         col("a.rank").cast("long").as("nearest_rank"),
         col("a.d2").as("d2"),
-        expr(s"least(4L, (4 * a.d2) div ${math.max(r2, 1L)}L)")
+        // band 4 must mean STRICTLY outside the cover (d² > r²): a
+        // point exactly at the radius is inside the certificate, and
+        // integer-grid ties at the maximin distance are realistic
+        expr(s"CASE WHEN a.d2 > ${r2}L THEN 4L " +
+          s"ELSE least(3L, (4 * a.d2) div ${math.max(r2, 1L)}L) END")
           .as("band"))
   }
 
@@ -2160,10 +2172,8 @@ object VectorQueries {
                      k: Int): DataFrame = {
     require(k >= 1, s"diversitySeeds: k=$k")
     val qv = graft.CacheRegistry.register(
-      emb.select(col(idCol).cast("long").as("vec_id"), expr(
-        s"transform($vecCol, x -> " +
-          "CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))")
-        .as("vq"))
+      emb.select(col(idCol).cast("long").as("vec_id"),
+          expr(quantExpr(vecCol)).as("vq"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val seeds = kcenterFit(qv, k)
     import emb.sparkSession.implicits._
@@ -3249,26 +3259,12 @@ object VectorQueries {
     * (full-fit or slice-fit): assign every kq point to its nearest
     * seed (d2 ASC, rank ASC ties) and aggregate per seed.
     */
-  private def kcenterCoverageSql(ctes: String): String = {
-    val all = (s"SELECT CAST(0 AS BIGINT) AS rank, sid FROM ks0" +:
-      (1 until KCENTER_K).map(t =>
-        s"SELECT CAST($t AS BIGINT), sid FROM ks$t"))
-      .mkString("\n  UNION ALL ")
+  private def kcenterCoverageSql(ctes: String): String =
     s"""WITH $ctes,
-       |ka AS ($all),
-       |kdist AS (SELECT a.vec_id, s.rank,
-       |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
-       |  FROM kq a, ka s, kq b
-       |  WHERE b.vec_id = s.sid AND a.d = b.d
-       |  GROUP BY 1, 2),
-       |kassign AS (SELECT vec_id, rank, d2,
-       |    row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY d2 ASC, rank ASC) AS rn
-       |  FROM kdist)
+       |$kcenterAssignCtes
        |SELECT rank AS seed_rank, count(*) AS n_members,
        |  max(d2) AS max_d2, CAST(sum(d2) AS BIGINT) AS sum_d2
        |FROM kassign WHERE rn = 1 GROUP BY 1""".stripMargin
-  }
 
   /** The q_stream_novelty oracle: the full-fit seed chain, every
     * corpus point assigned to its nearest seed (d2 ASC, rank ASC),
@@ -3276,12 +3272,26 @@ object VectorQueries {
     * — the batch ground truth the streaming scorer must reproduce.
     */
   private[graft] def streamNoveltySql: String = {
+    val r2 = s"(SELECT d2 FROM ks${KCENTER_K - 1})"
+    s"""WITH $kcenterCtes,
+       |$kcenterAssignCtes
+       |SELECT vec_id, rank AS nearest_rank, d2,
+       |  CAST(CASE WHEN d2 > $r2 THEN 4
+       |    ELSE least(3, (4 * d2) // greatest($r2, 1)) END
+       |    AS BIGINT) AS band
+       |FROM kassign WHERE rn = 1""".stripMargin
+  }
+
+  /** ka/kdist/kassign: every kq point's distance to every fitted seed
+    * and the (d2 ASC, rank ASC) nearest assignment — the shared
+    * assignment chain of the coverage rollups and the novelty scorer.
+    */
+  private def kcenterAssignCtes: String = {
     val all = (s"SELECT CAST(0 AS BIGINT) AS rank, sid FROM ks0" +:
       (1 until KCENTER_K).map(t =>
         s"SELECT CAST($t AS BIGINT), sid FROM ks$t"))
       .mkString("\n  UNION ALL ")
-    s"""WITH $kcenterCtes,
-       |ka AS ($all),
+    s"""ka AS ($all),
        |kdist AS (SELECT a.vec_id, s.rank,
        |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
        |  FROM kq a, ka s, kq b
@@ -3290,11 +3300,7 @@ object VectorQueries {
        |kassign AS (SELECT vec_id, rank, d2,
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY d2 ASC, rank ASC) AS rn
-       |  FROM kdist)
-       |SELECT vec_id, rank AS nearest_rank, d2,
-       |  CAST(least(4, (4 * d2) // greatest(
-       |    (SELECT d2 FROM ks${KCENTER_K - 1}), 1)) AS BIGINT) AS band
-       |FROM kassign WHERE rn = 1""".stripMargin
+       |  FROM kdist)""".stripMargin
   }
 
   private def kcenterCtes: String = kcenterCtesOver("kq", "")

@@ -38,9 +38,7 @@ object StreamingQuality {
     val xs = Seq("len_bp", "stop_bp", "punct_bp", "uniq_bp")
     val sE = model.scoreExpr(xs)
     TextQueries.qualityBpOf(docs)
-      .withColumn("score_m", expr(
-        s"CASE WHEN $sE < 0 THEN -((-$sE) div 1000000L) " +
-          s"ELSE $sE div 1000000L END"))
+      .withColumn("score_m", expr(model.scoreMilliExpr(xs)))
       .select(col("doc_id"), col("score_m"),
         when(expr(s"$sE > 0"), lit("keep")).otherwise(lit("drop"))
           .as("verdict"))
