@@ -1999,6 +1999,15 @@ object VectorQueries {
   def partitionSilhouette(emb: DataFrame, vecCol: String,
                           centroids: DataFrame, cellCol: String,
                           centroidCol: String): DataFrame = {
+    // b = min d² to the best OTHER centroid is undefined for a
+    // single-cell partition (the filter empties, array_min → NULL and
+    // the NULLs would silently diverge from a rn=2 oracle join) —
+    // refuse loudly instead. The count is over the K-row centroid
+    // table, the bounded side by contract.
+    val nCells = centroids.select(col(cellCol).cast("int")).distinct().count()
+    require(nCells >= 2,
+      s"partitionSilhouette: needs >= 2 distinct cells, got $nCells " +
+        "(silhouette's b term is undefined for a single-cell partition)")
     val qv = emb.select(expr(quantExpr(vecCol)).as("vq"))
     val centArr = centroids
       .select(struct(col(cellCol).cast("int").as("cell"),
@@ -2068,6 +2077,14 @@ object VectorQueries {
     * so no second lookup scan is needed). Driver state: K·(dim+2)
     * longs. The DuckDB twin unrolls the identical K−1 rounds as
     * chained CTEs ([[kcenterCtes]]).
+    *
+    * Early stop: a round whose max d² is 0 means every remaining point
+    * coincides with an already-chosen seed vector (k exceeds the number
+    * of distinct vectors) — the fit returns FEWER than k seeds rather
+    * than silently re-picking a duplicate (selD2 = 0) seed. Gated
+    * configs never hit this (k = 8 ≪ distinct corpus vectors), so the
+    * unrolled oracle needs no twin branch; KcenterSpec pins the
+    * behavior.
     */
   private def kcenterFit(qv: DataFrame,
                          k: Int = KCENTER_K): Seq[KcSeed] = {
@@ -2077,7 +2094,8 @@ object VectorQueries {
       "kcenterFit: empty fit corpus (no vectors, or an empty sample slice)")
     var seeds = Vector(KcSeed(0, f.getLong(0), 0L,
       f.getSeq[Long](1)))
-    for (t <- 1 until k) {
+    var exhausted = false
+    for (t <- 1 until k if !exhausted) {
       val seedLit = seeds
         .map(k => k.vq.mkString("array(", "L,", "L)"))
         .mkString("array(", ", ", ")")
@@ -2089,7 +2107,10 @@ object VectorQueries {
         .agg(max(struct(col("d2"), (lit(-1L) * col("vec_id")).as("nid"),
           col("vq"))).as("m"))
         .head().getStruct(0)
-      seeds :+= KcSeed(t, -r.getLong(1), r.getLong(0), r.getSeq[Long](2))
+      if (r.getLong(0) == 0L) exhausted = true // every remaining point
+      // duplicates a chosen seed vector — stop, never re-pick
+      else seeds :+= KcSeed(t, -r.getLong(1), r.getLong(0),
+        r.getSeq[Long](2))
     }
     seeds
   }
@@ -2167,6 +2188,11 @@ object VectorQueries {
     * q_kcenter_seeds body over caller columns. The corpus projection
     * is persisted for the K passes and released with
     * [[graft.Graft.releaseCaches]].
+    *
+    * Returns FEWER than k rows when k exceeds the number of distinct
+    * vectors: once every remaining point coincides with a chosen seed
+    * (maximin d² = 0) the fit stops rather than emitting duplicate
+    * seeds with sel_d2 = 0 (see [[kcenterFit]]).
     */
   def diversitySeeds(emb: DataFrame, idCol: String, vecCol: String,
                      k: Int): DataFrame = {

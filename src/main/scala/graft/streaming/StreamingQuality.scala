@@ -21,7 +21,7 @@ import graft.operators.TextQueries
   * stream history.
   *
   * Reference anchor: the reference scores nothing, but its silver
-  * projection (`/root/reference/src/etl/silver_transform.py`) is the
+  * projection (`/root/reference/src/etl/bronze_to_silver.py`) is the
   * same shape — a stateless per-record enrichment between landing and
   * serving; this operator is that stage with a learned model in it.
   */

@@ -122,7 +122,9 @@ object StreamScaleProbe {
     // question is whether the DRAIN grows with the corpus beyond the
     // index build (it must not: the stream side's shuffle is its own
     // band rows; the index side is the one-time batch build).
-    val docsBase = spark.read.parquet(s"$dir/documents.parquet")
+    // lazy: only the neardup/quality modes touch documents.parquet —
+    // a probe run restricted to other modes must not require the table
+    lazy val docsBase = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
     if (want("neardup")) {
       def stageDocs(m: Int): String = {

@@ -108,4 +108,19 @@ class KcenterSpec extends AnyFunSuite with SparkSpec {
     // farthest from 0.0 is 1.0 → quantized gap 1024 → d² = 1048576
     assert(got(1) === ((1L, 3L, 1048576L)), got.mkString(", "))
   }
+
+  test("k beyond the distinct vectors stops early — never a duplicate " +
+    "seed with sel_d2 = 0") {
+    import spark.implicits._
+    // two DISTINCT vectors among three points (ids 1,2 coincide)
+    val emb = Seq((1L, Seq(0.0f)), (2L, Seq(0.0f)), (3L, Seq(1.0f)))
+      .toDF("id", "v")
+    val got = Graft.diversitySeeds(emb, "id", "v", k = 5).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("id"),
+        r.getAs[Long]("sel_d2"))).sortBy(_._1)
+    assert(got.length === 2, s"expected early stop at 2 seeds: ${got.mkString(", ")}")
+    assert(got.map(_._2).toSet === Set(1L, 3L), got.mkString(", "))
+    assert(got.forall(s => s._1 == 0L || s._3 > 0L),
+      s"duplicate (sel_d2 = 0) seed emitted: ${got.mkString(", ")}")
+  }
 }

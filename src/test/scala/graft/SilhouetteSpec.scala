@@ -54,4 +54,21 @@ class SilhouetteSpec extends AnyFunSuite with SparkSpec {
     assert(got(0L) === ((2L, 1000000L, 500000L)), s"cell 0: $got")
     assert(got(1L) === ((1L, 1000000L, 1000000L)), s"cell 1: $got")
   }
+
+  test("a single-cell partition is refused loudly (b is undefined — " +
+    "NULL scores would silently diverge from the oracle)") {
+    import spark.implicits._
+    val emb = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)).toDF("embedding")
+    val one = Seq((0, Seq(1.0f, 0.0f))).toDF("cell", "centroid")
+    val e = intercept[IllegalArgumentException] {
+      Graft.partitionSilhouette(emb, "embedding", one).collect()
+    }
+    assert(e.getMessage.contains(">= 2 distinct cells"), e.getMessage)
+    // duplicate cell ids collapse to one distinct cell — same refusal
+    val dup = Seq((0, Seq(1.0f, 0.0f)), (0, Seq(0.0f, 1.0f)))
+      .toDF("cell", "centroid")
+    intercept[IllegalArgumentException] {
+      Graft.partitionSilhouette(emb, "embedding", dup).collect()
+    }
+  }
 }
