@@ -586,6 +586,22 @@ object Graft {
                   vocabSize: Int = operators.TextQueries.MAXCOV_V): DataFrame =
     operators.TextQueries.maxCoverage(docs, id, text, k, vocabSize)
 
+  /** [[maxCoverage]] fitted on a deterministic hash slice of the
+    * corpus (vocabulary, projection, and greedy rounds all touch only
+    * `hash(id) % 100 < pct` of the documents — the 100 TB posture),
+    * then scored with ONE full-corpus pass: the extra cov_pairs_full
+    * column reports the picks' cumulative corpus-wide coverage; see
+    * [[operators.TextQueries.maxCoverageSampled]].
+    */
+  def maxCoverageSampled(docs: DataFrame, id: String = "doc_id",
+                         text: String = "text",
+                         k: Int = operators.TextQueries.MAXCOV_K,
+                         vocabSize: Int = operators.TextQueries.MAXCOV_V,
+                         seed: Int = operators.TextQueries.MAXCOV_SAMPLE_SEED,
+                         pct: Int = operators.TextQueries.MAXCOV_SAMPLE_PCT): DataFrame =
+    operators.TextQueries.maxCoverageSampled(docs, id, text, k,
+      vocabSize, seed, pct)
+
   /** [[maxCoverage]] under a per-source quota (partition matroid): at
     * most `cap` picks per `src` value — the balanced-selection form;
     * see [[operators.TextQueries.maxCoverageQuota]].

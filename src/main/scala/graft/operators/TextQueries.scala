@@ -69,6 +69,8 @@ object TextQueries {
   val MAXCOV_K = 8     // q_maxcover_docs: greedy picks
   val MAXCOV_V = 100   // q_maxcover_docs: coverage vocabulary
   val MAXCOV_CAP = 1   // q_maxcover_quota: max picks per source
+  val MAXCOV_SAMPLE_SEED = 59 // q_maxcover_sampled fit slice
+  val MAXCOV_SAMPLE_PCT = 25  // ~25 % of the corpus fits
   val UNC_K = 16       // q_uncertainty_sample: labeling-queue size
   private val MIN_RUN = 12     // dup-span floor: spans >= 14 tokens, past chance-collision runs
   private val VOCAB_V = 10     // vocab size for the OOV-coverage signal
@@ -707,6 +709,24 @@ object TextQueries {
     "q_maxcover_quota" -> { (s, dir) =>
       maxCoverageQuota(Tables.load(s, dir, "documents"),
         "doc_id", "text", "source", MAXCOV_K, MAXCOV_V, MAXCOV_CAP)
+    },
+
+    // ── slice-fitted max-coverage: the 100 TB posture of the greedy ────
+    // q_maxcover_docs' one corpus-linear term is the shingle-explode +
+    // df pass that builds the vocabulary and the V-restricted
+    // projection. This variant fits BOTH on the deterministic
+    // md5-bucket slice (the q_bpe_sampled / q_kcenter_sampled recipe):
+    // vocabulary, projection, and all greedy rounds touch ~25 % of the
+    // corpus; the full corpus is then scanned exactly ONCE, restricted
+    // in-row to the ≤V covered shingles, to score what the picks are
+    // TRULY worth corpus-wide (cov_pairs_full = cumulative distinct
+    // (doc, shingle) incidences covered — the weighted-coverage audit
+    // that makes the sampling trade visible). Early stop, tie rules,
+    // and driver state are q_maxcover_docs'.
+    "q_maxcover_sampled" -> { (s, dir) =>
+      maxCoverageSampled(Tables.load(s, dir, "documents"),
+        "doc_id", "text", MAXCOV_K, MAXCOV_V,
+        MAXCOV_SAMPLE_SEED, MAXCOV_SAMPLE_PCT)
     },
 
     // ── BPE merge-step statistic: adjacent-pair frequency table ─────────
@@ -2314,6 +2334,71 @@ object TextQueries {
     out.toDF("rank", idCol, srcCol, "gain", "n_covered")
   }
 
+  /** Slice-fitted greedy max-coverage (the q_maxcover_sampled body,
+    * generic): vocabulary + V-restricted projection + greedy rounds
+    * all run on the deterministic hash slice (`hash(idCol) % 100 <
+    * pct`); ONE full-corpus pass then scores the picks' true worth —
+    * cov_pairs_full = cumulative count of distinct (doc, shingle)
+    * incidences corpus-wide whose shingle the picks have covered
+    * (the per-token full dfs are collected once, ≤ v rows, and
+    * cumulated on the driver from each round's added tokens).
+    * Output: (rank, idCol, gain, n_covered, cov_pairs_full); gain and
+    * n_covered are slice-relative, cov_pairs_full is corpus-relative.
+    *
+    * 100 TB posture: the corpus-linear explode+df pass shrinks to the
+    * slice; the full corpus is touched by exactly one in-row-restricted
+    * projection + tok-keyed count (≤ v distinct keys — a broadcast-size
+    * aggregate). Same precondition as [[maxCoverage]]: one row per doc.
+    */
+  def maxCoverageSampled(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, v: Int, seed: Int,
+                         pct: Int): DataFrame = {
+    val slice = docs.filter(
+      Curation.hashBucket(col(idCol), seed) < pct)
+    val vocab = maxcoverVocab(slice, textCol, v)
+    val dt = graft.CacheRegistry.register(
+      slice.select(col(idCol).cast("long").as("doc_id"),
+          explode(array_intersect(
+            TextFunctions.shingles(col(textCol), K),
+            typedlit(vocab))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var covered = Set.empty[String]
+    var picks = Vector.empty[(Long, Long, Long, Long, Set[String])]
+    var done = false
+    for (t <- 0 until k if !done) {
+      val cand = if (covered.isEmpty) dt
+        else dt.filter(!col("tok").isInCollection(covered))
+      val r = cand.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("gain"), collect_set(col("tok")).as("ts"))
+        .agg(max(struct(col("gain"),
+          (lit(-1L) * col("doc_id")).as("nid"), col("ts"))).as("m"))
+        .head().getStruct(0)
+      if (r == null) done = true
+      else {
+        val added = r.getSeq[String](2).toSet
+        covered ++= added
+        picks :+= ((t.toLong, -r.getLong(1), r.getLong(0),
+          covered.size.toLong, added))
+      }
+    }
+    // the ONE full-corpus pass: distinct (doc, tok) incidences per
+    // covered token (array_intersect dedups in-row — the mcd contract)
+    val dfMap: Map[String, Long] =
+      if (covered.isEmpty) Map.empty
+      else docs.select(explode(array_intersect(
+          TextFunctions.shingles(col(textCol), K),
+          typedlit(covered.toSeq.sorted))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    var run = 0L
+    val out = picks.map { case (rank, id, gain, ncov, added) =>
+      run += added.iterator.map(dfMap.getOrElse(_, 0L)).sum
+      (rank, id, gain, ncov, run)
+    }
+    import docs.sparkSession.implicits._
+    out.toDF("rank", idCol, "gain", "n_covered", "cov_pairs_full")
+  }
+
   /** The q_maxcover_docs oracle chain: mcd = distinct doc-shingle
     * pairs, mcv = the top-V-df shingle vocabulary (df DESC, tok ASC),
     * mdt = the restricted pair table; then per greedy round t, mg_t =
@@ -2355,6 +2440,41 @@ object TextQueries {
        |  GROUP BY 1 ORDER BY df DESC, tok ASC LIMIT $MAXCOV_V)),
        |mdt AS MATERIALIZED (SELECT d.doc_id, d.tok
        |  FROM mcd d JOIN mcv USING (tok))""".stripMargin
+
+  /** The q_maxcover_sampled oracle chain: smcd = the hash-slice's
+    * doc-shingle pairs, smcv/sdt = slice vocabulary and restricted
+    * projection, greedy rounds identical to [[maxcoverCtes]] but over
+    * sdt, then fdf = full-corpus df per FINALLY-covered token — the
+    * one full-corpus term, feeding each round's cumulative
+    * cov_pairs_full.
+    */
+  private def maxcoverSampledCtes: String = {
+    val gate = s"${Dedup.hash32Sql(MAXCOV_SAMPLE_SEED,
+      "CAST(doc_id AS VARCHAR)")} % 100 < $MAXCOV_SAMPLE_PCT"
+    val rounds = (0 until MAXCOV_K).map { t =>
+      val notCovered = if (t == 0) ""
+        else s" WHERE tok NOT IN (SELECT tok FROM scv${t - 1})"
+      val covPrev = if (t == 0) ""
+        else s"SELECT tok FROM scv${t - 1} UNION "
+      s"""sg$t AS MATERIALIZED (SELECT doc_id, count(*) AS gain
+         |  FROM sdt$notCovered GROUP BY 1),
+         |sc$t AS MATERIALIZED (SELECT doc_id, gain FROM sg$t
+         |  ORDER BY gain DESC, doc_id ASC LIMIT 1),
+         |scv$t AS MATERIALIZED (${covPrev}SELECT tok FROM sdt
+         |  WHERE doc_id = (SELECT doc_id FROM sc$t))""".stripMargin
+    }.mkString(",\n")
+    s"""$shinglesCte,
+       |mcd AS (SELECT doc_id, shingle AS tok FROM sh),
+       |smcd AS (SELECT doc_id, tok FROM mcd WHERE $gate),
+       |smcv AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM smcd
+       |  GROUP BY 1 ORDER BY df DESC, tok ASC LIMIT $MAXCOV_V)),
+       |sdt AS MATERIALIZED (SELECT d.doc_id, d.tok
+       |  FROM smcd d JOIN smcv USING (tok)),
+       |$rounds,
+       |fdf AS MATERIALIZED (SELECT tok, count(*) AS df FROM mcd
+       |  WHERE tok IN (SELECT tok FROM scv${MAXCOV_K - 1})
+       |  GROUP BY 1)""".stripMargin
+  }
 
   /** The q_maxcover_quota oracle chain: the same greedy rounds under a
     * partition-matroid constraint — a source whose picks reached CAP
@@ -3335,6 +3455,18 @@ object TextQueries {
           s" (SELECT count(*) FROM qcov$t) AS n_covered FROM qc$t")
         .mkString("\nUNION ALL ")
       s"""WITH $maxcoverQuotaCtes
+         |$rows""".stripMargin
+    },
+
+    "q_maxcover_sampled" -> {
+      val rows = (0 until MAXCOV_K).map(t =>
+        s"SELECT CAST($t AS BIGINT) AS rank, doc_id, gain," +
+          s" (SELECT count(*) FROM scv$t) AS n_covered," +
+          s" (SELECT CAST(COALESCE(sum(df), 0) AS BIGINT) FROM fdf" +
+          s" WHERE tok IN (SELECT tok FROM scv$t)) AS cov_pairs_full" +
+          s" FROM sc$t")
+        .mkString("\nUNION ALL ")
+      s"""WITH $maxcoverSampledCtes
          |$rows""".stripMargin
     },
 

@@ -77,6 +77,37 @@ class MaxcoverSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sampled fit: picks come from the hash slice, coverage " +
+    "telescopes, and the full-corpus score is monotone") {
+    val s = TextQueries.queries("q_maxcover_sampled")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("gain"), r.getAs[Long]("n_covered"),
+        r.getAs[Long]("cov_pairs_full")))
+      .sortBy(_._1)
+    assert(s.nonEmpty)
+    assert(s.map(_._1).toSeq === (0L until s.length))
+    assert(s.map(_._2).distinct.length === s.length)
+    // every pick must be a slice member (the fit never sees the rest)
+    import org.apache.spark.sql.functions.col
+    val sliceIds = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(graft.operators.Curation.hashBucket(col("doc_id"),
+        TextQueries.MAXCOV_SAMPLE_SEED) < TextQueries.MAXCOV_SAMPLE_PCT)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    s.foreach { p => assert(sliceIds.contains(p._2),
+      s"pick ${p._2} is not in the fit slice") }
+    // slice coverage telescopes; the corpus-wide score never decreases
+    var run = 0L
+    s.foreach { case (r, _, g, n, cf) =>
+      run += g
+      assert(n === run, s"rank $r: n_covered $n != cumulative gain $run")
+      assert(cf >= n, s"rank $r: corpus incidences $cf below slice " +
+        s"coverage $n — the full corpus contains the slice")
+    }
+    s.map(_._5).sliding(2).foreach { w =>
+      assert(w(1) >= w(0), s"cov_pairs_full regressed: ${s.mkString(", ")}")
+    }
+  }
+
   test("generic facade: a superset doc wins round 0 on a hand corpus") {
     import spark.implicits._
     // doc 5 contains both shingle runs of docs 7 and 9; doc 7 then
