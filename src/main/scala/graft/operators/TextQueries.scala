@@ -72,6 +72,7 @@ object TextQueries {
   val MAXCOV_SAMPLE_SEED = 59 // q_maxcover_sampled fit slice
   val MAXCOV_SAMPLE_PCT = 25  // ~25 % of the corpus fits
   val UNC_K = 16       // q_uncertainty_sample: labeling-queue size
+  val REFIT_K = 64     // q_logit_refit: labeling budget fed back
   private val MIN_RUN = 12     // dup-span floor: spans >= 14 tokens, past chance-collision runs
   private val VOCAB_V = 10     // vocab size for the OOV-coverage signal
   private val MIN_COOC = 5     // co-occurrence support floor (PMI table)
@@ -1211,6 +1212,17 @@ object TextQueries {
     // entirely (16 slice scans + one corpus scoring scan). n_fit rows
     // trained; n_correct/n_total is full-corpus accuracy.
     "q_logit_fit_sampled" -> { (s, dir) => logitFit(s, dir, sampled = true) },
+
+    // ── the closed active-learning loop: fit → queue → label → refit ───
+    // q_logit_fit_sampled trains on the 25 % slice; q_uncertainty_sample
+    // says which unseen docs are worth labeling. This gate CLOSES the
+    // loop: the REFIT_K most uncertain out-of-slice docs are labeled
+    // (by the standing hand rule) and the filter is refit on
+    // slice ∪ queue — one retrain round of margin-based active
+    // learning, with both models' full-corpus accuracy in the output
+    // so the value of the labeling budget is measured, not assumed
+    // (`improved` asserts the refit strictly beats the slice model).
+    "q_logit_refit" -> { (s, dir) => logitRefit(s, dir) },
 
     // ── PageRank centrality over the near-dup graph ────────────────────
     // Which member of a duplicate cluster is the CANONICAL one? Degree
@@ -2731,24 +2743,39 @@ object TextQueries {
     * fit oracle and the streaming-scorer oracle.
     */
   private def logitCtes(sampled: Boolean): (String, String) = {
+    val (chain, sFin) = logitChain(logitInSl(sampled), "")
+    (s"$logitFeaturesCte,\n$chain", sFin)
+  }
+
+  /** The sampled-slice gate (1/0) the trainer oracles share. */
+  private def logitInSl(sampled: Boolean): String =
+    if (sampled)
+      s"CASE WHEN ${Dedup.hash32Sql(LOGIT_SAMPLE_SEED,
+        "CAST(doc_id AS VARCHAR)")} % 100 < $LOGIT_SAMPLE_PCT " +
+        "THEN 1 ELSE 0 END"
+    else "1"
+
+  /** One complete descent as a CTE chain under name prefix `p`
+    * (${p}lab/${p}st/${p}vr/${p}z/${p}it0..N/${p}g1..N — prefixing lets
+    * the refit oracle run TWO descents in one query), gated by the
+    * given 1/0 `inSl` expression (evaluated over the shared `f`
+    * feature CTE, so it may reference doc_id and earlier CTEs).
+    * Returns (chain, final-weights score expression over rows aliased
+    * `z`).
+    */
+  private def logitChain(inSl: String, p: String): (String, String) = {
     val xs = Seq("len_bp", "stop_bp", "punct_bp", "uniq_bp")
-    val inSl =
-      if (sampled)
-        s"CASE WHEN ${Dedup.hash32Sql(LOGIT_SAMPLE_SEED,
-          "CAST(doc_id AS VARCHAR)")} % 100 < $LOGIT_SAMPLE_PCT " +
-          "THEN 1 ELSE 0 END"
-      else "1"
     // winsorized z-score of feature i+1 from the m/sd CTE columns
     def zSql(i: Int): String = {
-      val c = xs(i); val m = s"st.m${i + 1}"; val sd = s"vr.sd${i + 1}"
+      val c = xs(i); val m = s"${p}st.m${i + 1}"; val sd = s"${p}vr.sd${i + 1}"
       s"CAST(least($LOGIT_FIT_ZCLAMP, greatest(-$LOGIT_FIT_ZCLAMP, " +
-        s"CASE WHEN lab.$c < $m THEN -((($m - lab.$c) * 1000) // $sd) " +
-        s"ELSE ((lab.$c - $m) * 1000) // $sd END)) AS BIGINT)"
+        s"CASE WHEN ${p}lab.$c < $m THEN -((($m - ${p}lab.$c) * 1000) // $sd) " +
+        s"ELSE ((${p}lab.$c - $m) * 1000) // $sd END)) AS BIGINT)"
     }
     def sOf(it: String): String =
       (0 to 4).map(j => s"$it.w$j * z.x$j").mkString("(", " + ", ")")
     val iters = (1 to LOGIT_FIT_ITERS).map { k =>
-      val prev = s"it${k - 1}"
+      val prev = s"${p}it${k - 1}"
       val sE = sOf(prev)
       val pE = s"least(1000000, greatest(0, 500000 + " +
         s"(CASE WHEN $sE < 0 THEN -((-$sE) // $LOGIT_FIT_SLOPE) " +
@@ -2756,28 +2783,16 @@ object TextQueries {
       val gs = (0 to 4).map(j =>
         s"sum(($pE - z.y * 1000000) * z.x$j) AS g$j").mkString(", ")
       val ws = (0 to 4).map(j =>
-        s"CAST($prev.w$j - (CASE WHEN g$k.g$j < 0 " +
-          s"THEN -((-g$k.g$j) // st.n) ELSE g$k.g$j // st.n END) " +
+        s"CAST($prev.w$j - (CASE WHEN ${p}g$k.g$j < 0 " +
+          s"THEN -((-${p}g$k.g$j) // ${p}st.n) ELSE ${p}g$k.g$j // ${p}st.n END) " +
           s"AS BIGINT) AS w$j").mkString(", ")
-      s"""g$k AS MATERIALIZED (SELECT $gs FROM z, $prev
+      s"""${p}g$k AS MATERIALIZED (SELECT $gs FROM ${p}z z, $prev
          |  WHERE z.in_sl = 1),
-         |it$k AS MATERIALIZED (SELECT $ws FROM $prev, g$k, st)""".stripMargin
+         |${p}it$k AS MATERIALIZED (SELECT $ws FROM $prev, ${p}g$k, ${p}st)""".stripMargin
     }.mkString(",\n")
-    val last = s"it$LOGIT_FIT_ITERS"
+    val last = s"${p}it$LOGIT_FIT_ITERS"
     val sFin = sOf(last)
-    val ctes = s"""f AS (SELECT doc_id, length(text) AS n,
-       |    CASE WHEN length(trim(text)) = 0 THEN 0
-       |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
-       |    CASE WHEN length(trim(text)) = 0 THEN 0
-       |      ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
-       |             x -> lower(x) IN ($stopwordsSql))) END AS stops,
-       |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-       |      AS punct,
-       |    CASE WHEN length(trim(text)) = 0 THEN 0
-       |      ELSE len(list_distinct(string_split_regex(trim(text),
-       |             '\\s+'))) END AS uniq
-       |  FROM documents),
-       |lab AS MATERIALIZED (SELECT doc_id,
+    val ctes = s"""${p}lab AS MATERIALIZED (SELECT doc_id,
        |    CAST(10000 * least(n, 2000) // 2000 AS BIGINT) AS len_bp,
        |    CAST(CASE WHEN toks > 0 THEN 10000 * stops // toks
        |      ELSE 0 END AS BIGINT) AS stop_bp,
@@ -2795,25 +2810,40 @@ object TextQueries {
        |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
        |    $inSl AS in_sl
        |  FROM f),
-       |st AS MATERIALIZED (SELECT count(*) AS n,
+       |${p}st AS MATERIALIZED (SELECT count(*) AS n,
        |    ${xs.zipWithIndex.map { case (c, i) =>
                 s"sum($c) // count(*) AS m${i + 1}" }.mkString(", ")}
-       |  FROM lab WHERE in_sl = 1),
-       |vr AS MATERIALIZED (SELECT ${xs.zipWithIndex.map { case (c, i) =>
+       |  FROM ${p}lab WHERE in_sl = 1),
+       |${p}vr AS MATERIALIZED (SELECT ${xs.zipWithIndex.map { case (c, i) =>
                 s"greatest(1, CAST(floor(sqrt(CAST(" +
-                  s"sum((lab.$c - st.m${i + 1}) * (lab.$c - st.m${i + 1}))" +
-                  s" // st.n AS DOUBLE))) AS BIGINT)) AS sd${i + 1}" }
+                  s"sum((${p}lab.$c - ${p}st.m${i + 1}) * (${p}lab.$c - ${p}st.m${i + 1}))" +
+                  s" // ${p}st.n AS DOUBLE))) AS BIGINT)) AS sd${i + 1}" }
                 .mkString(", ")}
-       |  FROM lab, st WHERE lab.in_sl = 1 GROUP BY st.n),
-       |z AS MATERIALIZED (SELECT lab.doc_id,
+       |  FROM ${p}lab, ${p}st WHERE ${p}lab.in_sl = 1 GROUP BY ${p}st.n),
+       |${p}z AS MATERIALIZED (SELECT ${p}lab.doc_id,
        |    CAST(1000 AS BIGINT) AS x0,
        |    ${(0 to 3).map(i => s"${zSql(i)} AS x${i + 1}").mkString(", ")},
-       |    lab.y, lab.in_sl FROM lab, st, vr),
-       |it0 AS MATERIALIZED (SELECT ${(0 to 4).map(j =>
+       |    ${p}lab.y, ${p}lab.in_sl FROM ${p}lab, ${p}st, ${p}vr),
+       |${p}it0 AS MATERIALIZED (SELECT ${(0 to 4).map(j =>
                 s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}),
        |$iters""".stripMargin
     (ctes, sFin)
   }
+
+  /** The shared raw-feature CTE (`f`) every descent chain reads. */
+  private def logitFeaturesCte: String =
+    s"""f AS (SELECT doc_id, length(text) AS n,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |             x -> lower(x) IN ($stopwordsSql))) END AS stops,
+       |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+       |      AS punct,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(list_distinct(string_split_regex(trim(text),
+       |             '\\s+'))) END AS uniq
+       |  FROM documents)""".stripMargin
 
   /** The four basis-point quality features (doc_id, len_bp, stop_bp,
     * punct_bp, uniq_bp) — shared by the fixed-weight scorer
@@ -2978,6 +3008,108 @@ object TextQueries {
         Window.orderBy(col("abs_m").asc_nulls_last, col("doc_id").asc)))
       .select(col("rank").cast("long").as("rank"),
         col("doc_id"), col("score_m"))
+  }
+
+  /** One closed active-learning round (the q_logit_refit body):
+    * 1. fit the quality filter on the 25 % hash slice (exactly the
+    *    q_logit_fit_sampled configuration);
+    * 2. emit the labeling queue — the REFIT_K docs OUTSIDE the slice
+    *    whose slice-model score sits closest to the decision boundary
+    *    (the q_uncertainty_sample rule restricted to unseen docs: a
+    *    real loop never re-labels what it already has);
+    * 3. "label" the queue (the hand rule stands in for the annotator,
+    *    as it does for y everywhere in this family) and REFIT on
+    *    slice ∪ queue — fresh means/sds/descent over the grown slice;
+    * 4. score BOTH models on the full corpus.
+    *
+    * Output: ONE row — n_correct_base/n_fit_base (slice model),
+    * n_correct_refit/n_fit_refit (grown model), n_queued, n_total,
+    * improved = 1 ⟺ the refit strictly beats the slice model
+    * corpus-wide. The DuckDB twin unrolls BOTH descents as prefixed
+    * CTE chains and computes the identical seven numbers.
+    *
+    * 100 TB posture: two bounded-aggregate trainers (each iters + 3
+    * one-scan jobs), one TakeOrderedAndProject queue (K rows to the
+    * driver — the labeling batch is driver-sized by definition), and
+    * two full-corpus scoring aggregates. Nothing data-scale ever
+    * collects.
+    */
+  private def logitRefit(s: SparkSession, dir: String): DataFrame = {
+    val xs = Seq("len_bp", "stop_bp", "punct_bp", "uniq_bp")
+    val docs = Tables.load(s, dir, "documents")
+    val yExpr = "CASE WHEN greatest(0, 3 * len_bp + 4 * stop_bp - " +
+      "2 * punct_bp + 2 * uniq_bp) div 10 >= 1750 THEN 1L ELSE 0L END"
+    val lab = qualityBpOf(docs)
+      .withColumn("y", expr(yExpr))
+      .withColumn("in_sl",
+        Curation.hashBucket(col("doc_id"), LOGIT_SAMPLE_SEED)
+          < LOGIT_SAMPLE_PCT)
+    val (mA, zA, nA) = fitLogitModel(lab, xs, "y", "in_sl",
+      LOGIT_FIT_ITERS)
+    // the labeling queue: boundary docs the slice model has NOT seen
+    val queueIds = marginQueue(
+        docs.filter(Curation.hashBucket(col("doc_id"), LOGIT_SAMPLE_SEED)
+          >= LOGIT_SAMPLE_PCT), mA, REFIT_K)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val labB = lab.withColumn("in_sl",
+      col("in_sl") || col("doc_id").isInCollection(queueIds))
+    val (mB, zB, nB) = fitLogitModel(labB, xs, "y", "in_sl",
+      LOGIT_FIT_ITERS)
+    def corpusCorrect(z: DataFrame, m: LogitModel): (Long, Long) = {
+      val sE = (0 to xs.size).map(j => s"${m.w(j)}L * x$j")
+        .mkString("(", " + ", ")")
+      val r = z.agg(
+        sum(when(expr(s"($sE > 0) = (y = 1)"), 1L).otherwise(0L))
+          .as("n_correct"),
+        count(lit(1)).as("n_total")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (cA, nTotal) = corpusCorrect(zA, mA)
+    val (cB, _) = corpusCorrect(zB, mB)
+    import s.implicits._
+    Seq((cA, nA, cB, nB, queueIds.size.toLong, nTotal,
+      if (cB > cA) 1L else 0L))
+      .toDF("n_correct_base", "n_fit_base", "n_correct_refit",
+        "n_fit_refit", "n_queued", "n_total", "improved")
+  }
+
+  /** The q_logit_refit oracle: descent A (prefix `a`, the sampled
+    * gate), the out-of-slice uncertainty queue from A's weights,
+    * descent B (prefix `b`, gate = slice OR queued), then both models'
+    * full-corpus n_correct — the engine loop unrolled as two prefixed
+    * CTE chains sharing one `f`.
+    */
+  private def logitRefitSql: String = {
+    val (chainA, sFinA) = logitChain(logitInSl(sampled = true), "a")
+    val lastA = s"ait$LOGIT_FIT_ITERS"
+    val gateB = s"CASE WHEN (${Dedup.hash32Sql(LOGIT_SAMPLE_SEED,
+      "CAST(doc_id AS VARCHAR)")} % 100 < $LOGIT_SAMPLE_PCT) " +
+      "OR doc_id IN (SELECT doc_id FROM uq) THEN 1 ELSE 0 END"
+    val (chainB, sFinB) = logitChain(gateB, "b")
+    val lastB = s"bit$LOGIT_FIT_ITERS"
+    s"""WITH $logitFeaturesCte,
+       |$chainA,
+       |uq AS MATERIALIZED (SELECT doc_id FROM (
+       |    SELECT z.doc_id,
+       |      CAST(CASE WHEN $sFinA < 0 THEN -((-($sFinA)) // 1000000)
+       |        ELSE ($sFinA) // 1000000 END AS BIGINT) AS score_m
+       |    FROM az z, $lastA WHERE z.in_sl = 0)
+       |  ORDER BY abs(score_m) ASC, doc_id ASC LIMIT $REFIT_K),
+       |$chainB,
+       |res AS (SELECT
+       |    (SELECT CAST(sum(CASE WHEN ($sFinA > 0) = (z.y = 1)
+       |        THEN 1 ELSE 0 END) AS BIGINT)
+       |      FROM az z, $lastA) AS n_correct_base,
+       |    (SELECT CAST(sum(CASE WHEN ($sFinB > 0) = (z.y = 1)
+       |        THEN 1 ELSE 0 END) AS BIGINT)
+       |      FROM bz z, $lastB) AS n_correct_refit)
+       |SELECT res.n_correct_base, ast.n AS n_fit_base,
+       |  res.n_correct_refit, bst.n AS n_fit_refit,
+       |  (SELECT count(*) FROM uq) AS n_queued,
+       |  (SELECT count(*) FROM az) AS n_total,
+       |  CAST(CASE WHEN res.n_correct_refit > res.n_correct_base
+       |    THEN 1 ELSE 0 END AS BIGINT) AS improved
+       |FROM res, ast, bst""".stripMargin
   }
 
   /** Fit the quality filter on a documents frame (full-corpus slice,
@@ -4003,6 +4135,7 @@ object TextQueries {
     "q_uncertainty_sample" -> uncertaintySampleSql,
 
     "q_logit_fit_sampled" -> logitFitSql(sampled = true),
+    "q_logit_refit" -> logitRefitSql,
 
     "q_pagerank_centrality" -> pagerankSql,
 

@@ -108,6 +108,27 @@ class LogitFitSpec extends AnyFunSuite with SparkSpec {
       s"queue misses a smaller margin: in=$worstIn out=$bestOut")
   }
 
+  test("refit closes the active-learning loop: the queue is disjoint " +
+    "from the slice, the fit grows by exactly the budget, and the " +
+    "retrained model STRICTLY improves full-corpus accuracy") {
+    val r = TextQueries.queries("q_logit_refit")(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val nFitBase = row.getAs[Long]("n_fit_base")
+    val nFitRefit = row.getAs[Long]("n_fit_refit")
+    val nQueued = row.getAs[Long]("n_queued")
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(row.getAs[Long]("n_total") === n)
+    assert(nQueued === TextQueries.REFIT_K.toLong)
+    // queue ⊆ out-of-slice ⇒ the grown fit is base + budget exactly
+    assert(nFitRefit === nFitBase + nQueued,
+      s"queue overlapped the fit slice: $nFitBase + $nQueued != $nFitRefit")
+    assert(row.getAs[Long]("improved") === 1L)
+    assert(row.getAs[Long]("n_correct_refit")
+        > row.getAs[Long]("n_correct_base"),
+      s"labeling budget bought nothing: $row")
+  }
+
   test("generic facade: a separable synthetic feature trains to " +
     "near-perfect accuracy") {
     import spark.implicits._
