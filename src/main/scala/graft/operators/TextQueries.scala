@@ -2364,9 +2364,21 @@ object TextQueries {
     */
   def maxCoverageSampled(docs: DataFrame, idCol: String, textCol: String,
                          k: Int, v: Int, seed: Int,
-                         pct: Int): DataFrame = {
-    val slice = docs.filter(
+                         pct: Int): DataFrame =
+    maxCoverageSliced(docs, idCol, textCol, k, v,
       Curation.hashBucket(col(idCol), seed) < pct)
+
+  /** [[maxCoverageSampled]] under an arbitrary boolean fit gate — the
+    * generic form a 100 TB run calls with an ABSOLUTE row budget
+    * (e.g. a mod-10⁴ hash under 2500/m on a ×m corpus keeps the fit
+    * slice constant-size while the corpus grows; the gated percent
+    * form is the fixed-fraction special case). Only the one
+    * true-coverage scoring pass ever touches the full corpus.
+    */
+  def maxCoverageSliced(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, v: Int,
+                        sliceGate: org.apache.spark.sql.Column): DataFrame = {
+    val slice = docs.filter(sliceGate)
     val vocab = maxcoverVocab(slice, textCol, v)
     val dt = graft.CacheRegistry.register(
       slice.select(col(idCol).cast("long").as("doc_id"),

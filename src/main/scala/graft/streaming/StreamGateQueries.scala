@@ -68,10 +68,25 @@ object StreamGateQueries {
     val dir = Paths.get(s"$STAGE_BASE/$key")
     if (!Files.exists(dir.resolve("_STAGED"))) {
       Files.createDirectories(dir)
+      val src = Paths.get(s"$sfDir/$table.parquet")
       (1 to copies).foreach { i =>
-        val dst = dir.resolve(s"${table}_$i.parquet")
-        if (!Files.exists(dst))
-          Files.copy(Paths.get(s"$sfDir/$table.parquet"), dst)
+        if (Files.isDirectory(src)) {
+          // a Spark-written table (scale-probe staging dirs): a shallow
+          // copy would stage an EMPTY directory and the stream would
+          // silently drain zero rows — copy every part file instead
+          val parts = Files.list(src).iterator()
+          var j = 0
+          parts.forEachRemaining { p =>
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              val dst = dir.resolve(s"${table}_${i}_$j.parquet")
+              if (!Files.exists(dst)) Files.copy(p, dst)
+              j += 1
+            }
+          }
+        } else {
+          val dst = dir.resolve(s"${table}_$i.parquet")
+          if (!Files.exists(dst)) Files.copy(src, dst)
+        }
       }
       Files.writeString(dir.resolve("_STAGED"), "ok")
     }

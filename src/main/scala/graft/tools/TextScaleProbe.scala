@@ -105,10 +105,40 @@ object TextScaleProbe {
         val n = f
         println(f"[textscale] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
       }
+      // the Bench rep-hygiene calibration probe: one reading per
+      // multiplier so probe rows carry machine-state evidence
+      def calibrate(): Double = {
+        System.gc()
+        val t0 = System.nanoTime()
+        spark.range(0L, 20_000_000L, 1L, 32)
+          .selectExpr("bit_xor(xxhash64(id))").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      calibrate() // codegen warm
       for (m <- mults) {
         val sd = stageX(m)
-        for (q <- gated) time(s"$q x$m")(
-          graft.SparkEntry.queries(q)(spark, sd).count())
+        println(f"[textscale] calib x$m = ${calibrate()}%.3f s")
+        for (q <- gated.filterNot(_ == "maxcover_budget"))
+          time(s"$q x$m")(
+            graft.SparkEntry.queries(q)(spark, sd).count())
+        // pseudo-name: the 100 TB posture of q_maxcover_sampled — the
+        // fit gate becomes an ABSOLUTE budget (mod-10⁴ < 2500/m keeps
+        // the expected slice constant across multipliers, the
+        // bpe_train_sampled recipe), so the only corpus-linear term
+        // left is the single true-coverage scoring pass
+        if (gated.contains("maxcover_budget"))
+          time(s"maxcover_budget x$m")(
+            graft.operators.TextQueries.maxCoverageSliced(
+              spark.read.parquet(s"$sd/documents.parquet"),
+              "doc_id", "text", 8, 100,
+              graft.operators.Dedup.hash32(59,
+                org.apache.spark.sql.functions.col("doc_id")
+                  .cast("string")) % 10000
+                < org.apache.spark.sql.functions.lit(2500L / m))
+              .count())
+        // the two direct trainer runs belong to the DEFAULT sweep; an
+        // arg-narrowed probe prices only the named queries
+        if (args.isEmpty) {
         time(s"bpe_train(8) x$m")(
           graft.operators.Bpe.train(
             spark.read.parquet(s"$sd/documents.parquet"),
@@ -127,6 +157,7 @@ object TextScaleProbe {
                     .cast("string")) % 10000
                 < org.apache.spark.sql.functions.lit(2500L / m)),
             "doc_id", "text", nMerges = 8).count())
+        }
       }
     }
     spark.stop()

@@ -86,8 +86,21 @@ object VectorScaleProbe {
       println(f"[vectorscale] $label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
+    // the Bench rep-hygiene calibration probe (fixed cpu-bound work):
+    // one reading per multiplier so every probe row carries its
+    // machine-state evidence
+    def calibrate(): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      spark.range(0L, 20_000_000L, 1L, 32)
+        .selectExpr("bit_xor(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // codegen warm
+
     for (m <- mults) {
       val sd = stageX(m)
+      println(f"[vectorscale] calib x$m = ${calibrate()}%.3f s")
       for (q <- names) time(s"$q x$m")(
         graft.SparkEntry.queries(q)(spark, sd).count())
     }
