@@ -639,6 +639,22 @@ object Graft {
                          iters: Int = operators.TextQueries.LOGIT_FIT_ITERS): DataFrame =
     operators.TextQueries.fitLogisticGd(labeled, xs, yCol, inFitCol, iters)
 
+  /** One closed active-learning retrain round: fit on the `inFitCol`
+    * slice, queue the `k` most uncertain non-slice rows (smallest
+    * trained-score margin), refit with the queue folded in, and report
+    * both models' full-frame accuracy in one row (`improved` = the
+    * labeling budget strictly bought accuracy); see
+    * [[operators.TextQueries.activeLearningRound]].
+    */
+  def activeLearningRound(labeled: DataFrame, id: String = "doc_id",
+                          xs: Seq[String] = Seq("len_bp", "stop_bp",
+                            "punct_bp", "uniq_bp"),
+                          yCol: String = "y",
+                          inFitCol: String = "in_fit",
+                          k: Int = operators.TextQueries.REFIT_K): DataFrame =
+    operators.TextQueries.activeLearningRound(labeled, id, xs, yCol,
+      inFitCol, k)
+
   /** The K documents whose fitted-model score sits closest to the
     * decision boundary — the margin-based active-learning labeling
     * queue. Scores with `model` in-row, selects via TakeOrdered (never

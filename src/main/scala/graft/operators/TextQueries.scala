@@ -3048,37 +3048,61 @@ object TextQueries {
     */
   private def logitRefit(s: SparkSession, dir: String): DataFrame = {
     val xs = Seq("len_bp", "stop_bp", "punct_bp", "uniq_bp")
-    val docs = Tables.load(s, dir, "documents")
     val yExpr = "CASE WHEN greatest(0, 3 * len_bp + 4 * stop_bp - " +
       "2 * punct_bp + 2 * uniq_bp) div 10 >= 1750 THEN 1L ELSE 0L END"
-    val lab = qualityBpOf(docs)
+    val lab = qualityBpOf(Tables.load(s, dir, "documents"))
       .withColumn("y", expr(yExpr))
       .withColumn("in_sl",
         Curation.hashBucket(col("doc_id"), LOGIT_SAMPLE_SEED)
           < LOGIT_SAMPLE_PCT)
-    val (mA, zA, nA) = fitLogitModel(lab, xs, "y", "in_sl",
+    activeLearningRound(lab, "doc_id", xs, "y", "in_sl", REFIT_K)
+  }
+
+  /** One generic active-learning retrain round (the q_logit_refit body
+    * over caller columns): fit on the `inFitCol` slice, queue the `k`
+    * non-slice rows with the smallest trained-score margin
+    * (|score| ASC, `idCol` ASC, NULLS LAST — a missing-feature row
+    * never jumps the queue), refit with the queue folded into the
+    * slice, and score BOTH models on the full frame. The caller's
+    * `yCol` stands in for the annotator (rows arrive labeled; a real
+    * deployment swaps in fresh labels for the queued ids before the
+    * refit). Returns ONE row: n_correct_base, n_fit_base,
+    * n_correct_refit, n_fit_refit, n_queued, n_total, improved.
+    *
+    * 100 TB posture: two [[fitLogisticGd]] trainers (bounded
+    * aggregates), one TakeOrderedAndProject queue (k rows — the
+    * labeling batch is driver-sized by definition), two scoring
+    * aggregates; the queue ids ride the refit gate as an in-plan
+    * literal list.
+    */
+  def activeLearningRound(labeled: DataFrame, idCol: String,
+                          xs: Seq[String], yCol: String,
+                          inFitCol: String, k: Int): DataFrame = {
+    val (mA, zA, nA) = fitLogitModel(labeled, xs, yCol, inFitCol,
       LOGIT_FIT_ITERS)
-    // the labeling queue: boundary docs the slice model has NOT seen
-    val queueIds = marginQueue(
-        docs.filter(Curation.hashBucket(col("doc_id"), LOGIT_SAMPLE_SEED)
-          >= LOGIT_SAMPLE_PCT), mA, REFIT_K)
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-    val labB = lab.withColumn("in_sl",
-      col("in_sl") || col("doc_id").isInCollection(queueIds))
-    val (mB, zB, nB) = fitLogitModel(labB, xs, "y", "in_sl",
+    // the labeling queue: boundary rows the slice model has NOT seen
+    val queueIds = labeled.filter(!col(inFitCol))
+      .withColumn("score_m", expr(mA.scoreMilliExpr(xs)))
+      .withColumn("abs_m", abs(col("score_m")))
+      .orderBy(col("abs_m").asc_nulls_last, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol)).collect().map(_.get(0)).toSeq
+    val labB = labeled.withColumn(inFitCol,
+      col(inFitCol) || col(idCol).isin(queueIds: _*))
+    val (mB, zB, nB) = fitLogitModel(labB, xs, yCol, inFitCol,
       LOGIT_FIT_ITERS)
     def corpusCorrect(z: DataFrame, m: LogitModel): (Long, Long) = {
       val sE = (0 to xs.size).map(j => s"${m.w(j)}L * x$j")
         .mkString("(", " + ", ")")
       val r = z.agg(
-        sum(when(expr(s"($sE > 0) = (y = 1)"), 1L).otherwise(0L))
+        sum(when(expr(s"($sE > 0) = ($yCol = 1)"), 1L).otherwise(0L))
           .as("n_correct"),
         count(lit(1)).as("n_total")).head()
       (r.getLong(0), r.getLong(1))
     }
     val (cA, nTotal) = corpusCorrect(zA, mA)
     val (cB, _) = corpusCorrect(zB, mB)
-    import s.implicits._
+    import labeled.sparkSession.implicits._
     Seq((cA, nA, cB, nB, queueIds.size.toLong, nTotal,
       if (cB > cA) 1L else 0L))
       .toDF("n_correct_base", "n_fit_base", "n_correct_refit",

@@ -129,6 +129,29 @@ class LogitFitSpec extends AnyFunSuite with SparkSpec {
       s"labeling budget bought nothing: $row")
   }
 
+  test("generic activeLearningRound facade: queue drawn from outside " +
+    "the slice, fit grows by exactly k, queue targets the boundary") {
+    import spark.implicits._
+    // model sees only the extremes; the decision boundary (f = 500) is
+    // exactly where the unlabeled middle is most uncertain
+    val labeled = (0L until 1000L)
+      .map(f => (f, f, if (f >= 500L) 1L else 0L,
+        f < 100L || f >= 900L))
+      .toDF("id", "f", "y", "in_fit")
+    val r = Graft.activeLearningRound(labeled, id = "id", xs = Seq("f"),
+      k = 32).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_total") === 1000L)
+    assert(row.getAs[Long]("n_fit_base") === 200L)
+    assert(row.getAs[Long]("n_queued") === 32L)
+    assert(row.getAs[Long]("n_fit_refit") === 232L,
+      s"queue must be disjoint from the slice: $row")
+    assert(row.getAs[Long]("n_correct_refit")
+      >= row.getAs[Long]("n_correct_base"),
+      s"boundary labels made the model worse: $row")
+  }
+
   test("generic facade: a separable synthetic feature trains to " +
     "near-perfect accuracy") {
     import spark.implicits._
