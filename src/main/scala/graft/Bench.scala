@@ -71,15 +71,7 @@ object Bench {
     // rep_total should be discounted when adjudicating round-over-round
     // drift (PERF.md §rep-hygiene). Recorded as `calib` + `noisy_reps`
     // in both JSON records.
-    def calibrate(): Double = {
-      System.gc()
-      val t0 = System.nanoTime()
-      // bit_xor, not sum: summing 20M full-range xxhash64 values
-      // overflows a long under ANSI arithmetic
-      spark.range(0L, 20_000_000L, 1L, 32)
-        .selectExpr("bit_xor(xxhash64(id))").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def calibrate(): Double = tools.Calibration.probe(spark)
     calibrate() // codegen warm — the first probe pays compile cost
     val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val repTotals = (1 to reps).map { _ =>

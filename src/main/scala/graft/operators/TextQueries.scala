@@ -2254,11 +2254,30 @@ object TextQueries {
     */
   def maxCoverage(docs: DataFrame, idCol: String, textCol: String,
                   k: Int, v: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    maxcoverGreedy(docs, idCol, textCol, k, v)
+      .map { case (rank, id, gain, ncov, _) => (rank, id, gain, ncov) }
+      .toDF("rank", idCol, "gain", "n_covered")
+  }
+
+  /** The shared greedy core of [[maxCoverage]] and
+    * [[maxCoverageSliced]]: top-v-df vocabulary over `docs`, the
+    * in-row V-restricted doc-shingle projection, then up to k greedy
+    * rounds. Returns one tuple per pick:
+    * (rank, id, gain, n_covered, the pick's newly covered tokens) —
+    * the added-token sets let the sliced form score true coverage
+    * without re-deriving the rounds. One loop body so the tie rule
+    * (gain DESC, id ASC via max-of-struct with negated id) and the
+    * early stop can never drift between the public forms.
+    */
+  private def maxcoverGreedy(docs: DataFrame, idCol: String,
+                             textCol: String, k: Int, v: Int)
+      : Vector[(Long, Long, Long, Long, Set[String])] = {
     val vocab = maxcoverVocab(docs, textCol, v)
-    // second corpus pass: restrict IN-ROW against the ≤v-string vocab
-    // literal (typedlit — corpus text never reaches SQL-string land),
-    // so the explode emits only vocabulary hits and no join runs;
-    // array_intersect's contract already de-duplicates, so no
+    // second pass over `docs`: restrict IN-ROW against the ≤v-string
+    // vocab literal (typedlit — corpus text never reaches SQL-string
+    // land), so the explode emits only vocabulary hits and no join
+    // runs; array_intersect's contract already de-duplicates, so no
     // array_distinct is needed here (the vocab pass keeps its own —
     // df counts distinct docs per shingle)
     val dt = graft.CacheRegistry.register(
@@ -2268,7 +2287,7 @@ object TextQueries {
             typedlit(vocab))).as("tok"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var covered = Set.empty[String]
-    var out = Vector.empty[(Long, Long, Long, Long)]
+    var picks = Vector.empty[(Long, Long, Long, Long, Set[String])]
     var done = false
     for (t <- 0 until k if !done) {
       val cand = if (covered.isEmpty) dt
@@ -2280,13 +2299,13 @@ object TextQueries {
         .head().getStruct(0)
       if (r == null) done = true
       else {
-        covered ++= r.getSeq[String](2)
-        out :+= ((t.toLong, -r.getLong(1), r.getLong(0),
-          covered.size.toLong))
+        val added = r.getSeq[String](2).toSet
+        covered ++= added
+        picks :+= ((t.toLong, -r.getLong(1), r.getLong(0),
+          covered.size.toLong, added))
       }
     }
-    import docs.sparkSession.implicits._
-    out.toDF("rank", idCol, "gain", "n_covered")
+    picks
   }
 
   /** The top-v-df shingle vocabulary as a driver list (≤ v strings —
@@ -2378,33 +2397,8 @@ object TextQueries {
   def maxCoverageSliced(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, v: Int,
                         sliceGate: org.apache.spark.sql.Column): DataFrame = {
-    val slice = docs.filter(sliceGate)
-    val vocab = maxcoverVocab(slice, textCol, v)
-    val dt = graft.CacheRegistry.register(
-      slice.select(col(idCol).cast("long").as("doc_id"),
-          explode(array_intersect(
-            TextFunctions.shingles(col(textCol), K),
-            typedlit(vocab))).as("tok"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    var covered = Set.empty[String]
-    var picks = Vector.empty[(Long, Long, Long, Long, Set[String])]
-    var done = false
-    for (t <- 0 until k if !done) {
-      val cand = if (covered.isEmpty) dt
-        else dt.filter(!col("tok").isInCollection(covered))
-      val r = cand.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("gain"), collect_set(col("tok")).as("ts"))
-        .agg(max(struct(col("gain"),
-          (lit(-1L) * col("doc_id")).as("nid"), col("ts"))).as("m"))
-        .head().getStruct(0)
-      if (r == null) done = true
-      else {
-        val added = r.getSeq[String](2).toSet
-        covered ++= added
-        picks :+= ((t.toLong, -r.getLong(1), r.getLong(0),
-          covered.size.toLong, added))
-      }
-    }
+    val picks = maxcoverGreedy(docs.filter(sliceGate), idCol, textCol, k, v)
+    val covered = picks.iterator.flatMap(_._5).toSet
     // the ONE full-corpus pass: distinct (doc, tok) incidences per
     // covered token (array_intersect dedups in-row — the mcd contract)
     val dfMap: Map[String, Long] =
@@ -2433,25 +2427,35 @@ object TextQueries {
     * yields an empty mc_t and its final-select row vanishes, matching
     * the engine's early stop.
     */
-  private def maxcoverCtes: String = {
-    val rounds = (0 until MAXCOV_K).map { t =>
-      val notCovered = if (t == 0) ""
-        else s" WHERE tok NOT IN (SELECT tok FROM mcov${t - 1})"
-      val covPrev = if (t == 0) ""
-        else s"SELECT tok FROM mcov${t - 1} UNION "
-      s"""mg$t AS MATERIALIZED (SELECT doc_id, count(*) AS gain
-         |  FROM mdt$notCovered GROUP BY 1),
-         |mc$t AS MATERIALIZED (SELECT doc_id, gain FROM mg$t
-         |  ORDER BY gain DESC, doc_id ASC LIMIT 1),
-         |mcov$t AS MATERIALIZED (${covPrev}SELECT tok FROM mdt
-         |  WHERE doc_id = (SELECT doc_id FROM mc$t))""".stripMargin
-    }.mkString(",\n")
+  private def maxcoverCtes: String =
     // MATERIALIZED throughout: each round references the previous
     // covered set, so inlined CTEs would re-expand the whole prefix
     // per round (the 2^rounds plan blow-up, DuckDB edition)
     s"""$maxcoverBaseCtes,
-       |$rounds""".stripMargin
-  }
+       |${maxcoverRoundCtes("mg", "mc", "mcov", "mdt")}""".stripMargin
+
+  /** The unrolled greedy rounds shared by the plain and sampled
+    * max-coverage oracles, prefix-parameterized exactly like
+    * [[logitChain]]: per round t, `<g>t` = marginal gain per doc
+    * against the covered set, `<c>t` = the argmax pick (gain DESC,
+    * doc_id ASC LIMIT 1), `<cov>t` = covered ∪ the pick's terms, all
+    * over the V-restricted pair table `dt`. One template so a
+    * tie-rule or early-stop change can never drift between the twins.
+    */
+  private def maxcoverRoundCtes(g: String, c: String, cov: String,
+                                dt: String): String =
+    (0 until MAXCOV_K).map { t =>
+      val notCovered = if (t == 0) ""
+        else s" WHERE tok NOT IN (SELECT tok FROM $cov${t - 1})"
+      val covPrev = if (t == 0) ""
+        else s"SELECT tok FROM $cov${t - 1} UNION "
+      s"""$g$t AS MATERIALIZED (SELECT doc_id, count(*) AS gain
+         |  FROM $dt$notCovered GROUP BY 1),
+         |$c$t AS MATERIALIZED (SELECT doc_id, gain FROM $g$t
+         |  ORDER BY gain DESC, doc_id ASC LIMIT 1),
+         |$cov$t AS MATERIALIZED (${covPrev}SELECT tok FROM $dt
+         |  WHERE doc_id = (SELECT doc_id FROM $c$t))""".stripMargin
+    }.mkString(",\n")
 
   /** The shared doc-shingle base of the max-coverage twins: mcd =
     * distinct doc-shingle pairs, mcv = the top-V-df vocabulary,
@@ -2475,18 +2479,7 @@ object TextQueries {
   private def maxcoverSampledCtes: String = {
     val gate = s"${Dedup.hash32Sql(MAXCOV_SAMPLE_SEED,
       "CAST(doc_id AS VARCHAR)")} % 100 < $MAXCOV_SAMPLE_PCT"
-    val rounds = (0 until MAXCOV_K).map { t =>
-      val notCovered = if (t == 0) ""
-        else s" WHERE tok NOT IN (SELECT tok FROM scv${t - 1})"
-      val covPrev = if (t == 0) ""
-        else s"SELECT tok FROM scv${t - 1} UNION "
-      s"""sg$t AS MATERIALIZED (SELECT doc_id, count(*) AS gain
-         |  FROM sdt$notCovered GROUP BY 1),
-         |sc$t AS MATERIALIZED (SELECT doc_id, gain FROM sg$t
-         |  ORDER BY gain DESC, doc_id ASC LIMIT 1),
-         |scv$t AS MATERIALIZED (${covPrev}SELECT tok FROM sdt
-         |  WHERE doc_id = (SELECT doc_id FROM sc$t))""".stripMargin
-    }.mkString(",\n")
+    val rounds = maxcoverRoundCtes("sg", "sc", "scv", "sdt")
     s"""$shinglesCte,
        |mcd AS (SELECT doc_id, shingle AS tok FROM sh),
        |smcd AS (SELECT doc_id, tok FROM mcd WHERE $gate),

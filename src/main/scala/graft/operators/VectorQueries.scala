@@ -2002,16 +2002,26 @@ object VectorQueries {
     // b = min d² to the best OTHER centroid is undefined for a
     // single-cell partition (the filter empties, array_min → NULL and
     // the NULLs would silently diverge from a rn=2 oracle join) —
-    // refuse loudly instead. The count is over the K-row centroid
-    // table, the bounded side by contract.
-    val nCells = centroids.select(col(cellCol).cast("int")).distinct().count()
+    // refuse loudly instead. The centroid table is the K-row bounded
+    // side by contract, so collect it ONCE and derive both the guard
+    // count and the broadcast array from that single evaluation (a
+    // separate distinct().count() would launch an extra eager job
+    // re-running the centroid lineage on every call).
+    val centRows = centroids
+      .select(col(cellCol).cast("int").as("cell"),
+        expr(quantExpr(centroidCol)).as("cq"))
+      .collect()
+    val nCells = centRows.map(_.getInt(0)).distinct.length
     require(nCells >= 2,
       s"partitionSilhouette: needs >= 2 distinct cells, got $nCells " +
         "(silhouette's b term is undefined for a single-cell partition)")
+    val s = emb.sparkSession
+    import s.implicits._
     val qv = emb.select(expr(quantExpr(vecCol)).as("vq"))
-    val centArr = centroids
-      .select(struct(col(cellCol).cast("int").as("cell"),
-        expr(quantExpr(centroidCol)).as("cq")).as("e"))
+    val centArr = centRows.toSeq
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+      .toDF("cell", "cq")
+      .select(struct(col("cell"), col("cq")).as("e"))
       .agg(sort_array(collect_list(col("e"))).as("cents"))
     qv.crossJoin(broadcast(centArr))
       .withColumn("ds", expr(

@@ -61,27 +61,54 @@ object StreamGateQueries {
     * parquet into a directory the file source can list. `copies = 2`
     * is the dedup fixture: every event arrives exactly twice.
     */
+  /** List a directory's entries eagerly, closing the underlying
+    * stream (`Files.list` holds a directory fd until closed).
+    */
+  private def listDir(dir: java.nio.file.Path): List[java.nio.file.Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
+  /** Copy the single part file of a one-partition Spark write out of
+    * its temp dir. REPLACE_EXISTING: a resume after a crash mid-staging
+    * re-copies instead of throwing FileAlreadyExistsException.
+    */
+  private def copySinglePart(tmp: java.nio.file.Path,
+                             dst: java.nio.file.Path): Unit = {
+    val part = listDir(tmp)
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def stage(sfDir: String, copies: Int,
                     table: String = "events"): String = synchronized {
     val key =
       sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_${table}_x$copies"
     val dir = Paths.get(s"$STAGE_BASE/$key")
     if (!Files.exists(dir.resolve("_STAGED"))) {
+      // no marker but files present = a crashed partial staging run
+      // (possibly from an older naming scheme): start clean so the
+      // fixture can never mix two generations of copies
+      if (Files.isDirectory(dir))
+        listDir(dir).foreach(Files.deleteIfExists)
       Files.createDirectories(dir)
       val src = Paths.get(s"$sfDir/$table.parquet")
       (1 to copies).foreach { i =>
         if (Files.isDirectory(src)) {
           // a Spark-written table (scale-probe staging dirs): a shallow
           // copy would stage an EMPTY directory and the stream would
-          // silently drain zero rows — copy every part file instead
-          val parts = Files.list(src).iterator()
-          var j = 0
-          parts.forEachRemaining { p =>
-            if (p.getFileName.toString.endsWith(".parquet")) {
-              val dst = dir.resolve(s"${table}_${i}_$j.parquet")
-              if (!Files.exists(dst)) Files.copy(p, dst)
-              j += 1
-            }
+          // silently drain zero rows — copy every part file instead.
+          // dst is derived from the SOURCE part-file name (Files.list
+          // order is unspecified), so a resume after a partial copy
+          // skips exactly the parts already staged — a positional
+          // index would pair the exists-check with a different part
+          // across runs and silently duplicate/drop files.
+          val parts = listDir(src)
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+          parts.foreach { p =>
+            val dst = dir.resolve(s"${table}_${i}_${p.getFileName}")
+            if (!Files.exists(dst)) Files.copy(p, dst)
           }
         } else {
           val dst = dir.resolve(s"${table}_$i.parquet")
@@ -110,10 +137,8 @@ object StreamGateQueries {
           val tmp = Files.createTempDirectory("graft_half_")
           ev.filter(pmod(col("user_id"), lit(2)) === half)
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = Files.list(tmp).iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet")).get
           val dst = dir.resolve(s"half_$half.parquet")
-          Files.copy(part, dst)
+          copySinglePart(tmp, dst)
           // strictly ordered mtimes pin the batch order
           Files.setLastModifiedTime(dst,
             java.nio.file.attribute.FileTime.fromMillis(
@@ -150,10 +175,8 @@ object StreamGateQueries {
             val tmp = Files.createTempDirectory("graft_late_")
             ev.filter(pred).coalesce(1)
               .write.mode("overwrite").parquet(tmp.toString)
-            val part = Files.list(tmp).iterator().asScala
-              .find(_.getFileName.toString.endsWith(".parquet")).get
             val dst = dir.resolve(s"slice_$i.parquet")
-            Files.copy(part, dst)
+            copySinglePart(tmp, dst)
             Files.setLastModifiedTime(dst,
               java.nio.file.attribute.FileTime.fromMillis(
                 1000000000000L + i * 600000L))

@@ -56,7 +56,10 @@ object TextScaleProbe {
     val parts = sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTS", "2")
       .split(",").map(_.trim.toInt).toSet
 
-    if (parts(1)) for (name <- names) {
+    // part 2's pseudo-names (e.g. maxcover_budget) are not gate keys —
+    // part 1 prices gate queries only, so skip them here exactly like
+    // part 2's gated loop does, instead of crashing on the Map apply
+    if (parts(1)) for (name <- names.filter(graft.SparkEntry.queries.contains)) {
       val ts = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").map { sf =>
         val warm = (1 to 2).map { _ =>
           graft.CacheRegistry.releaseAll()
@@ -107,13 +110,7 @@ object TextScaleProbe {
       }
       // the Bench rep-hygiene calibration probe: one reading per
       // multiplier so probe rows carry machine-state evidence
-      def calibrate(): Double = {
-        System.gc()
-        val t0 = System.nanoTime()
-        spark.range(0L, 20_000_000L, 1L, 32)
-          .selectExpr("bit_xor(xxhash64(id))").collect()
-        (System.nanoTime() - t0) / 1e9
-      }
+      def calibrate(): Double = Calibration.probe(spark)
       calibrate() // codegen warm
       for (m <- mults) {
         val sd = stageX(m)

@@ -89,13 +89,7 @@ object VectorScaleProbe {
     // the Bench rep-hygiene calibration probe (fixed cpu-bound work):
     // one reading per multiplier so every probe row carries its
     // machine-state evidence
-    def calibrate(): Double = {
-      System.gc()
-      val t0 = System.nanoTime()
-      spark.range(0L, 20_000_000L, 1L, 32)
-        .selectExpr("bit_xor(xxhash64(id))").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def calibrate(): Double = Calibration.probe(spark)
     calibrate() // codegen warm
 
     for (m <- mults) {
