@@ -2726,6 +2726,30 @@ object TextQueries {
        |ORDER BY abs(score_m) ASC, doc_id ASC LIMIT $UNC_K""".stripMargin
   }
 
+  /** The q_stream_uncertainty oracle: the trainer chain to per-doc
+    * margins (the [[uncertaintySampleSql]] usc rows), the admission
+    * cut = the [[UNC_K]]-th smallest (|score_m|, doc_id) row, then the
+    * rows beating the cut — the set the streaming admission filter
+    * must reproduce exactly (on the replayed corpus it IS the batch
+    * queue, minus rank).
+    */
+  private[graft] def streamUncertaintySql: String = {
+    val (ctes, sFin) = logitCtes(sampled = false)
+    val last = s"it$LOGIT_FIT_ITERS"
+    s"""WITH $ctes,
+       |usc AS (SELECT z.doc_id,
+       |    CAST(CASE WHEN $sFin < 0 THEN -((-($sFin)) // 1000000)
+       |      ELSE ($sFin) // 1000000 END AS BIGINT) AS score_m
+       |  FROM z, $last),
+       |ucut AS (SELECT abs(score_m) AS thr, doc_id AS tie_id FROM usc
+       |  ORDER BY abs(score_m) ASC, doc_id ASC
+       |  LIMIT 1 OFFSET ${UNC_K - 1})
+       |SELECT u.doc_id, u.score_m, abs(u.score_m) AS margin_m
+       |FROM usc u, ucut c
+       |WHERE abs(u.score_m) < c.thr
+       |  OR (abs(u.score_m) = c.thr AND u.doc_id <= c.tie_id)""".stripMargin
+  }
+
   /** The q_stream_quality oracle: the full-corpus trainer chain
     * ([[logitCtes]]) replayed to the final weights, then ONE per-doc
     * scoring pass rolled up by verdict — the batch ground truth the
@@ -3013,6 +3037,28 @@ object TextQueries {
         Window.orderBy(col("abs_m").asc_nulls_last, col("doc_id").asc)))
       .select(col("rank").cast("long").as("rank"),
         col("doc_id"), col("score_m"))
+  }
+
+  /** The labeling-queue ADMISSION CUT the batch fit publishes for the
+    * streaming twin: the k-th (last) row of [[marginQueue]] as
+    * (|score_m|, doc_id) — an arrival enters the queue iff its margin
+    * beats the cut, ties broken by doc_id exactly like the batch rule.
+    * Bounded driver work by definition (k rows). Requires the corpus
+    * to fill the queue: a shorter queue has no k-th row and the
+    * streaming filter would silently admit a different set than the
+    * batch top-k — refuse loudly instead.
+    */
+  def queueAdmissionCut(docs: DataFrame, model: LogitModel,
+                        k: Int): (Long, Long) = {
+    val q = marginQueue(docs, model, k).collect()
+    require(q.length == k,
+      s"queueAdmissionCut: queue has ${q.length} rows, needs k=$k " +
+        "(the admission cut is the k-th smallest margin)")
+    val last = q.maxBy(_.getLong(0))
+    require(!last.isNullAt(2),
+      "queueAdmissionCut: the k-th queue row has a NULL score (fewer " +
+        "than k scoreable docs) — the margin cut is undefined")
+    (math.abs(last.getLong(2)), last.getLong(1))
   }
 
   /** One closed active-learning round (the q_logit_refit body):

@@ -335,6 +335,22 @@ object StreamGateQueries {
           sum(col("score_m")).as("score_sum_m"))
     },
 
+    // ── streaming labeling-queue admission (active learning online) ────
+    // The batch fit publishes its admission cut — the UNC_K-th
+    // smallest margin and its tie doc_id (queueAdmissionCut) — and
+    // each arriving document is scored in-row and admitted iff its
+    // margin beats the cut, the batch queue's own tie rule. Stateless
+    // (model + cut are plan literals); the fixture replays the corpus,
+    // so the admitted set must equal the batch marginQueue exactly.
+    "q_stream_uncertainty" -> { (s, dir) =>
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.operators.TextQueries.fitQualityModel(corpus)
+      val (thr, tie) = graft.operators.TextQueries.queueAdmissionCut(
+        corpus, model, graft.operators.TextQueries.UNC_K)
+      runToTable(s, StreamingQuality.queueAdmissionStream(
+        docsStream(s, dir), model, thr, tie))
+    },
+
     // ── streaming novelty vs the batch-fitted k-center cover ───────────
     // Out-of-distribution admission: the maximin seeds are fitted ONCE
     // on the corpus, each arriving embedding is assigned in-row to its
@@ -1126,6 +1142,8 @@ object StreamGateQueries {
 
     "q_stream_quality" ->
       graft.operators.TextQueries.streamQualitySql,
+    "q_stream_uncertainty" ->
+      graft.operators.TextQueries.streamUncertaintySql,
 
     "q_stream_novelty" ->
       graft.operators.VectorQueries.streamNoveltySql,

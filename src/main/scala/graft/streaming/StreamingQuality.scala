@@ -43,4 +43,33 @@ object StreamingQuality {
         when(expr(s"$sE > 0"), lit("keep")).otherwise(lit("drop"))
           .as("verdict"))
   }
+
+  /** Labeling-queue admission on a document STREAM — the online half
+    * of margin-based uncertainty sampling ([[TextQueries.marginQueue]]
+    * is the batch queue): the batch fit publishes its admission cut
+    * (the k-th smallest |score| and its tie doc_id, see
+    * [[TextQueries.queueAdmissionCut]]) and each arriving document is
+    * scored in-row and admitted iff its margin beats the cut —
+    * |score_m| < thr, ties at the cut broken by doc_id ≤ tieId, the
+    * batch queue's own (margin ASC, doc_id ASC) rule. A null score (a
+    * doc with no scoreable text) never admits, matching the batch
+    * NULLS LAST ordering.
+    *
+    * Stateless like [[scoreStream]]: model AND cut ride the plan as
+    * literals, so admission costs O(batch) with no state store — the
+    * shape an unbounded annotation pipeline ships, with the cut
+    * republished on each periodic refit. Emits the admitted rows only:
+    * (doc_id, score_m, margin_m).
+    */
+  def queueAdmissionStream(docs: DataFrame,
+                           model: TextQueries.LogitModel,
+                           thrMilli: Long, tieId: Long): DataFrame = {
+    val xs = Seq("len_bp", "stop_bp", "punct_bp", "uniq_bp")
+    TextQueries.qualityBpOf(docs)
+      .withColumn("score_m", expr(model.scoreMilliExpr(xs)))
+      .withColumn("margin_m", abs(col("score_m")))
+      .filter(col("margin_m") < thrMilli ||
+        (col("margin_m") === thrMilli && col("doc_id") <= tieId))
+      .select(col("doc_id"), col("score_m"), col("margin_m"))
+  }
 }
