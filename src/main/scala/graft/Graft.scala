@@ -691,4 +691,27 @@ object Graft {
   def qualityScoreStream(docs: DataFrame,
                          model: operators.TextQueries.LogitModel): DataFrame =
     streaming.StreamingQuality.scoreStream(docs, model)
+
+  /** The labeling-queue admission cut a batch fit publishes for online
+    * uncertainty sampling: the k-th smallest (|score|, id) of
+    * [[uncertaintySample]]'s queue, as two longs the streaming filter
+    * inlines as literals; see
+    * [[operators.TextQueries.queueAdmissionCut]].
+    */
+  def queueAdmissionCut(docs: DataFrame,
+                        model: operators.TextQueries.LogitModel,
+                        k: Int = operators.TextQueries.UNC_K): (Long, Long) =
+    operators.TextQueries.queueAdmissionCut(docs, model, k)
+
+  /** Admit arriving documents into the labeling queue online: score
+    * in-row against the fitted model and keep the rows whose margin
+    * beats the published cut (ties by id — the batch queue's own
+    * rule). Stateless like [[qualityScoreStream]]; see
+    * [[streaming.StreamingQuality.queueAdmissionStream]].
+    */
+  def queueAdmissionStream(docs: DataFrame,
+                           model: operators.TextQueries.LogitModel,
+                           thrMilli: Long, tieId: Long): DataFrame =
+    streaming.StreamingQuality.queueAdmissionStream(docs, model,
+      thrMilli, tieId)
 }

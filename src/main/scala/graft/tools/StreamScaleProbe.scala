@@ -126,24 +126,28 @@ object StreamScaleProbe {
     // a probe run restricted to other modes must not require the table
     lazy val docsBase = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    if (want("neardup")) {
-      def stageDocs(m: Int): String = {
-        val out = graft.StageDirs.stable(s"stream_scale_docs_x$m")
-        val marker = java.nio.file.Paths.get(s"$out/_STAGED")
-        if (!Files.exists(marker)) {
-          (0 until m).foreach { i =>
-            docsBase.select(
-                (col("doc_id") + lit(i.toLong * 100_000_000L))
-                  .as("doc_id"), col("text"))
-              .coalesce(2)
-              .write.mode(if (i == 0) "overwrite" else "append")
-              .parquet(out)
-          }
-          Files.createDirectories(marker.getParent)
-          Files.writeString(marker, "ok")
+    // ONE doc-table stager for every document-fed mode (dir prefix
+    // keeps each mode's staged data reusable across runs): ×m disjoint
+    // copies with offset doc_ids, exactly like the event stager above
+    def stageDocsAs(prefix: String)(m: Int): String = {
+      val out = graft.StageDirs.stable(s"$prefix$m")
+      val marker = java.nio.file.Paths.get(s"$out/_STAGED")
+      if (!Files.exists(marker)) {
+        (0 until m).foreach { i =>
+          docsBase.select(
+              (col("doc_id") + lit(i.toLong * 100_000_000L))
+                .as("doc_id"), col("text"))
+            .coalesce(2)
+            .write.mode(if (i == 0) "overwrite" else "append")
+            .parquet(out)
         }
-        out
+        Files.createDirectories(marker.getParent)
+        Files.writeString(marker, "ok")
       }
+      out
+    }
+    if (want("neardup")) {
+      val stageDocs = stageDocsAs("stream_scale_docs_x") _
       val arrivalDir = stageDocs(1)
       for (m <- mults) {
         graft.CacheRegistry.releaseAll(); spark.catalog.clearCache()
@@ -164,23 +168,7 @@ object StreamScaleProbe {
     // whose plan carries only the model literals, so corpus growth can
     // only reach the stream through the offline fit.
     if (want("quality")) {
-      def stageQ(m: Int): String = {
-        val out = graft.StageDirs.stable(s"stream_scale_qdocs_x$m")
-        val marker = java.nio.file.Paths.get(s"$out/_STAGED")
-        if (!Files.exists(marker)) {
-          (0 until m).foreach { i =>
-            docsBase.select(
-                (col("doc_id") + lit(i.toLong * 100_000_000L))
-                  .as("doc_id"), col("text"))
-              .coalesce(2)
-              .write.mode(if (i == 0) "overwrite" else "append")
-              .parquet(out)
-          }
-          Files.createDirectories(marker.getParent)
-          Files.writeString(marker, "ok")
-        }
-        out
-      }
+      val stageQ = stageDocsAs("stream_scale_qdocs_x") _
       val arrivalDir = stageQ(1)
       for (m <- mults) {
         graft.CacheRegistry.releaseAll(); spark.catalog.clearCache()
@@ -192,6 +180,73 @@ object StreamScaleProbe {
           .parquet(arrivalDir)
         drain(s"quality score x$m",
           graft.streaming.StreamingQuality.scoreStream(arrivals, model))
+      }
+    }
+
+    // ── uncertainty: arrivals FIXED, fit + admission cut on ×m ─────────
+    // q_stream_uncertainty's production shape: the trainer AND the
+    // batch labeling queue (whose k-th row is the published cut) run
+    // offline on the ×m corpus; the stream admits a bounded arrival
+    // batch against two plan literals. The drain must be FLAT in m —
+    // corpus growth reaches the stream only through the offline
+    // fit+cut, timed separately here.
+    if (want("uncertainty")) {
+      val stageU = stageDocsAs("stream_scale_qdocs_x") _
+      val arrivalDir = stageU(1)
+      for (m <- mults) {
+        graft.CacheRegistry.releaseAll(); spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val corpus = spark.read.parquet(stageU(m))
+        val model = graft.operators.TextQueries.fitQualityModel(corpus)
+        val (thr, tie) = graft.operators.TextQueries.queueAdmissionCut(
+          corpus, model, graft.operators.TextQueries.UNC_K)
+        println(f"[streamscale] uncertainty fit+cut x$m%-11s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        val arrivals = spark.readStream.schema(docsBase.schema)
+          .parquet(arrivalDir)
+        drain(s"uncertainty admit x$m",
+          graft.streaming.StreamingQuality.queueAdmissionStream(
+            arrivals, model, thr, tie))
+      }
+    }
+
+    // ── novelty: arrivals FIXED, k-center cover fitted on ×m ───────────
+    // The VectorScaleProbe novelty rows grow ARRIVALS with m (the gate
+    // streams the staged table itself); this mode isolates the other
+    // axis — a bounded arrival batch scored against seeds fitted on an
+    // ×m corpus. Seeds are k plan literals regardless of corpus size,
+    // so the drain must be FLAT in m; the Gonzalez fit (k bounded
+    // scans over ×m rows) is the offline term, timed separately.
+    if (want("novelty_fixed")) {
+      lazy val embBase = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      def stageE(m: Int): String = {
+        val out = graft.StageDirs.stable(s"stream_scale_emb_x$m")
+        val marker = java.nio.file.Paths.get(s"$out/_STAGED")
+        if (!Files.exists(marker)) {
+          (0 until m).foreach { i =>
+            embBase.select(
+                (col("vec_id") + lit(i.toLong * 100_000_000L))
+                  .as("vec_id"), col("embedding"))
+              .coalesce(2)
+              .write.mode(if (i == 0) "overwrite" else "append")
+              .parquet(out)
+          }
+          Files.createDirectories(marker.getParent)
+          Files.writeString(marker, "ok")
+        }
+        out
+      }
+      val arrivalDir = stageE(1)
+      for (m <- mults) {
+        graft.CacheRegistry.releaseAll(); spark.catalog.clearCache()
+        val corpus = spark.read.parquet(stageE(m))
+        val arrivals = spark.readStream.schema(embBase.schema)
+          .parquet(arrivalDir)
+        val t0 = System.nanoTime()
+        val scored =
+          graft.operators.VectorQueries.noveltyScore(arrivals, corpus)
+        println(f"[streamscale] novelty fit x$m%-15s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        drain(s"novelty score-fixed x$m", scored)
       }
     }
     spark.stop()
