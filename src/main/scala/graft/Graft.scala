@@ -714,4 +714,25 @@ object Graft {
                            thrMilli: Long, tieId: Long): DataFrame =
     streaming.StreamingQuality.queueAdmissionStream(docs, model,
       thrMilli, tieId)
+
+  /** The static held-out index the decontamination firewall probes:
+    * the eval split's hashed k-shingles plus a bloom literal over
+    * them; build once offline, reuse across the stream's lifetime.
+    * See [[streaming.StreamingDecontam.heldIndex]].
+    */
+  def decontamIndex(held: DataFrame,
+                    k: Int = operators.Curation.DECON_K)
+      : streaming.StreamingDecontam.HeldIndex =
+    streaming.StreamingDecontam.heldIndex(held, k)
+
+  /** Contamination firewall at ingest: each arriving document's
+    * shingles are bloom-prefiltered map-side and exact-joined against
+    * the held index; emits one exact (doc_id, test_id, shingle) row
+    * per hit. Stateless; see
+    * [[streaming.StreamingDecontam.contaminationStream]].
+    */
+  def contaminationStream(docs: DataFrame,
+                          idx: streaming.StreamingDecontam.HeldIndex,
+                          k: Int = operators.Curation.DECON_K): DataFrame =
+    streaming.StreamingDecontam.contaminationStream(docs, idx, k)
 }

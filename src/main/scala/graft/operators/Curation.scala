@@ -35,7 +35,7 @@ object Curation {
   private val STRATA_K = 5             // docs kept per language stratum
   private val PACK_BUDGET = 256        // tokens per packed training sequence
   private val PACK_SHARDS = 8          // parallel packing streams
-  private val DECON_K = 5              // decontamination shingle width
+  private[graft] val DECON_K = 5       // decontamination shingle width
   private val MAX_EPOCHS_MILLI = 4000  // mixture cap: ≤4 epochs per source
   private val QUOTA_N = 100            // q_quota_apportionment target size
   private val MANIFEST_SHARDS = 10     // q_shard_manifest: 100 % 10 = 0 ⇒
@@ -93,8 +93,12 @@ object Curation {
   private[operators] def bucketSqlFor(idExpr: String): String =
     s"${Dedup.hash32Sql(SAMPLE_SEED, s"CAST($idExpr AS VARCHAR)")} % 100"
 
-  /** Shared oracle for q_decontaminate / q_bloom_decontaminate. */
-  private lazy val deconSql =
+  /** Shared oracle for q_decontaminate / q_bloom_decontaminate — and
+    * the streaming firewall q_stream_decontam (the bloom prefilter and
+    * the stream-static replay are both pruning/phasing only; the exact
+    * join keeps all three surfaces on one ground truth).
+    */
+  private[graft] lazy val deconSql =
     s"""WITH b AS (SELECT doc_id, text, $bucketSql AS bkt FROM documents),
        |toks AS (SELECT doc_id, bkt,
        |    string_split_regex(trim(lower(text)), '\\s+') AS t

@@ -369,6 +369,27 @@ object StreamGateQueries {
       runToTable(s, graft.operators.VectorQueries.noveltyScore(in, corpus))
     },
 
+    // ── streaming decontamination firewall (eval hygiene at ingest) ────
+    // The held-out split's hashed shingles are indexed once offline
+    // (exact table + bloom literal); each arriving train-split doc is
+    // shingled in-row, bloom-prefiltered MAP-SIDE, and exact-joined
+    // against the broadcast held table — stateless, no state store.
+    // The fixture streams the train split itself, so the per-doc
+    // rollup must equal the batch q_decontaminate join exactly (the
+    // bloom only prunes; the exact join removes its false positives).
+    "q_stream_decontam" -> { (s, dir) =>
+      val b = s.read.parquet(s"$dir/documents.parquet")
+      val bkt = graft.operators.Curation.hashBucket(col("doc_id"))
+      val idx = StreamingDecontam.heldIndex(
+        b.filter(bkt >= 90), graft.operators.Curation.DECON_K)
+      val out = runToTable(s, StreamingDecontam.contaminationStream(
+        docsStream(s, dir).filter(bkt < 80), idx,
+        graft.operators.Curation.DECON_K))
+      out.groupBy(col("doc_id"))
+        .agg(countDistinct(col("test_id")).as("n_test_docs"),
+          countDistinct(col("shingle")).as("n_shared_shingles"))
+    },
+
     // ── streaming near-dup vs the static corpus (ingestion dedup) ──────
     // Each incoming doc's MinHash bands probe the batch-built corpus
     // index; candidates are exact-Jaccard-verified IN-ROW (shingle-set
@@ -1144,6 +1165,10 @@ object StreamGateQueries {
       graft.operators.TextQueries.streamQualitySql,
     "q_stream_uncertainty" ->
       graft.operators.TextQueries.streamUncertaintySql,
+    // pruning/phasing only on the engine side (bloom + stream-static
+    // replay): the ground truth is the batch decontamination join
+    "q_stream_decontam" ->
+      graft.operators.Curation.deconSql,
 
     "q_stream_novelty" ->
       graft.operators.VectorQueries.streamNoveltySql,
