@@ -735,4 +735,21 @@ object Graft {
                           idx: streaming.StreamingDecontam.HeldIndex,
                           k: Int = operators.Curation.DECON_K): DataFrame =
     streaming.StreamingDecontam.contaminationStream(docs, idx, k)
+
+  /** Publish a fitted quality model as the next version of an on-disk
+    * registry table ((param, idx, value) rows on [[table]]'s versioned
+    * protocol); see [[operators.ModelRegistry.publishLogit]].
+    */
+  def publishQualityModel(spark: SparkSession,
+                          registry: operators.VersionedTable,
+                          model: operators.TextQueries.LogitModel): Unit =
+    operators.ModelRegistry.publishLogit(spark, registry, model)
+
+  /** Load the quality model published at `version` (time travel —
+    * rollback and audit read older versions with the same call); see
+    * [[operators.ModelRegistry.loadLogitAt]].
+    */
+  def loadQualityModel(registry: operators.VersionedTable,
+                       version: Long): operators.TextQueries.LogitModel =
+    operators.ModelRegistry.loadLogitAt(registry, version)
 }

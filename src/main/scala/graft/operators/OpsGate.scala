@@ -89,6 +89,40 @@ object OpsGate {
       snap(1).unionByName(snap(2)).unionByName(snap(3))
     },
 
+    // ── model registry: publish → time-travel load → serve ─────────────
+    // The operational half of train-offline/serve-online: v1 = the
+    // sampled-slice quality fit, v2 = the full fit, each PUBLISHED as
+    // a (param, idx, value) version of a real on-disk VersionedTable;
+    // the gate then time-travel-LOADS both versions and scores the
+    // corpus with the LOADED constants. Any loss in the publish/load
+    // roundtrip (a row, a sign, an index) shifts a score and breaks
+    // the hash against the oracle's twin trainer chains.
+    "q_model_registry" -> { (s, dir) =>
+      val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"$STAGE_BASE/$key/quality_logit"
+      val p = new Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // rebuild from scratch: the publish lifecycle is under test
+      if (fs.exists(p.getParent)) fs.delete(p.getParent, true)
+      val docs = Tables.load(s, dir, "documents")
+      val t = VersionedTable(s, path, retain = 3)
+      ModelRegistry.publishLogit(s, t,
+        TextQueries.fitQualityModelSliced(docs,
+          Curation.hashBucket(col("doc_id"),
+            TextQueries.LOGIT_SAMPLE_SEED)
+            < TextQueries.LOGIT_SAMPLE_PCT))
+      ModelRegistry.publishLogit(s, t, TextQueries.fitQualityModel(docs))
+      def serve(v: Long): DataFrame =
+        graft.streaming.StreamingQuality
+          .scoreStream(docs, ModelRegistry.loadLogitAt(t, v))
+          .groupBy(col("verdict"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("score_m")).as("score_sum_m"))
+          .select(lit(v).as("version"), col("verdict"), col("n_docs"),
+            col("score_sum_m"))
+      serve(1).unionByName(serve(2))
+    },
+
     // ── small-files compaction under the hash gate ─────────────────────
     // The ops surface that was spec-only through round 11: stage the
     // events table as 64 deliberate small files, run the crash-safe
@@ -142,6 +176,10 @@ object OpsGate {
     })
 
   val oracle: Map[String, String] = Map(
+
+    // the registry roundtrip is lossless by contract, so the ground
+    // truth is the two trainer chains scored directly
+    "q_model_registry" -> TextQueries.modelRegistrySql,
 
     "q_time_travel" ->
       """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,

@@ -64,8 +64,8 @@ object TextQueries {
   private val LOGIT_FIT_ZCLAMP = 20000L   // q_logit_fit winsorized z bound
                                           // (±20 sd — keeps every BIGINT
                                           // product provably in range)
-  private val LOGIT_SAMPLE_SEED = 83      // q_logit_fit_sampled trainer slice
-  private val LOGIT_SAMPLE_PCT = 25       // ~25 % of the corpus fits
+  private[operators] val LOGIT_SAMPLE_SEED = 83      // q_logit_fit_sampled trainer slice
+  private[operators] val LOGIT_SAMPLE_PCT = 25      // ~25 % of the corpus fits
   val MAXCOV_K = 8     // q_maxcover_docs: greedy picks
   val MAXCOV_V = 100   // q_maxcover_docs: coverage vocabulary
   val MAXCOV_CAP = 1   // q_maxcover_quota: max picks per source
@@ -2750,6 +2750,32 @@ object TextQueries {
        |  OR (abs(u.score_m) = c.thr AND u.doc_id <= c.tie_id)""".stripMargin
   }
 
+  /** The q_model_registry oracle: BOTH trainer chains (v1 = the
+    * sampled-slice fit, v2 = the full fit) replayed to their final
+    * weights as prefixed CTEs, each scoring the corpus rolled up by
+    * verdict — the ground truth the publish → time-travel-load → serve
+    * roundtrip must reproduce for BOTH versions (any loss in the
+    * registry rows shifts a score and breaks the hash).
+    */
+  private[graft] def modelRegistrySql: String = {
+    val (chainS, sS) = logitChain(logitInSl(sampled = true), "s")
+    val (chainF, sF) = logitChain(logitInSl(sampled = false), "f")
+    def sel(version: Int, p: String, sFin: String) =
+      s"""SELECT CAST($version AS BIGINT) AS version,
+         |  CASE WHEN $sFin > 0 THEN 'keep' ELSE 'drop' END AS verdict,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN $sFin < 0 THEN -((-($sFin)) // 1000000)
+         |    ELSE ($sFin) // 1000000 END) AS BIGINT) AS score_sum_m
+         |FROM ${p}z z, ${p}it$LOGIT_FIT_ITERS
+         |GROUP BY 1, 2""".stripMargin
+    s"""WITH $logitFeaturesCte,
+       |$chainS,
+       |$chainF
+       |${sel(1, "s", sS)}
+       |UNION ALL
+       |${sel(2, "f", sF)}""".stripMargin
+  }
+
   /** The q_stream_quality oracle: the full-corpus trainer chain
     * ([[logitCtes]]) replayed to the final weights, then ONE per-doc
     * scoring pass rolled up by verdict — the batch ground truth the
@@ -3191,10 +3217,20 @@ object TextQueries {
     * hand-rule labels — the q_logit_fit configuration) and return the
     * serving model.
     */
-  def fitQualityModel(docs: DataFrame): LogitModel = {
+  def fitQualityModel(docs: DataFrame): LogitModel =
+    fitQualityModelSliced(docs, lit(true))
+
+  /** [[fitQualityModel]] under an arbitrary boolean fit gate — the
+    * q_logit_fit_sampled configuration when passed the md5 slice
+    * (`Curation.hashBucket(col, LOGIT_SAMPLE_SEED) < LOGIT_SAMPLE_PCT`),
+    * returned as a serving model instead of the gate row.
+    */
+  def fitQualityModelSliced(docs: DataFrame,
+                            fitGate: org.apache.spark.sql.Column)
+      : LogitModel = {
     val xs = Seq("len_bp", "stop_bp", "punct_bp", "uniq_bp")
     val lab = qualityBpOf(docs)
-      .withColumn("in_sl", lit(true))
+      .withColumn("in_sl", fitGate)
       .selectExpr(
         (xs ++ Seq("CASE WHEN greatest(0, 3 * len_bp + 4 * stop_bp - " +
           "2 * punct_bp + 2 * uniq_bp) div 10 >= 1750 " +

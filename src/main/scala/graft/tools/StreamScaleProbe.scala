@@ -209,6 +209,33 @@ object StreamScaleProbe {
       }
     }
 
+    // ── decontam: arrivals FIXED, the held-out index grown ×m ──────────
+    // q_stream_decontam's production axes: the unbounded side is the
+    // STREAM (one micro-batch at a time, stateless), the held side is
+    // the eval set — bounded in practice but the one input that can
+    // grow the plan (bloom literal + broadcast exact table). Fixed ×1
+    // arrival batch against a ×m held index: index build is the
+    // offline term; the drain may grow only through bloom probe width
+    // and the broadcast build, never the arrival scan.
+    if (want("decontam")) {
+      val stageD = stageDocsAs("stream_scale_qdocs_x") _
+      val arrivalBase = stageD(1)
+      val bkt = graft.operators.Curation.hashBucket(col("doc_id"))
+      for (m <- mults) {
+        graft.CacheRegistry.releaseAll(); spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val idx = graft.streaming.StreamingDecontam.heldIndex(
+          spark.read.parquet(stageD(m)).filter(bkt >= 90),
+          graft.operators.Curation.DECON_K)
+        println(f"[streamscale] decontam index x$m%-14s ${(System.nanoTime() - t0) / 1e9}%8.2f s  bloom_bytes=${idx.bloom.length}")
+        val arrivals = spark.readStream.schema(docsBase.schema)
+          .parquet(arrivalBase).filter(bkt < 80)
+        drain(s"decontam firewall x$m",
+          graft.streaming.StreamingDecontam.contaminationStream(
+            arrivals, idx, graft.operators.Curation.DECON_K))
+      }
+    }
+
     // ── novelty: arrivals FIXED, k-center cover fitted on ×m ───────────
     // The VectorScaleProbe novelty rows grow ARRIVALS with m (the gate
     // streams the staged table itself); this mode isolates the other
