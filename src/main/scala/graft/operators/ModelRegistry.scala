@@ -42,6 +42,21 @@ object ModelRegistry {
                    m: TextQueries.LogitModel): Unit =
     t.overwrite(logitRows(s, m))
 
+  /** Publish a fitted k-center cover ([[VectorQueries.noveltyModelRows]])
+    * as the table's next version — same (param, idx, value) protocol,
+    * so one registry table schema serves every model family.
+    */
+  def publishNovelty(t: VersionedTable, rows: DataFrame): Unit =
+    t.overwrite(rows)
+
+  /** The raw registry rows at `version`, collected (bounded — a
+    * model's own row count); feed to the family's `...FromRows`
+    * reconstructor (e.g. [[VectorQueries.noveltyScoreFromRows]]).
+    */
+  def loadRowsAt(t: VersionedTable, version: Long)
+      : Array[org.apache.spark.sql.Row] =
+    t.readAt(version).collect()
+
   /** Load the model published at `version` (time travel — an audit or
     * rollback reads an older version with the same call). The collect
     * is the registry's own row count, bounded by construction.

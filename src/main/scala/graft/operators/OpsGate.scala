@@ -123,6 +123,26 @@ object OpsGate {
       serve(1).unionByName(serve(2))
     },
 
+    // ── model registry, vector family: the published novelty cover ─────
+    // The k-center cover (seed ids, quantized vectors, maximin radii)
+    // published on the same (param, idx, value) protocol, loaded back,
+    // and served: every per-point (nearest seed, d², band) from the
+    // LOADED cover must equal the direct fit — the q_stream_novelty
+    // ground truth, now reached through parquet instead of the JVM.
+    "q_novelty_registry" -> { (s, dir) =>
+      val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"$STAGE_BASE/$key/novelty_cover"
+      val p = new Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p.getParent)) fs.delete(p.getParent, true)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val t = VersionedTable(s, path, retain = 3)
+      ModelRegistry.publishNovelty(t, VectorQueries.noveltyModelRows(emb))
+      VectorQueries.noveltyScoreFromRows(emb,
+        ModelRegistry.loadRowsAt(t, 1))
+    },
+
     // ── small-files compaction under the hash gate ─────────────────────
     // The ops surface that was spec-only through round 11: stage the
     // events table as 64 deliberate small files, run the crash-safe
@@ -180,6 +200,11 @@ object OpsGate {
     // the registry roundtrip is lossless by contract, so the ground
     // truth is the two trainer chains scored directly
     "q_model_registry" -> TextQueries.modelRegistrySql,
+
+    // same contract for the vector family: the published cover must
+    // serve exactly the fitted one, so the ground truth is the
+    // q_stream_novelty per-point assignment
+    "q_novelty_registry" -> VectorQueries.streamNoveltySql,
 
     "q_time_travel" ->
       """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,

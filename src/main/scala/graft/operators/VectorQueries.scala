@@ -2171,7 +2171,15 @@ object VectorQueries {
     val qv = graft.CacheRegistry.register(
       corpus.select(col("vec_id"), expr(quantExpr(vecCol)).as("vq"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val seeds = kcenterFit(qv, k)
+    noveltyScoreWith(incoming, kcenterFit(qv, k), vecCol)
+  }
+
+  /** The stateless scoring core behind [[noveltyScore]] and the
+    * registry-served [[noveltyScoreFromRows]]: one shared body so the
+    * fitted and published paths can never drift.
+    */
+  private def noveltyScoreWith(incoming: DataFrame, seeds: Seq[KcSeed],
+                               vecCol: String): DataFrame = {
     val r2 = seeds.last.selD2
     val seedLit = seedStructLit(seeds)
     incoming
@@ -2191,6 +2199,53 @@ object VectorQueries {
         expr(s"CASE WHEN a.d2 > ${r2}L THEN 4L " +
           s"ELSE least(3L, (4 * a.d2) div ${math.max(r2, 1L)}L) END")
           .as("band"))
+  }
+
+  /** The fitted k-center cover as model-registry rows
+    * ((param, idx, value) longs — [[ModelRegistry]]'s storage shape):
+    * ("sid", rank, seed vec_id), ("seld2", rank, maximin d² at
+    * selection — rank k−1's value is the cover radius r²), and
+    * ("sv<rank>", dim, component) for each quantized seed vector.
+    * k·(d+2) rows — driver-sized by construction.
+    */
+  def noveltyModelRows(corpus: DataFrame, vecCol: String = "embedding",
+                       k: Int = KCENTER_K): DataFrame = {
+    val qv = graft.CacheRegistry.register(
+      corpus.select(col("vec_id"), expr(quantExpr(vecCol)).as("vq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val seeds = kcenterFit(qv, k)
+    import corpus.sparkSession.implicits._
+    seeds.flatMap(s =>
+      Seq(("sid", s.rank.toLong, s.id),
+        ("seld2", s.rank.toLong, s.selD2)) ++
+        s.vq.zipWithIndex.map { case (v, d) => (s"sv${s.rank}", d.toLong, v) })
+      .toDF("param", "idx", "value")
+  }
+
+  /** Serve novelty scoring from a PUBLISHED cover: rebuild the seeds
+    * from collected registry rows (bounded — the model's own row
+    * count) and run the identical stateless scorer. Refuses loudly
+    * when the rows are not a well-formed [[noveltyModelRows]] set.
+    */
+  def noveltyScoreFromRows(incoming: DataFrame,
+                           rows: Array[org.apache.spark.sql.Row],
+                           vecCol: String = "embedding"): DataFrame = {
+    def byParam(p: String): Map[Long, Long] = rows.iterator
+      .filter(_.getString(0) == p)
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val sid = byParam("sid")
+    val seld2 = byParam("seld2")
+    require(sid.nonEmpty && sid.keySet == seld2.keySet &&
+      sid.keySet == (0L until sid.size.toLong).toSet,
+      s"registry rows are not a k-center cover: ranks ${sid.keys.toSeq.sorted}")
+    val seeds = (0 until sid.size).map { r =>
+      val sv = byParam(s"sv$r")
+      require(sv.nonEmpty && sv.keySet == (0L until sv.size.toLong).toSet,
+        s"registry rows missing seed-vector components for rank $r")
+      KcSeed(r, sid(r.toLong), seld2(r.toLong),
+        (0 until sv.size).map(d => sv(d.toLong)))
+    }
+    noveltyScoreWith(incoming, seeds, vecCol)
   }
 
   /** Library surface for the maximin seeding: k diverse seed rows

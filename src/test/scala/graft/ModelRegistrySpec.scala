@@ -40,6 +40,23 @@ class ModelRegistrySpec extends AnyFunSuite with SparkSpec {
       "v2 did not roundtrip exactly")
   }
 
+  test("novelty cover: publish → load → serve ≡ the direct fit") {
+    import graft.operators.{ModelRegistry => MR, VectorQueries, VersionedTable}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val t = VersionedTable(spark, scratch("novelty"), retain = 3)
+    MR.publishNovelty(t, VectorQueries.noveltyModelRows(emb))
+    val direct = VectorQueries.noveltyScore(emb, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val served = VectorQueries
+      .noveltyScoreFromRows(emb, MR.loadRowsAt(t, 1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(served == direct, "published cover served a different assignment")
+    assert(direct.nonEmpty)
+  }
+
   test("malformed registry rows are refused loudly") {
     import spark.implicits._
     val t = VersionedTable(spark, scratch("malformed"), retain = 3)
