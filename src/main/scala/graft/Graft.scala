@@ -726,15 +726,15 @@ object Graft {
     streaming.StreamingDecontam.heldIndex(held, k)
 
   /** Contamination firewall at ingest: each arriving document's
-    * shingles are bloom-prefiltered map-side and exact-joined against
-    * the held index; emits one exact (doc_id, test_id, shingle) row
-    * per hit. Stateless; see
+    * shingles (at the index's own width) are bloom-prefiltered
+    * map-side and exact-joined against the held index; emits one exact
+    * (doc_id, test_id, shingle) row per hit. Stateless; see
     * [[streaming.StreamingDecontam.contaminationStream]].
     */
   def contaminationStream(docs: DataFrame,
-                          idx: streaming.StreamingDecontam.HeldIndex,
-                          k: Int = operators.Curation.DECON_K): DataFrame =
-    streaming.StreamingDecontam.contaminationStream(docs, idx, k)
+                          idx: streaming.StreamingDecontam.HeldIndex)
+      : DataFrame =
+    streaming.StreamingDecontam.contaminationStream(docs, idx)
 
   /** Publish a fitted quality model as the next version of an on-disk
     * registry table ((param, idx, value) rows on [[table]]'s versioned

@@ -50,24 +50,50 @@ object ModelRegistry {
     t.overwrite(rows)
 
   /** The raw registry rows at `version`, collected (bounded — a
-    * model's own row count); feed to the family's `...FromRows`
+    * model's own row count) and refused loudly on duplicate
+    * (param, idx) keys: a duplicated key means two models' rows share
+    * the version (e.g. an external append instead of overwrite), and
+    * since collect order over parquet is run-dependent, serving an
+    * arbitrary survivor would mean serving a DIFFERENT model on
+    * different runs with no error. Feed to the family's `...FromRows`
     * reconstructor (e.g. [[VectorQueries.noveltyScoreFromRows]]).
     */
   def loadRowsAt(t: VersionedTable, version: Long)
-      : Array[org.apache.spark.sql.Row] =
-    t.readAt(version).collect()
+      : Array[org.apache.spark.sql.Row] = {
+    val rows = t.readAt(version).collect()
+    val dups = rows.groupBy(r => (r.getString(0), r.getLong(1)))
+      .collect { case (k, vs) if vs.length > 1 => k }
+    require(dups.isEmpty,
+      s"registry version $version has duplicate (param, idx) rows: " +
+        dups.toSeq.sorted.take(5).mkString(", "))
+    rows
+  }
+
+  /** Contiguity guard shared by the loaders: the `p` rows must cover
+    * idx 0..n-1 exactly — a gap would let sortBy silently pack
+    * surviving values into the wrong slots.
+    */
+  private def denseSeq(rows: Array[org.apache.spark.sql.Row], p: String,
+                       version: Long): Seq[Long] = {
+    val m = rows.iterator.filter(_.getString(0) == p)
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    require(m.keySet == (0L until m.size.toLong).toSet,
+      s"registry version $version: '$p' rows are not dense at 0..n-1 " +
+        s"(got idx ${m.keys.toSeq.sorted.mkString(",")})")
+    (0 until m.size).map(i => m(i.toLong))
+  }
 
   /** Load the model published at `version` (time travel — an audit or
     * rollback reads an older version with the same call). The collect
-    * is the registry's own row count, bounded by construction.
+    * is the registry's own row count, bounded by construction; gaps,
+    * duplicates, and arity mismatches refuse loudly instead of loading
+    * a misaligned model.
     */
   def loadLogitAt(t: VersionedTable, version: Long)
       : TextQueries.LogitModel = {
-    val rows = t.readAt(version).collect()
-    def seq(p: String): Seq[Long] = rows.toSeq
-      .filter(_.getString(0) == p)
-      .sortBy(_.getLong(1)).map(_.getLong(2))
-    val m = TextQueries.LogitModel(seq("mean"), seq("sd"), seq("w"))
+    val rows = loadRowsAt(t, version)
+    val m = TextQueries.LogitModel(denseSeq(rows, "mean", version),
+      denseSeq(rows, "sd", version), denseSeq(rows, "w", version))
     require(m.means.nonEmpty && m.sds.size == m.means.size &&
       m.w.size == m.means.size + 1,
       s"registry version $version is not a logit model: " +

@@ -66,7 +66,11 @@ object OpsGate {
 
     "q_time_travel" -> { (s, dir) =>
       val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val path = s"$STAGE_BASE/$key/orders_v"
+      // the table gets its OWN parent dir: VersionedTable keeps
+      // displaced versions as dot-prefixed siblings of the path, so a
+      // full reset must delete the parent — and a SHARED parent would
+      // clobber sibling gates' staged tables mid-plan
+      val path = s"$STAGE_BASE/$key/time_travel/orders_v"
       val p = new Path(path)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       // rebuild from scratch: the lifecycle is the operator under test
@@ -99,7 +103,9 @@ object OpsGate {
     // the hash against the oracle's twin trainer chains.
     "q_model_registry" -> { (s, dir) =>
       val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val path = s"$STAGE_BASE/$key/quality_logit"
+      // own parent dir (version siblings live beside the path; a
+      // shared parent would clobber sibling gates' staged tables)
+      val path = s"$STAGE_BASE/$key/model_registry/quality_logit"
       val p = new Path(path)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       // rebuild from scratch: the publish lifecycle is under test
@@ -131,7 +137,7 @@ object OpsGate {
     // ground truth, now reached through parquet instead of the JVM.
     "q_novelty_registry" -> { (s, dir) =>
       val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val path = s"$STAGE_BASE/$key/novelty_cover"
+      val path = s"$STAGE_BASE/$key/novelty_registry/novelty_cover"
       val p = new Path(path)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p.getParent)) fs.delete(p.getParent, true)

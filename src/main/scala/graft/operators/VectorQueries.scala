@@ -2230,9 +2230,16 @@ object VectorQueries {
   def noveltyScoreFromRows(incoming: DataFrame,
                            rows: Array[org.apache.spark.sql.Row],
                            vecCol: String = "embedding"): DataFrame = {
-    def byParam(p: String): Map[Long, Long] = rows.iterator
-      .filter(_.getString(0) == p)
-      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    def byParam(p: String): Map[Long, Long] = {
+      val rs = rows.filter(_.getString(0) == p)
+      val m = rs.iterator.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      // toMap would keep an ARBITRARY survivor of a duplicated idx —
+      // with two covers' rows in one version that serves a
+      // run-dependent mixed seed set; refuse instead
+      require(m.size == rs.length,
+        s"registry rows duplicate '$p' indices — not a single cover")
+      m
+    }
     val sid = byParam("sid")
     val seld2 = byParam("seld2")
     require(sid.nonEmpty && sid.keySet == seld2.keySet &&

@@ -383,8 +383,7 @@ object StreamGateQueries {
       val idx = StreamingDecontam.heldIndex(
         b.filter(bkt >= 90), graft.operators.Curation.DECON_K)
       val out = runToTable(s, StreamingDecontam.contaminationStream(
-        docsStream(s, dir).filter(bkt < 80), idx,
-        graft.operators.Curation.DECON_K))
+        docsStream(s, dir).filter(bkt < 80), idx))
       out.groupBy(col("doc_id"))
         .agg(countDistinct(col("test_id")).as("n_test_docs"),
           countDistinct(col("shingle")).as("n_shared_shingles"))

@@ -37,10 +37,12 @@ import graft.operators.{BloomPrune, Dedup}
 object StreamingDecontam {
 
   /** The static held-out index a batch job publishes: the eval split's
-    * hashed k-shingles (distinct per doc) and the bloom literal over
-    * them. Build once, reuse across the stream's lifetime.
+    * hashed k-shingles (distinct per doc), the bloom literal over
+    * them, and the shingle width `k` itself — carried IN the index so
+    * the stream side can never probe with a different width (a k
+    * mismatch would silently report every contaminated doc as clean).
     */
-  case class HeldIndex(shingles: DataFrame, bloom: Array[Byte])
+  case class HeldIndex(shingles: DataFrame, bloom: Array[Byte], k: Int)
 
   def heldIndex(held: DataFrame, k: Int,
                 fpp: Double = 0.03): HeldIndex = {
@@ -50,16 +52,16 @@ object StreamingDecontam {
           Dedup.shingleHash(col("shingle")).as("shingle"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     HeldIndex(sh,
-      BloomPrune.buildBloom(sh, col("shingle"), sh.count(), fpp))
+      BloomPrune.buildBloom(sh, col("shingle"), sh.count(), fpp), k)
   }
 
   /** (doc_id, test_id, shingle) per exact contamination hit of an
-    * arriving document against the held index. `docs` may be a stream
-    * (the intended use) or a batch frame — the plan is identical.
+    * arriving document against the held index (shingled at the
+    * index's own width). `docs` may be a stream (the intended use) or
+    * a batch frame — the plan is identical.
     */
-  def contaminationStream(docs: DataFrame, idx: HeldIndex,
-                          k: Int): DataFrame =
-    Dedup.docShingles(docs, "doc_id", "text", k)
+  def contaminationStream(docs: DataFrame, idx: HeldIndex): DataFrame =
+    Dedup.docShingles(docs, "doc_id", "text", idx.k)
       .select(col("doc_id"),
         Dedup.shingleHash(col("shingle")).as("shingle"))
       .filter(BloomPrune.mightContain(idx.bloom, col("shingle")))

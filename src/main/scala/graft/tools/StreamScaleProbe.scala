@@ -122,21 +122,24 @@ object StreamScaleProbe {
     // question is whether the DRAIN grows with the corpus beyond the
     // index build (it must not: the stream side's shuffle is its own
     // band rows; the index side is the one-time batch build).
-    // lazy: only the neardup/quality modes touch documents.parquet —
-    // a probe run restricted to other modes must not require the table
+    // lazy: only the document-fed modes (neardup, quality, uncertainty,
+    // decontam) touch documents.parquet — a probe run restricted to
+    // event modes must not require the table
     lazy val docsBase = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    // ONE doc-table stager for every document-fed mode (dir prefix
-    // keeps each mode's staged data reusable across runs): ×m disjoint
-    // copies with offset doc_ids, exactly like the event stager above
-    def stageDocsAs(prefix: String)(m: Int): String = {
+    // ONE table stager for every non-event mode (dir prefix keeps each
+    // mode's staged data reusable across runs): ×m disjoint copies
+    // with the id column offset, exactly like the event stager above
+    def stageTableAs(base: => DataFrame, idCol: String,
+                     prefix: String)(m: Int): String = {
       val out = graft.StageDirs.stable(s"$prefix$m")
       val marker = java.nio.file.Paths.get(s"$out/_STAGED")
       if (!Files.exists(marker)) {
+        val b = base
         (0 until m).foreach { i =>
-          docsBase.select(
-              (col("doc_id") + lit(i.toLong * 100_000_000L))
-                .as("doc_id"), col("text"))
+          b.select(
+              (col(idCol) + lit(i.toLong * 100_000_000L)).as(idCol) +:
+                b.columns.filterNot(_ == idCol).toSeq.map(col): _*)
             .coalesce(2)
             .write.mode(if (i == 0) "overwrite" else "append")
             .parquet(out)
@@ -146,6 +149,8 @@ object StreamScaleProbe {
       }
       out
     }
+    def stageDocsAs(prefix: String)(m: Int): String =
+      stageTableAs(docsBase, "doc_id", prefix)(m)
     if (want("neardup")) {
       val stageDocs = stageDocsAs("stream_scale_docs_x") _
       val arrivalDir = stageDocs(1)
@@ -232,7 +237,7 @@ object StreamScaleProbe {
           .parquet(arrivalBase).filter(bkt < 80)
         drain(s"decontam firewall x$m",
           graft.streaming.StreamingDecontam.contaminationStream(
-            arrivals, idx, graft.operators.Curation.DECON_K))
+            arrivals, idx))
       }
     }
 
@@ -246,23 +251,8 @@ object StreamScaleProbe {
     if (want("novelty_fixed")) {
       lazy val embBase = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
-      def stageE(m: Int): String = {
-        val out = graft.StageDirs.stable(s"stream_scale_emb_x$m")
-        val marker = java.nio.file.Paths.get(s"$out/_STAGED")
-        if (!Files.exists(marker)) {
-          (0 until m).foreach { i =>
-            embBase.select(
-                (col("vec_id") + lit(i.toLong * 100_000_000L))
-                  .as("vec_id"), col("embedding"))
-              .coalesce(2)
-              .write.mode(if (i == 0) "overwrite" else "append")
-              .parquet(out)
-          }
-          Files.createDirectories(marker.getParent)
-          Files.writeString(marker, "ok")
-        }
-        out
-      }
+      def stageE(m: Int): String =
+        stageTableAs(embBase, "vec_id", "stream_scale_emb_x")(m)
       val arrivalDir = stageE(1)
       for (m <- mults) {
         graft.CacheRegistry.releaseAll(); spark.catalog.clearCache()
