@@ -755,4 +755,44 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       graft.StageDirs.deleteRecursively(java.nio.file.Paths.get(dir))
     }
   }
+
+  test("queueAdmissionStream: zero shuffle (model + cut as literals)") {
+    val docs = Seq((1L, "good text here"), (2L, "bad"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.TextQueries.LogitModel(
+      Seq(1L, 1L, 1L, 1L), Seq(1L, 1L, 1L, 1L),
+      Seq(0L, 1L, 1L, 1L, 1L))
+    val plan = planOf(graft.streaming.StreamingQuality
+      .queueAdmissionStream(docs, model, 100L, 5L))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"the cut must ride as literals, not a join:\n$plan")
+  }
+
+  test("registry-served novelty scorer: zero shuffle (seeds as literals)") {
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val rows: Array[org.apache.spark.sql.Row] =
+      graft.operators.VectorQueries.noveltyModelRows(emb, k = 2).collect()
+    graft.CacheRegistry.releaseAll()
+    val plan = planOf(graft.operators.VectorQueries
+      .noveltyScoreFromRows(emb, rows))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("contaminationStream: bloom probe map-side, held side broadcast " +
+    "— no shuffle of the arrival scan") {
+    val held = Seq((90L, "x y z q r s t")).toDF("doc_id", "text")
+    val idx = graft.streaming.StreamingDecontam.heldIndex(
+      held, graft.operators.Curation.DECON_K)
+    val arrivals = Seq((1L, "x y z q r s t u v")).toDF("doc_id", "text")
+    val plan = planOf(graft.streaming.StreamingDecontam
+      .contaminationStream(arrivals, idx))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"held side must broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"arrival side must not shuffle:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter missing from the plan:\n$plan")
+  }
 }
