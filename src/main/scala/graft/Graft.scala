@@ -736,6 +736,15 @@ object Graft {
       : DataFrame =
     streaming.StreamingDecontam.contaminationStream(docs, idx)
 
+  /** Score and bin documents on the drift monitor's fixed integer
+    * grid (stateless — model and grid ride as literals); run over the
+    * fit slice for the published baseline and over the stream for the
+    * observed side; see [[streaming.StreamingQuality.scoreBins]].
+    */
+  def scoreDriftBins(docs: DataFrame,
+                     model: operators.TextQueries.LogitModel): DataFrame =
+    streaming.StreamingQuality.scoreBins(docs, model)
+
   /** Publish a fitted quality model as the next version of an on-disk
     * registry table ((param, idx, value) rows on [[table]]'s versioned
     * protocol); see [[operators.ModelRegistry.publishLogit]].

@@ -2776,6 +2776,45 @@ object TextQueries {
        |${sel(2, "f", sF)}""".stripMargin
   }
 
+  /** The q_stream_score_drift oracle: the SAMPLED trainer chain to
+    * final weights, per-doc milli-scores binned on the fixed grid
+    * (sign-split div `SCORE_BIN_STEP`, CASE-clamped to
+    * ±`SCORE_BIN_MAX`, NULL score → sentinel −(max+1)), then the
+    * slice's baseline histogram vs the full corpus's — per-bin counts
+    * and ppm shares, the drift rollup the streaming monitor must
+    * reproduce exactly. The slice is a subset of the corpus, so every
+    * baseline bin appears among the observed and a LEFT join from the
+    * observed side is total.
+    */
+  private[graft] def streamScoreDriftSql: String = {
+    val (ctes, sFin) = logitCtes(sampled = true)
+    val last = s"it$LOGIT_FIT_ITERS"
+    val (step, bmax) = (SCORE_BIN_STEP, SCORE_BIN_MAX)
+    val b0 = s"CASE WHEN score_m < 0 THEN -((-score_m) // $step) " +
+      s"ELSE score_m // $step END"
+    s"""WITH $ctes,
+       |dsc AS (SELECT z.doc_id, z.in_sl,
+       |    CAST(CASE WHEN $sFin < 0 THEN -((-($sFin)) // 1000000)
+       |      ELSE ($sFin) // 1000000 END AS BIGINT) AS score_m
+       |  FROM z, $last),
+       |dbn AS (SELECT doc_id, in_sl,
+       |    CASE WHEN score_m IS NULL THEN ${-(bmax + 1)} ELSE
+       |      CASE WHEN b0 > $bmax THEN $bmax
+       |           WHEN b0 < ${-bmax} THEN ${-bmax} ELSE b0 END END AS bin
+       |  FROM (SELECT doc_id, in_sl, score_m, $b0 AS b0 FROM dsc)),
+       |sdb AS (SELECT bin, count(*) AS n_base FROM dbn
+       |  WHERE in_sl = 1 GROUP BY 1),
+       |sdo AS (SELECT bin, count(*) AS n_obs FROM dbn GROUP BY 1),
+       |sdt AS (SELECT (SELECT count(*) FROM dbn WHERE in_sl = 1) AS nb,
+       |  (SELECT count(*) FROM dbn) AS nt)
+       |SELECT o.bin, COALESCE(s.n_base, 0) AS n_base, o.n_obs,
+       |  COALESCE(s.n_base, 0) * 1000000 // t.nb AS base_share_ppm,
+       |  o.n_obs * 1000000 // t.nt AS obs_share_ppm,
+       |  o.n_obs * 1000000 // t.nt -
+       |    COALESCE(s.n_base, 0) * 1000000 // t.nb AS delta_ppm
+       |FROM sdo o LEFT JOIN sdb s USING (bin), sdt t""".stripMargin
+  }
+
   /** The q_stream_quality oracle: the full-corpus trainer chain
     * ([[logitCtes]]) replayed to the final weights, then ONE per-doc
     * scoring pass rolled up by verdict — the batch ground truth the
@@ -3219,6 +3258,18 @@ object TextQueries {
     */
   def fitQualityModel(docs: DataFrame): LogitModel =
     fitQualityModelSliced(docs, lit(true))
+
+  val SCORE_BIN_STEP = 250L  // drift monitor: milli-score per bin
+  val SCORE_BIN_MAX = 8L     // drift monitor: clamp to ±8 (+ sentinel −9)
+
+  /** THE deterministic fit-slice gate of the sampled quality trainer
+    * (q_logit_fit_sampled's 25 % md5 bucket) as a reusable Column, so
+    * engine surfaces outside this file (the drift monitor's baseline)
+    * select exactly the slice the oracle's `logitInSl` replays.
+    */
+  def qualitySliceGate: org.apache.spark.sql.Column =
+    Curation.hashBucket(col("doc_id"), LOGIT_SAMPLE_SEED) <
+      LOGIT_SAMPLE_PCT
 
   /** [[fitQualityModel]] under an arbitrary boolean fit gate — the
     * q_logit_fit_sampled configuration when passed the md5 slice

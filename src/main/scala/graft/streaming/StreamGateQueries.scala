@@ -369,6 +369,36 @@ object StreamGateQueries {
       runToTable(s, graft.operators.VectorQueries.noveltyScore(in, corpus))
     },
 
+    // ── streaming score-drift monitor (model monitoring online) ────────
+    // The slice-fitted model publishes its BASELINE score histogram
+    // (per-bin counts over the fit slice); every arriving doc is
+    // scored and binned in-row (stateless — model + grid as literals)
+    // and the rollup compares per-bin ppm shares, the drift signal a
+    // deployed filter is monitored by. One scoreBins definition serves
+    // baseline and stream, so the monitor can never bin differently
+    // than its own baseline; the fixture replays the corpus, making
+    // the observed side the full-corpus histogram exactly.
+    "q_stream_score_drift" -> { (s, dir) =>
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+      val gate = graft.operators.TextQueries.qualitySliceGate
+      val model =
+        graft.operators.TextQueries.fitQualityModelSliced(corpus, gate)
+      val base = StreamingQuality.scoreBins(corpus.filter(gate), model)
+        .groupBy(col("bin")).agg(count(lit(1)).as("n_base"))
+      val out = runToTable(s,
+        StreamingQuality.scoreBins(docsStream(s, dir), model))
+      val obs = out.groupBy(col("bin")).agg(count(lit(1)).as("n_obs"))
+      obs.join(base, Seq("bin"), "left")
+        .na.fill(0L, Seq("n_base"))
+        .crossJoin(broadcast(base.agg(sum(col("n_base")).as("nb"))))
+        .crossJoin(broadcast(obs.agg(sum(col("n_obs")).as("nt"))))
+        .select(col("bin"), col("n_base"), col("n_obs"),
+          expr("n_base * 1000000L div nb").as("base_share_ppm"),
+          expr("n_obs * 1000000L div nt").as("obs_share_ppm"),
+          expr("n_obs * 1000000L div nt - n_base * 1000000L div nb")
+            .as("delta_ppm"))
+    },
+
     // ── streaming decontamination firewall (eval hygiene at ingest) ────
     // The held-out split's hashed shingles are indexed once offline
     // (exact table + bloom literal); each arriving train-split doc is
@@ -1168,6 +1198,8 @@ object StreamGateQueries {
     // replay): the ground truth is the batch decontamination join
     "q_stream_decontam" ->
       graft.operators.Curation.deconSql,
+    "q_stream_score_drift" ->
+      graft.operators.TextQueries.streamScoreDriftSql,
 
     "q_stream_novelty" ->
       graft.operators.VectorQueries.streamNoveltySql,

@@ -61,6 +61,31 @@ object StreamingQuality {
     * republished on each periodic refit. Emits the admitted rows only:
     * (doc_id, score_m, margin_m).
     */
+  /** (doc_id, score_m, bin) per document: the model score binned on a
+    * fixed integer grid — bin = sign-split score_m div `step`, clamped
+    * to ±`bmax` via explicit CASE (Spark's greatest/least IGNORE nulls
+    * while DuckDB's propagate them — CASE semantics agree), with an
+    * unscorable row (NULL score) pinned to sentinel bin −(bmax+1) so
+    * the drift rollup's join never meets a NULL key. One definition
+    * serves the batch baseline and the stream — the monitoring twin
+    * can never bin differently than its baseline.
+    */
+  def scoreBins(docs: DataFrame, model: TextQueries.LogitModel,
+                step: Long = TextQueries.SCORE_BIN_STEP,
+                bmax: Long = TextQueries.SCORE_BIN_MAX): DataFrame = {
+    val xs = Seq("len_bp", "stop_bp", "punct_bp", "uniq_bp")
+    TextQueries.qualityBpOf(docs)
+      .withColumn("score_m", expr(model.scoreMilliExpr(xs)))
+      .withColumn("bin", expr(
+        s"""CASE WHEN score_m IS NULL THEN ${-(bmax + 1)}L ELSE
+           |  CASE WHEN b0 > ${bmax}L THEN ${bmax}L
+           |       WHEN b0 < ${-bmax}L THEN ${-bmax}L ELSE b0 END END"""
+          .stripMargin.replace("b0",
+            s"(CASE WHEN score_m < 0 THEN -((-score_m) div ${step}L) " +
+              s"ELSE score_m div ${step}L END)")))
+      .select(col("doc_id"), col("score_m"), col("bin"))
+  }
+
   def queueAdmissionStream(docs: DataFrame,
                            model: TextQueries.LogitModel,
                            thrMilli: Long, tieId: Long): DataFrame = {
