@@ -736,6 +736,22 @@ object Graft {
       : DataFrame =
     streaming.StreamingDecontam.contaminationStream(docs, idx)
 
+  /** The corpus's banded perceptual-hash index for ingest-time media
+    * dedup — one (band, bkey, match_id, match_hash) row per Hamming
+    * band of each payload's aHash; build once, bucket on (band, bkey)
+    * at scale; see [[streaming.StreamingMediaDedup.corpusIndex]].
+    */
+  def mediaCorpusIndex(media: DataFrame): DataFrame =
+    streaming.StreamingMediaDedup.corpusIndex(media)
+
+  /** Perceptual near-dup matches of arriving media payloads against
+    * the corpus index (in-row aHash + band probe + exact bit_count
+    * verify — stateless); see
+    * [[streaming.StreamingMediaDedup.mediaMatchStream]].
+    */
+  def mediaMatchStream(incoming: DataFrame, index: DataFrame): DataFrame =
+    streaming.StreamingMediaDedup.mediaMatchStream(incoming, index)
+
   /** Score and bin documents on the drift monitor's fixed integer
     * grid (stateless — model and grid ride as literals); run over the
     * fit slice for the published baseline and over the stream for the

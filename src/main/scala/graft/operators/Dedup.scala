@@ -404,13 +404,24 @@ object Dedup {
     * fingerprint table is persisted (registered — see [[CacheRegistry]])
     * because both join sides read it.
     */
-  def bandedHammingPairs(fps0: DataFrame, id: String, fp: String,
-                         bits: Int, maxHamming: Int): DataFrame = {
+  /** The Hamming band keys of a `bits`-bit fingerprint as an array
+    * column: maxHamming+1 equal bands, so any pair within the radius
+    * shares at least one untouched band (pigeonhole). ONE definition —
+    * [[bandedHammingPairs]]'s self-join and the streaming media index
+    * both explode this, so batch and stream banding can never drift.
+    */
+  def hammingBandKeys(fp: Column, bits: Int, maxHamming: Int): Column = {
     val bands = maxHamming + 1
     require(maxHamming >= 0 && bits % bands == 0,
       s"maxHamming=$maxHamming needs $bands equal bands out of $bits bits")
     val width = bits / bands
     val mask = (1L << width) - 1
+    array((0 until bands).map(b =>
+      shiftright(fp, b * width).bitwiseAND(mask)): _*)
+  }
+
+  def bandedHammingPairs(fps0: DataFrame, id: String, fp: String,
+                         bits: Int, maxHamming: Int): DataFrame = {
     // lazy fill: both band-join sides read it, and when their scan
     // stages run concurrently the BlockManager's per-partition
     // get-or-compute lock makes one compute and the other wait — no
@@ -420,8 +431,7 @@ object Dedup {
       fps0.select(col(id).as("id"), col(fp).as("fp"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val banded = fps.select(col("id"), col("fp"),
-        posexplode(array((0 until bands).map(b =>
-          shiftright(col("fp"), b * width).bitwiseAND(mask)): _*)))
+        posexplode(hammingBandKeys(col("fp"), bits, maxHamming)))
       .toDF("id", "fp", "band", "bkey")
     val a = banded.as("a")
     val b = banded.as("b")

@@ -588,7 +588,35 @@ object Multimodal {
   )
 
   /** Shared media CTE — byte-identical to [[fakeMedia]]. */
-  private val mediaCte =
+  /** The q_stream_media_dedup oracle: banded aHash self-join WITHOUT
+    * the `<` direction cut (the stream emits every (arrival, corpus)
+    * direction), collision multiplicity per pair, then the per-media
+    * ingestion rollup — exactly what the stream-static band join +
+    * in-row verify must reproduce on a corpus replay.
+    */
+  private[graft] def streamMediaDedupSql: String = {
+    val width = AHASH_BITS / 4
+    val mask = (1L << width) - 1
+    s"""WITH $mediaCte,
+       |$aHashCtes,
+       |banded AS (SELECT media_id, ahash, bands.band,
+       |    (ahash >> (bands.band * $width)) & $mask AS bkey
+       |  FROM ah, (SELECT unnest(range(4)) AS band) bands),
+       |mcand AS (SELECT a.media_id AS media_id, b.media_id AS match_id,
+       |    bit_count(xor(a.ahash, b.ahash)) AS hamming,
+       |    count(*) AS nb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.media_id != b.media_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT media_id, count(DISTINCT match_id) AS n_matches,
+       |  min(hamming) AS best_hamming,
+       |  CAST(sum(nb) AS BIGINT) AS n_band_hits
+       |FROM mcand WHERE hamming <= 3
+       |GROUP BY 1""".stripMargin
+  }
+
+  private[graft] val mediaCte =
     s"""media AS (SELECT doc_id AS media_id,
        |  CASE WHEN doc_id % 3 = 0 THEN
        |         unhex('$PNG_MAGIC_HEX$PNG_IHDR_HEX' ||
@@ -602,7 +630,7 @@ object Multimodal {
   /** CTE chain (appended after `media`) ending in `ah(media_id, ahash)` —
     * the SQL twin of [[aHash]].
     */
-  private val aHashCtes: String = {
+  private[graft] val aHashCtes: String = {
     def sampleSql(i: Int) =
       s"CAST(('0x' || substr(hx, CAST(((least(1 + $i * stride, n) - 1) * 2 + 1) AS INT), 2)) AS BIGINT)"
     val samples = (0 until AHASH_BITS).map(sampleSql)

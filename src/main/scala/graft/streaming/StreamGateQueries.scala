@@ -438,6 +438,26 @@ object StreamGateQueries {
           count(lit(1)).as("n_band_hits"))
     },
 
+    // ── streaming MEDIA near-dup vs the static corpus ──────────────────
+    // The multimodal twin of q_stream_neardup: arriving binary
+    // payloads are average-hashed in-row, their Hamming band keys
+    // probe the corpus's banded index (one shared banding definition
+    // with the batch detector), candidates exact-verified by
+    // bit_count(xor) in-row. The fixture replays the media table, so
+    // the per-media rollup is the symmetric closure of the batch
+    // q_media_neardup pairs with band-collision multiplicity.
+    "q_stream_media_dedup" -> { (s, dir) =>
+      val corpus = graft.operators.Multimodal.fakeMedia(
+        s.read.parquet(s"$dir/documents.parquet"))
+      val idx = StreamingMediaDedup.corpusIndex(corpus)
+      val out = runToTable(s, StreamingMediaDedup.mediaMatchStream(
+        graft.operators.Multimodal.fakeMedia(docsStream(s, dir)), idx))
+      out.groupBy(col("media_id"))
+        .agg(countDistinct(col("match_id")).as("n_matches"),
+          min(col("hamming")).as("best_hamming"),
+          count(lit(1)).as("n_band_hits"))
+    },
+
     // ── PRODUCTION exactly-once near-dup emission ──────────────────────
     // The same stream-static band join + in-row verify, but each
     // verified (doc, match) pair emits EXACTLY ONE row: a synthetic
@@ -1200,6 +1220,8 @@ object StreamGateQueries {
       graft.operators.Curation.deconSql,
     "q_stream_score_drift" ->
       graft.operators.TextQueries.streamScoreDriftSql,
+    "q_stream_media_dedup" ->
+      graft.operators.Multimodal.streamMediaDedupSql,
 
     "q_stream_novelty" ->
       graft.operators.VectorQueries.streamNoveltySql,
