@@ -395,15 +395,6 @@ object Dedup {
       SIMHASH_BITS, maxHamming)
       .toDF("doc_a", "doc_b", "hamming")
 
-  /** Generic banded hamming retrieval over ANY integer fingerprint
-    * column (SimHash over text, aHash over media, …): band the `bits`-
-    * wide fingerprint into `maxHamming + 1` equal slices (pigeonhole:
-    * a pair within hamming h differs in ≤ h bands, so some band matches
-    * exactly), join on band collisions, verify with exact
-    * `bit_count(xor)`. Output: (<id>_a, <id>_b, hamming). The
-    * fingerprint table is persisted (registered — see [[CacheRegistry]])
-    * because both join sides read it.
-    */
   /** The Hamming band keys of a `bits`-bit fingerprint as an array
     * column: maxHamming+1 equal bands, so any pair within the radius
     * shares at least one untouched band (pigeonhole). ONE definition —
@@ -420,8 +411,21 @@ object Dedup {
       shiftright(fp, b * width).bitwiseAND(mask)): _*)
   }
 
+  /** Generic banded hamming retrieval over ANY integer fingerprint
+    * column (SimHash over text, aHash over media, …): band the `bits`-
+    * wide fingerprint into `maxHamming + 1` equal slices (pigeonhole:
+    * a pair within hamming h differs in ≤ h bands, so some band matches
+    * exactly), join on band collisions, verify with exact
+    * `bit_count(xor)`. Output: (<id>_a, <id>_b, hamming). The
+    * fingerprint table is persisted (registered — see [[CacheRegistry]])
+    * because both join sides read it.
+    */
   def bandedHammingPairs(fps0: DataFrame, id: String, fp: String,
                          bits: Int, maxHamming: Int): DataFrame = {
+    // validate BEFORE registering the persisted frame (the banded
+    // select below is lazy): an invalid radius must not leak a
+    // CacheRegistry entry
+    hammingBandKeys(lit(0L), bits, maxHamming)
     // lazy fill: both band-join sides read it, and when their scan
     // stages run concurrently the BlockManager's per-partition
     // get-or-compute lock makes one compute and the other wait — no

@@ -321,6 +321,8 @@ object Multimodal {
     * signed 64-bit integer in both engines.
     */
   val AHASH_BITS = 60
+  /** Media near-dup verify radius — bands = radius + 1 everywhere. */
+  val MEDIA_MAX_HAMMING = 3
 
   /** Perceptual average-hash over the payload: sample AHASH_BITS bytes
     * at a fixed stride, bit_i = sample_i > integer-mean of the samples.
@@ -520,7 +522,7 @@ object Multimodal {
     // candidates from band collisions, exact bit_count(xor) verify
     "q_media_neardup" -> { (s, dir) =>
       Dedup.bandedHammingPairs(aHashed(mediaOf(s, dir)),
-          "media_id", "ahash", AHASH_BITS, maxHamming = 3)
+          "media_id", "ahash", AHASH_BITS, MEDIA_MAX_HAMMING)
         .toDF("media_a", "media_b", "hamming")
     },
 
@@ -588,34 +590,6 @@ object Multimodal {
   )
 
   /** Shared media CTE — byte-identical to [[fakeMedia]]. */
-  /** The q_stream_media_dedup oracle: banded aHash self-join WITHOUT
-    * the `<` direction cut (the stream emits every (arrival, corpus)
-    * direction), collision multiplicity per pair, then the per-media
-    * ingestion rollup — exactly what the stream-static band join +
-    * in-row verify must reproduce on a corpus replay.
-    */
-  private[graft] def streamMediaDedupSql: String = {
-    val width = AHASH_BITS / 4
-    val mask = (1L << width) - 1
-    s"""WITH $mediaCte,
-       |$aHashCtes,
-       |banded AS (SELECT media_id, ahash, bands.band,
-       |    (ahash >> (bands.band * $width)) & $mask AS bkey
-       |  FROM ah, (SELECT unnest(range(4)) AS band) bands),
-       |mcand AS (SELECT a.media_id AS media_id, b.media_id AS match_id,
-       |    bit_count(xor(a.ahash, b.ahash)) AS hamming,
-       |    count(*) AS nb
-       |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.bkey = b.bkey
-       |    AND a.media_id != b.media_id
-       |  GROUP BY 1, 2, 3)
-       |SELECT media_id, count(DISTINCT match_id) AS n_matches,
-       |  min(hamming) AS best_hamming,
-       |  CAST(sum(nb) AS BIGINT) AS n_band_hits
-       |FROM mcand WHERE hamming <= 3
-       |GROUP BY 1""".stripMargin
-  }
-
   private[graft] val mediaCte =
     s"""media AS (SELECT doc_id AS media_id,
        |  CASE WHEN doc_id % 3 = 0 THEN
@@ -648,6 +622,44 @@ object Multimodal {
        |ah AS (SELECT media_id, CAST($bits AS BIGINT) AS ahash
        |  FROM withmean)""".stripMargin
   }
+
+  /** The banded-aHash CTE (appended after `ah`) — the oracle twin of
+    * [[graft.operators.Dedup.hammingBandKeys]] at the media radius:
+    * MEDIA_MAX_HAMMING+1 equal bands of the AHASH_BITS fingerprint.
+    * ONE definition for every media-banding oracle, so a radius change
+    * can never drift between the Scala banding and the SQL twins.
+    */
+  private[graft] val bandedCte: String = {
+    val bands = MEDIA_MAX_HAMMING + 1
+    val width = AHASH_BITS / bands
+    val mask = (1L << width) - 1
+    s"""banded AS (SELECT media_id, ahash, bands.band,
+       |    (ahash >> (bands.band * $width)) & $mask AS bkey
+       |  FROM ah, (SELECT unnest(range($bands)) AS band) bands)""".stripMargin
+  }
+
+  /** The q_stream_media_dedup oracle: banded aHash self-join WITHOUT
+    * the `<` direction cut (the stream emits every (arrival, corpus)
+    * direction), collision multiplicity per pair, then the per-media
+    * ingestion rollup — exactly what the stream-static band join +
+    * in-row verify must reproduce on a corpus replay.
+    */
+  private[graft] def streamMediaDedupSql: String =
+    s"""WITH $mediaCte,
+       |$aHashCtes,
+       |$bandedCte,
+       |mcand AS (SELECT a.media_id AS media_id, b.media_id AS match_id,
+       |    bit_count(xor(a.ahash, b.ahash)) AS hamming,
+       |    count(*) AS nb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.media_id != b.media_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT media_id, count(DISTINCT match_id) AS n_matches,
+       |  min(hamming) AS best_hamming,
+       |  CAST(sum(nb) AS BIGINT) AS n_band_hits
+       |FROM mcand WHERE hamming <= $MEDIA_MAX_HAMMING
+       |GROUP BY 1""".stripMargin
 
   /** SQL twin of [[pHashed]]: the identical DCT8 literal table and the
     * same two-stage separable structure as chained CTEs (64 samples →
@@ -823,34 +835,25 @@ object Multimodal {
          |$pHashCtes
          |SELECT media_id, phash FROM ph""".stripMargin,
 
-    "q_media_neardup" -> {
-      val width = AHASH_BITS / 4
-      val mask = (1L << width) - 1
+    "q_media_neardup" ->
       s"""WITH $mediaCte,
          |$aHashCtes,
-         |banded AS (SELECT media_id, ahash, bands.band,
-         |    (ahash >> (bands.band * $width)) & $mask AS bkey
-         |  FROM ah, (SELECT unnest(range(4)) AS band) bands),
+         |$bandedCte,
          |cand AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
          |    bit_count(xor(a.ahash, b.ahash)) AS hamming
          |  FROM banded a JOIN banded b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id)
          |SELECT media_a, media_b, hamming FROM cand
-         |WHERE hamming <= 3""".stripMargin
-    },
+         |WHERE hamming <= $MEDIA_MAX_HAMMING""".stripMargin,
 
-    "q_media_clusters" -> {
-      val width = AHASH_BITS / 4
-      val mask = (1L << width) - 1
+    "q_media_clusters" ->
       s"""WITH RECURSIVE $mediaCte,
          |$aHashCtes,
-         |banded AS (SELECT media_id, ahash, bands.band,
-         |    (ahash >> (bands.band * $width)) & $mask AS bkey
-         |  FROM ah, (SELECT unnest(range(4)) AS band) bands),
+         |$bandedCte,
          |vp AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
          |  FROM banded a JOIN banded b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id
-         |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+         |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $MEDIA_MAX_HAMMING),
          |e AS (SELECT media_a AS src, media_b AS dst FROM vp
          |      UNION SELECT media_b, media_a FROM vp),
          |reach AS (SELECT src AS id, src AS r FROM e
@@ -861,6 +864,5 @@ object Multimodal {
          |  FROM cc GROUP BY cluster_id)
          |SELECT cc.id AS media_id, cc.cluster_id, csz.cluster_sz
          |FROM cc JOIN csz USING (cluster_id)""".stripMargin
-    }
   )
 }

@@ -114,9 +114,7 @@ object OpsGate {
       val t = VersionedTable(s, path, retain = 3)
       ModelRegistry.publishLogit(s, t,
         TextQueries.fitQualityModelSliced(docs,
-          Curation.hashBucket(col("doc_id"),
-            TextQueries.LOGIT_SAMPLE_SEED)
-            < TextQueries.LOGIT_SAMPLE_PCT))
+          TextQueries.qualitySliceGate))
       ModelRegistry.publishLogit(s, t, TextQueries.fitQualityModel(docs))
       def serve(v: Long): DataFrame =
         graft.streaming.StreamingQuality

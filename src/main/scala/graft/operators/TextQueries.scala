@@ -3002,10 +3002,7 @@ object TextQueries {
     val xs = Seq("len_bp", "stop_bp", "punct_bp", "uniq_bp")
     val lab = qualityBp(s, dir)
       .withColumn("in_sl",
-        if (sampled)
-          Curation.hashBucket(col("doc_id"), LOGIT_SAMPLE_SEED)
-            < LOGIT_SAMPLE_PCT
-        else lit(true))
+        if (sampled) qualitySliceGate else lit(true))
       .selectExpr(
         (xs ++ Seq("CASE WHEN greatest(0, 3 * len_bp + 4 * stop_bp - " +
           "2 * punct_bp + 2 * uniq_bp) div 10 >= 1750 " +
@@ -3156,9 +3153,7 @@ object TextQueries {
       "2 * punct_bp + 2 * uniq_bp) div 10 >= 1750 THEN 1L ELSE 0L END"
     val lab = qualityBpOf(Tables.load(s, dir, "documents"))
       .withColumn("y", expr(yExpr))
-      .withColumn("in_sl",
-        Curation.hashBucket(col("doc_id"), LOGIT_SAMPLE_SEED)
-          < LOGIT_SAMPLE_PCT)
+      .withColumn("in_sl", qualitySliceGate)
     activeLearningRound(lab, "doc_id", xs, "y", "in_sl", REFIT_K)
   }
 

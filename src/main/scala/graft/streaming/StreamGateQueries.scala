@@ -383,8 +383,12 @@ object StreamGateQueries {
       val gate = graft.operators.TextQueries.qualitySliceGate
       val model =
         graft.operators.TextQueries.fitQualityModelSliced(corpus, gate)
-      val base = StreamingQuality.scoreBins(corpus.filter(gate), model)
-        .groupBy(col("bin")).agg(count(lit(1)).as("n_base"))
+      // the ≤18-row histogram is read twice (join side + nb total) —
+      // persist it so the slice scoring pass runs once, not three times
+      val base = graft.CacheRegistry.register(
+        StreamingQuality.scoreBins(corpus.filter(gate), model)
+          .groupBy(col("bin")).agg(count(lit(1)).as("n_base"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val out = runToTable(s,
         StreamingQuality.scoreBins(docsStream(s, dir), model))
       val obs = out.groupBy(col("bin")).agg(count(lit(1)).as("n_obs"))

@@ -29,7 +29,7 @@ import graft.operators.{Dedup, Multimodal}
   */
 object StreamingMediaDedup {
 
-  val MAX_HAMMING = 3
+  val MAX_HAMMING: Int = Multimodal.MEDIA_MAX_HAMMING
 
   /** The static corpus index: one (band, bkey, match_id, match_hash)
     * row per band of each corpus payload's aHash.

@@ -44,23 +44,6 @@ object StreamingQuality {
           .as("verdict"))
   }
 
-  /** Labeling-queue admission on a document STREAM — the online half
-    * of margin-based uncertainty sampling ([[TextQueries.marginQueue]]
-    * is the batch queue): the batch fit publishes its admission cut
-    * (the k-th smallest |score| and its tie doc_id, see
-    * [[TextQueries.queueAdmissionCut]]) and each arriving document is
-    * scored in-row and admitted iff its margin beats the cut —
-    * |score_m| < thr, ties at the cut broken by doc_id ≤ tieId, the
-    * batch queue's own (margin ASC, doc_id ASC) rule. A null score (a
-    * doc with no scoreable text) never admits, matching the batch
-    * NULLS LAST ordering.
-    *
-    * Stateless like [[scoreStream]]: model AND cut ride the plan as
-    * literals, so admission costs O(batch) with no state store — the
-    * shape an unbounded annotation pipeline ships, with the cut
-    * republished on each periodic refit. Emits the admitted rows only:
-    * (doc_id, score_m, margin_m).
-    */
   /** (doc_id, score_m, bin) per document: the model score binned on a
     * fixed integer grid — bin = sign-split score_m div `step`, clamped
     * to ±`bmax` via explicit CASE (Spark's greatest/least IGNORE nulls
@@ -86,6 +69,23 @@ object StreamingQuality {
       .select(col("doc_id"), col("score_m"), col("bin"))
   }
 
+  /** Labeling-queue admission on a document STREAM — the online half
+    * of margin-based uncertainty sampling ([[TextQueries.marginQueue]]
+    * is the batch queue): the batch fit publishes its admission cut
+    * (the k-th smallest |score| and its tie doc_id, see
+    * [[TextQueries.queueAdmissionCut]]) and each arriving document is
+    * scored in-row and admitted iff its margin beats the cut —
+    * |score_m| < thr, ties at the cut broken by doc_id ≤ tieId, the
+    * batch queue's own (margin ASC, doc_id ASC) rule. A null score (a
+    * doc with no scoreable text) never admits, matching the batch
+    * NULLS LAST ordering.
+    *
+    * Stateless like [[scoreStream]]: model AND cut ride the plan as
+    * literals, so admission costs O(batch) with no state store — the
+    * shape an unbounded annotation pipeline ships, with the cut
+    * republished on each periodic refit. Emits the admitted rows only:
+    * (doc_id, score_m, margin_m).
+    */
   def queueAdmissionStream(docs: DataFrame,
                            model: TextQueries.LogitModel,
                            thrMilli: Long, tieId: Long): DataFrame = {
