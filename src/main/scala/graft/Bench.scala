@@ -47,6 +47,16 @@ object Bench {
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "false")
+      // r16: the default generated-class cache (LRU 100 entries,
+      // spark.sql.codegen.cache.maxEntries) thrashes at 386 queries —
+      // every rep re-COMPILES every whole-stage fragment, so the
+      // per-query medians silently included Janino compile time the
+      // protocol was designed to absorb. A long-running production
+      // driver sizes this cache the same way (compiled-code cache, keyed
+      // on source text — never data); build.sbt already reserves the
+      // 1g JVM code cache this fills into.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

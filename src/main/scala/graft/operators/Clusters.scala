@@ -153,13 +153,32 @@ object Clusters {
           col(src).cast("long").as("dst"))),
       scratch, edgeSchema, key = "src")
 
-    def roundTrip(df: DataFrame, iter: Int): DataFrame = {
+    // The convergence statistic (label sum + row count) rides the WRITE
+    // job as observed metrics (CollectMetrics), so each round is ONE
+    // job instead of two (write, then a re-scan aggregate) — the r16
+    // fixed-cost cut: labels only ever DECREASE under min-propagation,
+    // so "sum unchanged ⟺ fixpoint" needs only the sum, and the sum of
+    // the rows streaming INTO the parquet writer is the same sum the
+    // old post-write scan computed. Count rides along to replace the
+    // old isEmpty probe job on the empty-graph path.
+    def roundTrip(df: DataFrame, iter: Int)
+        : (DataFrame, java.math.BigDecimal, Long) = {
+      val obs = org.apache.spark.sql.Observation()
       val dir = new Path(scratch, s"labels_$iter")
-      df.write.mode("overwrite").parquet(dir.toString)
+      df.observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(dir.toString)
       // the new labels are self-contained on disk — the previous
       // round's files are dead weight the moment this write commits
       if (iter > 0) fs.delete(new Path(scratch, s"labels_${iter - 1}"), true)
-      spark.read.schema(labelSchema).parquet(dir.toString)
+      val m = obs.get
+      val s = m("s") match {
+        case null => java.math.BigDecimal.ZERO
+        case d: java.math.BigDecimal => d
+        case d: scala.math.BigDecimal => d.bigDecimal
+      }
+      (spark.read.schema(labelSchema).parquet(dir.toString),
+        s, m("n").asInstanceOf[Long])
     }
 
     // iteration 0 IS the first propagation round: every node appears as
@@ -167,31 +186,25 @@ object Clusters {
     // node set AND its 1-hop min in the same shuffle the separate
     // distinct() would have cost — diameter-1 clusters (the common
     // near-dup star) arrive converged and pay only the confirming round
-    var labels = roundTrip(
+    var (labels, prevSum, n0) = roundTrip(
       edges.groupBy(col("dst"))
         .agg(min(col("src")).as("m"))
         .select(col("dst").as("id"), least(col("m"), col("dst")).as("lbl")),
       0)
 
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-    }
-
-    var prevSum = labelSum(labels)
     var iter = 0
-    var converged = prevSum.signum() == 0 && labels.isEmpty
+    var converged = prevSum.signum() == 0 && n0 == 0L
     while (!converged && iter < maxIter) {
       iter += 1
       // min label reaching each node via one hop, folded with its own
       val neighborMin = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(min(col("lbl")).as("nmin"))
-      labels = roundTrip(
+      val (nextLabels, s, _) = roundTrip(
         labels.join(neighborMin, col("id") === col("dst"), "left")
           .select(col("id"), least(col("lbl"), col("nmin")).as("lbl")),
         iter)
-      val s = labelSum(labels)
+      labels = nextLabels
       converged = s.compareTo(prevSum) == 0
       prevSum = s
     }

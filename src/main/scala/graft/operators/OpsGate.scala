@@ -111,6 +111,15 @@ object OpsGate {
       // rebuild from scratch: the publish lifecycle is under test
       if (fs.exists(p.getParent)) fs.delete(p.getParent, true)
       val docs = Tables.load(s, dir, "documents")
+      // ONE persisted copy of the quality-feature projection (r16):
+      // both trainers and both serving passes below re-derive
+      // qualityBpOf(docs) internally — identical subplans, so the
+      // cache manager substitutes this table into all four and the
+      // regex-heavy feature pass over the corpus is paid once, not 4×.
+      // Results are unchanged (the projection is deterministic).
+      graft.CacheRegistry.register(
+        TextQueries.qualityBpOf(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val t = VersionedTable(s, path, retain = 3)
       ModelRegistry.publishLogit(s, t,
         TextQueries.fitQualityModelSliced(docs,

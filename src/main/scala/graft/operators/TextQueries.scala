@@ -1200,6 +1200,11 @@ object TextQueries {
     // never a full sort. Output (rank, doc_id, score_m).
     "q_uncertainty_sample" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
+      // one persisted feature projection serves the fit AND the queue
+      // scoring pass (plan-match cache substitution; r16 — see
+      // q_model_registry for the pattern)
+      graft.CacheRegistry.register(qualityBpOf(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       marginQueue(docs, fitQualityModel(docs), UNC_K)
     },
 
@@ -3296,21 +3301,28 @@ object TextQueries {
     val feats = graft.CacheRegistry.register(
       labeled.persist(StorageLevel.MEMORY_AND_DISK))
     val fitRows = feats.filter(col(inFitCol))
-    // pass 1: n + feature sums (exact; decimal so 100 TB would not wrap)
+    // ONE stats pass (r16: was two): n + Σx + Σx² per feature, all
+    // DECIMAL(38,0)-exact, then means AND variances on the driver via
+    // the integer identity Σ(x−m)² = Σx² − 2·m·Σx + n·m² (exact in
+    // BigInt for the INTEGER mean m = Σx div n — no floating point
+    // anywhere, so the z table is bit-identical to the two-pass form).
+    // Headroom: Σx² ≤ rows · max(x)² runs through DECIMAL(38,0), the
+    // same ceiling the old (x−m)² sum had.
     val sumAggs = count(lit(1)).as("n") +:
-      xs.map(c => sum(col(c).cast("decimal(38,0)")).as(s"s_$c"))
+      (xs.map(c => sum(col(c).cast("decimal(38,0)")).as(s"s_$c")) ++
+        xs.map(c =>
+          sum(expr(s"CAST($c AS DECIMAL(38,0)) * $c")).as(s"q_$c")))
     val st = fitRows.agg(sumAggs.head, sumAggs.tail: _*).head()
     val n = st.getLong(0)
     require(n > 0, "fitLogisticGd: empty training slice")
-    val means = xs.indices.map(i =>
-      (BigInt(st.getDecimal(i + 1).toBigInteger) / n).toLong)
-    // pass 2: variances around the integer means → sd = max(1, ⌊√var⌋)
-    val varAggs = xs.zip(means).map { case (c, m) =>
-      sum(expr(s"CAST(($c - ${m}L) * ($c - ${m}L) AS DECIMAL(38,0))"))
-        .as(s"v_$c") }
-    val vr = fitRows.agg(varAggs.head, varAggs.tail: _*).head()
+    val sumsX = xs.indices.map(i => BigInt(st.getDecimal(i + 1).toBigInteger))
+    val sumsX2 = xs.indices.map(i =>
+      BigInt(st.getDecimal(i + 1 + xs.size).toBigInteger))
+    val means = xs.indices.map(i => (sumsX(i) / n).toLong)
     val sds = xs.indices.map { i =>
-      val v = (BigInt(vr.getDecimal(i).toBigInteger) / n).toLong
+      val m = BigInt(means(i))
+      val varSum = sumsX2(i) - 2 * m * sumsX(i) + m * m * n
+      val v = (varSum / n).toLong
       math.max(1L, math.floor(math.sqrt(v.toDouble)).toLong) }
     val z = graft.CacheRegistry.register(
       feats.selectExpr(
@@ -3320,7 +3332,13 @@ object TextQueries {
           Seq(yCol, inFitCol): _*)
         .persist(StorageLevel.MEMORY_AND_DISK))
     // the descent: K jobs, weights on the driver, BigInt-exact updates;
-    // gradients see only the training slice
+    // gradients see only the training slice. Weights ride the plan as
+    // literals: an r16 A/B against a one-row-broadcast parameter form
+    // (stable codegen text across rounds) measured WORSE wall time —
+    // the extra broadcast query-stage job per round cost more than the
+    // per-round literal-plan codegen it saved (JobCountProbe: 42 → 56
+    // jobs, 3.5 → 4.3 s) — so the literal form stands, and the raised
+    // codegen cache (Bench session) absorbs the recompiles across reps.
     val w = Array.fill(k + 1)(BigInt(0))
     def sExpr: String =
       (0 to k).map(j => s"${w(j)}L * x$j").mkString("(", " + ", ")")

@@ -344,6 +344,11 @@ object StreamGateQueries {
     // so the admitted set must equal the batch marginQueue exactly.
     "q_stream_uncertainty" -> { (s, dir) =>
       val corpus = s.read.parquet(s"$dir/documents.parquet")
+      // one persisted feature projection serves the fit AND the
+      // admission-cut scoring pass (plan-match cache substitution; r16)
+      graft.CacheRegistry.register(
+        graft.operators.TextQueries.qualityBpOf(corpus)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val model = graft.operators.TextQueries.fitQualityModel(corpus)
       val (thr, tie) = graft.operators.TextQueries.queueAdmissionCut(
         corpus, model, graft.operators.TextQueries.UNC_K)
@@ -381,12 +386,20 @@ object StreamGateQueries {
     "q_stream_score_drift" -> { (s, dir) =>
       val corpus = s.read.parquet(s"$dir/documents.parquet")
       val gate = graft.operators.TextQueries.qualitySliceGate
+      // one persisted feature projection serves the slice fit AND the
+      // baseline scoring pass (plan-match cache substitution; r16).
+      // The slice gate is applied AFTER scoreBins (a row-wise
+      // projection preserving doc_id), which is row-for-row identical
+      // to filtering first but lets the cached subtree match.
+      graft.CacheRegistry.register(
+        graft.operators.TextQueries.qualityBpOf(corpus)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val model =
         graft.operators.TextQueries.fitQualityModelSliced(corpus, gate)
       // the ≤18-row histogram is read twice (join side + nb total) —
       // persist it so the slice scoring pass runs once, not three times
       val base = graft.CacheRegistry.register(
-        StreamingQuality.scoreBins(corpus.filter(gate), model)
+        StreamingQuality.scoreBins(corpus, model).filter(gate)
           .groupBy(col("bin")).agg(count(lit(1)).as("n_base"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val out = runToTable(s,
