@@ -36,7 +36,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val reverse = sys.env.get("SPARK_GRAFT_ORDER").contains("reverse")
-    val spark = SparkSession.builder()
+    val spark = graft.Graft.withStateStoreConfs(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

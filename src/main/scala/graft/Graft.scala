@@ -30,9 +30,38 @@ object Graft {
     * benchmarking foot-gun). On cluster masters the setting is left to
     * the deployment (AQE coalescing + site config own it there).
     */
+  /** Streaming state-store posture shared by every graft session (r16):
+    * RocksDB provider + join state format v3 (virtual column families —
+    * ONE store per partition for a stream-stream join instead of four).
+    * This is the documented production posture for stateful streaming
+    * (bounded executor memory, fewer per-commit file operations at any
+    * scale); measured locally it cut the stream-stream attribution
+    * gates ~2.5× (SpotBench 7.8 → 3.0 s / 5.5 → 2.6 s — the HDFS
+    * provider spent 45 s of cumulative state-commit time per batch
+    * across 32 partitions × 4 stores). `SPARK_GRAFT_STATE_PROVIDER`
+    * overrides the provider (format v3 is RocksDB-only, so the v3 pin
+    * follows the provider choice). State layout never changes emitted
+    * rows — the stream gates' oracle hashes pin that.
+    */
+  private[graft] def stateStoreConfs: Seq[(String, String)] = {
+    val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val base = Seq(
+      "spark.sql.streaming.stateStore.providerClass" -> provider)
+    if (provider.endsWith("RocksDBStateStoreProvider"))
+      base :+ ("spark.sql.streaming.join.stateFormatVersion" -> "3")
+    else base
+  }
+
+  /** Apply [[stateStoreConfs]] to a session builder. */
+  private[graft] def withStateStoreConfs(
+      b: SparkSession.Builder): SparkSession.Builder =
+    stateStoreConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
   def newSession(master: String = "local[*]",
                  appName: String = "graft"): SparkSession = {
-    val b = SparkSession.builder()
+    val b = withStateStoreConfs(SparkSession.builder())
       .master(master)
       .appName(appName)
       .config("spark.sql.session.timeZone", "UTC")

@@ -326,7 +326,11 @@ object Clusters {
         .select(col("id"),
           (lit(150000L) + expr("85 * coalesce(s, 0L) div 100"))
             .as("rank_ppm"))
-      ranks = if (i % 2 == 0 || i == iters) roundTrip(next, i) else next
+      // the FINAL round is not round-tripped (r16): the gate consumes
+      // the rank table exactly once, so the last write+read bought
+      // nothing — the returned plan is at most one un-truncated round
+      // deep over the cached ed/nodes tables and the last written ranks
+      ranks = if (i % 2 == 0 && i < iters) roundTrip(next, i) else next
     }
     ranks
   }
@@ -698,12 +702,17 @@ object Clusters {
     for (i <- 1 to rounds) {
       val s = alive.select(col("id").as("sid"))
       val t = alive.select(col("id").as("tid"))
-      alive = roundTrip(
-        edges.join(s, col("src") === col("sid"))
-          .join(t, col("dst") === col("tid"))
-          .groupBy(col("dst")).agg(count(lit(1)).as("d"))
-          .filter(col("d") >= k)
-          .select(col("dst").as("id"), col("d")), i)
+      val next = edges.join(s, col("src") === col("sid"))
+        .join(t, col("dst") === col("tid"))
+        .groupBy(col("dst")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("dst").as("id"), col("d"))
+      // the FINAL round is not round-tripped (r16): within a round the
+      // alive set is referenced twice (both endpoints), so mid-loop
+      // truncation stands, but the LAST round's output is consumed once
+      // by the caller — its plan is one round deep over the previous
+      // round's parquet, and the write+read bought nothing
+      alive = if (i < rounds) roundTrip(next, i) else next
     }
     alive.select(col("id"), col("d").as("core_degree"))
   }

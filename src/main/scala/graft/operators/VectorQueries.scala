@@ -1512,16 +1512,14 @@ object VectorQueries {
       // each round reads `sel` THREE times (anti-join, penalty join,
       // union), so an un-truncated loop grows the logical plan 3^K —
       // measured 90 s of pure optimizer/codegen at ANY data size. The
-      // iterate is ≤ Q·K rows; parquet round-trip per round (the
-      // pageRank bounded-lineage contract) keeps every round's plan
-      // flat and the whole query in the seconds range.
-      val scratch = new org.apache.hadoop.fs.Path(
-        graft.StageDirs.scratch("mmr"))
-      def roundTrip(df: DataFrame, r: Int): DataFrame = {
-        val d = new org.apache.hadoop.fs.Path(scratch, s"sel_$r")
-        df.write.mode("overwrite").parquet(d.toString)
-        s.read.parquet(d.toString)
-      }
+      // iterate is ≤ Q·K rows (MMR slots × queries — bounded index
+      // METADATA, like the KMeans centroid table), so r16 truncates it
+      // on the DRIVER (collect → LocalRelation) instead of a parquet
+      // round-trip: same flat per-round plan, no filesystem write, and
+      // each round's three sel-joins become broadcast-able local scans.
+      def roundTrip(df: DataFrame, r: Int): DataFrame =
+        s.createDataFrame(
+          java.util.Arrays.asList(df.collect(): _*), df.schema)
       // round 1: pure relevance (empty selected set ⇒ no penalty)
       var sel = roundTrip(cand
         .groupBy(col("query_id"))

@@ -245,12 +245,24 @@ object StreamGateQueries {
 
   /** The documents table replayed as a file-source stream — the
     * ingestion fixture for the stream-vs-static near-dup gate.
+    *
+    * The batch is FANNED OUT to the session's parallelism (r16): the
+    * staged fixture is one parquet file, so without the repartition
+    * every consumer's per-row map work (regex shingling, md5 per
+    * shingle, MinHash, model scoring) serialized onto a single core
+    * below the first exchange — StreamProgressProbe measured the
+    * neardup gate's 5.8 s addBatch as exactly that single-task stage.
+    * Same rationale (and row-identical semantics) as
+    * [[graft.Tables.load]]'s compute-heavy fan-out: a production
+    * micro-batch arrives as many files and the exchange moves
+    * batch-sized bytes, never corpus-sized state.
     */
   private def docsStream(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
     s.readStream.schema(schema)
       .parquet(stage(dir, copies = 1, table = "documents"))
       .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   // ────────────────────────────────────────────────────────────────────
@@ -327,7 +339,7 @@ object StreamGateQueries {
     // forward pass can never drift.
     "q_stream_quality" -> { (s, dir) =>
       val model = graft.operators.TextQueries.fitQualityModel(
-        s.read.parquet(s"$dir/documents.parquet"))
+        graft.Tables.load(s, dir, "documents"))
       val out = runToTable(s, StreamingQuality.scoreStream(
         docsStream(s, dir), model))
       out.groupBy(col("verdict"))
@@ -343,7 +355,7 @@ object StreamGateQueries {
     // (model + cut are plan literals); the fixture replays the corpus,
     // so the admitted set must equal the batch marginQueue exactly.
     "q_stream_uncertainty" -> { (s, dir) =>
-      val corpus = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = graft.Tables.load(s, dir, "documents")
       // one persisted feature projection serves the fit AND the
       // admission-cut scoring pass (plan-match cache substitution; r16)
       graft.CacheRegistry.register(
@@ -366,7 +378,7 @@ object StreamGateQueries {
     // per-point (nearest seed, d², band) must equal the batch
     // assignment.
     "q_stream_novelty" -> { (s, dir) =>
-      val corpus = s.read.parquet(s"$dir/embeddings.parquet")
+      val corpus = graft.Tables.load(s, dir, "embeddings")
       val schema = corpus.select(col("vec_id"), col("embedding")).schema
       val in = s.readStream.schema(schema)
         .parquet(stage(dir, copies = 1, table = "embeddings"))
@@ -384,7 +396,7 @@ object StreamGateQueries {
     // than its own baseline; the fixture replays the corpus, making
     // the observed side the full-corpus histogram exactly.
     "q_stream_score_drift" -> { (s, dir) =>
-      val corpus = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = graft.Tables.load(s, dir, "documents")
       val gate = graft.operators.TextQueries.qualitySliceGate
       // one persisted feature projection serves the slice fit AND the
       // baseline scoring pass (plan-match cache substitution; r16).
@@ -425,7 +437,7 @@ object StreamGateQueries {
     // rollup must equal the batch q_decontaminate join exactly (the
     // bloom only prunes; the exact join removes its false positives).
     "q_stream_decontam" -> { (s, dir) =>
-      val b = s.read.parquet(s"$dir/documents.parquet")
+      val b = graft.Tables.load(s, dir, "documents")
       val bkt = graft.operators.Curation.hashBucket(col("doc_id"))
       val idx = StreamingDecontam.heldIndex(
         b.filter(bkt >= 90), graft.operators.Curation.DECON_K)
@@ -446,7 +458,7 @@ object StreamGateQueries {
     // close, over how many band collisions) is what an ingestion
     // pipeline actually routes on.
     "q_stream_neardup" -> { (s, dir) =>
-      val corpus = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = graft.Tables.load(s, dir, "documents")
       val out = runToTable(s, StreamingNearDup.neardupStream(
         docsStream(s, dir), StreamingNearDup.corpusIndex(corpus)))
       out.groupBy(col("doc_id"))
@@ -465,7 +477,7 @@ object StreamGateQueries {
     // q_media_neardup pairs with band-collision multiplicity.
     "q_stream_media_dedup" -> { (s, dir) =>
       val corpus = graft.operators.Multimodal.fakeMedia(
-        s.read.parquet(s"$dir/documents.parquet"))
+        graft.Tables.load(s, dir, "documents"))
       val idx = StreamingMediaDedup.corpusIndex(corpus)
       val out = runToTable(s, StreamingMediaDedup.mediaMatchStream(
         graft.operators.Multimodal.fakeMedia(docsStream(s, dir)), idx))
@@ -485,7 +497,7 @@ object StreamGateQueries {
     // hold all history). Every emitted column is a pure function of
     // the pair, so the row SET is hash-gated directly.
     "q_stream_neardup_once" -> { (s, dir) =>
-      val corpus = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = graft.Tables.load(s, dir, "documents")
       val in = docsStream(s, dir).withColumn("ingest_ts",
         timestamp_millis(lit(1700000000000L) + col("doc_id")))
       runToTable(s, StreamingNearDup.neardupStreamExactlyOnce(

@@ -10,7 +10,8 @@ object CanaryProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // mirror Bench's session EXACTLY — shuffle partitions = cores (the
     // 200-partition default quadruples small-shuffle queries at local[32])
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val spark = graft.Graft.withStateStoreConfs(
+        org.apache.spark.sql.SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -18,7 +18,7 @@ object JobCountProbe {
     val names =
       if (args.length > 1) args(1).split(",").toSeq
       else Seq("q_dup_clusters")
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = graft.Graft.withStateStoreConfs(SparkSession.builder()).master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

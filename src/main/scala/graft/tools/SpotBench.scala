@@ -14,8 +14,14 @@ object SpotBench {
     val names =
       if (args.length > 1) args(1).split(",").toSeq
       else Seq("q1_agg")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // dev-only A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" lands on the
+    // session builder verbatim (measurement experiments, never the gate)
+    val extra = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2)).collect {
+        case Array(k, v) => (k, v) }
+    val spark = extra.foldLeft(graft.Graft.withStateStoreConfs(SparkSession.builder()).master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")) {
+        case (b, (k, v)) => b.config(k, v) }
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.excludedRules",

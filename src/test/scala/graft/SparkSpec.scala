@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** One SparkSession shared by every suite in the forked test JVM. */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val s = graft.Graft.withStateStoreConfs(SparkSession.builder())
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
