@@ -56,7 +56,7 @@ object Bench {
       // on source text — never data); build.sbt already reserves the
       // 1g JVM code cache this fills into.
       .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "20000"))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -136,22 +136,44 @@ object Clusters {
     */
   def connectedComponents(pairs: DataFrame, src: String, dst: String,
                           scratchDir: Option[String] = None,
-                          maxIter: Int = 25): DataFrame = {
-    val spark = pairs.sparkSession
-    val scratch = new Path(scratchDir.getOrElse(
-      graft.StageDirs.scratch("cc")))
-    val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
+                          maxIter: Int = 25): DataFrame =
     // symmetric edge list: min-labels must flow BOTH ways. PERSISTED —
     // every propagation round joins against it, and the pair source is
     // typically the whole LSH pipeline (recomputing THAT per round
     // multiplied the clustering cost by the iteration count)
-    val edges = materializeEdges(
+    connectedComponentsOnEdges(
+      sharedSymEdges(pairs, src, dst, scratchDir), scratchDir, maxIter)
+
+  /** ONE materialized co-located symmetric edge cache reusable across
+    * several fixpoints over the SAME pair list (r16): the CC and LPA
+    * loops both join edges by `src` every round, so a composite query
+    * (q_modularity scores BOTH partitions of one graph) pays the
+    * symmetrize + lineage truncation + co-location + cache fill once
+    * instead of per loop.
+    */
+  private[graft] def sharedSymEdges(pairs: DataFrame, src: String,
+                                    dst: String,
+                                    scratchDir: Option[String] = None)
+      : DataFrame =
+    materializeEdges(
       pairs.select(col(src).cast("long").as("src"),
           col(dst).cast("long").as("dst"))
         .union(pairs.select(col(dst).cast("long").as("src"),
           col(src).cast("long").as("dst"))),
-      scratch, edgeSchema, key = "src")
+      new Path(scratchDir.map(d => s"$d/symedges").getOrElse(
+        graft.StageDirs.scratch("symedges"))),
+      edgeSchema, key = "src")
+
+  /** [[connectedComponents]] over an ALREADY-materialized symmetric
+    * edge table ([[sharedSymEdges]]).
+    */
+  private[graft] def connectedComponentsOnEdges(
+      edges: DataFrame, scratchDir: Option[String] = None,
+      maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    val scratch = new Path(scratchDir.getOrElse(
+      graft.StageDirs.scratch("cc")))
+    val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     // The convergence statistic (label sum + row count) rides the WRITE
     // job as observed metrics (CollectMetrics), so each round is ONE
@@ -452,18 +474,21 @@ object Clusters {
     */
   def labelPropagation(pairs: DataFrame, src: String, dst: String,
                        iters: Int = 2,
-                       scratchDir: Option[String] = None): DataFrame = {
-    val spark = pairs.sparkSession
+                       scratchDir: Option[String] = None): DataFrame =
+    labelPropagationOnEdges(
+      sharedSymEdges(pairs, src, dst, scratchDir), iters, scratchDir)
+
+  /** [[labelPropagation]] over an ALREADY-materialized symmetric edge
+    * table ([[sharedSymEdges]]) — the shared-cache path composite
+    * queries use.
+    */
+  private[graft] def labelPropagationOnEdges(
+      edges: DataFrame, iters: Int = 2,
+      scratchDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
     val scratch = new Path(scratchDir.getOrElse(
       graft.StageDirs.scratch("lpa")))
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-    val edges = materializeEdges(
-      pairs.select(col(src).cast("long").as("src"),
-          col(dst).cast("long").as("dst"))
-        .union(pairs.select(col(dst).cast("long").as("src"),
-          col(src).cast("long").as("dst"))),
-      scratch, edgeSchema, key = "src")
 
     var lastDir: Option[Path] = None
     def roundTrip(df: DataFrame, iter: Int): DataFrame = {

@@ -1807,8 +1807,11 @@ object TextQueries {
           .select(col("doc_a").cast("long").as("doc_a"),
             col("doc_b").cast("long").as("doc_b"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val cc = Clusters.connectedComponents(vp, "doc_a", "doc_b")
-      val lpa = Clusters.labelPropagation(vp, "doc_a", "doc_b", LPA_ITERS)
+      // both loops consume the SAME symmetric edge list — materialize
+      // (truncate + co-locate + cache) it once, not once per loop (r16)
+      val edges = Clusters.sharedSymEdges(vp, "doc_a", "doc_b")
+      val cc = Clusters.connectedComponentsOnEdges(edges)
+      val lpa = Clusters.labelPropagationOnEdges(edges, LPA_ITERS)
       Clusters.modularityOf(vp,
           cc.select(col("id"), col("cluster_id")), "cc")
         .unionByName(Clusters.modularityOf(vp,
